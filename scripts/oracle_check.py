@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Dev-loop mimic of the driver's DuckDB correctness gate.
+
+Reads the graft.Verify output dir (per-query parquet + oracle_sql.json),
+registers /root/testdata/<sf>/ parquet files as DuckDB views named by
+table basename, runs each oracle, and compares result sets:
+columns sorted by name, rows sorted, exact value equality.
+
+Usage: python3 scripts/oracle_check.py <sfDir> <verifyOutDir>
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+
+def canon(rows, cols):
+    """Column-name-sorted, row-sorted canonical form."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(norm(r[i]) for i in order))
+    out.sort(key=lambda t: tuple(str(x) for x in t))
+    return [cols[i] for i in order], out
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for p in Path(sf_dir).glob("*.parquet"):
+        con.sql(f"CREATE VIEW {p.stem} AS SELECT * FROM '{p}'")
+    oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        qdir = Path(out_dir, name)
+        if not qdir.exists():
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            got = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
+            gcols, grows = canon(got.fetchall(), got.columns)
+            exp = con.sql(sql)
+            ecols, erows = canon(exp.fetchall(), exp.columns)
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        if gcols != ecols:
+            print(f"FAIL {name}: columns {gcols} != {ecols}")
+            n_fail += 1
+        elif grows != erows:
+            n_fail += 1
+            diff = [(a, b) for a, b in zip(grows, erows) if a != b]
+            print(f"FAIL {name}: {len(grows)} vs {len(erows)} rows, "
+                  f"{len(diff)} differing; first: "
+                  f"{diff[0] if diff else (grows[-1], erows[-1] if erows else None)}")
+        else:
+            print(f"PASS {name}: {len(grows)} rows")
+            n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{PipelineConfig, Schemas}
+import graft.operators.RefOps
+import PipelineConfig.Alerts
+
+/** Batch rebuilds of the reference's two Spark jobs
+  * (`spark_jobs/spark_job1.py:6-60`, `spark_jobs/spark_job2.py:6-60`),
+  * composed from [[graft.operators.RefOps]]. Output schema, column names,
+  * HH:mm:ss formatting, rounding, and alert strings match the reference
+  * exactly (FIXTURES.md §A3); timestamps are anchored deterministically
+  * (SURVEY.md §1.2) instead of to the run date.
+  */
+object MonitoringJobs {
+
+  /** job1 core: join(cpu, mem) → sliding-window avg → CASE alerts →
+    * formatted projection (`spark_jobs/spark_job1.py:18-54`).
+    * Takes landed per-family tables (ts STRING "HH:mm:ss", server_id,
+    * metric) and returns the alert table.
+    */
+  def job1(cpu: DataFrame, mem: DataFrame,
+           cfg: PipelineConfig = PipelineConfig.default): DataFrame = {
+    val joined = RefOps.joinOnKeys(
+      RefOps.castMetrics(cpu, Seq("cpu_pct")),
+      RefOps.castMetrics(mem, Seq("mem_pct")))
+    val agged = RefOps.slidingWindowAgg(joined, "server_id",
+      Seq(avg("cpu_pct").as("avg_cpu"), avg("mem_pct").as("avg_mem")), cfg)
+    val alerted = agged.withColumn("alert",
+      RefOps.classifyAlerts(col("avg_cpu"), cfg.cpuThreshold,
+        col("avg_mem"), cfg.memThreshold,
+        Alerts.cpuMemBoth, Alerts.cpuOnly, Alerts.memOnly))
+    RefOps.formatAlertOutput(alerted, "server_id",
+      Seq("avg_cpu" -> "avg_cpu", "avg_mem" -> "avg_mem"))
+  }
+
+  /** job2 core: join(net, disk) → sliding-window max → CASE alerts →
+    * formatted projection (`spark_jobs/spark_job2.py:18-54`). `net_out`
+    * is scanned but never used by the reference plan — Catalyst prunes it
+    * out of our scan entirely (SURVEY.md §4 column pruning).
+    */
+  def job2(net: DataFrame, disk: DataFrame,
+           cfg: PipelineConfig = PipelineConfig.default): DataFrame = {
+    val joined = RefOps.joinOnKeys(
+      RefOps.castMetrics(net, Seq("net_in")),
+      RefOps.castMetrics(disk, Seq("disk_io")))
+    val agged = RefOps.slidingWindowAgg(joined, "server_id",
+      Seq(max("net_in").as("max_net_in"), max("disk_io").as("max_disk_io")), cfg)
+    val alerted = agged.withColumn("alert",
+      RefOps.classifyAlerts(col("max_net_in"), cfg.netInThreshold,
+        col("max_disk_io"), cfg.diskIoThreshold,
+        Alerts.netDiskBoth, Alerts.netOnly, Alerts.diskOnly))
+    RefOps.formatAlertOutput(alerted, "server_id",
+      Seq("max_net_in" -> "max_net_in", "max_disk_io" -> "max_disk_io"))
+  }
+
+  /** File-level runner matching the reference lifecycle: read landed CSVs
+    * with explicit schemas (no inference pass — SURVEY.md §1.3), run a
+    * job, write one CSV (`spark_jobs/spark_job1.py:57` `coalesce(1)`).
+    * The single-file write is reference parity for the small alert table
+    * only — never used on large paths.
+    */
+  def runJob1Files(spark: SparkSession, cpuCsv: String, memCsv: String,
+                   outPath: String, cfg: PipelineConfig = PipelineConfig.default): Unit = {
+    val cpu = spark.read.option("header", "true").schema(Schemas.cpu).csv(cpuCsv)
+    val mem = spark.read.option("header", "true").schema(Schemas.mem).csv(memCsv)
+    job1(cpu, mem, cfg).coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(outPath)
+  }
+
+  def runJob2Files(spark: SparkSession, netCsv: String, diskCsv: String,
+                   outPath: String, cfg: PipelineConfig = PipelineConfig.default): Unit = {
+    val net = spark.read.option("header", "true").schema(Schemas.net).csv(netCsv)
+    val disk = spark.read.option("header", "true").schema(Schemas.disk).csv(diskCsv)
+    job2(net, disk, cfg).coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(outPath)
+  }
+
+  /** Producer-role batch form (`producer/producer.py:61-83`): source
+    * dataset → 4-topic fan-out messages. The per-row Python send loop
+    * becomes a narrow distributed projection (SURVEY.md §3.1).
+    */
+  def producerMessages(dataset: DataFrame,
+                       cfg: PipelineConfig = PipelineConfig.default): DataFrame =
+    RefOps.topicFanout(dataset, cfg)
+}
