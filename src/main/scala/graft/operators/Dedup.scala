@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale deduplication operators (SURVEY.md §2.3 E1/E2): exact
+  * (hash-groupBy), MinHash+LSH banding, SimHash, and exact n-gram
+  * Jaccard verification — the standard training-data near-dup pipeline
+  * (find candidates cheaply with LSH, verify candidates exactly).
+  *
+  * Scale design: everything is shingle-/signature-keyed shuffles — no
+  * all-pairs stage anywhere. At 100 TB the only O(n²) risk is a hot LSH
+  * bucket; salting thresholds or raising rowsPerBand controls that, and
+  * AQE's skew-join handles the residual. All hashing is md5 (built-in,
+  * codegen'd, engine-portable) — no UDFs.
+  */
+object Dedup {
+
+  /** E1 exact dedup: keep one representative row per duplicate group.
+    * One shuffle on the group-key hash; map-side partial aggregation
+    * makes the shuffle |distinct|, not |rows|.
+    */
+  def exactByContent(df: DataFrame, contentCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(contentCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Canonical tokenization shared by all text-dedup ops (and by the
+    * DuckDB oracles): lower, trim, split on whitespace runs.
+    */
+  def tokens(textCol: Column): Column =
+    split(lower(trim(textCol)), "\\s+")
+
+  /** Word n-gram shingle set per document: (idCol, shingle), distinct.
+    * Documents shorter than n tokens produce no shingles (they cannot
+    * be near-duplicates of anything at this shingle size).
+    */
+  def wordShingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
+    val grams = (0 until n).map(j => element_at(col("toks"), col("g") + j))
+    toks.select(col(idCol), explode(sequence(lit(1), size(col("toks")) - (n - 1))).as("g"),
+        col("toks"))
+      .select(col(idCol), concat_ws(" ", grams: _*).as("shingle"))
+      .distinct()
+  }
+
+  /** MinHash band signatures: `bands × rowsPerBand` salted-md5 min-hashes
+    * per document, folded into one signature string per band.
+    *
+    * Two shuffles: (doc, hash-id) minima, then (doc, band) fold. The
+    * per-band fold orders its rowsPerBand minima by hash id (array_sort
+    * on (h, minhash) structs) so the signature is deterministic.
+    */
+  def minhashBandSignatures(shingles: DataFrame, idCol: String,
+                            bands: Int, rowsPerBand: Int): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    shingles
+      .select(col(idCol), col("shingle"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("h"))
+      .groupBy(col(idCol), col("h"))
+      .agg(min(md5(concat(col("h"), lit("|"), col("shingle")))).as("mh"))
+      .groupBy(col(idCol), expr(s"h div $rowsPerBand").as("band"))
+      .agg(md5(expr("array_join(transform(array_sort(collect_list(struct(h, mh))), s -> s.mh), '')"))
+        .as("sig"))
+  }
+
+  /** LSH candidate pairs: documents sharing any band signature.
+    * The join key is (band, sig) — a pure equi-join, so Catalyst plans a
+    * shuffle hash/sort-merge join keyed by signature; no cross product.
+    */
+  def lshCandidatePairs(sigs: DataFrame, idCol: String): DataFrame = {
+    val a = sigs.select(col(idCol).as("id_a"), col("band"), col("sig"))
+    val b = sigs.select(col(idCol).as("id_b"), col("band"), col("sig"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over shingle sets, evaluated only on candidate pairs:
+    * |A∩B| via a shingle equi-join restricted to candidates, sizes via a
+    * per-doc count. Integer counts → the final division is deterministic.
+    */
+  def jaccardOnCandidates(shingles: DataFrame, candidates: DataFrame,
+                          idCol: String): DataFrame = {
+    val sizes = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val inter = candidates
+      .join(shingles.select(col(idCol).as("id_a"), col("shingle")), Seq("id_a"))
+      .join(shingles.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("n_inter") / (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+  }
+
+  /** End-to-end MinHash near-dup: shingle → band-minhash → LSH candidates
+    * → exact-Jaccard verify ≥ threshold.
+    */
+  def minhashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
+                            shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
+                            threshold: Double = 0.5): DataFrame = {
+    val sh = wordShingles(df, textCol, idCol, shingleSize)
+    val cands = lshCandidatePairs(minhashBandSignatures(sh, idCol, bands, rowsPerBand), idCol)
+    jaccardOnCandidates(sh, cands, idCol).filter(col("jaccard") >= threshold)
+  }
+
+  /** 32-bit SimHash per document over its token stream (with
+    * multiplicity). Bit j of md5(token)'s leading 8 hex nibbles votes
+    * ±1; the sign of the vote sum sets bit j of the signature.
+    *
+    * Engine-portable bit extraction: nibble value via
+    * instr('0123456789abcdef', hex_char) - 1, then div/mod — no
+    * platform hash, so the DuckDB oracle reproduces it exactly.
+    */
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+    val withBits = toks
+      .select(col(idCol), md5(col("tok")).as("th"),
+        explode(sequence(lit(0), lit(31))).as("b"))
+      .withColumn("nib",
+        expr("instr('0123456789abcdef', substring(th, (b div 4) + 1, 1)) - 1"))
+      // integer div, not cast: DuckDB CAST(double AS INT) rounds while
+      // Spark truncates — `div` / `//` floor-div is portable
+      .withColumn("bit", expr("(nib div CAST(power(2, b % 4) AS INT)) % 2"))
+      .withColumn("vote", col("bit") * 2 - 1)
+    withBits
+      .groupBy(col(idCol), col("b"))
+      .agg(sum(col("vote")).as("votes"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("votes") > 0, expr("CAST(power(2, b) AS BIGINT)"))
+        .otherwise(lit(0L))).as("simhash"))
+  }
+
+  /** Hamming distance between two simhash signatures. */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (SURVEY.md §2.3
+  * E4): language ID (stopword-marker heuristic), quality scoring
+  * (length/punctuation/stopword ratios), token counting (whitespace and
+  * BPE-ish regex), and document fingerprinting.
+  *
+  * Everything is a per-row projection — embarrassingly parallel, no
+  * shuffle, fully codegen'd built-ins; at 100 TB these run at scan speed.
+  */
+object TextAnalysis {
+
+  /** BPE-ish token pattern: letter runs, digit runs, single
+    * non-alnum-non-space marks (portable across Java regex and RE2).
+    */
+  val tokenPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  private def toks(c: Column): Column = Dedup.tokens(c)
+
+  /** Whitespace token count. */
+  def tokenCount(textCol: Column): Column = size(toks(textCol))
+
+  /** Regex (BPE-ish) token count over the lowercased text. */
+  def regexTokenCount(textCol: Column): Column =
+    size(regexp_extract_all(lower(textCol), lit(tokenPattern), lit(0)))
+
+  /** Count of tokens drawn from a marker set (stopword-style).
+    * The markers are embedded in a filter lambda — stays in codegen.
+    */
+  def markerCount(textCol: Column, markers: Seq[String]): Column = {
+    val arr = array(markers.map(lit): _*)
+    size(filter(toks(textCol), t => array_contains(arr, t)))
+  }
+
+  /** Language-marker sets: tiny per-language stopword lists. Public
+    * common-knowledge function words; deliberately small so the oracle
+    * SQL mirrors them inline.
+    */
+  val languageMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "a", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "est"))
+
+  /** Language-ID heuristic: score = marker hits per language; predict
+    * the best-scoring language, ties broken by declaration order, 'und'
+    * (undetermined) when no marker hits at all.
+    */
+  def languageId(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val scored = languageMarkers.foldLeft(df.select(col(idCol), col(textCol))) {
+      case (acc, (lang, markers)) =>
+        acc.withColumn(s"score_$lang", markerCount(col(textCol), markers))
+    }
+    val langs = languageMarkers.map(_._1)
+    // best-score CASE chain, declaration order = tiebreak order
+    val pred = langs.foldRight(lit("und")) { (lang, elseCol) =>
+      val isMax = langs.filter(_ != lang)
+        .map(o => col(s"score_$lang") >= col(s"score_$o"))
+        .reduce(_ && _)
+      when(col(s"score_$lang") > 0 && isMax, lit(lang)).otherwise(elseCol)
+    }
+    scored.select(Seq(col(idCol)) ++ langs.map(l => col(s"score_$l")) :+
+      pred.as("pred_lang"): _*)
+  }
+
+  /** Per-document surface statistics. All counts are exact integers, so
+    * the derived ratios are engine-identical doubles.
+    */
+  def textStats(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      length(col(textCol)).as("n_chars"),
+      tokenCount(col(textCol)).as("n_tokens"),
+      regexTokenCount(col(textCol)).as("n_regex_tokens"),
+      size(array_distinct(toks(col(textCol)))).as("n_distinct_tokens"),
+      (length(col(textCol)) -
+        length(regexp_replace(col(textCol), "[.,!?;:]", ""))).as("n_punct"))
+
+  /** Quality score in [0,1]-ish from surface stats + tier CASE
+    * (order-sensitive, like the reference's alert chain F3):
+    * type-token ratio, mean token length band, punctuation penalty.
+    */
+  def qualityScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val stats = textStats(df, textCol, idCol)
+    val ttr = col("n_distinct_tokens") / col("n_tokens")
+    val meanTokLen = col("n_chars") / col("n_tokens")
+    val punctRatio = col("n_punct") / col("n_chars")
+    stats
+      .filter(col("n_tokens") > 0)
+      .withColumn("ttr", ttr)
+      .withColumn("mean_tok_len", meanTokLen)
+      .withColumn("punct_ratio", punctRatio)
+      .withColumn("quality",
+        when(col("ttr") >= 0.5 && col("mean_tok_len") >= 3 && col("punct_ratio") < 0.1, "high")
+          .when(col("ttr") >= 0.25, "medium")
+          .otherwise("low"))
+      .select(col(idCol), col("ttr"), col("mean_tok_len"), col("punct_ratio"), col("quality"))
+  }
+
+  /** Document fingerprint: md5 over whitespace-normalized lowercase text
+    * — the exact-dedup key robust to spacing/case drift.
+    */
+  def fingerprint(textCol: Column): Column =
+    md5(regexp_replace(lower(trim(textCol)), "\\s+", " "))
+}

@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.Dedup
+
+/** Deduplication queries (SURVEY.md §2.3 E1/E2) over `documents`, each
+  * with a full DuckDB oracle — including MinHash+LSH and SimHash, whose
+  * md5-based hashing was chosen precisely so an ANSI-SQL oracle can
+  * reproduce them bit-for-bit.
+  */
+object DedupQueries {
+
+  val queries: Map[String, Q] = Map(
+    // E1 exact hash-dedup. The fixture texts are all distinct, so the
+    // input is the table unioned with itself — every group must collapse
+    // to n_copies=2, proving the collapse actually happened.
+    "q_dedup_exact" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.exactByContent(docs.unionByName(docs), "text", "doc_id")
+    }),
+
+    // E2 MinHash → LSH banding → exact-Jaccard verify (8 bands × 2 rows,
+    // word 3-gram shingles, threshold 0.5).
+    "q_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashNearDuplicates(Tables.documents(s, d), "text", "doc_id",
+        shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.5)),
+
+    // E2 SimHash signatures (32-bit, token votes).
+    "q_dedup_simhash" -> ((s, d) =>
+      Dedup.simhash(Tables.documents(s, d), "text", "doc_id"))
+  )
+
+  /** Shared oracle fragments (tokenization must mirror Dedup.tokens). */
+  private val toksSql = """string_split_regex(lower(trim(text)), '\s+')"""
+
+  private val shinglesSql =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |gs AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-2)) AS g
+       |       FROM t WHERE len(toks) >= 3),
+       |sh AS (SELECT DISTINCT doc_id, toks[g]||' '||toks[g+1]||' '||toks[g+2] AS shingle
+       |       FROM gs)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+        |  COUNT(*) AS n_copies
+        |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+        |GROUP BY md5(text)""".stripMargin,
+
+    "q_dedup_minhash" ->
+      s"""WITH $shinglesSql,
+         |hx AS (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS h FROM sh),
+         |mh AS (SELECT doc_id, h, MIN(md5(h||'|'||shingle)) AS mh
+         |       FROM hx GROUP BY doc_id, h),
+         |sig AS (SELECT doc_id, h // 2 AS band,
+         |          md5(string_agg(mh, '' ORDER BY h)) AS sig
+         |        FROM mh GROUP BY doc_id, h // 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM sig a JOIN sig b
+         |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+         |          FROM cand c
+         |          JOIN sh x ON x.doc_id = c.id_a
+         |          JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+         |          GROUP BY c.id_a, c.id_b)
+         |SELECT i.id_a, i.id_b,
+         |  i.n_inter / (sx.n + sy.n - i.n_inter) AS jaccard
+         |FROM inter i
+         |JOIN sz sx ON sx.doc_id = i.id_a
+         |JOIN sz sy ON sy.doc_id = i.id_b
+         |WHERE i.n_inter / (sx.n + sy.n - i.n_inter) >= 0.5""".stripMargin,
+
+    "q_dedup_simhash" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |th AS (SELECT doc_id, md5(tok) AS th FROM tk WHERE tok <> ''),
+         |bb AS (SELECT doc_id, th, unnest(generate_series(0, 31)) AS b FROM th),
+         |bits AS (SELECT doc_id, b,
+         |    (instr('0123456789abcdef', substring(th, CAST(b // 4 AS INT) + 1, 1)) - 1)
+         |      // CAST(power(2, b % 4) AS INT) % 2 AS bit
+         |  FROM bb),
+         |votes AS (SELECT doc_id, b, SUM(bit * 2 - 1) AS votes
+         |          FROM bits GROUP BY doc_id, b)
+         |SELECT doc_id,
+         |  CAST(SUM(CASE WHEN votes > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT)
+         |    AS simhash
+         |FROM votes GROUP BY doc_id""".stripMargin
+  )
+}

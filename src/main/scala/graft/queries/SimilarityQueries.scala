@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.Similarity
+
+/** Similarity-search queries (SURVEY.md §2.3 E3) over `embeddings`.
+  *
+  * The DuckDB oracle reproduces Spark's cosine bit-for-bit because both
+  * sides compute the identical IEEE operation sequence: a left fold over
+  * the array in index order (Spark `aggregate` HOF ↔ DuckDB
+  * `list_reduce`), then dot/(sqrt·sqrt) — so even raw double sims
+  * hash-match, no rounding needed.
+  */
+object SimilarityQueries {
+
+  val queries: Map[String, Q] = Map(
+    // Exact top-10 cosine for 10 query vectors against the corpus.
+    "q_knn_brute" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 10)
+        .select(col("query_id"), col("cand_id"), col("sim"),
+          col("rank").cast("long").as("rank"))
+    }),
+
+    // Approximate top-10 via sign-LSH buckets (3 planes → 8 buckets):
+    // the scale-path plan (equi-join on bucket, no cross product).
+    "q_knn_bucketed" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bucketedTopK(emb, emb.filter(col("vec_id") < 10), 10, planes = 3)
+        .select(col("query_id"), col("cand_id"), col("sim"),
+          col("rank").cast("long").as("rank"))
+    }),
+
+    // Embedding near-dup primitive: nearest neighbor for every vector.
+    "q_embedding_nn" -> ((s, d) =>
+      Similarity.nearestNeighbor(Tables.embeddings(s, d)))
+  )
+
+  /** Oracle fragments: fold-order-exact cosine between q.v and c.v. */
+  private val dim = 64
+  private def fold(exprBody: String): String =
+    s"list_reduce(list_transform(generate_series(1, $dim), i -> $exprBody), (x, y) -> x + y)"
+  private val cosineSql =
+    s"""${fold("q.v[i] * c.v[i]")} /
+       |    (sqrt(${fold("q.v[i] * q.v[i]")}) * sqrt(${fold("c.v[i] * c.v[i]")}))""".stripMargin
+
+  private val vecsSql =
+    "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+
+  private val bucketSql =
+    """(CASE WHEN v[1] > 0 THEN 1 ELSE 0 END +
+      | CASE WHEN v[2] > 0 THEN 2 ELSE 0 END +
+      | CASE WHEN v[3] > 0 THEN 4 ELSE 0 END)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_knn_brute" ->
+      s"""WITH e AS ($vecsSql),
+         |p AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    $cosineSql AS sim
+         |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+         |), r AS (
+         |  SELECT query_id, cand_id, sim,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rank
+         |  FROM p
+         |)
+         |SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 10""".stripMargin,
+
+    "q_knn_bucketed" ->
+      s"""WITH e AS (SELECT vec_id, v, $bucketSql AS bucket FROM ($vecsSql)),
+         |p AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    $cosineSql AS sim
+         |  FROM e q JOIN e c
+         |    ON q.vec_id < 10 AND c.bucket = q.bucket AND c.vec_id <> q.vec_id
+         |), r AS (
+         |  SELECT query_id, cand_id, sim,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rank
+         |  FROM p
+         |)
+         |SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 10""".stripMargin,
+
+    "q_embedding_nn" ->
+      s"""WITH e AS ($vecsSql),
+         |p AS (
+         |  SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
+         |    $cosineSql AS sim
+         |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+         |), r AS (
+         |  SELECT vec_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+         |  FROM p
+         |)
+         |SELECT vec_id, neighbor_id, sim FROM r WHERE rn = 1""".stripMargin
+  )
+}

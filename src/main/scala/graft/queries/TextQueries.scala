@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.TextAnalysis
+
+/** Text-analysis queries (SURVEY.md §2.3 E4) over `documents`.
+  * Integer-valued outputs are cast to BIGINT on the Spark side (Spark
+  * size/length yield INT, DuckDB len/length yield BIGINT — the driver
+  * compares schemas).
+  */
+object TextQueries {
+
+  val queries: Map[String, Q] = Map(
+    "q_text_stats" -> ((s, d) => {
+      val st = TextAnalysis.textStats(Tables.documents(s, d), "text", "doc_id")
+      st.select(col("doc_id"),
+        col("n_chars").cast("long").as("n_chars"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_regex_tokens").cast("long").as("n_regex_tokens"),
+        col("n_distinct_tokens").cast("long").as("n_distinct_tokens"),
+        col("n_punct").cast("long").as("n_punct"))
+    }),
+
+    "q_lang_id" -> ((s, d) => {
+      val li = TextAnalysis.languageId(Tables.documents(s, d), "text", "doc_id")
+      li.select(col("doc_id"),
+        col("score_en").cast("long").as("score_en"),
+        col("score_de").cast("long").as("score_de"),
+        col("score_es").cast("long").as("score_es"),
+        col("score_fr").cast("long").as("score_fr"),
+        col("pred_lang"))
+    }),
+
+    "q_quality_score" -> ((s, d) =>
+      TextAnalysis.qualityScore(Tables.documents(s, d), "text", "doc_id")),
+
+    "q_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint")))
+  )
+
+  private val toksSql = """string_split_regex(lower(trim(text)), '\s+')"""
+
+  private def markerFilter(markers: Seq[String]): String = {
+    val cond = markers.map(m => s"t = '$m'").mkString(" OR ")
+    s"len(list_filter($toksSql, t -> $cond))"
+  }
+
+  private val markerScores = TextAnalysis.languageMarkers
+    .map { case (lang, ms) => s"${markerFilter(ms)} AS score_$lang" }
+    .mkString(",\n  ")
+
+  private val langs = TextAnalysis.languageMarkers.map(_._1)
+
+  private val predLangCase = {
+    val whens = langs.map { lang =>
+      val others = langs.filter(_ != lang)
+        .map(o => s"score_$lang >= score_$o").mkString(" AND ")
+      s"WHEN score_$lang > 0 AND $others THEN '$lang'"
+    }.mkString("\n       ")
+    s"CASE $whens\n       ELSE 'und' END"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" ->
+      s"""SELECT doc_id,
+         |  length(text) AS n_chars,
+         |  len($toksSql) AS n_tokens,
+         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_regex_tokens,
+         |  len(list_distinct($toksSql)) AS n_distinct_tokens,
+         |  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+         |FROM documents""".stripMargin,
+
+    "q_lang_id" ->
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |  $markerScores
+         |  FROM documents
+         |)
+         |SELECT doc_id, score_en, score_de, score_es, score_fr,
+         |  $predLangCase AS pred_lang
+         |FROM s""".stripMargin,
+
+    "q_quality_score" ->
+      s"""WITH st AS (
+         |  SELECT doc_id,
+         |    length(text) AS n_chars,
+         |    len($toksSql) AS n_tokens,
+         |    len(list_distinct($toksSql)) AS n_distinct_tokens,
+         |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+         |  FROM documents
+         |), r AS (
+         |  SELECT doc_id,
+         |    n_distinct_tokens / n_tokens AS ttr,
+         |    n_chars / n_tokens AS mean_tok_len,
+         |    n_punct / n_chars AS punct_ratio
+         |  FROM st WHERE n_tokens > 0
+         |)
+         |SELECT doc_id, ttr, mean_tok_len, punct_ratio,
+         |  CASE WHEN ttr >= 0.5 AND mean_tok_len >= 3 AND punct_ratio < 0.1 THEN 'high'
+         |       WHEN ttr >= 0.25 THEN 'medium'
+         |       ELSE 'low' END AS quality
+         |FROM r""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different content about spark engines and scale"),
+    (4L, "the quick brown fox jumps over the lazy dog")  // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("E1: exact dedup collapses identical content, keeps min id") {
+    val out = Dedup.exactByContent(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out(1L) == 2L) // docs 1+4 collapse, keep_id=1
+    assert(out(2L) == 1L && out(3L) == 1L)
+  }
+
+  test("E2: word shingles are distinct n-grams; short docs drop out") {
+    val d = Seq((1L, "a b c d"), (2L, "x y")).toDF("doc_id", "text")
+    val sh = Dedup.wordShingles(d, "text", "doc_id", 3)
+    val got = sh.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a b c"), (1L, "b c d"))) // doc 2: too short
+  }
+
+  test("E2: minhash LSH finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashNearDuplicates(docs, "text", "doc_id",
+        shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.5)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup: jaccard 1.0
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated stays out
+  }
+
+  test("E2: simhash — identical docs equal; near-dups closer than unrelated") {
+    val hashes = Dedup.simhash(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(1L) == hashes(4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hashes(1L), hashes(2L)) < ham(hashes(1L), hashes(3L)))
+  }
+
+  test("hammingDistance column matches bitCount") {
+    val d = Seq((5L, 3L)).toDF("a", "b")
+    assert(d.select(Dedup.hammingDistance(col("a"), col("b"))).head().getInt(0) == 2)
+  }
+}

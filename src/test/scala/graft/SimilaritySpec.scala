@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(1.0f, 0.0f, 0.0f)),   // identical to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal to 0
+    (3L, Array(0.9f, 0.1f, 0.0f))    // close to 0
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: identical → 1, orthogonal → 0") {
+    val d = vecs.select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+    val sims = d.as("a").crossJoin(d.as("b"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        Similarity.cosine("a.v", "b.v").as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(sims((0L, 1L)) - 1.0) < 1e-12)
+    assert(math.abs(sims((0L, 2L))) < 1e-12)
+    assert(sims((0L, 3L)) > 0.9)
+  }
+
+  test("bruteForceTopK: deterministic rank order, self excluded") {
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), 3)
+      .orderBy("rank").collect()
+    assert(top.map(_.getAs[Long]("cand_id")).toSeq == Seq(1L, 3L, 2L))
+    assert(!top.exists(_.getAs[Long]("cand_id") == 0L))
+  }
+
+  test("bucketedTopK: results are a subset of brute-force candidates with equal sims") {
+    val q = vecs.filter(col("vec_id") === 0)
+    val brute = Similarity.bruteForceTopK(vecs, q, 4)
+      .select("cand_id", "sim").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val bucketed = Similarity.bucketedTopK(vecs, q, 4, planes = 3)
+      .select("cand_id", "sim").collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(bucketed.nonEmpty)
+    bucketed.foreach { case (id, sim) => assert(brute(id) == sim) }
+  }
+
+  test("nearestNeighbor: every vector gets exactly one neighbor") {
+    val nn = Similarity.nearestNeighbor(vecs).collect()
+    assert(nn.length == 4)
+    val m = nn.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(0L) == 1L && m(1L) == 0L) // identical pair picks each other
+  }
+}
