@@ -1,0 +1,143 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.Row
+import graft.core.{PipelineConfig, Schemas}
+import graft.operators.RefOps
+import PipelineConfig.Alerts
+
+/** Structured-Streaming rebuild of the reference's transport + query
+  * pipeline (SURVEY.md §3): the producer→Kafka→consumer→file→batch-job
+  * chain collapses into streams over one engine.
+  *
+  *  - producer role (`producer/producer.py:61-83`): dataset → 4-topic
+  *    wire messages → Kafka/file sink.
+  *  - consumer role (`consumers/consumer1.py:40-53`): wire stream →
+  *    topic demux → landed per-family tables (checkpointed sink replaces
+  *    consumer-group offset commits).
+  *  - spark-job role (`spark_jobs/spark_job1.py`): landed/wire streams →
+  *    watermarked sliding-window agg → CASE alerts (the reference's
+  *    batch jobs, made incremental; OutputMode.Append emits finalized
+  *    windows — the batch jobs' "every window is final" semantics).
+  *
+  * Kafka specifics (S3/K1) are interface-level: `format("kafka")` is
+  * selected by config exactly as the public Spark-Kafka connector
+  * expects, but the offline build has no kafka jar, so tests drive the
+  * same plans through MemoryStream/file sources (SURVEY.md §7.4(7)).
+  *
+  * Scale notes: watermarks bound window/join/dedup state; the windowed
+  * aggregation shuffles on (key, window) with partial aggregation per
+  * micro-batch; at-least-once transport (T1) plus
+  * `dedupedStream` gives effectively-once aggregates (E1).
+  */
+object StreamingPipeline {
+
+  /** Kafka wire source (S3): subscribes to topics, exposes the
+    * connector's (topic, value) columns. Offsets: earliest, mirroring
+    * `auto_offset_reset='earliest'`; progress is checkpoint-tracked.
+    */
+  def kafkaWireSource(spark: SparkSession, cfg: PipelineConfig,
+                      topics: Seq[String]): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", cfg.bootstrapServers)
+      .option("subscribe", topics.mkString(","))
+      .option("startingOffsets", "earliest")
+      .load()
+      .select(col("topic"), col("value").cast("string").as("value"))
+
+  /** Kafka wire sink (K1): writes (topic, value) messages; the
+    * reference's producer tuning knobs pass through as kafka.* options.
+    */
+  def kafkaWireSink(wire: DataFrame, cfg: PipelineConfig,
+                    checkpoint: String): DataStreamWriter[Row] =
+    wire.writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", cfg.bootstrapServers)
+      .option("kafka.compression.type", "snappy")
+      .option("kafka.batch.size", "65536")
+      .option("kafka.linger.ms", "10")
+      .option("checkpointLocation", checkpoint)
+
+  /** Producer role: any (streaming or batch) dataset with the 7
+    * monitoring columns → wire messages. Narrow projections + union —
+    * no shuffle, no state.
+    */
+  def producerWire(dataset: DataFrame, cfg: PipelineConfig = PipelineConfig.default): DataFrame =
+    RefOps.topicFanout(dataset, cfg)
+
+  /** Consumer role (F1+P2): wire stream → one landed per-family table.
+    * The per-message flush of the reference becomes a checkpointed
+    * micro-batch file sink upstream of this call.
+    */
+  def landedTable(wire: DataFrame, cfg: PipelineConfig, topic: String): DataFrame =
+    RefOps.decodeCsvValue(RefOps.demuxTopic(wire, topic), Schemas.forTopic(cfg, topic))
+
+  /** E1 streaming dedup: watermark-bounded exact dedup — the
+    * effectively-once repair for at-least-once transport (T1).
+    */
+  def dedupedStream(df: DataFrame, keys: Seq[String], cfg: PipelineConfig): DataFrame =
+    df.withWatermark("ts", cfg.watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Streaming job1: cpu + mem landed streams (ts TIMESTAMP, server_id,
+    * metric) → watermarked stream-stream inner join on (ts, server_id)
+    * → sliding-window avg → CASE alerts. Watermarks bound both the join
+    * state and the window state.
+    */
+  def streamingJob1(cpu: DataFrame, mem: DataFrame,
+                    cfg: PipelineConfig = PipelineConfig.default): DataFrame = {
+    val c = cpu.withWatermark("ts", cfg.watermark)
+    val m = mem.withWatermark("ts", cfg.watermark)
+    val joined = RefOps.joinOnKeys(c, m)
+    val agged = RefOps.slidingWindowAgg(joined, "server_id",
+      Seq(avg("cpu_pct").as("avg_cpu"), avg("mem_pct").as("avg_mem")), cfg)
+    agged.withColumn("alert",
+      RefOps.classifyAlerts(col("avg_cpu"), cfg.cpuThreshold,
+        col("avg_mem"), cfg.memThreshold,
+        Alerts.cpuMemBoth, Alerts.cpuOnly, Alerts.memOnly))
+      .select(col("server_id"),
+        col("window.start").as("window_start"), col("window.end").as("window_end"),
+        col("avg_cpu"), col("avg_mem"), col("alert"))
+  }
+
+  /** Streaming job2 (max variant), same shape. */
+  def streamingJob2(net: DataFrame, disk: DataFrame,
+                    cfg: PipelineConfig = PipelineConfig.default): DataFrame = {
+    val n = net.withWatermark("ts", cfg.watermark)
+    val k = disk.withWatermark("ts", cfg.watermark)
+    val joined = RefOps.joinOnKeys(n, k)
+    val agged = RefOps.slidingWindowAgg(joined, "server_id",
+      Seq(max("net_in").as("max_net_in"), max("disk_io").as("max_disk_io")), cfg)
+    agged.withColumn("alert",
+      RefOps.classifyAlerts(col("max_net_in"), cfg.netInThreshold,
+        col("max_disk_io"), cfg.diskIoThreshold,
+        Alerts.netDiskBoth, Alerts.netOnly, Alerts.diskOnly))
+      .select(col("server_id"),
+        col("window.start").as("window_start"), col("window.end").as("window_end"),
+        col("max_net_in"), col("max_disk_io"), col("alert"))
+  }
+
+  /** Single-stream variant of job1 (no stream-stream join): when cpu
+    * and mem ride the same wire, group once by (ts, server_id) and
+    * pivot the families with conditional aggregation. Cheaper state
+    * than a join — one aggregation instead of join+agg.
+    */
+  def streamingJob1SingleSource(wire: DataFrame,
+                                cfg: PipelineConfig = PipelineConfig.default): DataFrame = {
+    val agged = wire
+      .withWatermark("ts", cfg.watermark)
+      .groupBy(col("server_id"), window(col("ts"), cfg.windowDuration, cfg.slideDuration))
+      .agg(avg(when(col("family") === "cpu", col("metric"))).as("avg_cpu"),
+        avg(when(col("family") === "mem", col("metric"))).as("avg_mem"))
+    agged.withColumn("alert",
+      RefOps.classifyAlerts(col("avg_cpu"), cfg.cpuThreshold,
+        col("avg_mem"), cfg.memThreshold,
+        Alerts.cpuMemBoth, Alerts.cpuOnly, Alerts.memOnly))
+      .select(col("server_id"),
+        col("window.start").as("window_start"), col("window.end").as("window_end"),
+        col("avg_cpu"), col("avg_mem"), col("alert"))
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.core.PipelineConfig
+import graft.streaming.StreamingPipeline
+import PipelineConfig.Alerts
+
+/** Streaming semantics under MemoryStream (SURVEY.md §5(5)): watermarked
+  * sliding windows in Append mode, stream-stream join, watermark-bounded
+  * dedup, and late-data drop — no Kafka broker needed.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000)
+
+  private def runToCompletion(df: org.apache.spark.sql.DataFrame, name: String) = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("streaming job1: watermarked window agg + alerts in Append mode") {
+    val cpu = MemoryStream[(Timestamp, String, Double)](spark)
+    val mem = MemoryStream[(Timestamp, String, Double)](spark)
+    val cpuDf = cpu.toDF().toDF("ts", "server_id", "cpu_pct")
+    val memDf = mem.toDF().toDF("ts", "server_id", "mem_pct")
+
+    cpu.addData((ts(100), "s1", 99.0), (ts(105), "s1", 97.0))
+    mem.addData((ts(100), "s1", 90.0), (ts(105), "s1", 85.0))
+    // advance watermark (1 min) far past the windows so Append emits them
+    cpu.addData((ts(400), "s1", 1.0))
+    mem.addData((ts(400), "s1", 1.0))
+
+    val out = runToCompletion(
+      StreamingPipeline.streamingJob1(cpuDf, memDf), "j1out")
+      .filter(col("window_start") < ts(200)).collect()
+
+    // t=100 and t=105 share window starts {80,90,100} → 3 windows total
+    assert(out.length == 3)
+    assert(out.forall(_.getAs[String]("alert") == Alerts.cpuMemBoth))
+    val w100 = out.filter(_.getAs[Timestamp]("window_start") == ts(90)).head
+    assert(w100.getAs[Double]("avg_cpu") == 98.0) // avg(99, 97)
+  }
+
+  test("late data beyond the watermark is dropped") {
+    val src = MemoryStream[(Timestamp, String, Double)](spark)
+    val df = src.toDF().toDF("ts", "server_id", "cpu_pct")
+      .withWatermark("ts", "1 minute")
+      .groupBy(col("server_id"), window(col("ts"), "30 seconds", "10 seconds"))
+      .agg(count(lit(1)).as("n"))
+
+    val q = df.writeStream.format("memory").queryName("late").outputMode("append").start()
+    src.addData((ts(100), "s1", 1.0))
+    q.processAllAvailable()
+    src.addData((ts(400), "s1", 1.0)) // watermark → 340
+    q.processAllAvailable()
+    src.addData((ts(100), "s1", 1.0)) // late: window [80,110) < watermark → dropped
+    q.processAllAvailable()
+    src.addData((ts(700), "s1", 1.0)) // close remaining windows
+    q.processAllAvailable()
+    q.stop()
+
+    val n100 = spark.table("late")
+      .filter(col("window.start") === ts(90)).select("n").collect()
+    assert(n100.map(_.getLong(0)).toSeq == Seq(1L)) // late duplicate not counted
+  }
+
+  test("E1 streaming dedup: duplicates within watermark collapse") {
+    val src = MemoryStream[(Timestamp, String, Double)](spark)
+    val df = src.toDF().toDF("ts", "server_id", "cpu_pct")
+    val deduped = StreamingPipeline.dedupedStream(
+      df, Seq("ts", "server_id"), PipelineConfig.default)
+
+    val q = deduped.writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    src.addData((ts(100), "s1", 1.0), (ts(100), "s1", 1.0), (ts(101), "s1", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup").count() == 2)
+  }
+
+  test("single-source streaming job1 pivots families without a join") {
+    val src = MemoryStream[(Timestamp, String, String, Double)](spark)
+    val wire = src.toDF().toDF("ts", "server_id", "family", "metric")
+
+    val out = {
+      src.addData((ts(100), "s1", "cpu", 99.0), (ts(100), "s1", "mem", 90.0),
+        (ts(400), "s1", "cpu", 1.0), (ts(400), "s1", "mem", 1.0))
+      runToCompletion(StreamingPipeline.streamingJob1SingleSource(wire), "single")
+        .filter(col("window_start") < ts(200)).collect()
+    }
+    assert(out.length == 3) // one event-time → 3 sliding windows
+    assert(out.forall(_.getAs[String]("alert") == Alerts.cpuMemBoth))
+    assert(out.forall(_.getAs[Double]("avg_cpu") == 99.0))
+  }
+
+  test("producer wire + landed table round-trip through the streaming path") {
+    val src = MemoryStream[(String, String, Double, Double, Double, Double, Double)](spark)
+    val ds = src.toDF().toDF("ts", "server_id", "cpu_pct", "mem_pct", "net_in", "net_out", "disk_io")
+    val wire = StreamingPipeline.producerWire(ds)
+    val landed = StreamingPipeline.landedTable(wire, PipelineConfig.default, "topic-cpu")
+
+    src.addData(("20:53:00", "server_1", 42.5, 1.0, 2.0, 3.0, 4.0))
+    val out = runToCompletion(landed, "landed").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "20:53:00" && r.getString(1) == "server_1"
+      && r.getDouble(2) == 42.5)
+  }
+}
