@@ -53,15 +53,21 @@ object Dedup {
     */
   def minhashBandSignatures(shingles: DataFrame, idCol: String,
                             bands: Int, rowsPerBand: Int): DataFrame = {
+    // All bands·rowsPerBand minima in ONE aggregation pass (no ×numHashes
+    // row explosion): each salt is its own min() column, then each band
+    // folds its rowsPerBand minima (in salt order) into one md5 — the
+    // same values the explode-per-salt formulation produces, one shuffle.
     val numHashes = bands * rowsPerBand
-    shingles
-      .select(col(idCol), col("shingle"),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("h"))
-      .groupBy(col(idCol), col("h"))
-      .agg(min(md5(concat(col("h"), lit("|"), col("shingle")))).as("mh"))
-      .groupBy(col(idCol), expr(s"h div $rowsPerBand").as("band"))
-      .agg(md5(expr("array_join(transform(array_sort(collect_list(struct(h, mh))), s -> s.mh), '')"))
-        .as("sig"))
+    val minCols = (0 until numHashes).map(h =>
+      min(md5(concat(lit(h), lit("|"), col("shingle")))).as(s"mh_$h"))
+    val perDoc = shingles.groupBy(col(idCol)).agg(minCols.head, minCols.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      val members = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat(members: _*)).as("sig"))
+    }
+    perDoc
+      .select(col(idCol), explode(array(bandCols: _*)).as("bs"))
+      .select(col(idCol), col("bs.band"), col("bs.sig"))
   }
 
   /** LSH candidate pairs: documents sharing any band signature.
@@ -116,23 +122,22 @@ object Dedup {
     * platform hash, so the DuckDB oracle reproduces it exactly.
     */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // All 32 bit-votes in ONE aggregation pass over the token rows (no
+    // ×32 row explosion): per token, bit j is nibble j/4 of the md5 hex
+    // prefix shifted by j%4; each bit's ±1 votes are a sum() column.
+    // Values are identical to the exploded formulation (the DuckDB
+    // oracle keeps that shape).
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .filter(col("tok") =!= "")
-    val withBits = toks
-      .select(col(idCol), md5(col("tok")).as("th"),
-        explode(sequence(lit(0), lit(31))).as("b"))
-      .withColumn("nib",
-        expr("instr('0123456789abcdef', substring(th, (b div 4) + 1, 1)) - 1"))
-      // integer div, not cast: DuckDB CAST(double AS INT) rounds while
-      // Spark truncates — `div` / `//` floor-div is portable
-      .withColumn("bit", expr("(nib div CAST(power(2, b % 4) AS INT)) % 2"))
-      .withColumn("vote", col("bit") * 2 - 1)
-    withBits
-      .groupBy(col(idCol), col("b"))
-      .agg(sum(col("vote")).as("votes"))
-      .groupBy(col(idCol))
-      .agg(sum(when(col("votes") > 0, expr("CAST(power(2, b) AS BIGINT)"))
-        .otherwise(lit(0L))).as("simhash"))
+      .select(col(idCol), md5(col("tok")).as("th"))
+    val voteCols = (0 until 32).map { j =>
+      val nib = s"(instr('0123456789abcdef', substring(th, ${j / 4 + 1}, 1)) - 1)"
+      sum(expr(s"(($nib div ${1 << (j % 4)}) % 2) * 2 - 1")).as(s"v_$j")
+    }
+    toks.groupBy(col(idCol)).agg(voteCols.head, voteCols.tail: _*)
+      .select(col(idCol),
+        (0 until 32).map(j => when(col(s"v_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** Hamming distance between two simhash signatures. */
