@@ -28,6 +28,26 @@ object MiscQueries {
           col("chunk_bytes").cast("long").as("chunk_bytes"))
     }),
 
+    // P6 parity: date/time formatting projections (the reference's
+    // HH:mm:ss output edge), oracle-mirrored via strftime.
+    "q_format_hms" -> ((s, d) =>
+      Tables.events(s, d).select(col("event_id"),
+        date_format(col("ts"), "HH:mm:ss").as("hms"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))),
+
+    // Vector aggregate: per-label centroid, dimension-wise (posexplode →
+    // one shuffle on (label, pos)). Elements are quantized to exact
+    // 1e-6 integers before summing: integer sums are order-independent
+    // and conversion-rule-independent across engines (a DECIMAL detour
+    // is NOT — DuckDB converts double→decimal by scaled multiply, Spark
+    // by exact BigDecimal rounding, and they can differ by 1 ulp).
+    "q_embedding_centroid" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding").cast("array<double>")))
+        .groupBy(col("label"), col("pos").cast("long").as("pos"))
+        .agg((sum(floor(col("col") * 1000000).cast("long")).cast("double")
+          / (count(lit(1)) * lit(1000000.0))).as("centroid"))),
+
     // E5 JSON property extraction + rollup over events.props.
     "q_json_extract" -> ((s, d) =>
       Tables.events(s, d)
@@ -54,6 +74,19 @@ object MiscQueries {
         |SELECT media_id, chunk_idx,
         |  LEAST(256, n_bytes - chunk_idx * 256) AS chunk_bytes
         |FROM c""".stripMargin,
+
+    "q_format_hms" ->
+      """SELECT event_id, strftime(ts, '%H:%M:%S') AS hms,
+        |  strftime(ts, '%Y-%m-%d') AS day
+        |FROM events""".stripMargin,
+
+    "q_embedding_centroid" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT label, v, unnest(generate_series(1, 64)) AS i FROM e)
+        |SELECT label, CAST(i - 1 AS BIGINT) AS pos,
+        |  CAST(SUM(CAST(floor(v[i] * 1000000) AS BIGINT)) AS DOUBLE)
+        |    / (COUNT(*) * 1000000.0) AS centroid
+        |FROM x GROUP BY label, i""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.core.PipelineConfig
+import graft.operators.RefOps
+import PipelineConfig.Alerts
+
+/** Property-style invariants (SURVEY.md §5(4)) over generated data —
+  * one Spark job per property, ScalaCheck generates the inputs.
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[List[A]]): List[A] =
+    g.apply(Gen.Parameters.default, Seed(42L)).get
+
+  test("every row lands in exactly window/slide sliding windows") {
+    val tss = sample(Gen.listOfN(300, Gen.chooseNum(0L, 10_000_000L)))
+    val df = tss.zipWithIndex.map { case (t, i) => (i.toLong, new Timestamp(t * 1000)) }
+      .toDF("row_id", "ts")
+    val counts = df
+      .groupBy(col("row_id"), window(col("ts"), "30 seconds", "10 seconds"))
+      .agg(count(lit(1)))
+      .groupBy("row_id").agg(count(lit(1)).as("n_windows"))
+      .select("n_windows").distinct().collect().map(_.getLong(0)).toSeq
+    assert(counts == Seq(3L))
+  }
+
+  test("windowed avg is bounded by min/max; count preserved through expansion") {
+    val vals = sample(Gen.listOfN(500, Gen.chooseNum(0.0, 100.0)))
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      ("s" + (i % 5), new Timestamp((i * 7000).toLong), v)
+    }.toDF("server_id", "ts", "cpu_pct")
+    val agged = RefOps.slidingWindowAgg(df, "server_id",
+      Seq(avg("cpu_pct").as("a"), min("cpu_pct").as("lo"), max("cpu_pct").as("hi"),
+        count(lit(1)).as("n")))
+    val bad = agged.filter(col("a") < col("lo") || col("a") > col("hi")).count()
+    assert(bad == 0)
+    // every input row appears in exactly 3 windows
+    assert(agged.agg(sum("n")).head().getLong(0) == 3L * vals.size)
+  }
+
+  test("alert classification is a pure function of the two threshold tests") {
+    val pairs = sample(Gen.listOfN(400,
+      Gen.zip(Gen.chooseNum(0.0, 200.0), Gen.chooseNum(0.0, 200.0))))
+    val cfg = PipelineConfig.default
+    val df = pairs.zipWithIndex.map { case ((c, m), i) => (i.toLong, c, m) }
+      .toDF("id", "cpu", "mem")
+    val got = df.select(col("id"), RefOps.classifyAlerts(
+        col("cpu"), cfg.cpuThreshold, col("mem"), cfg.memThreshold,
+        Alerts.cpuMemBoth, Alerts.cpuOnly, Alerts.memOnly).as("alert"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    pairs.zipWithIndex.foreach { case ((c, m), i) =>
+      val expect =
+        if (c > cfg.cpuThreshold && m > cfg.memThreshold) Alerts.cpuMemBoth
+        else if (c > cfg.cpuThreshold) Alerts.cpuOnly
+        else if (m > cfg.memThreshold) Alerts.memOnly
+        else Alerts.ok
+      assert(got(i.toLong) == expect, s"(c=$c, m=$m)")
+    }
+  }
+
+  test("inner USING join row count ≤ min side under key uniqueness") {
+    val keys = sample(Gen.listOfN(200, Gen.chooseNum(0, 400))).distinct
+    val left = keys.map(k => (s"t$k", "s1", k.toDouble)).toDF("ts", "server_id", "cpu_pct")
+    val right = keys.filter(_ % 2 == 0).map(k => (s"t$k", "s1", k.toDouble))
+      .toDF("ts", "server_id", "mem_pct")
+    val j = RefOps.joinOnKeys(left, right)
+    assert(j.count() == keys.count(_ % 2 == 0))
+  }
+}
