@@ -113,6 +113,15 @@ object Dedup {
     jaccardOnCandidates(sh, cands, idCol).filter(col("jaccard") >= threshold)
   }
 
+  /** Materialize the deduplicated corpus: drop every doc named as the
+    * right-hand member of a near-dup pair (id_a < id_b convention keeps
+    * the smallest id as representative). A left-anti join — the 100 TB
+    * plan is a broadcast/shuffle anti-join on the id, never a filter
+    * over a collected list.
+    */
+  def dropNearDuplicates(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
+    df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
   /** 32-bit SimHash per document over its token stream (with
     * multiplicity). Bit j of md5(token)'s leading 8 hex nibbles votes
     * ±1; the sign of the vote sum sets bit j of the signature.

@@ -28,7 +28,17 @@ object DedupQueries {
 
     // E2 SimHash signatures (32-bit, token votes).
     "q_dedup_simhash" -> ((s, d) =>
-      Dedup.simhash(Tables.documents(s, d), "text", "doc_id"))
+      Dedup.simhash(Tables.documents(s, d), "text", "doc_id")),
+
+    // End of the near-dup pipeline: materialize the cleaned corpus via
+    // anti-join against the verified pairs (smallest id survives).
+    "q_dedup_materialize" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashNearDuplicates(docs, "text", "doc_id",
+        shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.5)
+      Dedup.dropNearDuplicates(docs, pairs, "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    })
   )
 
   /** Shared oracle fragments (tokenization must mirror Dedup.tokens). */
@@ -41,6 +51,31 @@ object DedupQueries {
        |sh AS (SELECT DISTINCT doc_id, toks[g]||' '||toks[g+1]||' '||toks[g+2] AS shingle
        |       FROM gs)""".stripMargin
 
+  /** Full MinHash→LSH→Jaccard pair pipeline as a reusable WITH body. */
+  private val minhashPairsSql =
+    s"""$shinglesSql,
+       |hx AS (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS h FROM sh),
+       |mh AS (SELECT doc_id, h, MIN(md5(h||'|'||shingle)) AS mh
+       |       FROM hx GROUP BY doc_id, h),
+       |sig AS (SELECT doc_id, h // 2 AS band,
+       |          md5(string_agg(mh, '' ORDER BY h)) AS sig
+       |        FROM mh GROUP BY doc_id, h // 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM sig a JOIN sig b
+       |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+       |          FROM cand c
+       |          JOIN sh x ON x.doc_id = c.id_a
+       |          JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+       |          GROUP BY c.id_a, c.id_b),
+       |pairs AS (SELECT i.id_a, i.id_b,
+       |            i.n_inter / (sx.n + sy.n - i.n_inter) AS jaccard
+       |          FROM inter i
+       |          JOIN sz sx ON sx.doc_id = i.id_a
+       |          JOIN sz sy ON sy.doc_id = i.id_b
+       |          WHERE i.n_inter / (sx.n + sy.n - i.n_inter) >= 0.5)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
@@ -49,28 +84,13 @@ object DedupQueries {
         |GROUP BY md5(text)""".stripMargin,
 
     "q_dedup_minhash" ->
-      s"""WITH $shinglesSql,
-         |hx AS (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS h FROM sh),
-         |mh AS (SELECT doc_id, h, MIN(md5(h||'|'||shingle)) AS mh
-         |       FROM hx GROUP BY doc_id, h),
-         |sig AS (SELECT doc_id, h // 2 AS band,
-         |          md5(string_agg(mh, '' ORDER BY h)) AS sig
-         |        FROM mh GROUP BY doc_id, h // 2),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |         FROM sig a JOIN sig b
-         |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-         |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
-         |          FROM cand c
-         |          JOIN sh x ON x.doc_id = c.id_a
-         |          JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
-         |          GROUP BY c.id_a, c.id_b)
-         |SELECT i.id_a, i.id_b,
-         |  i.n_inter / (sx.n + sy.n - i.n_inter) AS jaccard
-         |FROM inter i
-         |JOIN sz sx ON sx.doc_id = i.id_a
-         |JOIN sz sy ON sy.doc_id = i.id_b
-         |WHERE i.n_inter / (sx.n + sy.n - i.n_inter) >= 0.5""".stripMargin,
+      s"""WITH $minhashPairsSql
+         |SELECT id_a, id_b, jaccard FROM pairs""".stripMargin,
+
+    "q_dedup_materialize" ->
+      s"""WITH $minhashPairsSql
+         |SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT id_b FROM pairs)""".stripMargin,
 
     "q_dedup_simhash" ->
       s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),

@@ -37,7 +37,14 @@ object TextQueries {
 
     "q_fingerprint" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
-        TextAnalysis.fingerprint(col("text")).as("fingerprint")))
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
+
+    // E4 rollup: corpus composition by (lang, source) with subtotals —
+    // grouping-set aggregation (one Expand + one shuffle).
+    "q_corpus_rollup" -> ((s, d) =>
+      Tables.documents(s, d)
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars")))
   )
 
   private val toksSql = """string_split_regex(lower(trim(text)), '\s+')"""
@@ -106,6 +113,11 @@ object TextQueries {
     "q_fingerprint" ->
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q_corpus_rollup" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY ROLLUP(lang, source)""".stripMargin
   )
 }
