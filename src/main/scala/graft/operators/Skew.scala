@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Skew-mitigation operators: two-phase (salted) aggregation.
+  *
+  * At 100 TB a hot grouping key (one server, one event type) turns a
+  * single reducer into the job's critical path. Salting splits each key
+  * into `buckets` sub-keys for the wide partial aggregation, then
+  * reduces the tiny (|keys|·buckets)-row intermediate in a second,
+  * cheap shuffle. AQE's skew handling covers sort-merge joins; salting
+  * is the aggregation-side counterpart under our control.
+  *
+  * Sums ride DECIMAL internally, so two-phase results are bit-equal to
+  * the single-phase aggregation (decimal addition is associative —
+  * double addition is not).
+  */
+object Skew {
+
+  /** Deterministic salt in [0, buckets) from an arbitrary column (use a
+    * high-cardinality payload column, e.g. the row id).
+    */
+  def salt(saltSource: Column, buckets: Int): Column =
+    pmod(xxhash64(saltSource), lit(buckets.toLong)).cast("int")
+
+  /** Salted count + sum(value): phase 1 aggregates (keys, salt), phase
+    * 2 merges salt partials per key. Output: keys, n_rows (long),
+    * sum_value (double, decimal-exact).
+    */
+  def saltedSumCount(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                     saltSource: Column, buckets: Int = 32): DataFrame = {
+    val keys = keyCols.map(col)
+    val partial = df
+      .withColumn("_salt", salt(saltSource, buckets))
+      .groupBy(keys :+ col("_salt"): _*)
+      .agg(count(lit(1)).as("_n"),
+        sum(col(valueCol).cast(DecimalType(18, 6))).as("_s"))
+    partial
+      .groupBy(keys: _*)
+      .agg(sum(col("_n")).as("n_rows"),
+        sum(col("_s")).cast("double").as("sum_value"))
+  }
+}

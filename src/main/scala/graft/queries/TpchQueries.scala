@@ -98,6 +98,14 @@ object TpchQueries {
     "q_distinct" -> ((s, d) =>
       Tables.events(s, d).select(col("event_type"), col("user_id")).distinct()),
 
+    // Skew-safe two-phase aggregation: values must equal the plain
+    // group-by (the oracle is the UNSALTED query — equality proves the
+    // salting is semantically invisible).
+    "q_salted_agg" -> ((s, d) =>
+      graft.operators.Skew.saltedSumCount(
+        Tables.events(s, d), Seq("event_type"), "value",
+        col("event_id"), buckets = 32)),
+
     // Global stats (A5 analog): count / exact count-distinct / min / max.
     "q_agg_stats" -> ((s, d) =>
       Tables.events(s, d).agg(
@@ -166,6 +174,11 @@ object TpchQueries {
 
     "q_distinct" ->
       "SELECT DISTINCT event_type, user_id FROM events",
+
+    "q_salted_agg" ->
+      s"""SELECT event_type, COUNT(*) AS n_rows,
+         |  ${sqlDsum("value")} AS sum_value
+         |FROM events GROUP BY event_type""".stripMargin,
 
     "q_agg_stats" ->
       s"""SELECT COUNT(*) AS n_events,
