@@ -1,0 +1,35 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.DotProduct
+
+/** Catalyst extension wiring: registers graft's native functions into
+  * the session's FunctionRegistry so SQL text can use them
+  * (`SELECT vec_dot(a, b) ...`), in addition to the Column API.
+  *
+  * Install with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  *
+  * This is the injection point for any future Rule[LogicalPlan] or
+  * SparkStrategy; the reference surface needs none (SURVEY.md §4) —
+  * every rewrite it relies on is built-in Catalyst behavior.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(GraftExtensions.vecDot)
+  }
+}
+
+object GraftExtensions {
+  val vecDot: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vec_dot"),
+    new ExpressionInfo(classOf[DotProduct].getCanonicalName, "vec_dot"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "vec_dot(a, b) takes exactly 2 arguments")
+      DotProduct(children.head, children(1))
+    })
+}

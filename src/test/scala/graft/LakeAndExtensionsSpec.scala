@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.ParquetLake
+
+/** Physical-design and extension wiring: partition pruning on the
+  * partitioned lake layout, shuffle-free bucketed joins, SQL-registered
+  * native functions.
+  */
+class LakeAndExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("partitioned write → partition pruning removes directories from the scan") {
+    val path = Files.createTempDirectory("lake").toString + "/events"
+    val df = (0 until 1000).map(i => (i.toLong, if (i % 2 == 0) "click" else "view", i * 1.5))
+      .toDF("event_id", "event_type", "value")
+    ParquetLake.writePartitioned(df, path, Seq("event_type"), Seq("event_id"))
+
+    val scan = ParquetLake.read(spark, path).filter($"event_type" === "click")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_type"))
+    assert(scan.count() == 500)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = (0 until 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "va")
+      val b = (0 until 1000).map(i => (i.toLong, i * 3.0)).toDF("k", "vb")
+      ParquetLake.writeBucketed(a, "bucket_a", 4, Seq("k"), Seq("k"))
+      ParquetLake.writeBucketed(b, "bucket_b", 4, Seq("k"), Seq("k"))
+
+      val j = spark.table("bucket_a").join(spark.table("bucket_b"), Seq("k"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+      assert(j.count() == 1000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bucket_a")
+      spark.sql("DROP TABLE IF EXISTS bucket_b")
+    }
+  }
+
+  test("GraftExtensions' function builder registers vec_dot for SQL text") {
+    // exercise the same (identifier, info, builder) triple the
+    // SparkSessionExtensions injection uses (a fresh session with
+    // withExtensions can't be created inside the shared test JVM)
+    val (id, info, builder) = graft.plans.GraftExtensions.vecDot
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    val out = spark.sql("SELECT vec_dot(array(1D, 2D, 3D), array(4D, 5D, 6D)) AS d")
+      .head().getDouble(0)
+    assert(out == 32.0)
+  }
+}
