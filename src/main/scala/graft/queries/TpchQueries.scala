@@ -98,6 +98,60 @@ object TpchQueries {
     "q_distinct" -> ((s, d) =>
       Tables.events(s, d).select(col("event_type"), col("user_id")).distinct()),
 
+    // Semi/anti joins (EXISTS / NOT EXISTS): customers partitioned by
+    // whether they have any urgent order. Broadcast the filtered orders.
+    "q_semi_anti" -> ((s, d) => {
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      val cust = Tables.customer(s, d)
+      val withU = cust.join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(lit("has_urgent").as("bucket"), col("c_custkey"))
+      val withoutU = cust.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(lit("no_urgent").as("bucket"), col("c_custkey"))
+      withU.unionByName(withoutU)
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_customers"))
+    }),
+
+    // Left outer join with null-extension accounting.
+    "q_left_join" -> ((s, d) => {
+      val bigOrders = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey"), col("o_totalprice"))
+      Tables.customer(s, d)
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("o_totalprice")).as("n_matched"),
+          dsum(coalesce(col("o_totalprice"), lit(0.0))).as("matched_total"))
+    }),
+
+    // Analytic window function with a running frame (ordered prefix sum
+    // — deterministic because the frame order is total per partition).
+    "q_running_sum" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("user_id") < 10)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .withColumn("running_value",
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("user_id")).orderBy(col("event_id"))
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+            .cast("double"))),
+
+    // Set operations: event types seen in the first week vs the rest.
+    "q_set_ops" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val early = ev.filter(col("ts") < lit("2024-01-08").cast("timestamp"))
+        .select(col("event_type"), col("user_id"))
+      val late = ev.filter(col("ts") >= lit("2024-01-08").cast("timestamp"))
+        .select(col("event_type"), col("user_id"))
+      val both = early.intersect(late).select(lit("both").as("which"),
+        col("event_type"), col("user_id"))
+      val earlyOnly = early.except(late).select(lit("early_only").as("which"),
+        col("event_type"), col("user_id"))
+      both.unionByName(earlyOnly)
+    }),
+
     // Skew-safe two-phase aggregation: values must equal the plain
     // group-by (the oracle is the UNSALTED query — equality proves the
     // salting is semantically invisible).
@@ -179,6 +233,41 @@ object TpchQueries {
       s"""SELECT event_type, COUNT(*) AS n_rows,
          |  ${sqlDsum("value")} AS sum_value
          |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_semi_anti" ->
+      """WITH u AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT 'has_urgent' AS bucket, COUNT(*) AS n_customers FROM customer
+        |WHERE EXISTS (SELECT 1 FROM u WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT 'no_urgent', COUNT(*) FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM u WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q_left_join" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_rows,
+         |  COUNT(o_totalprice) AS n_matched,
+         |  ${sqlDsum("COALESCE(o_totalprice, 0.0)")} AS matched_total
+         |FROM customer
+         |LEFT JOIN (SELECT o_custkey, o_totalprice FROM orders
+         |           WHERE o_totalprice > 400000) o
+         |  ON c_custkey = o_custkey
+         |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_running_sum" ->
+      """SELECT user_id, event_id, value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6)))
+        |    OVER (PARTITION BY user_id ORDER BY event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_value
+        |FROM events WHERE user_id < 10""".stripMargin,
+
+    "q_set_ops" ->
+      """WITH e AS (SELECT event_type, user_id FROM events
+        |           WHERE ts < TIMESTAMP '2024-01-08'),
+        |l AS (SELECT event_type, user_id FROM events
+        |      WHERE ts >= TIMESTAMP '2024-01-08')
+        |SELECT 'both' AS which, event_type, user_id FROM (SELECT * FROM e INTERSECT SELECT * FROM l)
+        |UNION ALL
+        |SELECT 'early_only', event_type, user_id FROM (SELECT * FROM e EXCEPT SELECT * FROM l)""".stripMargin,
 
     "q_agg_stats" ->
       s"""SELECT COUNT(*) AS n_events,
