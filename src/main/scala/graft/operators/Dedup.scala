@@ -108,6 +108,11 @@ object Dedup {
   def minhashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
                             shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
                             threshold: Double = 0.5): DataFrame = {
+    // The shingle set feeds three consumers (signatures, intersection
+    // join ×2, sizes). Measured: recomputing the codegen'd
+    // tokenize+explode+distinct subtree per consumer beats persisting
+    // it (a persist barrier blocks stage fusion and more than doubled
+    // this pipeline's wall time at sf0.1) — so no cache here.
     val sh = wordShingles(df, textCol, idCol, shingleSize)
     val cands = lshCandidatePairs(minhashBandSignatures(sh, idCol, bands, rowsPerBand), idCol)
     jaccardOnCandidates(sh, cands, idCol).filter(col("jaccard") >= threshold)
