@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.core.PipelineConfig
+import graft.streaming.StreamingPipeline
+
+/** Streaming-throughput main: replays the reference's full workload
+  * shape (28,800 dataset rows → ×4 topic fan-out = 115,200 wire
+  * messages, `producer/producer.py:74-77` scale) through the streaming
+  * pipeline — producer wire → demux/decode → watermarked windowed
+  * alerts — and prints one JSON line with end-to-end rows/sec.
+  *
+  * The reference computed (but never published) its producer
+  * records/sec; this is the comparable single-node number for the
+  * rebuilt engine.
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val rows = args.headOption.map(_.toInt).getOrElse(28800)
+    // topology: "join" = stream-stream join of two landed families
+    // (reference shape); "pivot" = single-source conditional-agg
+    // variant (half the state, no join — the recommended topology)
+    val mode = if (args.length > 1) args(1) else "join"
+    val filesPerTrigger = if (args.length > 2) args(2) else "0"
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // synthesize the reference-shaped dataset (20 servers, 5s cadence)
+    val dir = Files.createTempDirectory("streambench").toString
+    val servers = 20
+    spark.range(rows)
+      .select(
+        date_format(timestamp_seconds(lit(75180) + (col("id") / servers).cast("long") * 5),
+          "HH:mm:ss").as("ts"),
+        concat(lit("server_"), (col("id") % servers + 1)).as("server_id"),
+        (pmod(col("id") * 37, lit(10000)) / 100).as("cpu_pct"),
+        (pmod(col("id") * 53, lit(10000)) / 100).as("mem_pct"),
+        (pmod(col("id") * 71, lit(2000000)) / 100).as("net_in"),
+        (pmod(col("id") * 13, lit(2000000)) / 100).as("net_out"),
+        (pmod(col("id") * 29, lit(1000000)) / 100).as("disk_io"))
+      .repartition(8)
+      .write.option("header", "true").csv(s"$dir/in")
+
+    val t0 = System.nanoTime()
+    val reader = spark.readStream.schema(graft.core.Schemas.dataset)
+      .option("header", "true")
+    if (filesPerTrigger != "0") reader.option("maxFilesPerTrigger", filesPerTrigger)
+    val dataset = reader.csv(s"$dir/in")
+    val cfg = PipelineConfig.default
+    val wire = StreamingPipeline.producerWire(dataset)
+    val alerts =
+      if (mode == "pivot") {
+        val landed = StreamingPipeline.landedTable(wire, cfg, cfg.cpuTopic)
+          .withColumn("ts", graft.operators.RefOps.anchorTimeOfDay(col("ts")))
+          .select(col("ts"), col("server_id"), lit("cpu").as("family"),
+            col("cpu_pct").as("metric"))
+          .unionByName(StreamingPipeline.landedTable(wire, cfg, cfg.memTopic)
+            .withColumn("ts", graft.operators.RefOps.anchorTimeOfDay(col("ts")))
+            .select(col("ts"), col("server_id"), lit("mem").as("family"),
+              col("mem_pct").as("metric")))
+        StreamingPipeline.streamingJob1SingleSource(landed)
+      } else {
+        val cpu = StreamingPipeline.landedTable(wire, cfg, cfg.cpuTopic)
+          .withColumn("ts", graft.operators.RefOps.anchorTimeOfDay(col("ts")))
+        val mem = StreamingPipeline.landedTable(wire, cfg, cfg.memTopic)
+          .withColumn("ts", graft.operators.RefOps.anchorTimeOfDay(col("ts")))
+        StreamingPipeline.streamingJob1(cpu, mem)
+      }
+    val q = alerts.writeStream.format("noop").outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    q.processAllAvailable()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val progress = q.recentProgress
+    q.stop()
+
+    val messages = rows.toLong * 4
+    val windows = progress.map(_.stateOperators.headOption.map(_.numRowsTotal).getOrElse(0L)).maxOption.getOrElse(0L)
+    println(s"""{"metric":"stream_rows_per_sec","mode":"$mode","value":${(rows / secs).round},"unit":"rows/sec","dataset_rows":$rows,"wire_messages":$messages,"window_state_rows":$windows,"wall_sec":${math.round(secs * 100) / 100.0}}""")
+    spark.stop()
+  }
+}

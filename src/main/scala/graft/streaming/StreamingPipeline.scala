@@ -75,6 +75,34 @@ object StreamingPipeline {
   def landedTable(wire: DataFrame, cfg: PipelineConfig, topic: String): DataFrame =
     RefOps.decodeCsvValue(RefOps.demuxTopic(wire, topic), Schemas.forTopic(cfg, topic))
 
+  /** K2 landing sink: checkpointed CSV file sink for a landed
+    * per-family table — replaces the reference consumer's
+    * per-message append+flush (`consumers/consumer1.py:43-48`) with
+    * micro-batch files whose progress is checkpoint-tracked (restart
+    * resumes exactly where it left off; no duplicate landing).
+    */
+  def landedCsvSink(landed: DataFrame, path: String,
+                    checkpoint: String): DataStreamWriter[Row] =
+    landed.writeStream
+      .format("csv")
+      .option("header", "true")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+
+  /** K3 parity sink, streaming form: the reference's single-file
+    * `coalesce(1)` CSV overwrite is not a streaming sink mode
+    * (SURVEY.md §7.4(5)) — foreachBatch appends each micro-batch's
+    * finalized windows as one file instead.
+    */
+  def alertCsvSink(alerts: DataFrame, outPath: String,
+                   checkpoint: String): DataStreamWriter[Row] =
+    alerts.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.coalesce(1).write.mode("append").option("header", "true").csv(outPath)
+      }
+
   /** E1 streaming dedup: watermark-bounded exact dedup — the
     * effectively-once repair for at-least-once transport (T1).
     */
