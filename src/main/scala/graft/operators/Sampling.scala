@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / dataset-splitting operators.
+  *
+  * Training pipelines need splits that are (a) reproducible across
+  * runs and engines, (b) stable under repartitioning, and (c) cheap.
+  * `rand()`-based sampling is none of these; hashing the row id is all
+  * three: a row's split is a pure function of its id.
+  *
+  * The hash key is the first 4 hex digits of md5(id) — fixed-width
+  * lowercase hex, so LEXICOGRAPHIC order equals numeric order and the
+  * cut is a plain string comparison any ANSI engine reproduces exactly
+  * (no hex→int conversion, which not every engine has). Granularity:
+  * 1/65536.
+  */
+object Sampling {
+
+  /** 4-hex-digit uniform hash key of the row id. */
+  def hashKey(idCol: Column): Column =
+    substring(md5(idCol.cast("string")), 1, 4)
+
+  private def cutHex(fraction: Double): String =
+    f"${math.round(fraction * 65536).toInt}%04x"
+
+  /** Split tag: "train" for the first `trainFraction` of hash space. */
+  def splitTag(idCol: Column, trainFraction: Double): Column =
+    when(hashKey(idCol) < lit(cutHex(trainFraction)), "train").otherwise("val")
+
+  /** Deterministic ~fraction sample, stable across engines/partitioning. */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
+    df.filter(hashKey(col(idCol)) < lit(cutHex(fraction)))
+}

@@ -48,6 +48,33 @@ object MiscQueries {
         .agg((sum(floor(col("col") * 1000000).cast("long")).cast("double")
           / (count(lit(1)) * lit(1000000.0))).as("centroid"))),
 
+    // Deterministic train/val split: tag + per-split accounting. The
+    // oracle reproduces the md5-prefix cut exactly (90/10 split).
+    "q_hash_split" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("split", graft.operators.Sampling.splitTag(col("doc_id"), 0.9))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))),
+
+    // Per-group top-k: 3 longest docs per language (window row_number,
+    // deterministic tie-break on doc_id).
+    "q_topk_per_group" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(desc("n_chars"), asc("doc_id"))
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+    }),
+
+    // Histogram: fixed-width binning of events.value (floor-div bins).
+    "q_histogram" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(expr("CAST(floor(value / 50) AS BIGINT)").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("lo"), max(col("value")).as("hi"))),
+
     // E5 JSON property extraction + rollup over events.props.
     "q_json_extract" -> ((s, d) =>
       Tables.events(s, d)
@@ -87,6 +114,29 @@ object MiscQueries {
         |  CAST(SUM(CAST(floor(v[i] * 1000000) AS BIGINT)) AS DOUBLE)
         |    / (COUNT(*) * 1000000.0) AS centroid
         |FROM x GROUP BY label, i""".stripMargin,
+
+    "q_hash_split" ->
+      """WITH s AS (
+        |  SELECT *, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+        |                 THEN 'train' ELSE 'val' END AS split
+        |  FROM documents
+        |)
+        |SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM s GROUP BY split""".stripMargin,
+
+    "q_topk_per_group" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rk
+        |  FROM documents
+        |)
+        |SELECT lang, doc_id, n_chars, rk FROM r WHERE rk <= 3""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(floor(value / 50) AS BIGINT) AS bin, COUNT(*) AS n,
+        |  MIN(value) AS lo, MAX(value) AS hi
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
