@@ -19,6 +19,10 @@ object Explain {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // fixture tables are single ~30MB parquet files; the default 128MB
+      // split size would scan them on ONE core — split finer so the
+      // scan parallelizes (the 100 TB knob, pointed the other way)
+      .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

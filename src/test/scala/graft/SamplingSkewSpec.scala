@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{Sampling, Skew}
+
+class SamplingSkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hash split: deterministic, partition-invariant, ~fraction sized") {
+    val df = (0L until 2000L).toDF("id")
+    val tagged = df.withColumn("split", Sampling.splitTag(col("id"), 0.9))
+    val counts = tagged.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("train") > 1700 && counts("train") < 1900) // ~90% ± noise
+    // repartitioning must not change any row's split
+    val again = df.repartition(7)
+      .withColumn("split", Sampling.splitTag(col("id"), 0.9))
+    assert(tagged.except(again).count() == 0)
+    // sample == the train side of the same cut
+    assert(Sampling.hashSample(df, "id", 0.9).count() == counts("train"))
+  }
+
+  test("salted aggregation equals single-phase aggregation exactly") {
+    val ev = Tables.events(spark, sf0001)
+    val salted = Skew.saltedSumCount(ev, Seq("event_type"), "value",
+        col("event_id"), buckets = 16)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val plain = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(salted == plain) // bit-equal: decimal partials are associative
+  }
+}
