@@ -44,6 +44,18 @@ object Dedup {
       .distinct()
   }
 
+  /** Character k-gram shingle set (lowercased, spaces kept): the
+    * finer-grained alternative to word shingles — robust to tokenizer
+    * drift, catches near-dups that differ inside words.
+    */
+  def charShingles(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
+    df.select(col(idCol), lower(trim(col(textCol))).as("t"))
+      .filter(length(col("t")) >= k)
+      .select(col(idCol), explode(sequence(lit(1), length(col("t")) - (k - 1))).as("g"),
+        col("t"))
+      .select(col(idCol), expr(s"substring(t, g, $k)").as("shingle"))
+      .distinct()
+
   /** MinHash band signatures: `bands × rowsPerBand` salted-md5 min-hashes
     * per document, folded into one signature string per band.
     *
@@ -157,4 +169,27 @@ object Dedup {
   /** Hamming distance between two simhash signatures. */
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with scale-safe candidate generation:
+    * split each 32-bit signature into 4 byte bands and equi-join on
+    * (band, value) — by pigeonhole, any pair within hamming ≤ 3 agrees
+    * on at least one full band, so recall is exact for the default
+    * radius; the hamming filter then removes band-collision false
+    * positives. No all-pairs stage.
+    */
+  def simhashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
+                            maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(df, textCol, idCol)
+    def banded(side: String) = sig
+      .select(col(idCol).as(side), col("simhash").as(s"sh_$side"),
+        explode(sequence(lit(0), lit(3))).as("b"))
+      .withColumn("band_val",
+        expr(s"(sh_$side div CAST(power(2, b * 8) AS BIGINT)) % 256"))
+    banded("id_a").join(banded("id_b"), Seq("b", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hammingDistance(col("sh_id_a"), col("sh_id_b")).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 }

@@ -30,6 +30,23 @@ object DedupQueries {
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d), "text", "doc_id")),
 
+    // E2 char-5-gram Jaccard near-dup: finer shingles than the word
+    // pipeline (catches within-word edits); 8×1 minhash bands → exact
+    // Jaccard ≥ 0.8 on candidates.
+    "q_ngram_jaccard" -> ((s, d) => {
+      val sh = Dedup.charShingles(Tables.documents(s, d), "text", "doc_id", 5)
+      val cands = Dedup.lshCandidatePairs(
+        Dedup.minhashBandSignatures(sh, "doc_id", bands = 8, rowsPerBand = 1), "doc_id")
+      Dedup.jaccardOnCandidates(sh, cands, "doc_id")
+        .filter(col("jaccard") >= 0.8)
+    }),
+
+    // E2 SimHash near-dup pairs: byte-band bucketing (pigeonhole-exact
+    // for hamming ≤ 3) + hamming verify.
+    "q_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashNearDuplicates(Tables.documents(s, d), "text", "doc_id",
+        maxHamming = 3)),
+
     // End of the near-dup pipeline: materialize the cleaned corpus via
     // anti-join against the verified pairs (smallest id survives).
     "q_dedup_materialize" -> ((s, d) => {
@@ -91,6 +108,55 @@ object DedupQueries {
       s"""WITH $minhashPairsSql
          |SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT id_b FROM pairs)""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, lower(trim(text)) AS t FROM documents
+        |           WHERE length(trim(text)) >= 5),
+        |gs AS (SELECT doc_id, t, unnest(generate_series(1, length(t)-4)) AS g FROM t),
+        |sh AS (SELECT DISTINCT doc_id, substr(t, g, 5) AS shingle FROM gs),
+        |hx AS (SELECT doc_id, shingle, unnest(generate_series(0, 7)) AS h FROM sh),
+        |mh AS (SELECT doc_id, h, MIN(md5(h||'|'||shingle)) AS mh
+        |       FROM hx GROUP BY doc_id, h),
+        |sig AS (SELECT doc_id, h AS band, md5(mh) AS sig FROM mh),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM sig a JOIN sig b
+        |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+        |          FROM cand c
+        |          JOIN sh x ON x.doc_id = c.id_a
+        |          JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+        |          GROUP BY c.id_a, c.id_b)
+        |SELECT i.id_a, i.id_b, i.n_inter / (sx.n + sy.n - i.n_inter) AS jaccard
+        |FROM inter i
+        |JOIN sz sx ON sx.doc_id = i.id_a
+        |JOIN sz sy ON sy.doc_id = i.id_b
+        |WHERE i.n_inter / (sx.n + sy.n - i.n_inter) >= 0.8""".stripMargin,
+
+    "q_simhash_pairs" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |th AS (SELECT doc_id, md5(tok) AS th FROM tk WHERE tok <> ''),
+         |bb AS (SELECT doc_id, th, unnest(generate_series(0, 31)) AS b FROM th),
+         |bits AS (SELECT doc_id, b,
+         |    (instr('0123456789abcdef', substring(th, CAST(b // 4 AS INT) + 1, 1)) - 1)
+         |      // CAST(power(2, b % 4) AS INT) % 2 AS bit
+         |  FROM bb),
+         |votes AS (SELECT doc_id, b, SUM(bit * 2 - 1) AS votes
+         |          FROM bits GROUP BY doc_id, b),
+         |s AS (SELECT doc_id,
+         |        CAST(SUM(CASE WHEN votes > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT)
+         |          AS simhash
+         |      FROM votes GROUP BY doc_id),
+         |bands AS (SELECT doc_id, simhash, unnest(generate_series(0, 3)) AS b FROM s),
+         |bv AS (SELECT doc_id, simhash, b,
+         |         (simhash // CAST(power(2, b * 8) AS BIGINT)) % 256 AS band_val
+         |       FROM bands),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+         |           a.simhash AS sa, b2.simhash AS sb
+         |         FROM bv a JOIN bv b2
+         |           ON a.b = b2.b AND a.band_val = b2.band_val AND a.doc_id < b2.doc_id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin,
 
     "q_dedup_simhash" ->
       s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),

@@ -44,6 +44,23 @@ class DedupSpec extends SparkSpec {
     assert(ham(hashes(1L), hashes(2L)) < ham(hashes(1L), hashes(3L)))
   }
 
+  test("E2: char shingles catch within-word edits that word shingles miss") {
+    val d = Seq((1L, "abcdefghij"), (2L, "abcdefghiX"), (3L, "zzzzzzzzzz"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.charShingles(d, "text", "doc_id", 5)
+    // doc1/doc2 share 5 of their 6 5-grams (differ only at the tail)
+    val shared = sh.filter(col("doc_id") === 1).select("shingle")
+      .intersect(sh.filter(col("doc_id") === 2).select("shingle")).count()
+    assert(shared == 5)
+  }
+
+  test("E2: simhash near-dup pairs — exact dup at hamming 0, unrelated absent") {
+    val pairs = Dedup.simhashNearDuplicates(docs, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 4L)) == 0L) // exact dup: identical signature
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("hammingDistance column matches bitCount") {
     val d = Seq((5L, 3L)).toDF("a", "b")
     assert(d.select(Dedup.hammingDistance(col("a"), col("b"))).head().getInt(0) == 2)
