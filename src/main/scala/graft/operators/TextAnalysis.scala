@@ -105,4 +105,16 @@ object TextAnalysis {
     */
   def fingerprint(textCol: Column): Column =
     md5(regexp_replace(lower(trim(textCol)), "\\s+", " "))
+
+  /** Rolling polynomial hash over the normalized character stream:
+    * h = fold(h·31 + code(c)) mod 1e9+7. A left fold in character
+    * order — integer arithmetic, so any engine reproduces it exactly
+    * (and DuckDB's no-init list_reduce matches because 0·31+c₁ = c₁).
+    * Takes the column name (the expression embeds it in SQL text).
+    */
+  def rollingHash(textColName: String): Column = {
+    val t = s"regexp_replace(lower(trim($textColName)), '\\\\s+', ' ')"
+    expr(s"aggregate(transform(sequence(1, length($t)), i -> ascii(substring($t, i, 1))), " +
+      "0L, (acc, c) -> (acc * 31 + c) % 1000000007)")
+  }
 }

@@ -37,7 +37,8 @@ object TextQueries {
 
     "q_fingerprint" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
-        TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"),
+        TextAnalysis.rollingHash("text").as("rolling_hash"))),
 
     // E4 rollup: corpus composition by (lang, source) with subtotals —
     // grouping-set aggregation (one Expand + one shuffle).
@@ -111,9 +112,14 @@ object TextQueries {
          |FROM r""".stripMargin,
 
     "q_fingerprint" ->
-      """SELECT doc_id,
-        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
-        |FROM documents""".stripMargin,
+      """WITH n AS (SELECT doc_id,
+        |             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |           FROM documents)
+        |SELECT doc_id, md5(t) AS fingerprint,
+        |  CAST(list_reduce(
+        |    list_transform(generate_series(1, length(t)), i -> CAST(ascii(substr(t, i, 1)) AS BIGINT)),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT) AS rolling_hash
+        |FROM n""".stripMargin,
 
     "q_corpus_rollup" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
