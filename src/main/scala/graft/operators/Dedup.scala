@@ -66,12 +66,17 @@ object Dedup {
   def minhashBandSignatures(shingles: DataFrame, idCol: String,
                             bands: Int, rowsPerBand: Int): DataFrame = {
     // All bands·rowsPerBand minima in ONE aggregation pass (no ×numHashes
-    // row explosion): each salt is its own min() column, then each band
-    // folds its rowsPerBand minima (in salt order) into one md5 — the
-    // same values the explode-per-salt formulation produces, one shuffle.
+    // row explosion): each hash is its own min() column, then each band
+    // folds its rowsPerBand minima (in hash order) into one md5.
+    // Hash family: hash h is the h%4-th 8-hex-char window of
+    // md5((h div 4) || '|' || shingle) — one digest yields 4 independent
+    // 32-bit hashes, so numHashes costs ceil(n/4) md5 calls per shingle
+    // (Catalyst CSE shares the digest across the 4 windows), and min()
+    // over fixed-width lowercase hex is numeric min.
     val numHashes = bands * rowsPerBand
     val minCols = (0 until numHashes).map(h =>
-      min(md5(concat(lit(h), lit("|"), col("shingle")))).as(s"mh_$h"))
+      min(substring(md5(concat(lit(h / 4), lit("|"), col("shingle"))),
+        (h % 4) * 8 + 1, 8)).as(s"mh_$h"))
     val perDoc = shingles.groupBy(col(idCol)).agg(minCols.head, minCols.tail: _*)
     val bandCols = (0 until bands).map { b =>
       val members = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))

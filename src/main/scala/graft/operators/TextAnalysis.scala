@@ -106,15 +106,25 @@ object TextAnalysis {
   def fingerprint(textCol: Column): Column =
     md5(regexp_replace(lower(trim(textCol)), "\\s+", " "))
 
-  /** Rolling polynomial hash over the normalized character stream:
+  /** Rolling polynomial hash over a character stream:
     * h = fold(h·31 + code(c)) mod 1e9+7. A left fold in character
     * order — integer arithmetic, so any engine reproduces it exactly
     * (and DuckDB's no-init list_reduce matches because 0·31+c₁ = c₁).
-    * Takes the column name (the expression embeds it in SQL text).
+    *
+    * Takes a PLAIN column name: callers must materialize any
+    * normalization into a projected column first — an expression
+    * embedded here would be re-evaluated per character inside the HOF
+    * lambda (measured: a regexp_replace inlined here turned 1.5M lambda
+    * evals into ~450M regex runs).
     */
-  def rollingHash(textColName: String): Column = {
-    val t = s"regexp_replace(lower(trim($textColName)), '\\\\s+', ' ')"
-    expr(s"aggregate(transform(sequence(1, length($t)), i -> ascii(substring($t, i, 1))), " +
+  def rollingHash(plainColName: String): Column =
+    expr(s"aggregate(transform(sequence(1, length($plainColName)), " +
+      s"i -> ascii(substring($plainColName, i, 1))), " +
       "0L, (acc, c) -> (acc * 31 + c) % 1000000007)")
-  }
+
+  /** The normalization used by both fingerprints (project this once,
+    * then hash the resulting plain column).
+    */
+  def normalizedText(textCol: Column): Column =
+    regexp_replace(lower(trim(textCol)), "\\s+", " ")
 }

@@ -30,13 +30,17 @@ object DedupQueries {
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d), "text", "doc_id")),
 
-    // E2 char-5-gram Jaccard near-dup: finer shingles than the word
-    // pipeline (catches within-word edits); 8×1 minhash bands → exact
-    // Jaccard ≥ 0.8 on candidates.
+    // E2 char-12-gram Jaccard near-dup: character shingles catch
+    // within-word edits the word pipeline misses. Shingle length and
+    // band sharpness matter at scale: 5-grams over a small shared
+    // vocabulary made EVERY doc pair an LSH candidate (measured: the
+    // sf0.1 candidate set went quadratic); 12-gram shingles (~2 words)
+    // with 8×2 bands keep baseline collision near zero while true
+    // near-dups (Jaccard ≥ 0.8) still agree on whole bands.
     "q_ngram_jaccard" -> ((s, d) => {
-      val sh = Dedup.charShingles(Tables.documents(s, d), "text", "doc_id", 5)
+      val sh = Dedup.charShingles(Tables.documents(s, d), "text", "doc_id", 12)
       val cands = Dedup.lshCandidatePairs(
-        Dedup.minhashBandSignatures(sh, "doc_id", bands = 8, rowsPerBand = 1), "doc_id")
+        Dedup.minhashBandSignatures(sh, "doc_id", bands = 8, rowsPerBand = 2), "doc_id")
       Dedup.jaccardOnCandidates(sh, cands, "doc_id")
         .filter(col("jaccard") >= 0.8)
     }),
@@ -72,7 +76,8 @@ object DedupQueries {
   private val minhashPairsSql =
     s"""$shinglesSql,
        |hx AS (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS h FROM sh),
-       |mh AS (SELECT doc_id, h, MIN(md5(h||'|'||shingle)) AS mh
+       |mh AS (SELECT doc_id, h,
+       |         MIN(substr(md5((h // 4)||'|'||shingle), (h % 4) * 8 + 1, 8)) AS mh
        |       FROM hx GROUP BY doc_id, h),
        |sig AS (SELECT doc_id, h // 2 AS band,
        |          md5(string_agg(mh, '' ORDER BY h)) AS sig
@@ -111,13 +116,16 @@ object DedupQueries {
 
     "q_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, lower(trim(text)) AS t FROM documents
-        |           WHERE length(trim(text)) >= 5),
-        |gs AS (SELECT doc_id, t, unnest(generate_series(1, length(t)-4)) AS g FROM t),
-        |sh AS (SELECT DISTINCT doc_id, substr(t, g, 5) AS shingle FROM gs),
-        |hx AS (SELECT doc_id, shingle, unnest(generate_series(0, 7)) AS h FROM sh),
-        |mh AS (SELECT doc_id, h, MIN(md5(h||'|'||shingle)) AS mh
+        |           WHERE length(trim(text)) >= 12),
+        |gs AS (SELECT doc_id, t, unnest(generate_series(1, length(t)-11)) AS g FROM t),
+        |sh AS (SELECT DISTINCT doc_id, substr(t, g, 12) AS shingle FROM gs),
+        |hx AS (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS h FROM sh),
+        |mh AS (SELECT doc_id, h,
+        |         MIN(substr(md5((h // 4)||'|'||shingle), (h % 4) * 8 + 1, 8)) AS mh
         |       FROM hx GROUP BY doc_id, h),
-        |sig AS (SELECT doc_id, h AS band, md5(mh) AS sig FROM mh),
+        |sig AS (SELECT doc_id, h // 2 AS band,
+        |          md5(string_agg(mh, '' ORDER BY h)) AS sig
+        |        FROM mh GROUP BY doc_id, h // 2),
         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |         FROM sig a JOIN sig b
         |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),

@@ -36,9 +36,10 @@ object TextQueries {
       TextAnalysis.qualityScore(Tables.documents(s, d), "text", "doc_id")),
 
     "q_fingerprint" -> ((s, d) =>
-      Tables.documents(s, d).select(col("doc_id"),
-        TextAnalysis.fingerprint(col("text")).as("fingerprint"),
-        TextAnalysis.rollingHash("text").as("rolling_hash"))),
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.normalizedText(col("text")).as("t"))
+        .select(col("doc_id"), md5(col("t")).as("fingerprint"),
+          TextAnalysis.rollingHash("t").as("rolling_hash"))),
 
     // E4 rollup: corpus composition by (lang, source) with subtotals —
     // grouping-set aggregation (one Expand + one shuffle).
