@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: for each probe row, the most recent
+  * state row with the same key and state.ts <= probe.ts — the classic
+  * "join each event to the config/metric snapshot in force at its
+  * time" operator.
+  *
+  * Spark has no native as-of join; the preference-order-(a) composition
+  * (SURVEY.md §7.3) expresses it with a union + one ordered window:
+  * tag state rows 0 and probe rows 1, sort (ts, tag) within each key,
+  * and carry the last non-null state payload forward. One shuffle on
+  * the key — the same cost as the sort-merge join a native
+  * implementation would do, with no custom plan node to maintain.
+  * Ties (state.ts == probe.ts) resolve to the state row, matching
+  * `probe.ts >= state.ts` semantics (and DuckDB's ASOF JOIN, which the
+  * oracle uses natively).
+  *
+  * Scale: the window is per-key ordered — at 100 TB this is a
+  * shuffle+sort on (key), with skew handled like any windowed op
+  * (hot keys → AQE or pre-bucketing by key).
+  */
+object AsOfJoin {
+
+  /** @param probes     left side (kept in full)
+    * @param states     right side carrying `payloadCols`
+    * @param keys       equi-join keys
+    * @param tsCol      event-time column name present on both sides
+    * @param payloadCols state columns to carry onto probes (null when
+    *                    no state at or before the probe's ts)
+    */
+  def asOf(probes: DataFrame, states: DataFrame, keys: Seq[String],
+           tsCol: String, payloadCols: Seq[String]): DataFrame = {
+    val probeCols = probes.columns
+    val p = probes
+      .withColumn("_tag", lit(1))
+      .select(probeCols.map(col) ++ Seq(col("_tag")) ++
+        payloadCols.map(c => lit(null).cast(states.schema(c).dataType).as(s"_s_$c")): _*)
+    val s = states
+      .select(keys.map(col) ++ Seq(col(tsCol), lit(0).as("_tag")) ++
+        payloadCols.map(c => col(c).as(s"_s_$c")): _*)
+    // align schemas: state rows carry nulls for probe-only columns
+    val probeOnly = probeCols.filterNot(c => keys.contains(c) || c == tsCol)
+    val sAligned = probeOnly.foldLeft(s)((d, c) =>
+      d.withColumn(c, lit(null).cast(probes.schema(c).dataType)))
+      .select(p.columns.map(col): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("_tag").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = payloadCols.foldLeft(p.unionByName(sAligned))((d, c) =>
+      d.withColumn(s"_carry_$c", last(col(s"_s_$c"), ignoreNulls = true).over(w)))
+    carried
+      .filter(col("_tag") === 1)
+      .select(probeCols.map(col) ++
+        payloadCols.map(c => col(s"_carry_$c").as(s"asof_$c")): _*)
+  }
+}

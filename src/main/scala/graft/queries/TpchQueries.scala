@@ -98,6 +98,18 @@ object TpchQueries {
     "q_distinct" -> ((s, d) =>
       Tables.events(s, d).select(col("event_type"), col("user_id")).distinct()),
 
+    // As-of (point-in-time) join: every event picks up the value of the
+    // user's most recent signup event at-or-before its timestamp.
+    // Oracle: DuckDB's native ASOF LEFT JOIN.
+    "q_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val probes = ev.select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      val states = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("value").as("sval"))
+      graft.operators.AsOfJoin.asOf(probes, states, Seq("user_id"), "ts", Seq("sval"))
+        .withColumnRenamed("asof_sval", "asof_value")
+    }),
+
     // Semi/anti joins (EXISTS / NOT EXISTS): customers partitioned by
     // whether they have any urgent order. Broadcast the filtered orders.
     "q_semi_anti" -> ((s, d) => {
@@ -233,6 +245,14 @@ object TpchQueries {
       s"""SELECT event_type, COUNT(*) AS n_rows,
          |  ${sqlDsum("value")} AS sum_value
          |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH probes AS (SELECT event_id, ts, user_id, value FROM events),
+        |states AS (SELECT user_id, ts, value AS sval FROM events
+        |           WHERE event_type = 'signup')
+        |SELECT p.event_id, p.ts, p.user_id, p.value, s.sval AS asof_value
+        |FROM probes p ASOF LEFT JOIN states s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts""".stripMargin,
 
     "q_semi_anti" ->
       """WITH u AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
