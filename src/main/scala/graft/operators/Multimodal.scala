@@ -73,13 +73,33 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { it =>
       // per-partition setup would open the codec/model handle here
-      it.map { r =>
-        val sum = r.payload.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) & 0x7fffffffL)
-        MediaFeatures(r.media_id, r.kind, r.payload.length, sum,
-          // STUB decode: deterministic fake feature vector from bytes
-          Array(r.payload.length.toFloat, (sum % 997).toFloat,
-            (sum % 31).toFloat, (sum % 7).toFloat))
+      it.map(extractOne)
+    }
+  }
+
+  /** Batched variant — the model-inference batch shape (`mapInPandas`
+    * analogue): the partition iterator is consumed in fixed-size
+    * batches, each batch goes through "the model" as one call, results
+    * stream out flattened. Still constant memory (one batch in flight
+    * per partition); batch size is the GPU/throughput knob.
+    */
+  def extractFeaturesBatched(media: Dataset[MediaRecord], batchSize: Int = 64)
+                            (implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // model handle opened once per partition here
+      it.grouped(batchSize).flatMap { batch =>
+        // STUB batched inference: one vectorized call per batch
+        batch.map(extractOne)
       }
     }
+  }
+
+  private def extractOne(r: MediaRecord): MediaFeatures = {
+    val sum = r.payload.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) & 0x7fffffffL)
+    MediaFeatures(r.media_id, r.kind, r.payload.length, sum,
+      // STUB decode: deterministic fake feature vector from bytes
+      Array(r.payload.length.toFloat, (sum % 997).toFloat,
+        (sum % 31).toFloat, (sum % 7).toFloat))
   }
 }

@@ -75,6 +75,16 @@ object MiscQueries {
         .agg(count(lit(1)).as("n"),
           min(col("value")).as("lo"), max(col("value")).as("hi"))),
 
+    // E2 HLL++ sketch: approx distinct users per event type next to the
+    // exact count. NO oracle entry — HLL estimates are engine-specific,
+    // so this takes the harness's rows-only check; the accuracy bound
+    // is asserted in MultimodalSpec instead.
+    "q_approx_distinct" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))),
+
     // E5 JSON property extraction + rollup over events.props.
     "q_json_extract" -> ((s, d) =>
       Tables.events(s, d)

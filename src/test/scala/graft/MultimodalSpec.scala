@@ -25,6 +25,30 @@ class MultimodalSpec extends SparkSpec {
     assert(c(2L) == ((3L, 1L)))
   }
 
+  test("batched extraction equals per-row extraction for any batch size") {
+    implicit val s = spark
+    import spark.implicits._
+    val ds = (0 until 50).map(i =>
+      Multimodal.MediaRecord(i.toLong, "text", s"payload-$i".getBytes("UTF-8"))).toDS()
+    val perRow = Multimodal.extractFeatures(ds)
+      .collect().map(f => f.media_id -> f.checksum).toMap
+    for (bs <- Seq(1, 7, 64, 1000)) {
+      val batched = Multimodal.extractFeaturesBatched(ds, bs)
+        .collect().map(f => f.media_id -> f.checksum).toMap
+      assert(batched == perRow, s"batchSize=$bs")
+    }
+  }
+
+  test("approx_count_distinct sketch lands within 5% of exact") {
+    val out = SparkEntry.queries("q_approx_distinct")(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05, s"$approx vs $exact")
+    }
+  }
+
   test("extractFeatures: per-partition batch operator is deterministic") {
     implicit val s = spark
     val ds = Seq(
