@@ -46,7 +46,32 @@ object TextQueries {
     "q_corpus_rollup" -> ((s, d) =>
       Tables.documents(s, d)
         .rollup(col("lang"), col("source"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars")))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))),
+
+    // Capstone: the full corpus-curation pipeline the extension
+    // operators exist for — predict language → keep confident English →
+    // drop low quality → exact-dedup on the normalized fingerprint
+    // (keep min doc_id) → deterministic train/val split → accounting.
+    // Every stage is one of the library's operators; the whole thing is
+    // narrow projections + two aggregations.
+    "q_corpus_curation" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val lang = TextAnalysis.languageId(docs, "text", "doc_id")
+        .filter(col("pred_lang") === "en").select("doc_id")
+      val quality = TextAnalysis.qualityScore(docs, "text", "doc_id")
+        .filter(col("quality") =!= "low").select("doc_id")
+      val kept = docs.join(lang, Seq("doc_id")).join(quality, Seq("doc_id"))
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      val deduped = kept
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("doc_id"), min(col("n_chars")).as("n_chars"))
+      deduped
+        .withColumn("split", graft.operators.Sampling.splitTag(col("doc_id"), 0.9))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("min_id"))
+    })
   )
 
   private val toksSql = """string_split_regex(lower(trim(text)), '\s+')"""
@@ -125,6 +150,48 @@ object TextQueries {
     "q_corpus_rollup" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
-        |FROM documents GROUP BY ROLLUP(lang, source)""".stripMargin
+        |FROM documents GROUP BY ROLLUP(lang, source)""".stripMargin,
+
+    "q_corpus_curation" ->
+      s"""WITH sc AS (
+         |  SELECT doc_id,
+         |  $markerScores
+         |  FROM documents
+         |),
+         |l AS (SELECT doc_id FROM (
+         |        SELECT doc_id, $predLangCase AS pred_lang FROM sc)
+         |      WHERE pred_lang = 'en'),
+         |st AS (
+         |  SELECT doc_id,
+         |    length(text) AS n_chars,
+         |    len($toksSql) AS n_tokens,
+         |    len(list_distinct($toksSql)) AS n_distinct_tokens,
+         |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+         |  FROM documents
+         |),
+         |q AS (SELECT doc_id FROM (
+         |        SELECT doc_id,
+         |          CASE WHEN n_distinct_tokens / n_tokens >= 0.5
+         |                 AND n_chars / n_tokens >= 3
+         |                 AND n_punct / n_chars < 0.1 THEN 'high'
+         |               WHEN n_distinct_tokens / n_tokens >= 0.25 THEN 'medium'
+         |               ELSE 'low' END AS quality
+         |        FROM st WHERE n_tokens > 0)
+         |      WHERE quality <> 'low'),
+         |kept AS (
+         |  SELECT d.doc_id, d.n_chars,
+         |    md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents d JOIN l USING (doc_id) JOIN q USING (doc_id)
+         |),
+         |dd AS (SELECT fp, MIN(doc_id) AS doc_id, MIN(n_chars) AS n_chars
+         |       FROM kept GROUP BY fp),
+         |sp AS (SELECT *,
+         |         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+         |              THEN 'train' ELSE 'val' END AS split
+         |       FROM dd)
+         |SELECT split, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |  MIN(doc_id) AS min_id
+         |FROM sp GROUP BY split""".stripMargin
   )
 }
