@@ -30,31 +30,42 @@ object Dedup {
   def tokens(textCol: Column): Column =
     split(lower(trim(textCol)), "\\s+")
 
-  /** Word n-gram shingle set per document: (idCol, shingle), distinct.
-    * Documents shorter than n tokens produce no shingles (they cannot
-    * be near-duplicates of anything at this shingle size).
+  /** Word n-gram shingle stream per document: (idCol, shingle), with
+    * within-document multiplicity kept (see [[dedupProfiles]] for why
+    * distinct is unnecessary there). Documents shorter than n tokens
+    * produce no shingles (they cannot be near-duplicates of anything at
+    * this shingle size).
     */
-  def wordShingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
-    val toks = df.select(col(idCol), tokens(col(textCol)).as("toks"))
+  def rawWordShingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    val toks = spreadByKey(df, col(idCol))
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= n)
     val grams = (0 until n).map(j => element_at(col("toks"), col("g") + j))
     toks.select(col(idCol), explode(sequence(lit(1), size(col("toks")) - (n - 1))).as("g"),
         col("toks"))
       .select(col(idCol), concat_ws(" ", grams: _*).as("shingle"))
-      .distinct()
   }
 
-  /** Character k-gram shingle set (lowercased, spaces kept): the
+  /** Word n-gram shingle SET per document (distinct rows). */
+  def wordShingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    rawWordShingles(df, textCol, idCol, n).distinct()
+
+  /** Character k-gram shingle stream (lowercased, spaces kept): the
     * finer-grained alternative to word shingles — robust to tokenizer
-    * drift, catches near-dups that differ inside words.
+    * drift, catches near-dups that differ inside words. Multiplicity
+    * kept; see [[rawWordShingles]].
     */
-  def charShingles(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
-    df.select(col(idCol), lower(trim(col(textCol))).as("t"))
+  def rawCharShingles(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
+    spreadByKey(df, col(idCol))
+      .select(col(idCol), lower(trim(col(textCol))).as("t"))
       .filter(length(col("t")) >= k)
       .select(col(idCol), explode(sequence(lit(1), length(col("t")) - (k - 1))).as("g"),
         col("t"))
       .select(col(idCol), expr(s"substring(t, g, $k)").as("shingle"))
-      .distinct()
+
+  /** Character k-gram shingle SET per document (distinct rows). */
+  def charShingles(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
+    rawCharShingles(df, textCol, idCol, k).distinct()
 
   /** MinHash band signatures: `bands × rowsPerBand` salted-md5 min-hashes
     * per document, folded into one signature string per band.
@@ -90,14 +101,94 @@ object Dedup {
   /** LSH candidate pairs: documents sharing any band signature.
     * The join key is (band, sig) — a pure equi-join, so Catalyst plans a
     * shuffle hash/sort-merge join keyed by signature; no cross product.
+    *
+    * `maxBucketSize` is the hot-bucket guard for adversarial corpora
+    * (e.g. millions of identical boilerplate pages): a bucket of b docs
+    * emits O(b²) candidate pairs, so one pathological signature can go
+    * quadratic no matter how good the bands are. With the cap set,
+    * buckets wider than the cap are dropped before the self-join (their
+    * members are by construction wholesale duplicates — exact dedup is
+    * the right tool for them, at one-pass cost, before LSH runs).
     */
-  def lshCandidatePairs(sigs: DataFrame, idCol: String): DataFrame = {
-    val a = sigs.select(col(idCol).as("id_a"), col("band"), col("sig"))
-    val b = sigs.select(col(idCol).as("id_b"), col("band"), col("sig"))
+  def lshCandidatePairs(sigs: DataFrame, idCol: String,
+                        maxBucketSize: Option[Int] = None): DataFrame = {
+    val bounded = maxBucketSize match {
+      case Some(cap) =>
+        val ok = sigs.groupBy(col("band"), col("sig"))
+          .agg(count(lit(1)).as("bucket_n"))
+          .filter(col("bucket_n") <= cap)
+          .select(col("band"), col("sig"))
+        sigs.join(ok, Seq("band", "sig"), "left_semi")
+      case None => sigs
+    }
+    val a = bounded.select(col(idCol).as("id_a"), col("band"), col("sig"))
+    val b = bounded.select(col(idCol).as("id_b"), col("band"), col("sig"))
     a.join(b, Seq("band", "sig"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+  }
+
+  /** Per-document dedup profile in ONE aggregation pass — band minhash
+    * minima, the xxhash64'd shingle set, and its size. This is the
+    * near-dup pipeline's scale centerpiece: a document's text arrives as
+    * a single row, so every shingle it generates stays inside its map
+    * partition and the partial aggregate collapses the whole document
+    * BEFORE any exchange — the shuffle carries one compact row per doc,
+    * never shingle rows. min() is duplicate-insensitive, so the raw
+    * (non-distinct) shingle stream feeds it directly and the
+    * shingle-string distinct shuffle disappears; collect_set dedups its
+    * own members. Downstream, Jaccard verification intersects the 8-byte
+    * hash sets (array_intersect) instead of re-joining shingle strings —
+    * identical values to the string formulation (a 64-bit collision
+    * among one pair's shingles is ~1e-13 at 100 TB bucket sizes).
+    */
+  def dedupProfiles(shingles: DataFrame, idCol: String,
+                    bands: Int, rowsPerBand: Int): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    // one md5 digest yields 4 independent 32-bit windows; project the
+    // digests ONCE before the aggregate so each shingle row pays
+    // exactly ceil(numHashes/4) digests regardless of aggregate-side CSE
+    val digests = (0 to (numHashes - 1) / 4).map(d =>
+      md5(concat(lit(d), lit("|"), col("shingle"))).as(s"d_$d"))
+    val pre = shingles.select(
+      col(idCol) +: xxhash64(col("shingle")).as("sh_h") +: digests: _*)
+    val minCols = (0 until numHashes).map(h =>
+      min(substring(col(s"d_${h / 4}"), (h % 4) * 8 + 1, 8)).as(s"mh_$h"))
+    val aggCols = minCols :+ collect_set(col("sh_h")).as("sh_set")
+    val perDoc = pre.groupBy(col(idCol)).agg(aggCols.head, aggCols.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      val members = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat(members: _*)).as("sig"))
+    }
+    perDoc.select(col(idCol), array(bandCols: _*).as("band_sigs"), col("sh_set"),
+      size(col("sh_set")).cast("long").as("n"))
+  }
+
+  /** LSH candidate pairs straight from [[dedupProfiles]] output. */
+  def profileCandidatePairs(profiles: DataFrame, idCol: String,
+                            maxBucketSize: Option[Int] = None): DataFrame =
+    lshCandidatePairs(
+      profiles.select(col(idCol), explode(col("band_sigs")).as("bs"))
+        .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig")),
+      idCol, maxBucketSize)
+
+  /** Exact Jaccard on candidate pairs from profile hash sets: two id
+    * equi-joins fetch the per-doc sets, array_intersect counts the
+    * overlap — no shingle-level shuffle at all.
+    */
+  def jaccardFromProfiles(profiles: DataFrame, candidates: DataFrame,
+                          idCol: String): DataFrame = {
+    val a = profiles.select(col(idCol).as("id_a"),
+      col("sh_set").as("set_a"), col("n").as("n_a"))
+    val b = profiles.select(col(idCol).as("id_b"),
+      col("sh_set").as("set_b"), col("n").as("n_b"))
+    candidates.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("set_a"), col("set_b"))).cast("long").as("n_inter"),
+        col("n_a"), col("n_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("n_inter") / (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
   }
 
   /** Exact Jaccard over shingle sets, evaluated only on candidate pairs:
@@ -125,14 +216,16 @@ object Dedup {
   def minhashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
                             shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
                             threshold: Double = 0.5): DataFrame = {
-    // The shingle set feeds three consumers (signatures, intersection
-    // join ×2, sizes). Measured: recomputing the codegen'd
-    // tokenize+explode+distinct subtree per consumer beats persisting
-    // it (a persist barrier blocks stage fusion and more than doubled
-    // this pipeline's wall time at sf0.1) — so no cache here.
-    val sh = wordShingles(df, textCol, idCol, shingleSize)
-    val cands = lshCandidatePairs(minhashBandSignatures(sh, idCol, bands, rowsPerBand), idCol)
-    jaccardOnCandidates(sh, cands, idCol).filter(col("jaccard") >= threshold)
+    // The profile table is consumed four times (both sides of the
+    // candidate self-join, both verify joins), so persist it: it is one
+    // compact row per document — unlike the round-1 experiment of
+    // persisting the shingle-ROW stream, which was corpus-text-sized and
+    // doubled wall time. Recomputing would re-run the whole
+    // explode+md5 pipeline per consumer.
+    val profiles = dedupProfiles(rawWordShingles(df, textCol, idCol, shingleSize),
+      idCol, bands, rowsPerBand).persist()
+    val cands = profileCandidatePairs(profiles, idCol)
+    jaccardFromProfiles(profiles, cands, idCol).filter(col("jaccard") >= threshold)
   }
 
   /** Materialize the deduplicated corpus: drop every doc named as the
@@ -158,7 +251,8 @@ object Dedup {
     // prefix shifted by j%4; each bit's ±1 votes are a sum() column.
     // Values are identical to the exploded formulation (the DuckDB
     // oracle keeps that shape).
-    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val toks = spreadByKey(df, col(idCol))
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .filter(col("tok") =!= "")
       .select(col(idCol), md5(col("tok")).as("th"))
     val voteCols = (0 until 32).map { j =>

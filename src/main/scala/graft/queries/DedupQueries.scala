@@ -38,10 +38,11 @@ object DedupQueries {
     // with 8×2 bands keep baseline collision near zero while true
     // near-dups (Jaccard ≥ 0.8) still agree on whole bands.
     "q_ngram_jaccard" -> ((s, d) => {
-      val sh = Dedup.charShingles(Tables.documents(s, d), "text", "doc_id", 12)
-      val cands = Dedup.lshCandidatePairs(
-        Dedup.minhashBandSignatures(sh, "doc_id", bands = 8, rowsPerBand = 2), "doc_id")
-      Dedup.jaccardOnCandidates(sh, cands, "doc_id")
+      val profiles = Dedup.dedupProfiles(
+        Dedup.rawCharShingles(Tables.documents(s, d), "text", "doc_id", 12),
+        "doc_id", bands = 8, rowsPerBand = 2).persist()
+      val cands = Dedup.profileCandidatePairs(profiles, "doc_id")
+      Dedup.jaccardFromProfiles(profiles, cands, "doc_id")
         .filter(col("jaccard") >= 0.8)
     }),
 

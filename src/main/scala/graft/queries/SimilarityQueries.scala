@@ -32,9 +32,16 @@ object SimilarityQueries {
           col("rank").cast("long").as("rank"))
     }),
 
-    // Embedding near-dup primitive: nearest neighbor for every vector.
+    // Embedding near-dup primitive: nearest neighbor for every vector —
+    // exact, via the grid-blocked equi-join (no broadcast, no BNLJ).
     "q_embedding_nn" -> ((s, d) =>
-      Similarity.nearestNeighbor(Tables.embeddings(s, d)))
+      Similarity.nearestNeighbor(Tables.embeddings(s, d))),
+
+    // Sub-quadratic ANN variant: sign-LSH buckets + Hamming-1 multi-probe.
+    // The oracle mirrors the probing exactly, so the comparison is
+    // hash-strict even though the operator itself is approximate.
+    "q_embedding_ann" -> ((s, d) =>
+      Similarity.approxNearestNeighbor(Tables.embeddings(s, d), planes = 4))
   )
 
   /** Oracle fragments: fold-order-exact cosine between q.v and c.v. */
@@ -52,6 +59,12 @@ object SimilarityQueries {
     """(CASE WHEN v[1] > 0 THEN 1 ELSE 0 END +
       | CASE WHEN v[2] > 0 THEN 2 ELSE 0 END +
       | CASE WHEN v[3] > 0 THEN 4 ELSE 0 END)""".stripMargin
+
+  private val bucket4Sql =
+    """(CASE WHEN v[1] > 0 THEN 1 ELSE 0 END +
+      | CASE WHEN v[2] > 0 THEN 2 ELSE 0 END +
+      | CASE WHEN v[3] > 0 THEN 4 ELSE 0 END +
+      | CASE WHEN v[4] > 0 THEN 8 ELSE 0 END)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_knn_brute" ->
@@ -87,6 +100,24 @@ object SimilarityQueries {
          |  SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
          |    $cosineSql AS sim
          |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+         |), r AS (
+         |  SELECT vec_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+         |  FROM p
+         |)
+         |SELECT vec_id, neighbor_id, sim FROM r WHERE rn = 1""".stripMargin,
+
+    "q_embedding_ann" ->
+      s"""WITH e AS ($vecsSql),
+         |b AS (SELECT vec_id, v, $bucket4Sql AS bucket FROM e),
+         |pr AS (SELECT vec_id, v,
+         |         unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+         |                 xor(bucket, 4), xor(bucket, 8)]) AS bucket
+         |       FROM b),
+         |p AS (
+         |  SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
+         |    $cosineSql AS sim
+         |  FROM pr q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
          |), r AS (
          |  SELECT vec_id, neighbor_id, sim,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rn
