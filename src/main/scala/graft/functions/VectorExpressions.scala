@@ -10,12 +10,15 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 /** Native dot product over two array<double> columns.
   *
   * Semantics are exactly the HOF formulation
-  * `aggregate(zip_with(a, b, (x,y) -> x*y), 0D, (acc,v) -> acc+v)`
-  * for equal-length arrays: a left fold in index order starting at 0.0 —
-  * so results are bit-identical to the interpreted HOF (and to a DuckDB
-  * `list_reduce` oracle), while doGenCode emits a tight primitive loop
-  * instead of allocating a zipped intermediate array and evaluating two
-  * lambdas per element per row.
+  * `aggregate(zip_with(a, b, (x,y) -> x*y), 0D, (acc,v) -> acc+v)`:
+  * a left fold in index order starting at 0.0 for equal-length arrays,
+  * and NULL for unequal lengths (zip_with pads the shorter side with
+  * nulls, which poison the sum) — so results are bit-identical to the
+  * interpreted HOF (and to a DuckDB `list_reduce` oracle), while
+  * doGenCode emits a tight primitive loop instead of allocating a
+  * zipped intermediate array and evaluating two lambdas per element
+  * per row. A mismatched pair surfaces as NULL, never as a
+  * plausible-looking partial dot product.
   *
   * This is the preference-order (b) case of SURVEY.md §7.3: a custom
   * Expression where the built-in composition is semantically right but
@@ -27,15 +30,17 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  override def nullable: Boolean = true
+
   override def prettyName: String = "vec_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData].toDoubleArray()
     val ys = b.asInstanceOf[ArrayData].toDoubleArray()
-    val n = math.min(xs.length, ys.length)
+    if (xs.length != ys.length) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += xs(i) * ys(i); i += 1 }
+    while (i < xs.length) { acc += xs(i) * ys(i); i += 1 }
     acc
   }
 
@@ -43,16 +48,18 @@ case class DotProduct(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val xs = ctx.freshName("xs")
       val ys = ctx.freshName("ys")
-      val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
          |double[] $xs = $a.toDoubleArray();
          |double[] $ys = $b.toDoubleArray();
-         |int $n = Math.min($xs.length, $ys.length);
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) { $acc += $xs[$i] * $ys[$i]; }
-         |${ev.value} = $acc;
+         |if ($xs.length != $ys.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $xs.length; $i++) { $acc += $xs[$i] * $ys[$i]; }
+         |  ${ev.value} = $acc;
+         |}
        """.stripMargin
     })
 

@@ -34,14 +34,20 @@ object AsOfJoin {
     */
   def asOf(probes: DataFrame, states: DataFrame, keys: Seq[String],
            tsCol: String, payloadCols: Seq[String]): DataFrame = {
+    // The carried value is ONE struct per state row, not the payload
+    // columns individually: the struct is never null for a state row
+    // even when every payload FIELD is null, so last(ignoreNulls) means
+    // "latest state row" — a genuinely-NULL payload value is carried
+    // faithfully instead of being skipped for an older state's value.
+    val stateStruct = struct(payloadCols.map(c => col(c).as(c)): _*)
+    val stateStructType = states.select(stateStruct.as("_s")).schema("_s").dataType
     val probeCols = probes.columns
     val p = probes
       .withColumn("_tag", lit(1))
       .select(probeCols.map(col) ++ Seq(col("_tag")) ++
-        payloadCols.map(c => lit(null).cast(states.schema(c).dataType).as(s"_s_$c")): _*)
+        Seq(lit(null).cast(stateStructType).as("_s")): _*)
     val s = states
-      .select(keys.map(col) ++ Seq(col(tsCol), lit(0).as("_tag")) ++
-        payloadCols.map(c => col(c).as(s"_s_$c")): _*)
+      .select(keys.map(col) ++ Seq(col(tsCol), lit(0).as("_tag"), stateStruct.as("_s")): _*)
     // align schemas: state rows carry nulls for probe-only columns
     val probeOnly = probeCols.filterNot(c => keys.contains(c) || c == tsCol)
     val sAligned = probeOnly.foldLeft(s)((d, c) =>
@@ -51,11 +57,10 @@ object AsOfJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col("_tag").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = payloadCols.foldLeft(p.unionByName(sAligned))((d, c) =>
-      d.withColumn(s"_carry_$c", last(col(s"_s_$c"), ignoreNulls = true).over(w)))
-    carried
+    p.unionByName(sAligned)
+      .withColumn("_carry", last(col("_s"), ignoreNulls = true).over(w))
       .filter(col("_tag") === 1)
       .select(probeCols.map(col) ++
-        payloadCols.map(c => col(s"_carry_$c").as(s"asof_$c")): _*)
+        payloadCols.map(c => col("_carry").getField(c).as(s"asof_$c")): _*)
   }
 }

@@ -22,14 +22,25 @@ object Sampling {
   def hashKey(idCol: Column): Column =
     substring(md5(idCol.cast("string")), 1, 4)
 
-  private def cutHex(fraction: Double): String =
-    f"${math.round(fraction * 65536).toInt}%04x"
+  /** True iff the id's hash key falls below the fraction cut. The cut
+    * is clamped to [0, 65536]; the boundary fractions short-circuit to
+    * constants because a 4-char comparison cannot express them
+    * (`"%04x" % 65536` would be the 5-char "10000", which compares
+    * greater than only the keys starting with '0' — i.e. fraction 1.0
+    * would silently keep ~1/16 of the rows).
+    */
+  private def belowCut(key: Column, fraction: Double): Column = {
+    val cut = math.max(0L, math.min(65536L, math.round(fraction * 65536)))
+    if (cut >= 65536L) lit(true)
+    else if (cut <= 0L) lit(false)
+    else key < lit(f"$cut%04x")
+  }
 
   /** Split tag: "train" for the first `trainFraction` of hash space. */
   def splitTag(idCol: Column, trainFraction: Double): Column =
-    when(hashKey(idCol) < lit(cutHex(trainFraction)), "train").otherwise("val")
+    when(belowCut(hashKey(idCol), trainFraction), "train").otherwise("val")
 
   /** Deterministic ~fraction sample, stable across engines/partitioning. */
   def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
-    df.filter(hashKey(col(idCol)) < lit(cutHex(fraction)))
+    df.filter(belowCut(hashKey(col(idCol)), fraction))
 }

@@ -29,6 +29,22 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(5L).isEmpty)
   }
 
+  test("as-of join preserves a state row whose payload is genuinely NULL") {
+    // state(200) carries a NULL sval; a probe after it must see NULL,
+    // not the previous state's 10.0 carried over the gap
+    val probes = Seq(
+      (1L, ts(150), "u1", 0.1),  // after state(100) → 10.0
+      (2L, ts(250), "u1", 0.2)   // after NULL-payload state(200) → null
+    ).toDF("event_id", "ts", "user_id", "value")
+    val states = Seq(
+      ("u1", ts(100), Some(10.0)), ("u1", ts(200), Option.empty[Double])
+    ).toDF("user_id", "ts", "sval")
+    val out = AsOfJoin.asOf(probes, states, Seq("user_id"), "ts", Seq("sval"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(4))).toMap
+    assert(out(1L).contains(10.0))
+    assert(out(2L).isEmpty)
+  }
+
   test("as-of join keeps every probe row exactly once") {
     val probes = (0 until 100).map(i => (i.toLong, ts(i * 10), "u" + (i % 3), i * 1.0))
       .toDF("event_id", "ts", "user_id", "value")

@@ -65,4 +65,31 @@ class DedupSpec extends SparkSpec {
     val d = Seq((5L, 3L)).toDF("a", "b")
     assert(d.select(Dedup.hammingDistance(col("a"), col("b"))).head().getInt(0) == 2)
   }
+
+  test("hot-bucket cap bounds LSH candidates on a pathological corpus") {
+    // 200 copies of the same boilerplate: every band signature collides,
+    // so uncapped LSH goes quadratic (200*199/2 pairs) — the cap drops
+    // the oversized buckets wholesale (exact dedup's job, not LSH's)
+    val boiler = (0L until 200L)
+      .map(i => (i, "the same boilerplate page body repeated on every site"))
+      .toDF("doc_id", "text")
+    val profiles = Dedup.dedupProfiles(
+      Dedup.rawWordShingles(boiler, "text", "doc_id", 3), "doc_id", 8, 2)
+    val uncapped = Dedup.profileCandidatePairs(profiles, "doc_id").count()
+    val capped = Dedup.profileCandidatePairs(profiles, "doc_id",
+      maxBucketSize = Some(10)).count()
+    assert(uncapped == 200L * 199L / 2)
+    assert(capped == 0L)
+    // a mixed corpus: near-dup pairs in small buckets survive the cap
+    val mixed = boiler.unionByName(Seq(
+      (1000L, "a genuinely unique document about distributed query engines"),
+      (1001L, "a genuinely unique document about distributed query planners"))
+      .toDF("doc_id", "text"))
+    val mixedProfiles = Dedup.dedupProfiles(
+      Dedup.rawWordShingles(mixed, "text", "doc_id", 3), "doc_id", 8, 2)
+    val mixedCapped = Dedup.profileCandidatePairs(mixedProfiles, "doc_id",
+      maxBucketSize = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(mixedCapped.toSeq == Seq((1000L, 1001L)))
+  }
 }

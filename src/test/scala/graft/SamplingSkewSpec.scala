@@ -21,6 +21,16 @@ class SamplingSkewSpec extends SparkSpec {
     assert(Sampling.hashSample(df, "id", 0.9).count() == counts("train"))
   }
 
+  test("hash sample boundary fractions: 1.0 keeps all, 0.0 keeps none") {
+    val df = (0L until 500L).toDF("id")
+    assert(Sampling.hashSample(df, "id", 1.0).count() == 500)   // not ~1/16
+    assert(Sampling.hashSample(df, "id", 1.5).count() == 500)
+    assert(Sampling.hashSample(df, "id", 0.0).count() == 0)
+    val tags = df.withColumn("s", Sampling.splitTag(col("id"), 1.0))
+      .select("s").distinct().collect().map(_.getString(0)).toSeq
+    assert(tags == Seq("train"))
+  }
+
   test("salted aggregation equals single-phase aggregation exactly") {
     val ev = Tables.events(spark, sf0001)
     val salted = Skew.saltedSumCount(ev, Seq("event_type"), "value",

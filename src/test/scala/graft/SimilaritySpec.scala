@@ -47,4 +47,42 @@ class SimilaritySpec extends SparkSpec {
     val m = nn.map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(m(0L) == 1L && m(1L) == 0L) // identical pair picks each other
   }
+
+  test("nearestNeighbor grid blocking matches direct all-pairs on a larger corpus") {
+    // 40 vectors across several grid cells (grid=3 ≠ 40 to exercise
+    // uneven blocks); compare against an independently computed argmax
+    val corpus = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 31 + j * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val nn = Similarity.nearestNeighbor(corpus, grid = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = corpus.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    for ((qid, qv) <- rows) {
+      val best = rows.filter(_._1 != qid)
+        .map { case (cid, cv) => (cid, cos(qv, cv)) }
+        .maxBy { case (cid, s) => (s, -cid) }._1
+      assert(nn(qid) == best, s"query $qid")
+    }
+  }
+
+  test("approxNearestNeighbor: sims are true cosines and ids valid on fixture data") {
+    val emb = graft.core.Tables.embeddings(spark, sf0001)
+    val ann = Similarity.approxNearestNeighbor(emb, planes = 4).collect()
+    assert(ann.nonEmpty && ann.length <= emb.count())
+    assert(ann.forall(r => r.getLong(0) != r.getLong(1)))
+    assert(ann.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+  }
+
+  test("vec_dot returns NULL for mismatched vector lengths (HOF contract)") {
+    val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0, 5.0)), (Array(1.0, 2.0), Array(3.0, 4.0)))
+      .toDF("a", "b")
+      .select(graft.functions.VectorFunctions.vec_dot(col("a"), col("b")).as("d"))
+    val got = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got.toSeq == Seq(None, Some(11.0)))
+  }
 }
