@@ -28,13 +28,28 @@ object RefOps {
     to_timestamp(concat(lit("1970-01-01 "), tsCol))
 
   /** Applies the job-prep casts of `spark_jobs/spark_job1.py:19-21`:
-    * `ts` string → anchored timestamp; metric columns → double.
-    * (Double, not the reference's float — SURVEY.md §7.4(3): aggregate in
-    * double, round at the output edge; float only in byte-compat paths.)
+    * `ts` string → anchored timestamp; metric columns → double, or
+    * float when `useFloat` (the reference casts to FLOAT at
+    * `spark_job1.py:20-21`; `round(avg(float), 2)` can differ from
+    * `round(avg(double), 2)` at rounding boundaries, so byte-compat
+    * paths — [[graft.pipeline.MonitoringJobs]] — must mirror the float.
+    * Everything else aggregates in double and rounds at the edge,
+    * SURVEY.md §7.4(3)).
     */
-  def castMetrics(df: DataFrame, metricCols: Seq[String]): DataFrame = {
-    val withTs = df.withColumn("ts", anchorTimeOfDay(col("ts")))
-    metricCols.foldLeft(withTs)((d, c) => d.withColumn(c, col(c).cast("double")))
+  def castMetrics(df: DataFrame, metricCols: Seq[String],
+                  useFloat: Boolean = false): DataFrame = {
+    val t = if (useFloat) "float" else "double"
+    // schema-inferred readers (Spark 4 CSV inference) may deliver ts
+    // already parsed as a timestamp anchored to the read date — reproject
+    // to the HH:mm:ss string first so anchoring stays deterministic
+    val tsIn = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        date_format(col("ts"), "HH:mm:ss")
+      case _ => col("ts")
+    }
+    val withTs = df.withColumn("ts", anchorTimeOfDay(tsIn))
+    metricCols.foldLeft(withTs)((d, c) => d.withColumn(c, col(c).cast(t)))
   }
 
   // -------------------------------------------------------------------

@@ -9,9 +9,13 @@ import PipelineConfig.Alerts
 /** Batch rebuilds of the reference's two Spark jobs
   * (`spark_jobs/spark_job1.py:6-60`, `spark_jobs/spark_job2.py:6-60`),
   * composed from [[graft.operators.RefOps]]. Output schema, column names,
-  * HH:mm:ss formatting, rounding, and alert strings match the reference
-  * exactly (FIXTURES.md §A3); timestamps are anchored deterministically
-  * (SURVEY.md §1.2) instead of to the run date.
+  * HH:mm:ss formatting, rounding, alert strings AND metric precision
+  * (float, `spark_job1.py:20-21` — so `round(avg, 2)` agrees even at
+  * rounding boundaries) match the reference exactly (FIXTURES.md §A3);
+  * timestamps are anchored deterministically (SURVEY.md §1.2) instead
+  * of to the run date. Row-exact golden outputs over the reference's
+  * own dataset are pinned in `src/test/resources/golden/`
+  * (ReferenceDatasetSpec).
   */
 object MonitoringJobs {
 
@@ -23,8 +27,8 @@ object MonitoringJobs {
   def job1(cpu: DataFrame, mem: DataFrame,
            cfg: PipelineConfig = PipelineConfig.default): DataFrame = {
     val joined = RefOps.joinOnKeys(
-      RefOps.castMetrics(cpu, Seq("cpu_pct")),
-      RefOps.castMetrics(mem, Seq("mem_pct")))
+      RefOps.castMetrics(cpu, Seq("cpu_pct"), useFloat = true),
+      RefOps.castMetrics(mem, Seq("mem_pct"), useFloat = true))
     val agged = RefOps.slidingWindowAgg(joined, "server_id",
       Seq(avg("cpu_pct").as("avg_cpu"), avg("mem_pct").as("avg_mem")), cfg)
     val alerted = agged.withColumn("alert",
@@ -43,8 +47,8 @@ object MonitoringJobs {
   def job2(net: DataFrame, disk: DataFrame,
            cfg: PipelineConfig = PipelineConfig.default): DataFrame = {
     val joined = RefOps.joinOnKeys(
-      RefOps.castMetrics(net, Seq("net_in")),
-      RefOps.castMetrics(disk, Seq("disk_io")))
+      RefOps.castMetrics(net, Seq("net_in"), useFloat = true),
+      RefOps.castMetrics(disk, Seq("disk_io"), useFloat = true))
     val agged = RefOps.slidingWindowAgg(joined, "server_id",
       Seq(max("net_in").as("max_net_in"), max("disk_io").as("max_disk_io")), cfg)
     val alerted = agged.withColumn("alert",
@@ -55,26 +59,40 @@ object MonitoringJobs {
       Seq("max_net_in" -> "max_net_in", "max_disk_io" -> "max_disk_io"))
   }
 
-  /** File-level runner matching the reference lifecycle: read landed CSVs
-    * with explicit schemas (no inference pass — SURVEY.md §1.3), run a
-    * job, write one CSV (`spark_jobs/spark_job1.py:57` `coalesce(1)`).
-    * The single-file write is reference parity for the small alert table
-    * only — never used on large paths.
+  /** File-level runner matching the reference lifecycle: read landed
+    * CSVs, run a job, write one CSV (`spark_jobs/spark_job1.py:57`
+    * `coalesce(1)`). The single-file write is reference parity for the
+    * small alert table only — never used on large paths.
+    *
+    * `inferSchema = false` (default) reads with explicit schemas — one
+    * pass, types pinned (SURVEY.md §1.3). `true` mirrors the
+    * reference's `inferSchema=True` (`spark_job1.py:14-15`): an extra
+    * inference scan per input, for drop-in compatibility only.
     */
   def runJob1Files(spark: SparkSession, cpuCsv: String, memCsv: String,
-                   outPath: String, cfg: PipelineConfig = PipelineConfig.default): Unit = {
-    val cpu = spark.read.option("header", "true").schema(Schemas.cpu).csv(cpuCsv)
-    val mem = spark.read.option("header", "true").schema(Schemas.mem).csv(memCsv)
+                   outPath: String, cfg: PipelineConfig = PipelineConfig.default,
+                   inferSchema: Boolean = false): Unit = {
+    val cpu = readLanded(spark, cpuCsv, Schemas.cpu, inferSchema)
+    val mem = readLanded(spark, memCsv, Schemas.mem, inferSchema)
     job1(cpu, mem, cfg).coalesce(1)
       .write.mode("overwrite").option("header", "true").csv(outPath)
   }
 
   def runJob2Files(spark: SparkSession, netCsv: String, diskCsv: String,
-                   outPath: String, cfg: PipelineConfig = PipelineConfig.default): Unit = {
-    val net = spark.read.option("header", "true").schema(Schemas.net).csv(netCsv)
-    val disk = spark.read.option("header", "true").schema(Schemas.disk).csv(diskCsv)
+                   outPath: String, cfg: PipelineConfig = PipelineConfig.default,
+                   inferSchema: Boolean = false): Unit = {
+    val net = readLanded(spark, netCsv, Schemas.net, inferSchema)
+    val disk = readLanded(spark, diskCsv, Schemas.disk, inferSchema)
     job2(net, disk, cfg).coalesce(1)
       .write.mode("overwrite").option("header", "true").csv(outPath)
+  }
+
+  private def readLanded(spark: SparkSession, path: String,
+                         schema: org.apache.spark.sql.types.StructType,
+                         inferSchema: Boolean): DataFrame = {
+    val r = spark.read.option("header", "true")
+    if (inferSchema) r.option("inferSchema", "true").csv(path)
+    else r.schema(schema).csv(path)
   }
 
   /** Producer-role batch form (`producer/producer.py:61-83`): source

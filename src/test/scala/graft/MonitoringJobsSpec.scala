@@ -44,6 +44,20 @@ class MonitoringJobsSpec extends SparkSpec {
     assert(out.filter(_.getString(0) == "server_2").forall(_.getString(5) == Alerts.diskOnly))
   }
 
+  test("inferSchema compat: job1 over headerful CSVs without explicit schema is identical") {
+    val dir = java.nio.file.Files.createTempDirectory("inferschema").toString
+    cpu.coalesce(1).write.option("header", "true").csv(s"$dir/cpu")
+    mem.coalesce(1).write.option("header", "true").csv(s"$dir/mem")
+    MonitoringJobs.runJob1Files(spark, s"$dir/cpu", s"$dir/mem", s"$dir/out_explicit")
+    MonitoringJobs.runJob1Files(spark, s"$dir/cpu", s"$dir/mem", s"$dir/out_inferred",
+      inferSchema = true)
+    def lines(p: String) = spark.read.option("header", "true").csv(p)
+      .collect().map(_.mkString(",")).sorted.toSeq
+    val explicit = lines(s"$dir/out_explicit")
+    assert(explicit.nonEmpty)
+    assert(explicit == lines(s"$dir/out_inferred"))
+  }
+
   test("producer fan-out emits 4 messages per dataset row") {
     val ds = Seq(("20:53:00", "server_1", 1.0, 2.0, 3.0, 4.0, 5.0))
       .toDF("ts", "server_id", "cpu_pct", "mem_pct", "net_in", "net_out", "disk_io")

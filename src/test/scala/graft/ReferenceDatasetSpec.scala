@@ -51,6 +51,30 @@ class ReferenceDatasetSpec extends SparkSpec {
     out.unpersist()
   }
 
+  private def goldenLines(name: String): Seq[String] = {
+    val p = Paths.get(s"src/test/resources/golden/$name")
+    new String(Files.readAllBytes(p)).split("\n").toSeq
+  }
+
+  test("job1 golden diff: full rows match the pinned reference-dataset output") {
+    assume(available)
+    val out = MonitoringJobs.job1(
+      dataset.select("ts", "server_id", "cpu_pct"),
+      dataset.select("ts", "server_id", "mem_pct"))
+    val got = GoldenFormat.canonicalLines(out)
+    val want = goldenLines("job1.csv")
+    assert(got.size == want.size)
+    assert(got == want)
+  }
+
+  test("job2 golden diff: full rows match the pinned reference-dataset output") {
+    assume(available)
+    val out = MonitoringJobs.job2(
+      dataset.select("ts", "server_id", "net_in", "net_out"),
+      dataset.select("ts", "server_id", "disk_io"))
+    assert(GoldenFormat.canonicalLines(out) == goldenLines("job2.csv"))
+  }
+
   test("job2 over the full reference dataset emits all four alert kinds") {
     assume(available)
     val net = dataset.select("ts", "server_id", "net_in", "net_out")
