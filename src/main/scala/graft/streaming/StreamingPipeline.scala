@@ -34,6 +34,31 @@ import PipelineConfig.Alerts
   */
 object StreamingPipeline {
 
+  /** The exact option map handed to the spark-sql-kafka source: keys are
+    * the connector's public wire contract. `subscribe` is the comma list;
+    * `startingOffsets=earliest` mirrors `auto_offset_reset='earliest'`
+    * (`consumers/consumer1.py:10`); `kafka.*`-prefixed keys pass through
+    * to the Kafka consumer verbatim. Pure so the conformance spec can
+    * assert passthrough without a broker or the connector jar.
+    */
+  def kafkaSourceOptions(cfg: PipelineConfig, topics: Seq[String]): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> cfg.bootstrapServers,
+      "subscribe" -> topics.mkString(","),
+      "startingOffsets" -> "earliest")
+
+  /** Sink-side option map: the reference producer's tuning knobs
+    * (`producer/producer.py:17-21` batch_size/linger/compression) pass
+    * through as `kafka.*` producer properties.
+    */
+  def kafkaSinkOptions(cfg: PipelineConfig, checkpoint: String): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> cfg.bootstrapServers,
+      "kafka.compression.type" -> "snappy",
+      "kafka.batch.size" -> "65536",
+      "kafka.linger.ms" -> "10",
+      "checkpointLocation" -> checkpoint)
+
   /** Kafka wire source (S3): subscribes to topics, exposes the
     * connector's (topic, value) columns. Offsets: earliest, mirroring
     * `auto_offset_reset='earliest'`; progress is checkpoint-tracked.
@@ -42,9 +67,7 @@ object StreamingPipeline {
                       topics: Seq[String]): DataFrame =
     spark.readStream
       .format("kafka")
-      .option("kafka.bootstrap.servers", cfg.bootstrapServers)
-      .option("subscribe", topics.mkString(","))
-      .option("startingOffsets", "earliest")
+      .options(kafkaSourceOptions(cfg, topics))
       .load()
       .select(col("topic"), col("value").cast("string").as("value"))
 
@@ -55,11 +78,7 @@ object StreamingPipeline {
                     checkpoint: String): DataStreamWriter[Row] =
     wire.writeStream
       .format("kafka")
-      .option("kafka.bootstrap.servers", cfg.bootstrapServers)
-      .option("kafka.compression.type", "snappy")
-      .option("kafka.batch.size", "65536")
-      .option("kafka.linger.ms", "10")
-      .option("checkpointLocation", checkpoint)
+      .options(kafkaSinkOptions(cfg, checkpoint))
 
   /** Producer role: any (streaming or batch) dataset with the 7
     * monitoring columns → wire messages. Narrow projections + union —
