@@ -15,6 +15,6 @@ package object operators {
     * exchange-free. At cluster scale the scan already has many splits
     * and this becomes a cheap co-partitioning step rather than a rescue.
     */
-  private[operators] def spreadByKey(df: DataFrame, key: Column): DataFrame =
+  private[graft] def spreadByKey(df: DataFrame, key: Column): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
 }

@@ -35,8 +35,10 @@ object TextQueries {
     "q_quality_score" -> ((s, d) =>
       TextAnalysis.qualityScore(Tables.documents(s, d), "text", "doc_id")),
 
+    // rollingHash is a per-character fold (interpreted HOF) — spread the
+    // sub-split-size scan across all cores before paying it
     "q_fingerprint" -> ((s, d) =>
-      Tables.documents(s, d)
+      graft.operators.spreadByKey(Tables.documents(s, d), col("doc_id"))
         .select(col("doc_id"), TextAnalysis.normalizedText(col("text")).as("t"))
         .select(col("doc_id"), md5(col("t")).as("fingerprint"),
           TextAnalysis.rollingHash("t").as("rolling_hash"))),
