@@ -41,7 +41,11 @@ object SimilarityQueries {
     // The oracle mirrors the probing exactly, so the comparison is
     // hash-strict even though the operator itself is approximate.
     "q_embedding_ann" -> ((s, d) =>
-      Similarity.approxNearestNeighbor(Tables.embeddings(s, d), planes = 4))
+      Similarity.approxNearestNeighbor(Tables.embeddings(s, d), planes = 4)),
+
+    // E2 embedding-cosine near-dup pairs: every pair at cosine >= 0.4.
+    "q_embedding_neardup" -> ((s, d) =>
+      Similarity.cosineNearDuplicates(Tables.embeddings(s, d), threshold = 0.4))
   )
 
   /** Oracle fragments: fold-order-exact cosine between q.v and c.v. */
@@ -123,6 +127,13 @@ object SimilarityQueries {
          |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rn
          |  FROM p
          |)
-         |SELECT vec_id, neighbor_id, sim FROM r WHERE rn = 1""".stripMargin
+         |SELECT vec_id, neighbor_id, sim FROM r WHERE rn = 1""".stripMargin,
+
+    "q_embedding_neardup" ->
+      s"""WITH e AS ($vecsSql)
+         |SELECT q.vec_id AS id_a, c.vec_id AS id_b,
+         |  $cosineSql AS sim
+         |FROM e q JOIN e c ON q.vec_id < c.vec_id
+         |WHERE $cosineSql >= 0.4""".stripMargin
   )
 }

@@ -78,6 +78,15 @@ class SimilaritySpec extends SparkSpec {
     assert(ann.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
   }
 
+  test("cosineNearDuplicates: identical pair found once, orthogonal pair absent") {
+    val pairs = Similarity.cosineNearDuplicates(vecs, threshold = 0.9, grid = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.keySet.contains((0L, 1L)))         // identical vectors
+    assert(math.abs(pairs((0L, 1L)) - 1.0) < 1e-12)
+    assert(pairs.keySet.forall { case (a, b) => a < b })  // each pair once
+    assert(!pairs.keySet.contains((0L, 2L)))        // orthogonal
+  }
+
   test("vec_dot returns NULL for mismatched vector lengths (HOF contract)") {
     val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0, 5.0)), (Array(1.0, 2.0), Array(3.0, 4.0)))
       .toDF("a", "b")
