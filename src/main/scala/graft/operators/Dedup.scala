@@ -278,12 +278,19 @@ object Dedup {
     */
   def simhashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
                             maxHamming: Int = 3): DataFrame = {
-    val sig = simhash(df, textCol, idCol)
+    // one 8-byte signature per doc, consumed by both self-join sides —
+    // persist to avoid running the token-explode + 32-vote aggregation
+    // twice (cache size is |docs| longs, nothing like the shingle case)
+    val sig = simhash(df, textCol, idCol).persist()
+    val par = df.sparkSession.sparkContext.defaultParallelism
     def banded(side: String) = sig
       .select(col(idCol).as(side), col("simhash").as(s"sh_$side"),
         explode(sequence(lit(0), lit(3))).as("b"))
       .withColumn("band_val",
         expr(s"(sh_$side div CAST(power(2, b * 8) AS BIGINT)) % 256"))
+      // explicit co-partitioning on the band key: exchange-free join +
+      // AQE-coalescing guard (band rows are tiny, pair output is not)
+      .repartition(par, col("b"), col("band_val"))
     banded("id_a").join(banded("id_b"), Seq("b", "band_val"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
