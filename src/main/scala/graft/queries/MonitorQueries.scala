@@ -60,22 +60,36 @@ object MonitorQueries {
       (floor(col("value")) * 2).cast("long").as("net_out"),
       (floor(col("value")) * 20).cast("long").as("disk_io"))
 
+  /** The reference job1 pipeline end-to-end (J1→A1/A2→F2/F3→P5) on the
+    * events fixture. Two shuffles total: join keys, group keys — same
+    * exchange count as the reference plan (SURVEY.md §3.3). Shared by
+    * `q_monitor_pipeline` and `q_alert_transitions`.
+    */
+  private def monitorPipeline(s: SparkSession, d: String): DataFrame = {
+    val joined = RefOps.joinOnKeys(cpuTable(s, d), memTable(s, d))
+    val agged = RefOps.slidingWindowAgg(joined, "server_id",
+      Seq(davg(col("cpu_pct")).as("avg_cpu"), davg(col("mem_pct")).as("avg_mem")), cfg)
+    val alerted = agged.withColumn("alert",
+      RefOps.classifyAlerts(col("avg_cpu"), cfg.cpuThreshold,
+        col("avg_mem"), cfg.memThreshold,
+        Alerts.cpuMemBoth, Alerts.cpuOnly, Alerts.memOnly))
+    windowBoundsAsEpoch(alerted)
+      .select(col("server_id"), col("window_start"), col("window_end"),
+        col("avg_cpu"), col("avg_mem"), col("alert"))
+  }
+
   val queries: Map[String, Q] = Map(
-    // Flagship: the reference job1 pipeline end-to-end (J1→A1/A2→F2/F3→P5)
-    // on the events fixture. Two shuffles total: join keys, group keys —
-    // same exchange count as the reference plan (SURVEY.md §3.3).
-    "q_monitor_pipeline" -> ((s, d) => {
-      val joined = RefOps.joinOnKeys(cpuTable(s, d), memTable(s, d))
-      val agged = RefOps.slidingWindowAgg(joined, "server_id",
-        Seq(davg(col("cpu_pct")).as("avg_cpu"), davg(col("mem_pct")).as("avg_mem")), cfg)
-      val alerted = agged.withColumn("alert",
-        RefOps.classifyAlerts(col("avg_cpu"), cfg.cpuThreshold,
-          col("avg_mem"), cfg.memThreshold,
-          Alerts.cpuMemBoth, Alerts.cpuOnly, Alerts.memOnly))
-      windowBoundsAsEpoch(alerted)
-        .select(col("server_id"), col("window_start"), col("window_end"),
-          col("avg_cpu"), col("avg_mem"), col("alert"))
-    }),
+    "q_monitor_pipeline" -> (monitorPipeline(_, _)),
+
+    // Alert EDGES over the pipeline output: only rows where a server's
+    // alert differs from its previous window's alert (first window is an
+    // edge from ""). Batch lag() form of Transitions; the stateful
+    // streaming twin is property-checked equal in TransitionsSpec.
+    "q_alert_transitions" -> ((s, d) =>
+      graft.streaming.Transitions.transitionsBatch(
+        monitorPipeline(s, d), "server_id", "window_start", "alert")
+        .select(col("server_id"), col("window_start"),
+          col("from_value").as("from_alert"), col("to_value").as("to_alert"))),
 
     // job2 shape: sliding-window max (A3) + its CASE chain. max over
     // doubles is exact, no decimal detour needed.
@@ -184,23 +198,36 @@ object MonitorQueries {
        |UNION ALL
        |SELECT 'topic-disk', concat_ws(',', ts, server_id, disk_io) FROM w""".stripMargin
 
+  private val monitorPipelineSql =
+    s"""WITH j AS (
+       |  SELECT c.ts, c.server_id, c.cpu_pct, m.mem_pct
+       |  FROM (SELECT ts, user_id AS server_id, value AS cpu_pct FROM events) c
+       |  JOIN (SELECT ts, user_id AS server_id, 100.0 - value/5 AS mem_pct FROM events) m
+       |    ON c.ts = m.ts AND c.server_id = m.server_id
+       |), e AS (${expandWindows("SELECT * FROM j")}),
+       |a AS (
+       |  SELECT server_id, window_start, window_end,
+       |    ${sqlDavg("cpu_pct")} AS avg_cpu,
+       |    ${sqlDavg("mem_pct")} AS avg_mem
+       |  FROM e GROUP BY server_id, window_start, window_end
+       |)
+       |SELECT server_id, window_start, window_end, avg_cpu, avg_mem,
+       |  $alertCase1 AS alert
+       |FROM a""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "q_monitor_pipeline" ->
-      s"""WITH j AS (
-         |  SELECT c.ts, c.server_id, c.cpu_pct, m.mem_pct
-         |  FROM (SELECT ts, user_id AS server_id, value AS cpu_pct FROM events) c
-         |  JOIN (SELECT ts, user_id AS server_id, 100.0 - value/5 AS mem_pct FROM events) m
-         |    ON c.ts = m.ts AND c.server_id = m.server_id
-         |), e AS (${expandWindows("SELECT * FROM j")}),
-         |a AS (
-         |  SELECT server_id, window_start, window_end,
-         |    ${sqlDavg("cpu_pct")} AS avg_cpu,
-         |    ${sqlDavg("mem_pct")} AS avg_mem
-         |  FROM e GROUP BY server_id, window_start, window_end
+    "q_monitor_pipeline" -> monitorPipelineSql,
+
+    "q_alert_transitions" ->
+      s"""WITH mp AS ($monitorPipelineSql),
+         |t AS (
+         |  SELECT server_id, window_start, alert,
+         |    lag(alert) OVER (PARTITION BY server_id ORDER BY window_start) AS prev
+         |  FROM mp
          |)
-         |SELECT server_id, window_start, window_end, avg_cpu, avg_mem,
-         |  $alertCase1 AS alert
-         |FROM a""".stripMargin,
+         |SELECT server_id, window_start,
+         |  coalesce(prev, '') AS from_alert, alert AS to_alert
+         |FROM t WHERE prev IS NULL OR prev <> alert""".stripMargin,
 
     "q_monitor_max" ->
       s"""WITH j AS (
