@@ -45,7 +45,18 @@ object SimilarityQueries {
 
     // E2 embedding-cosine near-dup pairs: every pair at cosine >= 0.4.
     "q_embedding_neardup" -> ((s, d) =>
-      Similarity.cosineNearDuplicates(Tables.embeddings(s, d), threshold = 0.4))
+      Similarity.cosineNearDuplicates(Tables.embeddings(s, d), threshold = 0.4)),
+
+    // IVF-style top-10: 8 seeded centroids, 2 probes per query — the
+    // data-adaptive bucketed scale path (vs q_knn_bucketed's fixed
+    // sign planes).
+    "q_knn_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 10,
+        nlist = 8, nprobe = 2)
+        .select(col("query_id"), col("cand_id"), col("sim"),
+          col("rank").cast("long").as("rank"))
+    })
   )
 
   /** Oracle fragments: fold-order-exact cosine between q.v and c.v. */
@@ -134,6 +145,39 @@ object SimilarityQueries {
          |SELECT q.vec_id AS id_a, c.vec_id AS id_b,
          |  $cosineSql AS sim
          |FROM e q JOIN e c ON q.vec_id < c.vec_id
-         |WHERE $cosineSql >= 0.4""".stripMargin
+         |WHERE $cosineSql >= 0.4""".stripMargin,
+
+    "q_knn_ivf" -> {
+      def cosBetween(x: String, y: String) =
+        s"""${fold(s"$x.v[i] * $y.v[i]")} /
+           |    (sqrt(${fold(s"$x.v[i] * $x.v[i]")}) * sqrt(${fold(s"$y.v[i] * $y.v[i]")}))""".stripMargin
+      s"""WITH e AS ($vecsSql),
+         |cent AS (SELECT vec_id AS centroid_id, v FROM e WHERE vec_id < 8),
+         |ac AS (
+         |  SELECT x.vec_id AS vid, y.centroid_id,
+         |    ${cosBetween("x", "y")} AS csim
+         |  FROM e x CROSS JOIN cent y
+         |),
+         |ar AS (
+         |  SELECT vid, centroid_id,
+         |    row_number() OVER (PARTITION BY vid ORDER BY csim DESC, centroid_id ASC) AS rn
+         |  FROM ac
+         |),
+         |assign AS (SELECT vid AS cand_id, centroid_id FROM ar WHERE rn = 1),
+         |probes AS (SELECT vid AS query_id, centroid_id FROM ar WHERE rn <= 2 AND vid < 10),
+         |p AS (
+         |  SELECT pr.query_id, a.cand_id, ${cosineSql} AS sim
+         |  FROM probes pr
+         |  JOIN assign a ON a.centroid_id = pr.centroid_id AND a.cand_id <> pr.query_id
+         |  JOIN e q ON q.vec_id = pr.query_id
+         |  JOIN e c ON c.vec_id = a.cand_id
+         |),
+         |r AS (
+         |  SELECT query_id, cand_id, sim,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rank
+         |  FROM p
+         |)
+         |SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 10""".stripMargin
+    }
   )
 }

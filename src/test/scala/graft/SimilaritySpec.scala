@@ -78,6 +78,22 @@ class SimilaritySpec extends SparkSpec {
     assert(ann.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
   }
 
+  test("ivfTopK: sims are exact cosines and results subset brute force") {
+    val corpus = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(j => math.cos(i * 13 + j * 5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(corpus, q, 40)
+      .select("query_id", "cand_id", "sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Similarity.ivfTopK(corpus, q, 10, nlist = 4, nprobe = 2)
+      .select("query_id", "cand_id", "sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(ivf.nonEmpty)
+    // every IVF result is a true pair with the exact brute-force cosine
+    ivf.foreach { case (pair, sim) => assert(brute(pair) == sim) }
+  }
+
   test("cosineNearDuplicates: identical pair found once, orthogonal pair absent") {
     val pairs = Similarity.cosineNearDuplicates(vecs, threshold = 0.9, grid = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
