@@ -33,6 +33,10 @@ object Bench {
       // split size would scan them on ONE core — split finer so the
       // scan parallelizes (the 100 TB knob, pointed the other way)
       .config("spark.sql.files.maxPartitionBytes", "8m")
+      // collect_set profiles run in ObjectHashAggregate, whose default
+      // 128-keys-per-partition fallback silently degrades to SORT-based
+      // aggregation on any real corpus slice — raise it (state is ~KB/key)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "16384")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
