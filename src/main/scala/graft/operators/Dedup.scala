@@ -8,11 +8,17 @@ import org.apache.spark.sql.functions._
   * Jaccard verification — the standard training-data near-dup pipeline
   * (find candidates cheaply with LSH, verify candidates exactly).
   *
-  * Scale design: everything is shingle-/signature-keyed shuffles — no
-  * all-pairs stage anywhere. At 100 TB the only O(n²) risk is a hot LSH
-  * bucket; salting thresholds or raising rowsPerBand controls that, and
-  * AQE's skew-join handles the residual. All hashing is md5 (built-in,
-  * codegen'd, engine-portable) — no UDFs.
+  * Scale design: no all-pairs stage anywhere, and no shingle-level
+  * shuffle anywhere — [[dedupProfiles]] collapses each document to one
+  * profile row map-side, candidates come from signature equi-joins, and
+  * verification intersects per-doc hash sets. At 100 TB the only O(n²)
+  * risk is a hot LSH bucket; `maxBucketSize` drops those wholesale
+  * (raising rowsPerBand sharpens signatures, AQE skew-join handles the
+  * residual). Oracle-relevant hashing (minhash family, signatures) is
+  * md5 — built-in, codegen'd, engine-portable; the shingle-set members
+  * use xxhash64 purely as a compact set identity (a 64-bit collision
+  * inside one candidate pair's shingles is ~1e-13 at 100 TB bucket
+  * sizes, and only set-intersection counts consume them). No UDFs.
   */
 object Dedup {
 

@@ -78,6 +78,13 @@ class SimilaritySpec extends SparkSpec {
     assert(ann.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
   }
 
+  test("nearestNeighbor is grid-invariant on fixture embeddings") {
+    val emb = graft.core.Tables.embeddings(spark, sf0001)
+    def run(g: Int) = Similarity.nearestNeighbor(emb, grid = g)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(run(4) == run(7)) // blocking is an execution detail, not semantics
+  }
+
   test("ivfTopK: sims are exact cosines and results subset brute force") {
     val corpus = (0L until 40L).map { i =>
       (i, Array.tabulate(8)(j => math.cos(i * 13 + j * 5).toFloat))
