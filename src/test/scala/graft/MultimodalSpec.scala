@@ -49,6 +49,63 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  private def be32(v: Int) = Array[Byte](
+    (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+
+  /** Minimal valid PNG prefix: signature + IHDR chunk for w×h. */
+  private def pngBytes(w: Int, h: Int): Array[Byte] =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(w) ++ be32(h) ++
+      Array[Byte](8, 2, 0, 0, 0)
+
+  /** Minimal JPEG: SOI, one APP0 segment to skip, then SOF0 with h×w. */
+  private def jpegBytes(w: Int, h: Int): Array[Byte] =
+    Array[Byte](0xff.toByte, 0xd8.toByte) ++
+      Array[Byte](0xff.toByte, 0xe0.toByte, 0, 6, 'J', 'F', 'I', 'F') ++
+      (Array[Byte](0xff.toByte, 0xc0.toByte, 0, 11, 8) ++
+        be32(h).drop(2) ++ be32(w).drop(2) ++ Array[Byte](3, 0, 0, 0))
+
+  /** Canonical 44-byte WAV header. */
+  private def wavBytes(channels: Int, rate: Int, bits: Int): Array[Byte] = {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    "RIFF".getBytes ++ le32(36) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(channels) ++
+      le32(rate) ++ le32(rate * channels * bits / 8) ++
+      le16(channels * bits / 8) ++ le16(bits) ++ "data".getBytes ++ le32(0)
+  }
+
+  test("pngMeta parses real IHDR fields with byte-slice expressions only") {
+    val df = Seq((1L, pngBytes(640, 480)), (2L, "not a png".getBytes))
+      .toDF("media_id", "payload")
+    val rows = Multimodal.pngMeta(df).collect().map(r => r.getLong(0) -> r).toMap
+    val png = rows(1L)
+    assert(png.getBoolean(1) && png.getLong(2) == 640L &&
+      png.getLong(3) == 480L && png.getInt(4) == 8)
+    val notPng = rows(2L)
+    assert(!notPng.getBoolean(1) && notPng.isNullAt(2) && notPng.isNullAt(3))
+  }
+
+  test("wavMeta parses RIFF/WAVE fmt fields") {
+    val df = Seq((1L, wavBytes(2, 44100, 16))).toDF("media_id", "payload")
+    val r = Multimodal.wavMeta(df).head()
+    assert(r.getBoolean(1) && r.getInt(2) == 2 &&
+      r.getLong(3) == 44100L && r.getInt(4) == 16)
+  }
+
+  test("imageDimensions: real PNG IHDR + JPEG SOF marker walk") {
+    implicit val s = spark
+    val ds = Seq(
+      MediaRecord(1L, "image", pngBytes(1920, 1080)),
+      MediaRecord(2L, "image", jpegBytes(320, 200)),
+      MediaRecord(3L, "text", "plain".getBytes)).toDS()
+    val got = Multimodal.imageDimensions(ds).collect()
+      .map(d => d.media_id -> ((d.format, d.width, d.height))).toMap
+    assert(got(1L) == (("png", 1920, 1080)))
+    assert(got(2L) == (("jpeg", 320, 200)))
+    assert(got(3L) == (("unknown", -1, -1)))
+  }
+
   test("extractFeatures: per-partition batch operator is deterministic") {
     implicit val s = spark
     val ds = Seq(
