@@ -11,6 +11,14 @@ import graft.operators.Multimodal
 object MiscQueries {
 
   val queries: Map[String, Q] = Map(
+    // Sessionization: per-user sessions at a 2h silence gap over the
+    // events log (native session_window; gaps-and-islands oracle).
+    "q_session_windows" -> ((s, d) =>
+      graft.operators.Sessionize.sessions(Tables.events(s, d), "user_id", "ts",
+        "2 hours", Seq(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value")))
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("total_value"))),
+
     // Opaque-binary metadata projection: byte sizes + chunk counts
     // without ever decoding the payload.
     "q_multimodal_meta" -> ((s, d) => {
@@ -96,6 +104,31 @@ object MiscQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Gaps-and-islands: a new session starts when the silence since the
+    // previous event EXCEEDS the gap — Spark's session end is inclusive
+    // for merging (an event at exactly prev+gap extends the session;
+    // verified by SessionizeSpec's boundary case). All boundary math on
+    // integer epoch-ms; bounds emitted as truncated epoch seconds.
+    "q_session_windows" ->
+      s"""WITH o AS (
+         |  SELECT user_id, ts, value,
+         |    epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap_ms
+         |  FROM events
+         |), m AS (
+         |  SELECT *, CASE WHEN gap_ms IS NULL OR gap_ms > 7200000 THEN 1 ELSE 0 END AS new_s
+         |  FROM o
+         |), g AS (
+         |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         |                             ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM m
+         |)
+         |SELECT user_id,
+         |  epoch_ms(MIN(ts)) // 1000 AS session_start,
+         |  (epoch_ms(MAX(ts)) + 7200000) // 1000 AS session_end,
+         |  COUNT(*) AS n_events,
+         |  ${sqlDsum("value")} AS total_value
+         |FROM g GROUP BY user_id, sid""".stripMargin,
+
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id, 'text' AS kind,
         |  octet_length(encode(text)) AS n_bytes,
