@@ -107,15 +107,17 @@ object MiscQueries {
     // Gaps-and-islands: a new session starts when the silence since the
     // previous event EXCEEDS the gap — Spark's session end is inclusive
     // for merging (an event at exactly prev+gap extends the session;
-    // verified by SessionizeSpec's boundary case). All boundary math on
-    // integer epoch-ms; bounds emitted as truncated epoch seconds.
+    // verified by SessionizeSpec's boundary case). Boundary math at
+    // MICROsecond precision (Spark's internal timestamp unit — the
+    // fixture carries sub-ms digits, so an epoch_ms comparison could
+    // merge a gap Spark splits); bounds emitted as truncated epoch secs.
     "q_session_windows" ->
       s"""WITH o AS (
          |  SELECT user_id, ts, value,
-         |    epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap_ms
+         |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
          |  FROM events
          |), m AS (
-         |  SELECT *, CASE WHEN gap_ms IS NULL OR gap_ms > 7200000 THEN 1 ELSE 0 END AS new_s
+         |  SELECT *, CASE WHEN gap_us IS NULL OR gap_us > 7200000000 THEN 1 ELSE 0 END AS new_s
          |  FROM o
          |), g AS (
          |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
