@@ -112,10 +112,25 @@ object Dedup {
     * (e.g. millions of identical boilerplate pages): a bucket of b docs
     * emits O(b²) candidate pairs, so one pathological signature can go
     * quadratic no matter how good the bands are. With the cap set,
-    * buckets wider than the cap are dropped before the self-join (their
-    * members are by construction wholesale duplicates — exact dedup is
-    * the right tool for them, at one-pass cost, before LSH runs).
+    * buckets wider than the cap are dropped before the self-join. Note
+    * the trade-off honestly: an over-cap bucket's members share one band
+    * signature, which implies PROBABLE similarity, not certain
+    * duplication — capping trades recall (genuine near-dup pairs whose
+    * only collision was the hot band are lost) for a quadratic-blowup
+    * bound. Use [[oversizedBuckets]] to count what a cap would drop
+    * before committing to it; running exact dedup first shrinks the hot
+    * buckets that identical documents cause.
     */
+  /** The (band, sig) buckets a `maxBucketSize` cap would drop, with
+    * their widths — the recall audit for [[lshCandidatePairs]]: callers
+    * count/inspect these to see how many documents the cap silences
+    * instead of trading recall away blind.
+    */
+  def oversizedBuckets(sigs: DataFrame, cap: Int): DataFrame =
+    sigs.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > cap)
+
   def lshCandidatePairs(sigs: DataFrame, idCol: String,
                         maxBucketSize: Option[Int] = None): DataFrame = {
     val bounded = maxBucketSize match {
@@ -227,7 +242,10 @@ object Dedup {
     // compact row per document — unlike the round-1 experiment of
     // persisting the shingle-ROW stream, which was corpus-text-sized and
     // doubled wall time. Recomputing would re-run the whole
-    // explode+md5 pipeline per consumer.
+    // explode+md5 pipeline per consumer. The cache is deliberately NOT
+    // unpersisted here (the returned plan still references it lazily);
+    // long-lived sessions invoking this repeatedly should unpersist via
+    // spark.catalog.clearCache() between invocations, as Bench does.
     val profiles = dedupProfiles(rawWordShingles(df, textCol, idCol, shingleSize),
       idCol, bands, rowsPerBand).persist()
     val cands = profileCandidatePairs(profiles, idCol)
@@ -286,7 +304,9 @@ object Dedup {
                             maxHamming: Int = 3): DataFrame = {
     // one 8-byte signature per doc, consumed by both self-join sides —
     // persist to avoid running the token-explode + 32-vote aggregation
-    // twice (cache size is |docs| longs, nothing like the shingle case)
+    // twice (cache size is |docs| longs, nothing like the shingle case);
+    // lazily referenced by the result, so not unpersisted here — see
+    // minhashNearDuplicates for the session-lifetime cache note
     val sig = simhash(df, textCol, idCol).persist()
     val par = df.sparkSession.sparkContext.defaultParallelism
     def banded(side: String) = sig

@@ -119,20 +119,26 @@ object Multimodal {
   }
 
   /** RIFF/WAVE header fields, same expression-only tier: little-endian
-    * u16/u32 assembled from per-byte hex windows at the canonical fmt-
-    * chunk offsets.
+    * u16/u32 assembled from per-byte hex windows at the CANONICAL
+    * fmt-chunk offsets (fmt immediately after "WAVE", no LIST/JUNK
+    * chunks first — no chunk walk; the typed [[imageDimensions]] tier is
+    * where walking lives). Fields are NULL unless the payload passes the
+    * RIFF/WAVE signature check AND the chunk at the canonical offset is
+    * actually "fmt " — mirroring [[pngMeta]]'s non-PNG behavior instead
+    * of emitting garbage for foreign payloads.
     */
   def wavMeta(media: DataFrame): DataFrame = {
     def byteAt(off: Int) =
       conv(hex(expr(s"substring(payload, $off, 1)")), 16, 10).cast("long")
     def leU16(off: Int) = byteAt(off) + byteAt(off + 1) * 256L
     def leU32(off: Int) = leU16(off) + leU16(off + 2) * 65536L
-    media.select(col("media_id"),
-      (expr("substring(payload, 1, 4)") === lit("RIFF".getBytes) &&
-        expr("substring(payload, 9, 4)") === lit("WAVE".getBytes)).as("is_wav"),
-      leU16(23).cast("int").as("channels"),
-      leU32(25).as("sample_rate"),
-      leU16(35).cast("int").as("bits_per_sample"))
+    val isWav = expr("substring(payload, 1, 4)") === lit("RIFF".getBytes) &&
+      expr("substring(payload, 9, 4)") === lit("WAVE".getBytes) &&
+      expr("substring(payload, 13, 4)") === lit("fmt ".getBytes)
+    media.select(col("media_id"), isWav.as("is_wav"),
+      when(isWav, leU16(23).cast("int")).as("channels"),
+      when(isWav, leU32(25)).as("sample_rate"),
+      when(isWav, leU16(35).cast("int")).as("bits_per_sample"))
   }
 
   final case class MediaDims(media_id: Long, format: String, width: Int, height: Int)

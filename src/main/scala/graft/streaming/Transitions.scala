@@ -34,33 +34,47 @@ object Transitions {
   case class Transition(key: String, order: Long, from_value: String, to_value: String)
 
   /** Batch form: rows where the value differs from the key's previous
-    * value in `orderCol` order; a key's first row is an edge from "".
+    * value in `orderCol` order; a key's first row is always an edge
+    * (from_value ""). "No prior row" is detected positionally
+    * (row_number), not via lag()'s NULL — so a first value of "" still
+    * emits, a mid-stream NULL value still compares (null-safe `<=>`),
+    * and a NULL prev renders as "" in from_value, all matching the
+    * streaming form below.
     */
   def transitionsBatch(df: DataFrame, keyCol: String, orderCol: String,
                        valCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
     df.withColumn("_prev", lag(col(valCol), 1).over(w))
-      .filter(col("_prev").isNull || col("_prev") =!= col(valCol))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 || !(col("_prev") <=> col(valCol)))
       .select(col(keyCol), col(orderCol),
         coalesce(col("_prev"), lit("")).as("from_value"),
         col(valCol).as("to_value"))
   }
 
+  /** Per-key streaming state: `seen=false` means "no prior value yet" —
+    * distinct from any real value (including "" and null), so the first
+    * event always emits, matching the batch form's row_number check.
+    */
+  case class PrevState(seen: Boolean, value: String)
+
   /** Streaming form: per-key GroupState carries the current value across
     * micro-batches; each batch's rows are processed in `order` order
     * (sorted within the group — bounded by per-key batch volume).
+    * Comparison is Scala `==` (null-safe), mirroring the batch `<=>`;
+    * a NULL prior renders as "" in from_value, as batch coalesces.
     */
   def transitionsStream(ds: Dataset[KeyedValue]): Dataset[Transition] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: String, rows: Iterator[KeyedValue], state: GroupState[String]) =>
-          var cur = state.getOption.getOrElse("")
+        (key: String, rows: Iterator[KeyedValue], state: GroupState[PrevState]) =>
+          var cur = state.getOption.getOrElse(PrevState(seen = false, value = null))
           val out = rows.toSeq.sortBy(_.order).flatMap { e =>
-            if (e.value != cur) {
-              val t = Transition(key, e.order, cur, e.value)
-              cur = e.value
-              Some(t)
+            if (!cur.seen || e.value != cur.value) {
+              val from = if (cur.seen) Option(cur.value).getOrElse("") else ""
+              cur = PrevState(seen = true, value = e.value)
+              Some(Transition(key, e.order, from, e.value))
             } else None
           }
           state.update(cur)

@@ -80,6 +80,13 @@ class DedupSpec extends SparkSpec {
       maxBucketSize = Some(10)).count()
     assert(uncapped == 200L * 199L / 2)
     assert(capped == 0L)
+    // the recall audit: oversizedBuckets reports exactly what the cap
+    // dropped — all 8 bands collide into one 200-doc bucket each
+    val dropped = Dedup.oversizedBuckets(
+      profiles.select(col("doc_id"), explode(col("band_sigs")).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig")), 10)
+      .collect()
+    assert(dropped.length == 8 && dropped.forall(_.getLong(2) == 200L))
     // a mixed corpus: near-dup pairs in small buckets survive the cap
     val mixed = boiler.unionByName(Seq(
       (1000L, "a genuinely unique document about distributed query engines"),

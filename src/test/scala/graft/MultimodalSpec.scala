@@ -86,11 +86,16 @@ class MultimodalSpec extends SparkSpec {
     assert(!notPng.getBoolean(1) && notPng.isNullAt(2) && notPng.isNullAt(3))
   }
 
-  test("wavMeta parses RIFF/WAVE fmt fields") {
-    val df = Seq((1L, wavBytes(2, 44100, 16))).toDF("media_id", "payload")
-    val r = Multimodal.wavMeta(df).head()
-    assert(r.getBoolean(1) && r.getInt(2) == 2 &&
-      r.getLong(3) == 44100L && r.getInt(4) == 16)
+  test("wavMeta parses RIFF/WAVE fmt fields; non-WAV payloads get NULLs") {
+    val df = Seq((1L, wavBytes(2, 44100, 16)), (2L, "definitely not a wav file".getBytes))
+      .toDF("media_id", "payload")
+    val rows = Multimodal.wavMeta(df).collect().map(r => r.getLong(0) -> r).toMap
+    val wav = rows(1L)
+    assert(wav.getBoolean(1) && wav.getInt(2) == 2 &&
+      wav.getLong(3) == 44100L && wav.getInt(4) == 16)
+    val notWav = rows(2L)
+    assert(!notWav.getBoolean(1) && notWav.isNullAt(2) &&
+      notWav.isNullAt(3) && notWav.isNullAt(4))
   }
 
   test("imageDimensions: real PNG IHDR + JPEG SOF marker walk") {

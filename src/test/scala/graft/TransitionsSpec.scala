@@ -43,6 +43,34 @@ class TransitionsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("batch and stream agree on the empty-string-first edge case") {
+    // a key whose FIRST value is "" must emit in both forms ("no prior"
+    // is positional, not the "" sentinel), and the ""→"X" edge follows
+    val edge = Seq(KeyedValue("e", 1, ""), KeyedValue("e", 2, ""), KeyedValue("e", 3, "X"))
+    val expectedEdge = Set(Transition("e", 1, "", ""), Transition("e", 3, "", "X"))
+    val batch = Transitions.transitionsBatch(edge.toDF(), "key", "order", "value")
+      .as[Transition].collect().toSet
+    assert(batch == expectedEdge)
+    val src = MemoryStream[KeyedValue](spark)
+    val q = Transitions.transitionsStream(src.toDS())
+      .writeStream.format("memory").queryName("edge_empty")
+      .outputMode("append").start()
+    src.addData(edge: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("edge_empty").as[Transition].collect().toSet == expectedEdge)
+  }
+
+  test("batch form compares null values null-safely instead of dropping rows") {
+    val rows = Seq(("n", 1L, "A"), ("n", 2L, null), ("n", 3L, null), ("n", 4L, "A"))
+      .toDF("key", "order", "value")
+    val got = Transitions.transitionsBatch(rows, "key", "order", "value")
+      .select("key", "order", "from_value", "to_value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
+    // A→null emits (null-safe !=), null→null suppressed, null→A emits with "" from
+    assert(got == Set(("n", 1L, "", "A"), ("n", 2L, "A", null), ("n", 4L, "", "A")))
+  }
+
   test("streaming state is one value per key (bounded), not event history") {
     // 500 same-value events for one key → exactly one emitted transition
     val src = MemoryStream[KeyedValue](spark)
