@@ -21,12 +21,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TpchQueries.queries ++ MonitorQueries.queries ++ DedupQueries.queries ++
-      TextQueries.queries ++ SimilarityQueries.queries ++ MiscQueries.queries
+      TextQueries.queries ++ SimilarityQueries.queries ++ MiscQueries.queries ++
+      AnalyticsQueries.queries ++ CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
     */
   def oracleSql: Map[String, String] =
     TpchQueries.oracles ++ MonitorQueries.oracles ++ DedupQueries.oracles ++
-      TextQueries.oracles ++ SimilarityQueries.oracles ++ MiscQueries.oracles
+      TextQueries.oracles ++ SimilarityQueries.oracles ++ MiscQueries.oracles ++
+      AnalyticsQueries.oracles ++ CurationQueries.oracles
 }

@@ -261,6 +261,29 @@ object Dedup {
   def dropNearDuplicates(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
     df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
+  /** Benchmark-contamination report: for each candidate (training)
+    * document, how many of its word n-gram shingles also appear in the
+    * benchmark corpus, and how many benchmark documents it collides
+    * with. This is the standard eval-leak check before training: any
+    * overlap row is a doc to drop or audit.
+    *
+    * Plan shape: distinct shingles per side, one equi-join on the
+    * shingle string, one keyed aggregation — shuffle is bounded by the
+    * shingle streams (linear in corpus size), never |train|×|bench|. At
+    * 100 TB the benchmark side is typically tiny → Catalyst broadcasts
+    * it and the join is shuffle-free.
+    */
+  def contaminationReport(candidates: DataFrame, benchmark: DataFrame,
+                          textCol: String, idCol: String, n: Int = 5): DataFrame = {
+    val candGrams = wordShingles(candidates, textCol, idCol, n)
+    val benchGrams = wordShingles(benchmark, textCol, idCol, n)
+      .select(col(idCol).as("bench_id"), col("shingle"))
+    candGrams.join(benchGrams, Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("shingle")).as("n_shared_grams"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+  }
+
   /** 32-bit SimHash per document over its token stream (with
     * multiplicity). Bit j of md5(token)'s leading 8 hex nibbles votes
     * ±1; the sign of the vote sum sets bit j of the signature.

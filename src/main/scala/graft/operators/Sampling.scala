@@ -43,4 +43,32 @@ object Sampling {
   /** Deterministic ~fraction sample, stable across engines/partitioning. */
   def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
     df.filter(belowCut(hashKey(col(idCol)), fraction))
+
+  /** Stratified deterministic sample: each stratum keeps its own
+    * fraction of the id-hash space (the curation move for rebalancing a
+    * corpus — e.g. downsample the dominant language hard, keep the rare
+    * ones). Same hash key everywhere, so membership stays a pure
+    * function of (id, stratum fraction): reproducible across runs,
+    * engines, and repartitioning, and a row's fate is stable when a
+    * stratum's fraction changes only past its cut. Pure per-row filter —
+    * no shuffle, scan speed at any scale.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double): DataFrame = {
+    val key = hashKey(col(idCol))
+    val pred = fractions.foldLeft(belowCut(key, defaultFraction)) {
+      case (acc, (stratum, f)) =>
+        when(col(stratumCol) === stratum, belowCut(key, f)).otherwise(acc)
+    }
+    df.filter(pred)
+  }
+
+  /** The hex cut string for a fraction — exposed so oracle SQL can
+    * reproduce `belowCut` exactly.
+    */
+  def cutHex(fraction: Double): String = {
+    val cut = math.max(0L, math.min(65536L, math.round(fraction * 65536)))
+    f"$cut%04x"
+  }
 }

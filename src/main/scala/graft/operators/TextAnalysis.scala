@@ -127,4 +127,73 @@ object TextAnalysis {
     */
   def normalizedText(textCol: Column): Column =
     regexp_replace(lower(trim(textCol)), "\\s+", " ")
+
+  /** TF-IDF top-k terms per document. Inverse document frequency is kept
+    * RATIONAL — score = (tf · N) / df with tf·N an exact BIGINT — so the
+    * single double division is engine-identical (a log-based idf would
+    * be 1-ulp-unstable cross-engine and changes no ranking: x ↦ ln x is
+    * monotone). Plan: token explode → (doc, token) count → token df
+    * count → broadcast-joined corpus size; shuffles are keyed by token /
+    * doc — nothing quadratic, df table is |vocab|.
+    */
+  def tfIdfTopK(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    val tf = spreadByKey(df, col(idCol))
+      .select(col(idCol), explode(toks(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(desc("score"), asc("tok"))
+    tf.join(dfreq, Seq("tok")).crossJoin(broadcast(n))
+      .select(col(idCol), col("tok"), col("tf"), col("df"),
+        ((col("tf") * col("n_docs")).cast("double") / col("df")).as("score"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  /** PII redaction patterns (shared with the DuckDB oracle; plain
+    * character-class regexes that mean the same thing in Java regex and
+    * RE2): emails, then 4+-digit runs (ids, card fragments, phones once
+    * separators are out).
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val digitRunPattern = "[0-9]{4,}"
+
+  /** Scrub PII from a text column: emails → `<EMAIL>`, then long digit
+    * runs → `<NUM>` (order matters — the email pattern consumes digits
+    * that would otherwise look like bare runs). Pure per-row projection,
+    * scan-speed at 100 TB; counts are emitted alongside so curation can
+    * route high-PII documents to quarantine instead of publishing them.
+    */
+  def redactPii(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+      size(regexp_extract_all(col(textCol), lit(emailPattern), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(digitRunPattern), lit(0)))
+        .cast("long").as("n_digit_runs"),
+      regexp_replace(regexp_replace(col(textCol), emailPattern, "<EMAIL>"),
+        digitRunPattern, "<NUM>").as("redacted"))
+
+  /** Within-document repetition profile: token counts, the dominant
+    * token (ties → lexicographically first), and its frequency share —
+    * the standard boilerplate/spam signal (a real corpus cuts on
+    * top_ratio). One explode + two keyed aggregations; ratios are exact
+    * ints divided once.
+    */
+  def repetitionProfile(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val counts = spreadByKey(df, col(idCol))
+      .select(col(idCol), explode(toks(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("cnt"))
+    // dominant token via min(struct(-cnt, tok)): max count, ties to the
+    // lexicographically FIRST token — one aggregation, no window sort
+    counts.groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_distinct_tokens"),
+        min(struct((-col("cnt")).as("neg_cnt"), col("tok"))).as("best"))
+      .select(col(idCol), col("n_tokens"), col("n_distinct_tokens"),
+        col("best.tok").as("top_tok"), (-col("best.neg_cnt")).as("top_cnt"),
+        ((-col("best.neg_cnt")).cast("double") / col("n_tokens")).as("top_ratio"))
+  }
 }

@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.RangeJoin
+
+/** Relational-breadth extensions beyond the reference surface:
+  * multi-dimensional aggregation (CUBE / GROUPING SETS), pivot/unpivot
+  * reshaping, the ranking/analytic window-function family, a scale-safe
+  * binned range join, and exact rank-selected percentiles. Every query
+  * has a full DuckDB oracle.
+  */
+object AnalyticsQueries {
+
+  private val priorities =
+    Seq("1-URGENT" -> "n_urgent", "2-HIGH" -> "n_high", "3-MEDIUM" -> "n_medium",
+      "4-NOT SPECIFIED" -> "n_not_specified", "5-LOW" -> "n_low")
+
+  val queries: Map[String, Q] = Map(
+    // CUBE: all 4 grouping combinations in one pass (one Expand + one
+    // shuffle — Catalyst's grouping-set expansion, not 4 scans).
+    "q_cube" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))),
+
+    // GROUPING SETS with an explicit grouping-bit id (portable: built
+    // from per-column grouping() flags, not the engine-specific
+    // grouping_id encoding).
+    "q_grouping_sets" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg((grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("long").as("gid"),
+          count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))),
+
+    // PIVOT: priority counts spread to columns (explicit value list —
+    // the deterministic, single-pass form; a discovery pivot would need
+    // an extra distinct scan). Missing combinations are 0, not null.
+    "q_pivot" -> ((s, d) => {
+      val pivoted = Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority", priorities.map(_._1))
+        .agg(count(lit(1)))
+      pivoted.select(col("o_orderstatus") +:
+        priorities.map { case (v, a) => coalesce(col(s"`$v`"), lit(0L)).as(a) }: _*)
+    }),
+
+    // UNPIVOT (melt): 4 measure columns → (measure, value) rows, then a
+    // per-measure profile. The unpivot itself is a narrow Expand — no
+    // shuffle until the aggregate.
+    "q_unpivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .unpivot(Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+            col("l_tax")), "measure", "value")
+        .groupBy(col("measure"))
+        .agg(count(lit(1)).as("n"), min(col("value")).as("lo"),
+          max(col("value")).as("hi"), dsum(col("value")).as("total"))),
+
+    // The analytic window-function family over one partition spec:
+    // row_number / lag / lead / ntile on the fully-deterministic order,
+    // rank / dense_rank / cume_dist / percent_rank on the ties-bearing
+    // quantity order (their whole point is tie handling; outputs are
+    // deterministic because ties collapse to equal outputs). ratios are
+    // exact-int divisions → engine-identical doubles.
+    "q_window_suite" -> ((s, d) => {
+      val wDet = Window.partitionBy(col("l_suppkey"))
+        .orderBy(desc("l_quantity"), asc("l_orderkey"), asc("l_linenumber"))
+      val wTies = Window.partitionBy(col("l_suppkey")).orderBy(desc("l_quantity"))
+      Tables.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"), col("l_quantity"))
+        .withColumn("rn", row_number().over(wDet).cast("long"))
+        .withColumn("rnk", rank().over(wTies).cast("long"))
+        .withColumn("drnk", dense_rank().over(wTies).cast("long"))
+        .withColumn("prev_qty", lag(col("l_quantity"), 1).over(wDet))
+        .withColumn("next_qty", lead(col("l_quantity"), 1).over(wDet))
+        .withColumn("quartile", ntile(4).over(wDet).cast("long"))
+        .withColumn("cd", cume_dist().over(wTies))
+        .withColumn("pr", percent_rank().over(wTies))
+    }),
+
+    // Binned range join: lineitems shipped inside the 7-day audit window
+    // of any top-50-value order. The bin equi-join replaces the
+    // BroadcastNestedLoopJoin a raw range predicate would plan.
+    "q_range_join" -> ((s, d) => {
+      val win = 7L * 86400
+      // NTZ → epoch seconds: session tz is pinned UTC, so the LTZ hop is
+      // the identity mapping DuckDB's epoch_ms uses
+      def epochS(c: String) = col(c).cast("timestamp_ltz").cast("long")
+      val intervals = Tables.orders(s, d)
+        .orderBy(desc("o_totalprice"), asc("o_orderkey")).limit(50)
+        .select(col("o_orderkey"), epochS("o_orderdate").as("win_start"),
+          (epochS("o_orderdate") + win).as("win_end"))
+      val points = Tables.lineitem(s, d)
+        .select(epochS("l_shipdate").as("ship_s"), col("l_quantity"))
+      RangeJoin.pointInInterval(points, intervals, "ship_s", "win_start", "win_end",
+        binWidth = win)
+        .groupBy(col("o_orderkey"), col("win_start"))
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // Exact percentiles by rank selection (nearest-lower rank, no
+    // interpolation — interpolated quantiles are 1-ulp-unstable across
+    // engines; rank selection returns an actual data value). One window
+    // sort per group, then a pivot-style conditional aggregate.
+    "q_percentile_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(asc("value"), asc("event_id"))
+      val n = Window.partitionBy(col("event_type"))
+      def idx(p: Int) = expr(s"((n - 1) * $p) div 100 + 1") // integer div (Column./ is double)
+      val ranked = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(n))
+      ranked.groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_events"),
+          max(when(col("rn") === idx(50), col("value"))).as("p50"),
+          max(when(col("rn") === idx(90), col("value"))).as("p90"),
+          max(when(col("rn") === idx(99), col("value"))).as("p99"))
+    })
+  )
+
+  private val pivotCountCols = priorities
+    .map { case (v, a) => s"""COUNT(*) FILTER (o_orderpriority = '$v') AS $a""" }
+    .mkString(",\n  ")
+
+  val oracles: Map[String, String] = Map(
+    "q_cube" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |  ${sqlDsum("l_quantity")} AS sum_qty,
+         |  MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
+         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+         |  COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+
+    "q_pivot" ->
+      s"""SELECT o_orderstatus,
+         |  $pivotCountCols
+         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q_unpivot" ->
+      s"""WITH m AS (
+         |  SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+         |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+         |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+         |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+         |)
+         |SELECT measure, COUNT(*) AS n, MIN(value) AS lo, MAX(value) AS hi,
+         |  ${sqlDsum("value")} AS total
+         |FROM m GROUP BY measure""".stripMargin,
+
+    "q_window_suite" ->
+      """SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  l_quantity,
+        |  row_number() OVER det AS rn,
+        |  rank() OVER ties AS rnk,
+        |  dense_rank() OVER ties AS drnk,
+        |  lag(l_quantity, 1) OVER det AS prev_qty,
+        |  lead(l_quantity, 1) OVER det AS next_qty,
+        |  ntile(4) OVER det AS quartile,
+        |  cume_dist() OVER ties AS cd,
+        |  percent_rank() OVER ties AS pr
+        |FROM lineitem
+        |WINDOW
+        |  det AS (PARTITION BY l_suppkey
+        |          ORDER BY l_quantity DESC, l_orderkey ASC, l_linenumber ASC),
+        |  ties AS (PARTITION BY l_suppkey ORDER BY l_quantity DESC)""".stripMargin,
+
+    "q_range_join" ->
+      """WITH top50 AS (
+        |  SELECT o_orderkey, epoch_ms(o_orderdate) // 1000 AS win_start,
+        |    epoch_ms(o_orderdate) // 1000 + 604800 AS win_end
+        |  FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50
+        |)
+        |SELECT t.o_orderkey, t.win_start, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM top50 t JOIN lineitem l
+        |  ON epoch_ms(l.l_shipdate) // 1000 >= t.win_start
+        | AND epoch_ms(l.l_shipdate) // 1000 < t.win_end
+        |GROUP BY t.o_orderkey, t.win_start""".stripMargin,
+
+    "q_percentile_rank" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value ASC, event_id ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events
+        |)
+        |SELECT event_type, MAX(n) AS n_events,
+        |  MAX(CASE WHEN rn = (n - 1) * 50 // 100 + 1 THEN value END) AS p50,
+        |  MAX(CASE WHEN rn = (n - 1) * 90 // 100 + 1 THEN value END) AS p90,
+        |  MAX(CASE WHEN rn = (n - 1) * 99 // 100 + 1 THEN value END) AS p99
+        |FROM r GROUP BY event_type""".stripMargin
+  )
+}

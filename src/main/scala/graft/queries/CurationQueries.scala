@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{Clustering, Dedup, Sampling, TextAnalysis}
+
+/** Training-data curation queries: TF-IDF term weighting, PII
+  * redaction, stratified corpus rebalancing, repetition (boilerplate)
+  * profiling, benchmark-contamination detection, and k-means document
+  * clustering. Each is a thin wrapper over a library operator, with a
+  * full DuckDB oracle.
+  */
+object CurationQueries {
+
+  /** Per-language keep fractions for the stratified-sample query:
+    * downsample the dominant English hard, keep a quarter of Chinese,
+    * a tenth of everything else.
+    */
+  private val strata = Seq("en" -> 0.5, "zh" -> 0.25)
+  private val defaultFraction = 0.1
+
+  val queries: Map[String, Q] = Map(
+    // Top-3 TF-IDF terms per document (rational idf — see operator doc).
+    "q_tfidf" -> ((s, d) =>
+      TextAnalysis.tfIdfTopK(Tables.documents(s, d), "text", "doc_id", 3)),
+
+    // PII scrubbing over synthesized log lines (the fixture corpus has
+    // no emails/digit runs, so the query builds a deterministic PII-rich
+    // text from events columns first — integer concat only; doubles
+    // don't format identically across engines).
+    "q_pii_redact" -> ((s, d) => {
+      val lines = Tables.events(s, d).select(col("event_id"),
+        concat(lit("user u"), col("user_id").cast("string"),
+          lit(" contact u"), col("user_id").cast("string"),
+          lit("@example.com ref "), (col("event_id") * 7919).cast("string"),
+          lit(" done")).as("text"))
+      TextAnalysis.redactPii(lines, "text", "event_id")
+        .select(col("event_id"), col("n_emails"), col("n_digit_runs"),
+          md5(col("redacted")).as("redacted_fp"))
+    }),
+
+    // Stratified rebalancing + per-language accounting of what's kept.
+    "q_stratified_sample" -> ((s, d) =>
+      Sampling.stratifiedSample(Tables.documents(s, d), "lang", "doc_id",
+        strata.toMap, defaultFraction)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))),
+
+    // Dominant-token repetition profile (boilerplate/spam signal).
+    "q_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionProfile(Tables.documents(s, d), "text", "doc_id")),
+
+    // Eval-set leakage: train-split docs sharing any word 5-gram with
+    // the val split (the benchmark stand-in).
+    "q_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("split", Sampling.splitTag(col("doc_id"), 0.9))
+      Dedup.contaminationReport(
+        docs.filter(col("split") === "train"),
+        docs.filter(col("split") === "val"),
+        "text", "doc_id", n = 5)
+    }),
+
+    // One integer-exact k-means refinement over the embedding corpus.
+    "q_kmeans" -> ((s, d) =>
+      Clustering.kmeansRefine(Tables.embeddings(s, d), k = 4))
+  )
+
+  private val toksSql = """string_split_regex(lower(trim(text)), '\s+')"""
+
+  /** Word-5-gram distinct shingles with the hash-split tag. */
+  private val gram5Sql =
+    s"""t AS (SELECT doc_id, $toksSql AS toks,
+       |        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+       |             THEN 'train' ELSE 'val' END AS split
+       |      FROM documents),
+       |gs AS (SELECT doc_id, split, toks, unnest(generate_series(1, len(toks)-4)) AS g
+       |       FROM t WHERE len(toks) >= 5),
+       |sh AS (SELECT DISTINCT doc_id, split,
+       |         toks[g]||' '||toks[g+1]||' '||toks[g+2]||' '||toks[g+3]||' '||toks[g+4]
+       |           AS shingle
+       |       FROM gs)""".stripMargin
+
+  private val stratCase = {
+    val whens = strata.map { case (lang, f) =>
+      s"WHEN lang = '$lang' THEN h < '${Sampling.cutHex(f)}'" }.mkString("\n         ")
+    s"CASE $whens\n         ELSE h < '${Sampling.cutHex(defaultFraction)}' END"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_tfidf" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tk WHERE tok <> ''
+         |       GROUP BY doc_id, tok),
+         |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+         |nn AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |s AS (SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+         |        CAST(tf.tf * nn.n_docs AS DOUBLE) / dfreq.df AS score
+         |      FROM tf JOIN dfreq USING (tok) CROSS JOIN nn),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |                ORDER BY score DESC, tok ASC) AS rk FROM s)
+         |SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+         |  score, rk FROM r WHERE rk <= 3""".stripMargin,
+
+    "q_pii_redact" ->
+      s"""WITH l AS (
+         |  SELECT event_id,
+         |    'user u' || CAST(user_id AS VARCHAR) || ' contact u' ||
+         |    CAST(user_id AS VARCHAR) || '@example.com ref ' ||
+         |    CAST(event_id * 7919 AS VARCHAR) || ' done' AS text
+         |  FROM events
+         |)
+         |SELECT event_id,
+         |  len(regexp_extract_all(text,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+         |  len(regexp_extract_all(text, '[0-9]{4,}')) AS n_digit_runs,
+         |  md5(regexp_replace(regexp_replace(text,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    '[0-9]{4,}', '<NUM>', 'g')) AS redacted_fp
+         |FROM l""".stripMargin,
+
+    "q_stratified_sample" ->
+      s"""WITH k AS (
+         |  SELECT *, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h FROM documents
+         |), kept AS (
+         |  SELECT * FROM k
+         |  WHERE $stratCase
+         |)
+         |SELECT lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_id,
+         |  MAX(doc_id) AS max_id
+         |FROM kept GROUP BY lang""".stripMargin,
+
+    "q_repetition" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |c AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM tk WHERE tok <> ''
+         |      GROUP BY doc_id, tok),
+         |r AS (SELECT doc_id, tok, cnt,
+         |        SUM(cnt) OVER (PARTITION BY doc_id) AS n_tokens,
+         |        COUNT(*) OVER (PARTITION BY doc_id) AS n_distinct_tokens,
+         |        row_number() OVER (PARTITION BY doc_id
+         |          ORDER BY cnt DESC, tok ASC) AS rk
+         |      FROM c)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(n_distinct_tokens AS BIGINT) AS n_distinct_tokens,
+         |  tok AS top_tok, cnt AS top_cnt,
+         |  CAST(cnt AS DOUBLE) / n_tokens AS top_ratio
+         |FROM r WHERE rk = 1""".stripMargin,
+
+    "q_contamination" ->
+      s"""WITH $gram5Sql
+         |SELECT a.doc_id,
+         |  COUNT(DISTINCT a.shingle) AS n_shared_grams,
+         |  COUNT(DISTINCT b.doc_id) AS n_bench_docs
+         |FROM (SELECT * FROM sh WHERE split = 'train') a
+         |JOIN (SELECT * FROM sh WHERE split = 'val') b ON a.shingle = b.shingle
+         |GROUP BY a.doc_id""".stripMargin,
+
+    "q_kmeans" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id, i - 1 AS pos,
+        |        CAST(floor(v[i] * 1000) AS BIGINT) AS qv
+        |      FROM (SELECT vec_id, v, unnest(generate_series(1, 64)) AS i FROM e)),
+        |seed_ids AS (SELECT vec_id AS cid FROM embeddings ORDER BY vec_id LIMIT 4),
+        |cq AS (SELECT s.cid, q.pos, q.qv AS qc FROM seed_ids s
+        |       JOIN q ON q.vec_id = s.cid),
+        |a1 AS (SELECT v.vec_id, c.cid,
+        |         SUM((v.qv - c.qc) * (v.qv - c.qc)) AS dist
+        |       FROM q v JOIN cq c USING (pos) GROUP BY v.vec_id, c.cid),
+        |r1 AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |         ORDER BY dist ASC, cid ASC) AS rn FROM a1),
+        |asg1 AS (SELECT vec_id, cid FROM r1 WHERE rn = 1),
+        |sums AS (SELECT a.cid, v.pos, CAST(SUM(v.qv) AS BIGINT) AS s,
+        |           COUNT(*) AS n
+        |         FROM q v JOIN asg1 a USING (vec_id) GROUP BY a.cid, v.pos),
+        |a2 AS (SELECT v.vec_id, s.cid,
+        |         CAST(SUM((s.n * v.qv - s.s) * (s.n * v.qv - s.s)) AS DOUBLE)
+        |           / (MAX(s.n) * MAX(s.n)) AS dist
+        |       FROM q v JOIN sums s USING (pos) GROUP BY v.vec_id, s.cid),
+        |r2 AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |         ORDER BY dist ASC, cid ASC) AS rn FROM a2),
+        |asg2 AS (SELECT vec_id, cid FROM r2 WHERE rn = 1)
+        |SELECT cid AS cluster_id, COUNT(*) AS n_members,
+        |  MIN(vec_id) AS min_id, MAX(vec_id) AS max_id
+        |FROM asg2 GROUP BY cid""".stripMargin
+  )
+}

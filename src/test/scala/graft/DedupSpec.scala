@@ -66,6 +66,21 @@ class DedupSpec extends SparkSpec {
     assert(d.select(Dedup.hammingDistance(col("a"), col("b"))).head().getInt(0) == 2)
   }
 
+  test("contaminationReport finds planted benchmark overlap, ignores clean docs") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),     // shares a 5-gram with bench 10
+      (2L, "one two three four five six seven"),       // clean
+      (3L, "alpha beta gamma delta epsilon different")) // shares the same 5-gram
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (10L, "alpha beta gamma delta epsilon prefix"),
+      (11L, "unrelated benchmark content entirely here")).toDF("doc_id", "text")
+    val got = Dedup.contaminationReport(train, bench, "text", "doc_id", n = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // only the shared "alpha beta gamma delta epsilon" gram collides
+    assert(got == Map(1L -> ((1L, 1L)), 3L -> ((1L, 1L))))
+  }
+
   test("hot-bucket cap bounds LSH candidates on a pathological corpus") {
     // 200 copies of the same boilerplate: every band signature collides,
     // so uncapped LSH goes quadratic (200*199/2 pairs) — the cap drops

@@ -31,6 +31,25 @@ class SamplingSkewSpec extends SparkSpec {
     assert(tags == Seq("train"))
   }
 
+  test("stratified sample: per-stratum cut, coherent with hashSample") {
+    val df = (0L until 3000L).map(i => (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "zh" else "fr"))
+      .toDF("id", "lang")
+    val kept = Sampling.stratifiedSample(df, "lang", "id",
+      Map("en" -> 0.5, "zh" -> 0.25), defaultFraction = 0.1)
+    val counts = kept.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // each stratum ~fraction of its 1000 rows (hash noise bounded)
+    assert(counts("en") > 400 && counts("en") < 600)
+    assert(counts("zh") > 180 && counts("zh") < 320)
+    assert(counts("fr") > 60 && counts("fr") < 140)
+    // membership within a stratum is exactly hashSample at that fraction
+    val enKept = kept.filter(col("lang") === "en").select("id")
+    val enExpected = Sampling.hashSample(df.filter(col("lang") === "en"), "id", 0.5)
+      .select("id")
+    assert(enKept.except(enExpected).count() == 0)
+    assert(enExpected.except(enKept).count() == 0)
+  }
+
   test("salted aggregation equals single-phase aggregation exactly") {
     val ev = Tables.events(spark, sf0001)
     val salted = Skew.saltedSumCount(ev, Seq("event_type"), "value",

@@ -45,4 +45,47 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L) == "high")
     assert(out(2L) == "low")
   }
+
+  test("tfIdfTopK: rare terms outrank common ones; rational idf is exact") {
+    // 'rare' appears in 1 of 3 docs, 'shared' in all 3: for doc 1,
+    // score(rare) = (1·3)/1 = 3.0 > score(shared) = (1·3)/3 = 1.0
+    val d = Seq(
+      (1L, "shared rare"), (2L, "shared common common"), (3L, "shared common"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.tfIdfTopK(d, "text", "doc_id", 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(4), r.getLong(5)))
+    val doc1 = rows.filter(_._1 == 1L).sortBy(_._4)
+    assert(doc1.map(_._2).toSeq == Seq("rare", "shared"))
+    assert(doc1.head._3 == 3.0 && doc1(1)._3 == 1.0)
+    // doc 2: tf(common)=2 → (2·3)/2 = 3.0 beats shared at 1.0
+    val doc2 = rows.filter(_._1 == 2L).sortBy(_._4)
+    assert(doc2.head._2 == "common" && doc2.head._3 == 3.0)
+  }
+
+  test("redactPii scrubs emails before digit runs and counts both") {
+    val d = Seq(
+      (1L, "mail bob.smith+x@corp.example.org card 12345678 ok"),
+      (2L, "no pii here"),
+      (3L, "a@b.io and 9999 twice 12345")).toDF("id", "text")
+    val out = TextAnalysis.redactPii(d, "text", "id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) == ((1L, 1L, "mail <EMAIL> card <NUM> ok")))
+    assert(out(2L) == ((0L, 0L, "no pii here")))
+    assert(out(3L) == ((1L, 2L, "<EMAIL> and <NUM> twice <NUM>")))
+  }
+
+  test("repetitionProfile: dominant token with lexicographic tie-break") {
+    val d = Seq(
+      (1L, "spam spam spam eggs"),          // clear winner
+      (2L, "beta alpha beta alpha gamma"))  // tie at 2 → 'alpha' (lex first)
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionProfile(d, "text", "doc_id")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(out(1L) == ((4L, 2L, "spam", 3L, 0.75)))
+    assert(out(2L) == ((5L, 3L, "alpha", 2L, 0.4)))
+  }
 }
