@@ -13,14 +13,17 @@ import graft.functions.DotProduct
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.plans.GraftExtensions`.
   *
-  * This is the injection point for any future Rule[LogicalPlan] or
-  * SparkStrategy; the reference surface needs none (SURVEY.md §4) —
-  * every rewrite it relies on is built-in Catalyst behavior.
+  * Also injects [[RangeJoinRewrite]] (opt-in via
+  * `spark.graft.rangeJoin.binWidth`; a no-op otherwise) — the one
+  * Rule[LogicalPlan] this library ships. The reference surface itself
+  * needs none (SURVEY.md §4): every rewrite it relies on is built-in
+  * Catalyst behavior.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.vecDot)
+    e.injectOptimizerRule(_ => new RangeJoinRewrite)
   }
 }
 

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.RangeJoinRewrite
+
+/** The opt-in Catalyst rule must turn a raw range-predicate join into
+  * the binned equi-join plan — same rows, no nested-loop join.
+  */
+class RangeJoinRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val points = (0L until 1000L).toDF("pt")
+  private val intervals = Seq(
+    (1L, 100L, 200L), (2L, 150L, 160L), (3L, 250L, 550L), (4L, 990L, 2000L))
+    .toDF("iv_id", "start_s", "end_s")
+
+  private def rangeJoin = points.join(intervals,
+    col("pt") >= col("start_s") && col("pt") < col("end_s"))
+
+  test("disabled by default: raw range join keeps its nested-loop plan") {
+    val plan = rangeJoin.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"))
+  }
+
+  test("with the rule on, the plan is an equi-join and rows are identical") {
+    val expected = rangeJoin.select("pt", "iv_id").as[(Long, Long)].collect().toSet
+    val prior = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prior :+ new RangeJoinRewrite
+    spark.conf.set(RangeJoinRewrite.binWidthKey, "100")
+    try {
+      val got = rangeJoin
+      val plan = got.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"range join should have been equi-ized:\n$plan")
+      assert(got.select("pt", "iv_id").as[(Long, Long)].collect().toSet == expected)
+      // output schema unchanged by the rewrite (bins projected away)
+      assert(got.columns.toSeq == Seq("pt", "iv_id", "start_s", "end_s"))
+    } finally {
+      spark.conf.set(RangeJoinRewrite.binWidthKey, "0")
+      spark.experimental.extraOptimizations = prior
+    }
+  }
+
+  test("rule leaves equi-joins and non-matching conditions alone") {
+    val prior = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prior :+ new RangeJoinRewrite
+    spark.conf.set(RangeJoinRewrite.binWidthKey, "100")
+    try {
+      val a = Seq((1L, 10L)).toDF("k", "va")
+      val b = Seq((1L, 20L)).toDF("k2", "vb")
+      // plain equi-join: untouched, still answers correctly
+      assert(a.join(b, col("k") === col("k2")).count() == 1)
+      // three-conjunct condition (equi + range): not the pure-range
+      // shape — left to Spark's own planning, still correct
+      val mixed = a.join(b, col("k") === col("k2") &&
+        col("va") >= col("k2") && col("va") < col("vb"))
+      assert(mixed.count() == 1)
+    } finally {
+      spark.conf.set(RangeJoinRewrite.binWidthKey, "0")
+      spark.experimental.extraOptimizations = prior
+    }
+  }
+}
