@@ -31,4 +31,14 @@ object Sessionize {
       .withColumn("session_start", col("session_window.start").cast("long"))
       .withColumn("session_end", col("session_window.end").cast("long"))
       .drop("session_window")
+
+  /** Streaming form: identical grouping, with the watermark that lets
+    * the engine finalize (emit + evict) a session once event time has
+    * moved `watermark` past its close — Append-mode output, state
+    * bounded by active sessions × keys. Same session semantics as the
+    * batch form (SessionizeSpec asserts stream ≡ batch on shared input).
+    */
+  def sessionsStream(df: DataFrame, keyCol: String, tsCol: String, gap: String,
+                     watermark: String, aggs: Seq[Column]): DataFrame =
+    sessions(df.withWatermark(tsCol, watermark), keyCol, tsCol, gap, aggs)
 }

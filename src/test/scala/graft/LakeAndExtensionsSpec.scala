@@ -43,6 +43,20 @@ class LakeAndExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("compact rewrites a many-small-file dataset into few files, content-exact") {
+    val base = Files.createTempDirectory("compact").toString
+    val df = (0 until 10000).map(i => (i.toLong, s"row_$i")).toDF("id", "payload")
+    df.repartition(64).write.parquet(s"$base/in") // 64 tiny files
+    val (before, after) = ParquetLake.compact(spark, s"$base/in", s"$base/out",
+      targetFileBytes = 10L * 1024 * 1024)
+    assert(before == 64)
+    assert(after <= 2) // ~200KB of data vs 10MB target → 1 file (+margin)
+    val in = spark.read.parquet(s"$base/in")
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.count() == 10000)
+    assert(in.except(out).count() == 0 && out.except(in).count() == 0)
+  }
+
   test("GraftExtensions' function builder registers vec_dot for SQL text") {
     // exercise the same (identifier, info, builder) triple the
     // SparkSessionExtensions injection uses (a fresh session with
