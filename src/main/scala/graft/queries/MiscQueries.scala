@@ -93,6 +93,36 @@ object MiscQueries {
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))),
 
+    // Latest-record-per-key (CDC/upsert compaction): one window sort,
+    // keep rank 1 per key — ties broken by event_id so the survivor is
+    // total-ordered.
+    "q_latest_per_key" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(desc("ts"), desc("event_id"))
+      Tables.events(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(ts) div 1000").as("ts_ms"),
+          col("event_type"), col("value"))
+    }),
+
+    // URL parsing + per-host rollup over synthesized CDN URLs (integer
+    // concat only — engine-identical), host/path via regexp groups.
+    "q_url_extract" -> ((s, d) => {
+      val urls = Tables.events(s, d).select(col("event_id"),
+        concat(lit("https://cdn"), pmod(col("user_id"), lit(10)).cast("string"),
+          lit(".example.com/"), col("event_type"),
+          lit("/item"), col("event_id").cast("string")).as("url"))
+      urls.select(
+          regexp_extract(col("url"), "https://([^/]+)/", 1).as("host"),
+          regexp_extract(col("url"), "https://[^/]+(/[^?]*)", 1).as("path"))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("path")).as("n_paths"),
+          min(col("path")).as("first_path"))
+    }),
+
     // E5 JSON property extraction + rollup over events.props.
     "q_json_extract" -> ((s, d) =>
       Tables.events(s, d)
@@ -182,6 +212,30 @@ object MiscQueries {
       """SELECT CAST(floor(value / 50) AS BIGINT) AS bin, COUNT(*) AS n,
         |  MIN(value) AS lo, MAX(value) AS hi
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q_latest_per_key" ->
+      """WITH r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rk
+        |  FROM events
+        |)
+        |SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type, value
+        |FROM r WHERE rk = 1""".stripMargin,
+
+    "q_url_extract" ->
+      """WITH u AS (
+        |  SELECT event_id,
+        |    'https://cdn' || CAST(user_id % 10 AS VARCHAR) || '.example.com/' ||
+        |    event_type || '/item' || CAST(event_id AS VARCHAR) AS url
+        |  FROM events
+        |), p AS (
+        |  SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+        |    regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path
+        |  FROM u
+        |)
+        |SELECT host, COUNT(*) AS n_urls, COUNT(DISTINCT path) AS n_paths,
+        |  MIN(path) AS first_path
+        |FROM p GROUP BY host""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,

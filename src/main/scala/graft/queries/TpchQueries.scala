@@ -137,6 +137,24 @@ object TpchQueries {
           dsum(coalesce(col("o_totalprice"), lit(0.0))).as("matched_total"))
     }),
 
+    // Full outer join completing the join-type family: per-nation
+    // customer vs supplier presence, null-extended on BOTH sides, with
+    // a which-side classification (the CASE runs on post-join nulls).
+    "q_full_outer" -> ((s, d) => {
+      val cust = Tables.customer(s, d).groupBy(col("c_nationkey").as("ck"))
+        .agg(count(lit(1)).as("n_cust"))
+      val supp = Tables.supplier(s, d).groupBy(col("s_nationkey").as("sk"))
+        .agg(count(lit(1)).as("n_supp"))
+      cust.join(supp, col("ck") === col("sk"), "full_outer")
+        .select(
+          coalesce(col("ck"), col("sk")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+          when(col("ck").isNotNull && col("sk").isNotNull, "both")
+            .when(col("ck").isNotNull, "customers_only")
+            .otherwise("suppliers_only").as("presence"))
+    }),
+
     // Analytic window function with a running frame (ordered prefix sum
     // — deterministic because the frame order is total per partition).
     "q_running_sum" -> ((s, d) =>
@@ -271,6 +289,18 @@ object TpchQueries {
          |           WHERE o_totalprice > 400000) o
          |  ON c_custkey = o_custkey
          |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_full_outer" ->
+      """WITH c AS (SELECT c_nationkey AS ck, COUNT(*) AS n_cust
+        |           FROM customer GROUP BY c_nationkey),
+        |s AS (SELECT s_nationkey AS sk, COUNT(*) AS n_supp
+        |      FROM supplier GROUP BY s_nationkey)
+        |SELECT coalesce(ck, sk) AS nationkey,
+        |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp,
+        |  CASE WHEN ck IS NOT NULL AND sk IS NOT NULL THEN 'both'
+        |       WHEN ck IS NOT NULL THEN 'customers_only'
+        |       ELSE 'suppliers_only' END AS presence
+        |FROM c FULL OUTER JOIN s ON ck = sk""".stripMargin,
 
     "q_running_sum" ->
       """SELECT user_id, event_id, value,

@@ -63,6 +63,24 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("binned range join ≡ brute-force range join on random intervals/widths") {
+    val ivs = sample(Gen.listOfN(40,
+      Gen.zip(Gen.chooseNum(0L, 5000L), Gen.chooseNum(1L, 800L))))
+      .zipWithIndex.map { case ((s, len), i) => (i.toLong, s, s + len) }
+    val pts = sample(Gen.listOfN(300, Gen.chooseNum(0L, 6000L)))
+    val ivDf = ivs.toDF("iv_id", "start_s", "end_s")
+    val ptDf = pts.toDF("pt")
+    val brute = ptDf.crossJoin(ivDf)
+      .filter(col("pt") >= col("start_s") && col("pt") < col("end_s"))
+      .select("pt", "iv_id").as[(Long, Long)].collect().sorted.toSeq
+    for (width <- Seq(1L, 37L, 100L, 1024L)) {
+      val got = graft.operators.RangeJoin.pointInInterval(
+          ptDf, ivDf, "pt", "start_s", "end_s", binWidth = width)
+        .select("pt", "iv_id").as[(Long, Long)].collect().sorted.toSeq
+      assert(got == brute, s"binWidth=$width")
+    }
+  }
+
   test("inner USING join row count ≤ min side under key uniqueness") {
     val keys = sample(Gen.listOfN(200, Gen.chooseNum(0, 400))).distinct
     val left = keys.map(k => (s"t$k", "s1", k.toDouble)).toDF("ts", "server_id", "cpu_pct")
