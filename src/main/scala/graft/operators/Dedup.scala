@@ -261,6 +261,54 @@ object Dedup {
   def dropNearDuplicates(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
     df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
+  /** Connected components over a near-dup pair graph: the transitive-
+    * closure step between "pairs" and "keep one per CLUSTER" (pairwise
+    * drop alone mislabels chains: a~b, b~c must collapse to ONE
+    * representative even if a~c was never a candidate). Label
+    * propagation to fixpoint: every node starts as its own label; each
+    * round takes the min of its own and all neighbors' labels;
+    * converged when a round changes nothing. Each round is one
+    * self-equi-join + one groupBy keyed by node id — no adjacency
+    * matrix, nothing quadratic; rounds needed = graph diameter
+    * (near-dup clusters are shallow — `maxIter` bounds pathology). The
+    * per-round convergence check is one count() action: the standard
+    * Pregel-style driver loop, O(diameter) scheduler round-trips, all
+    * data stays distributed.
+    *
+    * Returns (idCol, "component") for every node in `pairs`, component
+    * = the least reachable id (deterministic representative).
+    */
+  def connectedComponents(pairs: DataFrame, idCol: String, maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    // persist: the edge table is re-joined every round — without this
+    // the whole upstream pair pipeline (LSH, Jaccard, ...) re-executes
+    // per iteration. Edge set is |pairs|·2 rows — small by construction.
+    val edges = fwd.unionByName(
+      fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct().persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("component"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), col("component"))
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy(col("node"))
+        .agg(min(col("component")).as("component"))
+      // persist the new frontier: it is consumed by the convergence
+      // check AND the next round (or the final projection)
+      next.persist()
+      val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("node"))
+        .filter(col("component") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("node").as(idCol), col("component"))
+  }
+
   /** Benchmark-contamination report: for each candidate (training)
     * document, how many of its word n-gram shingles also appear in the
     * benchmark corpus, and how many benchmark documents it collides

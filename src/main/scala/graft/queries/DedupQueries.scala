@@ -52,6 +52,18 @@ object DedupQueries {
       Dedup.simhashNearDuplicates(Tables.documents(s, d), "text", "doc_id",
         maxHamming = 3)),
 
+    // Pairs → CLUSTERS: transitive closure over the verified near-dup
+    // graph (a~b, b~c collapse into one component even when a~c never
+    // became a candidate), label-propagated to fixpoint; per-cluster
+    // membership rollup. Oracle = recursive CTE reachability.
+    "q_dedup_clusters" -> ((s, d) => {
+      val pairs = Dedup.minhashNearDuplicates(Tables.documents(s, d), "text", "doc_id",
+        shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.5)
+      Dedup.connectedComponents(pairs, "doc_id")
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_id"))
+    }),
+
     // End of the near-dup pipeline: materialize the cleaned corpus via
     // anti-join against the verified pairs (smallest id survives).
     "q_dedup_materialize" -> ((s, d) => {
@@ -114,6 +126,19 @@ object DedupQueries {
       s"""WITH $minhashPairsSql
          |SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT id_b FROM pairs)""".stripMargin,
+
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairsSql,
+         |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |      UNION SELECT id_b, id_a FROM pairs),
+         |reach(node, lbl) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node
+         |),
+         |comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
+         |SELECT component, COUNT(*) AS n_members, MAX(node) AS max_id
+         |FROM comp GROUP BY component""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, lower(trim(text)) AS t FROM documents

@@ -66,6 +66,26 @@ class DedupSpec extends SparkSpec {
     assert(d.select(Dedup.hammingDistance(col("a"), col("b"))).head().getInt(0) == 2)
   }
 
+  test("connectedComponents merges chains pairwise drop would miss") {
+    // two chains: 1-2-3-4 (path — 1~4 never a direct pair) and 10-11;
+    // plus an isolated pair edge list entry 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents converges within the diameter bound") {
+    // a 12-node path: diameter 11 — label propagation needs ~log-ish
+    // rounds for min to travel; maxIter must cover it
+    val path = (0L until 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(path, "doc_id", maxIter = 20)
+      .select("component").distinct().collect().map(_.getLong(0)).toSeq
+    assert(comps == Seq(0L))
+  }
+
   test("contaminationReport finds planted benchmark overlap, ignores clean docs") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),     // shares a 5-gram with bench 10
