@@ -97,6 +97,26 @@ class StreamingSpec extends SparkSpec {
     assert(out.forall(_.getAs[Double]("avg_cpu") == 99.0))
   }
 
+  test("stream-static enrichment join: dimension lookup per micro-batch") {
+    // the standard enrichment topology: a stream joined against a
+    // static dimension — no watermark needed (static side has no event
+    // time), inner-join semantics per micro-batch
+    val dim = Seq(("s1", "rack-a"), ("s2", "rack-b")).toDF("server_id", "rack")
+    val src = MemoryStream[(Timestamp, String, Double)](spark)
+    val enriched = src.toDF().toDF("ts", "server_id", "cpu_pct")
+      .join(dim, Seq("server_id"))
+      .select("server_id", "rack", "cpu_pct")
+    val q = enriched.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    src.addData((ts(0), "s1", 10.0), (ts(1), "s2", 20.0), (ts(2), "s3", 30.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enriched").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    // s3 has no dimension row → dropped by the inner join
+    assert(got == Set(("s1", "rack-a", 10.0), ("s2", "rack-b", 20.0)))
+  }
+
   test("producer wire + landed table round-trip through the streaming path") {
     val src = MemoryStream[(String, String, Double, Double, Double, Double, Double)](spark)
     val ds = src.toDF().toDF("ts", "server_id", "cpu_pct", "mem_pct", "net_in", "net_out", "disk_io")
