@@ -73,6 +73,22 @@ class RefOpsSpec extends SparkSpec {
     assert(r.getString(0) == "t0" && r.getString(1) == "s1" && r.getDouble(2) == 42.5)
   }
 
+  test("P2: malformed wire messages decode to nulls, not failures") {
+    // at-least-once transports deliver garbage eventually; the decode
+    // tier must degrade per-field (PERMISSIVE from_csv) so one bad
+    // message can't kill a stream — downstream aggs drop the nulls
+    val wire = Seq(
+      "t0,s1,42.5",        // valid
+      "t1,s2",             // too few fields → null metric
+      "t2,s3,not_a_number" // unparseable metric → null metric
+    ).toDF("value")
+    val rows = RefOps.decodeCsvValue(wire, graft.core.Schemas.cpu).collect()
+    assert(rows.length == 3)
+    assert(rows(0).getDouble(2) == 42.5)
+    assert(rows(1).isNullAt(2) && rows(1).getString(0) == "t1")
+    assert(rows(2).isNullAt(2) && rows(2).getString(1) == "s3")
+  }
+
   test("A4: delivery stats counts per topic") {
     val df = Seq(("a", "s", 1.0, 1.0, 1.0, 1.0, 1.0), ("b", "s", 2.0, 2.0, 2.0, 2.0, 2.0))
       .toDF("ts", "server_id", "cpu_pct", "mem_pct", "net_in", "net_out", "disk_io")
