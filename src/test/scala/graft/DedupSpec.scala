@@ -66,6 +66,23 @@ class DedupSpec extends SparkSpec {
     assert(d.select(Dedup.hammingDistance(col("a"), col("b"))).head().getInt(0) == 2)
   }
 
+  test("empty/short documents flow through the near-dup pipeline unharmed") {
+    // docs below the shingle size produce no shingles → no profile → no
+    // pairs; they must neither crash any stage nor be dropped
+    val docs = Seq(
+      (1L, ""), (2L, "ab"), (3L, "one two"),
+      (10L, "a long document with enough words to shingle properly here"),
+      (11L, "a long document with enough words to shingle properly too"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDuplicates(docs, "text", "doc_id",
+      shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.5)
+    val pairSet = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairSet == Set((10L, 11L)))
+    val kept = Dedup.dropNearDuplicates(docs, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 10L)) // only the pair's right side dropped
+  }
+
   test("connectedComponents merges chains pairwise drop would miss") {
     // two chains: 1-2-3-4 (path — 1~4 never a direct pair) and 10-11;
     // plus an isolated pair edge list entry 20-21

@@ -97,6 +97,35 @@ class StreamingSpec extends SparkSpec {
     assert(out.forall(_.getAs[Double]("avg_cpu") == 99.0))
   }
 
+  test("stream-stream LEFT OUTER join null-extends once the watermark closes") {
+    // outer stream-stream joins need BOTH watermarks and an event-time
+    // range constraint so the engine knows when an unmatched left row
+    // can never match and emits it null-extended
+    val cpu = MemoryStream[(Timestamp, String, Double)](spark)
+    val mem = MemoryStream[(Timestamp, String, Double)](spark)
+    val c = cpu.toDF().toDF("cts", "server_id", "cpu_pct").withWatermark("cts", "10 seconds")
+    val m = mem.toDF().toDF("mts", "mem_server", "mem_pct").withWatermark("mts", "10 seconds")
+    val joined = c.join(m,
+      col("server_id") === col("mem_server") &&
+        col("mts") >= col("cts") && col("mts") <= col("cts") + expr("INTERVAL 5 SECONDS"),
+      "left_outer")
+      .select(col("server_id"), col("cts"), col("cpu_pct"), col("mem_pct"))
+    val q = joined.writeStream.format("memory").queryName("souter")
+      .outputMode("append").start()
+    cpu.addData((ts(100), "s1", 99.0), (ts(100), "s2", 50.0)) // s2 never matches
+    mem.addData((ts(102), "s1", 90.0))
+    q.processAllAvailable()
+    // advance both watermarks far past t=100 so the unmatched row emits
+    cpu.addData((ts(1000), "sx", 0.0))
+    mem.addData((ts(1000), "sx", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("souter").collect()
+      .map(r => (r.getString(0), r.getDouble(2), Option(r.get(3)))).toSet
+    assert(got.contains(("s1", 99.0, Some(90.0))))          // matched within range
+    assert(got.contains(("s2", 50.0, None)))                // null-extended after close
+  }
+
   test("stream-static enrichment join: dimension lookup per micro-batch") {
     // the standard enrichment topology: a stream joined against a
     // static dimension — no watermark needed (static side has no event
