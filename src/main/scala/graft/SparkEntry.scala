@@ -22,7 +22,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TpchQueries.queries ++ MonitorQueries.queries ++ DedupQueries.queries ++
       TextQueries.queries ++ SimilarityQueries.queries ++ MiscQueries.queries ++
-      AnalyticsQueries.queries ++ CurationQueries.queries
+      AnalyticsQueries.queries ++ CurationQueries.queries ++
+      TimeSeriesQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -30,5 +31,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     TpchQueries.oracles ++ MonitorQueries.oracles ++ DedupQueries.oracles ++
       TextQueries.oracles ++ SimilarityQueries.oracles ++ MiscQueries.oracles ++
-      AnalyticsQueries.oracles ++ CurationQueries.oracles
+      AnalyticsQueries.oracles ++ CurationQueries.oracles ++
+      TimeSeriesQueries.oracles
 }

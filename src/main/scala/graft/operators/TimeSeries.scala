@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series shaping operators: regular-grid resampling with
+  * forward-fill, and SCD2 (slowly-changing-dimension type 2) validity
+  * intervals from an event log.
+  *
+  * Both are pure window/aggregate compositions — no driver-side
+  * iteration, no collect. Scale analysis:
+  *  - `resampleLastFfill`: the observation aggregate shuffles on
+  *    (key, bucket) — one pass, map-side combinable. The grid size is
+  *    keys × (span / bucket), independent of the input row count, so a
+  *    100 TB event log with a bounded key space resamples to a small
+  *    output. The forward-fill window sorts per key — keys are the
+  *    parallelism unit; a single key's grid must fit a partition (true
+  *    by construction: span/bucket rows).
+  *  - `scd2History`: two windows over the same (key, order) sort — one
+  *    partitioning is reused (no second shuffle for the lead()).
+  */
+object TimeSeries {
+
+  /** Resample an observation stream onto a regular bucket grid, carrying
+    * the last observation of each bucket and forward-filling empty
+    * buckets from the previous non-empty one.
+    *
+    * "Last" is the row with the greatest (epochCol, tieCol) in the
+    * bucket — tieCol makes the choice deterministic when two
+    * observations share an epoch. Buckets before a key's first
+    * observation fill with null.
+    *
+    * The fill itself is the portable gaps-and-islands form: group id =
+    * running count of non-null values (each observation starts its own
+    * group, trailing gap rows inherit it), then one value per group.
+    * `last(ignoreNulls)` would plan the same window but its DuckDB
+    * mirror (`IGNORE NULLS`) is less portable than COUNT + MAX.
+    *
+    * Output: (keyCol, bucket_start: long, obs_cnt: long, value_ffill).
+    */
+  def resampleLastFfill(df: DataFrame, keyCol: String, epochCol: String,
+      tieCol: String, valCol: String, bucketSeconds: Long): DataFrame = {
+    val bucketed = df.select(
+      col(keyCol), col(epochCol), col(tieCol), col(valCol),
+      expr(s"$epochCol div $bucketSeconds").as("bucket"))
+    // one shuffle: per-bucket count + argmax-by-(epoch, tie) in one agg
+    val obs = bucketed.groupBy(col(keyCol), col("bucket"))
+      .agg(count(lit(1)).as("obs_cnt"),
+        max(struct(col(epochCol), col(tieCol), col(valCol)))
+          .getField(valCol).as("v"))
+    // grid: keys × contiguous bucket range — rows = keys · span/bucket,
+    // NOT proportional to the input
+    val grid = bucketed.groupBy(col(keyCol))
+      .agg(min(col("bucket")).as("mn"), max(col("bucket")).as("mx"))
+      .select(col(keyCol), explode(sequence(col("mn"), col("mx"))).as("bucket"))
+    val joined = grid.join(obs, Seq(keyCol, "bucket"), "left")
+    val wOrder = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    val filled = joined
+      .withColumn("grp", count(col("v")).over(wOrder))
+    filled.select(
+      col(keyCol),
+      (col("bucket") * bucketSeconds).as("bucket_start"),
+      coalesce(col("obs_cnt"), lit(0L)).as("obs_cnt"),
+      max(col("v")).over(
+        Window.partitionBy(col(keyCol), col("grp"))).as("value_ffill"))
+  }
+
+  /** SCD2 history: compact an event log to the rows where `attrCol`
+    * changed, each carrying its validity interval [valid_from,
+    * valid_to) — valid_to is the next change's epoch, null for the
+    * currently-open row. The standard shape for building dimension
+    * history tables from CDC streams.
+    *
+    * Change detection is null-safe (`<=>`): the first row per key is
+    * always a change. Ordering ties on equal epochs resolve by tieCol.
+    */
+  def scd2History(df: DataFrame, keyCol: String, epochCol: String,
+      tieCol: String, attrCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(epochCol), col(tieCol))
+    val flagged = df
+      .select(col(keyCol), col(epochCol), col(tieCol), col(attrCol))
+      .withColumn("prev", lag(col(attrCol), 1).over(w))
+      // rn distinguishes "no previous row" from "previous attr was
+      // null" — a lag()-is-null test alone would drop a first row whose
+      // attribute is itself null. All three windows share one (key)
+      // partitioning + (epoch, tie) sort — a single Exchange/Sort.
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 || !(col("prev") <=> col(attrCol)))
+    val wChanged = Window.partitionBy(col(keyCol)).orderBy(col(epochCol), col(tieCol))
+    flagged.select(
+      col(keyCol), col(attrCol),
+      col(epochCol).as("valid_from"),
+      lead(col(epochCol), 1).over(wChanged).as("valid_to"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.TimeSeries
+
+/** Time-series shaping over the events table: regular-grid resampling
+  * with forward-fill (gap repair before feature extraction) and SCD2
+  * validity-interval compaction (CDC history building). Both fully
+  * DuckDB-oracle-checked.
+  */
+object TimeSeriesQueries {
+
+  val queries: Map[String, Q] = Map(
+    // Resample each event_type's value stream onto an hourly grid:
+    // last observation per bucket, gaps forward-filled. 5 keys ×
+    // 30 days × 24 = ~3.6k output rows regardless of input size.
+    "q_resample" -> ((s, d) =>
+      TimeSeries.resampleLastFfill(
+        Tables.events(s, d)
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 1000000").as("e"),
+            col("event_id"), col("value")),
+        keyCol = "event_type", epochCol = "e", tieCol = "event_id",
+        valCol = "value", bucketSeconds = 3600L)),
+
+    // SCD2 history of each user's event_type: rows where the type
+    // changed, with [valid_from, valid_to) microsecond intervals
+    // (valid_to null on the open row).
+    "q_scd2" -> ((s, d) =>
+      TimeSeries.scd2History(
+        Tables.events(s, d)
+          .select(col("user_id"), expr("unix_micros(ts)").as("e_us"),
+            col("event_id"), col("event_type")),
+        keyCol = "user_id", epochCol = "e_us", tieCol = "event_id",
+        attrCol = "event_type"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    // Mirrors the operator stage-by-stage: per-bucket count + last
+    // value (row_number instead of Spark's max(struct)), key-range
+    // grid via generate_series, then the same portable
+    // gaps-and-islands forward fill (COUNT(v) running group + one
+    // value per group).
+    "q_resample" ->
+      """WITH o AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 AS e, event_id, value,
+        |    (epoch_us(ts) // 1000000) // 3600 AS bucket
+        |  FROM events
+        |), lastv AS (
+        |  SELECT event_type, bucket, value,
+        |    row_number() OVER (PARTITION BY event_type, bucket
+        |                       ORDER BY e DESC, event_id DESC) AS rn
+        |  FROM o
+        |), cnt AS (
+        |  SELECT event_type, bucket, COUNT(*) AS obs_cnt
+        |  FROM o GROUP BY event_type, bucket
+        |), b AS (
+        |  SELECT event_type, MIN(bucket) AS mn, MAX(bucket) AS mx
+        |  FROM o GROUP BY event_type
+        |), grid AS (
+        |  SELECT event_type, unnest(generate_series(mn, mx)) AS bucket FROM b
+        |), j AS (
+        |  SELECT g.event_type, g.bucket, c.obs_cnt, l.value AS v
+        |  FROM grid g
+        |  LEFT JOIN cnt c ON g.event_type = c.event_type AND g.bucket = c.bucket
+        |  LEFT JOIN (SELECT event_type, bucket, value FROM lastv WHERE rn = 1) l
+        |    ON g.event_type = l.event_type AND g.bucket = l.bucket
+        |), f AS (
+        |  SELECT event_type, bucket, COALESCE(obs_cnt, 0) AS obs_cnt, v,
+        |    COUNT(v) OVER (PARTITION BY event_type ORDER BY bucket) AS grp
+        |  FROM j
+        |)
+        |SELECT event_type, bucket * 3600 AS bucket_start, obs_cnt,
+        |  MAX(v) OVER (PARTITION BY event_type, grp) AS value_ffill
+        |FROM f""".stripMargin,
+
+    "q_scd2" ->
+      """WITH o AS (
+        |  SELECT user_id, epoch_us(ts) AS e_us, event_id, event_type
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, e_us, event_id, event_type,
+        |    lag(event_type) OVER w AS prev, row_number() OVER w AS rn
+        |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY e_us, event_id)
+        |), ch AS (
+        |  SELECT user_id, e_us, event_id, event_type
+        |  FROM c WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+        |)
+        |SELECT user_id, event_type, e_us AS valid_from,
+        |  lead(e_us) OVER (PARTITION BY user_id
+        |                   ORDER BY e_us, event_id) AS valid_to
+        |FROM ch""".stripMargin
+  )
+}
