@@ -40,4 +40,33 @@ object RangeJoin {
       .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
       .drop("_bin")
   }
+
+  /** Interval × interval overlap join, equi-ized the same way: both
+    * sides replicate onto every bin they touch, the equi-join runs on
+    * the bin id, and the exact half-open overlap predicate
+    * (lStart < rEnd AND rStart < lEnd) re-checks candidates.
+    *
+    * A pair sharing several bins would match once per shared bin; the
+    * `greatest(startBin_l, startBin_r)` guard keeps each pair only in
+    * the FIRST bin both occupy — exactly-once without a distinct (no
+    * extra shuffle). Replication is ⌈len/width⌉+1 per row, so bounded
+    * interval lengths keep the blow-up constant; pick `binWidth` near
+    * the longer side's typical length. Column sets must be disjoint;
+    * ends are exclusive (empty intervals match nothing).
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      lStart: String, lEnd: String,
+                      rStart: String, rEnd: String,
+                      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def binned(df: DataFrame, s: String, e: String) = df.withColumn("_bin",
+      explode(sequence(floor(col(s) / binWidth).cast("long"),
+        floor((col(e) - 1) / binWidth).cast("long"))))
+    binned(left, lStart, lEnd).join(binned(right, rStart, rEnd), Seq("_bin"))
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .filter(col("_bin") === greatest(
+        floor(col(lStart) / binWidth).cast("long"),
+        floor(col(rStart) / binWidth).cast("long")))
+      .drop("_bin")
+  }
 }

@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{Profiling, RangeJoin}
+
+/** Dataset-profiling and interval-analytics extensions: one-pass table
+  * profile, exact integer-arithmetic outlier flagging, and a binned
+  * interval-overlap join (sessions × incident windows). All
+  * DuckDB-oracle-checked.
+  */
+object ProfilingQueries {
+
+  private val profileCols =
+    Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+      "l_linestatus", "ship_s")
+
+  /** 2h session gap, µs. Matches q_session_windows: a gap strictly
+    * greater than this starts a new session.
+    */
+  private val gapUs = 7200000000L
+  private val dayUs = 86400000000L
+
+  val queries: Map[String, Q] = Map(
+    // Per-column profile of lineitem (keys, flags, ship date as epoch
+    // seconds — doubles excluded: their string rendering is not
+    // engine-portable).
+    "q_profile" -> ((s, d) =>
+      Profiling.tableProfile(
+        Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_returnflag"), col("l_linestatus"),
+          col("l_shipdate").cast("timestamp_ltz").cast("long").as("ship_s")),
+        profileCols)),
+
+    // Rows beyond 3σ of their event_type's mean value — the z-score
+    // decided in exact DECIMAL(38,0) arithmetic, so the flag set is
+    // bit-identical to the HUGEINT oracle.
+    "q_outliers" -> ((s, d) =>
+      Profiling.zScoreOutliers(
+        Tables.events(s, d).select(
+          col("event_id"), col("event_type"),
+          floor(col("value") * 100).cast("long").as("qv")),
+        groupCol = "event_type", quantCol = "qv", k = 3)),
+
+    // Interval-overlap join: user sessions (2h gap) × daily error
+    // incident windows, then a per-day rollup. The overlap join is the
+    // binned equi-join — no BroadcastNestedLoopJoin.
+    "q_interval_overlap" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("e_us"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("e_us"))
+      val sessions = ev
+        .withColumn("new_s",
+          when(col("e_us") - lag(col("e_us"), 1).over(w) > gapUs, 1L)
+            .otherwise(when(lag(col("e_us"), 1).over(w).isNull, 1L).otherwise(0L)))
+        .withColumn("sid", sum(col("new_s")).over(w))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("e_us")).as("s_start"), (max(col("e_us")) + 1).as("s_end"))
+      val incidents = ev.filter(col("event_type") === "error")
+        .withColumn("day", expr(s"e_us div $dayUs"))
+        .groupBy(col("day"))
+        .agg(min(col("e_us")).as("i_start"), (max(col("e_us")) + 1).as("i_end"))
+      RangeJoin.intervalOverlap(sessions, incidents,
+        "s_start", "s_end", "i_start", "i_end", binWidth = dayUs)
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_sessions"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(least(col("s_end"), col("i_end")) -
+            greatest(col("s_start"), col("i_start"))).as("total_overlap_us"))
+    })
+  )
+
+  private val profileOracle = profileCols.map { c =>
+    s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows, COUNT($c) AS n_nonnull,
+       |  COUNT(DISTINCT $c) AS n_distinct,
+       |  CAST(MIN($c) AS VARCHAR) AS min_s, CAST(MAX($c) AS VARCHAR) AS max_s
+       |FROM li""".stripMargin
+  }.mkString("\nUNION ALL\n")
+
+  val oracles: Map[String, String] = Map(
+    "q_profile" ->
+      s"""WITH li AS (
+         |  SELECT l_orderkey, l_partkey, l_suppkey, l_returnflag, l_linestatus,
+         |    epoch_ms(l_shipdate) // 1000 AS ship_s
+         |  FROM lineitem
+         |)
+         |$profileOracle""".stripMargin,
+
+    "q_outliers" ->
+      """WITH q AS (
+        |  SELECT event_id, event_type,
+        |    CAST(floor(value * 100) AS BIGINT) AS qv
+        |  FROM events
+        |), s AS (
+        |  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(qv) AS HUGEINT) AS sm,
+        |    SUM(CAST(qv AS HUGEINT) * qv) AS v
+        |  FROM q GROUP BY event_type
+        |)
+        |SELECT q.event_id, q.event_type, q.qv
+        |FROM q JOIN s USING (event_type)
+        |WHERE (n * qv - sm) * (n * qv - sm) > 9 * (n * v - sm * sm)""".stripMargin,
+
+    "q_interval_overlap" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type, epoch_us(ts) AS e_us FROM events
+         |), g AS (
+         |  SELECT user_id, e_us,
+         |    CASE WHEN e_us - lag(e_us) OVER w > $gapUs
+         |         OR lag(e_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY e_us)
+         |), sid AS (
+         |  SELECT user_id, e_us,
+         |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY e_us) AS sid
+         |  FROM g
+         |), sessions AS (
+         |  SELECT user_id, sid, MIN(e_us) AS s_start, MAX(e_us) + 1 AS s_end
+         |  FROM sid GROUP BY user_id, sid
+         |), incidents AS (
+         |  SELECT e_us // $dayUs AS day, MIN(e_us) AS i_start, MAX(e_us) + 1 AS i_end
+         |  FROM ev WHERE event_type = 'error' GROUP BY 1
+         |)
+         |SELECT i.day, COUNT(*) AS n_sessions,
+         |  COUNT(DISTINCT s.user_id) AS n_users,
+         |  SUM(least(s.s_end, i.i_end) - greatest(s.s_start, i.i_start))
+         |    AS total_overlap_us
+         |FROM sessions s JOIN incidents i
+         |  ON s.s_start < i.i_end AND i.i_start < s.s_end
+         |GROUP BY i.day""".stripMargin
+  )
+}
