@@ -313,6 +313,21 @@ object Dedup {
     labels.select(col("node").as(idCol), col("component"))
   }
 
+  /** Cluster-exact dedup materialization: keep one representative (the
+    * least id) per CONNECTED COMPONENT of the near-dup graph. Differs
+    * from [[dropNearDuplicates]] on transitive shapes: pairs (a,c),(b,c)
+    * with a<b<c keep b under pairwise dropping (b is never an id_b) but
+    * drop it here — a, b, c are one cluster and only a survives. The
+    * drop set is an anti-join against the non-representative component
+    * members; nothing is collected.
+    */
+  def clusterRepresentatives(df: DataFrame, pairs: DataFrame,
+      idCol: String): DataFrame = {
+    val drop = connectedComponents(pairs, idCol)
+      .filter(col(idCol) =!= col("component")).select(col(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Benchmark-contamination report: for each candidate (training)
     * document, how many of its word n-gram shingles also appear in the
     * benchmark corpus, and how many benchmark documents it collides

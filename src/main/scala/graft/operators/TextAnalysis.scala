@@ -100,6 +100,28 @@ object TextAnalysis {
       .select(col(idCol), col("ttr"), col("mean_tok_len"), col("punct_ratio"), col("quality"))
   }
 
+  /** Top-k bigram collocations over the corpus: adjacent whitespace
+    * token pairs, counted globally, ranked (count desc, bigram asc) —
+    * the deterministic tie-break makes top-k reproducible. The pair
+    * generation is one `transform` over an already-projected token
+    * array (HOF inputs stay plain columns — see rollingHash's measured
+    * anti-lesson), exploded AFTER `spreadByKey` so the ×tokens
+    * amplification runs on all cores. One shuffle (the count), then
+    * TakeOrderedAndProject for the top-k — no global sort materialized.
+    */
+  def topBigrams(df: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val tokked = spreadByKey(df, col(idCol))
+      .select(toks(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    tokked
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(toks[i - 1], ' ', toks[i]))")).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("bigram")).limit(k)
+  }
+
   /** Document fingerprint: md5 over whitespace-normalized lowercase text
     * — the exact-dedup key robust to spacing/case drift.
     */

@@ -72,6 +72,17 @@ object DedupQueries {
         shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.5)
       Dedup.dropNearDuplicates(docs, pairs, "doc_id")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
+
+    // Cluster-exact materialization: one survivor per connected
+    // component (vs q_dedup_materialize's pairwise id_b drop — the two
+    // differ on transitive shapes like (a,c),(b,c)).
+    "q_cluster_reps" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashNearDuplicates(docs, "text", "doc_id",
+        shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.5)
+      Dedup.clusterRepresentatives(docs, pairs, "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     })
   )
 
@@ -139,6 +150,20 @@ object DedupQueries {
          |comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
          |SELECT component, COUNT(*) AS n_members, MAX(node) AS max_id
          |FROM comp GROUP BY component""".stripMargin,
+
+    "q_cluster_reps" ->
+      s"""WITH RECURSIVE $minhashPairsSql,
+         |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |      UNION SELECT id_b, id_a FROM pairs),
+         |reach(node, lbl) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node
+         |),
+         |comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
+         |SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)"""
+        .stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, lower(trim(text)) AS t FROM documents

@@ -56,7 +56,13 @@ object SimilarityQueries {
         nlist = 8, nprobe = 2)
         .select(col("query_id"), col("cand_id"), col("sim"),
           col("rank").cast("long").as("rank"))
-    })
+    }),
+
+    // Product-quantization codes: 4 subspaces × 8 rank-seeded centroids,
+    // argmin in exact floor(x·1000) integer arithmetic — hash-strict vs
+    // the oracle despite being a compression step.
+    "q_pq_codes" -> ((s, d) =>
+      Similarity.pqCodes(Tables.embeddings(s, d), m = 4, nCent = 8))
   )
 
   /** Oracle fragments: fold-order-exact cosine between q.v and c.v. */
@@ -178,6 +184,38 @@ object SimilarityQueries {
          |  FROM p
          |)
          |SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 10""".stripMargin
-    }
+    },
+
+    "q_pq_codes" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS qe
+        |  FROM embeddings
+        |), cents AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qe AS qc
+        |  FROM q ORDER BY vec_id LIMIT 8
+        |), ex AS (
+        |  SELECT vec_id, cid, qe, qc,
+        |    unnest(generate_series(1, len(qe))) AS i
+        |  FROM q CROSS JOIN cents
+        |), d AS (
+        |  SELECT vec_id, cid, (i - 1) // (len(qe) // 4) AS s,
+        |    (qe[i] - qc[i]) * (qe[i] - qc[i]) AS d2
+        |  FROM ex
+        |), ds AS (
+        |  SELECT vec_id, cid, s, SUM(d2) AS dist
+        |  FROM d GROUP BY vec_id, cid, s
+        |), best AS (
+        |  SELECT vec_id, s, cid,
+        |    row_number() OVER (PARTITION BY vec_id, s
+        |                       ORDER BY dist ASC, cid ASC) AS rn
+        |  FROM ds
+        |)
+        |SELECT vec_id,
+        |  MAX(CASE WHEN s = 0 THEN cid END) AS code_0,
+        |  MAX(CASE WHEN s = 1 THEN cid END) AS code_1,
+        |  MAX(CASE WHEN s = 2 THEN cid END) AS code_2,
+        |  MAX(CASE WHEN s = 3 THEN cid END) AS code_3
+        |FROM best WHERE rn = 1 GROUP BY vec_id""".stripMargin
   )
 }

@@ -73,7 +73,12 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars"),
           min(col("doc_id")).as("min_id"))
-    })
+    }),
+
+    // Top-20 bigram collocations over the corpus — global count with a
+    // deterministic (count desc, bigram asc) tie-break.
+    "q_bigrams" -> ((s, d) =>
+      TextAnalysis.topBigrams(Tables.documents(s, d), "text", "doc_id", 20))
   )
 
   private val toksSql = """string_split_regex(lower(trim(text)), '\s+')"""
@@ -194,6 +199,14 @@ object TextQueries {
          |SELECT split, COUNT(*) AS n_docs,
          |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
          |  MIN(doc_id) AS min_id
-         |FROM sp GROUP BY split""".stripMargin
+         |FROM sp GROUP BY split""".stripMargin,
+
+    "q_bigrams" ->
+      s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+         |g AS (SELECT toks, unnest(generate_series(2, len(toks))) AS i
+         |      FROM t WHERE len(toks) >= 2),
+         |b AS (SELECT toks[i - 1] || ' ' || toks[i] AS bigram FROM g)
+         |SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
+         |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin
   )
 }

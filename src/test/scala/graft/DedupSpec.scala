@@ -151,4 +151,19 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(mixedCapped.toSeq == Seq((1000L, 1001L)))
   }
+
+  test("clusterRepresentatives keeps one survivor per component " +
+    "(vs pairwise drop on transitive shapes)") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 9L).toDF("doc_id")
+    // pairs (1,3), (2,3): pairwise drop removes only 3 (2 never an
+    // id_b), but {1,2,3} is ONE component -> only 1 survives
+    val pairs = Seq((1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val pairwise = Dedup.dropNearDuplicates(docs, pairs, "doc_id")
+      .as[Long].collect().sorted
+    val cluster = Dedup.clusterRepresentatives(docs, pairs, "doc_id")
+      .as[Long].collect().sorted
+    assert(pairwise.toSeq == Seq(1L, 2L, 9L))
+    assert(cluster.toSeq == Seq(1L, 9L))
+  }
 }

@@ -117,4 +117,30 @@ class SimilaritySpec extends SparkSpec {
     val got = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
     assert(got.toSeq == Seq(None, Some(11.0)))
   }
+
+  test("pqCodes assigns each subspace to its nearest centroid") {
+    // 4-dim vectors, m=2 subspaces of 2 dims, centroids = vecs 0 and 1.
+    // vec 2 = centroid 1's first half + centroid 0's second half →
+    // codes (1, 0); centroids encode as themselves.
+    val df = Seq(
+      (0L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 1.0f, 1.0f, 1.0f)),
+      (2L, Array(1.0f, 0.9f, 0.1f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.pqCodes(df, m = 2, nCent = 2)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 0L, 0L), (1L, 1L, 1L), (2L, 1L, 0L)))
+  }
+
+  test("pqCodes breaks distance ties toward the lower centroid id") {
+    val df = Seq(
+      (0L, Array(0.0f, 0.0f)),
+      (1L, Array(2.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f)))  // equidistant from both centroids
+      .toDF("vec_id", "embedding")
+    val out = Similarity.pqCodes(df, m = 1, nCent = 2)
+      .filter(col("vec_id") === 2L).collect()
+    assert(out.head.getLong(1) == 0L)
+  }
 }

@@ -88,4 +88,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L) == ((4L, 2L, "spam", 3L, 0.75)))
     assert(out(2L) == ((5L, 3L, "alpha", 2L, 0.4)))
   }
+
+  test("topBigrams counts adjacent pairs with a deterministic tie-break") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the cat sat"),        // "the cat", "cat sat"
+      (2L, "the cat ran"),        // "the cat", "cat ran"
+      (3L, "single"),             // no bigram
+      (4L, ""))                   // no bigram
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.topBigrams(d, "text", "doc_id", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // "the cat" ×2 first; then the count-1 ties resolve lexicographically
+    assert(out.toSeq == Seq(("the cat", 2L), ("cat ran", 1L)))
+  }
 }
