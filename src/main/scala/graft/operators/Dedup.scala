@@ -292,20 +292,27 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst").as("node"), col("component"))
+        .select(col("dst").as("node"), col("component"),
+          lit(null).cast(labels.schema("component").dataType).as("own"))
+      // One aggregation carries BOTH the new label (min over self +
+      // neighbors) and the previous one (min(own) — non-null only on
+      // the self row), so convergence is a filter over this round's
+      // materialized output instead of a second join-the-old-labels
+      // job per round.
+      //
       // localCheckpoint (eager), not persist: it also TRUNCATES lineage,
       // so round N's plan doesn't embed rounds 1..N-1 — without this the
       // logical plan grows per round and analysis/optimization time
       // comes to dominate the tiny frontier jobs (measured ~2× on the
       // fixture). A fault-tolerant deployment would swap in reliable
       // checkpoint(); the algorithm is identical.
-      val next = labels.unionByName(viaNeighbors)
+      val next = labels.withColumn("own", col("component"))
+        .unionByName(viaNeighbors)
         .groupBy(col("node"))
-        .agg(min(col("component")).as("component"))
+        .agg(min(col("component")).as("component"), min(col("own")).as("own"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("node"))
-        .filter(col("component") =!= col("old")).count()
-      labels = next
+      val changed = next.filter(col("component") =!= col("own")).count()
+      labels = next.select(col("node"), col("component"))
       converged = changed == 0
       iter += 1
     }
