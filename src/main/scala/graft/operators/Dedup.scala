@@ -335,6 +335,24 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware survivorship: per near-dup CLUSTER, keep the member
+    * with the highest score (ties → least id) — what a real curation
+    * pipeline does instead of "keep the smallest id" (the best copy of
+    * a boilerplate family is rarely the first-crawled one). Returns one
+    * row per cluster: (component, survivor id, its score, member
+    * count). The argmax is a single max(struct(score, -id))
+    * aggregation — no window sort over members.
+    */
+  def clusterSurvivors(df: DataFrame, pairs: DataFrame, idCol: String,
+      scoreCol: String): DataFrame =
+    connectedComponents(pairs, idCol)
+      .join(df.select(col(idCol), col(scoreCol)), Seq(idCol))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col(scoreCol).as("s"), (-col(idCol)).as("neg_id"))).as("best"))
+      .select(col("component"), col("n_members"),
+        (-col("best.neg_id")).as("survivor_id"), col("best.s").as(scoreCol))
+
   /** Benchmark-contamination report: for each candidate (training)
     * document, how many of its word n-gram shingles also appear in the
     * benchmark corpus, and how many benchmark documents it collides

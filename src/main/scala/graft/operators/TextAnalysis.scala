@@ -218,4 +218,33 @@ object TextAnalysis {
         col("best.tok").as("top_tok"), (-col("best.neg_cnt")).as("top_cnt"),
         ((-col("best.neg_cnt")).cast("double") / col("n_tokens")).as("top_ratio"))
   }
+
+  /** Context-window chunking: cut each doc's token stream into windows
+    * of `window` tokens every `stride` tokens (overlap = window −
+    * stride), the standard pre-tokenization step before packing
+    * sequences for training. Chunk count is 1 + ceil(max(0, n −
+    * window) / stride) — the final chunk may be short but always covers
+    * the tail, and no chunk starts past the end.
+    *
+    * Per-row explode of an in-row slice — no shuffle at all; the `div`
+    * ceil is clamped by greatest(0, …) so Spark's truncating div and
+    * any floor-div oracle agree (both ≤ 0 exactly when n < window).
+    */
+  def chunkTokens(df: DataFrame, textCol: String, idCol: String,
+                  window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0)
+    df.select(col(idCol), toks(col(textCol)).as("toks"))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("n_chunks",
+        lit(1L) + greatest(lit(0L),
+          expr(s"(n_toks - $window + ${stride - 1}) div $stride")))
+      .select(col(idCol), col("toks"), col("n_toks"),
+        explode(expr("sequence(0L, n_chunks - 1)")).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"), col("n_toks"),
+        slice(col("toks"), (col("chunk_id") * stride + 1).cast("int"), lit(window))
+          .as("chunk"))
+      .select(col(idCol), col("chunk_id"),
+        size(col("chunk")).cast("long").as("n_chunk_toks"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_fp"))
+  }
 }

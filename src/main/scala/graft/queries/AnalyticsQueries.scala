@@ -27,6 +27,13 @@ object AnalyticsQueries {
           min(col("l_extendedprice")).as("min_price"),
           max(col("l_extendedprice")).as("max_price"))),
 
+    // ROLLUP: the hierarchical prefix of CUBE (flag, flag+status, total)
+    // — same single Expand+shuffle plan, one fewer grouping set.
+    "q_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))),
+
     // GROUPING SETS with an explicit grouping-bit id (portable: built
     // from per-column grouping() flags, not the engine-specific
     // grouping_id encoding).
@@ -136,6 +143,11 @@ object AnalyticsQueries {
          |  ${sqlDsum("l_quantity")} AS sum_qty,
          |  MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
          |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |  ${sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
 
     "q_grouping_sets" ->
       s"""SELECT l_returnflag, l_linestatus,

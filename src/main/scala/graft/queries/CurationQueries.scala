@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.{Clustering, Dedup, Sampling, TextAnalysis}
+import graft.operators.{Clustering, Dedup, Packing, Sampling, TextAnalysis}
 
 /** Training-data curation queries: TF-IDF term weighting, PII
   * redaction, stratified corpus rebalancing, repetition (boilerplate)
@@ -64,7 +64,22 @@ object CurationQueries {
 
     // One integer-exact k-means refinement over the embedding corpus.
     "q_kmeans" -> ((s, d) =>
-      Clustering.kmeansRefine(Tables.embeddings(s, d), k = 4))
+      Clustering.kmeansRefine(Tables.embeddings(s, d), k = 4)),
+
+    // Sequence packing: documents laid end-to-end in id order, cut into
+    // 2048-token training bins via the two-level distributed prefix sum
+    // (never a global single-partition window — see Packing).
+    "q_seq_pack" -> ((s, d) =>
+      Packing.packReport(
+        Tables.documents(s, d).select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok")),
+        "doc_id", "n_tok", capacity = 2048, bucketWidth = 512)),
+
+    // Context-window chunking: 64-token windows every 48 tokens
+    // (16-token overlap) — the pre-packing chunk step for long docs.
+    "q_text_chunks" -> ((s, d) =>
+      TextAnalysis.chunkTokens(Tables.documents(s, d), "text", "doc_id",
+        window = 64, stride = 48))
   )
 
   private val toksSql = """string_split_regex(lower(trim(text)), '\s+')"""
@@ -155,6 +170,39 @@ object CurationQueries {
          |FROM (SELECT * FROM sh WHERE split = 'train') a
          |JOIN (SELECT * FROM sh WHERE split = 'val') b ON a.shingle = b.shingle
          |GROUP BY a.doc_id""".stripMargin,
+
+    "q_seq_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tok FROM documents
+         |), c AS (
+         |  SELECT doc_id, n_tok,
+         |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS start_off
+         |  FROM t
+         |)
+         |SELECT start_off // 2048 AS bin, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |  MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+         |FROM c GROUP BY 1""".stripMargin,
+
+    "q_text_chunks" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents
+         |), n AS (
+         |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_toks FROM t
+         |), x AS (
+         |  SELECT doc_id, toks,
+         |    unnest(generate_series(0,
+         |      CAST(greatest(0, (n_toks - 64 + 47) // 48) AS BIGINT))) AS chunk_id
+         |  FROM n
+         |)
+         |SELECT doc_id, chunk_id,
+         |  CAST(len(toks[(chunk_id*48+1):(chunk_id*48+64)]) AS BIGINT)
+         |    AS n_chunk_toks,
+         |  md5(array_to_string(toks[(chunk_id*48+1):(chunk_id*48+64)], ' '))
+         |    AS chunk_fp
+         |FROM x""".stripMargin,
 
     "q_kmeans" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -83,6 +83,38 @@ object DedupQueries {
         shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.5)
       Dedup.clusterRepresentatives(docs, pairs, "doc_id")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
+
+    // Quality-aware survivorship: per cluster keep the LONGEST member
+    // (ties → least id), the policy real curation uses instead of
+    // "first crawled wins".
+    "q_cluster_best" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashNearDuplicates(docs, "text", "doc_id",
+        shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.5)
+      Dedup.clusterSurvivors(docs, pairs, "doc_id", "n_chars")
+    }),
+
+    // Edit-distance verification of LSH candidates — the fuzzy-dedup
+    // complement to Jaccard (within-word edits vs set overlap). Both
+    // engines compare the ASCII projection so byte-wise and
+    // codepoint-wise Levenshtein implementations cannot disagree, and
+    // the relative-distance cut is integer arithmetic (no division).
+    "q_edit_distance" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val profiles = Dedup.dedupProfiles(
+        Dedup.rawWordShingles(docs, "text", "doc_id", 3),
+        "doc_id", bands = 8, rowsPerBand = 2).persist()
+      val ascii = docs.select(col("doc_id"),
+        regexp_replace(col("text"), "[^ -~]", "").as("atext"))
+      Dedup.profileCandidatePairs(profiles, "doc_id")
+        .join(ascii.select(col("doc_id").as("id_a"), col("atext").as("text_a")), Seq("id_a"))
+        .join(ascii.select(col("doc_id").as("id_b"), col("atext").as("text_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_dist"),
+          greatest(length(col("text_a")), length(col("text_b")))
+            .cast("long").as("max_len"))
+        .filter(col("edit_dist") * 10 <= col("max_len") * 3)
     })
   )
 
@@ -96,8 +128,10 @@ object DedupQueries {
        |sh AS (SELECT DISTINCT doc_id, toks[g]||' '||toks[g+1]||' '||toks[g+2] AS shingle
        |       FROM gs)""".stripMargin
 
-  /** Full MinHash→LSH→Jaccard pair pipeline as a reusable WITH body. */
-  private val minhashPairsSql =
+  /** Word-shingle MinHash → LSH banding → candidate pairs (shared by
+    * the Jaccard pipeline and the edit-distance verify).
+    */
+  private val candSql =
     s"""$shinglesSql,
        |hx AS (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS h FROM sh),
        |mh AS (SELECT doc_id, h,
@@ -108,7 +142,11 @@ object DedupQueries {
        |        FROM mh GROUP BY doc_id, h // 2),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |         FROM sig a JOIN sig b
-       |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Full MinHash→LSH→Jaccard pair pipeline as a reusable WITH body. */
+  private val minhashPairsSql =
+    s"""$candSql,
        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
        |          FROM cand c
@@ -164,6 +202,39 @@ object DedupQueries {
          |SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)"""
         .stripMargin,
+
+    "q_cluster_best" ->
+      s"""WITH RECURSIVE $minhashPairsSql,
+         |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |      UNION SELECT id_b, id_a FROM pairs),
+         |reach(node, lbl) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node
+         |),
+         |comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+         |m AS (SELECT c.node, c.component, d.n_chars
+         |      FROM comp c JOIN documents d ON d.doc_id = c.node),
+         |r AS (SELECT *,
+         |        row_number() OVER (PARTITION BY component
+         |          ORDER BY n_chars DESC, node ASC) AS rk,
+         |        COUNT(*) OVER (PARTITION BY component) AS n_members
+         |      FROM m)
+         |SELECT component, n_members, node AS survivor_id, n_chars
+         |FROM r WHERE rk = 1""".stripMargin,
+
+    "q_edit_distance" ->
+      s"""WITH $candSql,
+         |a AS (SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS atext
+         |      FROM documents)
+         |SELECT c.id_a, c.id_b,
+         |  CAST(levenshtein(x.atext, y.atext) AS BIGINT) AS edit_dist,
+         |  CAST(greatest(len(x.atext), len(y.atext)) AS BIGINT) AS max_len
+         |FROM cand c
+         |JOIN a x ON x.doc_id = c.id_a
+         |JOIN a y ON y.doc_id = c.id_b
+         |WHERE levenshtein(x.atext, y.atext) * 10
+         |      <= greatest(len(x.atext), len(y.atext)) * 3""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, lower(trim(text)) AS t FROM documents
