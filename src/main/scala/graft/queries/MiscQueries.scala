@@ -130,8 +130,36 @@ object MiscQueries {
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
-          min(col("k")).as("min_k"), max(col("k")).as("max_k")))
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))),
+
+    // Z-order (Morton) locality rollup: interleave the low 8 bits of
+    // (l_partkey, l_suppkey), tile = 256 consecutive z values. Each
+    // tile's min/max per dimension demonstrates the data-skipping
+    // property the layout buys: a z-tile is a bounded square in BOTH
+    // key spaces (≤16 per side here), so footer stats prune on either
+    // predicate. Pure codegen'd shift/mask arithmetic.
+    "q_zorder" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"))
+        .withColumn("z", graft.sources.ParquetLake.zOrderKey(
+          Seq(col("l_partkey"), col("l_suppkey")), bits = 8))
+        .withColumn("tile", expr("z div 256"))
+        .groupBy(col("tile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("z")).as("z_min"), max(col("z")).as("z_max"),
+          min(col("l_partkey") % 256).as("px_min"),
+          max(col("l_partkey") % 256).as("px_max"),
+          min(col("l_suppkey") % 256).as("py_min"),
+          max(col("l_suppkey") % 256).as("py_max")))
   )
+
+  /** Morton interleave of (l_partkey, l_suppkey) low 8 bits as DuckDB
+    * bit arithmetic — mirrors [[graft.sources.ParquetLake.zOrderKey]].
+    */
+  private val zSql = (0 until 8).flatMap { b =>
+    Seq(s"((((l_partkey & 255) >> $b) & 1) << ${2 * b})",
+      s"((((l_suppkey & 255) >> $b) & 1) << ${2 * b + 1})")
+  }.mkString("(", " | ", ")")
 
   val oracles: Map[String, String] = Map(
     // Gaps-and-islands: a new session starts when the silence since the
@@ -242,6 +270,16 @@ object MiscQueries {
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_zorder" ->
+      s"""WITH z AS (
+         |  SELECT l_partkey, l_suppkey, $zSql AS z FROM lineitem
+         |)
+         |SELECT z // 256 AS tile, COUNT(*) AS n,
+         |  MIN(z) AS z_min, MAX(z) AS z_max,
+         |  MIN(l_partkey % 256) AS px_min, MAX(l_partkey % 256) AS px_max,
+         |  MIN(l_suppkey % 256) AS py_min, MAX(l_suppkey % 256) AS py_max
+         |FROM z GROUP BY 1""".stripMargin
   )
 }

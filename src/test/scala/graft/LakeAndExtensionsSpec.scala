@@ -57,6 +57,48 @@ class LakeAndExtensionsSpec extends SparkSpec {
     assert(in.except(out).count() == 0 && out.except(in).count() == 0)
   }
 
+  test("zOrderKey interleaves bits like the reference formula") {
+    def ref(x: Long, y: Long, bits: Int): Long = {
+      var z = 0L
+      for (b <- 0 until bits) {
+        z |= ((x >> b) & 1L) << (2 * b)
+        z |= ((y >> b) & 1L) << (2 * b + 1)
+      }
+      z
+    }
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (255L, 255L), (170L, 85L),
+      (300L, 7L), (-5L, 3L)) // 300 masks to 44; -5 clamps to 0
+    val df = cases.toDF("x", "y")
+      .withColumn("z", ParquetLake.zOrderKey(Seq($"x", $"y"), 8))
+    val got = df.select("x", "y", "z").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    cases.foreach { case (x, y) =>
+      val exp = ref(math.max(x, 0) & 255, math.max(y, 0) & 255, 8)
+      assert(got((x, y)) == exp, s"($x,$y)")
+    }
+  }
+
+  test("z-ordered files are bounded tiles in BOTH dimensions") {
+    val base = Files.createTempDirectory("zlake").toString
+    // full 256x256 grid; 16 z-range files => each file is ~a 64x64 tile
+    val grid = spark.range(256L * 256)
+      .select(($"id" % 256).as("x"), ($"id" / 256).cast("long").as("y"))
+    ParquetLake.writeZOrdered(grid.toDF(), s"$base/z", Seq("x", "y"), 8, 16)
+    val perFile = spark.read.parquet(s"$base/z")
+      .select(input_file_name().as("f"), $"x", $"y")
+      .groupBy($"f")
+      .agg((max($"x") - min($"x")).as("xs"), (max($"y") - min($"y")).as("ys"))
+      .collect()
+    assert(perFile.length >= 8)
+    // a 1/16 z-range spans at most ~2 adjacent 64x64 quads -> each dim
+    // bounded well under the full 0..255 extent; lexicographic layout
+    // would leave y spanning 255 in every mid file
+    perFile.foreach { r =>
+      assert(r.getLong(1) <= 192 && r.getLong(2) <= 192,
+        s"file tile too wide: ${r.getLong(1)}x${r.getLong(2)}")
+    }
+  }
+
   test("GraftExtensions' function builder registers vec_dot for SQL text") {
     // exercise the same (identifier, info, builder) triple the
     // SparkSessionExtensions injection uses (a fresh session with
