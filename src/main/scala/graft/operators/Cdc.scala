@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture application — the lakehouse MERGE: fold a
+  * changelog of row images into a base snapshot.
+  *
+  * Contract: `changes` carries the base schema plus a monotone
+  * per-change sequence column (CDC offset / LSN) and an op column;
+  * the LATEST change per key wins (upsert row image replaces the base
+  * row, `deleteOp` removes it), keys never mentioned stay, change keys
+  * absent from the base insert.
+  *
+  * Plan shape: one window sort keyed by the merge key resolves
+  * latest-per-key (the same CDC-compaction shape as `q_latest_per_key`),
+  * then a left-anti join drops superseded base rows and a union appends
+  * the surviving images. Everything is keyed — one shuffle per side,
+  * no broadcast of anything unbounded; at 100 TB this is the standard
+  * daily MERGE of a changelog into a snapshot partition.
+  */
+object Cdc {
+
+  def applyChanges(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
+                   seqCol: String, opCol: String, deleteOp: String = "D"): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(desc(seqCol))
+    val latest = changes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val dataCols = base.columns.toSeq
+    val upserts = latest.filter(col(opCol) =!= deleteOp)
+      .select(dataCols.map(col): _*)
+    base.join(latest.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(upserts)
+  }
+}

@@ -219,6 +219,34 @@ object TextAnalysis {
         ((-col("best.neg_cnt")).cast("double") / col("n_tokens")).as("top_ratio"))
   }
 
+  /** Tokenizer-vocabulary construction: corpus-wide token frequencies,
+    * ranked, with cumulative coverage (what fraction of all token
+    * occurrences the top-r entries explain) — the cut curve that sizes
+    * a vocab. The token count aggregation is keyed and map-side
+    * combinable (linear in the corpus); the ranking window then runs
+    * over the |vocab| rows only — sublinear in corpus size (Heaps'
+    * law), the same hierarchical-smallness argument as Packing's
+    * bucket-totals pass.
+    */
+  def vocabulary(df: DataFrame, textCol: String, idCol: String,
+                 topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = spreadByKey(df, col(idCol))
+      .select(explode(toks(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(desc("cnt"), asc("tok"))
+    val cumW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_cnt", sum(col("cnt")).over(cumW))
+      .filter(col("rank") <= topK)
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("tok"), col("cnt"), col("cum_cnt"),
+        (col("cum_cnt").cast("double") / col("total")).as("coverage"))
+  }
+
   /** Context-window chunking: cut each doc's token stream into windows
     * of `window` tokens every `stride` tokens (overlap = window −
     * stride), the standard pre-tokenization step before packing

@@ -50,6 +50,11 @@ object TextQueries {
         .rollup(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))),
 
+    // Tokenizer-vocabulary cut curve: top-500 tokens by corpus
+    // frequency with cumulative occurrence coverage.
+    "q_vocab" -> ((s, d) =>
+      TextAnalysis.vocabulary(Tables.documents(s, d), "text", "doc_id", 500)),
+
     // Capstone: the full corpus-curation pipeline the extension
     // operators exist for — predict language → keep confident English →
     // drop low quality → exact-dedup on the normalized fingerprint
@@ -158,6 +163,21 @@ object TextQueries {
       """SELECT lang, source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY ROLLUP(lang, source)""".stripMargin,
+
+    "q_vocab" ->
+      s"""WITH tk AS (SELECT unnest($toksSql) AS tok FROM documents),
+         |c AS (SELECT tok, COUNT(*) AS cnt FROM tk WHERE tok <> ''
+         |      GROUP BY tok),
+         |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+         |r AS (SELECT tok, cnt,
+         |        row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rank,
+         |        CAST(SUM(cnt) OVER (ORDER BY cnt DESC, tok ASC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |          AS cum_cnt
+         |      FROM c)
+         |SELECT rank, tok, cnt, cum_cnt,
+         |  CAST(cum_cnt AS DOUBLE) / total AS coverage
+         |FROM r CROSS JOIN t WHERE rank <= 500""".stripMargin,
 
     "q_corpus_curation" ->
       s"""WITH sc AS (

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.TimeSeries
+import graft.operators.{Cdc, TimeSeries}
 
 /** Time-series shaping over the events table: regular-grid resampling
   * with forward-fill (gap repair before feature extraction) and SCD2
@@ -33,7 +33,20 @@ object TimeSeriesQueries {
           .select(col("user_id"), expr("unix_micros(ts)").as("e_us"),
             col("event_id"), col("event_type")),
         keyCol = "user_id", epochCol = "e_us", tieCol = "event_id",
-        attrCol = "event_type"))
+        attrCol = "event_type")),
+
+    // CDC MERGE: fold a changelog (derived deterministically from
+    // orders — finalized orders delete their customer row, open ones
+    // upsert the balance to the order total; highest order key wins)
+    // into the customer snapshot.
+    "q_upsert" -> ((s, d) => {
+      val base = Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+      val changes = Tables.orders(s, d).select(
+        col("o_custkey").as("c_custkey"), col("o_totalprice").as("c_acctbal"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderstatus") === "F", "D").otherwise("U").as("op"))
+      Cdc.applyChanges(base, changes, Seq("c_custkey"), "seq", "op")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -90,6 +103,24 @@ object TimeSeriesQueries {
         |SELECT user_id, event_type, e_us AS valid_from,
         |  lead(e_us) OVER (PARTITION BY user_id
         |                   ORDER BY e_us, event_id) AS valid_to
-        |FROM ch""".stripMargin
+        |FROM ch""".stripMargin,
+
+    "q_upsert" ->
+      """WITH ch AS (
+        |  SELECT o_custkey AS c_custkey, o_totalprice AS c_acctbal,
+        |    o_orderkey AS seq,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op
+        |  FROM orders
+        |), last AS (
+        |  SELECT c_custkey, c_acctbal, op FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY c_custkey
+        |                                 ORDER BY seq DESC) AS rn
+        |    FROM ch
+        |  ) WHERE rn = 1
+        |)
+        |SELECT c.c_custkey, c.c_acctbal FROM customer c
+        |WHERE c.c_custkey NOT IN (SELECT c_custkey FROM last)
+        |UNION ALL
+        |SELECT c_custkey, c_acctbal FROM last WHERE op <> 'D'""".stripMargin
   )
 }
