@@ -194,6 +194,23 @@ object Dedup {
         .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig")),
       idCol, maxBucketSize)
 
+  /** LSH candidates ACROSS two corpora (incremental dedup: a new batch
+    * against the already-ingested reference corpus). Same band+sig
+    * equi-join as [[profileCandidatePairs]] but sides are distinct
+    * relations, so no id ordering constraint — (new, ref) pairs out.
+    * This is the production shape: the reference side's signatures are
+    * computed ONCE at ingest and reused every batch; only the new
+    * batch pays shingling.
+    */
+  def crossCorpusCandidates(profilesNew: DataFrame, profilesRef: DataFrame,
+                            idCol: String): DataFrame = {
+    def sigs(p: DataFrame, as: String) =
+      p.select(col(idCol).as(as), explode(col("band_sigs")).as("bs"))
+        .select(col(as), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    sigs(profilesNew, "id_a").join(sigs(profilesRef, "id_b"), Seq("band", "sig"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
   /** Exact Jaccard on candidate pairs from profile hash sets: two id
     * equi-joins fetch the per-doc sets, array_intersect counts the
     * overlap — no shingle-level shuffle at all.

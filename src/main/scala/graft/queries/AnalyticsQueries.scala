@@ -113,6 +113,26 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // Rolling 1h time-range aggregates per event_type: RANGE frame
+    // over epoch seconds (not ROWS — irregular event spacing means a
+    // row-count frame is semantically wrong). RANGE includes all peers
+    // of the current order value, so ties make it deterministic; sums
+    // ride the exact decimal detour. Spark recomputes a sliding frame
+    // per row (O(n·frame), no retraction) — keep time-range frames
+    // narrow, or decompose wide ones into a bucketed prefix sum (see
+    // SCALE.md).
+    "q_rolling_window" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("e"))
+        .rangeBetween(-3599L, 0L)
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          expr("unix_micros(ts) div 1000000").as("e"), col("value"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h",
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .over(w).cast("double"))
+    }),
+
     // Exact percentiles by rank selection (nearest-lower rank, no
     // interpolation — interpolated quantiles are 1-ulp-unstable across
     // engines; rank selection returns an actual data value). One window
@@ -201,6 +221,14 @@ object AnalyticsQueries {
         |  ON epoch_ms(l.l_shipdate) // 1000 >= t.win_start
         | AND epoch_ms(l.l_shipdate) // 1000 < t.win_end
         |GROUP BY t.o_orderkey, t.win_start""".stripMargin,
+
+    "q_rolling_window" ->
+      """SELECT event_type, event_id, epoch_us(ts) // 1000000 AS e, value,
+        |  COUNT(*) OVER w AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts) // 1000000
+        |             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q_percentile_rank" ->
       """WITH r AS (

@@ -95,6 +95,27 @@ object DedupQueries {
       Dedup.clusterSurvivors(docs, pairs, "doc_id", "n_chars")
     }),
 
+    // Incremental dedup: LSH the 10% "new batch" (hash split) against
+    // the 90% reference corpus — cross-corpus candidates only, Jaccard
+    // verify. The production shape: reference signatures are computed
+    // once at ingest; each arriving batch pays only its own shingling.
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("split", graft.operators.Sampling.splitTag(col("doc_id"), 0.9))
+      val profiles = Dedup.dedupProfiles(
+        Dedup.rawWordShingles(docs, "text", "doc_id", 3),
+        "doc_id", bands = 8, rowsPerBand = 2)
+        .join(docs.select(col("doc_id"), col("split")), Seq("doc_id"))
+        .persist()
+      val cands = Dedup.crossCorpusCandidates(
+        profiles.filter(col("split") === "val"),
+        profiles.filter(col("split") === "train"), "doc_id")
+      Dedup.jaccardFromProfiles(profiles, cands, "doc_id")
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a").as("new_id"), col("id_b").as("ref_id"),
+          col("jaccard"))
+    }),
+
     // Edit-distance verification of LSH candidates — the fuzzy-dedup
     // complement to Jaccard (within-word edits vs set overlap). Both
     // engines compare the ASCII projection so byte-wise and
@@ -128,10 +149,10 @@ object DedupQueries {
        |sh AS (SELECT DISTINCT doc_id, toks[g]||' '||toks[g+1]||' '||toks[g+2] AS shingle
        |       FROM gs)""".stripMargin
 
-  /** Word-shingle MinHash → LSH banding → candidate pairs (shared by
-    * the Jaccard pipeline and the edit-distance verify).
+  /** Word-shingle MinHash band signatures (shared prefix of every LSH
+    * oracle: within-corpus pairs, edit-distance verify, incremental).
     */
-  private val candSql =
+  private val sigSql =
     s"""$shinglesSql,
        |hx AS (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS h FROM sh),
        |mh AS (SELECT doc_id, h,
@@ -139,7 +160,10 @@ object DedupQueries {
        |       FROM hx GROUP BY doc_id, h),
        |sig AS (SELECT doc_id, h // 2 AS band,
        |          md5(string_agg(mh, '' ORDER BY h)) AS sig
-       |        FROM mh GROUP BY doc_id, h // 2),
+       |        FROM mh GROUP BY doc_id, h // 2)""".stripMargin
+
+  private val candSql =
+    s"""$sigSql,
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |         FROM sig a JOIN sig b
        |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
@@ -222,6 +246,30 @@ object DedupQueries {
          |      FROM m)
          |SELECT component, n_members, node AS survivor_id, n_chars
          |FROM r WHERE rk = 1""".stripMargin,
+
+    "q_dedup_incremental" ->
+      s"""WITH $sigSql,
+         |sp AS (SELECT doc_id,
+         |         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+         |              THEN 'train' ELSE 'val' END AS split
+         |       FROM documents),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM sig a
+         |         JOIN sp pa ON pa.doc_id = a.doc_id AND pa.split = 'val'
+         |         JOIN sig b ON a.band = b.band AND a.sig = b.sig
+         |         JOIN sp pb ON pb.doc_id = b.doc_id AND pb.split = 'train'),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+         |          FROM cand c
+         |          JOIN sh x ON x.doc_id = c.id_a
+         |          JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+         |          GROUP BY c.id_a, c.id_b)
+         |SELECT i.id_a AS new_id, i.id_b AS ref_id,
+         |  i.n_inter / (sx.n + sy.n - i.n_inter) AS jaccard
+         |FROM inter i
+         |JOIN sz sx ON sx.doc_id = i.id_a
+         |JOIN sz sy ON sy.doc_id = i.id_b
+         |WHERE i.n_inter / (sx.n + sy.n - i.n_inter) >= 0.5""".stripMargin,
 
     "q_edit_distance" ->
       s"""WITH $candSql,
