@@ -47,4 +47,24 @@ class CdcSpec extends SparkSpec {
     val out = TextAnalysis.vocabulary(docs, "text", "id", 2).orderBy("rank").collect()
     assert(out(0).getString(1) == "y" && out(1).getString(1) == "z")
   }
+
+  test("crossCorpusCandidates pairs only across sides") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    // docs 1 and 2 (new side) are near-identical to 11 and 12 (ref
+    // side) respectively; 1~2 are ALSO near-identical to each other but
+    // must not pair (same side)
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val t2 = "alpha beta gamma delta epsilon zeta eta iota"
+    val newDocs = Seq((1L, t1), (2L, t1 + " kappa")).toDF("doc_id", "text")
+    val refDocs = Seq((11L, t1), (12L, t2), (13L, "totally unrelated content here"))
+      .toDF("doc_id", "text")
+    def profs(df: org.apache.spark.sql.DataFrame) = Dedup.dedupProfiles(
+      Dedup.rawWordShingles(df, "text", "doc_id", 3), "doc_id", 8, 2)
+    val cands = Dedup.crossCorpusCandidates(profs(newDocs), profs(refDocs), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 11L)))
+    assert(cands.forall { case (a, b) => a < 10 && b >= 10 },
+      s"same-side pair leaked: $cands")
+  }
 }
