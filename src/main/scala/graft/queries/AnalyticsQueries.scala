@@ -133,6 +133,28 @@ object AnalyticsQueries {
             .over(w).cast("double"))
     }),
 
+    // Rolling anomaly detection: flag events >2σ from their own 1h
+    // trailing window's mean — the streaming-monitor z-test, decided
+    // entirely in exact integer arithmetic ((n·q−s)² > 4(n·v−s²) over
+    // quantized values; small frames self-gate, a 2-point frame can
+    // never fire). Three sliding sums share one window sort.
+    "q_rolling_anomaly" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("e"))
+        .rangeBetween(-3599L, 0L)
+      val dev = col("n_1h") * col("qv") - col("s_1h")
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          expr("unix_micros(ts) div 1000000").as("e"),
+          floor(col("value") * 100).cast("long").as("qv"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("s_1h", sum(col("qv")).over(w))
+        .withColumn("v_1h", sum(col("qv") * col("qv")).over(w))
+        .filter(dev * dev >
+          lit(4L) * (col("n_1h") * col("v_1h") - col("s_1h") * col("s_1h")))
+        .select(col("event_type"), col("event_id"), col("e"), col("qv"),
+          col("n_1h"))
+    }),
+
     // Exact percentiles by rank selection (nearest-lower rank, no
     // interpolation — interpolated quantiles are 1-ulp-unstable across
     // engines; rank selection returns an actual data value). One window
@@ -229,6 +251,24 @@ object AnalyticsQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts) // 1000000
         |             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_rolling_anomaly" ->
+      """WITH q AS (
+        |  SELECT event_type, event_id, epoch_us(ts) // 1000000 AS e,
+        |    CAST(floor(value * 100) AS BIGINT) AS qv
+        |  FROM events
+        |), r AS (
+        |  SELECT event_type, event_id, e, qv,
+        |    COUNT(*) OVER w AS n_1h,
+        |    CAST(SUM(qv) OVER w AS BIGINT) AS s_1h,
+        |    CAST(SUM(qv * qv) OVER w AS BIGINT) AS v_1h
+        |  FROM q
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY e
+        |               RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_type, event_id, e, qv, n_1h FROM r
+        |WHERE (n_1h * qv - s_1h) * (n_1h * qv - s_1h)
+        |      > 4 * (n_1h * v_1h - s_1h * s_1h)""".stripMargin,
 
     "q_percentile_rank" ->
       """WITH r AS (
