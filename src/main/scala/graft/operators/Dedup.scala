@@ -229,6 +229,27 @@ object Dedup {
         (col("n_inter") / (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
   }
 
+  /** Asymmetric containment on candidate pairs: |A∩B|/|A| and
+    * |A∩B|/|B| from the profile hash sets. Catches what symmetric
+    * Jaccard misses — a short document quoted wholesale inside a long
+    * one has low Jaccard (the union is large) but containment ≈ 1 on
+    * the short side. Same two id equi-joins as [[jaccardFromProfiles]].
+    */
+  def containmentFromProfiles(profiles: DataFrame, candidates: DataFrame,
+                              idCol: String): DataFrame = {
+    val a = profiles.select(col(idCol).as("id_a"),
+      col("sh_set").as("set_a"), col("n").as("n_a"))
+    val b = profiles.select(col(idCol).as("id_b"),
+      col("sh_set").as("set_b"), col("n").as("n_b"))
+    candidates.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("set_a"), col("set_b"))).cast("long").as("n_inter"),
+        col("n_a"), col("n_b"))
+      .select(col("id_a"), col("id_b"), col("n_inter"),
+        (col("n_inter") / col("n_a")).as("containment_a"),
+        (col("n_inter") / col("n_b")).as("containment_b"))
+  }
+
   /** Exact Jaccard over shingle sets, evaluated only on candidate pairs:
     * |A∩B| via a shingle equi-join restricted to candidates, sizes via a
     * per-doc count. Integer counts → the final division is deterministic.

@@ -95,6 +95,18 @@ object DedupQueries {
       Dedup.clusterSurvivors(docs, pairs, "doc_id", "n_chars")
     }),
 
+    // Asymmetric containment over LSH candidates: catches short-doc-
+    // quoted-in-long-doc shapes whose Jaccard stays low. Keep pairs
+    // where either side is ≥70% contained in the other.
+    "q_containment" -> ((s, d) => {
+      val profiles = Dedup.dedupProfiles(
+        Dedup.rawWordShingles(Tables.documents(s, d), "text", "doc_id", 3),
+        "doc_id", bands = 8, rowsPerBand = 2).persist()
+      val cands = Dedup.profileCandidatePairs(profiles, "doc_id")
+      Dedup.containmentFromProfiles(profiles, cands, "doc_id")
+        .filter(greatest(col("containment_a"), col("containment_b")) >= 0.7)
+    }),
+
     // Incremental dedup: LSH the 10% "new batch" (hash split) against
     // the 90% reference corpus — cross-corpus candidates only, Jaccard
     // verify. The production shape: reference signatures are computed
@@ -246,6 +258,22 @@ object DedupQueries {
          |      FROM m)
          |SELECT component, n_members, node AS survivor_id, n_chars
          |FROM r WHERE rk = 1""".stripMargin,
+
+    "q_containment" ->
+      s"""WITH $candSql,
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+         |          FROM cand c
+         |          JOIN sh x ON x.doc_id = c.id_a
+         |          JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+         |          GROUP BY c.id_a, c.id_b)
+         |SELECT i.id_a, i.id_b, CAST(i.n_inter AS BIGINT) AS n_inter,
+         |  i.n_inter / sx.n AS containment_a,
+         |  i.n_inter / sy.n AS containment_b
+         |FROM inter i
+         |JOIN sz sx ON sx.doc_id = i.id_a
+         |JOIN sz sy ON sy.doc_id = i.id_b
+         |WHERE greatest(i.n_inter / sx.n, i.n_inter / sy.n) >= 0.7""".stripMargin,
 
     "q_dedup_incremental" ->
       s"""WITH $sigSql,

@@ -166,4 +166,21 @@ class DedupSpec extends SparkSpec {
     assert(pairwise.toSeq == Seq(1L, 2L, 9L))
     assert(cluster.toSeq == Seq(1L, 9L))
   }
+
+  test("containmentFromProfiles: a quoted subset scores ~1 on its side, low Jaccard") {
+    import spark.implicits._
+    // doc 1 (8 tokens) appears verbatim inside doc 2 (24 tokens):
+    // every 3-gram of doc 1 is in doc 2
+    val short = "alpha beta gamma delta epsilon zeta eta theta"
+    val long = s"intro words here $short plus a very long unrelated tail of filler content"
+    val d = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    val profiles = Dedup.dedupProfiles(
+      Dedup.rawWordShingles(d, "text", "doc_id", 3), "doc_id", 8, 2)
+    val cands = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val c = Dedup.containmentFromProfiles(profiles, cands, "doc_id").head()
+    val j = Dedup.jaccardFromProfiles(profiles, cands, "doc_id").head()
+    assert(c.getDouble(3) == 1.0, "short side fully contained")
+    assert(c.getDouble(4) < 0.5, "long side mostly its own")
+    assert(j.getDouble(2) < 0.5, "Jaccard misses the quote")
+  }
 }
