@@ -71,4 +71,19 @@ object Sampling {
     val cut = math.max(0L, math.min(65536L, math.round(fraction * 65536)))
     f"$cut%04x"
   }
+
+  /** Exact-quota sampling: exactly min(n, |stratum|) rows per stratum,
+    * taken in id-hash order (uniform but fully reproducible) — balanced
+    * eval-set construction, where fractions won't do because strata
+    * sizes differ. One window sort per stratum partition; ties in the
+    * 4-hex key break by id, so selection is total-ordered.
+    */
+  def quotaSample(df: DataFrame, stratumCol: String, idCol: String,
+                  n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(hashKey(col(idCol)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn")
+  }
 }

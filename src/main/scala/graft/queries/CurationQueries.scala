@@ -47,6 +47,11 @@ object CurationQueries {
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
           max(col("doc_id")).as("max_id"))),
 
+    // Balanced eval set: exactly 40 docs per language in hash order.
+    "q_quota_sample" -> ((s, d) =>
+      Sampling.quotaSample(Tables.documents(s, d), "lang", "doc_id", 40)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
+
     // Dominant-token repetition profile (boilerplate/spam signal).
     "q_repetition" -> ((s, d) =>
       TextAnalysis.repetitionProfile(Tables.documents(s, d), "text", "doc_id")),
@@ -145,6 +150,18 @@ object CurationQueries {
          |SELECT lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_id,
          |  MAX(doc_id) AS max_id
          |FROM kept GROUP BY lang""".stripMargin,
+
+    "q_quota_sample" ->
+      """WITH k AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h
+        |  FROM documents
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY lang
+        |                               ORDER BY h, doc_id) AS rn
+        |  FROM k
+        |)
+        |SELECT doc_id, lang, source, n_chars FROM r WHERE rn <= 40""".stripMargin,
 
     "q_repetition" ->
       s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
