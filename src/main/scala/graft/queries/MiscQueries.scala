@@ -132,6 +132,34 @@ object MiscQueries {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))),
 
+    // Multimodal sequence assembly: interleave each doc's text chunks
+    // (even positions) with its media-chunk descriptors (odd) into one
+    // ordered training sequence, fingerprinted order-exactly. The
+    // assembly is a keyed union + one aggregation whose order comes
+    // from sorting the collected (pos, seg) structs IN the row — no
+    // global sort, no window.
+    "q_multimodal_sequence" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val text = graft.operators.TextAnalysis
+        .chunkTokens(docs, "text", "doc_id", window = 64, stride = 48)
+        .select(col("doc_id"), (col("chunk_id") * 2).as("pos"),
+          col("chunk_fp").as("seg"))
+      val media = Multimodal.sampleChunks(
+        Multimodal.asMediaTable(docs, "doc_id", "text"), chunkBytes = 256)
+        .select(col("media_id").as("doc_id"),
+          (col("chunk_idx").cast("long") * 2 + 1).as("pos"),
+          concat(lit("M:"), col("chunk_idx").cast("long").cast("string"),
+            lit(":"), col("chunk_bytes").cast("long").cast("string")).as("seg"))
+      text.unionByName(media)
+        .groupBy(col("doc_id"))
+        .agg(
+          count(when(col("pos") % 2 === 0, 1)).as("n_text_segs"),
+          count(when(col("pos") % 2 === 1, 1)).as("n_media_segs"),
+          md5(concat_ws("|",
+            transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
+              x => x.getField("seg")))).as("seq_fp"))
+    }),
+
     // Z-order (Morton) locality rollup: interleave the low 8 bits of
     // (l_partkey, l_suppkey), tile = 256 consecutive z values. Each
     // tile's min/max per dimension demonstrates the data-skipping
@@ -271,6 +299,41 @@ object MiscQueries {
         |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_multimodal_sequence" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks,
+        |    octet_length(encode(text)) AS n_bytes
+        |  FROM documents
+        |), n AS (
+        |  SELECT doc_id, toks, n_bytes,
+        |    CAST(len(toks) AS BIGINT) AS n_toks
+        |  FROM t0
+        |), tx AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0,
+        |      CAST(greatest(0, (n_toks - 64 + 47) // 48) AS BIGINT))) AS chunk_id
+        |  FROM n
+        |), tseg AS (
+        |  SELECT doc_id, chunk_id * 2 AS pos,
+        |    md5(array_to_string(toks[(chunk_id*48+1):(chunk_id*48+64)], ' ')) AS seg
+        |  FROM tx
+        |), mx AS (
+        |  SELECT doc_id, n_bytes,
+        |    unnest(generate_series(0, (n_bytes - 1) // 256)) AS chunk_idx
+        |  FROM n
+        |), mseg AS (
+        |  SELECT doc_id, chunk_idx * 2 + 1 AS pos,
+        |    'M:' || chunk_idx || ':' || LEAST(256, n_bytes - chunk_idx * 256) AS seg
+        |  FROM mx
+        |), u AS (
+        |  SELECT * FROM tseg UNION ALL SELECT * FROM mseg
+        |)
+        |SELECT doc_id,
+        |  COUNT(*) FILTER (pos % 2 = 0) AS n_text_segs,
+        |  COUNT(*) FILTER (pos % 2 = 1) AS n_media_segs,
+        |  md5(string_agg(seg, '|' ORDER BY pos)) AS seq_fp
+        |FROM u GROUP BY doc_id""".stripMargin,
 
     "q_zorder" ->
       s"""WITH z AS (

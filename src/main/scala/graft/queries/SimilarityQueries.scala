@@ -47,6 +47,16 @@ object SimilarityQueries {
     "q_embedding_neardup" -> ((s, d) =>
       Similarity.cosineNearDuplicates(Tables.embeddings(s, d), threshold = 0.4)),
 
+    // Embedding-space dedup CLUSTERS: transitive closure over the
+    // cosine near-dup pair graph (same label propagation as the text
+    // pipeline — the pair source swaps, the closure does not).
+    "q_embedding_clusters" -> ((s, d) =>
+      graft.operators.Dedup.connectedComponents(
+        Similarity.cosineNearDuplicates(Tables.embeddings(s, d), threshold = 0.4),
+        "vec_id")
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"), max(col("vec_id")).as("max_id"))),
+
     // IVF-style top-10: 8 seeded centroids, 2 probes per query — the
     // data-adaptive bucketed scale path (vs q_knn_bucketed's fixed
     // sign planes).
@@ -152,6 +162,24 @@ object SimilarityQueries {
          |  $cosineSql AS sim
          |FROM e q JOIN e c ON q.vec_id < c.vec_id
          |WHERE $cosineSql >= 0.4""".stripMargin,
+
+    "q_embedding_clusters" ->
+      s"""WITH RECURSIVE e0 AS ($vecsSql),
+         |pairs AS (
+         |  SELECT q.vec_id AS id_a, c.vec_id AS id_b
+         |  FROM e0 q JOIN e0 c ON q.vec_id < c.vec_id
+         |  WHERE $cosineSql >= 0.4
+         |),
+         |ed AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |       UNION SELECT id_b, id_a FROM pairs),
+         |reach(node, lbl) AS (
+         |  SELECT src, src FROM ed
+         |  UNION
+         |  SELECT ed.dst, r.lbl FROM reach r JOIN ed ON ed.src = r.node
+         |),
+         |comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
+         |SELECT component, COUNT(*) AS n_members, MAX(node) AS max_id
+         |FROM comp GROUP BY component""".stripMargin,
 
     "q_knn_ivf" -> {
       def cosBetween(x: String, y: String) =
