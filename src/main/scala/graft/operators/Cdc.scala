@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   * per-change sequence column (CDC offset / LSN) and an op column;
   * the LATEST change per key wins (upsert row image replaces the base
   * row, `deleteOp` removes it), keys never mentioned stay, change keys
-  * absent from the base insert.
+  * absent from the base insert. `seqCol` must be unique per key (true
+  * of any real CDC offset) — equal sequence numbers would make the
+  * winning image an arbitrary pick.
   *
   * Plan shape: one window sort keyed by the merge key resolves
   * latest-per-key (the same CDC-compaction shape as `q_latest_per_key`),
