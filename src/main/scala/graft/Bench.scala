@@ -75,6 +75,11 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val streamRps = if (args.nonEmpty) -1L else streamThroughput(spark)
     println(s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"queries":$qs,"stream_rows_per_sec":$streamRps,"sf":"$sfDir"}""")
+    // The per-query line above is ~3KB and the harness captures a bounded
+    // stdout tail, which can truncate its head and leave nothing parseable.
+    // Repeat the headline numbers as a short (<200 byte) FINAL line so the
+    // last line is always a complete JSON object whatever the tail size.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"queries_n":${results.size},"stream_rows_per_sec":$streamRps}""")
     spark.stop()
   }
 

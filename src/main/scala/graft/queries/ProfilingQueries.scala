@@ -124,8 +124,8 @@ object ProfilingQueries {
          |)
          |SELECT i.day, COUNT(*) AS n_sessions,
          |  COUNT(DISTINCT s.user_id) AS n_users,
-         |  SUM(least(s.s_end, i.i_end) - greatest(s.s_start, i.i_start))
-         |    AS total_overlap_us
+         |  CAST(SUM(least(s.s_end, i.i_end) - greatest(s.s_start, i.i_start))
+         |    AS BIGINT) AS total_overlap_us
          |FROM sessions s JOIN incidents i
          |  ON s.s_start < i.i_end AND i.i_start < s.s_end
          |GROUP BY i.day""".stripMargin
