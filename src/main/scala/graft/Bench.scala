@@ -62,7 +62,9 @@ object Bench {
       else SparkEntry.queries.keys.toSeq.sorted
     val passes = (1 to n).map { _ =>
       val pass = names.map(materialize)
-      spark.catalog.clearCache()
+      // clears CacheManager entries AND checkpoint RDDs the per-query
+      // CacheScope release cannot touch — no pass warms the next one
+      graft.core.CacheScope.releaseStragglers(spark)
       pass
     }
     def median(xs: Seq[Double]): Double = {

@@ -30,6 +30,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // each query's result is now on disk and its frame is dead — drop
+      // anything still pinned (CacheScope handles operator persists; this
+      // sweeps the unrecomputable iterative-operator checkpoints too)
+      graft.core.CacheScope.releaseStragglers(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -280,14 +280,15 @@ object Dedup {
     // compact row per document — unlike the round-1 experiment of
     // persisting the shingle-ROW stream, which was corpus-text-sized and
     // doubled wall time. Recomputing would re-run the whole
-    // explode+md5 pipeline per consumer. The cache is deliberately NOT
-    // unpersisted here (the returned plan still references it lazily);
-    // long-lived sessions invoking this repeatedly should unpersist via
-    // spark.catalog.clearCache() between invocations, as Bench does.
+    // explode+md5 pipeline per consumer. The returned plan references
+    // the cache lazily, so it cannot be unpersisted here; CacheScope
+    // drops it right after the first action that consumes the result.
     val profiles = dedupProfiles(rawWordShingles(df, textCol, idCol, shingleSize),
       idCol, bands, rowsPerBand).persist()
     val cands = profileCandidatePairs(profiles, idCol)
-    jaccardFromProfiles(profiles, cands, idCol).filter(col("jaccard") >= threshold)
+    graft.core.CacheScope.releaseAfterUse(
+      jaccardFromProfiles(profiles, cands, idCol).filter(col("jaccard") >= threshold),
+      profiles)
   }
 
   /** Materialize the deduplicated corpus: drop every doc named as the
@@ -323,10 +324,20 @@ object Dedup {
     // per iteration. Edge set is |pairs|·2 rows — small by construction.
     val edges = fwd.unionByName(
       fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct().persist()
+    val sc = pairs.sparkSession.sparkContext
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("component"))
     var converged = false
     var iter = 0
+    // RDDs pinned by the previous round's localCheckpoint: once round N
+    // is materialized, round N-1's labels are never read again, so its
+    // blocks are dropped here instead of accumulating one copy per
+    // round. The FINAL round's checkpoint must stay resident — a
+    // localCheckpoint truncates lineage, so its blocks are the only copy
+    // of the result and unpersisting would make re-materialization
+    // throw; harnesses sweep it via CacheScope.releaseStragglers once
+    // the returned frame is dead.
+    var prevRoundRdds: Iterable[org.apache.spark.rdd.RDD[_]] = Nil
     while (!converged && iter < maxIter) {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
@@ -344,12 +355,19 @@ object Dedup {
       // comes to dominate the tiny frontier jobs (measured ~2× on the
       // fixture). A fault-tolerant deployment would swap in reliable
       // checkpoint(); the algorithm is identical.
+      val before = sc.getPersistentRDDs.keySet
       val next = labels.withColumn("own", col("component"))
         .unionByName(viaNeighbors)
         .groupBy(col("node"))
         .agg(min(col("component")).as("component"), min(col("own")).as("own"))
         .localCheckpoint()
+      val thisRoundRdds =
+        (sc.getPersistentRDDs -- before).values.map { r =>
+          r.setName(s"graft.connectedComponents round $iter"); r
+        }
       val changed = next.filter(col("component") =!= col("own")).count()
+      prevRoundRdds.foreach(_.unpersist(blocking = false))
+      prevRoundRdds = thisRoundRdds
       labels = next.select(col("node"), col("component"))
       converged = changed == 0
       iter += 1
@@ -458,8 +476,8 @@ object Dedup {
     // one 8-byte signature per doc, consumed by both self-join sides —
     // persist to avoid running the token-explode + 32-vote aggregation
     // twice (cache size is |docs| longs, nothing like the shingle case);
-    // lazily referenced by the result, so not unpersisted here — see
-    // minhashNearDuplicates for the session-lifetime cache note
+    // lazily referenced by the result, so released by CacheScope after
+    // the consuming action instead of here
     val sig = simhash(df, textCol, idCol).persist()
     val par = df.sparkSession.sparkContext.defaultParallelism
     def banded(side: String) = sig
@@ -470,11 +488,13 @@ object Dedup {
       // explicit co-partitioning on the band key: exchange-free join +
       // AQE-coalescing guard (band rows are tiny, pair output is not)
       .repartition(par, col("b"), col("band_val"))
-    banded("id_a").join(banded("id_b"), Seq("b", "band_val"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        hammingDistance(col("sh_id_a"), col("sh_id_b")).cast("long").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+    graft.core.CacheScope.releaseAfterUse(
+      banded("id_a").join(banded("id_b"), Seq("b", "band_val"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          hammingDistance(col("sh_id_a"), col("sh_id_b")).cast("long").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= maxHamming),
+      sig)
   }
 }

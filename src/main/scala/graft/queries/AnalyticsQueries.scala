@@ -113,6 +113,37 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // Same audit-window semantics as q_range_join, but the join is
+    // written the way a user WOULD write it — a raw range predicate,
+    // no manual binning — and the opt-in RangeJoinRewrite optimizer
+    // rule performs the equi-ization. Exercises the
+    // Rule[LogicalPlan] end-to-end through the oracle gate (the spec
+    // additionally asserts the plan carries no nested-loop join).
+    // Registering the rule and its bin-width conf is session-sticky and
+    // deliberately so: binWidth only gates THIS rule, which only
+    // matches pure-range LongType inner joins (the catalog's one other
+    // candidate, q_interval_overlap, is two LessThans — no match) and
+    // is result-identical where it does fire.
+    "q_range_join_auto" -> ((s, d) => {
+      import graft.plans.RangeJoinRewrite
+      val win = 7L * 86400
+      if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[RangeJoinRewrite]))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ new RangeJoinRewrite
+      s.conf.set(RangeJoinRewrite.binWidthKey, win.toString)
+      def epochS(c: String) = col(c).cast("timestamp_ltz").cast("long")
+      val intervals = Tables.orders(s, d)
+        .orderBy(desc("o_totalprice"), asc("o_orderkey")).limit(50)
+        .select(col("o_orderkey"), epochS("o_orderdate").as("win_start"),
+          (epochS("o_orderdate") + win).as("win_end"))
+      val points = Tables.lineitem(s, d)
+        .select(epochS("l_shipdate").as("ship_s"), col("l_quantity"))
+      points.join(intervals,
+          col("ship_s") >= col("win_start") && col("ship_s") < col("win_end"))
+        .groupBy(col("o_orderkey"), col("win_start"))
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
     // Rolling 1h time-range aggregates per event_type: RANGE frame
     // over epoch seconds (not ROWS — irregular event spacing means a
     // row-count frame is semantically wrong). RANGE includes all peers
@@ -232,6 +263,21 @@ object AnalyticsQueries {
         |  ties AS (PARTITION BY l_suppkey ORDER BY l_quantity DESC)""".stripMargin,
 
     "q_range_join" ->
+      """WITH top50 AS (
+        |  SELECT o_orderkey, epoch_ms(o_orderdate) // 1000 AS win_start,
+        |    epoch_ms(o_orderdate) // 1000 + 604800 AS win_end
+        |  FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50
+        |)
+        |SELECT t.o_orderkey, t.win_start, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM top50 t JOIN lineitem l
+        |  ON epoch_ms(l.l_shipdate) // 1000 >= t.win_start
+        | AND epoch_ms(l.l_shipdate) // 1000 < t.win_end
+        |GROUP BY t.o_orderkey, t.win_start""".stripMargin,
+
+    // identical result contract to q_range_join — the Spark sides differ
+    // only in WHO does the binning (operator vs optimizer rule)
+    "q_range_join_auto" ->
       """WITH top50 AS (
         |  SELECT o_orderkey, epoch_ms(o_orderdate) // 1000 AS win_start,
         |    epoch_ms(o_orderdate) // 1000 + 604800 AS win_end

@@ -42,8 +42,10 @@ object DedupQueries {
         Dedup.rawCharShingles(Tables.documents(s, d), "text", "doc_id", 12),
         "doc_id", bands = 8, rowsPerBand = 2).persist()
       val cands = Dedup.profileCandidatePairs(profiles, "doc_id")
-      Dedup.jaccardFromProfiles(profiles, cands, "doc_id")
-        .filter(col("jaccard") >= 0.8)
+      graft.core.CacheScope.releaseAfterUse(
+        Dedup.jaccardFromProfiles(profiles, cands, "doc_id")
+          .filter(col("jaccard") >= 0.8),
+        profiles)
     }),
 
     // E2 SimHash near-dup pairs: byte-band bucketing (pigeonhole-exact
@@ -103,8 +105,10 @@ object DedupQueries {
         Dedup.rawWordShingles(Tables.documents(s, d), "text", "doc_id", 3),
         "doc_id", bands = 8, rowsPerBand = 2).persist()
       val cands = Dedup.profileCandidatePairs(profiles, "doc_id")
-      Dedup.containmentFromProfiles(profiles, cands, "doc_id")
-        .filter(greatest(col("containment_a"), col("containment_b")) >= 0.7)
+      graft.core.CacheScope.releaseAfterUse(
+        Dedup.containmentFromProfiles(profiles, cands, "doc_id")
+          .filter(greatest(col("containment_a"), col("containment_b")) >= 0.7),
+        profiles)
     }),
 
     // Incremental dedup: LSH the 10% "new batch" (hash split) against
@@ -122,10 +126,12 @@ object DedupQueries {
       val cands = Dedup.crossCorpusCandidates(
         profiles.filter(col("split") === "val"),
         profiles.filter(col("split") === "train"), "doc_id")
-      Dedup.jaccardFromProfiles(profiles, cands, "doc_id")
-        .filter(col("jaccard") >= 0.5)
-        .select(col("id_a").as("new_id"), col("id_b").as("ref_id"),
-          col("jaccard"))
+      graft.core.CacheScope.releaseAfterUse(
+        Dedup.jaccardFromProfiles(profiles, cands, "doc_id")
+          .filter(col("jaccard") >= 0.5)
+          .select(col("id_a").as("new_id"), col("id_b").as("ref_id"),
+            col("jaccard")),
+        profiles)
     }),
 
     // Edit-distance verification of LSH candidates — the fuzzy-dedup
@@ -140,14 +146,16 @@ object DedupQueries {
         "doc_id", bands = 8, rowsPerBand = 2).persist()
       val ascii = docs.select(col("doc_id"),
         regexp_replace(col("text"), "[^ -~]", "").as("atext"))
-      Dedup.profileCandidatePairs(profiles, "doc_id")
-        .join(ascii.select(col("doc_id").as("id_a"), col("atext").as("text_a")), Seq("id_a"))
-        .join(ascii.select(col("doc_id").as("id_b"), col("atext").as("text_b")), Seq("id_b"))
-        .select(col("id_a"), col("id_b"),
-          levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_dist"),
-          greatest(length(col("text_a")), length(col("text_b")))
-            .cast("long").as("max_len"))
-        .filter(col("edit_dist") * 10 <= col("max_len") * 3)
+      graft.core.CacheScope.releaseAfterUse(
+        Dedup.profileCandidatePairs(profiles, "doc_id")
+          .join(ascii.select(col("doc_id").as("id_a"), col("atext").as("text_a")), Seq("id_a"))
+          .join(ascii.select(col("doc_id").as("id_b"), col("atext").as("text_b")), Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_dist"),
+            greatest(length(col("text_a")), length(col("text_b")))
+              .cast("long").as("max_len"))
+          .filter(col("edit_dist") * 10 <= col("max_len") * 3),
+        profiles)
     })
   )
 

@@ -41,6 +41,22 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("q_range_join_auto runs under the rule with no nested-loop join") {
+    val df = SparkEntry.queries("q_range_join_auto")(spark, sf0001)
+    try {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"catalog range join should plan as the binned equi-join:\n$plan")
+      assert(plan.contains("_graft_pt_bin"),
+        "expected the rewrite's bin key in the plan")
+      // identical rows to the hand-binned operator form
+      val manual = SparkEntry.queries("q_range_join")(spark, sf0001)
+      assert(df.exceptAll(manual).isEmpty && manual.exceptAll(df).isEmpty)
+    } finally {
+      spark.conf.set(graft.plans.RangeJoinRewrite.binWidthKey, "0")
+    }
+  }
+
   test("rule leaves equi-joins and non-matching conditions alone") {
     val prior = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations = prior :+ new RangeJoinRewrite
