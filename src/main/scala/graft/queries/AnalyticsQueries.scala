@@ -119,17 +119,19 @@ object AnalyticsQueries {
     // rule performs the equi-ization. Exercises the
     // Rule[LogicalPlan] end-to-end through the oracle gate (the spec
     // additionally asserts the plan carries no nested-loop join).
-    // Registering the rule and its bin-width conf is session-sticky and
-    // deliberately so: binWidth only gates THIS rule, which only
-    // matches pure-range LongType inner joins (the catalog's one other
-    // candidate, q_interval_overlap, is two LessThans — no match) and
-    // is result-identical where it does fire.
-    "q_range_join_auto" -> ((s, d) => {
+    // The rule + its bin-width conf are registered on a CHILD session
+    // (`newSession()`: own SessionState/optimizer/conf, shared
+    // SparkContext and builder options) so the rewrite is scoped to
+    // this query's frame — a pure-range join built on the caller's
+    // session is untouched (RangeJoinRewriteSpec proves it). The frame
+    // stays bound to the child optimizer for its whole lifetime, so
+    // laziness is safe; the child state is GC'd with the frame.
+    "q_range_join_auto" -> ((outer, d) => {
       import graft.plans.RangeJoinRewrite
+      val s = outer.newSession()
       val win = 7L * 86400
-      if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[RangeJoinRewrite]))
-        s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations :+ new RangeJoinRewrite
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ new RangeJoinRewrite
       s.conf.set(RangeJoinRewrite.binWidthKey, win.toString)
       def epochS(c: String) = col(c).cast("timestamp_ltz").cast("long")
       val intervals = Tables.orders(s, d)

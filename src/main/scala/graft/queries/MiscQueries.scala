@@ -83,15 +83,23 @@ object MiscQueries {
         .agg(count(lit(1)).as("n"),
           min(col("value")).as("lo"), max(col("value")).as("hi"))),
 
-    // E2 HLL++ sketch: approx distinct users per event type next to the
-    // exact count. NO oracle entry — HLL estimates are engine-specific,
-    // so this takes the harness's rows-only check; the accuracy bound
-    // is asserted in MultimodalSpec instead.
+    // E2 HLL++ sketch next to the exact count. The HLL estimate itself
+    // is engine-specific (no DuckDB bit-match possible), so the compared
+    // output carries the exact count plus a deterministic accuracy
+    // verdict: 20·|approx − exact| ≤ exact ⟺ within 5% relative error,
+    // decided in exact integer arithmetic. The sketch is deterministic
+    // for a given input + rsd, so the boolean is stable — and the oracle
+    // asserts TRUE, making this a FULL rows+schema+hash gate on the
+    // sketch's accuracy contract (the same 5% bound MultimodalSpec
+    // asserts in-process).
     "q_approx_distinct" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-          countDistinct(col("user_id")).as("exact_users"))),
+          countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) * 20 <= col("exact_users"))
+            .as("within_5pct"))),
 
     // Latest-record-per-key (CDC/upsert compaction): one window sort,
     // keep rank 1 per key — ties broken by event_id so the survivor is
@@ -190,6 +198,14 @@ object MiscQueries {
   }.mkString("(", " | ", ")")
 
   val oracles: Map[String, String] = Map(
+    // The sketch side is engine-specific, so the oracle pins the exact
+    // count and asserts the accuracy verdict: the gate fails loudly if
+    // the HLL estimate ever drifts past 5% relative error.
+    "q_approx_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+        |  TRUE AS within_5pct
+        |FROM events GROUP BY event_type""".stripMargin,
+
     // Gaps-and-islands: a new session starts when the silence since the
     // previous event EXCEEDS the gap — Spark's session end is inclusive
     // for merging (an event at exactly prev+gap extends the session;

@@ -50,9 +50,25 @@ object SimilarityQueries {
     // Embedding-space dedup CLUSTERS: transitive closure over the
     // cosine near-dup pair graph (same label propagation as the text
     // pipeline — the pair source swaps, the closure does not).
+    // EXACT pair generation — O(n²) compute by definition; the 100 TB
+    // path is q_embedding_clusters_ann below, which swaps in the
+    // sub-quadratic LSH screen and keeps this closure unchanged.
     "q_embedding_clusters" -> ((s, d) =>
       graft.operators.Dedup.connectedComponents(
         Similarity.cosineNearDuplicates(Tables.embeddings(s, d), threshold = 0.4),
+        "vec_id")
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"), max(col("vec_id")).as("max_id"))),
+
+    // The scale path for embedding dedup clusters: sign-LSH multi-probe
+    // screen (linear compute) → exact cosine verify on candidates →
+    // the same connected-components closure. The oracle mirrors the
+    // screen (bucket Hamming distance ≤ 1), so the comparison stays
+    // hash-strict despite the candidate generation being approximate.
+    "q_embedding_clusters_ann" -> ((s, d) =>
+      graft.operators.Dedup.connectedComponents(
+        Similarity.annNearDuplicates(Tables.embeddings(s, d), threshold = 0.4,
+          planes = 4),
         "vec_id")
         .groupBy(col("component"))
         .agg(count(lit(1)).as("n_members"), max(col("vec_id")).as("max_id"))),
@@ -168,6 +184,29 @@ object SimilarityQueries {
          |pairs AS (
          |  SELECT q.vec_id AS id_a, c.vec_id AS id_b
          |  FROM e0 q JOIN e0 c ON q.vec_id < c.vec_id
+         |  WHERE $cosineSql >= 0.4
+         |),
+         |ed AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |       UNION SELECT id_b, id_a FROM pairs),
+         |reach(node, lbl) AS (
+         |  SELECT src, src FROM ed
+         |  UNION
+         |  SELECT ed.dst, r.lbl FROM reach r JOIN ed ON ed.src = r.node
+         |),
+         |comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
+         |SELECT component, COUNT(*) AS n_members, MAX(node) AS max_id
+         |FROM comp GROUP BY component""".stripMargin,
+
+    // Same recursive closure as q_embedding_clusters, but the pair set
+    // is screened to bucket Hamming distance ≤ 1 (xor of the 4-bit
+    // sign buckets ∈ {0,1,2,4,8}) — the exact mirror of the Spark
+    // side's self-probe + single-bit-flip multi-probe.
+    "q_embedding_clusters_ann" ->
+      s"""WITH RECURSIVE e0 AS (SELECT vec_id, v, $bucket4Sql AS bucket FROM ($vecsSql)),
+         |pairs AS (
+         |  SELECT q.vec_id AS id_a, c.vec_id AS id_b
+         |  FROM e0 q JOIN e0 c ON q.vec_id < c.vec_id
+         |   AND xor(q.bucket, c.bucket) IN (0, 1, 2, 4, 8)
          |  WHERE $cosineSql >= 0.4
          |),
          |ed AS (SELECT id_a AS src, id_b AS dst FROM pairs

@@ -190,6 +190,47 @@ object TpchQueries {
         Tables.events(s, d), Seq("event_type"), "value",
         col("event_id"), buckets = 32)),
 
+    // TPC-H Q17 shape — correlated SCALAR subquery: small-quantity
+    // lineitems of one brand, "small" defined per part by a subquery
+    // over that part's own lineitems. Written as SQL text so Catalyst's
+    // actual subquery planning runs (RewriteCorrelatedScalarSubquery →
+    // per-part aggregate + join), not a hand-decorrelated DataFrame.
+    // The threshold is decimal-sum / count / 5.0 — the same IEEE
+    // operation sequence in both engines (see [[dsum]]), so the
+    // comparison predicate is bit-deterministic.
+    "q_scalar_subquery" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_sq_lineitem")
+      Tables.part(s, d).createOrReplaceTempView("graft_sq_part")
+      s.sql(
+        s"""SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0
+           |         AS avg_yearly,
+           |       COUNT(*) AS n_rows
+           |FROM graft_sq_lineitem l JOIN graft_sq_part p ON p.p_partkey = l.l_partkey
+           |WHERE p.p_brand = 'Brand#12'
+           |  AND l.l_quantity < (
+           |    SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+           |             / COUNT(*) / 5.0
+           |    FROM graft_sq_lineitem l2 WHERE l2.l_partkey = p.p_partkey)""".stripMargin)
+    }),
+
+    // TPC-H Q4 shape — correlated EXISTS: orders in a window having at
+    // least one returned line. Catalyst's RewritePredicateSubquery turns
+    // the EXISTS into a left-semi join on l_orderkey (the scale-safe
+    // plan: one semi-join shuffle, no per-order probe).
+    "q_exists_subquery" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_sq_lineitem")
+      Tables.orders(s, d).createOrReplaceTempView("graft_sq_orders")
+      s.sql(
+        """SELECT o.o_orderpriority, COUNT(*) AS n_orders
+          |FROM graft_sq_orders o
+          |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+          |  AND EXISTS (SELECT 1 FROM graft_sq_lineitem l
+          |              WHERE l.l_orderkey = o.o_orderkey
+          |                AND l.l_returnflag = 'R')
+          |GROUP BY o.o_orderpriority""".stripMargin)
+    }),
+
     // Global stats (A5 analog): count / exact count-distinct / min / max.
     "q_agg_stats" -> ((s, d) =>
       Tables.events(s, d).agg(
@@ -318,6 +359,27 @@ object TpchQueries {
         |SELECT 'both' AS which, event_type, user_id FROM (SELECT * FROM e INTERSECT SELECT * FROM l)
         |UNION ALL
         |SELECT 'early_only', event_type, user_id FROM (SELECT * FROM e EXCEPT SELECT * FROM l)""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0
+        |         AS avg_yearly,
+        |       COUNT(*) AS n_rows
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#12'
+        |  AND l.l_quantity < (
+        |    SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+        |             / COUNT(*) / 5.0
+        |    FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)""".stripMargin,
+
+    "q_exists_subquery" ->
+      """SELECT o.o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_returnflag = 'R')
+        |GROUP BY o.o_orderpriority""".stripMargin,
 
     "q_agg_stats" ->
       s"""SELECT COUNT(*) AS n_events,

@@ -43,18 +43,30 @@ class RangeJoinRewriteSpec extends SparkSpec {
 
   test("q_range_join_auto runs under the rule with no nested-loop join") {
     val df = SparkEntry.queries("q_range_join_auto")(spark, sf0001)
-    try {
-      val plan = df.queryExecution.executedPlan.toString
-      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
-        s"catalog range join should plan as the binned equi-join:\n$plan")
-      assert(plan.contains("_graft_pt_bin"),
-        "expected the rewrite's bin key in the plan")
-      // identical rows to the hand-binned operator form
-      val manual = SparkEntry.queries("q_range_join")(spark, sf0001)
-      assert(df.exceptAll(manual).isEmpty && manual.exceptAll(df).isEmpty)
-    } finally {
-      spark.conf.set(graft.plans.RangeJoinRewrite.binWidthKey, "0")
-    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"catalog range join should plan as the binned equi-join:\n$plan")
+    assert(plan.contains("_graft_pt_bin"),
+      "expected the rewrite's bin key in the plan")
+    // identical rows to the hand-binned operator form (collected — the
+    // two frames deliberately belong to different sessions)
+    val manual = SparkEntry.queries("q_range_join")(spark, sf0001)
+    assert(df.collect().toSet == manual.collect().toSet)
+  }
+
+  test("q_range_join_auto's rule + conf are scoped to its child session") {
+    SparkEntry.queries("q_range_join_auto")(spark, sf0001)
+    // the child session inherits the builder's options (the query's
+    // epoch math depends on the UTC session timezone carrying over)
+    assert(spark.newSession().conf.get("spark.sql.session.timeZone") == "UTC")
+    // the caller's session gained no optimizer rule and no bin conf...
+    assert(!spark.experimental.extraOptimizations.exists(_.isInstanceOf[RangeJoinRewrite]))
+    assert(spark.conf.getOption(RangeJoinRewrite.binWidthKey).forall(_ == "0"))
+    // ...so an unrelated pure-range join in the caller's session keeps
+    // Spark's own (nested-loop) plan — it is NOT silently rewritten
+    val plan = rangeJoin.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"),
+      s"caller-session range join must be untouched by the query's rule:\n$plan")
   }
 
   test("rule leaves equi-joins and non-matching conditions alone") {
