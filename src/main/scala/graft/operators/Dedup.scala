@@ -376,6 +376,107 @@ object Dedup {
     labels.select(col("node").as(idCol), col("component"))
   }
 
+  /** One large-star contraction: for every node u (over the SYMMETRIC
+    * neighborhood), connect each strictly-larger neighbor to
+    * m = min(Γ(u) ∪ {u}). Connectivity-preserving; together with
+    * [[smallStar]] this is the alternating algorithm of Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond" (SOCC '14) — the
+    * doubling-style contraction that closes chains in O(log d) rounds
+    * instead of label propagation's O(d). Each application is one
+    * groupBy + one equi-join + a distinct — all keyed by node id,
+    * nothing quadratic. Emitted edges can't be self-loops
+    * (m ≤ u < dst).
+    */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+    val mins = sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+      .select(col("src"), least(col("mn"), col("src")).as("m"))
+    sym.join(mins, Seq("src"))
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .distinct()
+  }
+
+  /** One small-star contraction: orient every edge (larger, smaller);
+    * for each node u connect its smaller neighbors — and u itself — to
+    * m = min of those neighbors. Self-loop-free for the same reason as
+    * [[largeStar]] (m ≤ v < u on every emitted edge).
+    */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val oriented = edges.select(greatest(col("src"), col("dst")).as("u"),
+      least(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val mins = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+    oriented.join(mins, Seq("u"))
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("src"), col("m").as("dst"))
+      .unionByName(mins.select(col("u").as("src"), col("m").as("dst")))
+      .distinct()
+  }
+
+  /** Alternating large-star/small-star connected components — the
+    * opt-in variant for HIGH-DIAMETER graphs. Same contract and output
+    * as [[connectedComponents]] (every node of `pairs` labeled with the
+    * least id of its component); the difference is round complexity:
+    * label propagation needs diameter rounds (a 100-link chain = 100
+    * driver round-trips), star contraction needs O(log d) (the same
+    * chain closes in ~6). Each star round costs MORE than a
+    * label-propagation round (two neighborhood aggregates, two joins,
+    * two distincts, plus the set-equality convergence check), so on the
+    * shallow graphs LSH near-dup pipelines produce (diameter ~1-2, see
+    * SCALE.md's measured crossover) the default stays label
+    * propagation; reach for this when components can be long chains
+    * (e.g. incremental dedup where each batch links old→new).
+    */
+  def connectedComponentsStar(pairs: DataFrame, idCol: String,
+      maxIter: Int = 30): DataFrame =
+    connectedComponentsStarWithRounds(pairs, idCol, maxIter)._1
+
+  /** [[connectedComponentsStar]] plus the number of alternation rounds
+    * it ran — the observable the O(log d) claim is specced against.
+    */
+  def connectedComponentsStarWithRounds(pairs: DataFrame, idCol: String,
+      maxIter: Int = 30): (DataFrame, Int) = {
+    val sc = pairs.sparkSession.sparkContext
+    var edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint()
+    var rounds = 0
+    var converged = edges.isEmpty
+    // same per-round block discipline as connectedComponents: round N's
+    // checkpoint blocks are dropped once round N+1 is materialized; the
+    // final round's blocks are the result's only copy and stay resident.
+    var prevRoundRdds: Iterable[org.apache.spark.rdd.RDD[_]] = Nil
+    while (!converged && rounds < maxIter) {
+      val before = sc.getPersistentRDDs.keySet
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val thisRoundRdds = (sc.getPersistentRDDs -- before).values.map { r =>
+        r.setName(s"graft.connectedComponentsStar round $rounds"); r
+      }
+      // fixpoint ⟺ identical edge SET (both sides are distinct, so
+      // count-equal + empty left-anti is set equality); the ops are
+      // deterministic functions of the set, so an equal round is final
+      val same = next.count() == edges.count() &&
+        next.join(edges, Seq("src", "dst"), "left_anti").isEmpty
+      prevRoundRdds.foreach(_.unpersist(blocking = false))
+      prevRoundRdds = thisRoundRdds
+      edges = next
+      converged = same
+      rounds += 1
+    }
+    // converged state is a star forest: every edge is (node, its
+    // component's least id); roots label themselves. The min-aggregate
+    // is a structural no-op at the fixpoint (one edge per node) but
+    // keeps the one-label-per-node contract if maxIter capped the loop.
+    val labels = edges.select(col("src").as("node"), col("dst").as("component"))
+      .unionByName(edges.select(col("dst").as("node"), col("dst").as("component")))
+      .groupBy(col("node")).agg(min(col("component")).as("component"))
+      .select(col("node").as(idCol), col("component"))
+    (labels, rounds)
+  }
+
   /** Cluster-exact dedup materialization: keep one representative (the
     * least id) per CONNECTED COMPONENT of the near-dup graph. Differs
     * from [[dropNearDuplicates]] on transitive shapes: pairs (a,c),(b,c)

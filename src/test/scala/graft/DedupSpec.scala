@@ -103,6 +103,35 @@ class DedupSpec extends SparkSpec {
     assert(comps == Seq(0L))
   }
 
+  test("star CC: identical components to label propagation on mixed shapes") {
+    // path + pair + triangle-with-tail + isolated pair: covers chains,
+    // cycles, and already-star shapes in one edge list
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L),
+      (30L, 31L), (31L, 32L), (30L, 32L), (32L, 33L))
+      .toDF("id_a", "id_b")
+    val lp = Dedup.connectedComponents(pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = Dedup.connectedComponentsStar(pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == lp)
+    assert(star(4L) == 1L && star(33L) == 30L)
+  }
+
+  test("star CC: 100-link chain converges in O(log d) rounds, same labels") {
+    // the adversarial shape for label propagation: diameter 100 means
+    // 100 propagation rounds (the default maxIter=20 would cap out);
+    // star contraction must close it in a handful of alternations
+    val chain = (0L until 100L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.connectedComponentsStarWithRounds(chain, "doc_id")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 100L).map(_ -> 0L).toMap)
+    assert(rounds <= 8, s"star contraction took $rounds rounds on a 100-chain")
+    // ground truth from label propagation given enough rounds
+    val lp = Dedup.connectedComponents(chain, "doc_id", maxIter = 150)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == lp)
+  }
+
   test("contaminationReport finds planted benchmark overlap, ignores clean docs") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),     // shares a 5-gram with bench 10
