@@ -59,14 +59,11 @@ object StreamBench {
     val wire = StreamingPipeline.producerWire(dataset)
     val alerts =
       if (mode == "pivot") {
-        val landed = StreamingPipeline.landedTable(wire, cfg, cfg.cpuTopic)
+        // single-scan fan-in demux (landedFamilies) — the union form
+        // re-scans the source per family; see SCALE.md §Streaming
+        val landed = StreamingPipeline.landedFamilies(wire,
+            Seq(cfg.cpuTopic -> "cpu", cfg.memTopic -> "mem"))
           .withColumn("ts", graft.operators.RefOps.anchorTimeOfDay(col("ts")))
-          .select(col("ts"), col("server_id"), lit("cpu").as("family"),
-            col("cpu_pct").as("metric"))
-          .unionByName(StreamingPipeline.landedTable(wire, cfg, cfg.memTopic)
-            .withColumn("ts", graft.operators.RefOps.anchorTimeOfDay(col("ts")))
-            .select(col("ts"), col("server_id"), lit("mem").as("family"),
-              col("mem_pct").as("metric")))
         StreamingPipeline.streamingJob1SingleSource(landed)
       } else {
         val cpu = StreamingPipeline.landedTable(wire, cfg, cfg.cpuTopic)
@@ -85,6 +82,19 @@ object StreamBench {
     val messages = rows.toLong * 4
     val windows = progress.map(_.stateOperators.headOption.map(_.numRowsTotal).getOrElse(0L)).maxOption.getOrElse(0L)
     println(s"""{"metric":"stream_rows_per_sec","mode":"$mode","value":${(rows / secs).round},"unit":"rows/sec","dataset_rows":$rows,"wire_messages":$messages,"window_state_rows":$windows,"wall_sec":${math.round(secs * 100) / 100.0}}""")
+    // Where the wall time goes, summed over micro-batches (milliseconds):
+    // addBatch = run the batch's job (scan+parse+agg+state), walCommit +
+    // commitOffsets = checkpoint fsyncs, queryPlanning = incremental
+    // re-plan per trigger — the fixed costs that bound small-volume
+    // throughput (see SCALE.md §Streaming).
+    val phases = Seq("addBatch", "getBatch", "latestOffset", "queryPlanning",
+      "walCommit", "commitOffsets", "triggerExecution")
+    val sums = phases.map { p =>
+      val total = progress.map(pr =>
+        Option(pr.durationMs.get(p)).map(_.longValue).getOrElse(0L)).sum
+      s""""$p":$total"""
+    }.mkString(",")
+    println(s"""{"metric":"stream_phase_ms","mode":"$mode","batches":${progress.length},$sums}""")
     spark.stop()
   }
 }

@@ -52,6 +52,16 @@ object Schemas {
     StructField("server_id", StringType),
     StructField("disk_io", DoubleType)))
 
+  /** The generic shape shared by every single-metric wire payload
+    * (`ts,server_id,<metric>`): lets one `from_csv` pass decode several
+    * same-shape topics at once — see
+    * [[graft.streaming.StreamingPipeline.landedFamilies]].
+    */
+  val singleMetric: StructType = StructType(Seq(
+    StructField("ts", StringType),
+    StructField("server_id", StringType),
+    StructField("metric", DoubleType)))
+
   /** Schema for one metric family keyed by topic name. */
   def forTopic(cfg: PipelineConfig, topic: String): StructType = topic match {
     case t if t == cfg.cpuTopic  => cpu

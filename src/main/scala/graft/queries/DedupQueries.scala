@@ -66,6 +66,34 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_id"))
     }),
 
+    // Same clusters via the alternating large-star/small-star
+    // contraction (the O(log d) high-diameter path) — identical output
+    // contract to q_dedup_clusters, so the two CC algorithms are
+    // cross-checked against one oracle through the driver gate, not
+    // just in-process specs.
+    "q_dedup_clusters_star" -> ((s, d) => {
+      val pairs = Dedup.minhashNearDuplicates(Tables.documents(s, d), "text", "doc_id",
+        shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.5)
+      Dedup.connectedComponentsStar(pairs, "doc_id")
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_id"))
+    }),
+
+    // The hot-bucket recall audit: the (band, sig) LSH buckets a
+    // maxBucketSize cap of 1 would silence, with their widths — what a
+    // pipeline operator inspects BEFORE trading recall for the
+    // quadratic-blowup bound (every bucket here is a candidate
+    // generator; a capped run drops exactly these).
+    "q_lsh_bucket_audit" -> ((s, d) => {
+      val profiles = Dedup.dedupProfiles(
+        Dedup.rawWordShingles(Tables.documents(s, d), "text", "doc_id", 3),
+        "doc_id", bands = 8, rowsPerBand = 2)
+      val sigs = profiles.select(col("doc_id"), explode(col("band_sigs")).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      Dedup.oversizedBuckets(sigs, cap = 1)
+        .select(col("band").cast("long").as("band"), col("sig"), col("bucket_n"))
+    }),
+
     // End of the near-dup pipeline: materialize the cleaned corpus via
     // anti-join against the verified pairs (smallest id survives).
     "q_dedup_materialize" -> ((s, d) => {
@@ -232,6 +260,27 @@ object DedupQueries {
          |comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
          |SELECT component, COUNT(*) AS n_members, MAX(node) AS max_id
          |FROM comp GROUP BY component""".stripMargin,
+
+    // identical result contract to q_dedup_clusters — the Spark sides
+    // differ only in the closure algorithm (label propagation vs star
+    // contraction), which the oracle is agnostic to
+    "q_dedup_clusters_star" ->
+      s"""WITH RECURSIVE $minhashPairsSql,
+         |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |      UNION SELECT id_b, id_a FROM pairs),
+         |reach(node, lbl) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node
+         |),
+         |comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
+         |SELECT component, COUNT(*) AS n_members, MAX(node) AS max_id
+         |FROM comp GROUP BY component""".stripMargin,
+
+    "q_lsh_bucket_audit" ->
+      s"""WITH $sigSql
+         |SELECT band, sig, COUNT(*) AS bucket_n
+         |FROM sig GROUP BY band, sig HAVING COUNT(*) > 1""".stripMargin,
 
     "q_cluster_reps" ->
       s"""WITH RECURSIVE $minhashPairsSql,

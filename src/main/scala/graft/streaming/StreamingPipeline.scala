@@ -94,6 +94,31 @@ object StreamingPipeline {
   def landedTable(wire: DataFrame, cfg: PipelineConfig, topic: String): DataFrame =
     RefOps.decodeCsvValue(RefOps.demuxTopic(wire, topic), Schemas.forTopic(cfg, topic))
 
+  /** Fan-in demux: ONE pass over the wire decodes every topic whose
+    * payload shares the single-metric shape (`ts,server_id,<metric>`)
+    * into the long format [[streamingJob1SingleSource]] consumes —
+    * (ts, server_id, family, metric). Equivalent to unioning one
+    * [[landedTable]] per family (StreamingSpec proves it), but the
+    * union form re-scans the SOURCE once per family (each branch holds
+    * its own copy of the scan+fan-out subtree), while this is a single
+    * scan + one filter + one from_csv: at wire scale the dominant cost
+    * (source read + CSV parse) drops by the family count.
+    */
+  def landedFamilies(wire: DataFrame, families: Seq[(String, String)]): DataFrame = {
+    // the topic filter below guarantees a branch matches, so the last
+    // family serves as the CASE default — keeps the column non-nullable
+    // (schema-identical to the lit()-tagged union formulation)
+    val famCol = families.init.foldLeft(lit(families.last._2)) { case (acc, (t, f)) =>
+      when(col("topic") === t, lit(f)).otherwise(acc)
+    }
+    wire.filter(col("topic").isin(families.map(_._1): _*))
+      .select(famCol.as("family"),
+        from_csv(col("value").cast("string"), Schemas.singleMetric,
+          Map.empty[String, String]).as("m"))
+      .select(col("m.ts").as("ts"), col("m.server_id").as("server_id"),
+        col("family"), col("m.metric").as("metric"))
+  }
+
   /** K2 landing sink: checkpointed CSV file sink for a landed
     * per-family table — replaces the reference consumer's
     * per-message append+flush (`consumers/consumer1.py:43-48`) with

@@ -159,4 +159,34 @@ class StreamingSpec extends SparkSpec {
     assert(r.getString(0) == "20:53:00" && r.getString(1) == "server_1"
       && r.getDouble(2) == 42.5)
   }
+
+  test("landedFamilies single-scan demux ≡ union of per-family landedTable") {
+    val cfg = PipelineConfig.default
+    val rows = Seq(
+      ("20:53:00", "server_1", 42.5, 17.25, 2.0, 3.0, 4.0),
+      ("20:53:05", "server_2", 99.0, 88.5, 5.0, 6.0, 7.0),
+      ("20:53:10", "server_1", 0.0, 100.0, 8.0, 9.0, 10.0))
+    val ds = rows.toDF("ts", "server_id", "cpu_pct", "mem_pct", "net_in", "net_out", "disk_io")
+    val wire = StreamingPipeline.producerWire(ds)
+
+    val fanIn = StreamingPipeline.landedFamilies(wire,
+      Seq(cfg.cpuTopic -> "cpu", cfg.memTopic -> "mem"))
+    val unioned = StreamingPipeline.landedTable(wire, cfg, cfg.cpuTopic)
+      .select(col("ts"), col("server_id"), lit("cpu").as("family"),
+        col("cpu_pct").as("metric"))
+      .unionByName(StreamingPipeline.landedTable(wire, cfg, cfg.memTopic)
+        .select(col("ts"), col("server_id"), lit("mem").as("family"),
+          col("mem_pct").as("metric")))
+
+    assert(fanIn.schema == unioned.schema)
+    assert(fanIn.count() == rows.length * 2)
+    assert(fanIn.exceptAll(unioned).isEmpty && unioned.exceptAll(fanIn).isEmpty)
+
+    // net/disk wire rows must not leak through the family filter
+    val all = StreamingPipeline.landedFamilies(wire,
+      Seq(cfg.cpuTopic -> "cpu", cfg.memTopic -> "mem",
+        cfg.diskTopic -> "disk"))
+    assert(all.filter(col("family") === "disk").count() == rows.length)
+    assert(all.count() == rows.length * 3)
+  }
 }
