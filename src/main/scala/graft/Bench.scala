@@ -75,7 +75,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val streamRps = if (args.nonEmpty) -1L else streamThroughput(spark)
+    // dev-loop runs (explicit query args) skip the streaming measurement
+    // unless a volume was explicitly requested via SPARK_GRAFT_STREAM_ROWS
+    val streamRps =
+      if (args.nonEmpty && !sys.env.contains("SPARK_GRAFT_STREAM_ROWS")) -1L
+      else streamThroughput(spark)
     println(s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"queries":$qs,"stream_rows_per_sec":$streamRps,"sf":"$sfDir"}""")
     // The per-query line above is ~3KB and the harness captures a bounded
     // stdout tail, which can truncate its head and leave nothing parseable.
@@ -89,8 +93,19 @@ object Bench {
     * the single-source pivot topology — see [[StreamBench]] for the full
     * harness with topology/trigger knobs). Tracked in BENCH so streaming
     * regressions are visible round-over-round.
+    *
+    * Volume is 10× the reference dataset (288k rows): profiling
+    * (StreamBench's stream_phase_ms line) shows ~3-4s of per-query fixed
+    * cost (codegen, 2 micro-batches' planning + state-store setup,
+    * checkpoint fsyncs) against a marginal rate of ~600k rows/s — at the
+    * reference's own 28.8k rows the number measured the FIXED cost
+    * (r4: 9,041 rows/s ⇒ 3.2s wall, overhead-bound), not the engine.
+    * 288k is the smallest volume where data cost dominates; SCALE.md
+    * §Streaming carries the full breakdown and the r4-comparable
+    * old-volume figure. SPARK_GRAFT_STREAM_ROWS overrides.
     */
-  private def streamThroughput(spark: SparkSession, rows: Int = 28800): Long = {
+  private def streamThroughput(spark: SparkSession): Long = {
+    val rows = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "288000").toInt
     import graft.core.PipelineConfig
     import graft.streaming.StreamingPipeline
     try {

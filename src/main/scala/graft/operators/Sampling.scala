@@ -72,6 +72,36 @@ object Sampling {
     f"$cut%04x"
   }
 
+  /** Weighted sampling without replacement, deterministic: each row
+    * holds `w` integer "tickets"; ticket j's key is md5(id‖'|'‖j) and a
+    * row's DRAW is its minimum ticket key. Taking the k smallest draws
+    * selects rows with probability proportional to weight (the owner of
+    * the globally smallest ticket is uniform over tickets), without
+    * replacement, as a pure function of (id, w) — reproducible across
+    * engines, runs, and partitioning. No floats anywhere: the classic
+    * Efraimidis–Spirakis exponential key needs ln()/pow(), whose 1-ulp
+    * libm differences across engines can flip a rank-boundary
+    * selection; integer tickets cannot.
+    *
+    * Scale: the ticket explosion is map-side and min() collapses it in
+    * the partial aggregate (same pattern as [[Dedup.dedupProfiles]]) —
+    * the exchange carries ONE row per input row; the top-k is a
+    * TakeOrdered, never a full sort. Cost is Σw md5 calls, so bucket
+    * large raw weights down (e.g. bytes → KB) before calling.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    val drawn = df
+      .filter(col(weightCol) >= 1)
+      .select(col(idCol), col(weightCol).cast("long").as("weight"),
+        explode(sequence(lit(0L), col(weightCol).cast("long") - 1)).as("__t"))
+      .select(col(idCol), col("weight"),
+        md5(concat(col(idCol).cast("string"), lit("|"), col("__t"))).as("__tk"))
+      .groupBy(col(idCol))
+      .agg(max(col("weight")).as("weight"), min(col("__tk")).as("draw_key"))
+    drawn.orderBy(col("draw_key").asc, col(idCol).asc).limit(k)
+  }
+
   /** Exact-quota sampling: exactly min(n, |stratum|) rows per stratum,
     * taken in id-hash order (uniform but fully reproducible) — balanced
     * eval-set construction, where fractions won't do because strata

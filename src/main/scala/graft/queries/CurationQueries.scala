@@ -52,6 +52,18 @@ object CurationQueries {
       Sampling.quotaSample(Tables.documents(s, d), "lang", "doc_id", 40)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
 
+    // Length-weighted corpus sample: 100 docs drawn ∝ size (in 200-char
+    // ticket units) via the integer-ticket minimum-draw scheme — the
+    // float-free weighted sampler (see Sampling.weightedSample: the
+    // E-S exponential key would hang cross-engine determinism on libm
+    // ln(); integer tickets cannot disagree).
+    "q_weighted_sample" -> ((s, d) =>
+      Sampling.weightedSample(
+        Tables.documents(s, d)
+          .select(col("doc_id"), greatest(lit(1L),
+            (col("n_chars") / 200).cast("long")).as("w")),
+        "doc_id", "w", k = 100)),
+
     // Dominant-token repetition profile (boilerplate/spam signal).
     "q_repetition" -> ((s, d) =>
       TextAnalysis.repetitionProfile(Tables.documents(s, d), "text", "doc_id")),
@@ -162,6 +174,19 @@ object CurationQueries {
         |  FROM k
         |)
         |SELECT doc_id, lang, source, n_chars FROM r WHERE rn <= 40""".stripMargin,
+
+    "q_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, greatest(1, n_chars // 200) AS w FROM documents
+        |), t AS (
+        |  SELECT doc_id, w, unnest(generate_series(0, w - 1)) AS j FROM w
+        |), d AS (
+        |  SELECT doc_id, CAST(MAX(w) AS BIGINT) AS weight,
+        |    MIN(md5(CAST(doc_id AS VARCHAR) || '|' || CAST(j AS VARCHAR))) AS draw_key
+        |  FROM t GROUP BY doc_id
+        |)
+        |SELECT doc_id, weight, draw_key FROM d
+        |ORDER BY draw_key, doc_id LIMIT 100""".stripMargin,
 
     "q_repetition" ->
       s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),

@@ -91,15 +91,52 @@ object MiscQueries {
     // for a given input + rsd, so the boolean is stable — and the oracle
     // asserts TRUE, making this a FULL rows+schema+hash gate on the
     // sketch's accuracy contract (the same 5% bound MultimodalSpec
-    // asserts in-process).
+    // asserts in-process). rsd is pinned to 0.01 so the asserted 5%
+    // bound sits at 5σ of the sketch's error model — the default 0.05
+    // puts 1σ ON the bound and genuinely tripped it at sf0.1 (exact
+    // 1500/group, estimate >5% off).
     "q_approx_distinct" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
         .select(col("event_type"), col("exact_users"),
           (abs(col("approx_users") - col("exact_users")) * 20 <= col("exact_users"))
             .as("within_5pct"))),
+
+    // GK-family quantile sketch (percentile_approx) next to the exact
+    // rank-selected percentile — the same gate pattern as
+    // q_approx_distinct: the sketch estimate is engine-specific, so the
+    // compared output carries the exact values plus a deterministic
+    // accuracy verdict (estimate within the values at rank ±1% — generous
+    // against the sketch's 1/accuracy = 0.01% rank-error contract, so the
+    // boolean is stable under any partition-merge order), and the oracle
+    // asserts TRUE.
+    "q_approx_quantile" -> ((s, d) => {
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(asc("value"), asc("event_id"))
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+      def r(p: Int) = expr(s"(n - 1) * $p div 100 + 1")
+      val tol = greatest(lit(1L), expr("n div 100"))
+      val ranked = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("rn", row_number().over(wOrd).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll))
+      ranked.groupBy(col("event_type")).agg(
+          max(when(col("rn") === r(50), col("value"))).as("p50_exact"),
+          max(when(col("rn") === r(90), col("value"))).as("p90_exact"),
+          max(when(col("rn") === greatest(lit(1L), r(50) - tol), col("value"))).as("p50_lo"),
+          max(when(col("rn") === least(col("n"), r(50) + tol), col("value"))).as("p50_hi"),
+          max(when(col("rn") === greatest(lit(1L), r(90) - tol), col("value"))).as("p90_lo"),
+          max(when(col("rn") === least(col("n"), r(90) + tol), col("value"))).as("p90_hi"),
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_approx"),
+          percentile_approx(col("value"), lit(0.9), lit(10000)).as("p90_approx"))
+        .select(col("event_type"), col("p50_exact"), col("p90_exact"),
+          (col("p50_approx") >= col("p50_lo") && col("p50_approx") <= col("p50_hi"))
+            .as("p50_ok"),
+          (col("p90_approx") >= col("p90_lo") && col("p90_approx") <= col("p90_hi"))
+            .as("p90_ok"))
+    }),
 
     // Latest-record-per-key (CDC/upsert compaction): one window sort,
     // keep rank 1 per key — ties broken by event_id so the survivor is
@@ -205,6 +242,22 @@ object MiscQueries {
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
         |  TRUE AS within_5pct
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // exact side pinned by rank selection; the sketch side is asserted
+    // through the TRUE accuracy verdicts (see the query's doc)
+    "q_approx_quantile" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value ASC, event_id ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events
+        |)
+        |SELECT event_type,
+        |  MAX(CASE WHEN rn = (n - 1) * 50 // 100 + 1 THEN value END) AS p50_exact,
+        |  MAX(CASE WHEN rn = (n - 1) * 90 // 100 + 1 THEN value END) AS p90_exact,
+        |  TRUE AS p50_ok, TRUE AS p90_ok
+        |FROM r GROUP BY event_type""".stripMargin,
 
     // Gaps-and-islands: a new session starts when the silence since the
     // previous event EXCEEDS the gap — Spark's session end is inclusive

@@ -50,6 +50,36 @@ class SamplingSkewSpec extends SparkSpec {
     assert(enExpected.except(enKept).count() == 0)
   }
 
+  test("weighted sample: min-ticket draw matches reference md5, partition-invariant") {
+    val df = Seq((1L, 1L), (2L, 3L), (3L, 5L), (4L, 2L), (5L, 4L))
+      .toDF("id", "w")
+    val out = Sampling.weightedSample(df, "id", "w", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+
+    // reference recomputation of every draw on the driver
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val draws = Seq(1L -> 1L, 2L -> 3L, 3L -> 5L, 4L -> 2L, 5L -> 4L).map {
+      case (id, w) => (id, w, (0L until w).map(j => md5hex(s"$id|$j")).min)
+    }
+    val expect = draws.sortBy(d => (d._3, d._1)).take(3)
+    assert(out.sortBy(d => (d._3, d._1)).toSeq == expect)
+
+    // pure function of (id, w): repartitioning changes nothing
+    val again = Sampling.weightedSample(df.repartition(7), "id", "w", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(again.sortBy(d => (d._3, d._1)).toSeq == expect)
+
+    // weight monotonicity in expectation: a heavy row wins the top spot
+    // against many light rows more often than 1/n — statistical, so use
+    // an extreme ratio and just assert the heavy row is SELECTED here
+    val skewed = ((1L to 50L).map(_ -> 1L) :+ (99L -> 500L)).toDF("id", "w")
+    val picked = Sampling.weightedSample(skewed, "id", "w", k = 5)
+      .select("id").as[Long].collect().toSet
+    assert(picked.contains(99L))
+  }
+
   test("salted aggregation equals single-phase aggregation exactly") {
     val ev = Tables.events(spark, sf0001)
     val salted = Skew.saltedSumCount(ev, Seq("event_type"), "value",
