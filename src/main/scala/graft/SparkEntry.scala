@@ -23,7 +23,8 @@ object SparkEntry {
     TpchQueries.queries ++ MonitorQueries.queries ++ DedupQueries.queries ++
       TextQueries.queries ++ SimilarityQueries.queries ++ MiscQueries.queries ++
       AnalyticsQueries.queries ++ CurationQueries.queries ++
-      TimeSeriesQueries.queries ++ ProfilingQueries.queries
+      TimeSeriesQueries.queries ++ ProfilingQueries.queries ++
+      BehaviorQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -32,5 +33,6 @@ object SparkEntry {
     TpchQueries.oracles ++ MonitorQueries.oracles ++ DedupQueries.oracles ++
       TextQueries.oracles ++ SimilarityQueries.oracles ++ MiscQueries.oracles ++
       AnalyticsQueries.oracles ++ CurationQueries.oracles ++
-      TimeSeriesQueries.oracles ++ ProfilingQueries.oracles
+      TimeSeriesQueries.oracles ++ ProfilingQueries.oracles ++
+      BehaviorQueries.oracles
 }

@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** User-behavior analytics over the events stream: ordered-funnel
+  * conversion, weekly cohort retention, Markov transition counts, and
+  * percentile winsorization. The product-analytics staples a
+  * training-data pipeline reuses for interaction-log curation (e.g.
+  * selecting users/sessions by engagement depth before export). Every
+  * query has a full DuckDB oracle; all arithmetic is integer or pure
+  * selection of stored values, so results are engine-exact.
+  *
+  * Ref behavior: the reference aggregates per-server metric streams
+  * (jobs/job1.py); these queries apply the same shuffle-by-key +
+  * aggregate shapes to per-user event streams.
+  */
+object BehaviorQueries {
+
+  /** Epoch-micros column for the events `ts` (nanos parquet → micros is
+    * a floor in both engines for post-1970 data, mirrored by DuckDB's
+    * `epoch_us`). */
+  private def tu = expr("unix_micros(ts)")
+
+  val queries: Map[String, Q] = Map(
+    // Ordered funnel view → click → purchase, sequential semantics
+    // (a purchase before the first post-view click does not convert) —
+    // see Behavior.funnelStages for the semantics + scale argument.
+    // Timestamps surface as epoch micros (exact integers).
+    "q_funnel" -> ((s, d) =>
+      graft.operators.Behavior.funnelStages(
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), tu.as("tu")),
+        Seq("view", "click", "purchase"))),
+
+    // Weekly cohort retention: users bucketed by first-activity week,
+    // counted per (cohort, weeks-since-cohort) cell. Two shuffles on
+    // user_id (first-seen aggregate, then the distinct) + one tiny
+    // final aggregate; all week math is integer epoch-day division, so
+    // cells are engine-exact. The classic retention-triangle input.
+    "q_cohort_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), (tu.cast("long") / 86400000000L).cast("long")
+          .as("day"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("d0"))
+      ev.join(first, "user_id")
+        .select(col("user_id"), (col("d0") / 7).cast("long").as("cohort_week"),
+          ((col("day") - col("d0")) / 7).cast("long").as("week_offset"))
+        .distinct()
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
+    // First-order Markov transition counts over each user's event
+    // sequence (lag window, ties broken by event_id) — the n×n
+    // transition matrix behind session-behavior modeling. One shuffle
+    // by user_id with an in-partition sort, then a 25-row aggregate;
+    // the window never materializes more than a partition.
+    "q_event_transitions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(asc("tu"), asc("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"), tu.as("tu"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("curr_type"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // Winsorization: clip each value to its group's exact rank-selected
+    // [p5, p95] (no interpolation — clip bounds are actual stored
+    // doubles, so least/greatest is pure selection and engine-exact).
+    // One exchange, one sort: row_number and both conditional-max
+    // window aggregates share the event_type partition.
+    "q_winsorize" -> ((s, d) => {
+      val wOrd = Window.partitionBy(col("event_type"))
+        .orderBy(asc("value"), asc("event_id"))
+      val wAll = Window.partitionBy(col("event_type"))
+      def idx(p: Int) = expr(s"((n - 1) * $p) div 100 + 1")
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("rn", row_number().over(wOrd).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("p05", max(when(col("rn") === idx(5), col("value"))).over(wAll))
+        .withColumn("p95", max(when(col("rn") === idx(95), col("value"))).over(wAll))
+        .select(col("event_type"), col("event_id"),
+          least(greatest(col("value"), col("p05")), col("p95"))
+            .as("value_clipped"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),
+        |t1 AS (SELECT user_id, MIN(tu) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, MIN(tu) AS t2 FROM e JOIN t1 USING (user_id)
+        |       WHERE event_type = 'click' AND tu > t1 GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, MIN(tu) AS t3 FROM e JOIN t2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND tu > t2 GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM e)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |       WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage,
+        |  t1, t2, t3
+        |FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+        |  LEFT JOIN t3 USING (user_id)""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+        |), f AS (
+        |  SELECT user_id, MIN(day) AS d0 FROM e GROUP BY user_id
+        |), a AS (
+        |  SELECT DISTINCT e.user_id, d0 // 7 AS cohort_week,
+        |    (day - d0) // 7 AS week_offset
+        |  FROM e JOIN f USING (user_id)
+        |)
+        |SELECT cohort_week, week_offset, COUNT(*) AS n_users
+        |FROM a GROUP BY cohort_week, week_offset""".stripMargin,
+
+    "q_event_transitions" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id
+        |                             ORDER BY epoch_us(ts) ASC, event_id ASC)
+        |      AS prev_type
+        |  FROM events
+        |)
+        |SELECT prev_type, event_type AS curr_type, COUNT(*) AS n
+        |FROM s WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, curr_type""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH r AS (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value ASC, event_id ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events
+        |), p AS (
+        |  SELECT event_type, event_id, value,
+        |    MAX(CASE WHEN rn = (n - 1) * 5 // 100 + 1 THEN value END)
+        |      OVER (PARTITION BY event_type) AS p05,
+        |    MAX(CASE WHEN rn = (n - 1) * 95 // 100 + 1 THEN value END)
+        |      OVER (PARTITION BY event_type) AS p95
+        |  FROM r
+        |)
+        |SELECT event_type, event_id,
+        |  least(greatest(value, p05), p95) AS value_clipped
+        |FROM p""".stripMargin
+  )
+}

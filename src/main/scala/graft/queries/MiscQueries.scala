@@ -95,11 +95,21 @@ object MiscQueries {
     // bound sits at 5σ of the sketch's error model — the default 0.05
     // puts 1σ ON the bound and genuinely tripped it at sf0.1 (exact
     // 1500/group, estimate >5% off).
+    // Shape note: pre-distinct, then sketch+count over the distinct
+    // pairs. HLL state is a pure function of the value SET, so the
+    // estimate is identical to sketching the raw stream — but the
+    // partial aggregate collapses the input map-side (one row per
+    // (type,user) per partition reaches the exchange) and the plan
+    // avoids the 2× Expand a mixed exact+approx distinct aggregate
+    // otherwise requires. Measured 2.6s → 1.1s at sf0.1 (n=7 median);
+    // the residue is the rsd-0.01 sketch's register-array cost, the
+    // price of the 5σ margin on the asserted bound.
     "q_approx_distinct" -> ((s, d) =>
       Tables.events(s, d)
+        .select(col("event_type"), col("user_id")).distinct()
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
-          countDistinct(col("user_id")).as("exact_users"))
+          count(lit(1)).as("exact_users"))
         .select(col("event_type"), col("exact_users"),
           (abs(col("approx_users") - col("exact_users")) * 20 <= col("exact_users"))
             .as("within_5pct"))),
