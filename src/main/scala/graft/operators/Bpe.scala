@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE tokenizer-training rounds — the merge-table builder
+  * behind subword vocabulary induction, run the way production BPE
+  * trainers do it at corpus scale: against the (word, count) table, not
+  * the raw token stream, so every pass is |vocab|-sized regardless of
+  * corpus size.
+  *
+  * Each round is fully declarative (no driver-side argmax): count
+  * adjacent symbol pairs weighted by word frequency (lead window +
+  * sum aggregate), pick the winner by (count DESC, pair ASC) via a
+  * 1-row TakeOrdered that is then BROADCAST into the re-symbolization,
+  * and apply the merge greedily left-to-right in one window pass.
+  * Greedy non-overlap needs no sequential scan: for a pair (A,B) with
+  * A≠B two adjacent matches cannot overlap (match at i+1 would need
+  * sym(i+1)=A=B), so only self-pairs (A,A) chain — and there a maximal
+  * run of c consecutive matches merges exactly at the odd positions of
+  * the run (⌊c/2⌋ merges), which is gaps-and-islands + parity, all
+  * window functions.
+  *
+  * Scale: every window partitions by `w` — hashpartitioning(w)
+  * satisfies the (w, mflag[, isl]) clustering requirements, so each
+  * round is ONE exchange plus in-partition sorts. The symbol table is
+  * localCheckpoint'ed per round: the pair-count branch and the
+  * re-symbolized frame share one materialization instead of compounding
+  * the lineage (the naive lazy form re-evaluates the full prefix per
+  * round — exponential in rounds).
+  *
+  * Determinism: lowercase [a-z]+ words, ASCII 1-based substrings,
+  * integer counts, total-ordered argmax — engine-exact, mirrored
+  * stage-by-stage by the unrolled DuckDB oracle.
+  */
+object Bpe {
+
+  /** `rounds` BPE merge rounds over the word-count table of `textCol`.
+    * Returns (merge_round, left_sym, right_sym, pair_count) — one row
+    * per round in merge order.
+    */
+  def merges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, "need at least one merge round")
+    val words = docs
+      .select(explode(
+        expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    var syms = words
+      .select(col("w"), col("wc"),
+        explode(sequence(lit(1), length(col("w")))).as("pos"))
+      .withColumn("sym", expr("substring(w, pos, 1)"))
+
+    val wW = Window.partitionBy(col("w")).orderBy(col("pos"))
+    val bests = Seq.newBuilder[DataFrame]
+    for (round <- 1 to rounds) {
+      val snap = syms.localCheckpoint()
+      val withNext = snap.withColumn("nxt", lead(col("sym"), 1).over(wW))
+      val best = withNext.filter(col("nxt").isNotNull)
+        .groupBy(col("sym").as("left_sym"), col("nxt").as("right_sym"))
+        .agg(sum(col("wc")).as("pair_count"))
+        .orderBy(desc("pair_count"), asc("left_sym"), asc("right_sym"))
+        .limit(1)
+      bests += best.select(lit(round.toLong).as("merge_round"),
+        col("left_sym"), col("right_sym"), col("pair_count"))
+
+      val wM = Window.partitionBy(col("w"), col("mflag")).orderBy(col("pos"))
+      val flagged = withNext
+        .crossJoin(broadcast(best.select(col("left_sym").as("bl"),
+          col("right_sym").as("br"))))
+        .withColumn("mflag",
+          coalesce(col("sym") === col("bl") && col("nxt") === col("br"),
+            lit(false)))
+        .withColumn("isl", col("pos") - row_number().over(wM))
+      val wI = Window.partitionBy(col("w"), col("mflag"), col("isl"))
+        .orderBy(col("pos"))
+      syms = flagged
+        .withColumn("mrg", col("mflag") && row_number().over(wI) % 2 === 1)
+        .withColumn("consumed", coalesce(lag(col("mrg"), 1).over(wW), lit(false)))
+        .filter(!col("consumed"))
+        .withColumn("pos2", row_number().over(wW))
+        .select(col("w"), col("wc"), col("pos2").as("pos"),
+          when(col("mrg"), concat(col("sym"), col("nxt"))).otherwise(col("sym"))
+            .as("sym"))
+    }
+    bests.result().reduce(_ union _)
+  }
+}

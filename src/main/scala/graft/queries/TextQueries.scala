@@ -83,8 +83,17 @@ object TextQueries {
     // Top-20 bigram collocations over the corpus — global count with a
     // deterministic (count desc, bigram asc) tie-break.
     "q_bigrams" -> ((s, d) =>
-      TextAnalysis.topBigrams(Tables.documents(s, d), "text", "doc_id", 20))
+      TextAnalysis.topBigrams(Tables.documents(s, d), "text", "doc_id", 20)),
+
+    // BPE tokenizer-training rounds over the corpus word-count table —
+    // see Bpe.merges for the declarative per-round shape (lead-window
+    // pair counts → broadcast 1-row argmax → islands+parity greedy
+    // merge). The oracle unrolls the same six stages window-for-window.
+    "q_bpe_merges" -> ((s, d) =>
+      graft.operators.Bpe.merges(Tables.documents(s, d), "text", bpeRounds))
   )
+
+  private val bpeRounds = 6
 
   private val toksSql = """string_split_regex(lower(trim(text)), '\s+')"""
 
@@ -108,7 +117,63 @@ object TextQueries {
     s"CASE $whens\n       ELSE 'und' END"
   }
 
+  /** One unrolled BPE stage: from symbol table s$i derive the winning
+    * pair b$i and the re-symbolized s${i+1} — the exact window-for-window
+    * mirror of one [[graft.operators.Bpe.merges]] round (lead pairs,
+    * total-ordered argmax, islands+parity greedy merge, consumed-row
+    * drop, dense re-positioning).
+    */
+  private def bpeStage(i: Int): String =
+    s"""m$i AS (
+       |  SELECT w, wc, pos, sym,
+       |    lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+       |  FROM s$i
+       |), b$i AS (
+       |  SELECT sym AS l, nxt AS r, CAST(SUM(wc) AS BIGINT) AS pc
+       |  FROM m$i WHERE nxt IS NOT NULL GROUP BY sym, nxt
+       |  ORDER BY pc DESC, l ASC, r ASC LIMIT 1
+       |), f$i AS (
+       |  SELECT m.*, coalesce(m.sym = b.l AND m.nxt = b.r, FALSE) AS mflag
+       |  FROM m$i m CROSS JOIN b$i b
+       |), i$i AS (
+       |  SELECT *, pos - row_number() OVER (PARTITION BY w, mflag ORDER BY pos) AS isl
+       |  FROM f$i
+       |), g$i AS (
+       |  SELECT *, (mflag AND
+       |    row_number() OVER (PARTITION BY w, mflag, isl ORDER BY pos) % 2 = 1) AS mrg
+       |  FROM i$i
+       |), c$i AS (
+       |  SELECT *, coalesce(lag(mrg) OVER (PARTITION BY w ORDER BY pos), FALSE)
+       |    AS consumed
+       |  FROM g$i
+       |), s${i + 1} AS (
+       |  SELECT w, wc, row_number() OVER (PARTITION BY w ORDER BY pos) AS pos,
+       |    CASE WHEN mrg THEN sym || nxt ELSE sym END AS sym
+       |  FROM c$i WHERE NOT consumed
+       |)""".stripMargin
+
+  private val bpeSql: String = {
+    val stages = (1 to bpeRounds).map(bpeStage).mkString(",\n")
+    val unions = (1 to bpeRounds).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_round, l AS left_sym, r AS right_sym, pc AS pair_count FROM b$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH w0 AS (
+       |  SELECT w, COUNT(*) AS wc FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |    FROM documents) t
+       |  GROUP BY w
+       |), sp AS (
+       |  SELECT w, wc, unnest(generate_series(1, length(w))) AS pos FROM w0
+       |), s1 AS (
+       |  SELECT w, wc, pos, substring(w, pos, 1) AS sym FROM sp
+       |),
+       |$stages
+       |$unions""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_bpe_merges" -> bpeSql,
+
     "q_text_stats" ->
       s"""SELECT doc_id,
          |  length(text) AS n_chars,
