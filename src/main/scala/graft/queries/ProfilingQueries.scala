@@ -69,6 +69,42 @@ object ProfilingQueries {
           countDistinct(col("user_id")).as("n_users"),
           sum(least(col("s_end"), col("i_end")) -
             greatest(col("s_start"), col("i_start"))).as("total_overlap_us"))
+    }),
+
+    // Data-quality expectations gate (the pre-training contract check):
+    // hard invariants (range, FK, uniqueness, derived-column
+    // consistency) plus curation expectations that genuinely trip on
+    // this data — one (constraint, n_checked, n_violations) row each.
+    // Each check is a narrow aggregate over a pruned scan (the FK check
+    // is an exists-count via left join against the distinct key set —
+    // at scale a shuffled hash join on the key, never a collect);
+    // violating ROWS are a filter away, the gate stays O(constraints).
+    "q_expectations" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+      val ev = Tables.events(s, d)
+      val docs = Tables.documents(s, d)
+      def gate(name: String, checked: org.apache.spark.sql.DataFrame) =
+        checked.select(lit(name).as("constraint"),
+          count(lit(1)).as("n_checked"),
+          count(when(col("viol"), 1)).as("n_violations"))
+      val range = gate("lineitem.quantity_in_1_50",
+        li.select((col("l_quantity") < 1 || col("l_quantity") > 50).as("viol")))
+      val fk = gate("lineitem.orderkey_fk",
+        li.select(col("l_orderkey"))
+          .join(ord.select(col("o_orderkey")).distinct(),
+            col("l_orderkey") === col("o_orderkey"), "left")
+          .select(col("o_orderkey").isNull.as("viol")))
+      val uniq = gate("orders.orderkey_unique",
+        ord.groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))
+          .select((col("c") > 1).as("viol")))
+      val cons = gate("documents.n_chars_consistent",
+        docs.select((col("n_chars") =!= length(col("text"))).as("viol")))
+      val biz = gate("events.value_le_400",
+        ev.select((col("value") > 400).as("viol")))
+      val minLen = gate("documents.min_200_chars",
+        docs.select((col("n_chars") < 200).as("viol")))
+      range.union(fk).union(uniq).union(cons).union(biz).union(minLen)
     })
   )
 
@@ -128,6 +164,30 @@ object ProfilingQueries {
          |    AS BIGINT) AS total_overlap_us
          |FROM sessions s JOIN incidents i
          |  ON s.s_start < i.i_end AND i.i_start < s.s_end
-         |GROUP BY i.day""".stripMargin
+         |GROUP BY i.day""".stripMargin,
+
+    "q_expectations" ->
+      """SELECT 'lineitem.quantity_in_1_50' AS constraint, COUNT(*) AS n_checked,
+        |  COUNT(*) FILTER (l_quantity < 1 OR l_quantity > 50) AS n_violations
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem.orderkey_fk', COUNT(*),
+        |  COUNT(*) FILTER (o_orderkey IS NULL)
+        |FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |  ON l.l_orderkey = o.o_orderkey
+        |UNION ALL
+        |SELECT 'orders.orderkey_unique', COUNT(*), COUNT(*) FILTER (c > 1)
+        |FROM (SELECT o_orderkey, COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+        |UNION ALL
+        |SELECT 'documents.n_chars_consistent', COUNT(*),
+        |  COUNT(*) FILTER (n_chars <> length(text))
+        |FROM documents
+        |UNION ALL
+        |SELECT 'events.value_le_400', COUNT(*), COUNT(*) FILTER (value > 400)
+        |FROM events
+        |UNION ALL
+        |SELECT 'documents.min_200_chars', COUNT(*),
+        |  COUNT(*) FILTER (n_chars < 200)
+        |FROM documents""".stripMargin
   )
 }
