@@ -90,7 +90,30 @@ object TextQueries {
     // pair counts → broadcast 1-row argmax → islands+parity greedy
     // merge). The oracle unrolls the same six stages window-for-window.
     "q_bpe_merges" -> ((s, d) =>
-      graft.operators.Bpe.merges(Tables.documents(s, d), "text", bpeRounds))
+      graft.operators.Bpe.merges(Tables.documents(s, d), "text", bpeRounds)),
+
+    // Out-of-vocabulary bigram rate per doc — the count-based fluency
+    // signal (docs whose bigrams rarely appear in the corpus top-K are
+    // boilerplate/garble candidates). Integer counts, no log-prob libm
+    // hazard. The top-K vocabulary is a TakeOrdered result broadcast
+    // into the probe join; the probe is one shuffle-free pass over the
+    // exploded bigrams followed by a per-doc aggregate.
+    "q_oov_rate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val vocab = TextAnalysis.topBigrams(docs, "text", "doc_id", 200)
+        .select(col("bigram").as("vb"))
+      val bigrams = docs
+        .select(col("doc_id"),
+          graft.operators.Dedup.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> concat(toks[i - 1], ' ', toks[i]))")).as("bigram"))
+      bigrams.join(broadcast(vocab), col("bigram") === col("vb"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          count(when(col("vb").isNull, 1)).as("n_oov"))
+    })
   )
 
   private val bpeRounds = 6
@@ -173,6 +196,19 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q_bpe_merges" -> bpeSql,
+
+    "q_oov_rate" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id, toks, unnest(generate_series(2, len(toks))) AS i
+         |      FROM t WHERE len(toks) >= 2),
+         |b AS (SELECT doc_id, toks[i - 1] || ' ' || toks[i] AS bigram FROM g),
+         |v AS (SELECT bigram AS vb FROM (
+         |        SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram)
+         |      ORDER BY n DESC, bigram ASC LIMIT 200)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  COUNT(*) FILTER (vb IS NULL) AS n_oov
+         |FROM b LEFT JOIN v ON b.bigram = v.vb
+         |GROUP BY doc_id""".stripMargin,
 
     "q_text_stats" ->
       s"""SELECT doc_id,
