@@ -72,4 +72,20 @@ class BpeSpec extends SparkSpec {
     val docs = Seq("abab abc abc abc cab")
     assert(run(docs, 6) == refBpe(words(docs), 6))
   }
+
+  test("property: random {a,b,c}-corpora match reference BPE") {
+    // tiny alphabet maximizes self-pair runs, ties, and re-merge
+    // collisions per word — the adversarial regime for the
+    // islands+parity formulation. Deterministic seed, 5 corpora.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val word = Gen.chooseNum(1, 6)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val doc = Gen.chooseNum(2, 8).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val corpus = Gen.chooseNum(2, 4).flatMap(n => Gen.listOfN(n, doc))
+    (1 to 5).foreach { i =>
+      val docs = corpus.apply(Gen.Parameters.default, Seed(i.toLong)).get
+      assert(run(docs, 5) == refBpe(words(docs), 5), s"corpus seed $i: $docs")
+    }
+  }
 }
