@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** User-journey operators over keyed event streams.
   *
@@ -50,5 +51,48 @@ object Behavior {
     }
     joined.select(col("user_id") +: stage.as("stage") +:
       steps.indices.map(i => col(s"t${i + 1}")): _*)
+  }
+
+  /** Rows of the typed streaming funnel. */
+  case class FunnelEvent(user_id: Long, event_type: String, tu: Long)
+  case class StageAdvance(user_id: Long, stage: Int, tu: Long)
+
+  /** Per-user funnel progress: next step index awaited + last anchor.
+    * O(1) per key — the stream-state analogue of one anchor row. */
+  case class FunnelState(stage: Int, anchor: Long)
+
+  /** Streaming form of [[funnelStages]]: per-user GroupState tracks the
+    * awaited step and its anchor across micro-batches, emitting one
+    * StageAdvance per conversion (Append mode). Identical semantics to
+    * the batch form when each user's events are processed in event-time
+    * order: "first qualifying event strictly after the previous anchor"
+    * is exactly the greedy pass the batch min-aggregates compute — so
+    * each batch's group is sorted by (tu, then type for determinism)
+    * before folding, and cross-batch order is the stream's delivery
+    * contract (front it with a watermarked sort if the wire reorders;
+    * same caveat as [[graft.streaming.Transitions.transitionsStream]]).
+    *
+    * Scale: state is two numbers per user, never grows, no timeout
+    * needed for boundedness; per-batch work is one sort of that user's
+    * batch slice. FunnelStreamSpec proves batch parity on the fixture
+    * events and state survival across micro-batch splits.
+    */
+  def funnelStream(ds: Dataset[FunnelEvent], steps: Seq[String])
+      : Dataset[StageAdvance] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          var cur = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          val out = rows.toSeq.sortBy(e => (e.tu, e.event_type)).flatMap { e =>
+            if (cur.stage < steps.length && e.event_type == steps(cur.stage) &&
+                (cur.stage == 0 || e.tu > cur.anchor)) {
+              cur = FunnelState(cur.stage + 1, e.tu)
+              Some(StageAdvance(uid, cur.stage, e.tu))
+            } else None
+          }
+          state.update(cur)
+          out.iterator
+      }
   }
 }
