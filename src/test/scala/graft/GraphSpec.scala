@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.GraphQueries
+
+/** Invariants of the integer PageRank (the oracle proves cross-engine
+  * agreement; this pins the rank semantics).
+  */
+class GraphSpec extends SparkSpec {
+
+  test("pagerank conserves mass up to floor-division leakage; all positive") {
+    val pr = GraphQueries.queries("q_pagerank")(spark, sf0001)
+    val row = pr.agg(sum(col("pr")).as("total"), count(lit(1)).as("n"),
+      min(col("pr")).as("lo")).collect().head
+    val (total, n, lo) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val S = 1000000000000L
+    // each of the 3 rounds loses < 1 unit per edge-contribution floor,
+    // < 1 per damping floor, plus the initial S div n remainder —
+    // bounded by a generous 4 units x (nodes + edges) total; never gains
+    val edges = 2L * 160 * 160 // loose upper bound on |edges| at sf0.001
+    assert(total <= S && total >= S - 4 * (n + edges))
+    assert(lo > 0, "every connected node keeps positive rank")
+  }
+
+  test("pagerank gives higher rank to higher-degree nodes on average") {
+    val pr = GraphQueries.queries("q_pagerank")(spark, sf0001)
+    // suppliers serve many customers each (dense side) — their mean
+    // rank must exceed the global uniform share
+    val sup = pr.filter(col("node").startsWith("s"))
+      .agg(avg(col("pr"))).collect().head.getDouble(0)
+    val n = pr.count()
+    assert(sup > 1000000000000L.toDouble / n)
+  }
+}
