@@ -36,8 +36,12 @@ object GraphQueries {
         .select(concat(lit("c"), col("o_custkey")).as("src"),
           concat(lit("s"), col("l_suppkey")).as("dst"))
         .distinct()
+      // repartition BEFORE the checkpoint: LogicalRDD preserves the
+      // physical partitioning, so every round's ranks→edges join reuses
+      // it instead of re-exchanging |edges| rows 3×
       val edges = raw
         .union(raw.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(col("src"))
         .localCheckpoint()
       val deg = edges.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("deg"))
@@ -45,11 +49,16 @@ object GraphQueries {
       var rank = deg.crossJoin(broadcast(n))
         .select(col("node"), col("deg"), expr(s"$S div n").as("r"))
       for (_ <- 1 to 3) {
+        // ranks feed BOTH branches below (contribution join and the
+        // carry-forward join) — checkpoint the |nodes|-sized table per
+        // round or the lazy plan re-evaluates prior rounds 2× each
+        // (exponential in rounds; same discipline as Bpe.merges)
+        val snap = rank.localCheckpoint()
         val contrib = edges
-          .join(rank.select(col("node"), expr("r div deg").as("c")),
+          .join(snap.select(col("node"), expr("r div deg").as("c")),
             col("src") === col("node"))
           .groupBy(col("dst")).agg(sum(col("c")).as("ins"))
-        rank = rank.drop("r")
+        rank = snap.drop("r")
           .join(contrib, col("node") === col("dst")).drop("dst")
           .crossJoin(broadcast(n))
           .select(col("node"), col("deg"),
