@@ -187,6 +187,27 @@ object MiscQueries {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))),
 
+    // Malformed-payload handling — the PERMISSIVE-parse accounting every
+    // wire-format ingest needs: ~1/16 of payloads are deterministically
+    // corrupted IN-QUERY (truncated, so both engines agree they are
+    // invalid JSON), parsed leniently (get_json_object → null, never a
+    // job failure), and accounted per type with the aggregate computed
+    // over the surviving rows only. The corruption choice rides the
+    // md5(event_id) hex prefix — reproducible everywhere, like all
+    // sampling in this library.
+    "q_json_malformed" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          when(substring(md5(col("event_id").cast("string")), 1, 1) === "0",
+            expr("substring(props, 1, length(props) - 3)"))
+            .otherwise(col("props")).as("wire"))
+        .select(col("event_type"),
+          get_json_object(col("wire"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("k").isNull, 1)).as("n_corrupt"),
+          sum(col("k")).as("sum_k_valid"))),
+
     // Multimodal sequence assembly: interleave each doc's text chunks
     // (even positions) with its media-chunk descriptors (odd) into one
     // ordered training sequence, fingerprinted order-exactly. The
@@ -378,6 +399,27 @@ object MiscQueries {
         |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // DuckDB json functions ERROR on invalid input, so the lenient
+    // parse is json_valid-gated — semantically get_json_object's
+    // null-on-malformed
+    "q_json_malformed" ->
+      """WITH w AS (
+        |  SELECT event_type,
+        |    CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0'
+        |         THEN substring(props, 1, length(props) - 3)
+        |         ELSE props END AS wire
+        |  FROM events
+        |), p AS (
+        |  SELECT event_type,
+        |    CASE WHEN json_valid(wire)
+        |         THEN CAST(json_extract_string(wire, '$.k') AS BIGINT) END AS k
+        |  FROM w
+        |)
+        |SELECT event_type, COUNT(*) AS n_total,
+        |  COUNT(*) FILTER (k IS NULL) AS n_corrupt,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k_valid
+        |FROM p GROUP BY event_type""".stripMargin,
 
     "q_multimodal_sequence" ->
       """WITH t0 AS (
