@@ -95,14 +95,16 @@ object Bench {
     * regressions are visible round-over-round.
     *
     * Volume is 10× the reference dataset (288k rows): profiling
-    * (StreamBench's stream_phase_ms line) shows ~3-4s of per-query fixed
+    * (StreamBench's stream_phase_ms line) shows ~4-5s of per-query fixed
     * cost (codegen, 2 micro-batches' planning + state-store setup,
-    * checkpoint fsyncs) against a marginal rate of ~600k rows/s — at the
+    * checkpoint fsyncs) against a marginal rate of ~1M rows/s — at the
     * reference's own 28.8k rows the number measured the FIXED cost
     * (r4: 9,041 rows/s ⇒ 3.2s wall, overhead-bound), not the engine.
     * 288k is the smallest volume where data cost dominates; SCALE.md
-    * §Streaming carries the full breakdown and the r4-comparable
-    * old-volume figure. SPARK_GRAFT_STREAM_ROWS overrides.
+    * §Streaming carries the full breakdown (measured with window state
+    * scaling linearly in volume — see writeSyntheticDay's no-midnight-
+    * wrap contract) and the r4-comparable old-volume figure.
+    * SPARK_GRAFT_STREAM_ROWS overrides.
     */
   private def streamThroughput(spark: SparkSession): Long = {
     val rows = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "288000").toInt
@@ -110,19 +112,9 @@ object Bench {
     import graft.streaming.StreamingPipeline
     try {
       val dir = Files.createTempDirectory("benchstream").toString
-      val servers = 20
-      spark.range(rows)
-        .select(
-          date_format(timestamp_seconds(lit(75180) + (col("id") / servers).cast("long") * 5),
-            "HH:mm:ss").as("ts"),
-          concat(lit("server_"), (col("id") % servers + 1)).as("server_id"),
-          (pmod(col("id") * 37, lit(10000)) / 100).as("cpu_pct"),
-          (pmod(col("id") * 53, lit(10000)) / 100).as("mem_pct"),
-          (pmod(col("id") * 71, lit(2000000)) / 100).as("net_in"),
-          (pmod(col("id") * 13, lit(2000000)) / 100).as("net_out"),
-          (pmod(col("id") * 29, lit(1000000)) / 100).as("disk_io"))
-        .repartition(8)
-        .write.option("header", "true").csv(s"$dir/in")
+      // fleet size scales with volume so the time-of-day wire never
+      // wraps midnight (see StreamBench.writeSyntheticDay)
+      StreamBench.writeSyntheticDay(spark, dir, rows)
 
       val t0 = System.nanoTime()
       val dataset = spark.readStream.schema(graft.core.Schemas.dataset)

@@ -17,6 +17,36 @@ import graft.streaming.StreamingPipeline
   * rebuilt engine.
   */
 object StreamBench {
+
+  /** Synthesize the reference-shaped metrics day as CSV under
+    * `dir/in` and return the fleet size used. 5s cadence per server,
+    * times of day from 00:00:00 — and the FLEET grows with volume
+    * (servers = max(20, ⌈rows·5/86400⌉)) so the day never wraps:
+    * the wire format carries time-of-day only (reference parity), and
+    * a fixed fleet would overflow 24h past 345,600 rows, wrapping
+    * event time non-monotonically and silently capping window state
+    * at one day's worth — which is exactly the state-volume dimension
+    * the throughput measurement is supposed to scale. Growing the key
+    * space instead matches how the reference workload itself scales
+    * (bigger fleet, same day).
+    */
+  def writeSyntheticDay(spark: SparkSession, dir: String, rows: Int): Int = {
+    val servers = math.max(20, math.ceil(rows * 5.0 / 86400).toInt)
+    spark.range(rows)
+      .select(
+        date_format(timestamp_seconds((col("id") / servers).cast("long") * 5),
+          "HH:mm:ss").as("ts"),
+        concat(lit("server_"), (col("id") % servers + 1)).as("server_id"),
+        (pmod(col("id") * 37, lit(10000)) / 100).as("cpu_pct"),
+        (pmod(col("id") * 53, lit(10000)) / 100).as("mem_pct"),
+        (pmod(col("id") * 71, lit(2000000)) / 100).as("net_in"),
+        (pmod(col("id") * 13, lit(2000000)) / 100).as("net_out"),
+        (pmod(col("id") * 29, lit(1000000)) / 100).as("disk_io"))
+      .repartition(8)
+      .write.option("header", "true").csv(s"$dir/in")
+    servers
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val rows = args.headOption.map(_.toInt).getOrElse(28800)
@@ -34,21 +64,10 @@ object StreamBench {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    // synthesize the reference-shaped dataset (20 servers, 5s cadence)
+    // synthesize the reference-shaped dataset (5s cadence; fleet size
+    // scales with volume so the time-of-day wire never wraps midnight)
     val dir = Files.createTempDirectory("streambench").toString
-    val servers = 20
-    spark.range(rows)
-      .select(
-        date_format(timestamp_seconds(lit(75180) + (col("id") / servers).cast("long") * 5),
-          "HH:mm:ss").as("ts"),
-        concat(lit("server_"), (col("id") % servers + 1)).as("server_id"),
-        (pmod(col("id") * 37, lit(10000)) / 100).as("cpu_pct"),
-        (pmod(col("id") * 53, lit(10000)) / 100).as("mem_pct"),
-        (pmod(col("id") * 71, lit(2000000)) / 100).as("net_in"),
-        (pmod(col("id") * 13, lit(2000000)) / 100).as("net_out"),
-        (pmod(col("id") * 29, lit(1000000)) / 100).as("disk_io"))
-      .repartition(8)
-      .write.option("header", "true").csv(s"$dir/in")
+    val servers = writeSyntheticDay(spark, dir, rows)
 
     val t0 = System.nanoTime()
     val reader = spark.readStream.schema(graft.core.Schemas.dataset)
@@ -81,7 +100,7 @@ object StreamBench {
 
     val messages = rows.toLong * 4
     val windows = progress.map(_.stateOperators.headOption.map(_.numRowsTotal).getOrElse(0L)).maxOption.getOrElse(0L)
-    println(s"""{"metric":"stream_rows_per_sec","mode":"$mode","value":${(rows / secs).round},"unit":"rows/sec","dataset_rows":$rows,"wire_messages":$messages,"window_state_rows":$windows,"wall_sec":${math.round(secs * 100) / 100.0}}""")
+    println(s"""{"metric":"stream_rows_per_sec","mode":"$mode","value":${(rows / secs).round},"unit":"rows/sec","dataset_rows":$rows,"servers":$servers,"wire_messages":$messages,"window_state_rows":$windows,"wall_sec":${math.round(secs * 100) / 100.0}}""")
     // Where the wall time goes, summed over micro-batches (milliseconds):
     // addBatch = run the batch's job (scan+parse+agg+state), walCommit +
     // commitOffsets = checkpoint fsyncs, queryPlanning = incremental

@@ -56,11 +56,16 @@ object Bpe {
     for (round <- 1 to rounds) {
       val snap = syms.localCheckpoint()
       val withNext = snap.withColumn("nxt", lead(col("sym"), 1).over(wW))
+      // the 1-row argmax feeds two consumers (the merge-table output
+      // union and the re-symbolization crossJoin) — checkpoint it so
+      // the pair-count aggregate, the round's most expensive op, runs
+      // once instead of twice
       val best = withNext.filter(col("nxt").isNotNull)
         .groupBy(col("sym").as("left_sym"), col("nxt").as("right_sym"))
         .agg(sum(col("wc")).as("pair_count"))
         .orderBy(desc("pair_count"), asc("left_sym"), asc("right_sym"))
         .limit(1)
+        .localCheckpoint()
       bests += best.select(lit(round.toLong).as("merge_round"),
         col("left_sym"), col("right_sym"), col("pair_count"))
 

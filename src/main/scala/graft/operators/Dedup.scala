@@ -439,6 +439,7 @@ object Dedup {
   def connectedComponentsStarWithRounds(pairs: DataFrame, idCol: String,
       maxIter: Int = 30): (DataFrame, Int) = {
     val sc = pairs.sparkSession.sparkContext
+    val preExisting = sc.getPersistentRDDs.keySet
     var edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
@@ -448,7 +449,13 @@ object Dedup {
     // same per-round block discipline as connectedComponents: round N's
     // checkpoint blocks are dropped once round N+1 is materialized; the
     // final round's blocks are the result's only copy and stay resident.
-    var prevRoundRdds: Iterable[org.apache.spark.rdd.RDD[_]] = Nil
+    // The input checkpoint above is round 0's predecessor — seed the
+    // tracking with it, or its |edges|-sized blocks stay pinned for the
+    // whole session after round 1 has made them dead.
+    var prevRoundRdds: Iterable[org.apache.spark.rdd.RDD[_]] =
+      (sc.getPersistentRDDs -- preExisting).values.map { r =>
+        r.setName("graft.connectedComponentsStar input"); r
+      }
     while (!converged && rounds < maxIter) {
       val before = sc.getPersistentRDDs.keySet
       val next = smallStar(largeStar(edges)).localCheckpoint()

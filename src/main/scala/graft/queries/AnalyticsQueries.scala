@@ -188,24 +188,20 @@ object AnalyticsQueries {
           col("n_1h"))
     }),
 
-    // Exact percentiles by rank selection (nearest-lower rank, no
-    // interpolation — interpolated quantiles are 1-ulp-unstable across
-    // engines; rank selection returns an actual data value). One window
-    // sort per group, then a pivot-style conditional aggregate.
-    "q_percentile_rank" -> ((s, d) => {
-      val w = Window.partitionBy(col("event_type")).orderBy(asc("value"), asc("event_id"))
-      val n = Window.partitionBy(col("event_type"))
-      def idx(p: Int) = expr(s"((n - 1) * $p) div 100 + 1") // integer div (Column./ is double)
-      val ranked = Tables.events(s, d)
-        .select(col("event_type"), col("event_id"), col("value"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(n))
-      ranked.groupBy(col("event_type"))
+    // Exact percentiles by rank selection (the shared rankOrdered /
+    // rankIdx scaffold — nearest-lower rank, no interpolation;
+    // interpolated quantiles are 1-ulp-unstable across engines, rank
+    // selection returns an actual data value). One window sort per
+    // group, then a pivot-style conditional aggregate.
+    "q_percentile_rank" -> ((s, d) =>
+      rankOrdered(Tables.events(s, d)
+          .select(col("event_type"), col("event_id"), col("value")),
+          "event_type", "value", "event_id")
+        .groupBy(col("event_type"))
         .agg(max(col("n")).as("n_events"),
-          max(when(col("rn") === idx(50), col("value"))).as("p50"),
-          max(when(col("rn") === idx(90), col("value"))).as("p90"),
-          max(when(col("rn") === idx(99), col("value"))).as("p99"))
-    })
+          max(when(col("rn") === rankIdx(50), col("value"))).as("p50"),
+          max(when(col("rn") === rankIdx(90), col("value"))).as("p90"),
+          max(when(col("rn") === rankIdx(99), col("value"))).as("p99")))
   )
 
   private val pivotCountCols = priorities
@@ -319,17 +315,17 @@ object AnalyticsQueries {
         |      > 4 * (n_1h * v_1h - s_1h * s_1h)""".stripMargin,
 
     "q_percentile_rank" ->
-      """WITH r AS (
-        |  SELECT event_type, value,
-        |    row_number() OVER (PARTITION BY event_type
-        |                       ORDER BY value ASC, event_id ASC) AS rn,
-        |    COUNT(*) OVER (PARTITION BY event_type) AS n
-        |  FROM events
-        |)
-        |SELECT event_type, MAX(n) AS n_events,
-        |  MAX(CASE WHEN rn = (n - 1) * 50 // 100 + 1 THEN value END) AS p50,
-        |  MAX(CASE WHEN rn = (n - 1) * 90 // 100 + 1 THEN value END) AS p90,
-        |  MAX(CASE WHEN rn = (n - 1) * 99 // 100 + 1 THEN value END) AS p99
-        |FROM r GROUP BY event_type""".stripMargin
+      s"""WITH r AS (
+         |  SELECT event_type, value,
+         |    row_number() OVER (PARTITION BY event_type
+         |                       ORDER BY value ASC, event_id ASC) AS rn,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS n
+         |  FROM events
+         |)
+         |SELECT event_type, MAX(n) AS n_events,
+         |  MAX(CASE WHEN rn = ${sqlRankIdx(50)} THEN value END) AS p50,
+         |  MAX(CASE WHEN rn = ${sqlRankIdx(90)} THEN value END) AS p90,
+         |  MAX(CASE WHEN rn = ${sqlRankIdx(99)} THEN value END) AS p99
+         |FROM r GROUP BY event_type""".stripMargin
   )
 }

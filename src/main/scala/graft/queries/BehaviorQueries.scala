@@ -69,21 +69,17 @@ object BehaviorQueries {
     }),
 
     // Winsorization: clip each value to its group's exact rank-selected
-    // [p5, p95] (no interpolation — clip bounds are actual stored
-    // doubles, so least/greatest is pure selection and engine-exact).
-    // One exchange, one sort: row_number and both conditional-max
-    // window aggregates share the event_type partition.
+    // [p5, p95] (rankOrdered/rankIdx scaffold — clip bounds are actual
+    // stored doubles, so least/greatest is pure selection and
+    // engine-exact). One exchange, one sort: row_number and both
+    // conditional-max window aggregates share the event_type partition.
     "q_winsorize" -> ((s, d) => {
-      val wOrd = Window.partitionBy(col("event_type"))
-        .orderBy(asc("value"), asc("event_id"))
       val wAll = Window.partitionBy(col("event_type"))
-      def idx(p: Int) = expr(s"((n - 1) * $p) div 100 + 1")
-      Tables.events(s, d)
-        .select(col("event_type"), col("event_id"), col("value"))
-        .withColumn("rn", row_number().over(wOrd).cast("long"))
-        .withColumn("n", count(lit(1)).over(wAll))
-        .withColumn("p05", max(when(col("rn") === idx(5), col("value"))).over(wAll))
-        .withColumn("p95", max(when(col("rn") === idx(95), col("value"))).over(wAll))
+      rankOrdered(Tables.events(s, d)
+          .select(col("event_type"), col("event_id"), col("value")),
+          "event_type", "value", "event_id")
+        .withColumn("p05", max(when(col("rn") === rankIdx(5), col("value"))).over(wAll))
+        .withColumn("p95", max(when(col("rn") === rankIdx(95), col("value"))).over(wAll))
         .select(col("event_type"), col("event_id"),
           least(greatest(col("value"), col("p05")), col("p95"))
             .as("value_clipped"))
@@ -133,22 +129,22 @@ object BehaviorQueries {
         |GROUP BY prev_type, curr_type""".stripMargin,
 
     "q_winsorize" ->
-      """WITH r AS (
-        |  SELECT event_type, event_id, value,
-        |    row_number() OVER (PARTITION BY event_type
-        |                       ORDER BY value ASC, event_id ASC) AS rn,
-        |    COUNT(*) OVER (PARTITION BY event_type) AS n
-        |  FROM events
-        |), p AS (
-        |  SELECT event_type, event_id, value,
-        |    MAX(CASE WHEN rn = (n - 1) * 5 // 100 + 1 THEN value END)
-        |      OVER (PARTITION BY event_type) AS p05,
-        |    MAX(CASE WHEN rn = (n - 1) * 95 // 100 + 1 THEN value END)
-        |      OVER (PARTITION BY event_type) AS p95
-        |  FROM r
-        |)
-        |SELECT event_type, event_id,
-        |  least(greatest(value, p05), p95) AS value_clipped
-        |FROM p""".stripMargin
+      s"""WITH r AS (
+         |  SELECT event_type, event_id, value,
+         |    row_number() OVER (PARTITION BY event_type
+         |                       ORDER BY value ASC, event_id ASC) AS rn,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS n
+         |  FROM events
+         |), p AS (
+         |  SELECT event_type, event_id, value,
+         |    MAX(CASE WHEN rn = ${sqlRankIdx(5)} THEN value END)
+         |      OVER (PARTITION BY event_type) AS p05,
+         |    MAX(CASE WHEN rn = ${sqlRankIdx(95)} THEN value END)
+         |      OVER (PARTITION BY event_type) AS p95
+         |  FROM r
+         |)
+         |SELECT event_type, event_id,
+         |  least(greatest(value, p05), p95) AS value_clipped
+         |FROM p""".stripMargin
   )
 }

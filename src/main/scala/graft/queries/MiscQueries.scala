@@ -123,22 +123,17 @@ object MiscQueries {
     // boolean is stable under any partition-merge order), and the oracle
     // asserts TRUE.
     "q_approx_quantile" -> ((s, d) => {
-      val wOrd = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("event_type")).orderBy(asc("value"), asc("event_id"))
-      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
-      def r(p: Int) = expr(s"(n - 1) * $p div 100 + 1")
       val tol = greatest(lit(1L), expr("n div 100"))
-      val ranked = Tables.events(s, d)
-        .select(col("event_type"), col("event_id"), col("value"))
-        .withColumn("rn", row_number().over(wOrd).cast("long"))
-        .withColumn("n", count(lit(1)).over(wAll))
+      val ranked = rankOrdered(Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("value")),
+        "event_type", "value", "event_id")
       ranked.groupBy(col("event_type")).agg(
-          max(when(col("rn") === r(50), col("value"))).as("p50_exact"),
-          max(when(col("rn") === r(90), col("value"))).as("p90_exact"),
-          max(when(col("rn") === greatest(lit(1L), r(50) - tol), col("value"))).as("p50_lo"),
-          max(when(col("rn") === least(col("n"), r(50) + tol), col("value"))).as("p50_hi"),
-          max(when(col("rn") === greatest(lit(1L), r(90) - tol), col("value"))).as("p90_lo"),
-          max(when(col("rn") === least(col("n"), r(90) + tol), col("value"))).as("p90_hi"),
+          max(when(col("rn") === rankIdx(50), col("value"))).as("p50_exact"),
+          max(when(col("rn") === rankIdx(90), col("value"))).as("p90_exact"),
+          max(when(col("rn") === greatest(lit(1L), rankIdx(50) - tol), col("value"))).as("p50_lo"),
+          max(when(col("rn") === least(col("n"), rankIdx(50) + tol), col("value"))).as("p50_hi"),
+          max(when(col("rn") === greatest(lit(1L), rankIdx(90) - tol), col("value"))).as("p90_lo"),
+          max(when(col("rn") === least(col("n"), rankIdx(90) + tol), col("value"))).as("p90_hi"),
           percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_approx"),
           percentile_approx(col("value"), lit(0.9), lit(10000)).as("p90_approx"))
         .select(col("event_type"), col("p50_exact"), col("p90_exact"),
@@ -199,7 +194,10 @@ object MiscQueries {
       Tables.events(s, d)
         .select(col("event_type"),
           when(substring(md5(col("event_id").cast("string")), 1, 1) === "0",
-            expr("substring(props, 1, length(props) - 3)"))
+            // greatest(…, 0): DuckDB's substring ERRORS on negative
+            // length while Spark returns "" — clamp so both engines
+            // agree even if a future fixture has sub-3-char payloads
+            expr("substring(props, 1, greatest(length(props) - 3, 0))"))
             .otherwise(col("props")).as("wire"))
         .select(col("event_type"),
           get_json_object(col("wire"), "$.k").cast("long").as("k"))
@@ -277,18 +275,18 @@ object MiscQueries {
     // exact side pinned by rank selection; the sketch side is asserted
     // through the TRUE accuracy verdicts (see the query's doc)
     "q_approx_quantile" ->
-      """WITH r AS (
-        |  SELECT event_type, value,
-        |    row_number() OVER (PARTITION BY event_type
-        |                       ORDER BY value ASC, event_id ASC) AS rn,
-        |    COUNT(*) OVER (PARTITION BY event_type) AS n
-        |  FROM events
-        |)
-        |SELECT event_type,
-        |  MAX(CASE WHEN rn = (n - 1) * 50 // 100 + 1 THEN value END) AS p50_exact,
-        |  MAX(CASE WHEN rn = (n - 1) * 90 // 100 + 1 THEN value END) AS p90_exact,
-        |  TRUE AS p50_ok, TRUE AS p90_ok
-        |FROM r GROUP BY event_type""".stripMargin,
+      s"""WITH r AS (
+         |  SELECT event_type, value,
+         |    row_number() OVER (PARTITION BY event_type
+         |                       ORDER BY value ASC, event_id ASC) AS rn,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS n
+         |  FROM events
+         |)
+         |SELECT event_type,
+         |  MAX(CASE WHEN rn = ${sqlRankIdx(50)} THEN value END) AS p50_exact,
+         |  MAX(CASE WHEN rn = ${sqlRankIdx(90)} THEN value END) AS p90_exact,
+         |  TRUE AS p50_ok, TRUE AS p90_ok
+         |FROM r GROUP BY event_type""".stripMargin,
 
     // Gaps-and-islands: a new session starts when the silence since the
     // previous event EXCEEDS the gap — Spark's session end is inclusive
@@ -407,7 +405,7 @@ object MiscQueries {
       """WITH w AS (
         |  SELECT event_type,
         |    CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0'
-        |         THEN substring(props, 1, length(props) - 3)
+        |         THEN substring(props, 1, greatest(length(props) - 3, 0))
         |         ELSE props END AS wire
         |  FROM events
         |), p AS (

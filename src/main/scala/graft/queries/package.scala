@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -32,4 +33,33 @@ package object queries {
   /** SQL fragments for the DuckDB side of the patterns above. */
   def sqlDsum(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(18,6))) AS DOUBLE)"
   def sqlDavg(x: String): String = s"(${sqlDsum(x)} / COUNT(*))"
+
+  /** Exact-percentile rank scaffold, shared by q_percentile_rank,
+    * q_approx_quantile and q_winsorize (one definition so the index
+    * formula and tie-break can never drift between them): adds
+    * `rn` = row_number ordered by (valueCol ASC, tieCol ASC) and group
+    * size `n`, both per groupCol. Select the p-th percentile as an
+    * actual stored value with `max(when(col("rn") === rankIdx(p), v))`
+    * — rank selection, no interpolation (interpolated quantiles are
+    * 1-ulp-unstable across engines).
+    *
+    * DuckDB mirror: a CTE with
+    * `row_number() OVER (PARTITION BY g ORDER BY v ASC, tie ASC) AS rn,
+    *  COUNT(*) OVER (PARTITION BY g) AS n` and [[sqlRankIdx]].
+    */
+  def rankOrdered(df: DataFrame, groupCol: String, valueCol: String,
+                  tieCol: String): DataFrame = {
+    val wOrd = Window.partitionBy(col(groupCol))
+      .orderBy(asc(valueCol), asc(tieCol))
+    val wAll = Window.partitionBy(col(groupCol))
+    df.withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+  }
+
+  /** Nearest-lower rank of percentile p over a [[rankOrdered]] frame
+    * (integer `div` — `Column./` is double division). */
+  def rankIdx(p: Int): Column = expr(s"((n - 1) * $p) div 100 + 1")
+
+  /** DuckDB mirror of [[rankIdx]]. */
+  def sqlRankIdx(p: Int): String = s"(n - 1) * $p // 100 + 1"
 }
