@@ -53,8 +53,22 @@ object Bpe {
 
     val wW = Window.partitionBy(col("w")).orderBy(col("pos"))
     val bests = Seq.newBuilder[DataFrame]
+    // Round N's symbol snapshot is dead once round N+1's materializes
+    // (and the LAST one once the loop ends — the returned frame is the
+    // union of the tiny argmax checkpoints only), so each round drops
+    // the previous round's blocks: resident state is O(1) rounds, the
+    // same discipline as Dedup.connectedComponents. The argmax
+    // checkpoints are the output and stay.
+    val sc = docs.sparkSession.sparkContext
+    var prevSnapRdds: Iterable[org.apache.spark.rdd.RDD[_]] = Nil
     for (round <- 1 to rounds) {
+      val before = sc.getPersistentRDDs.keySet
       val snap = syms.localCheckpoint()
+      val snapRdds = (sc.getPersistentRDDs -- before).values.map { r =>
+        r.setName(s"graft.bpe round $round symbols"); r
+      }
+      prevSnapRdds.foreach(_.unpersist(blocking = false))
+      prevSnapRdds = snapRdds
       val withNext = snap.withColumn("nxt", lead(col("sym"), 1).over(wW))
       // the 1-row argmax feeds two consumers (the merge-table output
       // union and the re-symbolization crossJoin) — checkpoint it so
@@ -88,6 +102,7 @@ object Bpe {
           when(col("mrg"), concat(col("sym"), col("nxt"))).otherwise(col("sym"))
             .as("sym"))
     }
+    prevSnapRdds.foreach(_.unpersist(blocking = false))
     bests.result().reduce(_ union _)
   }
 }

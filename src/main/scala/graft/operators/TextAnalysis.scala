@@ -110,17 +110,23 @@ object TextAnalysis {
     * TakeOrderedAndProject for the top-k — no global sort materialized.
     */
   def topBigrams(df: DataFrame, textCol: String, idCol: String,
-      k: Int): DataFrame = {
-    val tokked = spreadByKey(df, col(idCol))
-      .select(toks(col(textCol)).as("toks"))
-      .filter(size(col("toks")) >= 2)
-    tokked
-      .select(explode(expr(
-        "transform(sequence(1, size(toks) - 1), " +
-          "i -> concat(toks[i - 1], ' ', toks[i]))")).as("bigram"))
+      k: Int): DataFrame =
+    docBigrams(df, textCol, idCol)
       .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("bigram")).limit(k)
-  }
+
+  /** One row per (id, bigram) OCCURRENCE — the single definition of
+    * "adjacent whitespace-token pair" shared by [[topBigrams]] and the
+    * OOV probe (q_oov_rate), so vocabulary and probe can never drift
+    * to different bigram semantics.
+    */
+  def docBigrams(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    spreadByKey(df, col(idCol))
+      .select(col(idCol), toks(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(toks[i - 1], ' ', toks[i]))")).as("bigram"))
 
   /** Document fingerprint: md5 over whitespace-normalized lowercase text
     * — the exact-dedup key robust to spacing/case drift.

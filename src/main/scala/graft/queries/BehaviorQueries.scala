@@ -41,12 +41,12 @@ object BehaviorQueries {
     // cells are engine-exact. The classic retention-triangle input.
     "q_cohort_retention" -> ((s, d) => {
       val ev = Tables.events(s, d)
-        .select(col("user_id"), (tu.cast("long") / 86400000000L).cast("long")
-          .as("day"))
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
       val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("d0"))
       ev.join(first, "user_id")
-        .select(col("user_id"), (col("d0") / 7).cast("long").as("cohort_week"),
-          ((col("day") - col("d0")) / 7).cast("long").as("week_offset"))
+        .select(col("user_id"), expr("d0 div 7").as("cohort_week"),
+          expr("(day - d0) div 7").as("week_offset"))
         .distinct()
         .groupBy(col("cohort_week"), col("week_offset"))
         .agg(count(lit(1)).as("n_users"))

@@ -39,21 +39,39 @@ object GraphQueries {
       // repartition BEFORE the checkpoint: LogicalRDD preserves the
       // physical partitioning, so every round's ranks→edges join reuses
       // it instead of re-exchanging |edges| rows 3×
+      val sc0 = s.sparkContext
+      val beforeEdges = sc0.getPersistentRDDs.keySet
       val edges = raw
         .union(raw.select(col("dst").as("src"), col("src").as("dst")))
         .repartition(col("src"))
         .localCheckpoint()
+      val edgeRdds = (sc0.getPersistentRDDs -- beforeEdges).values.map { r =>
+        r.setName("graft.pagerank edges"); r
+      }
       val deg = edges.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("deg"))
-      val n = deg.agg(count(lit(1)).as("n"))
+      // 1-row node count, checkpointed once — it feeds every round's
+      // damping term, and uncheckpointed each use would re-run the
+      // degree aggregate over |edges|
+      val n = deg.agg(count(lit(1)).as("n")).localCheckpoint()
       var rank = deg.crossJoin(broadcast(n))
         .select(col("node"), col("deg"), expr(s"$S div n").as("r"))
-      for (_ <- 1 to 3) {
+      // per-round release discipline (as in Bpe.merges / Dedup CC):
+      // round N's rank snapshot dies once round N+1's materializes
+      val sc = s.sparkContext
+      var prevSnapRdds: Iterable[org.apache.spark.rdd.RDD[_]] = Nil
+      for (round <- 1 to 3) {
         // ranks feed BOTH branches below (contribution join and the
         // carry-forward join) — checkpoint the |nodes|-sized table per
         // round or the lazy plan re-evaluates prior rounds 2× each
-        // (exponential in rounds; same discipline as Bpe.merges)
+        // (exponential in rounds)
+        val before = sc.getPersistentRDDs.keySet
         val snap = rank.localCheckpoint()
+        val snapRdds = (sc.getPersistentRDDs -- before).values.map { r =>
+          r.setName(s"graft.pagerank round $round"); r
+        }
+        prevSnapRdds.foreach(_.unpersist(blocking = false))
+        prevSnapRdds = snapRdds
         val contrib = edges
           .join(snap.select(col("node"), expr("r div deg").as("c")),
             col("src") === col("node"))
@@ -64,7 +82,11 @@ object GraphQueries {
           .select(col("node"), col("deg"),
             expr(s"(15 * ($S div n) + 85 * ins) div 100").as("r"))
       }
-      rank.select(col("node"), col("r").as("pr"))
+      // materialize the final ranks, then release the last round's snap
+      // AND the edge set — the returned frame reads only this checkpoint
+      val result = rank.select(col("node"), col("r").as("pr")).localCheckpoint()
+      (prevSnapRdds ++ edgeRdds).foreach(_.unpersist(blocking = false))
+      result
     })
   )
 

@@ -106,6 +106,10 @@ object MiscQueries {
     // price of the 5σ margin on the asserted bound.
     "q_approx_distinct" -> ((s, d) =>
       Tables.events(s, d)
+        // COUNT(DISTINCT x) semantics ignore NULLs; the pre-distinct
+        // count(*) form would count a NULL user as one — filter so the
+        // invariant holds by construction, not by fixture luck
+        .filter(col("user_id").isNotNull)
         .select(col("event_type"), col("user_id")).distinct()
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),

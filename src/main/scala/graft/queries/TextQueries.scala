@@ -102,14 +102,9 @@ object TextQueries {
       val docs = Tables.documents(s, d)
       val vocab = TextAnalysis.topBigrams(docs, "text", "doc_id", 200)
         .select(col("bigram").as("vb"))
-      val bigrams = docs
-        .select(col("doc_id"),
-          graft.operators.Dedup.tokens(col("text")).as("toks"))
-        .filter(size(col("toks")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(toks) - 1), " +
-            "i -> concat(toks[i - 1], ' ', toks[i]))")).as("bigram"))
-      bigrams.join(broadcast(vocab), col("bigram") === col("vb"), "left")
+      // probe and vocabulary share ONE bigram definition (docBigrams)
+      TextAnalysis.docBigrams(docs, "text", "doc_id")
+        .join(broadcast(vocab), col("bigram") === col("vb"), "left")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
           count(when(col("vb").isNull, 1)).as("n_oov"))
