@@ -61,6 +61,26 @@ class CacheHygieneSpec extends SparkSpec {
     assert(pinned.isEmpty, s"releaseStragglers left: ${describe(pinned)}")
   }
 
+  test("iterative queries retain only their output checkpoints") {
+    CacheScope.releaseStragglers(spark)
+    SparkEntry.queries("q_bpe_merges")(spark, sf0001).count()
+    // per-round symbol snapshots are released inside the loop; the six
+    // 1-row argmax checkpoints ARE the returned merge table and stay
+    val leftB = awaitOnly(r =>
+      !Option(r.name).exists(_.startsWith("graft.bpe round")))
+    assert(leftB.isEmpty, s"dead BPE round blocks still pinned: ${describe(leftB)}")
+    CacheScope.releaseStragglers(spark)
+
+    SparkEntry.queries("q_pagerank")(spark, sf0001).count()
+    // rank rounds and the edge set die with the final result checkpoint
+    val leftP = awaitOnly(r =>
+      !Option(r.name).exists(n => n.startsWith("graft.pagerank round") ||
+        n.startsWith("graft.pagerank edges")))
+    assert(leftP.isEmpty, s"dead PageRank blocks still pinned: ${describe(leftP)}")
+    CacheScope.releaseStragglers(spark)
+    assert(pinned.isEmpty, s"releaseStragglers left: ${describe(pinned)}")
+  }
+
   test("full catalog sweep leaves no net cached tables") {
     CacheScope.releaseStragglers(spark)
     SparkEntry.queries.foreach { case (_, fn) =>
