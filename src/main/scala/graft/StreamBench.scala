@@ -52,7 +52,9 @@ object StreamBench {
     val rows = args.headOption.map(_.toInt).getOrElse(28800)
     // topology: "join" = stream-stream join of two landed families
     // (reference shape); "pivot" = single-source conditional-agg
-    // variant (half the state, no join — the recommended topology)
+    // variant (half the state, no join — the recommended topology);
+    // "funnel" = flatMapGroupsWithState user-journey tracking (the
+    // custom-state path: per-key state, no windowed aggregation)
     val mode = if (args.length > 1) args(1) else "join"
     val filesPerTrigger = if (args.length > 2) args(2) else "0"
     val spark = SparkSession.builder()
@@ -64,43 +66,70 @@ object StreamBench {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    // synthesize the reference-shaped dataset (5s cadence; fleet size
-    // scales with volume so the time-of-day wire never wraps midnight)
     val dir = Files.createTempDirectory("streambench").toString
-    val servers = writeSyntheticDay(spark, dir, rows)
-
-    val t0 = System.nanoTime()
-    val reader = spark.readStream.schema(graft.core.Schemas.dataset)
-      .option("header", "true")
-    if (filesPerTrigger != "0") reader.option("maxFilesPerTrigger", filesPerTrigger)
-    val dataset = reader.csv(s"$dir/in")
-    val cfg = PipelineConfig.default
-    val wire = StreamingPipeline.producerWire(dataset)
-    val alerts =
-      if (mode == "pivot") {
-        // single-scan fan-in demux (landedFamilies) — the union form
-        // re-scans the source per family; see SCALE.md §Streaming
-        val landed = StreamingPipeline.landedFamilies(wire,
-            Seq(cfg.cpuTopic -> "cpu", cfg.memTopic -> "mem"))
-          .withColumn("ts", graft.operators.RefOps.anchorTimeOfDay(col("ts")))
-        StreamingPipeline.streamingJob1SingleSource(landed)
+    val (q, keys, t0) =
+      if (mode == "funnel") {
+        // user-journey events: ~100 events/user, monotonic event time,
+        // 5 types — the flatMapGroupsWithState path (per-key O(1)
+        // state, no windowed aggregation, no wire demux)
+        val users = math.max(1000, rows / 100)
+        spark.range(rows)
+          .select((col("id") % users).as("user_id"),
+            element_at(
+              array(lit("view"), lit("click"), lit("purchase"),
+                lit("error"), lit("signup")),
+              (pmod(col("id") * 7, lit(5)) + 1).cast("int")).as("event_type"),
+            col("id").cast("long").as("tu"))
+          .repartition(8).write.option("header", "true").csv(s"$dir/in")
+        val t0 = System.nanoTime()
+        val reader = spark.readStream
+          .schema("user_id LONG, event_type STRING, tu LONG")
+          .option("header", "true")
+        if (filesPerTrigger != "0") reader.option("maxFilesPerTrigger", filesPerTrigger)
+        val ds = reader.csv(s"$dir/in").as[graft.operators.Behavior.FunnelEvent]
+        val q = graft.operators.Behavior
+          .funnelStream(ds, Seq("view", "click", "purchase"))
+          .writeStream.format("noop").outputMode("append")
+          .option("checkpointLocation", s"$dir/ckpt").start()
+        (q, users, t0)
       } else {
-        val cpu = StreamingPipeline.landedTable(wire, cfg, cfg.cpuTopic)
-          .withColumn("ts", graft.operators.RefOps.anchorTimeOfDay(col("ts")))
-        val mem = StreamingPipeline.landedTable(wire, cfg, cfg.memTopic)
-          .withColumn("ts", graft.operators.RefOps.anchorTimeOfDay(col("ts")))
-        StreamingPipeline.streamingJob1(cpu, mem)
+        // reference-shaped dataset (5s cadence; fleet size scales with
+        // volume so the time-of-day wire never wraps midnight)
+        val servers = writeSyntheticDay(spark, dir, rows)
+        val t0 = System.nanoTime()
+        val reader = spark.readStream.schema(graft.core.Schemas.dataset)
+          .option("header", "true")
+        if (filesPerTrigger != "0") reader.option("maxFilesPerTrigger", filesPerTrigger)
+        val dataset = reader.csv(s"$dir/in")
+        val cfg = PipelineConfig.default
+        val wire = StreamingPipeline.producerWire(dataset)
+        val alerts =
+          if (mode == "pivot") {
+            // single-scan fan-in demux (landedFamilies) — the union form
+            // re-scans the source per family; see SCALE.md §Streaming
+            val landed = StreamingPipeline.landedFamilies(wire,
+                Seq(cfg.cpuTopic -> "cpu", cfg.memTopic -> "mem"))
+              .withColumn("ts", graft.operators.RefOps.anchorTimeOfDay(col("ts")))
+            StreamingPipeline.streamingJob1SingleSource(landed)
+          } else {
+            val cpu = StreamingPipeline.landedTable(wire, cfg, cfg.cpuTopic)
+              .withColumn("ts", graft.operators.RefOps.anchorTimeOfDay(col("ts")))
+            val mem = StreamingPipeline.landedTable(wire, cfg, cfg.memTopic)
+              .withColumn("ts", graft.operators.RefOps.anchorTimeOfDay(col("ts")))
+            StreamingPipeline.streamingJob1(cpu, mem)
+          }
+        val q = alerts.writeStream.format("noop").outputMode("append")
+          .option("checkpointLocation", s"$dir/ckpt").start()
+        (q, servers, t0)
       }
-    val q = alerts.writeStream.format("noop").outputMode("append")
-      .option("checkpointLocation", s"$dir/ckpt").start()
     q.processAllAvailable()
     val secs = (System.nanoTime() - t0) / 1e9
     val progress = q.recentProgress
     q.stop()
 
-    val messages = rows.toLong * 4
+    val messages = if (mode == "funnel") rows.toLong else rows.toLong * 4
     val windows = progress.map(_.stateOperators.headOption.map(_.numRowsTotal).getOrElse(0L)).maxOption.getOrElse(0L)
-    println(s"""{"metric":"stream_rows_per_sec","mode":"$mode","value":${(rows / secs).round},"unit":"rows/sec","dataset_rows":$rows,"servers":$servers,"wire_messages":$messages,"window_state_rows":$windows,"wall_sec":${math.round(secs * 100) / 100.0}}""")
+    println(s"""{"metric":"stream_rows_per_sec","mode":"$mode","value":${(rows / secs).round},"unit":"rows/sec","dataset_rows":$rows,"keys":$keys,"wire_messages":$messages,"state_rows":$windows,"wall_sec":${math.round(secs * 100) / 100.0}}""")
     // Where the wall time goes, summed over micro-batches (milliseconds):
     // addBatch = run the batch's job (scan+parse+agg+state), walCommit +
     // commitOffsets = checkpoint fsyncs, queryPlanning = incremental
