@@ -37,6 +37,42 @@ class BehaviorSpec extends SparkSpec {
     assert(row.getLong(1) == 2L && row.getLong(3) == 40L)
   }
 
+  test("property: random event streams match the funnel definition") {
+    // reference computed straight from the definition (not a greedy
+    // scan): t1 = min view; t_k = min step-k tu strictly after t_{k-1}.
+    // Small tu range forces heavy timestamp collisions — the regime
+    // where strict-> anchoring and tie handling could diverge.
+    def ref(evs: Seq[(Long, String, Long)]): Map[Long, Long] =
+      evs.groupBy(_._1).map { case (u, es) =>
+        def first(step: String, after: Option[Long]): Option[Long] = after match {
+          case None => None
+          case Some(a) =>
+            es.collect { case (_, t, tu) if t == step && tu > a => tu }
+              .minOption
+        }
+        val t1 = es.collect { case (_, "view", tu) => tu }.minOption
+        val t2 = first("click", t1)
+        val t3 = first("purchase", t2)
+        u -> Seq(t1, t2, t3).count(_.isDefined).toLong
+      }
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val ev = for {
+      u <- Gen.chooseNum(1L, 5L)
+      t <- Gen.oneOf("view", "click", "purchase", "error")
+      tu <- Gen.chooseNum(1L, 20L)
+    } yield (u, t, tu)
+    val stream = Gen.chooseNum(10, 40).flatMap(n => Gen.listOfN(n, ev))
+    (1 to 5).foreach { i =>
+      val evs = stream.apply(Gen.Parameters.default, Seed(i.toLong)).get
+      val got = Behavior.funnelStages(
+          evs.toDF("user_id", "event_type", "tu"),
+          Seq("view", "click", "purchase"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == ref(evs), s"seed $i: $evs")
+    }
+  }
+
   test("winsorize: clipped range is [p5, p95] and interior values pass through") {
     val out = BehaviorQueries.queries("q_winsorize")(spark, sf0001)
       .groupBy(col("event_type"))
