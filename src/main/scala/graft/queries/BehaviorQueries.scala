@@ -34,6 +34,29 @@ object BehaviorQueries {
           .select(col("user_id"), col("event_type"), tu.as("tu")),
         Seq("view", "click", "purchase"))),
 
+    // Conversion-latency distribution: per converted user the
+    // view→purchase funnel time, summarized as rank-exact percentiles
+    // (the shared rankOrdered scaffold over one constant group —
+    // latencies are integer micros, so every output is engine-exact).
+    // Composes q_funnel's anchors; the percentile pass adds one window
+    // sort over |converted users| rows.
+    "q_conversion_latency" -> ((s, d) => {
+      val converted = graft.operators.Behavior.funnelStages(
+          Tables.events(s, d)
+            .select(col("user_id"), col("event_type"), tu.as("tu")),
+          Seq("view", "click", "purchase"))
+        .filter(col("stage") === 3)
+        .select(col("user_id"), (col("t3") - col("t1")).as("latency_us"),
+          lit(1).as("g"))
+      // global aggregate (no groupBy): exactly one output row even for
+      // an empty conversion set, matching the oracle's global aggregate
+      // — a grouped form would emit zero rows there
+      rankOrdered(converted, "g", "latency_us", "user_id")
+        .agg(count(lit(1)).as("n_converted"),
+          max(when(col("rn") === rankIdx(50), col("latency_us"))).as("p50_us"),
+          max(when(col("rn") === rankIdx(90), col("latency_us"))).as("p90_us"))
+    }),
+
     // Weekly cohort retention: users bucketed by first-activity week,
     // counted per (cohort, weeks-since-cohort) cell. Two shuffles on
     // user_id (first-seen aggregate, then the distinct) + one tiny
@@ -102,6 +125,30 @@ object BehaviorQueries {
         |  t1, t2, t3
         |FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
         |  LEFT JOIN t3 USING (user_id)""".stripMargin,
+
+    // reuses q_funnel's anchor chain; stage-3 users are exactly those
+    // with a t3 (its CTE requires t2 which requires t1)
+    "q_conversion_latency" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),
+         |t1 AS (SELECT user_id, MIN(tu) AS t1 FROM e
+         |       WHERE event_type = 'view' GROUP BY user_id),
+         |t2 AS (SELECT e.user_id, MIN(tu) AS t2 FROM e JOIN t1 USING (user_id)
+         |       WHERE event_type = 'click' AND tu > t1 GROUP BY e.user_id),
+         |t3 AS (SELECT e.user_id, MIN(tu) AS t3 FROM e JOIN t2 USING (user_id)
+         |       WHERE event_type = 'purchase' AND tu > t2 GROUP BY e.user_id),
+         |conv AS (
+         |  SELECT t3.user_id, t3.t3 - t1.t1 AS latency_us
+         |  FROM t3 JOIN t1 USING (user_id)
+         |), r AS (
+         |  SELECT user_id, latency_us,
+         |    row_number() OVER (ORDER BY latency_us ASC, user_id ASC) AS rn,
+         |    COUNT(*) OVER () AS n
+         |  FROM conv
+         |)
+         |SELECT COUNT(*) AS n_converted,
+         |  MAX(CASE WHEN rn = ${sqlRankIdx(50)} THEN latency_us END) AS p50_us,
+         |  MAX(CASE WHEN rn = ${sqlRankIdx(90)} THEN latency_us END) AS p90_us
+         |FROM r""".stripMargin,
 
     "q_cohort_retention" ->
       """WITH e AS (
