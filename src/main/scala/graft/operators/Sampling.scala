@@ -83,24 +83,23 @@ object Sampling {
     * libm differences across engines can flip a rank-boundary
     * selection; integer tickets cannot.
     *
-    * Scale: the ticket explosion is map-side and min() collapses it in
-    * the partial aggregate (same pattern as [[Dedup.dedupProfiles]]) —
-    * the exchange carries ONE row per input row; the top-k is a
-    * TakeOrdered, never a full sort. Cost is Σw md5 calls, so bucket
-    * large raw weights down (e.g. bytes → KB) before calling.
+    * Scale: the draw is the codegen'd [[graft.functions.MinTicketKey]]
+    * expression — an O(w) register loop per row, NO ticket-row
+    * explosion and NO collapsing aggregate (the earlier compositional
+    * form materialized Σw rows into a partial min; the oracle still
+    * computes it that way, so the hash gate proves the loop
+    * bit-matches). The top-k is a TakeOrdered, never a full sort. Cost
+    * is Σw md5 calls either way, so bucket large raw weights down
+    * (e.g. bytes → KB) before calling.
     */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
-                     k: Int): DataFrame = {
-    val drawn = df
-      .filter(col(weightCol) >= 1)
+                     k: Int): DataFrame =
+    df.filter(col(weightCol) >= 1)
       .select(col(idCol), col(weightCol).cast("long").as("weight"),
-        explode(sequence(lit(0L), col(weightCol).cast("long") - 1)).as("__t"))
-      .select(col(idCol), col("weight"),
-        md5(concat(col(idCol).cast("string"), lit("|"), col("__t"))).as("__tk"))
-      .groupBy(col(idCol))
-      .agg(max(col("weight")).as("weight"), min(col("__tk")).as("draw_key"))
-    drawn.orderBy(col("draw_key").asc, col(idCol).asc).limit(k)
-  }
+        graft.functions.MinTicketKey.minTicketKey(
+          col(idCol).cast("string"), col(weightCol).cast("long"))
+          .as("draw_key"))
+      .orderBy(col("draw_key").asc, col(idCol).asc).limit(k)
 
   /** Exact-quota sampling: exactly min(n, |stratum|) rows per stratum,
     * taken in id-hash order (uniform but fully reproducible) — balanced
