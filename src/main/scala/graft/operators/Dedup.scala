@@ -186,6 +186,35 @@ object Dedup {
       size(col("sh_set")).cast("long").as("n"))
   }
 
+  /** [[dedupProfiles]] over character k-grams, computed by the native
+    * [[graft.functions.CharMinHashProfile]] expression instead of the
+    * shingle-row explode: one O(|text|·digests) loop per document, no
+    * |text|-row materialization, no collapsing aggregate — the plan is
+    * scan → codegen'd project. Output schema and VALUES are identical
+    * to `dedupProfiles(rawCharShingles(df, …, k), …)` (MinHashProfileSpec
+    * pins exact equality; sh_set order differs but every consumer is
+    * set-semantic).
+    */
+  def charDedupProfiles(df: DataFrame, textCol: String, idCol: String,
+                        k: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val numDigests = (numHashes + 3) / 4
+    val prof = spreadByKey(df, col(idCol))
+      .select(col(idCol), lower(trim(col(textCol))).as("t"))
+      .filter(length(col("t")) >= k)
+      .select(col(idCol),
+        graft.functions.CharMinHashProfile
+          .charMinHashProfile(col("t"), k, numDigests).as("p"))
+    val bandCols = (0 until bands).map { b =>
+      val members = (0 until rowsPerBand)
+        .map(r => col("p.mins").getItem(b * rowsPerBand + r))
+      struct(lit(b).as("band"), md5(concat(members: _*)).as("sig"))
+    }
+    prof.select(col(idCol), array(bandCols: _*).as("band_sigs"),
+      col("p.sh_set").as("sh_set"),
+      size(col("p.sh_set")).cast("long").as("n"))
+  }
+
   /** LSH candidate pairs straight from [[dedupProfiles]] output. */
   def profileCandidatePairs(profiles: DataFrame, idCol: String,
                             maxBucketSize: Option[Int] = None): DataFrame =

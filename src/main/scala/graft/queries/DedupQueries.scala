@@ -38,9 +38,14 @@ object DedupQueries {
     // with 8×2 bands keep baseline collision near zero while true
     // near-dups (Jaccard ≥ 0.8) still agree on whole bands.
     "q_ngram_jaccard" -> ((s, d) => {
-      val profiles = Dedup.dedupProfiles(
-        Dedup.rawCharShingles(Tables.documents(s, d), "text", "doc_id", 12),
-        "doc_id", bands = 8, rowsPerBand = 2).persist()
+      // native single-loop profile (CharMinHashProfile) — value-identical
+      // to dedupProfiles(rawCharShingles(…)) but without materializing
+      // the ~|text|-rows-per-doc shingle explode (MinHashProfileSpec
+      // pins the equality; the oracle below still mirrors the
+      // compositional form)
+      val profiles = Dedup.charDedupProfiles(
+        Tables.documents(s, d), "text", "doc_id", 12,
+        bands = 8, rowsPerBand = 2).persist()
       val cands = Dedup.profileCandidatePairs(profiles, "doc_id")
       graft.core.CacheScope.releaseAfterUse(
         Dedup.jaccardFromProfiles(profiles, cands, "doc_id")
