@@ -14,6 +14,18 @@ import graft.operators.Similarity
   */
 object SimilarityQueries {
 
+  /** Fixed-size audit subset for the EXACT all-pairs variants (`q_embedding_nn`,
+    * `q_embedding_neardup`, `q_embedding_clusters`). Exact pairwise cosine is
+    * O(n²) compute by definition, so the catalog never runs it over the whole
+    * corpus: these queries bound their input to the first `exactCap` vectors —
+    * a constant, so their cost is O(1) in corpus size at any SF — and serve as
+    * the always-on exact baseline for the full-corpus ANN twins
+    * (`q_embedding_ann`, `q_embedding_neardup_ann`, `q_embedding_clusters_ann`),
+    * which are the 100 TB path. Full-corpus exact-vs-ANN agreement is asserted
+    * in `EmbeddingCrossValidationSpec`, not benchmarked.
+    */
+  private val exactCap = 500
+
   val queries: Map[String, Q] = Map(
     // Exact top-10 cosine for 10 query vectors against the corpus.
     "q_knn_brute" -> ((s, d) => {
@@ -32,10 +44,12 @@ object SimilarityQueries {
           col("rank").cast("long").as("rank"))
     }),
 
-    // Embedding near-dup primitive: nearest neighbor for every vector —
-    // exact, via the grid-blocked equi-join (no broadcast, no BNLJ).
+    // Embedding near-dup primitive: nearest neighbor for every vector in
+    // the bounded audit subset — exact, via the grid-blocked equi-join
+    // (no broadcast, no BNLJ). Full-corpus NN is q_embedding_ann below.
     "q_embedding_nn" -> ((s, d) =>
-      Similarity.nearestNeighbor(Tables.embeddings(s, d))),
+      Similarity.nearestNeighbor(
+        Tables.embeddings(s, d).filter(col("vec_id") < exactCap))),
 
     // Sub-quadratic ANN variant: sign-LSH buckets + Hamming-1 multi-probe.
     // The oracle mirrors the probing exactly, so the comparison is
@@ -43,19 +57,35 @@ object SimilarityQueries {
     "q_embedding_ann" -> ((s, d) =>
       Similarity.approxNearestNeighbor(Tables.embeddings(s, d), planes = 4)),
 
-    // E2 embedding-cosine near-dup pairs: every pair at cosine >= 0.4.
+    // E2 embedding-cosine near-dup pairs: every pair at cosine >= 0.4
+    // within the bounded audit subset (exact pairwise is O(n²) — never
+    // full-corpus in the catalog; q_embedding_neardup_ann is the
+    // full-corpus scale path).
     "q_embedding_neardup" -> ((s, d) =>
-      Similarity.cosineNearDuplicates(Tables.embeddings(s, d), threshold = 0.4)),
+      Similarity.cosineNearDuplicates(
+        Tables.embeddings(s, d).filter(col("vec_id") < exactCap),
+        threshold = 0.4)),
 
-    // Embedding-space dedup CLUSTERS: transitive closure over the
-    // cosine near-dup pair graph (same label propagation as the text
-    // pipeline — the pair source swaps, the closure does not).
-    // EXACT pair generation — O(n²) compute by definition; the 100 TB
-    // path is q_embedding_clusters_ann below, which swaps in the
-    // sub-quadratic LSH screen and keeps this closure unchanged.
+    // Full-corpus near-dup PAIRS, sub-quadratic: sign-LSH Hamming≤1
+    // screen → exact cosine verify on candidates only. The oracle
+    // mirrors the screen, so the gate stays hash-strict.
+    "q_embedding_neardup_ann" -> ((s, d) =>
+      Similarity.annNearDuplicates(Tables.embeddings(s, d), threshold = 0.4,
+        planes = 4)),
+
+    // Embedding-space dedup CLUSTERS over the bounded audit subset:
+    // transitive closure over the exact cosine near-dup pair graph
+    // (same label propagation as the text pipeline — the pair source
+    // swaps, the closure does not). The input cap keeps the exact
+    // O(n²) pair generation at constant cost; the 100 TB path is
+    // q_embedding_clusters_ann below, which swaps in the sub-quadratic
+    // LSH screen over the FULL corpus and keeps this closure unchanged.
+    // Full-corpus exact-vs-ANN agreement: EmbeddingCrossValidationSpec.
     "q_embedding_clusters" -> ((s, d) =>
       graft.operators.Dedup.connectedComponents(
-        Similarity.cosineNearDuplicates(Tables.embeddings(s, d), threshold = 0.4),
+        Similarity.cosineNearDuplicates(
+          Tables.embeddings(s, d).filter(col("vec_id") < exactCap),
+          threshold = 0.4),
         "vec_id")
         .groupBy(col("component"))
         .agg(count(lit(1)).as("n_members"), max(col("vec_id")).as("max_id"))),
@@ -102,6 +132,10 @@ object SimilarityQueries {
   private val vecsSql =
     "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
 
+  /** Oracle mirror of the exact-variant audit-subset cap. */
+  private val cappedVecsSql =
+    s"$vecsSql WHERE vec_id < $exactCap"
+
   private val bucketSql =
     """(CASE WHEN v[1] > 0 THEN 1 ELSE 0 END +
       | CASE WHEN v[2] > 0 THEN 2 ELSE 0 END +
@@ -142,7 +176,7 @@ object SimilarityQueries {
          |SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 10""".stripMargin,
 
     "q_embedding_nn" ->
-      s"""WITH e AS ($vecsSql),
+      s"""WITH e AS ($cappedVecsSql),
          |p AS (
          |  SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
          |    $cosineSql AS sim
@@ -173,14 +207,24 @@ object SimilarityQueries {
          |SELECT vec_id, neighbor_id, sim FROM r WHERE rn = 1""".stripMargin,
 
     "q_embedding_neardup" ->
-      s"""WITH e AS ($vecsSql)
+      s"""WITH e AS ($cappedVecsSql)
          |SELECT q.vec_id AS id_a, c.vec_id AS id_b,
          |  $cosineSql AS sim
          |FROM e q JOIN e c ON q.vec_id < c.vec_id
          |WHERE $cosineSql >= 0.4""".stripMargin,
 
+    // Full-corpus pairs screened to bucket Hamming distance ≤ 1 — the
+    // exact mirror of annNearDuplicates' self-probe + single-bit-flips.
+    "q_embedding_neardup_ann" ->
+      s"""WITH e AS (SELECT vec_id, v, $bucket4Sql AS bucket FROM ($vecsSql))
+         |SELECT q.vec_id AS id_a, c.vec_id AS id_b,
+         |  $cosineSql AS sim
+         |FROM e q JOIN e c ON q.vec_id < c.vec_id
+         | AND xor(q.bucket, c.bucket) IN (0, 1, 2, 4, 8)
+         |WHERE $cosineSql >= 0.4""".stripMargin,
+
     "q_embedding_clusters" ->
-      s"""WITH RECURSIVE e0 AS ($vecsSql),
+      s"""WITH RECURSIVE e0 AS ($cappedVecsSql),
          |pairs AS (
          |  SELECT q.vec_id AS id_a, c.vec_id AS id_b
          |  FROM e0 q JOIN e0 c ON q.vec_id < c.vec_id
