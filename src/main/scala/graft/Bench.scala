@@ -60,11 +60,26 @@ object Bench {
     val names =
       if (args.nonEmpty) args.toSeq.filter(SparkEntry.queries.contains)
       else SparkEntry.queries.keys.toSeq.sorted
+    var leakedRdds = 0
     val passes = (1 to n).map { _ =>
       val pass = names.map(materialize)
       // clears CacheManager entries AND checkpoint RDDs the per-query
       // CacheScope release cannot touch — no pass warms the next one
       graft.core.CacheScope.releaseStragglers(spark)
+      // cache-hygiene tripwire: a query that leaves blocks pinned after
+      // the release pass distorts every later query's numbers (memory
+      // pressure + GC) — the r5 full-catalog-vs-targeted drift suspect
+      val leaked = spark.sparkContext.getPersistentRDDs
+      if (leaked.nonEmpty) {
+        leakedRdds += leaked.size
+        leaked.values.foreach(r =>
+          System.err.println(s"[bench] leaked persistent RDD ${r.id}: ${r.name}"))
+      }
+      // nudge the ContextCleaner: shuffle files and broadcast blocks are
+      // reclaimed only when their dependencies are GC'd, so a 100+-query
+      // session accumulates dead shuffle state (disk + executor memory)
+      // across queries unless collection actually runs between passes
+      System.gc()
       pass
     }
     def median(xs: Seq[Double]): Double = {
@@ -80,13 +95,24 @@ object Bench {
     val streamRps =
       if (args.nonEmpty && !sys.env.contains("SPARK_GRAFT_STREAM_ROWS")) -1L
       else streamThroughput(spark)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"queries":$qs,"stream_rows_per_sec":$streamRps,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"queries":$qs,"stream_rows_per_sec":$streamRps,"leaked_rdds":$leakedRdds,"sf":"$sfDir"}"""
+    println(fullLine)
     // The per-query line above is ~3KB and the harness captures a bounded
-    // stdout tail, which can truncate its head and leave nothing parseable.
+    // stdout tail, which can truncate its head — so the full map is ALSO
+    // written as its own artifact file (repo-visible, never truncated).
+    try Files.write(java.nio.file.Paths.get("BENCH_QUERIES.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
+    }
     // Repeat the headline numbers as a short (<200 byte) FINAL line so the
     // last line is always a complete JSON object whatever the tail size.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"queries_n":${results.size},"stream_rows_per_sec":$streamRps}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"queries_n":${results.size},"stream_rows_per_sec":$streamRps,"leaked_rdds":$leakedRdds}""")
     spark.stop()
+    // hard tripwire AFTER the artifacts exist: leaked blocks mean the
+    // numbers above are suspect — fail the run so it can't pass silently
+    require(leakedRdds == 0, s"$leakedRdds persistent RDDs leaked across passes")
   }
 
   /** One-number streaming throughput (dataset rows/sec end-to-end through
