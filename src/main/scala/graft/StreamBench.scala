@@ -73,12 +73,19 @@ object StreamBench {
         // 5 types — the flatMapGroupsWithState path (per-key O(1)
         // state, no windowed aggregation, no wire demux)
         val users = math.max(1000, rows / 100)
+        // type index mixes the user's sequence number (id div users) with
+        // the raw id: with id = u + k·users the index is (k·(users+1) + u)
+        // mod 5, which cycles through all 5 types WITHIN each user's
+        // sequence even when `users` is a multiple of 5 — the naive
+        // pmod(id·7, 5) is constant per user there (one event type each,
+        // near-zero stage transitions: a degenerate funnel workload)
         spark.range(rows)
           .select((col("id") % users).as("user_id"),
             element_at(
               array(lit("view"), lit("click"), lit("purchase"),
                 lit("error"), lit("signup")),
-              (pmod(col("id") * 7, lit(5)) + 1).cast("int")).as("event_type"),
+              (pmod(floor(col("id") / users) + col("id"), lit(5)) + 1)
+                .cast("int")).as("event_type"),
             col("id").cast("long").as("tu"))
           .repartition(8).write.option("header", "true").csv(s"$dir/in")
         val t0 = System.nanoTime()

@@ -28,6 +28,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // targeted mode must not leave stale dumps from an earlier run in a
+    // reused outDir — oracle_check would silently "pass" those names on
+    // old results. Drop every known-query subdir we are NOT re-dumping.
+    if (only.nonEmpty) {
+      def rmTree(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmTree)
+        f.delete(); ()
+      }
+      SparkEntry.queries.keysIterator
+        .filterNot(only)
+        .map(n => new java.io.File(outDir, n))
+        .filter(_.exists())
+        .foreach(rmTree)
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>

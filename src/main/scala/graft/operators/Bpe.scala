@@ -19,8 +19,8 @@ import org.apache.spark.sql.functions._
   * A≠B two adjacent matches cannot overlap (match at i+1 would need
   * sym(i+1)=A=B), so only self-pairs (A,A) chain — and there a maximal
   * run of c consecutive matches merges exactly at the odd positions of
-  * the run (⌊c/2⌋ merges), which is gaps-and-islands + parity, all
-  * window functions.
+  * the run (⌈c/2⌉ merges — ⌊m/2⌋ for a run of m identical symbols),
+  * which is gaps-and-islands + parity, all window functions.
   *
   * Scale: every window partitions by `w` — hashpartitioning(w)
   * satisfies the (w, mflag[, isl]) clustering requirements, so each
