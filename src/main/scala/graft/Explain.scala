@@ -33,9 +33,22 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      try println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+      try {
+        val qe = SparkEntry.queries(n)(spark, sfDir).queryExecution
+        // Under AQE the pre-execution plan is `isFinalPlan=false` and
+        // carries NO WholeStageCodegen markers ([codegen id : N] is
+        // assigned when codegen stages are inserted at execution time) —
+        // an unexecuted explain would audit every query as 0 codegen
+        // stages. Execute THIS QueryExecution first (cheap at sf0.001),
+        // then print: the cached adaptive plan is now the final one.
+        qe.toRdd.count()
+        println(qe.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      }
       catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }
+      // iterative operators leave checkpoints pinned; sweep per query so
+      // a 100+-query explain session doesn't accumulate dead blocks
+      graft.core.CacheScope.releaseStragglers(spark)
     }
     spark.stop()
   }
