@@ -92,6 +92,19 @@ object TextQueries {
     "q_bpe_merges" -> ((s, d) =>
       graft.operators.Bpe.merges(Tables.documents(s, d), "text", bpeRounds)),
 
+    // BPE ENCODE — tokenize the corpus with the trained merge table
+    // (the production-side twin: train once, encode every refresh).
+    // Merge application runs at vocabulary scale; the corpus pays one
+    // linear join + one per-doc aggregate. The oracle reuses the same
+    // unrolled training stages (on the training corpus, applying the
+    // table in round order from characters IS the training end state)
+    // and joins the finished word→tokens map back to the documents.
+    "q_bpe_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Bpe.encode(docs, "text", "doc_id",
+        graft.operators.Bpe.merges(docs, "text", bpeRounds), bpeRounds)
+    }),
+
     // Out-of-vocabulary bigram rate per doc — the count-based fluency
     // signal (docs whose bigrams rarely appear in the corpus top-K are
     // boilerplate/garble candidates). Integer counts, no log-prob libm
@@ -189,8 +202,49 @@ object TextQueries {
        |$unions""".stripMargin
   }
 
+  /** Encode oracle: the unrolled training stages leave s{rounds+1} as the
+    * fully-merged word symbol table — exactly what applying the trained
+    * table in round order produces — so the tail just aggregates it to a
+    * word→tokens map and joins the per-doc word occurrences back on.
+    */
+  private val bpeEncodeSql: String = {
+    val stages = (1 to bpeRounds).map(bpeStage).mkString(",\n")
+    val sFinal = s"s${bpeRounds + 1}"
+    s"""WITH w0 AS (
+       |  SELECT w, COUNT(*) AS wc FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |    FROM documents) t
+       |  GROUP BY w
+       |), sp AS (
+       |  SELECT w, wc, unnest(generate_series(1, length(w))) AS pos FROM w0
+       |), s1 AS (
+       |  SELECT w, wc, pos, substring(w, pos, 1) AS sym FROM sp
+       |),
+       |$stages,
+       |wt AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS ntok,
+       |    string_agg(sym, ' ' ORDER BY pos) AS toks
+       |  FROM $sFinal GROUP BY w
+       |), dws AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+       |  FROM documents
+       |), dw AS (
+       |  SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS widx
+       |  FROM dws WHERE len(ws) >= 1
+       |), dww AS (
+       |  SELECT doc_id, widx, ws[widx] AS w FROM dw
+       |)
+       |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(wt.ntok) AS BIGINT) AS n_tokens,
+       |  string_agg(wt.toks, ' ' ORDER BY d.widx) AS token_str
+       |FROM dww d JOIN wt USING (w)
+       |GROUP BY d.doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_bpe_merges" -> bpeSql,
+
+    "q_bpe_encode" -> bpeEncodeSql,
 
     "q_oov_rate" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -73,6 +73,52 @@ class BpeSpec extends SparkSpec {
     assert(run(docs, 6) == refBpe(words(docs), 6))
   }
 
+  /** Reference encoder: greedy left-to-right application of the trained
+    * table in round order, per word.
+    */
+  private def refEncode(doc: String, table: Seq[(String, String)]): Seq[String] =
+    "[a-z]+".r.findAllIn(doc.toLowerCase).toSeq.flatMap { w =>
+      var syms = w.toVector.map(_.toString)
+      table.foreach { case (l, r) =>
+        val merged = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            merged += (l + r); i += 2
+          } else { merged += syms(i); i += 1 }
+        }
+        syms = merged.result()
+      }
+      syms
+    }
+
+  private def checkEncode(docs: Seq[String], rounds: Int): Unit = {
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val table = refBpe(words(docs), rounds).map { case (l, r, _) => (l, r) }
+    val got = Bpe.encode(df, "text", "doc_id",
+        Bpe.merges(df, "text", rounds), rounds)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    docs.zipWithIndex.foreach { case (doc, i) =>
+      val toks = refEncode(doc, table)
+      val nWords = "[a-z]+".r.findAllIn(doc.toLowerCase).size.toLong
+      if (nWords == 0) assert(!got.contains(i.toLong))
+      else assert(got(i.toLong) == ((nWords, toks.size.toLong, toks.mkString(" "))),
+        s"doc $i: $doc")
+    }
+  }
+
+  test("encode applies the trained table like the reference encoder") {
+    checkEncode(Seq(
+      "the cat sat on the mat", "the hat and the bat", "cats eat rats",
+      "that hat is flat", "matting and batting"), 8)
+  }
+
+  test("encode handles self-pair runs and merged-symbol adjacency") {
+    checkEncode(Seq("aaaa aaaa bb", "abab abc abc", "aaaa low lower", "123 !!"), 5)
+  }
+
   test("property: random {a,b,c}-corpora match reference BPE") {
     // tiny alphabet maximizes self-pair runs, ties, and re-merge
     // collisions per word — the adversarial regime for the
