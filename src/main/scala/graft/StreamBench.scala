@@ -67,35 +67,61 @@ object StreamBench {
     import spark.implicits._
 
     val dir = Files.createTempDirectory("streambench").toString
+    // user-journey events for the funnel/latency modes: ~100 events/user,
+    // monotonic event time, 5 types. The type index mixes the user's
+    // sequence number (id div users) with the raw id: with id = u +
+    // k·users the index is (k·(users+1) + u) mod 5, which cycles through
+    // all 5 types WITHIN each user's sequence even when `users` is a
+    // multiple of 5 — the naive pmod(id·7, 5) is constant per user there
+    // (one event type each, near-zero stage transitions: a degenerate
+    // funnel workload)
+    def writeJourneyEvents(users: Int): Unit =
+      spark.range(rows)
+        .select((col("id") % users).as("user_id"),
+          element_at(
+            array(lit("view"), lit("click"), lit("purchase"),
+              lit("error"), lit("signup")),
+            (pmod(floor(col("id") / users) + col("id"), lit(5)) + 1)
+              .cast("int")).as("event_type"),
+          col("id").cast("long").as("tu"))
+        .repartition(8).write.option("header", "true").csv(s"$dir/in")
+    def journeyReader() = {
+      val reader = spark.readStream
+        .schema("user_id LONG, event_type STRING, tu LONG")
+        .option("header", "true")
+      if (filesPerTrigger != "0") reader.option("maxFilesPerTrigger", filesPerTrigger)
+      reader.csv(s"$dir/in")
+    }
     val (q, keys, t0) =
       if (mode == "funnel") {
-        // user-journey events: ~100 events/user, monotonic event time,
-        // 5 types — the flatMapGroupsWithState path (per-key O(1)
-        // state, no windowed aggregation, no wire demux)
+        // the flatMapGroupsWithState path (per-key O(1) state, no
+        // windowed aggregation, no wire demux)
         val users = math.max(1000, rows / 100)
-        // type index mixes the user's sequence number (id div users) with
-        // the raw id: with id = u + k·users the index is (k·(users+1) + u)
-        // mod 5, which cycles through all 5 types WITHIN each user's
-        // sequence even when `users` is a multiple of 5 — the naive
-        // pmod(id·7, 5) is constant per user there (one event type each,
-        // near-zero stage transitions: a degenerate funnel workload)
-        spark.range(rows)
-          .select((col("id") % users).as("user_id"),
-            element_at(
-              array(lit("view"), lit("click"), lit("purchase"),
-                lit("error"), lit("signup")),
-              (pmod(floor(col("id") / users) + col("id"), lit(5)) + 1)
-                .cast("int")).as("event_type"),
-            col("id").cast("long").as("tu"))
-          .repartition(8).write.option("header", "true").csv(s"$dir/in")
+        writeJourneyEvents(users)
         val t0 = System.nanoTime()
-        val reader = spark.readStream
-          .schema("user_id LONG, event_type STRING, tu LONG")
-          .option("header", "true")
-        if (filesPerTrigger != "0") reader.option("maxFilesPerTrigger", filesPerTrigger)
-        val ds = reader.csv(s"$dir/in").as[graft.operators.Behavior.FunnelEvent]
+        val ds = journeyReader().as[graft.operators.Behavior.FunnelEvent]
         val q = graft.operators.Behavior
           .funnelStream(ds, Seq("view", "click", "purchase"))
+          .writeStream.format("noop").outputMode("append")
+          .option("checkpointLocation", s"$dir/ckpt").start()
+        (q, users, t0)
+      } else if (mode == "latency") {
+        // conversion-latency topology: TWO chained stateful operators —
+        // conversionsStream (per-user journey state) feeding windowed
+        // exact-percentile aggregation on completion time. tu is scaled
+        // ×1000 on read so the journey day spans ~288s of event time →
+        // ~29 ten-second windows at the published volume (state: O(users)
+        // journey rows + O(conversions per open window) latencies)
+        val users = math.max(1000, rows / 100)
+        writeJourneyEvents(users)
+        val t0 = System.nanoTime()
+        val ds = journeyReader()
+          .withColumn("tu", col("tu") * 1000)
+          .as[graft.operators.Behavior.FunnelEvent]
+        val q = graft.operators.Behavior.conversionLatencyStream(
+            graft.operators.Behavior.conversionsStream(
+              ds, Seq("view", "click", "purchase")),
+            windowSec = 10)
           .writeStream.format("noop").outputMode("append")
           .option("checkpointLocation", s"$dir/ckpt").start()
         (q, users, t0)
@@ -134,7 +160,8 @@ object StreamBench {
     val progress = q.recentProgress
     q.stop()
 
-    val messages = if (mode == "funnel") rows.toLong else rows.toLong * 4
+    val messages =
+      if (mode == "funnel" || mode == "latency") rows.toLong else rows.toLong * 4
     val windows = progress.map(_.stateOperators.headOption.map(_.numRowsTotal).getOrElse(0L)).maxOption.getOrElse(0L)
     println(s"""{"metric":"stream_rows_per_sec","mode":"$mode","value":${(rows / secs).round},"unit":"rows/sec","dataset_rows":$rows,"keys":$keys,"wire_messages":$messages,"state_rows":$windows,"wall_sec":${math.round(secs * 100) / 100.0}}""")
     // Where the wall time goes, summed over micro-batches (milliseconds):

@@ -95,4 +95,72 @@ object Behavior {
           out.iterator
       }
   }
+
+  /** A completed funnel: first-step anchor, completion time, and the
+    * end-to-end conversion latency (t_last − t_first). */
+  case class Conversion(user_id: Long, t_first: Long, t_last: Long,
+                        latency_us: Long)
+
+  /** [[FunnelState]] plus the stage-1 anchor the latency is measured
+    * from — still O(1) per key. */
+  case class ConvState(stage: Int, anchor: Long, first: Long)
+
+  /** Streaming conversions: the same greedy per-user fold as
+    * [[funnelStream]], but tracking the stage-1 anchor so the funnel's
+    * COMPLETION emits one (t_first, t_last, latency) row — the stream
+    * analogue of the batch `funnelStages(...).filter(stage === n)`
+    * latency input. A user emits at most once (the state parks at
+    * steps.length afterwards), matching the batch form's
+    * first-completion semantics. Same delivery contract and O(1)-per-key
+    * state as [[funnelStream]].
+    */
+  def conversionsStream(ds: Dataset[FunnelEvent], steps: Seq[String])
+      : Dataset[Conversion] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[ConvState]) =>
+          var cur = state.getOption.getOrElse(ConvState(0, Long.MinValue, 0L))
+          val out = rows.toSeq.sortBy(e => (e.tu, e.event_type)).flatMap { e =>
+            if (cur.stage < steps.length && e.event_type == steps(cur.stage) &&
+                (cur.stage == 0 || e.tu > cur.anchor)) {
+              cur = ConvState(cur.stage + 1, e.tu,
+                if (cur.stage == 0) e.tu else cur.first)
+              if (cur.stage == steps.length)
+                Some(Conversion(uid, cur.first, e.tu, e.tu - cur.first))
+              else None
+            } else None
+          }
+          state.update(cur)
+          out.iterator
+      }
+  }
+
+  /** Per-window conversion-latency percentiles over a conversion stream
+    * — the streaming twin of `q_conversion_latency`'s summary, emitted
+    * once per closed tumbling window of COMPLETION time (Append mode:
+    * a window's row is final when the watermark passes its end).
+    *
+    * Exact percentiles need every value of the window, so the
+    * aggregation state is O(conversions per open window) — the
+    * irreducible cost of exactness, bounded because conversions are a
+    * small fraction of events and windows close; swap the `percentile`
+    * calls for `approx_percentile` to make state O(sketch) if a
+    * workload ever violates that. Two stateful operators chain here
+    * (flatMapGroupsWithState → windowed agg), which Append mode
+    * supports: the conversion's completion time is the event time, and
+    * `delay` is how long a late-completing user can still count.
+    */
+  def conversionLatencyStream(conv: Dataset[Conversion], windowSec: Int,
+                              delay: String = "0 seconds"): DataFrame = {
+    conv.toDF()
+      .withColumn("ts", timestamp_micros(col("t_last")))
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), s"$windowSec seconds"))
+      .agg(count(lit(1)).as("n_converted"),
+        expr("percentile(latency_us, 0.5)").as("p50_us"),
+        expr("percentile(latency_us, 0.9)").as("p90_us"))
+      .select(col("window.start").as("win_start"), col("n_converted"),
+        col("p50_us"), col("p90_us"))
+  }
 }
