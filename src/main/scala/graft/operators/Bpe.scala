@@ -1,44 +1,102 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Distributed BPE tokenizer-training rounds — the merge-table builder
-  * behind subword vocabulary induction, run the way production BPE
-  * trainers do it at corpus scale: against the (word, count) table, not
-  * the raw token stream, so every pass is |vocab|-sized regardless of
-  * corpus size.
+/** Distributed BPE tokenizer — merge-table training and corpus
+  * encoding, run the way production BPE trainers do it at corpus scale:
+  * against the (word, count) table, not the raw token stream, so every
+  * pass is |vocab|-sized regardless of corpus size.
   *
-  * Each round is fully declarative (no driver-side argmax): count
-  * adjacent symbol pairs weighted by word frequency (lead window +
-  * sum aggregate), pick the winner by (count DESC, pair ASC) via a
-  * 1-row TakeOrdered that is then BROADCAST into the re-symbolization,
-  * and apply the merge greedily left-to-right in one window pass.
-  * Greedy non-overlap needs no sequential scan: for a pair (A,B) with
-  * A≠B two adjacent matches cannot overlap (match at i+1 would need
-  * sym(i+1)=A=B), so only self-pairs (A,A) chain — and there a maximal
-  * run of c consecutive matches merges exactly at the odd positions of
-  * the run (⌈c/2⌉ merges — ⌊m/2⌋ for a run of m identical symbols),
-  * which is gaps-and-islands + parity, all window functions.
+  * A word's symbol sequence is an `array<string>` COLUMN, and one merge
+  * round is a left fold over it ([[foldMerge]], `aggregate`): append the
+  * symbol, or — when the accumulator's last element is `left` and the
+  * incoming symbol is `right` — replace the last element with their
+  * concatenation. The fold IS greedy non-overlapping left-to-right
+  * merging: an element the fold just created has value `left+right`,
+  * which can never equal `left` (`right` is non-empty), so a merged
+  * element can never left-match the same pair again in the same round —
+  * exactly the "skip past a merge" rule. Self-pair runs fall out too: a
+  * run of m identical symbols merges at the odd positions, ⌊m/2⌋ times
+  * (`BpeSpec` pins both against a mutable reference implementation).
   *
-  * Scale: every window partitions by `w` — hashpartitioning(w)
-  * satisfies the (w, mflag[, isl]) clustering requirements, so each
-  * round is ONE exchange plus in-partition sorts. The symbol table is
-  * localCheckpoint'ed per round: the pair-count branch and the
-  * re-symbolized frame share one materialization instead of compounding
-  * the lineage (the naive lazy form re-evaluates the full prefix per
-  * round — exponential in rounds).
+  * Scale shape per TRAINING round: pair counts come from exploding the
+  * zipped (arr, tail(arr)) slices — one shuffle for the count aggregate,
+  * then a 1-row total-ordered argmax (TakeOrdered) that is BROADCAST
+  * into the fold projection. No window functions, no per-round sort:
+  * the fold is a pure data-parallel projection, so a round is exactly
+  * ONE exchange. Rounds are inherently sequential (round N's counts
+  * need round N-1's symbols); lineage across rounds is a chain of
+  * cheap vocab-scale projections, checkpointed every few rounds so it
+  * can neither re-run the corpus-scale word count nor grow unboundedly.
   *
-  * Determinism: lowercase [a-z]+ words, ASCII 1-based substrings,
-  * integer counts, total-ordered argmax — engine-exact, mirrored
-  * stage-by-stage by the unrolled DuckDB oracle.
+  * ENCODING has no sequential structure at all once the table is
+  * trained: applying the whole ordered merge table to a word is a
+  * nested fold (outer over merges, inner over symbols), i.e. ONE
+  * projection over the distinct-word table with the table broadcast as
+  * a single array literal row — plan depth independent of vocabulary
+  * size, and the corpus pays one linear join at the end.
+  *
+  * Determinism: lowercase [a-z]+ words, integer counts, total-ordered
+  * argmax — engine-exact, mirrored stage-by-stage by the unrolled
+  * DuckDB oracle.
   */
 object Bpe {
 
+  /** Initial symbol table: one char per array element (1-based
+    * substring keeps parity with the oracle's ASCII slicing).
+    */
+  private def charArray(w: Column): Column =
+    transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+
+  /** One greedy merge round as a left fold (see object doc for the
+    * equivalence argument). `size(acc) = 0` is checked FIRST so the
+    * ANSI-mode `element_at(acc, -1)` never sees an empty array (CASE
+    * branches evaluate lazily).
+    */
+  private def foldMerge(arr: Column, bl: Column, br: Column): Column =
+    aggregate(arr, array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) === 0, array(x))
+          .when(element_at(acc, lit(-1)) === bl && x === br,
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(concat(element_at(acc, lit(-1)), x))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Adjacent symbol pairs of `arr` as structs (l, r) — empty for
+    * single-symbol words (slice of length 0).
+    */
+  private def pairStructs(arr: Column): Column =
+    zip_with(slice(arr, lit(1), size(arr) - 1), slice(arr, lit(2), size(arr) - 1),
+      (a, b) => struct(a.as("l"), b.as("r")))
+
+  /** Checkpoint `df`, naming the new blocks and releasing `prev`'s;
+    * returns (snapshot, its RDDs) — the round-state discipline shared
+    * with Dedup.connectedComponents (resident state stays O(1) rounds).
+    */
+  private def rollCheckpoint(df: DataFrame, name: String,
+      prev: Iterable[org.apache.spark.rdd.RDD[_]])
+      : (DataFrame, Iterable[org.apache.spark.rdd.RDD[_]]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val snap = df.localCheckpoint()
+    val rdds = (sc.getPersistentRDDs -- before).values.map { r =>
+      r.setName(name); r
+    }
+    prev.foreach(_.unpersist(blocking = false))
+    (snap, rdds)
+  }
+
+  /** Checkpoint the symbol chain every this many rounds: between
+    * checkpoints a round's pair-count job re-executes at most this many
+    * vocab-scale fold projections (cheap, pipelined in one stage), and
+    * in exchange the chain skips one materialization job per round.
+    */
+  private val ckptEvery = 4
+
   /** `rounds` BPE merge rounds over the word-count table of `textCol`.
     * Returns (merge_round, left_sym, right_sym, pair_count) — one row
-    * per round in merge order.
+    * per round in merge order (rounds past pair exhaustion emit none).
     */
   def merges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
     require(rounds >= 1, "need at least one merge round")
@@ -46,36 +104,20 @@ object Bpe {
       .select(explode(
         expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
-    var syms = words
-      .select(col("w"), col("wc"),
-        explode(sequence(lit(1), length(col("w")))).as("pos"))
-      .withColumn("sym", expr("substring(w, pos, 1)"))
+    // checkpoint the initial table once: per-round pair-count jobs must
+    // not re-run the corpus-scale word count
+    var (syms, snapRdds) = rollCheckpoint(
+      words.select(col("wc"), charArray(col("w")).as("arr")),
+      "graft.bpe initial symbols", Nil)
 
-    val wW = Window.partitionBy(col("w")).orderBy(col("pos"))
     val bests = Seq.newBuilder[DataFrame]
-    // Round N's symbol snapshot is dead once round N+1's materializes
-    // (and the LAST one once the loop ends — the returned frame is the
-    // union of the tiny argmax checkpoints only), so each round drops
-    // the previous round's blocks: resident state is O(1) rounds, the
-    // same discipline as Dedup.connectedComponents. The argmax
-    // checkpoints are the output and stay.
-    val sc = docs.sparkSession.sparkContext
-    var prevSnapRdds: Iterable[org.apache.spark.rdd.RDD[_]] = Nil
     for (round <- 1 to rounds) {
-      val before = sc.getPersistentRDDs.keySet
-      val snap = syms.localCheckpoint()
-      val snapRdds = (sc.getPersistentRDDs -- before).values.map { r =>
-        r.setName(s"graft.bpe round $round symbols"); r
-      }
-      prevSnapRdds.foreach(_.unpersist(blocking = false))
-      prevSnapRdds = snapRdds
-      val withNext = snap.withColumn("nxt", lead(col("sym"), 1).over(wW))
       // the 1-row argmax feeds two consumers (the merge-table output
-      // union and the re-symbolization crossJoin) — checkpoint it so
-      // the pair-count aggregate, the round's most expensive op, runs
-      // once instead of twice
-      val best = withNext.filter(col("nxt").isNotNull)
-        .groupBy(col("sym").as("left_sym"), col("nxt").as("right_sym"))
+      // union and the fold projection) — checkpoint it so the pair
+      // count, the round's only shuffle, runs once instead of twice
+      val best = syms
+        .select(col("wc"), explode(pairStructs(col("arr"))).as("p"))
+        .groupBy(col("p.l").as("left_sym"), col("p.r").as("right_sym"))
         .agg(sum(col("wc")).as("pair_count"))
         .orderBy(desc("pair_count"), asc("left_sym"), asc("right_sym"))
         .limit(1)
@@ -83,58 +125,38 @@ object Bpe {
       bests += best.select(lit(round.toLong).as("merge_round"),
         col("left_sym"), col("right_sym"), col("pair_count"))
 
-      syms = applyMerge(withNext,
-        best.select(col("left_sym").as("bl"), col("right_sym").as("br")))
+      syms = syms
+        .crossJoin(broadcast(
+          best.select(col("left_sym").as("bl"), col("right_sym").as("br"))))
+        .select(col("wc"), foldMerge(col("arr"), col("bl"), col("br")).as("arr"))
+      if (round % ckptEvery == 0 && round < rounds) {
+        val rolled = rollCheckpoint(syms, s"graft.bpe round $round symbols", snapRdds)
+        syms = rolled._1; snapRdds = rolled._2
+      }
     }
-    prevSnapRdds.foreach(_.unpersist(blocking = false))
+    // the returned frame is the union of the tiny eager argmax
+    // checkpoints only — the symbol chain's blocks are dead
+    snapRdds.foreach(_.unpersist(blocking = false))
     bests.result().reduce(_ union _)
-  }
-
-  /** Apply ONE merge pair (1-row frame with columns bl, br — broadcast)
-    * greedily left-to-right to a (w, wc, pos, sym, nxt) symbol table:
-    * the islands+parity machinery shared by training ([[merges]], where
-    * the pair is the round's argmax) and encoding ([[encode]], where it
-    * comes from a trained merge table).
-    */
-  private def applyMerge(withNext: DataFrame, pair: DataFrame): DataFrame = {
-    val wW = Window.partitionBy(col("w")).orderBy(col("pos"))
-    val wM = Window.partitionBy(col("w"), col("mflag")).orderBy(col("pos"))
-    val flagged = withNext
-      .crossJoin(broadcast(pair))
-      .withColumn("mflag",
-        coalesce(col("sym") === col("bl") && col("nxt") === col("br"),
-          lit(false)))
-      .withColumn("isl", col("pos") - row_number().over(wM))
-    val wI = Window.partitionBy(col("w"), col("mflag"), col("isl"))
-      .orderBy(col("pos"))
-    flagged
-      .withColumn("mrg", col("mflag") && row_number().over(wI) % 2 === 1)
-      .withColumn("consumed", coalesce(lag(col("mrg"), 1).over(wW), lit(false)))
-      .filter(!col("consumed"))
-      .withColumn("pos2", row_number().over(wW))
-      .select(col("w"), col("wc"), col("pos2").as("pos"),
-        when(col("mrg"), concat(col("sym"), col("nxt"))).otherwise(col("sym"))
-          .as("sym"))
   }
 
   /** BPE ENCODE — apply a trained merge table to tokenize the corpus:
     * the production-side twin of [[merges]] (a pipeline trains once,
     * then tokenizes every corpus refresh with the frozen table).
     *
-    * The expensive iterated part runs at VOCABULARY scale, not corpus
-    * scale: merges are applied round-by-round to the distinct-word
-    * symbol table (same [[applyMerge]] machinery and localCheckpoint
-    * round discipline as training), and the corpus only pays one linear
-    * join at the end — (doc_id, word) occurrences against the finished
-    * word→tokens map — plus one per-doc aggregate. Applying the merge
-    * table in round order from the character level reproduces the
-    * training end-state segmentation for in-vocabulary words (greedy
-    * BPE is deterministic given the ordered table), which is what the
-    * unrolled DuckDB oracle checks.
+    * The whole ordered table (rounds ≤ `rounds`) is collapsed into one
+    * array-of-structs row — `collect_list` under a global aggregate,
+    * sorted by merge_round — broadcast into a single nested-fold
+    * projection over the distinct-word table: outer fold over merges,
+    * inner fold = [[foldMerge]]. Applying the table in round order from
+    * the character level reproduces the training end-state segmentation
+    * for in-vocabulary words (greedy BPE is deterministic given the
+    * ordered table), which is what the unrolled DuckDB oracle checks.
+    * The corpus then pays one linear join against the finished
+    * word→tokens map plus one per-doc aggregate.
     *
     * `mergeTable` must have (merge_round, left_sym, right_sym) — the
-    * [[merges]] output shape. It is checkpointed once so per-round
-    * filters don't re-run an upstream training pipeline.
+    * [[merges]] output shape.
     *
     * Returns one row per doc with ≥1 word: (idCol, n_words, n_tokens,
     * token_str) where token_str is the space-joined subword sequence.
@@ -146,42 +168,25 @@ object Bpe {
       .select(col(idCol),
         posexplode(expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)"))
           .as(Seq("widx", "w")))
-    val words = docWords.groupBy(col("w")).agg(count(lit(1)).as("wc"))
-    var syms = words
-      .select(col("w"), col("wc"),
-        explode(sequence(lit(1), length(col("w")))).as("pos"))
-      .withColumn("sym", expr("substring(w, pos, 1)"))
 
-    // tiny (rounds×3) — checkpoint so the per-round filter doesn't
-    // re-execute whatever produced the table (e.g. a training run)
-    val mt = mergeTable.select(col("merge_round"), col("left_sym"),
-      col("right_sym")).localCheckpoint()
+    // ONE row holding the ordered merge table as array<struct<l,r>> —
+    // a global aggregate always emits exactly one row (empty table →
+    // empty array → the fold applies no merges)
+    val mtab = mergeTable
+      .filter(col("merge_round") <= rounds)
+      .select(struct(col("merge_round").as("rnd"), col("left_sym").as("l"),
+        col("right_sym").as("r")).as("m"))
+      .agg(sort_array(collect_list(col("m"))).as("mtab"))
 
-    val wW = Window.partitionBy(col("w")).orderBy(col("pos"))
-    val sc = docs.sparkSession.sparkContext
-    var prevSnapRdds: Iterable[org.apache.spark.rdd.RDD[_]] = Nil
-    for (round <- 1 to rounds) {
-      val before = sc.getPersistentRDDs.keySet
-      val snap = syms.localCheckpoint()
-      val snapRdds = (sc.getPersistentRDDs -- before).values.map { r =>
-        r.setName(s"graft.bpe-encode round $round symbols"); r
-      }
-      prevSnapRdds.foreach(_.unpersist(blocking = false))
-      prevSnapRdds = snapRdds
-      val withNext = snap.withColumn("nxt", lead(col("sym"), 1).over(wW))
-      val pair = mt.filter(col("merge_round") === round)
-        .select(col("left_sym").as("bl"), col("right_sym").as("br"))
-      syms = applyMerge(withNext, pair)
-    }
-    // the result DEPENDS on the final snapshot (unlike merges(), whose
-    // output is only the argmax checkpoints) — leave it pinned for the
-    // caller's CacheScope sweep; release only the earlier rounds above
+    val wordToks = docWords.groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .crossJoin(broadcast(mtab))
+      .select(col("w"),
+        aggregate(col("mtab"), charArray(col("w")),
+          (arr, m) => foldMerge(arr, m.getField("l"), m.getField("r")))
+          .as("toks_arr"))
+      .select(col("w"), size(col("toks_arr")).as("ntok"),
+        concat_ws(" ", col("toks_arr")).as("toks"))
 
-    val wordToks = syms.groupBy(col("w"))
-      .agg(count(lit(1)).as("ntok"),
-        concat_ws(" ",
-          expr("transform(array_sort(collect_list(struct(pos, sym))), x -> x.sym)"))
-          .as("toks"))
     docWords.join(wordToks, Seq("w"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"),
