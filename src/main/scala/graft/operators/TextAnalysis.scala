@@ -128,6 +128,70 @@ object TextAnalysis {
         "transform(sequence(1, size(toks) - 1), " +
           "i -> concat(toks[i - 1], ' ', toks[i]))")).as("bigram"))
 
+  /** Exact integer floor(log2(n)) for a positive BIGINT column: one
+    * less than the binary-string length — no libm anywhere, so Spark
+    * and DuckDB (`length(bin(n)) - 1`) agree bit-for-bit.
+    */
+  private def floorLog2(n: Column): Column =
+    (length(bin(n)) - 1).cast("long")
+
+  /** Per-document surprisal under an add-one-smoothed bigram LM, in
+    * whole bits — the log-free analogue of a perplexity quality filter
+    * (CCNet-style LM scoring; docs whose bigrams the corpus model finds
+    * improbable are garble/boilerplate candidates, ranked by
+    * avg_millibits).
+    *
+    * The per-bigram surprisal is the INTEGER
+    * `floor(log2((c(w1)+V) / (c12+1)))` with c(w1) the unigram count,
+    * c12 the bigram count and V the vocabulary size: probabilities stay
+    * rational, and the floor-log2 of a positive rational num/den is
+    * computed exactly in integer arithmetic — `k0 = fl2(den) - fl2(num)`
+    * corrected down by one when `num << k0 > den` (the shift can't
+    * overflow: it is ≤ 2·den by construction). `num ≤ den` always (every
+    * bigram occurrence is a w1 occurrence and V ≥ 1), so bits ≥ 0.
+    * A log-prob double would be 1-ulp-unstable cross-engine (the same
+    * reason tfIdfTopK keeps idf rational); integer bits are exactly
+    * summable in any order.
+    *
+    * Plan shape: one bigram explode → per-(doc,w1,w2) multiplicities m
+    * (shrinks the model join to distinct bigrams per doc) → corpus
+    * bigram counts derived from the SAME frame (one explode feeds both)
+    * → joins keyed by (w1,w2) and w1, the 1-row vocabulary size
+    * broadcast. Shuffles are corpus-linear; model tables are |vocab| and
+    * |observed bigrams|. At 100 TB a hot w1 ("the") skews the unigram
+    * join — AQE skew-join splits it, and the (w1,w2) join key is already
+    * well-spread.
+    */
+  def bigramSurprisal(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val docBig = docBigrams(df, textCol, idCol)
+      .select(col(idCol),
+        substring_index(col("bigram"), " ", 1).as("w1"),
+        substring_index(col("bigram"), " ", -1).as("w2"))
+      .groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("m"))
+    val uni = spreadByKey(df, col(idCol))
+      .select(explode(toks(col(textCol))).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("t")).agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val big = docBig.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("m")).as("c12"))
+    docBig
+      .join(big, Seq("w1", "w2"))
+      .join(uni.withColumnRenamed("t", "w1"), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("num", col("c12") + 1)
+      .withColumn("den", col("c1") + col("v"))
+      .withColumn("k0", floorLog2(col("den")) - floorLog2(col("num")))
+      .withColumn("bits",
+        when(expr("shiftleft(num, cast(k0 as int)) <= den"), col("k0"))
+          .otherwise(col("k0") - 1))
+      .groupBy(col(idCol))
+      .agg(sum(col("m")).as("n_bigrams"),
+        sum(col("m") * col("bits")).as("total_bits"))
+      .withColumn("avg_millibits", expr("(total_bits * 1000) div n_bigrams"))
+  }
+
   /** Document fingerprint: md5 over whitespace-normalized lowercase text
     * — the exact-dedup key robust to spacing/case drift.
     */

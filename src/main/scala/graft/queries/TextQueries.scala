@@ -111,6 +111,13 @@ object TextQueries {
     // hazard. The top-K vocabulary is a TakeOrdered result broadcast
     // into the probe join; the probe is one shuffle-free pass over the
     // exploded bigrams followed by a per-doc aggregate.
+    // Per-doc surprisal under an add-one-smoothed bigram LM, in whole
+    // bits — the log-free perplexity-style quality filter. Integer
+    // floor-log2 via binary-string length (exact in both engines); see
+    // TextAnalysis.bigramSurprisal for the arithmetic argument.
+    "q_lm_surprisal" -> ((s, d) =>
+      TextAnalysis.bigramSurprisal(Tables.documents(s, d), "text", "doc_id")),
+
     "q_oov_rate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val vocab = TextAnalysis.topBigrams(docs, "text", "doc_id", 200)
@@ -245,6 +252,46 @@ object TextQueries {
     "q_bpe_merges" -> bpeSql,
 
     "q_bpe_encode" -> bpeEncodeSql,
+
+    // Mirrors bigramSurprisal stage-for-stage: bigram multiplicities,
+    // corpus bigram/unigram counts, vocab size, then the exact integer
+    // floor-log2 (length(bin(n)) - 1 plus the shift-compare correction).
+    "q_lm_surprisal" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id, toks, unnest(generate_series(2, len(toks))) AS i
+         |      FROM t WHERE len(toks) >= 2),
+         |bg AS (SELECT doc_id, toks[i - 1] AS w1, toks[i] AS w2 FROM g),
+         |docbig AS (
+         |  SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS m
+         |  FROM bg GROUP BY doc_id, w1, w2),
+         |uni AS (
+         |  SELECT tok AS t, CAST(COUNT(*) AS BIGINT) AS c1 FROM (
+         |    SELECT unnest(toks) AS tok FROM t) u
+         |  WHERE tok <> '' GROUP BY tok),
+         |voc AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+         |big AS (
+         |  SELECT w1, w2, CAST(SUM(m) AS BIGINT) AS c12
+         |  FROM docbig GROUP BY w1, w2),
+         |j AS (
+         |  SELECT d.doc_id, d.m, b.c12 + 1 AS num, u.c1 + voc.v AS den
+         |  FROM docbig d
+         |  JOIN big b USING (w1, w2)
+         |  JOIN uni u ON u.t = d.w1
+         |  CROSS JOIN voc),
+         |k AS (
+         |  SELECT doc_id, m,
+         |    (length(bin(den)) - 1) - (length(bin(num)) - 1) AS k0,
+         |    num, den
+         |  FROM j),
+         |s AS (
+         |  SELECT doc_id, m,
+         |    CASE WHEN (num << k0) <= den THEN k0 ELSE k0 - 1 END AS bits
+         |  FROM k)
+         |SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams,
+         |  CAST(SUM(m * bits) AS BIGINT) AS total_bits,
+         |  CAST(SUM(m * bits) AS BIGINT) * 1000 // CAST(SUM(m) AS BIGINT)
+         |    AS avg_millibits
+         |FROM s GROUP BY doc_id""".stripMargin,
 
     "q_oov_rate" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

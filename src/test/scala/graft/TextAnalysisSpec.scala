@@ -102,4 +102,34 @@ class TextAnalysisSpec extends SparkSpec {
     // "the cat" ×2 first; then the count-1 ties resolve lexicographically
     assert(out.toSeq == Seq(("the cat", 2L), ("cat ran", 1L)))
   }
+
+  test("bigramSurprisal matches a driver-side reference LM (exact integer bits)") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat"),
+      (3L, "a rare zebra xylophone"),
+      (4L, "the the the the"),
+      (5L, "single"))
+    // reference: tokenize, unigram/bigram counts, V, then per-bigram
+    // floor(log2((c1+V)/(c12+1))) via exact BigInt bit-length compare
+    val toks = docs.map { case (id, t) =>
+      id -> t.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    }
+    val uni = toks.flatMap(_._2).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val v = uni.size.toLong
+    val bigs = toks.flatMap { case (id, ts) => ts.sliding(2).collect { case Seq(a, b) => (id, a, b) } }
+    val c12 = bigs.groupBy { case (_, a, b) => (a, b) }.map { case (k, vs) => k -> vs.size.toLong }
+    def fl2(n: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    def bits(num: Long, den: Long): Long = {
+      val k0 = fl2(den) - fl2(num)
+      if ((num << k0) <= den) k0 else k0 - 1
+    }
+    val expected = bigs.groupBy(_._1).map { case (id, bs) =>
+      val total = bs.map { case (_, a, b) => bits(c12((a, b)) + 1, uni(a) + v) }.sum
+      (id, bs.size.toLong, total, total * 1000 / bs.size)
+    }.toSet
+    val got = TextAnalysis.bigramSurprisal(docs.toDF("doc_id", "text"), "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected) // doc 5 (no bigrams) absent from both
+  }
 }
