@@ -192,6 +192,60 @@ object TextAnalysis {
       .withColumn("avg_millibits", expr("(total_bits * 1000) div n_bigrams"))
   }
 
+  /** BM25 retrieval: top-k documents for a fixed query term set, scored
+    * in exact integer MICRO-UNITS so the ranking is engine-portable.
+    *
+    * The scoring function is the BM25 family with k1 = 6/5, b = 3/4 and
+    * a RATIONAL idf, (2(N−df)+1) / (2df+1) — the argument of the
+    * standard log-idf, kept unlogged for the same reason tfIdfTopK does
+    * (libm log is 1-ulp-unstable cross-engine; the transform is
+    * monotone per term). Clearing denominators (k1 = 6/5, b = 3/4,
+    * avgdl = total/N) makes every factor an integer:
+    *
+    *   tf_num = 44·tf·total
+    *   tf_den = 20·total·tf + 6·total + 18·dl·N
+    *   score_term = (idf_num · tf_num · 10⁶) div (idf_den · tf_den)
+    *
+    * computed in DECIMAL(38,0) (products reach ~10³⁴ at 100 TB scale —
+    * past int64, inside decimal38/HUGEINT for both engines) with a
+    * single truncating integral division per term; per-doc scores are
+    * then exact integer sums, order-independent.
+    *
+    * Plan: one token explode feeds doc lengths and the term-filtered tf
+    * counts (the IN-filter runs before the aggregate — only query-term
+    * rows shuffle); df derives from tf; the 2-row corpus stats frame is
+    * broadcast. Top-k via TakeOrdered on (score desc, id asc) — no
+    * global sort. All shuffles corpus-linear.
+    */
+  def bm25TopK(df: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    val dec = "decimal(38,0)"
+    val tokStream = spreadByKey(df, col(idCol))
+      .select(col(idCol), explode(toks(col(textCol))).as("t"))
+      .filter(col("t") =!= "")
+    val dl = tokStream.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total"))
+    val tf = tokStream.filter(col("t").isin(terms: _*))
+      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    tf.join(dfreq, Seq("t"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf_num", (lit(2) * (col("n_docs") - col("df")) + 1).cast(dec))
+      .withColumn("idf_den", (lit(2) * col("df") + 1).cast(dec))
+      .withColumn("tf_num",
+        lit(44).cast(dec) * col("tf").cast(dec) * col("total").cast(dec))
+      .withColumn("tf_den",
+        lit(20).cast(dec) * col("total").cast(dec) * col("tf").cast(dec)
+          + lit(6).cast(dec) * col("total").cast(dec)
+          + lit(18).cast(dec) * col("dl").cast(dec) * col("n_docs").cast(dec))
+      .withColumn("score_term",
+        expr("(idf_num * tf_num * 1000000) div (idf_den * tf_den)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms"), sum(col("score_term")).as("score_micros"))
+      .orderBy(desc("score_micros"), asc(idCol)).limit(k)
+  }
+
   /** Document fingerprint: md5 over whitespace-normalized lowercase text
     * — the exact-dedup key robust to spacing/case drift.
     */

@@ -111,6 +111,13 @@ object TextQueries {
     // hazard. The top-K vocabulary is a TakeOrdered result broadcast
     // into the probe join; the probe is one shuffle-free pass over the
     // exploded bigrams followed by a per-doc aggregate.
+    // BM25 top-20 retrieval for a fixed 3-term query (one rare, two
+    // common tokens) — integer micro-unit scores with rational idf;
+    // see TextAnalysis.bm25TopK for the exact-arithmetic clearing.
+    "q_bm25" -> ((s, d) =>
+      TextAnalysis.bm25TopK(Tables.documents(s, d), "text", "doc_id",
+        bm25Terms, 20)),
+
     // Per-doc surprisal under an add-one-smoothed bigram LM, in whole
     // bits — the log-free perplexity-style quality filter. Integer
     // floor-log2 via binary-string length (exact in both engines); see
@@ -132,6 +139,11 @@ object TextQueries {
   )
 
   private val bpeRounds = 6
+
+  /** BM25 query: "dup" is rare in the fixture corpus (df≈25 at sf0.01),
+    * "join"/"scan" near-ubiquitous — exercises the idf spread.
+    */
+  private val bm25Terms = Seq("dup", "join", "scan")
 
   private val toksSql = """string_split_regex(lower(trim(text)), '\s+')"""
 
@@ -252,6 +264,44 @@ object TextQueries {
     "q_bpe_merges" -> bpeSql,
 
     "q_bpe_encode" -> bpeEncodeSql,
+
+    // Mirrors bm25TopK stage-for-stage in HUGEINT (the decimal(38,0)
+    // twin): rational idf, cleared k1/b denominators, one truncating
+    // integer division per (doc, term). Row-sorted compare makes the
+    // ORDER BY only matter through the LIMIT, and the (score, doc_id)
+    // total order ties out identically in both engines.
+    "q_bm25" -> {
+      val termList = bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($toksSql) AS t FROM documents
+         |), tok2 AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+         |dl AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+         |  FROM tok2 GROUP BY doc_id),
+         |corpus AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(dl) AS BIGINT) AS total FROM dl),
+         |tf AS (
+         |  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM tok2 WHERE t IN ($termList) GROUP BY doc_id, t),
+         |dfreq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t),
+         |j AS (
+         |  SELECT tf.doc_id,
+         |    CAST(2 * (c.n_docs - d.df) + 1 AS HUGEINT) AS idf_num,
+         |    CAST(2 * d.df + 1 AS HUGEINT) AS idf_den,
+         |    CAST(44 AS HUGEINT) * tf.tf * c.total AS tf_num,
+         |    CAST(20 AS HUGEINT) * c.total * tf.tf + CAST(6 AS HUGEINT) * c.total
+         |      + CAST(18 AS HUGEINT) * dl.dl * c.n_docs AS tf_den
+         |  FROM tf
+         |  JOIN dfreq d USING (t)
+         |  JOIN dl USING (doc_id)
+         |  CROSS JOIN corpus c)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+         |  CAST(SUM((idf_num * tf_num * 1000000) // (idf_den * tf_den)) AS BIGINT)
+         |    AS score_micros
+         |FROM j GROUP BY doc_id
+         |ORDER BY score_micros DESC, doc_id ASC LIMIT 20""".stripMargin
+    },
 
     // Mirrors bigramSurprisal stage-for-stage: bigram multiplicities,
     // corpus bigram/unigram counts, vocab size, then the exact integer

@@ -132,4 +132,34 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(got == expected) // doc 5 (no bigrams) absent from both
   }
+
+  test("bm25TopK matches a driver-side BigInt reference (exact micro-units)") {
+    val docs = Seq(
+      (1L, "spark shuffle join join join"),
+      (2L, "spark scan"),
+      (3L, "join scan scan spark spark spark"),
+      (4L, "nothing relevant here at all"),
+      (5L, "join"))
+    val terms = Seq("join", "scan")
+    val toks = docs.map { case (id, t) => id -> t.split("\\s+").toSeq }
+    val n = BigInt(toks.size); val total = BigInt(toks.map(_._2.size).sum)
+    val dfm = terms.map(t => t -> BigInt(toks.count(_._2.contains(t)))).toMap
+    val expected = toks.flatMap { case (id, ts) =>
+      val dl = BigInt(ts.size)
+      val scores = terms.flatMap { t =>
+        val tf = BigInt(ts.count(_ == t))
+        if (tf == 0) None else {
+          val idfN = 2 * (n - dfm(t)) + 1; val idfD = 2 * dfm(t) + 1
+          val tfN = 44 * tf * total
+          val tfD = 20 * total * tf + 6 * total + 18 * dl * n
+          Some((idfN * tfN * 1000000) / (idfD * tfD))
+        }
+      }
+      if (scores.isEmpty) None
+      else Some((id, scores.size.toLong, scores.sum.toLong))
+    }.sortBy { case (id, _, s) => (-s, id) }.take(3)
+    val got = TextAnalysis.bm25TopK(docs.toDF("doc_id", "text"), "text", "doc_id", terms, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected) // doc 4 (no query terms) excluded
+  }
 }
