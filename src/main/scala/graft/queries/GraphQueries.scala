@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 
@@ -87,8 +88,80 @@ object GraphQueries {
       val result = rank.select(col("node"), col("r").as("pr")).localCheckpoint()
       (prevSnapRdds ++ edgeRdds).foreach(_.unpersist(blocking = false))
       result
+    }),
+
+    // Triangle count over the recurring co-purchase graph: parts that
+    // co-occur in ≥2 distinct orders. The support threshold is the
+    // density control every co-occurrence graph needs (the raw co-order
+    // graph on a small key domain is near-complete — all-pairs wedges
+    // would explode); the surviving graph is sparse at every SF.
+    //
+    // Counting uses DEGREE-ORDERED ORIENTATION: each undirected edge
+    // points from its (deg, id)-smaller endpoint, every triangle is
+    // counted exactly once as src→b, src→c, b→c with (db,b) < (dc,c),
+    // and a node's out-wedges are bounded by O(√m) out-degree — the
+    // standard bound that keeps the wedge join m^{3/2} instead of Σd².
+    // Wedge closure and wedge count share ONE pass (left join + count
+    // of matches). All integer counts — engine-exact.
+    //
+    // Scale: shuffles are keyed by order (pair gen), pair (support
+    // count), node (degree join), src (wedge join), (b,c) (closure) —
+    // all linear in their inputs; the oriented edge set is
+    // localCheckpoint'ed once because three joins read it. At 100 TB
+    // the wedge frame would be checkpointed too before closure.
+    "q_triangles" -> ((s, d) => {
+      val so = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val und = so.as("a")
+        .join(so.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("u"), col("v"))
+      triangleStats(und)
     })
   )
+
+  /** Degree-ordered triangle/wedge/edge counts of an undirected simple
+    * graph given as (u, v) edge rows with u ≠ v, each edge once (see
+    * q_triangles above for the algorithm and scale notes). Exposed for
+    * direct testing on known graphs (GraphSpec).
+    */
+  def triangleStats(und: DataFrame): DataFrame = {
+    val deg = und.select(col("u").as("x"))
+      .unionAll(und.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("dx"))
+    val wd = und
+      .join(deg.select(col("x").as("u"), col("dx").as("du")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("dx").as("dv")), Seq("v"))
+    val fwd = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val sc = und.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val ori = wd.select(
+        when(fwd, col("u")).otherwise(col("v")).as("src"),
+        when(fwd, col("v")).otherwise(col("u")).as("dst"),
+        when(fwd, col("dv")).otherwise(col("du")).as("dd"))
+      .localCheckpoint()
+    val oriRdds = (sc.getPersistentRDDs -- before).values.map { r =>
+      r.setName("graft.triangles oriented edges"); r
+    }
+    val wedges = ori
+      .select(col("src").as("a"), col("dst").as("b"), col("dd").as("db"))
+      .join(ori.select(col("src").as("a2"), col("dst").as("c"), col("dd").as("dc")),
+        col("a") === col("a2") &&
+          struct(col("db"), col("b")) < struct(col("dc"), col("c")))
+    val counts = wedges
+      .join(ori.select(col("src").as("b2"), col("dst").as("c2")),
+        col("b") === col("b2") && col("c") === col("c2"), "left")
+      .agg(count(lit(1)).as("n_wedges"), count(col("b2")).as("n_triangles"))
+    val result = ori.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(counts))
+      .localCheckpoint()
+    oriRdds.foreach(_.unpersist(blocking = false))
+    result
+  }
 
   private def prRound(i: Int): String =
     s"""c$i AS (
@@ -117,6 +190,41 @@ object GraphQueries {
          |),
          |$rounds
          |SELECT node, r AS pr FROM r3""".stripMargin
-    }
+    },
+
+    // Mirrors q_triangles: ≥2-support co-purchase edges, degree-ordered
+    // orientation via tuple compare, one left-joined wedge pass.
+    "q_triangles" ->
+      """WITH so AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), und AS (
+        |  SELECT a.pk AS u, b.pk AS v
+        |  FROM so a JOIN so b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY a.pk, b.pk HAVING COUNT(*) >= 2
+        |), deg AS (
+        |  SELECT x, COUNT(*) AS dx FROM (
+        |    SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und) t
+        |  GROUP BY x
+        |), wd AS (
+        |  SELECT und.u, und.v, du.dx AS du, dv.dx AS dv
+        |  FROM und
+        |  JOIN deg du ON du.x = und.u
+        |  JOIN deg dv ON dv.x = und.v
+        |), ori AS (
+        |  SELECT CASE WHEN (du, u) < (dv, v) THEN u ELSE v END AS src,
+        |         CASE WHEN (du, u) < (dv, v) THEN v ELSE u END AS dst,
+        |         CASE WHEN (du, u) < (dv, v) THEN dv ELSE du END AS dd
+        |  FROM wd
+        |), wedge AS (
+        |  SELECT o1.dst AS b, o2.dst AS c
+        |  FROM ori o1 JOIN ori o2
+        |    ON o1.src = o2.src AND (o1.dd, o1.dst) < (o2.dd, o2.dst)
+        |)
+        |SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ori) AS n_edges,
+        |  CAST(COUNT(*) AS BIGINT) AS n_wedges,
+        |  CAST(COUNT(e.src) AS BIGINT) AS n_triangles
+        |FROM wedge w
+        |LEFT JOIN ori e ON w.b = e.src AND w.c = e.dst""".stripMargin
   )
 }
