@@ -634,4 +634,67 @@ object Dedup {
         .filter(col("hamming") <= maxHamming),
       sig)
   }
+
+  /** Bloom-filter incremental dedup screen: test an incoming batch
+    * against a corpus-built Bloom filter, then verify the candidates
+    * exactly — the screen every incremental ingest runs before paying
+    * the exact-dedup join on the full corpus (the filter is corpus-sized
+    * bits, the exact join then touches only screen survivors).
+    *
+    * PORTABILITY over packed bits: the filter is built from the repo's
+    * deterministic rolling-hash fingerprint (TextAnalysis.rollingHash of
+    * the whitespace-normalized text) with k=2 bit positions per doc,
+    * each an affine map (a·h + b) mod `mBits` (a = Knuth's 2654435761,
+    * b = 104729; h < 1e9+7 keeps a·h < 2^63 in both engines), and the
+    * bit SET is a distinct-positions table — so DuckDB mirrors the
+    * actual Bloom semantics and the gate covers the false-positive
+    * counts exactly, not just the exact-dup truth. A production deploy
+    * at 100 TB would pack the same positions into
+    * `bloom_filter_agg`-style binary blobs and broadcast `might_contain`
+    * probes; the set-bits table here is ≤ mBits rows and broadcast into
+    * both probe joins, identical join shape.
+    *
+    * Returns ONE summary row: n_batch, n_candidates (screen positives),
+    * n_definitely_new (screen negatives — no exact check ever needed),
+    * n_true_dup (fingerprint present in corpus), n_false_pos
+    * (candidates that the exact verify clears), and n_missed, which is
+    * STRUCTURALLY ZERO — a Bloom filter has no false negatives, and the
+    * oracle recomputes it so both engines prove it.
+    */
+  def bloomScreenStats(corpus: DataFrame, batch: DataFrame, textCol: String,
+      idCol: String, mBits: Int): DataFrame = {
+    require(mBits > 0, "need a positive filter width")
+    def fingerprints(df: DataFrame): DataFrame = df
+      .select(col(idCol),
+        TextAnalysis.normalizedText(col(textCol)).as("norm"))
+      .select(col(idCol), TextAnalysis.rollingHash("norm").as("h"))
+    def bitPos(h: Column, mult: Long, add: Long): Column =
+      (h * mult + add) % mBits
+    def withPos(df: DataFrame): DataFrame = df
+      .withColumn("p1", bitPos(col("h"), 2654435761L, 104729L))
+      .withColumn("p2", bitPos(col("h"), 2246822519L, 130363L))
+
+    val corpusFp = withPos(fingerprints(corpus))
+    val bits = corpusFp
+      .select(explode(array(col("p1"), col("p2"))).as("p")).distinct()
+    val corpusH = corpusFp.select(col("h").as("ch")).distinct()
+
+    withPos(fingerprints(batch))
+      .join(broadcast(bits.select(col("p").as("b1"))),
+        col("p1") === col("b1"), "left")
+      .join(broadcast(bits.select(col("p").as("b2"))),
+        col("p2") === col("b2"), "left")
+      .withColumn("cand", col("b1").isNotNull && col("b2").isNotNull)
+      // exact verify: hash-keyed join against distinct corpus
+      // fingerprints — |batch| vs |corpus| keys, linear at any scale
+      .join(corpusH, col("h") === col("ch"), "left")
+      .withColumn("dup", col("ch").isNotNull)
+      .agg(
+        count(lit(1)).as("n_batch"),
+        count(when(col("cand"), 1)).as("n_candidates"),
+        count(when(!col("cand"), 1)).as("n_definitely_new"),
+        count(when(col("dup"), 1)).as("n_true_dup"),
+        count(when(col("cand") && !col("dup"), 1)).as("n_false_pos"),
+        count(when(col("dup") && !col("cand"), 1)).as("n_missed"))
+  }
 }

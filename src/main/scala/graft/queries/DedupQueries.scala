@@ -167,6 +167,20 @@ object DedupQueries {
         profiles)
     }),
 
+    // Bloom-filter incremental dedup screen: the batch (doc_id % 10 = 7)
+    // probes a corpus-built k=2 Bloom filter (4096 bits) before the
+    // exact verify; the summary row carries the full screen accounting
+    // including exact false-positive counts and the structurally-zero
+    // miss count — see Dedup.bloomScreenStats for the portable-bits
+    // construction that lets DuckDB mirror the filter itself.
+    "q_bloom_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.bloomScreenStats(
+        docs.filter(col("doc_id") % 10 =!= 7),
+        docs.filter(col("doc_id") % 10 === 7),
+        "text", "doc_id", mBits = 4096)
+    }),
+
     // Edit-distance verification of LSH candidates — the fuzzy-dedup
     // complement to Jaccard (within-word edits vs set overlap). Both
     // engines compare the ASCII projection so byte-wise and
@@ -360,6 +374,48 @@ object DedupQueries {
          |JOIN sz sx ON sx.doc_id = i.id_a
          |JOIN sz sy ON sy.doc_id = i.id_b
          |WHERE i.n_inter / (sx.n + sy.n - i.n_inter) >= 0.5""".stripMargin,
+
+    // Mirrors bloomScreenStats including the filter itself: same
+    // rolling-hash fingerprint, same two affine bit positions mod 4096,
+    // same distinct-bit set — the FP counts are part of the hash gate.
+    "q_bloom_dedup" ->
+      """WITH n AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  FROM documents
+        |), fp AS (
+        |  SELECT doc_id,
+        |    CAST(list_reduce(
+        |      list_transform(generate_series(1, length(t)),
+        |        i -> CAST(ascii(substr(t, i, 1)) AS BIGINT)),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT) AS h
+        |  FROM n
+        |), pos AS (
+        |  SELECT doc_id, h,
+        |    (h * 2654435761 + 104729) % 4096 AS p1,
+        |    (h * 2246822519 + 130363) % 4096 AS p2
+        |  FROM fp
+        |), corpus AS (SELECT * FROM pos WHERE doc_id % 10 <> 7),
+        |batch AS (SELECT * FROM pos WHERE doc_id % 10 = 7),
+        |bits AS (
+        |  SELECT DISTINCT p FROM (
+        |    SELECT p1 AS p FROM corpus UNION ALL SELECT p2 AS p FROM corpus) t
+        |), ch AS (SELECT DISTINCT h AS chh FROM corpus),
+        |probe AS (
+        |  SELECT b.doc_id,
+        |    (b1.p IS NOT NULL AND b2.p IS NOT NULL) AS cand,
+        |    (c.chh IS NOT NULL) AS dup
+        |  FROM batch b
+        |  LEFT JOIN bits b1 ON b.p1 = b1.p
+        |  LEFT JOIN bits b2 ON b.p2 = b2.p
+        |  LEFT JOIN ch c ON b.h = c.chh
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_batch,
+        |  CAST(COUNT(*) FILTER (cand) AS BIGINT) AS n_candidates,
+        |  CAST(COUNT(*) FILTER (NOT cand) AS BIGINT) AS n_definitely_new,
+        |  CAST(COUNT(*) FILTER (dup) AS BIGINT) AS n_true_dup,
+        |  CAST(COUNT(*) FILTER (cand AND NOT dup) AS BIGINT) AS n_false_pos,
+        |  CAST(COUNT(*) FILTER (dup AND NOT cand) AS BIGINT) AS n_missed
+        |FROM probe""".stripMargin,
 
     "q_edit_distance" ->
       s"""WITH $candSql,

@@ -212,4 +212,22 @@ class DedupSpec extends SparkSpec {
     assert(c.getDouble(4) < 0.5, "long side mostly its own")
     assert(j.getDouble(2) < 0.5, "Jaccard misses the quote")
   }
+
+  test("bloomScreenStats: exact dup is always a candidate; counts reconcile") {
+    val corpus = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "jumps over the lazy dog"),
+      (3L, "entirely different content here")).toDF("doc_id", "text")
+    val batch = Seq(
+      (101L, "The  quick brown FOX"), // normalizes to doc 1 → true dup
+      (102L, "completely novel text"),
+      (103L, "another new document")).toDF("doc_id", "text")
+    val r = Dedup.bloomScreenStats(corpus, batch, "text", "doc_id", 4096).head()
+    assert(r.getAs[Long]("n_batch") == 3L)
+    assert(r.getAs[Long]("n_true_dup") == 1L)
+    assert(r.getAs[Long]("n_missed") == 0L, "Bloom filters have no false negatives")
+    assert(r.getAs[Long]("n_candidates") + r.getAs[Long]("n_definitely_new") == 3L)
+    assert(r.getAs[Long]("n_candidates") ==
+      r.getAs[Long]("n_true_dup") + r.getAs[Long]("n_false_pos"))
+  }
 }
