@@ -664,22 +664,30 @@ object Dedup {
   def bloomScreenStats(corpus: DataFrame, batch: DataFrame, textCol: String,
       idCol: String, mBits: Int): DataFrame = {
     require(mBits > 0, "need a positive filter width")
-    def fingerprints(df: DataFrame): DataFrame = df
-      .select(col(idCol),
-        TextAnalysis.normalizedText(col(textCol)).as("norm"))
-      .select(col(idCol), TextAnalysis.rollingHash("norm").as("h"))
+    // the spreadByKey exchange between the normalization projection and
+    // the hash fold is load-bearing: without it CollapseProject inlines
+    // the regexp_replace into the per-character HOF lambda (the measured
+    // anti-lesson at rollingHash's doc) — q_fingerprint's shape exactly
+    def fingerprints(df: DataFrame): DataFrame =
+      graft.operators.spreadByKey(
+        df.select(col(idCol),
+          TextAnalysis.normalizedText(col(textCol)).as("norm")),
+        col(idCol))
+        .select(col(idCol), TextAnalysis.rollingHash("norm").as("h"))
     def bitPos(h: Column, mult: Long, add: Long): Column =
       (h * mult + add) % mBits
     def withPos(df: DataFrame): DataFrame = df
       .withColumn("p1", bitPos(col("h"), 2654435761L, 104729L))
       .withColumn("p2", bitPos(col("h"), 2246822519L, 130363L))
 
-    val corpusFp = withPos(fingerprints(corpus))
+    // two consumers (bit set + exact-verify keys): persist so the
+    // corpus-side hash fold runs once; released after the probe action
+    val corpusFp = withPos(fingerprints(corpus)).persist()
     val bits = corpusFp
       .select(explode(array(col("p1"), col("p2"))).as("p")).distinct()
     val corpusH = corpusFp.select(col("h").as("ch")).distinct()
 
-    withPos(fingerprints(batch))
+    graft.core.CacheScope.releaseAfterUse(withPos(fingerprints(batch))
       .join(broadcast(bits.select(col("p").as("b1"))),
         col("p1") === col("b1"), "left")
       .join(broadcast(bits.select(col("p").as("b2"))),
@@ -695,6 +703,7 @@ object Dedup {
         count(when(!col("cand"), 1)).as("n_definitely_new"),
         count(when(col("dup"), 1)).as("n_true_dup"),
         count(when(col("cand") && !col("dup"), 1)).as("n_false_pos"),
-        count(when(col("dup") && !col("cand"), 1)).as("n_missed"))
+        count(when(col("dup") && !col("cand"), 1)).as("n_missed")),
+      corpusFp)
   }
 }
