@@ -23,7 +23,7 @@ object AnalyticsQueries {
     "q_cube" -> ((s, d) =>
       Tables.lineitem(s, d)
         .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+        .agg(count(lit(1)).as("n"), lsum(col("l_quantity")).as("sum_qty"),
           min(col("l_extendedprice")).as("min_price"),
           max(col("l_extendedprice")).as("max_price"))),
 
@@ -32,7 +32,7 @@ object AnalyticsQueries {
     "q_rollup" -> ((s, d) =>
       Tables.lineitem(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))),
+        .agg(count(lit(1)).as("n"), lsum(col("l_quantity")).as("sum_qty"))),
 
     // GROUPING SETS with an explicit grouping-bit id (portable: built
     // from per-column grouping() flags, not the engine-specific
@@ -44,7 +44,7 @@ object AnalyticsQueries {
           col("l_returnflag"), col("l_linestatus"))
         .agg((grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
           .cast("long").as("gid"),
-          count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))),
+          count(lit(1)).as("n"), lsum(col("l_quantity")).as("sum_qty"))),
 
     // PIVOT: priority counts spread to columns (explicit value list —
     // the deterministic, single-pass form; a discovery pivot would need
@@ -68,7 +68,7 @@ object AnalyticsQueries {
             col("l_tax")), "measure", "value")
         .groupBy(col("measure"))
         .agg(count(lit(1)).as("n"), min(col("value")).as("lo"),
-          max(col("value")).as("hi"), dsum(col("value")).as("total"))),
+          max(col("value")).as("hi"), lsum(col("value")).as("total"))),
 
     // The analytic window-function family over one partition spec:
     // row_number / lag / lead / ntile on the fully-deterministic order,
@@ -211,19 +211,19 @@ object AnalyticsQueries {
   val oracles: Map[String, String] = Map(
     "q_cube" ->
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-         |  ${sqlDsum("l_quantity")} AS sum_qty,
+         |  ${sqlLsum("l_quantity")} AS sum_qty,
          |  MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
          |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
 
     "q_rollup" ->
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-         |  ${sqlDsum("l_quantity")} AS sum_qty
+         |  ${sqlLsum("l_quantity")} AS sum_qty
          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
 
     "q_grouping_sets" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
-         |  COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+         |  COUNT(*) AS n, ${sqlLsum("l_quantity")} AS sum_qty
          |FROM lineitem
          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
 
@@ -240,7 +240,7 @@ object AnalyticsQueries {
          |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
          |)
          |SELECT measure, COUNT(*) AS n, MIN(value) AS lo, MAX(value) AS hi,
-         |  ${sqlDsum("value")} AS total
+         |  ${sqlLsum("value")} AS total
          |FROM m GROUP BY measure""".stripMargin,
 
     "q_window_suite" ->

@@ -17,19 +17,23 @@ object TpchQueries {
 
   val queries: Map[String, Q] = Map(
     // TPC-H Q1 shape: the reference's partial+final agg pattern (A2) at
-    // fact-table scale. One shuffle on the 6-value group key.
+    // fact-table scale. One shuffle on the 6-value group key. The 7
+    // numeric aggregates use lsum/lavg (long micro-units) — with dsum
+    // the decimal(28,6) sum buffers drop the whole aggregate out of
+    // unsafe long arithmetic and this query was 2.46 s instead of
+    // ~0.6 s at sf0.1 (measured; see the package-object doc).
     "q1_agg" -> ((s, d) => {
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_base_price"),
-          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
-          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
-          davg(col("l_quantity")).as("avg_qty"),
-          davg(col("l_extendedprice")).as("avg_price"),
-          davg(col("l_discount")).as("avg_disc"),
+          lsum(col("l_quantity")).as("sum_qty"),
+          lsum(col("l_extendedprice")).as("sum_base_price"),
+          lsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          lsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+          lavg(col("l_quantity")).as("avg_qty"),
+          lavg(col("l_extendedprice")).as("avg_price"),
+          lavg(col("l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order"))
     }),
 
@@ -244,13 +248,13 @@ object TpchQueries {
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
-         |  ${sqlDsum("l_quantity")} AS sum_qty,
-         |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
-         |  ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
-         |  ${sqlDsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
-         |  ${sqlDavg("l_quantity")} AS avg_qty,
-         |  ${sqlDavg("l_extendedprice")} AS avg_price,
-         |  ${sqlDavg("l_discount")} AS avg_disc,
+         |  ${sqlLsum("l_quantity")} AS sum_qty,
+         |  ${sqlLsum("l_extendedprice")} AS sum_base_price,
+         |  ${sqlLsum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         |  ${sqlLsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+         |  ${sqlLavg("l_quantity")} AS avg_qty,
+         |  ${sqlLavg("l_extendedprice")} AS avg_price,
+         |  ${sqlLavg("l_discount")} AS avg_disc,
          |  COUNT(*) AS count_order
          |FROM lineitem
          |WHERE l_shipdate <= TIMESTAMP '2001-09-02'

