@@ -89,4 +89,20 @@ class PropertiesSpec extends SparkSpec {
     val j = RefOps.joinOnKeys(left, right)
     assert(j.count() == keys.count(_ % 2 == 0))
   }
+
+  test("lsum/lavg equal the driver-side micro-unit reference on random doubles") {
+    // lsum's exactness claim: floor(x*1e6) long sums are partition-order
+    // free and reproduce a sequential BigInt reference bit-for-bit
+    // (including the final double divisions)
+    val vals = sample(Gen.listOfN(2000, Gen.chooseNum(0.0, 150000.0)))
+    val expectSum = vals.map(v => BigInt(math.floor(v * 1e6).toLong)).sum
+    val expDouble = expectSum.toDouble / 1e6
+    val expAvg = expDouble / vals.size
+    val df = vals.zipWithIndex.map { case (v, i) => (i % 7, v) }.toDF("g", "x")
+      .repartition(13) // force multi-partition partial aggregation
+    val r = df.agg(graft.queries.lsum(col("x")).as("s"),
+      graft.queries.lavg(col("x")).as("a")).head()
+    assert(r.getDouble(0) == expDouble)
+    assert(r.getDouble(1) == expAvg)
+  }
 }
