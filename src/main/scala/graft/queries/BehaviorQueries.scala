@@ -91,6 +91,30 @@ object BehaviorQueries {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // Top-20 trigram path motifs: the third-order extension of
+    // q_event_transitions — (prev2, prev, curr) sequences per user,
+    // counted globally with the (count desc, path asc) deterministic
+    // tie-break. Two lags share the transitions window, so the plan is
+    // STILL one exchange + one in-partition sort (hashpartitioning by
+    // user_id satisfies both frames), then a ≤|types|³ aggregate and a
+    // TakeOrdered top-k — no global sort, corpus-linear at any scale.
+    // Path mining at this shape is how interaction-log curation finds
+    // the journeys worth keeping (and the loops worth down-sampling).
+    "q_path_motifs" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(asc("tu"), asc("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"), tu.as("tu"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .withColumn("prev2_type", lag(col("event_type"), 2).over(w))
+        .filter(col("prev2_type").isNotNull)
+        .groupBy(col("prev2_type"), col("prev_type"),
+          col("event_type").as("curr_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("prev2_type"), asc("prev_type"), asc("curr_type"))
+        .limit(20)
+    }),
+
     // Winsorization: clip each value to its group's exact rank-selected
     // [p5, p95] (rankOrdered/rankIdx scaffold — clip bounds are actual
     // stored doubles, so least/greatest is pure selection and
@@ -174,6 +198,22 @@ object BehaviorQueries {
         |SELECT prev_type, event_type AS curr_type, COUNT(*) AS n
         |FROM s WHERE prev_type IS NOT NULL
         |GROUP BY prev_type, curr_type""".stripMargin,
+
+    "q_path_motifs" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type, 1) OVER w AS prev_type,
+        |    lag(event_type, 2) OVER w AS prev2_type
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY epoch_us(ts) ASC, event_id ASC)
+        |)
+        |SELECT prev2_type, prev_type, event_type AS curr_type,
+        |  COUNT(*) AS n
+        |FROM s WHERE prev2_type IS NOT NULL
+        |GROUP BY prev2_type, prev_type, curr_type
+        |ORDER BY n DESC, prev2_type ASC, prev_type ASC, curr_type ASC
+        |LIMIT 20""".stripMargin,
 
     "q_winsorize" ->
       s"""WITH r AS (
