@@ -264,6 +264,17 @@ object TextAnalysis {
     * evals into ~450M regex runs).
     */
   def rollingHash(plainColName: String): Column =
+    graft.functions.RollingHash.rollingHash(col(plainColName))
+
+  /** The original HOF composition of [[rollingHash]], kept as the
+    * bit-parity witness the native expression is specced against
+    * (RollingHashSpec). Carries the per-character re-evaluation hazard
+    * the native form retired: an expression inlined into the column
+    * here runs once per CHARACTER inside the lambda (the measured
+    * 450M-regex anti-lesson above); the native expression evaluates
+    * its child once per row.
+    */
+  private[graft] def rollingHashComposed(plainColName: String): Column =
     expr(s"aggregate(transform(sequence(1, length($plainColName)), " +
       s"i -> ascii(substring($plainColName, i, 1))), " +
       "0L, (acc, c) -> (acc * 31 + c) % 1000000007)")
