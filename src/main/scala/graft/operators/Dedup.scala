@@ -664,30 +664,56 @@ object Dedup {
   def bloomScreenStats(corpus: DataFrame, batch: DataFrame, textCol: String,
       idCol: String, mBits: Int): DataFrame = {
     require(mBits > 0, "need a positive filter width")
-    // the spreadByKey exchange between the normalization projection and
-    // the hash fold is load-bearing: without it CollapseProject inlines
-    // the regexp_replace into the per-character HOF lambda (the measured
-    // anti-lesson at rollingHash's doc) — q_fingerprint's shape exactly
-    def fingerprints(df: DataFrame): DataFrame =
-      graft.operators.spreadByKey(
-        df.select(col(idCol),
-          TextAnalysis.normalizedText(col(textCol)).as("norm")),
-        col(idCol))
-        .select(col(idCol), TextAnalysis.rollingHash("norm").as("h"))
-    def bitPos(h: Column, mult: Long, add: Long): Column =
-      (h * mult + add) % mBits
-    def withPos(df: DataFrame): DataFrame = df
-      .withColumn("p1", bitPos(col("h"), 2654435761L, 104729L))
-      .withColumn("p2", bitPos(col("h"), 2246822519L, 130363L))
-
     // two consumers (bit set + exact-verify keys): persist so the
     // corpus-side hash fold runs once; released after the probe action
-    val corpusFp = withPos(fingerprints(corpus)).persist()
+    val corpusFp = bloomFingerprints(corpus, textCol, idCol, mBits).persist()
     val bits = corpusFp
       .select(explode(array(col("p1"), col("p2"))).as("p")).distinct()
     val corpusH = corpusFp.select(col("h").as("ch")).distinct()
 
-    graft.core.CacheScope.releaseAfterUse(withPos(fingerprints(batch))
+    graft.core.CacheScope.releaseAfterUse(
+      bloomScreenDecisions(
+        bloomFingerprints(batch, textCol, idCol, mBits), bits, corpusH, idCol)
+        .agg(
+          count(lit(1)).as("n_batch"),
+          count(when(col("cand"), 1)).as("n_candidates"),
+          count(when(!col("cand"), 1)).as("n_definitely_new"),
+          count(when(col("dup"), 1)).as("n_true_dup"),
+          count(when(col("cand") && !col("dup"), 1)).as("n_false_pos"),
+          count(when(col("dup") && !col("cand"), 1)).as("n_missed")),
+      corpusFp)
+  }
+
+  /** (idCol, h, p1, p2) rolling-hash fingerprints + the k=2 bloom bit
+    * positions (see [[bloomScreenStats]] for the constants). The
+    * spreadByKey exchange between the normalization projection and the
+    * hash keeps the sub-split-size corpus from funneling through one
+    * task; the hash itself is the native [[graft.functions.RollingHash]]
+    * expression (child evaluated once per row, so the old per-character
+    * CollapseProject hazard no longer applies here).
+    */
+  private def bloomFingerprints(df: DataFrame, textCol: String,
+      idCol: String, mBits: Int): DataFrame = {
+    def bitPos(h: Column, mult: Long, add: Long): Column =
+      (h * mult + add) % mBits
+    graft.operators.spreadByKey(
+      df.select(col(idCol),
+        TextAnalysis.normalizedText(col(textCol)).as("norm")),
+      col(idCol))
+      .select(col(idCol), TextAnalysis.rollingHash("norm").as("h"))
+      .withColumn("p1", bitPos(col("h"), 2654435761L, 104729L))
+      .withColumn("p2", bitPos(col("h"), 2246822519L, 130363L))
+  }
+
+  /** Per-document screen decisions (idCol, cand, dup) from prepared
+    * fingerprints: two broadcast bit probes + the exact-verify join.
+    * Stateless row-wise logic and left joins against STATIC frames —
+    * which is why the streaming twin ([[bloomScreenStream]]) is this
+    * exact function applied to a streaming fingerprint frame.
+    */
+  private[graft] def bloomScreenDecisions(batchFp: DataFrame, bits: DataFrame,
+      corpusH: DataFrame, idCol: String): DataFrame =
+    batchFp
       .join(broadcast(bits.select(col("p").as("b1"))),
         col("p1") === col("b1"), "left")
       .join(broadcast(bits.select(col("p").as("b2"))),
@@ -697,13 +723,32 @@ object Dedup {
       // fingerprints — |batch| vs |corpus| keys, linear at any scale
       .join(corpusH, col("h") === col("ch"), "left")
       .withColumn("dup", col("ch").isNotNull)
-      .agg(
-        count(lit(1)).as("n_batch"),
-        count(when(col("cand"), 1)).as("n_candidates"),
-        count(when(!col("cand"), 1)).as("n_definitely_new"),
-        count(when(col("dup"), 1)).as("n_true_dup"),
-        count(when(col("cand") && !col("dup"), 1)).as("n_false_pos"),
-        count(when(col("dup") && !col("cand"), 1)).as("n_missed")),
-      corpusFp)
+      .select(col(idCol), col("h"), col("cand"), col("dup"))
+
+  /** STREAMING twin of [[bloomScreenStats]]: screen an unbounded
+    * document stream against a static corpus filter, emitting one
+    * append-mode decision row (idCol, cand, dup) per document — route
+    * `cand = false` straight to ingest (definitely new, no exact check
+    * ever), `dup = true` to quarantine, the FP remainder to the exact
+    * path. Stateless end to end: the filter tables are built ONCE from
+    * the static corpus (eagerly localCheckpoint'ed — a lazy static side
+    * would recompute the corpus scan every micro-batch) and each
+    * micro-batch pays two broadcast probes + one keyed join, exactly
+    * the batch plan. No watermark, no state store — stream-static joins
+    * with a deterministic filter; BloomStreamSpec pins stream ≡ batch.
+    */
+  def bloomScreenStream(batchStream: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String, mBits: Int): DataFrame = {
+    val corpusFp = bloomFingerprints(corpus, textCol, idCol, mBits)
+      .localCheckpoint()
+    val bits = corpusFp
+      .select(explode(array(col("p1"), col("p2"))).as("p")).distinct()
+      .localCheckpoint()
+    val corpusH = corpusFp.select(col("h").as("ch")).distinct()
+      .localCheckpoint()
+    bloomScreenDecisions(
+      bloomFingerprints(batchStream, textCol, idCol, mBits), bits, corpusH,
+      idCol)
+      .select(col(idCol), col("cand"), col("dup"))
   }
 }
