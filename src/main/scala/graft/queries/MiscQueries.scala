@@ -118,6 +118,51 @@ object MiscQueries {
           (abs(col("approx_users") - col("exact_users")) * 20 <= col("exact_users"))
             .as("within_5pct"))),
 
+    // Count-min-sketch heavy hitters, the third sketch in the family —
+    // and unlike HLL/GK (engine-specific state → accuracy-verdict
+    // gates) this sketch is built from PORTABLE affine hashes, so the
+    // oracle reproduces the sketch itself and est/exact/overest all
+    // ride the hash gate. overest ≥ 0 row-wise is CMS's
+    // no-false-negative guarantee: every key with exact ≥ T appears.
+    //
+    // Scale shape: only the exact per-key count touches the raw stream
+    // (one shuffle); the d=3 cells are built from the KEY-COUNT table —
+    // cell sums over key counts equal cell sums over the raw stream by
+    // associativity — so the ×d explode is |keys|-sized, not
+    // stream-sized, and the ≤ d·w cell table broadcasts into the probe.
+    "q_heavy_hitters" -> ((s, d) => {
+      val w = 1024
+      val p = 1000000007L
+      val as = Seq(2654435761L, 2246822519L, 3266489917L)
+      val bs = Seq(104729L, 130363L, 15485863L)
+      // reduce the key below p BEFORE the multiply so a·x stays under
+      // 2^63 for any id domain
+      val x = pmod(col("user_id"), lit(p))
+      def h(j: Int) = pmod(pmod(lit(as(j)) * x + lit(bs(j)), lit(p)), lit(w))
+      val keyed = Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+        .withColumn("h0", h(0)).withColumn("h1", h(1)).withColumn("h2", h(2))
+        .persist() // feeds the cells AND the probe — one stream shuffle
+      val cells = keyed.select(explode(array(
+          struct(lit(0).as("r"), col("h0").as("c"), col("exact_n").as("n")),
+          struct(lit(1).as("r"), col("h1").as("c"), col("exact_n").as("n")),
+          struct(lit(2).as("r"), col("h2").as("c"), col("exact_n").as("n")))).as("e"))
+        .groupBy(col("e.r").as("r"), col("e.c").as("c"))
+        .agg(sum(col("e.n")).as("cell"))
+      def probe(df: org.apache.spark.sql.DataFrame, j: Int) =
+        df.join(broadcast(cells.filter(col("r") === j)
+            .select(col("c").as(s"c$j"), col("cell").as(s"n$j"))),
+          col(s"h$j") === col(s"c$j"))
+      graft.core.CacheScope.releaseAfterUse(
+        probe(probe(probe(keyed, 0), 1), 2)
+          .withColumn("est", least(col("n0"), col("n1"), col("n2")))
+          .filter(col("est") >= 80)
+          .select(col("user_id"), col("est"), col("exact_n"),
+            (col("est") - col("exact_n")).as("overest")),
+        keyed)
+    }),
+
     // GK-family quantile sketch (percentile_approx) next to the exact
     // rank-selected percentile — the same gate pattern as
     // q_approx_distinct: the sketch estimate is engine-specific, so the
@@ -275,6 +320,36 @@ object MiscQueries {
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
         |  TRUE AS within_5pct
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // Full mirror of the CMS — portable affine hashes mean the sketch
+    // cells, the min-estimate, and the overestimates are all recomputed
+    // exactly (the est/overest columns ARE the gate, not a verdict).
+    "q_heavy_hitters" ->
+      """WITH exact AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+        |), k AS (
+        |  SELECT user_id, exact_n,
+        |    ((2654435761 * (user_id % 1000000007) + 104729) % 1000000007) % 1024 AS h0,
+        |    ((2246822519 * (user_id % 1000000007) + 130363) % 1000000007) % 1024 AS h1,
+        |    ((3266489917 * (user_id % 1000000007) + 15485863) % 1000000007) % 1024 AS h2
+        |  FROM exact
+        |), cells AS (
+        |  SELECT r, c, CAST(SUM(n) AS BIGINT) AS cell FROM (
+        |    SELECT 0 AS r, h0 AS c, exact_n AS n FROM k
+        |    UNION ALL SELECT 1, h1, exact_n FROM k
+        |    UNION ALL SELECT 2, h2, exact_n FROM k) t
+        |  GROUP BY r, c
+        |), j AS (
+        |  SELECT k.user_id, k.exact_n,
+        |    least(c0.cell, c1.cell, c2.cell) AS est
+        |  FROM k
+        |  JOIN cells c0 ON c0.r = 0 AND c0.c = k.h0
+        |  JOIN cells c1 ON c1.r = 1 AND c1.c = k.h1
+        |  JOIN cells c2 ON c2.r = 2 AND c2.c = k.h2
+        |)
+        |SELECT user_id, est, exact_n, est - exact_n AS overest
+        |FROM j WHERE est >= 80""".stripMargin,
 
     // exact side pinned by rank selection; the sketch side is asserted
     // through the TRUE accuracy verdicts (see the query's doc)
