@@ -92,8 +92,36 @@ object StreamBench {
       if (filesPerTrigger != "0") reader.option("maxFilesPerTrigger", filesPerTrigger)
       reader.csv(s"$dir/in")
     }
+    // synthetic document text for the bloom mode: 8 deterministic
+    // pseudo-words from co-prime residues — unique per k, repeatable
+    def docText(k: org.apache.spark.sql.Column) =
+      concat_ws(" ", lit("lorem"), pmod(k * 7, lit(997)), lit("ipsum"),
+        pmod(k * 13, lit(991)), lit("dolor"), pmod(k * 29, lit(983)),
+        lit("sit"), pmod(k * 37, lit(977)))
+
     val (q, keys, t0) =
-      if (mode == "funnel") {
+      if (mode == "bloom") {
+        // stateless screen topology: stream-static bloom probes + the
+        // exact-verify join, zero state store. Stream ids map onto
+        // 2×|corpus| distinct texts → ~50% true-dup rate, so both the
+        // definitely-new fast path and the exact-verify path are hot.
+        val corpusN = math.max(1000, rows / 10)
+        spark.range(rows)
+          .select(col("id").as("doc_id"),
+            docText(pmod(col("id") * 31, lit(corpusN * 2L))).as("text"))
+          .repartition(8).write.option("header", "true").csv(s"$dir/in")
+        val corpus = spark.range(corpusN)
+          .select(col("id").as("doc_id"), docText(col("id")).as("text"))
+        val t0 = System.nanoTime()
+        val reader = spark.readStream.schema("doc_id LONG, text STRING")
+          .option("header", "true")
+        if (filesPerTrigger != "0") reader.option("maxFilesPerTrigger", filesPerTrigger)
+        val q = graft.operators.Dedup.bloomScreenStream(
+            reader.csv(s"$dir/in"), corpus, "text", "doc_id", mBits = 1 << 16)
+          .writeStream.format("noop").outputMode("append")
+          .option("checkpointLocation", s"$dir/ckpt").start()
+        (q, corpusN, t0)
+      } else if (mode == "funnel") {
         // the flatMapGroupsWithState path (per-key O(1) state, no
         // windowed aggregation, no wire demux)
         val users = math.max(1000, rows / 100)
@@ -161,7 +189,8 @@ object StreamBench {
     q.stop()
 
     val messages =
-      if (mode == "funnel" || mode == "latency") rows.toLong else rows.toLong * 4
+      if (mode == "funnel" || mode == "latency" || mode == "bloom") rows.toLong
+      else rows.toLong * 4
     val windows = progress.map(_.stateOperators.headOption.map(_.numRowsTotal).getOrElse(0L)).maxOption.getOrElse(0L)
     println(s"""{"metric":"stream_rows_per_sec","mode":"$mode","value":${(rows / secs).round},"unit":"rows/sec","dataset_rows":$rows,"keys":$keys,"wire_messages":$messages,"state_rows":$windows,"wall_sec":${math.round(secs * 100) / 100.0}}""")
     // Where the wall time goes, summed over micro-batches (milliseconds):
