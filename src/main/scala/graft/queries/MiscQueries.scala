@@ -131,25 +131,15 @@ object MiscQueries {
     // associativity — so the ×d explode is |keys|-sized, not
     // stream-sized, and the ≤ d·w cell table broadcasts into the probe.
     "q_heavy_hitters" -> ((s, d) => {
+      import graft.operators.Sketches
       val w = 1024
-      val p = 1000000007L
-      val as = Seq(2654435761L, 2246822519L, 3266489917L)
-      val bs = Seq(104729L, 130363L, 15485863L)
-      // reduce the key below p BEFORE the multiply so a·x stays under
-      // 2^63 for any id domain
-      val x = pmod(col("user_id"), lit(p))
-      def h(j: Int) = pmod(pmod(lit(as(j)) * x + lit(bs(j)), lit(p)), lit(w))
+      def h(j: Int) = Sketches.cmsHash(col("user_id"), j, w)
       val keyed = Tables.events(s, d)
         .filter(col("user_id").isNotNull)
         .groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
         .withColumn("h0", h(0)).withColumn("h1", h(1)).withColumn("h2", h(2))
         .persist() // feeds the cells AND the probe — one stream shuffle
-      val cells = keyed.select(explode(array(
-          struct(lit(0).as("r"), col("h0").as("c"), col("exact_n").as("n")),
-          struct(lit(1).as("r"), col("h1").as("c"), col("exact_n").as("n")),
-          struct(lit(2).as("r"), col("h2").as("c"), col("exact_n").as("n")))).as("e"))
-        .groupBy(col("e.r").as("r"), col("e.c").as("c"))
-        .agg(sum(col("e.n")).as("cell"))
+      val cells = Sketches.cmsCellsFromCounts(keyed, "user_id", "exact_n", w)
       def probe(df: org.apache.spark.sql.DataFrame, j: Int) =
         df.join(broadcast(cells.filter(col("r") === j)
             .select(col("c").as(s"c$j"), col("cell").as(s"n$j"))),
