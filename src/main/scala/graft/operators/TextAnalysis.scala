@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines (SURVEY.md §2.3
@@ -174,10 +175,13 @@ object TextAnalysis {
       .filter(col("t") =!= "")
       .groupBy(col("t")).agg(count(lit(1)).as("c1"))
     val vocab = uni.agg(count(lit(1)).as("v"))
-    val big = docBig.groupBy(col("w1"), col("w2"))
-      .agg(sum(col("m")).as("c12"))
+    // corpus bigram count as a WINDOW sum over the per-doc
+    // multiplicities: one exchange on (w1,w2) instead of the
+    // aggregate-then-self-join round trip (same key, same result —
+    // sum(m) over the bigram partition IS c12)
+    val wBig = Window.partitionBy(col("w1"), col("w2"))
     docBig
-      .join(big, Seq("w1", "w2"))
+      .withColumn("c12", sum(col("m")).over(wBig))
       .join(uni.withColumnRenamed("t", "w1"), Seq("w1"))
       .crossJoin(broadcast(vocab))
       .withColumn("num", col("c12") + 1)
