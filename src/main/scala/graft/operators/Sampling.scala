@@ -115,4 +115,36 @@ object Sampling {
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= n).drop("__rn")
   }
+
+  /** Balanced mixture downsample: cap every stratum to (approximately)
+    * the SMALLEST stratum's size — the dataset-mixing move a
+    * multi-source/multi-language corpus build runs before training.
+    * Unlike [[stratifiedSample]] the rates are DATA-DEPENDENT
+    * (min_n / n_s per stratum), so the hash cut must be computed
+    * in-query: the integer threshold `(min_n · 65536) div n_s` is
+    * rendered as 5-char zero-padded lowercase hex and compared against
+    * the '0'-prefixed 4-hex id key — the widened width makes the
+    * rate-1.0 threshold ("10000") compare above every key, fixing the
+    * truncation trap [[belowCut]]'s doc describes, while staying a
+    * plain string comparison both engines evaluate identically.
+    *
+    * Returns per-stratum accounting (stratum, n_docs, n_kept): n_kept
+    * is a pure function of the ids and exact integer thresholds, so it
+    * hash-gates against any ANSI engine. Plan: one count aggregate
+    * (broadcast back), one row-wise draw, one final aggregate — the
+    * draw itself never shuffles, scan-speed at 100 TB.
+    */
+  def balancedMixture(df: DataFrame, stratumCol: String,
+                      idCol: String): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_docs"))
+    val minN = counts.agg(min(col("n_docs")).as("min_n"))
+    val cut5 = lpad(lower(hex(expr("(min_n * 65536) div n_docs"))), 5, "0")
+    df.select(col(stratumCol), col(idCol))
+      .join(broadcast(counts), Seq(stratumCol))
+      .crossJoin(broadcast(minN))
+      .withColumn("keep", concat(lit("0"), hashKey(col(idCol))) < cut5)
+      .groupBy(col(stratumCol))
+      .agg(max(col("n_docs")).as("n_docs"),
+        count(when(col("keep"), 1)).as("n_kept"))
+  }
 }

@@ -47,6 +47,13 @@ object CurationQueries {
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
           max(col("doc_id")).as("max_id"))),
 
+    // Balanced mixture downsample: cap every language to ~the smallest
+    // language's share with data-dependent integer hash cuts — the
+    // dataset-mixing accounting row per stratum (see
+    // Sampling.balancedMixture for the widened-hex threshold trick).
+    "q_mixture_sample" -> ((s, d) =>
+      Sampling.balancedMixture(Tables.documents(s, d), "lang", "doc_id")),
+
     // Balanced eval set: exactly 40 docs per language in hash order.
     "q_quota_sample" -> ((s, d) =>
       Sampling.quotaSample(Tables.documents(s, d), "lang", "doc_id", 40)
@@ -162,6 +169,26 @@ object CurationQueries {
          |SELECT lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_id,
          |  MAX(doc_id) AS max_id
          |FROM kept GROUP BY lang""".stripMargin,
+
+    // Mirrors balancedMixture: same md5 key, same integer threshold
+    // rendered as 5-char lowercase hex, same widened string compare.
+    "q_mixture_sample" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY lang
+        |), m AS (SELECT MIN(n_docs) AS min_n FROM c),
+        |k AS (
+        |  SELECT d.lang, c.n_docs,
+        |    ('0' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+        |      < lpad(lower(to_hex(m.min_n * 65536 // c.n_docs)), 5, '0')
+        |      AS keep
+        |  FROM documents d
+        |  JOIN c USING (lang)
+        |  CROSS JOIN m
+        |)
+        |SELECT lang, MAX(n_docs) AS n_docs,
+        |  CAST(COUNT(*) FILTER (keep) AS BIGINT) AS n_kept
+        |FROM k GROUP BY lang""".stripMargin,
 
     "q_quota_sample" ->
       """WITH k AS (

@@ -92,4 +92,28 @@ class SamplingSkewSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     assert(salted == plain) // bit-equal: decimal partials are associative
   }
+
+  test("balancedMixture matches a driver-side md5 reference on skewed strata") {
+    // 60 'big' docs, 12 'small' docs → big's cut = 12*65536 div 60
+    val rows = (1L to 60L).map(i => (i, "big")) ++ (101L to 112L).map(i => (i, "small"))
+    def md5hex4(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.take(2).map(b => f"$b%02x").mkString
+    }
+    val byStratum = rows.groupBy(_._2)
+    val minN = byStratum.values.map(_.size).min.toLong
+    val expected = byStratum.map { case (st, rs) =>
+      val cut = minN * 65536L / rs.size
+      val cut5 = f"$cut%05x"
+      val kept = rs.count { case (id, _) => ("0" + md5hex4(id.toString)) < cut5 }
+      st -> ((rs.size.toLong, kept.toLong))
+    }
+    val got = Sampling.balancedMixture(rows.toDF("doc_id", "stratum"),
+        "stratum", "doc_id")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+    // the smallest stratum's threshold is "10000" > every "0xxxx" key
+    assert(got("small") == ((12L, 12L)), "rate-1.0 stratum keeps everything")
+  }
 }
