@@ -569,6 +569,38 @@ object Dedup {
         countDistinct(col("bench_id")).as("n_bench_docs"))
   }
 
+  /** Duplicate-n-gram coverage: for every document, the share of its
+    * DISTINCT word n-grams that also occur in at least one OTHER
+    * document — the "how much of this text is already elsewhere in the
+    * corpus" quality signal that exact-substring dedup pipelines
+    * report before deciding what to cut (reference's corpus has no such
+    * measure; this is the §"beyond the reference" dedup family).
+    *
+    * Scale shape: two corpus-linear shuffles — the shingle-frequency
+    * aggregate and the per-document roll-up — and nothing pairwise.
+    * Shingles travel as 16-hex md5 prefixes (64 bits), so shuffle bytes
+    * are bounded regardless of n or token length; a (vanishingly rare)
+    * prefix collision merges the same two shingles in ANY engine that
+    * reproduces the hash, so the DuckDB oracle stays bit-exact. A
+    * shingle seen twice in one doc counts once (distinct-per-doc), so
+    * `n_docs` per shingle is exactly the document frequency.
+    * `dup_permille` is an exact integer division — no float ratios to
+    * drift cross-engine. Docs shorter than n tokens emit no row (they
+    * have no n-grams to measure).
+    */
+  def dupNgramCoverage(df: DataFrame, textCol: String, idCol: String,
+                       n: Int = 5): DataFrame = {
+    val sh = rawWordShingles(df, textCol, idCol, n)
+      .select(col(idCol), substring(md5(col("shingle")), 1, 16).as("sh"))
+      .distinct()
+    val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("n_docs"))
+    sh.join(freq, Seq("sh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_permille", expr("n_dup_grams * 1000 div n_grams"))
+  }
+
   /** 32-bit SimHash per document over its token stream (with
     * multiplicity). Bit j of md5(token)'s leading 8 hex nibbles votes
     * ±1; the sign of the vote sum sets bit j of the signature.

@@ -42,4 +42,25 @@ object Skew {
       .agg(sum(col("_n")).as("n_rows"),
         sum(col("_s")).cast("double").as("sum_value"))
   }
+
+  /** Salted repartition join — the join-side counterpart of
+    * [[saltedSumCount]], for when one fact key is hot enough that even
+    * AQE's skew-split leaves a straggler (AQE splits partitions, not
+    * keys; a single key bigger than an executor still serializes).
+    * The fact side gets a deterministic salt in [0, buckets); the
+    * compact dimension side is replicated buckets× with an explode; the
+    * equi-join on (key, salt) spreads every hot key's rows over
+    * `buckets` reducers. Cost: dim shuffle bytes ×buckets — choose
+    * buckets ≈ (hot-key rows) / (target partition rows), and keep the
+    * replicated side the SMALL one. Semantically invisible: the result
+    * is bit-identical to the plain inner join (the oracle IS the
+    * unsalted join).
+    */
+  def saltedJoin(facts: DataFrame, dim: DataFrame, key: String,
+                 saltSource: Column, buckets: Int = 32): DataFrame = {
+    val salted = facts.withColumn("_salt", salt(saltSource, buckets))
+    val replicated = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
 }

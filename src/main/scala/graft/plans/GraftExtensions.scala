@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, LongDotProduct}
 
 /** Catalyst extension wiring: registers graft's native functions into
   * the session's FunctionRegistry so SQL text can use them
@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.vecDot)
+    e.injectFunction(GraftExtensions.vecDotLong)
     e.injectOptimizerRule(_ => new RangeJoinRewrite)
   }
 }
@@ -34,5 +35,13 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.length == 2, "vec_dot(a, b) takes exactly 2 arguments")
       DotProduct(children.head, children(1))
+    })
+
+  val vecDotLong: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vec_dot_long"),
+    new ExpressionInfo(classOf[LongDotProduct].getCanonicalName, "vec_dot_long"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "vec_dot_long(a, b) takes exactly 2 arguments")
+      LongDotProduct(children.head, children(1))
     })
 }

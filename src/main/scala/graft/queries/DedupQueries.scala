@@ -167,6 +167,14 @@ object DedupQueries {
         profiles)
     }),
 
+    // Duplicate-n-gram coverage: per-doc share of distinct word 5-grams
+    // that some OTHER document also contains — the corpus-overlap
+    // quality signal exact-substring dedup reports. Two linear shuffles,
+    // no pairs; see Dedup.dupNgramCoverage for the md5-compressed
+    // shingle identity that keeps shuffle bytes bounded.
+    "q_dup_ngram_coverage" -> ((s, d) =>
+      Dedup.dupNgramCoverage(Tables.documents(s, d), "text", "doc_id", n = 5)),
+
     // Bloom-filter incremental dedup screen: the batch (doc_id % 10 = 7)
     // probes a corpus-built k=2 Bloom filter (4096 bits) before the
     // exact verify; the summary row carries the full screen accounting
@@ -252,6 +260,22 @@ object DedupQueries {
        |          WHERE i.n_inter / (sx.n + sy.n - i.n_inter) >= 0.5)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_dup_ngram_coverage" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |gs AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-4)) AS g
+         |       FROM t WHERE len(toks) >= 5),
+         |shs AS (SELECT DISTINCT doc_id,
+         |          substr(md5(toks[g]||' '||toks[g+1]||' '||toks[g+2]||' '||
+         |                     toks[g+3]||' '||toks[g+4]), 1, 16) AS h
+         |        FROM gs),
+         |f AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n_docs FROM shs GROUP BY h)
+         |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |  CAST(COUNT(*) FILTER (f.n_docs > 1) AS BIGINT) AS n_dup_grams,
+         |  CAST(COUNT(*) FILTER (f.n_docs > 1) AS BIGINT) * 1000 // COUNT(*)
+         |    AS dup_permille
+         |FROM shs s JOIN f USING (h)
+         |GROUP BY s.doc_id""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
         |  COUNT(*) AS n_copies

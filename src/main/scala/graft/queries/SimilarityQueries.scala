@@ -118,7 +118,16 @@ object SimilarityQueries {
     // argmin in exact floor(x·1000) integer arithmetic — hash-strict vs
     // the oracle despite being a compression step.
     "q_pq_codes" -> ((s, d) =>
-      Similarity.pqCodes(Tables.embeddings(s, d), m = 4, nCent = 8))
+      Similarity.pqCodes(Tables.embeddings(s, d), m = 4, nCent = 8)),
+
+    // SemDeDup-style semantic dedup over the FULL corpus: k-means cells
+    // as the candidate screen (data-adaptive, vs the sign-LSH screens
+    // above), exact integer cosine ≥ 2/5 as the in-cell verify, per-cell
+    // prune accounting. Pairwise compute is Σ|cell|² — pick k ∝ corpus
+    // and this stays linear where exact all-pairs cannot.
+    "q_semantic_dedup" -> ((s, d) =>
+      Similarity.semanticDedup(Tables.embeddings(s, d), k = 8,
+        tauNum = 2, tauDen = 5))
   )
 
   /** Oracle fragments: fold-order-exact cosine between q.v and c.v. */
@@ -148,6 +157,48 @@ object SimilarityQueries {
       | CASE WHEN v[4] > 0 THEN 8 ELSE 0 END)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Mirrors Similarity.semanticDedup stage-for-stage: floor(x·1000)
+    // quantization, integer L2 argmin to the 8 lowest-id seeds
+    // (ties → lowest cid), in-cell pairs, and the exact integer cosine
+    // cut 25·dot² ≥ 4·‖a‖²·‖b‖² with dot > 0.
+    "q_semantic_dedup" ->
+      s"""WITH e AS ($vecsSql),
+         |q AS (SELECT vec_id, i - 1 AS pos,
+         |        CAST(floor(v[i] * 1000) AS BIGINT) AS qv
+         |      FROM (SELECT vec_id, v, unnest(generate_series(1, $dim)) AS i FROM e)),
+         |seeds AS (SELECT vec_id AS cid FROM embeddings ORDER BY vec_id LIMIT 8),
+         |cq AS (SELECT s.cid, q.pos, q.qv AS qc FROM seeds s
+         |       JOIN q ON q.vec_id = s.cid),
+         |a1 AS (SELECT v.vec_id, c.cid,
+         |         SUM((v.qv - c.qc) * (v.qv - c.qc)) AS dist
+         |       FROM q v JOIN cq c USING (pos) GROUP BY v.vec_id, c.cid),
+         |asg AS (SELECT vec_id, cid FROM (
+         |          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |            ORDER BY dist ASC, cid ASC) AS rn FROM a1) WHERE rn = 1),
+         |nn AS (SELECT vec_id, CAST(SUM(qv * qv) AS BIGINT) AS n2
+         |       FROM q GROUP BY vec_id),
+         |dots AS (SELECT xa.cid, xa.vec_id AS id_a, xb.vec_id AS id_b,
+         |           CAST(SUM(va.qv * vb.qv) AS BIGINT) AS dot
+         |         FROM asg xa JOIN asg xb
+         |           ON xa.cid = xb.cid AND xa.vec_id < xb.vec_id
+         |         JOIN q va ON va.vec_id = xa.vec_id
+         |         JOIN q vb ON vb.vec_id = xb.vec_id AND vb.pos = va.pos
+         |         GROUP BY xa.cid, xa.vec_id, xb.vec_id),
+         |dup AS (SELECT d.cid, d.id_b
+         |        FROM dots d
+         |        JOIN nn a ON a.vec_id = d.id_a
+         |        JOIN nn b ON b.vec_id = d.id_b
+         |        WHERE d.dot > 0 AND 25 * d.dot * d.dot >= 4 * a.n2 * b.n2
+         |        GROUP BY d.cid, d.id_b),
+         |pr AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_pruned,
+         |         MIN(id_b) AS first_pruned
+         |       FROM dup GROUP BY cid)
+         |SELECT g.cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  COALESCE(MAX(pr.n_pruned), 0) AS n_pruned,
+         |  MAX(pr.first_pruned) AS first_pruned
+         |FROM asg g LEFT JOIN pr ON pr.cid = g.cid
+         |GROUP BY g.cid""".stripMargin,
+
     "q_knn_brute" ->
       s"""WITH e AS ($vecsSql),
          |p AS (

@@ -194,6 +194,24 @@ object TpchQueries {
         Tables.events(s, d), Seq("event_type"), "value",
         col("event_id"), buckets = 32)),
 
+    // Salted JOIN under a manufactured hot key: 60% of events collapse
+    // onto customer 1, then join to the customer dim — Skew.saltedJoin
+    // spreads the hot key over 32 reducers (AQE splits partitions, not
+    // keys; a single mega-key needs the salt). The oracle is the plain
+    // unsalted join: salting must be semantically invisible.
+    "q_salted_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        when(col("event_id") % 10 < 6, lit(1L))
+          .otherwise(col("user_id")).as("c_custkey"),
+        col("event_id"), col("value"))
+      graft.operators.Skew.saltedJoin(
+        ev,
+        Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+        "c_custkey", col("event_id"), buckets = 32)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"), lsum(col("value")).as("sum_value"))
+    }),
+
     // TPC-H Q17 shape — correlated SCALAR subquery: small-quantity
     // lineitems of one brand, "small" defined per part by a subquery
     // over that part's own lineitems. Written as SQL text so Catalyst's
@@ -308,6 +326,16 @@ object TpchQueries {
       s"""SELECT event_type, COUNT(*) AS n_rows,
          |  ${sqlDsum("value")} AS sum_value
          |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_salted_join" ->
+      s"""WITH ev AS (SELECT CASE WHEN event_id % 10 < 6 THEN 1
+         |                        ELSE user_id END AS c_custkey,
+         |                   value
+         |            FROM events)
+         |SELECT c.c_mktsegment, COUNT(*) AS n_rows,
+         |  ${sqlLsum("ev.value")} AS sum_value
+         |FROM ev JOIN customer c USING (c_custkey)
+         |GROUP BY c.c_mktsegment""".stripMargin,
 
     "q_asof_join" ->
       """WITH probes AS (SELECT event_id, ts, user_id, value FROM events),

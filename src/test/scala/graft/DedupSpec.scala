@@ -230,4 +230,35 @@ class DedupSpec extends SparkSpec {
     assert(r.getAs[Long]("n_candidates") ==
       r.getAs[Long]("n_true_dup") + r.getAs[Long]("n_false_pos"))
   }
+
+  test("dupNgramCoverage: shared 5-grams counted, unique docs at zero, short docs absent") {
+    val d = Seq(
+      (1L, "a b c d e f"),             // 5-grams: "a b c d e", "b c d e f"
+      (2L, "a b c d e x"),             // shares "a b c d e" with doc 1
+      (3L, "p q r s t u v"),           // 3 grams, none shared
+      (4L, "too short")                // < 5 tokens → no row
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupNgramCoverage(d, "text", "doc_id", n = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1L, 500L),
+      (2L, 2L, 1L, 500L),
+      (3L, 3L, 0L, 0L)))
+  }
+
+  test("dupNgramCoverage: within-doc repeats count once (distinct per doc)") {
+    // doc 1 contains the same 5-gram twice; doc 2 has it once — the
+    // doc-frequency must be 2 (not 3), and doc 1's coverage is over its
+    // DISTINCT gram set.
+    val d = Seq(
+      (1L, "a b c d e z a b c d e"),
+      (2L, "a b c d e")).toDF("doc_id", "text")
+    val out = Dedup.dupNgramCoverage(d, "text", "doc_id", n = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1 grams: 7 positions → distinct set {abcde, bcdez, cdeza,
+    // dezab, ezabc, zabcd, abcde(dup)} = 6 distinct, 1 shared
+    assert(out.toSeq == Seq((1L, 6L, 1L), (2L, 1L, 1L)))
+  }
 }

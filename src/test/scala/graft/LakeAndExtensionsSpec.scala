@@ -115,5 +115,10 @@ class LakeAndExtensionsSpec extends SparkSpec {
     val out = spark.sql("SELECT vec_dot(array(1D, 2D, 3D), array(4D, 5D, 6D)) AS d")
       .head().getDouble(0)
     assert(out == 32.0)
+    val (idL, infoL, builderL) = graft.plans.GraftExtensions.vecDotLong
+    spark.sessionState.functionRegistry.registerFunction(idL, infoL, builderL)
+    val outL = spark.sql("SELECT vec_dot_long(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
+      .head().getLong(0)
+    assert(outL == 32L)
   }
 }

@@ -118,6 +118,19 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == Seq(None, Some(11.0)))
   }
 
+  test("vec_dot_long matches the HOF fold and NULLs on length mismatch") {
+    val df = Seq((Array(1L, -2L, 3L), Array(4L, 5L, 6L)), (Array(1L, 2L), Array(3L, 4L, 5L)))
+      .toDF("a", "b")
+    val got = df
+      .select(graft.functions.VectorFunctions.vec_dot_long(col("a"), col("b")).as("d"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x).as("hof"))
+      .collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    assert(got.toSeq == Seq((Some(12L), Some(12L)), (None, None)))
+  }
+
   test("pqCodes assigns each subspace to its nearest centroid") {
     // 4-dim vectors, m=2 subspaces of 2 dims, centroids = vecs 0 and 1.
     // vec 2 = centroid 1's first half + centroid 0's second half →
@@ -142,5 +155,37 @@ class SimilaritySpec extends SparkSpec {
     val out = Similarity.pqCodes(df, m = 1, nCent = 2)
       .filter(col("vec_id") === 2L).collect()
     assert(out.head.getLong(1) == 0L)
+  }
+
+  test("semanticDedup: cell-mates above tau pruned, survivors kept, cells exact") {
+    // seeds (k=2) are vecs 0 and 1. vec 2 lands in cell 0 at cos≈0.994
+    // to vec 0 → pruned; vec 3 is an exact clone of vec 1 → pruned;
+    // vec 4 sits in cell 1 but nearly orthogonal to everything → kept.
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 0.1f, 0.9f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(df, k = 2).orderBy("cluster_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 2L, 1L, 2L), (1L, 3L, 1L, 3L)))
+  }
+
+  test("semanticDedup: a cell with no near-dups reports zero pruned and null first id") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.6f, -0.8f))  // cell 0; cos to vec 0 = 0.6 > 2/5... pick further
+    ).toDF("vec_id", "embedding")
+    // cos(v0, v2) = 0.6 which exceeds tau=2/5 — use a stricter tau so
+    // nothing collides and the zero path is exercised.
+    val out = Similarity.semanticDedup(df, k = 2, tauNum = 9, tauDen = 10)
+      .orderBy("cluster_id").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(0L, 0L))
+    assert(out.forall(_.isNullAt(3)))
   }
 }

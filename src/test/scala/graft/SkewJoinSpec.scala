@@ -40,4 +40,25 @@ class SkewJoinSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("saltedJoin equals the plain join and spreads the hot key") {
+    import graft.operators.Skew
+    // 10k rows on one hot key, a handful elsewhere
+    val facts = spark.range(10100)
+      .select(when(col("id") < 10000, 7L).otherwise(col("id") % 10).as("k"),
+        col("id").as("payload"))
+    val dims = (0L until 10L).map(kk => (kk, s"dim_$kk")).toDF("k", "name")
+    val plain = facts.join(dims, Seq("k"))
+      .groupBy("k", "name").agg(count(lit(1)).as("n"), sum(col("payload")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val salted = Skew.saltedJoin(facts, dims, "k", col("payload"), buckets = 8)
+      .groupBy("k", "name").agg(count(lit(1)).as("n"), sum(col("payload")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(salted == plain, "salting must be semantically invisible")
+    // the hot key really is spread: every salt bucket gets a share
+    val spread = facts.withColumn("_salt", Skew.salt(col("payload"), 8))
+      .filter(col("k") === 7L).groupBy("_salt").count().collect()
+    assert(spread.length == 8, "all 8 salt buckets populated for the hot key")
+    assert(spread.map(_.getLong(1)).max < 10000, "no bucket holds the whole key")
+  }
 }
