@@ -601,6 +601,42 @@ object Dedup {
       .withColumn("dup_permille", expr("n_dup_grams * 1000 div n_grams"))
   }
 
+  /** Soft dedup: instead of DROPPING near-duplicates, weight every
+    * document by the inverse of its near-dup cluster size
+    * (weight_ppm = ⌊10⁶ / |cluster|⌋), so a training pipeline can keep
+    * the whole corpus but make each duplicated passage contribute one
+    * document's worth of loss in expectation. Clusters are the same
+    * MinHash/LSH → connected-components closure as the hard-dedup path
+    * ([[minhashNearDuplicates]] → [[connectedComponents]]); documents
+    * in no cluster get weight 1.0 (10⁶ ppm).
+    *
+    * Scale shape: identical to the cluster queries (LSH equi-join +
+    * iterative CC on the pair graph — both corpus-linear for bounded
+    * cluster sizes) plus two broadcast-size joins: cluster sizes are
+    * |components| rows, and the weight join back to the corpus is a
+    * left join on the doc id, which AQE turns into a broadcast when the
+    * dup set is small relative to the corpus (the common case).
+    * Weights are exact integer ppm — no float division to drift.
+    */
+  def softDedupWeights(df: DataFrame, textCol: String, idCol: String,
+                       shingleSize: Int = 3, bands: Int = 8,
+                       rowsPerBand: Int = 2,
+                       threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashNearDuplicates(df, textCol, idCol,
+      shingleSize = shingleSize, bands = bands, rowsPerBand = rowsPerBand,
+      threshold = threshold)
+    val comp = connectedComponents(pairs, idCol)
+    val sized = comp.join(
+      comp.groupBy(col("component")).agg(count(lit(1)).as("cluster_size")),
+      Seq("component"))
+      .select(col(idCol), col("cluster_size"))
+    df.select(col(idCol))
+      .join(sized, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+      .withColumn("weight_ppm", expr("1000000 div cluster_size"))
+  }
+
   /** 32-bit SimHash per document over its token stream (with
     * multiplicity). Bit j of md5(token)'s leading 8 hex nibbles votes
     * ±1; the sign of the vote sum sets bit j of the signature.

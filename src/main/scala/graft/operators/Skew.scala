@@ -63,4 +63,36 @@ object Skew {
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Key-skew profile — the diagnostic that DECIDES between the plain
+    * plan, AQE's skew split, and [[saltedJoin]]/[[saltedSumCount]]:
+    * one row of hot-key statistics for a prospective shuffle key.
+    * `skew_ratio_permille` = 1000 · hot_rows / (rows/keys) — how many
+    * "fair shares" the hottest key holds; ≈1000 means uniform, ≥10⁵
+    * means one reducer owns the job.
+    *
+    * Scale shape: ONE corpus-wide shuffle (the per-key count, partially
+    * aggregated map-side, so shuffle bytes ∝ |keys| not |rows|); the
+    * ranking window and final roll-up run over the |keys|-row count
+    * table. All outputs are exact integers (permille ratios via integer
+    * division); the hottest key ties to the smallest key value.
+    */
+  def keyProfile(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("n"))
+    val ranked = counts.withColumn("rn",
+      row_number().over(Window.orderBy(col("n").desc, col("k").asc)))
+    ranked.agg(
+        sum(col("n")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        min(struct((-col("n")).as("neg"), col("k"))).as("hot"),
+        sum(when(col("rn") <= topN, col("n")).otherwise(0L)).as("top_rows"))
+      .select(col("n_rows"), col("n_keys"),
+        col("hot.k").as("hot_key"), (-col("hot.neg")).as("hot_rows"),
+        col("top_rows"))
+      .withColumn("hot_share_permille", expr("hot_rows * 1000 div n_rows"))
+      .withColumn("top_share_permille", expr("top_rows * 1000 div n_rows"))
+      .withColumn("skew_ratio_permille",
+        expr("hot_rows * n_keys * 1000 div n_rows"))
+  }
 }

@@ -175,6 +175,15 @@ object DedupQueries {
     "q_dup_ngram_coverage" -> ((s, d) =>
       Dedup.dupNgramCoverage(Tables.documents(s, d), "text", "doc_id", n = 5)),
 
+    // Soft dedup: keep every document, weight it by 1/|near-dup cluster|
+    // in exact integer ppm — the reweight-instead-of-drop alternative a
+    // training pipeline uses when duplicates carry signal. Same
+    // MinHash/LSH + CC closure as q_dedup_clusters, so this also
+    // cross-checks that machinery through a second output contract.
+    "q_dedup_weights" -> ((s, d) =>
+      Dedup.softDedupWeights(Tables.documents(s, d), "text", "doc_id",
+        shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.5)),
+
     // Bloom-filter incremental dedup screen: the batch (doc_id % 10 = 7)
     // probes a corpus-built k=2 Bloom filter (4096 bits) before the
     // exact verify; the summary row carries the full screen accounting
@@ -275,6 +284,28 @@ object DedupQueries {
          |    AS dup_permille
          |FROM shs s JOIN f USING (h)
          |GROUP BY s.doc_id""".stripMargin,
+
+    // Same reach/comp closure as q_dedup_clusters; docs outside every
+    // pair default to cluster_size 1 via the left joins.
+    "q_dedup_weights" ->
+      s"""WITH RECURSIVE $minhashPairsSql,
+         |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |      UNION SELECT id_b, id_a FROM pairs),
+         |reach(node, lbl) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node
+         |),
+         |comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+         |csz AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |        FROM comp GROUP BY component)
+         |SELECT d.doc_id,
+         |  COALESCE(csz.cluster_size, CAST(1 AS BIGINT)) AS cluster_size,
+         |  CAST(1000000 // COALESCE(csz.cluster_size, CAST(1 AS BIGINT)) AS BIGINT)
+         |    AS weight_ppm
+         |FROM documents d
+         |LEFT JOIN comp ON comp.node = d.doc_id
+         |LEFT JOIN csz ON csz.component = comp.component""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,

@@ -127,7 +127,16 @@ object SimilarityQueries {
     // and this stays linear where exact all-pairs cannot.
     "q_semantic_dedup" -> ((s, d) =>
       Similarity.semanticDedup(Tables.embeddings(s, d), k = 8,
-        tauNum = 2, tauDen = 5))
+        tauNum = 2, tauDen = 5)),
+
+    // PQ serving path: ADC top-5 for every 25th vector as the query
+    // set — corpus scored through its codes (m lookups/vector), raw
+    // vectors never touched after encoding. Exact integer ADC on the
+    // floor(x·1000) grid → hash-strict despite being an approximation
+    // of true L2.
+    "q_pq_search" -> ((s, d) =>
+      Similarity.pqSearch(Tables.embeddings(s, d),
+        col("vec_id") % 25 === 0, k = 5, m = 4, nCent = 8))
   )
 
   /** Oracle fragments: fold-order-exact cosine between q.v and c.v. */
@@ -347,6 +356,52 @@ object SimilarityQueries {
          |)
          |SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 10""".stripMargin
     },
+
+    // Mirrors Similarity.pqSearch stage-for-stage: identical encode as
+    // q_pq_codes (long format), per-query subspace LUTs to the same 8
+    // centroids, ADC = sum of the code-indexed LUT cells, top-5 by
+    // (adc, neighbor_id), self excluded.
+    "q_pq_search" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS qe
+        |  FROM embeddings
+        |), cents AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qe AS qc
+        |  FROM q ORDER BY vec_id LIMIT 8
+        |), ex AS (
+        |  SELECT vec_id, cid, qe, qc,
+        |    unnest(generate_series(1, len(qe))) AS i
+        |  FROM q CROSS JOIN cents
+        |), d AS (
+        |  SELECT vec_id, cid, (i - 1) // (len(qe) // 4) AS s,
+        |    (qe[i] - qc[i]) * (qe[i] - qc[i]) AS d2
+        |  FROM ex
+        |), ds AS (
+        |  SELECT vec_id, cid, s, SUM(d2) AS dist
+        |  FROM d GROUP BY vec_id, cid, s
+        |), codes AS (
+        |  SELECT vec_id, s, cid AS code FROM (
+        |    SELECT vec_id, s, cid,
+        |      row_number() OVER (PARTITION BY vec_id, s
+        |                         ORDER BY dist ASC, cid ASC) AS rn
+        |    FROM ds) WHERE rn = 1
+        |), lut AS (
+        |  SELECT vec_id AS query_id, cid, s, CAST(SUM(d2) AS BIGINT) AS lv
+        |  FROM d WHERE vec_id % 25 = 0 GROUP BY vec_id, cid, s
+        |), adc AS (
+        |  SELECT l.query_id, c.vec_id, CAST(SUM(l.lv) AS BIGINT) AS adc_dist
+        |  FROM codes c JOIN lut l ON l.s = c.s AND l.cid = c.code
+        |  WHERE c.vec_id <> l.query_id
+        |  GROUP BY l.query_id, c.vec_id
+        |), r AS (
+        |  SELECT query_id, vec_id, adc_dist,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY adc_dist ASC, vec_id ASC) AS rank
+        |  FROM adc
+        |)
+        |SELECT query_id, vec_id AS neighbor_id, adc_dist, rank
+        |FROM r WHERE rank <= 5""".stripMargin,
 
     "q_pq_codes" ->
       """WITH q AS (

@@ -199,6 +199,13 @@ object TpchQueries {
     // spreads the hot key over 32 reducers (AQE splits partitions, not
     // keys; a single mega-key needs the salt). The oracle is the plain
     // unsalted join: salting must be semantically invisible.
+    // The skew DIAGNOSTIC the two salted queries act on: one row of
+    // hot-key statistics for events.user_id — per-key count shuffle
+    // (map-side combined, bytes ∝ |keys|), then a |keys|-row window +
+    // roll-up. All-integer permille ratios; see Skew.keyProfile.
+    "q_key_skew" -> ((s, d) =>
+      graft.operators.Skew.keyProfile(Tables.events(s, d), "user_id")),
+
     "q_salted_join" -> ((s, d) => {
       val ev = Tables.events(s, d).select(
         when(col("event_id") % 10 < 6, lit(1L))
@@ -326,6 +333,24 @@ object TpchQueries {
       s"""SELECT event_type, COUNT(*) AS n_rows,
          |  ${sqlDsum("value")} AS sum_value
          |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_key_skew" ->
+      """WITH c AS (SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM events GROUP BY user_id),
+        |r AS (SELECT k, n,
+        |        row_number() OVER (ORDER BY n DESC, k ASC) AS rn FROM c)
+        |SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  MIN(CASE WHEN rn = 1 THEN k END) AS hot_key,
+        |  CAST(MIN(CASE WHEN rn = 1 THEN n END) AS BIGINT) AS hot_rows,
+        |  CAST(SUM(CASE WHEN rn <= 10 THEN n ELSE 0 END) AS BIGINT) AS top_rows,
+        |  CAST(MIN(CASE WHEN rn = 1 THEN n END) * 1000 // SUM(n) AS BIGINT)
+        |    AS hot_share_permille,
+        |  CAST(SUM(CASE WHEN rn <= 10 THEN n ELSE 0 END) * 1000 // SUM(n) AS BIGINT)
+        |    AS top_share_permille,
+        |  CAST(MIN(CASE WHEN rn = 1 THEN n END) * COUNT(*) * 1000 // SUM(n) AS BIGINT)
+        |    AS skew_ratio_permille
+        |FROM r""".stripMargin,
 
     "q_salted_join" ->
       s"""WITH ev AS (SELECT CASE WHEN event_id % 10 < 6 THEN 1

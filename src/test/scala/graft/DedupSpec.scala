@@ -231,6 +231,21 @@ class DedupSpec extends SparkSpec {
       r.getAs[Long]("n_true_dup") + r.getAs[Long]("n_false_pos"))
   }
 
+  test("softDedupWeights: weight = 1e6 / cluster size; singletons keep full weight") {
+    val out = Dedup.softDedupWeights(docs, "text", "doc_id",
+        shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L), "one weight row per document")
+    // doc 3 is unrelated → singleton at full weight
+    assert(out(3L) == ((1L, 1000000L)))
+    // docs 1 and 4 are exact dups → same cluster, size ≥ 2, and the
+    // weight is exactly the integer inverse of that size
+    assert(out(1L) == out(4L))
+    assert(out(1L)._1 >= 2L)
+    out.values.foreach { case (sz, w) => assert(w == 1000000L / sz) }
+  }
+
   test("dupNgramCoverage: shared 5-grams counted, unique docs at zero, short docs absent") {
     val d = Seq(
       (1L, "a b c d e f"),             // 5-grams: "a b c d e", "b c d e f"

@@ -175,6 +175,26 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 2L, 1L, 2L), (1L, 3L, 1L, 3L)))
   }
 
+  test("pqSearch: ADC = sum of code-indexed LUT cells, ties by id, self excluded") {
+    // m=2 subspaces of 2 dims; codebook = vecs 0 and 1 (quantized ×1000).
+    // Hand-computed codes: v0→(0,0) v1→(1,1) v2→(0,1) v3→(0,0).
+    // Query v2 LUT: s0 → (c0:0, c1:2e6); s1 → (c0:1e6, c1:0).
+    // ADC: v0 = 0+1e6, v3 = 0+1e6 (tie → v0 first), v1 = 2e6+0.
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 1.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      (3L, Array(0.9f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.pqSearch(df, col("vec_id") === 2L, k = 3, m = 2, nCent = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (2L, 0L, 1000000L, 1L),
+      (2L, 3L, 1000000L, 2L),
+      (2L, 1L, 2000000L, 3L)))
+  }
+
   test("semanticDedup: a cell with no near-dups reports zero pruned and null first id") {
     val df = Seq(
       (0L, Array(1.0f, 0.0f)),

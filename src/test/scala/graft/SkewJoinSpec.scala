@@ -41,6 +41,23 @@ class SkewJoinSpec extends SparkSpec {
     }
   }
 
+  test("keyProfile: hand-computed hot-key statistics, hot tie → smallest key") {
+    import graft.operators.Skew
+    // key 7 → 5 rows, key 1 → 3 rows, key 2 → 2 rows
+    val df = (Seq.fill(5)(7L) ++ Seq.fill(3)(1L) ++ Seq.fill(2)(2L))
+      .toDF("k")
+    val r = Skew.keyProfile(df, "k", topN = 2).collect().head
+    assert(r.getLong(r.fieldIndex("n_rows")) == 10L)
+    assert(r.getLong(r.fieldIndex("n_keys")) == 3L)
+    assert(r.getLong(r.fieldIndex("hot_key")) == 7L)
+    assert(r.getLong(r.fieldIndex("hot_rows")) == 5L)
+    assert(r.getLong(r.fieldIndex("top_rows")) == 8L)
+    assert(r.getLong(r.fieldIndex("hot_share_permille")) == 500L)
+    assert(r.getLong(r.fieldIndex("top_share_permille")) == 800L)
+    // 5 rows on the hot key vs a fair share of 10/3: 5*3*1000/10 = 1500
+    assert(r.getLong(r.fieldIndex("skew_ratio_permille")) == 1500L)
+  }
+
   test("saltedJoin equals the plain join and spreads the hot key") {
     import graft.operators.Skew
     // 10k rows on one hot key, a handful elsewhere
