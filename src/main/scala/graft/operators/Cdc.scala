@@ -35,4 +35,29 @@ object Cdc {
     base.join(latest.select(keyCols.map(col): _*), keyCols, "left_anti")
       .unionByName(upserts)
   }
+
+  /** Snapshot diff — the incremental-training question "what changed
+    * since the last corpus cut?": classify every key across two corpus
+    * snapshots as added / removed / changed / unchanged by content
+    * hash. One row per key.
+    *
+    * Plan shape: each side reduces to (key, md5(payload)) BEFORE the
+    * shuffle, so the full-outer join moves 32-byte digests, never
+    * document bodies — at 100 TB the payload column stays pruned out of
+    * the scan entirely except to hash. One keyed shuffle per side, no
+    * window, no broadcast of anything unbounded. Downstream, `added ∪
+    * changed` is exactly the re-process set an incremental pipeline
+    * feeds forward.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   keyCol: String, payloadCol: String): DataFrame = {
+    val a = oldSnap.select(col(keyCol).as("k"), md5(col(payloadCol)).as("ha"))
+    val b = newSnap.select(col(keyCol).as("k"), md5(col(payloadCol)).as("hb"))
+    a.join(b, Seq("k"), "full_outer")
+      .select(col("k").as(keyCol),
+        when(col("ha").isNull, "added")
+          .when(col("hb").isNull, "removed")
+          .when(col("ha") === col("hb"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
 }

@@ -136,7 +136,15 @@ object SimilarityQueries {
     // of true L2.
     "q_pq_search" -> ((s, d) =>
       Similarity.pqSearch(Tables.embeddings(s, d),
-        col("vec_id") % 25 === 0, k = 5, m = 4, nCent = 8))
+        col("vec_id") % 25 === 0, k = 5, m = 4, nCent = 8)),
+
+    // Recall@10 of the sign-LSH bucketed screen vs brute-force ground
+    // truth on the standard query sample — the audit that justifies
+    // (or indicts) q_knn_bucketed's plane count. Exact integer permille.
+    "q_ann_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.annRecall(emb, emb.filter(col("vec_id") < 10), 10, planes = 3)
+    })
   )
 
   /** Oracle fragments: fold-order-exact cosine between q.v and c.v. */
@@ -207,6 +215,46 @@ object SimilarityQueries {
          |  MAX(pr.first_pruned) AS first_pruned
          |FROM asg g LEFT JOIN pr ON pr.cid = g.cid
          |GROUP BY g.cid""".stripMargin,
+
+    // The brute and bucketed CTEs are q_knn_brute / q_knn_bucketed
+    // verbatim; recall joins them per (query, candidate).
+    "q_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id, v, $bucketSql AS bucket FROM ($vecsSql)),
+         |bp AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    $cosineSql AS sim
+         |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+         |), ex AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY sim DESC, cand_id ASC) AS rank
+         |    FROM bp) WHERE rank <= 10
+         |), ap0 AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    $cosineSql AS sim
+         |  FROM e q JOIN e c
+         |    ON q.vec_id < 10 AND c.bucket = q.bucket AND c.vec_id <> q.vec_id
+         |), ap AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY sim DESC, cand_id ASC) AS rank
+         |    FROM ap0) WHERE rank <= 10
+         |), na AS (
+         |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_approx
+         |  FROM ap GROUP BY query_id
+         |), j AS (
+         |  SELECT ex.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |    CAST(COUNT(ap.cand_id) AS BIGINT) AS n_hit
+         |  FROM ex LEFT JOIN ap
+         |    ON ap.query_id = ex.query_id AND ap.cand_id = ex.cand_id
+         |  GROUP BY ex.query_id
+         |)
+         |SELECT j.query_id, j.n_exact,
+         |  COALESCE(na.n_approx, CAST(0 AS BIGINT)) AS n_approx, j.n_hit,
+         |  CAST(j.n_hit * 1000 // j.n_exact AS BIGINT) AS recall_permille
+         |FROM j LEFT JOIN na ON na.query_id = j.query_id""".stripMargin,
 
     "q_knn_brute" ->
       s"""WITH e AS ($vecsSql),

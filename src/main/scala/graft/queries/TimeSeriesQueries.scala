@@ -46,10 +46,37 @@ object TimeSeriesQueries {
         col("o_orderkey").as("seq"),
         when(col("o_orderstatus") === "F", "D").otherwise("U").as("op"))
       Cdc.applyChanges(base, changes, Seq("c_custkey"), "seq", "op")
+    }),
+
+    // Snapshot diff between two deterministic corpus cuts: old drops
+    // doc_id%10=7, new drops %10=4 and edits %10=3 — every key lands in
+    // exactly one of added/removed/changed/unchanged by content hash.
+    // Digests, never bodies, cross the full-outer shuffle.
+    "q_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val oldSnap = docs.filter(col("doc_id") % 10 =!= 7)
+      val newSnap = docs.filter(col("doc_id") % 10 =!= 4)
+        .withColumn("text", when(col("doc_id") % 10 === 3,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      Cdc.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q_snapshot_diff" ->
+      """WITH a AS (SELECT doc_id, md5(text) AS ha FROM documents
+        |           WHERE doc_id % 10 <> 7),
+        |b AS (SELECT doc_id,
+        |        md5(CASE WHEN doc_id % 10 = 3 THEN text || ' v2'
+        |                 ELSE text END) AS hb
+        |      FROM documents WHERE doc_id % 10 <> 4)
+        |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN a.ha IS NULL THEN 'added'
+        |       WHEN b.hb IS NULL THEN 'removed'
+        |       WHEN a.ha = b.hb THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM a FULL JOIN b ON a.doc_id = b.doc_id""".stripMargin,
+
     // Mirrors the operator stage-by-stage: per-bucket count + last
     // value (row_number instead of Spark's max(struct)), key-range
     // grid via generate_series, then the same portable

@@ -67,4 +67,13 @@ class CdcSpec extends SparkSpec {
     assert(cands.forall { case (a, b) => a < 10 && b >= 10 },
       s"same-side pair leaked: $cands")
   }
+
+  test("snapshotDiff: added/removed/changed/unchanged each land on the right key") {
+    val oldSnap = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "body")
+    val newSnap = Seq((2L, "beta"), (3L, "gamma EDITED"), (4L, "delta")).toDF("id", "body")
+    val out = Cdc.snapshotDiff(oldSnap, newSnap, "id", "body")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+  }
 }

@@ -175,6 +175,23 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 2L, 1L, 2L), (1L, 3L, 1L, 3L)))
   }
 
+  test("annRecall: full recall when buckets align, partial when the screen splits them") {
+    // planes=1 buckets on v[1]>0: vecs 0,1,2 share bucket 1; vec 3 is
+    // alone in bucket 0. Query 0's exact top-3 = {1,2,3} but the screen
+    // only surfaces {1,2} → n_approx=2, n_hit=2, recall 666 permille.
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.8f, 0.2f)),
+      (3L, Array(-0.5f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.annRecall(df, df.filter(col("vec_id") === 0L),
+        k = 3, planes = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq((0L, 3L, 2L, 2L, 666L)))
+  }
+
   test("pqSearch: ADC = sum of code-indexed LUT cells, ties by id, self excluded") {
     // m=2 subspaces of 2 dims; codebook = vecs 0 and 1 (quantized ×1000).
     // Hand-computed codes: v0→(0,0) v1→(1,1) v2→(0,1) v3→(0,0).
