@@ -69,17 +69,27 @@ object CharMinHashProfile {
     * diverge from the compositional form.
     */
   def compute(t: UTF8String, k: Int, numDigests: Int): InternalRow = {
-    val s = t.toString
-    val cps = s.codePoints().toArray
+    val cps = t.toString.codePoints().toArray
     val n = cps.length - (k - 1)
     if (n <= 0) return null
+    computeFrom(n, g => new String(cps, g, k), numDigests)
+  }
+
+  /** The hash loop shared by the char-gram and word-gram profile
+    * expressions: for shingles 0..count-1 (produced by `shingleAt`),
+    * fold the salted-md5 window minima and the distinct-xxhash64 set —
+    * exactly the aggregate of [[graft.operators.Dedup.dedupProfiles]],
+    * one document per call.
+    */
+  private[functions] def computeFrom(count: Int, shingleAt: Int => String,
+                                     numDigests: Int): InternalRow = {
     val md = MessageDigest.getInstance("MD5")
     val numHashes = numDigests * 4
     val mins = new Array[String](numHashes)
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     var g = 0
-    while (g < n) {
-      val shingle = new String(cps, g, k)
+    while (g < count) {
+      val shingle = shingleAt(g)
       seen.add(XxHash64Function.hash(
         UTF8String.fromString(shingle), StringType, 42L))
       var d = 0
@@ -118,4 +128,75 @@ object CharMinHashProfile {
   def charMinHashProfile(t: Column, k: Int, numDigests: Int): Column =
     ColumnBridge.column(
       CharMinHashProfile(ColumnBridge.expression(t), k, numDigests))
+}
+
+/** Per-document WORD-n-gram minhash profile in one pass — the word-
+  * shingle twin of [[CharMinHashProfile]], same output struct and the
+  * same hash family. The input must already be `lower(trim(text))`
+  * (applied with Spark's own expressions in
+  * [[graft.operators.Dedup.wordDedupProfiles]], exactly like the char
+  * variant pre-lowers — no reimplementation of collation-sensitive
+  * lowering here); this expression only tokenizes, replicating
+  * `split(col, "\\s+")` as Java-regex split with limit -1 — including
+  * its leading-empty-token behavior on tab-led text — so
+  * WordMinHashProfileSpec can pin bit-equality against
+  * `dedupProfiles(rawWordShingles(…))` and every dedup oracle stays
+  * unchanged. Shingle = n consecutive tokens joined by a single space
+  * (= `concat_ws(" ", …)` over non-null tokens); documents with fewer
+  * than n tokens profile to null (the compositional `size(toks) >= n`
+  * drop). Replaces the per-document |tokens|-row explode +
+  * hash-aggregate of the LSH pipeline with one codegen'd projection
+  * loop — at sf0.1 that explode is ~2M rows across seven catalog
+  * queries; at 100 TB it is the dominant allocation cost.
+  */
+case class WordMinHashProfile(child: Expression, n: Int, numDigests: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = CharMinHashProfile.schema
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "word_minhash_profile"
+
+  override def nullSafeEval(t: Any): Any =
+    WordMinHashProfile.compute(t.asInstanceOf[UTF8String], n, numDigests)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, tc => {
+      s"""
+         |${ev.value} = graft.functions.WordMinHashProfile$$.MODULE$$.compute(
+         |  $tc, $n, $numDigests);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WordMinHashProfile =
+    copy(child = newChild)
+}
+
+object WordMinHashProfile {
+
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  /** Null for documents with fewer than n tokens (no shingles). */
+  def compute(t: UTF8String, n: Int, numDigests: Int): InternalRow = {
+    val toks = ws.split(t.toString, -1)
+    val count = toks.length - (n - 1)
+    if (count <= 0) return null
+    CharMinHashProfile.computeFrom(count, { g =>
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(g + j))
+        j += 1
+      }
+      sb.toString
+    }, numDigests)
+  }
+
+  /** Column-level entry point. */
+  def wordMinHashProfile(t: Column, n: Int, numDigests: Int): Column =
+    ColumnBridge.column(
+      WordMinHashProfile(ColumnBridge.expression(t), n, numDigests))
 }

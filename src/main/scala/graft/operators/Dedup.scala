@@ -215,6 +215,41 @@ object Dedup {
       size(col("p.sh_set")).cast("long").as("n"))
   }
 
+  /** [[dedupProfiles]] over WORD n-grams, computed by the native
+    * [[graft.functions.WordMinHashProfile]] expression instead of the
+    * shingle-row explode: one O(|tokens|·digests) loop per document, no
+    * |tokens|-row materialization, no collapsing aggregate. Output
+    * schema and VALUES are identical to
+    * `dedupProfiles(rawWordShingles(df, …, n), …)`
+    * (WordMinHashProfileSpec pins exact equality; sh_set order differs
+    * but every consumer is set-semantic). The lower+trim normalization
+    * stays a Spark projection (same division of labor as
+    * [[charDedupProfiles]]); the expression only tokenizes and hashes.
+    */
+  def wordDedupProfiles(df: DataFrame, textCol: String, idCol: String,
+                        n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val numDigests = (numHashes + 3) / 4
+    // pre-filter on the (cheap) token count rather than post-filtering
+    // the profile for null: a `p IS NOT NULL` filter above the
+    // projection gets pushdown-substituted and the expensive expression
+    // runs twice per row (the CollapseProject lesson, SCALE.md).
+    val prof = spreadByKey(df, col(idCol))
+      .select(col(idCol), lower(trim(col(textCol))).as("t"))
+      .filter(size(split(col("t"), "\\s+")) >= n)
+      .select(col(idCol),
+        graft.functions.WordMinHashProfile
+          .wordMinHashProfile(col("t"), n, numDigests).as("p"))
+    val bandCols = (0 until bands).map { b =>
+      val members = (0 until rowsPerBand)
+        .map(r => col("p.mins").getItem(b * rowsPerBand + r))
+      struct(lit(b).as("band"), md5(concat(members: _*)).as("sig"))
+    }
+    prof.select(col(idCol), array(bandCols: _*).as("band_sigs"),
+      col("p.sh_set").as("sh_set"),
+      size(col("p.sh_set")).cast("long").as("n"))
+  }
+
   /** LSH candidate pairs straight from [[dedupProfiles]] output. */
   def profileCandidatePairs(profiles: DataFrame, idCol: String,
                             maxBucketSize: Option[Int] = None): DataFrame =
@@ -312,8 +347,8 @@ object Dedup {
     // explode+md5 pipeline per consumer. The returned plan references
     // the cache lazily, so it cannot be unpersisted here; CacheScope
     // drops it right after the first action that consumes the result.
-    val profiles = dedupProfiles(rawWordShingles(df, textCol, idCol, shingleSize),
-      idCol, bands, rowsPerBand).persist()
+    val profiles = wordDedupProfiles(df, textCol, idCol, shingleSize,
+      bands, rowsPerBand).persist()
     val cands = profileCandidatePairs(profiles, idCol)
     graft.core.CacheScope.releaseAfterUse(
       jaccardFromProfiles(profiles, cands, idCol).filter(col("jaccard") >= threshold),

@@ -90,9 +90,8 @@ object DedupQueries {
     // quadratic-blowup bound (every bucket here is a candidate
     // generator; a capped run drops exactly these).
     "q_lsh_bucket_audit" -> ((s, d) => {
-      val profiles = Dedup.dedupProfiles(
-        Dedup.rawWordShingles(Tables.documents(s, d), "text", "doc_id", 3),
-        "doc_id", bands = 8, rowsPerBand = 2)
+      val profiles = Dedup.wordDedupProfiles(
+        Tables.documents(s, d), "text", "doc_id", 3, bands = 8, rowsPerBand = 2)
       val sigs = profiles.select(col("doc_id"), explode(col("band_sigs")).as("bs"))
         .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
       Dedup.oversizedBuckets(sigs, cap = 1)
@@ -134,9 +133,8 @@ object DedupQueries {
     // quoted-in-long-doc shapes whose Jaccard stays low. Keep pairs
     // where either side is ≥70% contained in the other.
     "q_containment" -> ((s, d) => {
-      val profiles = Dedup.dedupProfiles(
-        Dedup.rawWordShingles(Tables.documents(s, d), "text", "doc_id", 3),
-        "doc_id", bands = 8, rowsPerBand = 2).persist()
+      val profiles = Dedup.wordDedupProfiles(
+        Tables.documents(s, d), "text", "doc_id", 3, bands = 8, rowsPerBand = 2).persist()
       val cands = Dedup.profileCandidatePairs(profiles, "doc_id")
       graft.core.CacheScope.releaseAfterUse(
         Dedup.containmentFromProfiles(profiles, cands, "doc_id")
@@ -151,9 +149,8 @@ object DedupQueries {
     "q_dedup_incremental" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .withColumn("split", graft.operators.Sampling.splitTag(col("doc_id"), 0.9))
-      val profiles = Dedup.dedupProfiles(
-        Dedup.rawWordShingles(docs, "text", "doc_id", 3),
-        "doc_id", bands = 8, rowsPerBand = 2)
+      val profiles = Dedup.wordDedupProfiles(
+        docs, "text", "doc_id", 3, bands = 8, rowsPerBand = 2)
         .join(docs.select(col("doc_id"), col("split")), Seq("doc_id"))
         .persist()
       val cands = Dedup.crossCorpusCandidates(
@@ -205,9 +202,8 @@ object DedupQueries {
     // the relative-distance cut is integer arithmetic (no division).
     "q_edit_distance" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val profiles = Dedup.dedupProfiles(
-        Dedup.rawWordShingles(docs, "text", "doc_id", 3),
-        "doc_id", bands = 8, rowsPerBand = 2).persist()
+      val profiles = Dedup.wordDedupProfiles(
+        docs, "text", "doc_id", 3, bands = 8, rowsPerBand = 2).persist()
       val ascii = docs.select(col("doc_id"),
         regexp_replace(col("text"), "[^ -~]", "").as("atext"))
       graft.core.CacheScope.releaseAfterUse(
