@@ -69,4 +69,32 @@ object Packing {
         sum(col(lenCol)).as("n_tokens"),
         min(col(idCol)).as("first_id"),
         max(col(idCol)).as("last_id"))
+
+  /** Padding-waste audit for length-bucketed batching — the OTHER batch
+    * assembly strategy next to [[packBins]]: each sequence is padded up
+    * to its power-of-two length bucket (floor `minBucket`), and the
+    * per-bucket report shows how many tokens that padding burns — the
+    * number a pipeline reads before picking bucket boundaries or
+    * switching to packing.
+    *
+    * The bucket is computed with the repo's exact integer floor-log2
+    * idiom (`length(bin(n))`): for n > minBucket the ceiling power of
+    * two is `1 << length(bin(n-1))`, with the shift amount a COLUMN —
+    * which the Scala `shiftleft` helper cannot express (Int-only
+    * parameter) but the SQL form can. Utilization is reported in exact
+    * integer basis points (integer division — no cross-engine float).
+    * One map-side-combinable aggregation over ≤ ~50 bucket keys; linear
+    * scan, trivially 100 TB-safe.
+    */
+  def paddingWaste(df: DataFrame, lenCol: String, minBucket: Long = 16L): DataFrame =
+    df.select(col(lenCol).cast("long").as("n"))
+      .withColumn("bucket",
+        when(col("n") <= minBucket, lit(minBucket))
+          .otherwise(expr("shiftleft(1L, int(length(bin(n - 1L))))")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(col("n")).as("sum_tokens"),
+        sum(col("bucket") - col("n")).as("sum_padding"))
+      .select(col("bucket"), col("n_seqs"), col("sum_tokens"), col("sum_padding"),
+        expr("(sum_tokens * 10000L) div (n_seqs * bucket)").as("utilization_bp"))
 }

@@ -386,6 +386,75 @@ object TextAnalysis {
         (col("cum_cnt").cast("double") / col("total")).as("coverage"))
   }
 
+  /** Per-document character-diversity score in EXACT integer bits — the
+    * floor-log2 analogue of Shannon entropy × length: over the doc's
+    * (lowercased, trimmed) codepoint frequency table {c → m_c, Σm = L},
+    *
+    *   diversity_bits = Σ_c m_c · (⌊log2 L⌋ − ⌊log2 m_c⌋)
+    *
+    * Low values flag repetitive/low-diversity text (keyboard mash,
+    * boilerplate, padding spam) — the character-level twin of the
+    * perplexity quality filter, with the same integer-exactness
+    * rationale as [[bigramSurprisal]]: a float Σ p·log p is
+    * summation-order-unstable cross-engine; floor-log2 of a positive
+    * integer is exact in both engines (`length(bin(n)) - 1`).
+    *
+    * Plan shape: char frequencies are PER-ROW state, so unlike the
+    * corpus-keyed [[bigramSurprisal]] there is no reason to shuffle at
+    * all — sort the doc's char array in-row and fold over equal-char
+    * runs (run length = m_c) in ONE `aggregate` HOF that also counts
+    * the runs (= distinct chars). Using Σ m·fl2(m) and
+    * bits = L·fl2(L) − Σ m·fl2(m) keeps the fold single-pass. Zero
+    * exchanges; scan-speed at 100 TB. The char enumeration mirrors the
+    * oracle's `substr(t, g, 1)` exactly (same substring semantics the
+    * ngram-jaccard oracle already validates at k=12); the sort order
+    * itself is irrelevant — any total order makes equal chars adjacent,
+    * and equality is byte equality in both engines.
+    */
+  def charDiversity(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), lower(trim(col(textCol))).as("t"))
+      .filter(length(col("t")) >= 1)
+      .select(col(idCol), length(col("t")).cast("long").as("n_chars"),
+        expr(
+          """aggregate(
+            |  array_sort(transform(sequence(1, length(t)), i -> substring(t, i, 1))),
+            |  named_struct('prev', '', 'run', 0L, 'mfl', 0L, 'dcnt', 0L),
+            |  (s, c) -> IF(c = s.prev,
+            |    named_struct('prev', c, 'run', s.run + 1L, 'mfl', s.mfl,
+            |                 'dcnt', s.dcnt),
+            |    named_struct('prev', c, 'run', 1L,
+            |                 'mfl', s.mfl + s.run * (length(bin(s.run)) - 1),
+            |                 'dcnt', s.dcnt + 1L)),
+            |  s -> named_struct(
+            |    'mfl', s.mfl + s.run * (length(bin(s.run)) - 1),
+            |    'dcnt', s.dcnt))""".stripMargin).as("f"))
+      .select(col(idCol), col("n_chars"),
+        col("f.dcnt").as("distinct_chars"),
+        (col("n_chars") * (length(bin(col("n_chars"))) - 1) - col("f.mfl"))
+          .as("diversity_bits"))
+
+  /** URL canonicalization — the normalization half of crawl dedup
+    * (CommonCrawl-style): lowercase the host, drop a leading `www.`,
+    * drop the fragment, drop `utm_*` tracking parameters (keeping every
+    * other parameter in order), drop a trailing slash, and pin the
+    * scheme to https. Pure per-row Column expression (regex + one
+    * array HOF) — scan-speed; the dedup that follows is an exact
+    * groupBy on the canonical form.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val host = regexp_replace(
+      lower(regexp_extract(noFrag, "^https?://([^/?]+)", 1)), "^www\\.", "")
+    val path = regexp_replace(
+      regexp_extract(noFrag, "^https?://[^/?]+([^?]*)", 1), "/$", "")
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val kept = filter(split(query, "&"),
+      p => p =!= lit("") && !p.startsWith("utm_"))
+    val qNorm = array_join(kept, "&")
+    concat(lit("https://"), host, path,
+      when(qNorm === "", lit("")).otherwise(concat(lit("?"), qNorm)))
+  }
+
   /** Context-window chunking: cut each doc's token stream into windows
     * of `window` tokens every `stride` tokens (overlap = window −
     * stride), the standard pre-tokenization step before packing

@@ -103,7 +103,15 @@ object CurationQueries {
     // (16-token overlap) — the pre-packing chunk step for long docs.
     "q_text_chunks" -> ((s, d) =>
       TextAnalysis.chunkTokens(Tables.documents(s, d), "text", "doc_id",
-        window = 64, stride = 48))
+        window = 64, stride = 48)),
+
+    // Padding-waste audit of power-of-two length bucketing — the batch
+    // strategy packReport's bin packing competes against.
+    "q_padding_waste" -> ((s, d) =>
+      Packing.paddingWaste(
+        Tables.documents(s, d)
+          .select(TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+        "n_tokens"))
   )
 
   private val toksSql = """string_split_regex(lower(trim(text)), '\s+')"""
@@ -272,6 +280,23 @@ object CurationQueries {
          |  md5(array_to_string(toks[(chunk_id*48+1):(chunk_id*48+64)], ' '))
          |    AS chunk_fp
          |FROM x""".stripMargin,
+
+    // Same integer bit tricks as the Spark side: ceiling power of two
+    // via 1 << length(bin(n-1)), utilization in integer basis points.
+    "q_padding_waste" ->
+      s"""WITH n0 AS (
+         |  SELECT CAST(len($toksSql) AS BIGINT) AS n FROM documents
+         |), b AS (
+         |  SELECT n, CASE WHEN n <= 16 THEN CAST(16 AS BIGINT)
+         |    ELSE (CAST(1 AS BIGINT) << length(bin(n - 1))) END AS bucket
+         |  FROM n0
+         |)
+         |SELECT bucket, COUNT(*) AS n_seqs,
+         |  CAST(SUM(n) AS BIGINT) AS sum_tokens,
+         |  CAST(SUM(bucket - n) AS BIGINT) AS sum_padding,
+         |  (CAST(SUM(n) AS BIGINT) * 10000) // (COUNT(*) * bucket)
+         |    AS utilization_bp
+         |FROM b GROUP BY bucket""".stripMargin,
 
     "q_kmeans" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

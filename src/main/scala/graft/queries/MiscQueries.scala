@@ -212,6 +212,42 @@ object MiscQueries {
           min(col("path")).as("first_path"))
     }),
 
+    // Crawl URL dedup: canonicalize deterministically-messy URLs
+    // (mixed-case hosts, www prefixes, utm_* tracking params, fragments,
+    // trailing slashes — all synthesized from events integers so both
+    // engines build byte-identical inputs) and collapse to one row per
+    // canonical form. Pure projection + one exact groupBy; the 100 TB
+    // plan is a scan-speed canonicalization followed by a keyed
+    // aggregate on the canonical hash — no explode, no join.
+    "q_url_dedup" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val host = concat(
+        when(pmod(col("event_id"), lit(3)) === 0, lit("www.")).otherwise(lit("")),
+        when(pmod(col("event_id"), lit(2)) === 0, lit("CDN")).otherwise(lit("cdn")),
+        pmod(col("user_id"), lit(10)).cast("string"),
+        when(pmod(col("event_id"), lit(2)) === 0, lit(".Example.COM"))
+          .otherwise(lit(".example.com")))
+      val path = concat(lit("/"), col("event_type"), lit("/item"),
+        pmod(col("event_id"), lit(500)).cast("string"),
+        when(pmod(col("event_id"), lit(5)) === 0, lit("/")).otherwise(lit("")))
+      val query = when(pmod(col("event_id"), lit(4)) === 0,
+          concat(lit("?utm_source=s"), pmod(col("user_id"), lit(3)).cast("string"),
+            lit("&utm_campaign=c")))
+        .when(pmod(col("event_id"), lit(4)) === 1,
+          concat(lit("?ref=r"), pmod(col("event_id"), lit(7)).cast("string")))
+        .otherwise(lit(""))
+      val frag = when(pmod(col("event_id"), lit(6)) === 0, lit("#frag"))
+        .otherwise(lit(""))
+      e.select(col("event_id"),
+          concat(lit("https://"), host, path, query, frag).as("url"))
+        .select(col("event_id"), col("url"),
+          graft.operators.TextAnalysis.canonicalizeUrl(col("url")).as("canon_url"))
+        .groupBy(col("canon_url"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("url")).as("n_raw_forms"),
+          min(col("event_id")).as("min_event"))
+    }),
+
     // E5 JSON property extraction + rollup over events.props.
     "q_json_extract" -> ((s, d) =>
       Tables.events(s, d)
@@ -444,6 +480,46 @@ object MiscQueries {
         |)
         |SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type, value
         |FROM r WHERE rk = 1""".stripMargin,
+
+    // Mirror of canonicalizeUrl step for step (fragment strip, host
+    // lower + www strip, trailing-slash strip, utm_* filter via
+    // list_filter); both engines anchor the same RE2/Java-compatible
+    // patterns over newline-free input.
+    "q_url_dedup" ->
+      """WITH u AS (
+        |  SELECT event_id,
+        |    'https://' ||
+        |    CASE WHEN event_id % 3 = 0 THEN 'www.' ELSE '' END ||
+        |    CASE WHEN event_id % 2 = 0 THEN 'CDN' ELSE 'cdn' END ||
+        |    CAST(user_id % 10 AS VARCHAR) ||
+        |    CASE WHEN event_id % 2 = 0 THEN '.Example.COM' ELSE '.example.com' END ||
+        |    '/' || event_type || '/item' || CAST(event_id % 500 AS VARCHAR) ||
+        |    CASE WHEN event_id % 5 = 0 THEN '/' ELSE '' END ||
+        |    CASE WHEN event_id % 4 = 0 THEN
+        |           '?utm_source=s' || CAST(user_id % 3 AS VARCHAR) || '&utm_campaign=c'
+        |         WHEN event_id % 4 = 1 THEN '?ref=r' || CAST(event_id % 7 AS VARCHAR)
+        |         ELSE '' END ||
+        |    CASE WHEN event_id % 6 = 0 THEN '#frag' ELSE '' END AS url
+        |  FROM events),
+        |c1 AS (SELECT event_id, url, regexp_replace(url, '#.*$', '') AS nf FROM u),
+        |c2 AS (SELECT event_id, url,
+        |    regexp_replace(lower(regexp_extract(nf, '^https?://([^/?]+)', 1)),
+        |      '^www\.', '') AS host,
+        |    regexp_replace(regexp_extract(nf, '^https?://[^/?]+([^?]*)', 1),
+        |      '/$', '') AS path,
+        |    COALESCE(regexp_extract(nf, '\?(.*)$', 1), '') AS q
+        |  FROM c1),
+        |c3 AS (SELECT event_id, url,
+        |    COALESCE(array_to_string(list_filter(string_split(q, '&'),
+        |      p -> p <> '' AND NOT starts_with(p, 'utm_')), '&'), '') AS qn,
+        |    host, path
+        |  FROM c2)
+        |SELECT 'https://' || host || path ||
+        |    CASE WHEN qn = '' THEN '' ELSE '?' || qn END AS canon_url,
+        |  COUNT(*) AS n_urls,
+        |  COUNT(DISTINCT url) AS n_raw_forms,
+        |  MIN(event_id) AS min_event
+        |FROM c3 GROUP BY 1""".stripMargin,
 
     "q_url_extract" ->
       """WITH u AS (

@@ -125,6 +125,11 @@ object TextQueries {
     "q_lm_surprisal" -> ((s, d) =>
       TextAnalysis.bigramSurprisal(Tables.documents(s, d), "text", "doc_id")),
 
+    // Character-diversity quality filter in exact integer bits (the
+    // floor-log2 entropy analogue — see TextAnalysis.charDiversity).
+    "q_char_entropy" -> ((s, d) =>
+      TextAnalysis.charDiversity(Tables.documents(s, d), "text", "doc_id")),
+
     "q_oov_rate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val vocab = TextAnalysis.topBigrams(docs, "text", "doc_id", 200)
@@ -302,6 +307,25 @@ object TextQueries {
          |FROM j GROUP BY doc_id
          |ORDER BY score_micros DESC, doc_id ASC LIMIT 20""".stripMargin
     },
+
+    // Natural two-aggregate formulation of the same integers the
+    // Spark side folds in-row: Σ m·(fl2 L − fl2 m) = L·fl2 L − Σ m·fl2 m.
+    "q_char_entropy" ->
+      """WITH t0 AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+        |t AS (SELECT doc_id, t FROM t0 WHERE length(t) >= 1),
+        |gs AS (SELECT doc_id, t, unnest(generate_series(1, length(t))) AS g FROM t),
+        |cnt AS (SELECT doc_id, substr(t, g, 1) AS c, CAST(COUNT(*) AS BIGINT) AS m
+        |        FROM gs GROUP BY doc_id, substr(t, g, 1)),
+        |tot AS (SELECT doc_id, CAST(SUM(m) AS BIGINT) AS len,
+        |          CAST(COUNT(*) AS BIGINT) AS dc
+        |        FROM cnt GROUP BY doc_id)
+        |SELECT c.doc_id,
+        |  MIN(tt.len) AS n_chars,
+        |  MIN(tt.dc) AS distinct_chars,
+        |  CAST(SUM(m * ((length(bin(tt.len)) - 1) - (length(bin(m)) - 1)))
+        |    AS BIGINT) AS diversity_bits
+        |FROM cnt c JOIN tot tt ON c.doc_id = tt.doc_id
+        |GROUP BY c.doc_id""".stripMargin,
 
     // Mirrors bigramSurprisal stage-for-stage: bigram multiplicities,
     // corpus bigram/unigram counts, vocab size, then the exact integer

@@ -86,4 +86,17 @@ class PackingSpec extends SparkSpec {
     val out = Dedup.clusterSurvivors(docs, pairs, "doc_id", "score").collect()
     assert(out(0).getLong(2) == 5L)
   }
+
+  test("paddingWaste: power-of-two buckets, floor bucket, exact accounting") {
+    // lengths: 3 and 16 land in the 16 floor bucket; 17 is the first in
+    // 32; 32 stays in 32 (exact power); 33 -> 64; 100 -> 128
+    val out = Packing.paddingWaste(
+      Seq(3L, 16L, 17L, 32L, 33L, 100L).toDF("n_tok"), "n_tok")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(16L) == ((2L, 19L, 13L, (19L * 10000) / 32)))
+    assert(out(32L) == ((2L, 49L, 15L, (49L * 10000) / 64)))
+    assert(out(64L) == ((1L, 33L, 31L, (33L * 10000) / 64)))
+    assert(out(128L) == ((1L, 100L, 28L, (100L * 10000) / 128)))
+  }
 }

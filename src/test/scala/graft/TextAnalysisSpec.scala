@@ -162,4 +162,38 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == expected) // doc 4 (no query terms) excluded
   }
+
+  test("charDiversity: exact integer bits against a hand fold") {
+    // "aab": L=3, counts a->2 b->1; fl2(3)=1, fl2(2)=1, fl2(1)=0
+    // bits = 2*(1-1) + 1*(1-0) = 1; distinct = 2
+    // "AAAA" lowers to "aaaa": L=4, one run of 4 -> 4*(2-2) = 0 bits
+    // "" drops out after trim
+    val out = TextAnalysis.charDiversity(
+      Seq((1L, "aab"), (2L, "AAAA"), (3L, "  "), (4L, "abcd"))
+        .toDF("doc_id", "text"), "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      1L -> ((3L, 2L, 1L)),
+      2L -> ((4L, 1L, 0L)),
+      4L -> ((4L, 4L, 8L)))) // 4 chars * (fl2(4)=2 - fl2(1)=0) = 8
+  }
+
+  test("canonicalizeUrl: host case, www, utm params, fragment, trailing slash") {
+    val cases = Seq(
+      ("https://www.CDN0.Example.COM/a/b/?utm_source=x&utm_campaign=y#frag",
+        "https://cdn0.example.com/a/b"),
+      ("https://cdn1.example.com/a?ref=r1&utm_medium=m&id=2",
+        "https://cdn1.example.com/a?ref=r1&id=2"),
+      ("http://Host.com/", "https://host.com"),
+      ("https://host.com/path", "https://host.com/path"),
+      ("https://host.com", "https://host.com"))
+    val out = cases.zipWithIndex.map { case ((u, _), i) => (i.toLong, u) }
+      .toDF("id", "url")
+      .select(col("id"), TextAnalysis.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((u, want), i) =>
+      assert(out(i.toLong) == want, s"url $u")
+    }
+  }
 }
