@@ -401,37 +401,26 @@ object TextAnalysis {
     *
     * Plan shape: char frequencies are PER-ROW state, so unlike the
     * corpus-keyed [[bigramSurprisal]] there is no reason to shuffle at
-    * all — sort the doc's char array in-row and fold over equal-char
-    * runs (run length = m_c) in ONE `aggregate` HOF that also counts
-    * the runs (= distinct chars). Using Σ m·fl2(m) and
-    * bits = L·fl2(L) − Σ m·fl2(m) keeps the fold single-pass. Zero
-    * exchanges; scan-speed at 100 TB. The char enumeration mirrors the
-    * oracle's `substr(t, g, 1)` exactly (same substring semantics the
-    * ngram-jaccard oracle already validates at k=12); the sort order
-    * itself is irrelevant — any total order makes equal chars adjacent,
-    * and equality is byte equality in both engines.
+    * all — the whole statistic is the native
+    * [[graft.functions.CharEntropyStats]] expression (one int-array
+    * sort + run scan per row; the compositional `aggregate`-HOF fold it
+    * replaces is CodegenFallback and allocated a struct per character —
+    * measured 3.9 s at sf0.1, 10× the native form). Zero exchanges;
+    * scan-speed at 100 TB. Char enumeration is by codepoint, exactly
+    * like the oracle's `substr(t, g, 1)`; lower/trim normalization
+    * stays a Spark projection (the charDedupProfiles division of
+    * labor), and the cheap length pre-filter mirrors the oracle's
+    * `length(t) >= 1` (never a post-filter on the expensive column —
+    * the CollapseProject lesson).
     */
   def charDiversity(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(col(idCol), lower(trim(col(textCol))).as("t"))
       .filter(length(col("t")) >= 1)
-      .select(col(idCol), length(col("t")).cast("long").as("n_chars"),
-        expr(
-          """aggregate(
-            |  array_sort(transform(sequence(1, length(t)), i -> substring(t, i, 1))),
-            |  named_struct('prev', '', 'run', 0L, 'mfl', 0L, 'dcnt', 0L),
-            |  (s, c) -> IF(c = s.prev,
-            |    named_struct('prev', c, 'run', s.run + 1L, 'mfl', s.mfl,
-            |                 'dcnt', s.dcnt),
-            |    named_struct('prev', c, 'run', 1L,
-            |                 'mfl', s.mfl + s.run * (length(bin(s.run)) - 1),
-            |                 'dcnt', s.dcnt + 1L)),
-            |  s -> named_struct(
-            |    'mfl', s.mfl + s.run * (length(bin(s.run)) - 1),
-            |    'dcnt', s.dcnt))""".stripMargin).as("f"))
-      .select(col(idCol), col("n_chars"),
-        col("f.dcnt").as("distinct_chars"),
-        (col("n_chars") * (length(bin(col("n_chars"))) - 1) - col("f.mfl"))
-          .as("diversity_bits"))
+      .select(col(idCol),
+        graft.functions.CharEntropyStats.charEntropyStats(col("t")).as("f"))
+      .select(col(idCol), col("f.n_chars").as("n_chars"),
+        col("f.distinct_chars").as("distinct_chars"),
+        col("f.diversity_bits").as("diversity_bits"))
 
   /** URL canonicalization — the normalization half of crawl dedup
     * (CommonCrawl-style): lowercase the host, drop a leading `www.`,
