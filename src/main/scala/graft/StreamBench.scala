@@ -133,6 +133,28 @@ object StreamBench {
           .writeStream.format("noop").outputMode("append")
           .option("checkpointLocation", s"$dir/ckpt").start()
         (q, users, t0)
+      } else if (mode == "session") {
+        // gap-session topology: the BUILT-IN session_window state path —
+        // merge-on-update session state per user, append once the
+        // watermark passes a session's close. Event times jitter ±24s on
+        // a 10s cadence so consecutive per-user events land on both
+        // sides of the 15s gap: sessions genuinely merge AND split
+        // (uniform spacing would degenerate to all-one-session or
+        // all-singletons).
+        val users = math.max(1000, rows / 100)
+        writeJourneyEvents(users)
+        val t0 = System.nanoTime()
+        val ev = journeyReader()
+          .select(col("user_id"),
+            timestamp_seconds(
+              floor(col("tu") / users) * 10 + pmod(col("tu") * 7, lit(25)))
+              .as("ts"),
+            col("event_type"))
+        val q = graft.operators.Sessionize.sessionsStream(ev, "user_id", "ts",
+            "15 seconds", "30 seconds", Seq(count(lit(1)).as("n_events")))
+          .writeStream.format("noop").outputMode("append")
+          .option("checkpointLocation", s"$dir/ckpt").start()
+        (q, users, t0)
       } else if (mode == "latency") {
         // conversion-latency topology: TWO chained stateful operators —
         // conversionsStream (per-user journey state) feeding windowed
@@ -189,7 +211,8 @@ object StreamBench {
     q.stop()
 
     val messages =
-      if (mode == "funnel" || mode == "latency" || mode == "bloom") rows.toLong
+      if (mode == "funnel" || mode == "latency" || mode == "bloom" ||
+        mode == "session") rows.toLong
       else rows.toLong * 4
     val windows = progress.map(_.stateOperators.headOption.map(_.numRowsTotal).getOrElse(0L)).maxOption.getOrElse(0L)
     println(s"""{"metric":"stream_rows_per_sec","mode":"$mode","value":${(rows / secs).round},"unit":"rows/sec","dataset_rows":$rows,"keys":$keys,"wire_messages":$messages,"state_rows":$windows,"wall_sec":${math.round(secs * 100) / 100.0}}""")
