@@ -133,6 +133,29 @@ object StreamBench {
           .writeStream.format("noop").outputMode("append")
           .option("checkpointLocation", s"$dir/ckpt").start()
         (q, users, t0)
+      } else if (mode == "dedup") {
+        // at-least-once repair topology: dropDuplicatesWithinWatermark
+        // keyed by message id — the T1 effectively-once screen at
+        // volume, state = ids within the watermark horizon. Every
+        // logical message arrives exactly twice (id mod rows/2), so the
+        // both-paths cost is measured: first-seen insert AND duplicate
+        // hit, 50/50.
+        val distinctMsgs = math.max(1000, rows / 2)
+        spark.range(rows)
+          .select((col("id") % distinctMsgs).as("msg_id"),
+            timestamp_seconds(floor((col("id") % distinctMsgs) / 100))
+              .as("ts"))
+          .repartition(8).write.option("header", "true").csv(s"$dir/in")
+        val t0 = System.nanoTime()
+        val reader = spark.readStream.schema("msg_id LONG, ts TIMESTAMP")
+          .option("header", "true")
+        if (filesPerTrigger != "0") reader.option("maxFilesPerTrigger", filesPerTrigger)
+        val q = reader.csv(s"$dir/in")
+          .withWatermark("ts", "30 seconds")
+          .dropDuplicatesWithinWatermark("msg_id")
+          .writeStream.format("noop").outputMode("append")
+          .option("checkpointLocation", s"$dir/ckpt").start()
+        (q, distinctMsgs, t0)
       } else if (mode == "session") {
         // gap-session topology: the BUILT-IN session_window state path —
         // merge-on-update session state per user, append once the
@@ -212,7 +235,7 @@ object StreamBench {
 
     val messages =
       if (mode == "funnel" || mode == "latency" || mode == "bloom" ||
-        mode == "session") rows.toLong
+        mode == "session" || mode == "dedup") rows.toLong
       else rows.toLong * 4
     val windows = progress.map(_.stateOperators.headOption.map(_.numRowsTotal).getOrElse(0L)).maxOption.getOrElse(0L)
     println(s"""{"metric":"stream_rows_per_sec","mode":"$mode","value":${(rows / secs).round},"unit":"rows/sec","dataset_rows":$rows,"keys":$keys,"wire_messages":$messages,"state_rows":$windows,"wall_sec":${math.round(secs * 100) / 100.0}}""")

@@ -250,6 +250,63 @@ object Dedup {
       size(col("p.sh_set")).cast("long").as("n"))
   }
 
+  /** Sketch-accuracy audit for the minhash family — per LSH candidate
+    * pair, the SIGNATURE-estimated similarity next to the exact Jaccard
+    * ingredients, in pure integers: `est_slots` (# agreeing minhash
+    * slots of `bands·rowsPerBand`), the exact `n_inter`/`n_union`
+    * shingle-set counts, and the signed cross-multiplied error
+    * `err_units = est_slots·n_union − numHashes·n_inter` (positive =
+    * sketch overestimates; |err_units|/(numHashes·n_union) is the
+    * absolute error as a fraction, left un-divided to stay
+    * engine-exact). The q_ann_recall twin for the TEXT pipeline: run it
+    * before trusting signature-only shortcuts (e.g. skipping exact
+    * verification) at a new shingle size or band shape.
+    *
+    * Same plan skeleton as [[wordDedupProfiles]] + candidate join; the
+    * slot comparison is a 16-element zip per candidate pair — linear in
+    * candidates, bucketed like every LSH consumer, 100 TB-safe.
+    */
+  def minhashErrorAudit(df: DataFrame, textCol: String, idCol: String,
+                        n: Int = 3, bands: Int = 8,
+                        rowsPerBand: Int = 2): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val numDigests = (numHashes + 3) / 4
+    val prof = spreadByKey(df, col(idCol))
+      .select(col(idCol), lower(trim(col(textCol))).as("t"))
+      .filter(size(split(col("t"), "\\s+")) >= n)
+      .select(col(idCol),
+        graft.functions.WordMinHashProfile
+          .wordMinHashProfile(col("t"), n, numDigests).as("p"))
+      .select(col(idCol), col("p.mins").as("mins"), col("p.sh_set").as("sh_set"))
+      .persist()
+    val bandCols = (0 until bands).map { b =>
+      val members = (0 until rowsPerBand)
+        .map(r => col("mins").getItem(b * rowsPerBand + r))
+      struct(lit(b).as("band"), md5(concat(members: _*)).as("sig"))
+    }
+    val sigs = prof.select(col(idCol), explode(array(bandCols: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val cands = lshCandidatePairs(sigs, idCol)
+    val a = prof.select(col(idCol).as("id_a"), col("mins").as("mins_a"),
+      col("sh_set").as("sh_a"))
+    val b = prof.select(col(idCol).as("id_b"), col("mins").as("mins_b"),
+      col("sh_set").as("sh_b"))
+    graft.core.CacheScope.releaseAfterUse(
+      cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          size(filter(zip_with(col("mins_a"), col("mins_b"),
+            (x, y) => x === y), bb => bb)).cast("long").as("est_slots"),
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+            .as("n_inter"),
+          (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("szsum"))
+        .select(col("id_a"), col("id_b"), col("est_slots"), col("n_inter"),
+          (col("szsum") - col("n_inter")).as("n_union"))
+        .withColumn("err_units",
+          col("est_slots") * col("n_union") -
+            lit(numHashes.toLong) * col("n_inter")),
+      prof)
+  }
+
   /** LSH candidate pairs straight from [[dedupProfiles]] output. */
   def profileCandidatePairs(profiles: DataFrame, idCol: String,
                             maxBucketSize: Option[Int] = None): DataFrame =

@@ -100,6 +100,13 @@ object DedupQueries {
 
     // End of the near-dup pipeline: materialize the cleaned corpus via
     // anti-join against the verified pairs (smallest id survives).
+    // Sketch-accuracy audit: signature-estimated similarity vs exact
+    // Jaccard ingredients per LSH candidate pair, all integers (the
+    // q_ann_recall twin for the text pipeline).
+    "q_minhash_error" -> ((s, d) =>
+      Dedup.minhashErrorAudit(Tables.documents(s, d), "text", "doc_id",
+        n = 3, bands = 8, rowsPerBand = 2)),
+
     "q_dedup_materialize" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val pairs = Dedup.minhashNearDuplicates(docs, "text", "doc_id",
@@ -317,6 +324,33 @@ object DedupQueries {
       s"""WITH $minhashPairsSql
          |SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT id_b FROM pairs)""".stripMargin,
+
+    // Slot agreement from the same mh table the band signatures are
+    // built from; exact set counts from sh. LEFT JOIN + COALESCE keeps
+    // zero-overlap candidate pairs (Spark's array_intersect gives 0).
+    "q_minhash_error" ->
+      s"""WITH $candSql,
+         |agree AS (SELECT c.id_a, c.id_b,
+         |            CAST(COUNT(*) FILTER (x.mh = y.mh) AS BIGINT) AS est_slots
+         |          FROM cand c
+         |          JOIN mh x ON x.doc_id = c.id_a
+         |          JOIN mh y ON y.doc_id = c.id_b AND y.h = x.h
+         |          GROUP BY c.id_a, c.id_b),
+         |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+         |          FROM cand c
+         |          JOIN sh x ON x.doc_id = c.id_a
+         |          JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+         |          GROUP BY c.id_a, c.id_b)
+         |SELECT a.id_a, a.id_b, a.est_slots,
+         |  COALESCE(i.n_inter, 0) AS n_inter,
+         |  sx.n + sy.n - COALESCE(i.n_inter, 0) AS n_union,
+         |  a.est_slots * (sx.n + sy.n - COALESCE(i.n_inter, 0)) -
+         |    16 * COALESCE(i.n_inter, 0) AS err_units
+         |FROM agree a
+         |LEFT JOIN inter i ON i.id_a = a.id_a AND i.id_b = a.id_b
+         |JOIN sz sx ON sx.doc_id = a.id_a
+         |JOIN sz sy ON sy.doc_id = a.id_b""".stripMargin,
 
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $minhashPairsSql,

@@ -276,4 +276,23 @@ class DedupSpec extends SparkSpec {
     // dezab, ezabc, zabcd, abcde(dup)} = 6 distinct, 1 shared
     assert(out.toSeq == Seq((1L, 6L, 1L), (2L, 1L, 1L)))
   }
+
+  test("minhashErrorAudit: identical docs have zero error; invariants hold") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // = doc 1 → all 16 slots agree
+      (3L, "alpha beta gamma zeta epsilon"),
+      (4L, "unrelated words entirely different here")).toDF("doc_id", "text")
+    val rows = Dedup.minhashErrorAudit(d, "text", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // identical pair must be a candidate (every band collides): est 16,
+    // inter = union, err = 16·U − 16·I = 0
+    val (est, i12, u12, err) = rows((1L, 2L))
+    assert(est == 16L && i12 == u12 && err == 0L)
+    // global invariants: slots ≤ 16, inter ≤ union, err formula exact
+    rows.values.foreach { case (e, i, u, er) =>
+      assert(e >= 0L && e <= 16L && i <= u && er == e * u - 16L * i)
+    }
+  }
 }
