@@ -121,4 +121,23 @@ class LakeAndExtensionsSpec extends SparkSpec {
       .head().getLong(0)
     assert(outL == 32L)
   }
+
+  test("ORC and JSON-lines round-trips preserve values and schema") {
+    // the remaining built-in format surface next to CSV (wire) and
+    // parquet (lake): same writer/reader contract, no extra deps.
+    // JSON floats can lose type (long vs double inference), so pin the
+    // read schema like every production JSON landing does.
+    val base = Files.createTempDirectory("fmt").toString
+    val df = graft.core.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text", $"lang", $"n_chars")
+    df.write.orc(s"$base/orc")
+    df.write.json(s"$base/json")
+    val orc = spark.read.orc(s"$base/orc")
+    val json = spark.read.schema(df.schema).json(s"$base/json")
+    assert(orc.schema == df.schema)
+    Seq(orc, json).foreach { back =>
+      assert(back.count() == df.count())
+      assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+    }
+  }
 }
