@@ -225,6 +225,14 @@ object Dedup {
     * but every consumer is set-semantic). The lower+trim normalization
     * stays a Spark projection (same division of labor as
     * [[charDedupProfiles]]); the expression only tokenizes and hashes.
+    *
+    * CONSUMER TRAP: anything that `explode`s `band_sigs` over this
+    * output without a persist in between trips InferFiltersFromGenerate
+    * — the inferred `size(band_sigs) > 0` filter is pushdown-substituted
+    * all the way to the scan, where it evaluates the profile expression
+    * 16× per row (measured 9× wall on q_lsh_bucket_audit). Every
+    * consumer persists the profile table first (cache = the pushdown
+    * barrier); keep doing that.
     */
   def wordDedupProfiles(df: DataFrame, textCol: String, idCol: String,
                         n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
