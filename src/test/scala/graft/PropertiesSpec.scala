@@ -105,4 +105,66 @@ class PropertiesSpec extends SparkSpec {
     assert(r.getDouble(0) == expDouble)
     assert(r.getDouble(1) == expAvg)
   }
+
+  // Adversarial text generator for the native-vs-compositional profile
+  // properties: words with case/accents/digits, separated by runs of
+  // mixed whitespace (spaces, tabs, newlines), with optional leading/
+  // trailing whitespace — exactly the shapes where a hand-rolled
+  // tokenizer could diverge from split(lower(trim(x)), "\s+").
+  private def messyTexts(n: Int): List[String] = {
+    val word = Gen.oneOf("Key", "AGG", "row", "ScAn", "élan", "x9",
+      "the", "π", "a")
+    val ws = Gen.oneOf(" ", "  ", "\t", "\n", " \t ", "\t\t")
+    val text = for {
+      k <- Gen.chooseNum(0, 8)
+      words <- Gen.listOfN(k, word)
+      seps <- Gen.listOfN(math.max(k - 1, 0), ws)
+      lead <- Gen.oneOf("", " ", "\t")
+      trail <- Gen.oneOf("", " ", "\n")
+    } yield lead + words.zip(seps :+ "").map { case (w, s) => w + s }.mkString + trail
+    sample(Gen.listOfN(n, text))
+  }
+
+  test("WordMinHashProfile ≡ compositional profile on adversarial whitespace/unicode") {
+    val docs = messyTexts(300).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), to_json(col("band_sigs")).as("b"),
+          array_sort(col("sh_set")).as("s"), col("n"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getSeq[Long](2), r.getLong(3))))
+        .toMap
+    val composed = key(graft.operators.Dedup.dedupProfiles(
+      graft.operators.Dedup.rawWordShingles(docs, "text", "doc_id", 3),
+      "doc_id", bands = 8, rowsPerBand = 2))
+    val native = key(graft.operators.Dedup.wordDedupProfiles(
+      docs, "text", "doc_id", 3, bands = 8, rowsPerBand = 2))
+    assert(native.keySet == composed.keySet)
+    native.keySet.foreach(id => assert(native(id) == composed(id), s"doc $id"))
+  }
+
+  test("CharEntropyStats ≡ driver-side frequency fold on adversarial text") {
+    val texts = messyTexts(200)
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .charDiversity(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    def fl2(n: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(n)
+    texts.zipWithIndex.foreach { case (t, i) =>
+      // mirror lower(trim(x)): Spark trim strips ASCII space only
+      val norm = t.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+        .toLowerCase
+      val cps = norm.codePoints().toArray
+      if (cps.isEmpty) assert(!got.contains(i.toLong))
+      else {
+        val m = cps.groupBy(identity).map { case (_, v) => v.length.toLong }
+        val want = (cps.length.toLong, m.size.toLong,
+          cps.length.toLong * fl2(cps.length.toLong) -
+            m.map(c => c * fl2(c)).sum)
+        assert(got(i.toLong) == want, s"doc $i '$norm'")
+      }
+    }
+  }
 }
