@@ -55,4 +55,43 @@ class SessionizeSpec extends SparkSpec {
     val got = spark.table("stream_sessions").collect().map(_.toSeq).toSet
     assert(got == expected) // u3's own session stays open and unemitted
   }
+
+  test("session state survives a checkpointed restart and merges across it") {
+    import java.nio.file.{Files, Paths}
+    val in = Files.createTempDirectory("sess-in").toString
+    val out = Files.createTempDirectory("sess-out").toString + "/sessions"
+    val ckpt = Files.createTempDirectory("sess-ckpt").toString
+
+    def runOnce(): Unit = {
+      val ev = spark.readStream.schema("user_id LONG, ts TIMESTAMP")
+        .option("header", "true").csv(in)
+      val q = graft.operators.Sessionize.sessionsStream(ev, "user_id", "ts",
+          "15 seconds", "30 seconds",
+          Seq(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n_events")))
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", out).option("checkpointLocation", ckpt).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    // run 1: an OPEN session (not emitted — watermark never passes it)
+    Files.writeString(Paths.get(s"$in/b1.csv"),
+      "user_id,ts\n1,1970-01-01 00:00:00\n1,1970-01-01 00:00:10\n")
+    runOnce()
+    // run 2 (fresh query, same checkpoint): an event 10s after the
+    // stored session's last — MUST merge into the restored state — plus
+    // a far-future event that advances the watermark past the close
+    Files.writeString(Paths.get(s"$in/b2.csv"),
+      "user_id,ts\n1,1970-01-01 00:00:20\n9,1970-01-01 00:20:00\n")
+    runOnce()
+
+    val got = spark.read.parquet(out)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // one merged session [0, 20+15) with all 3 events — proof the
+    // pre-restart state participated; user 9's session stays open
+    assert(got == Set((1L, 0L, 35L, 3L)))
+  }
 }
