@@ -133,6 +133,28 @@ object StreamBench {
           .writeStream.format("noop").outputMode("append")
           .option("checkpointLocation", s"$dir/ckpt").start()
         (q, users, t0)
+      } else if (mode == "lsh") {
+        // near-dup screen topology: stream-static LSH signature joins
+        // against a static ingested corpus (the q_dedup_incremental
+        // shape per trigger). Same 2×|corpus| id mapping as bloom mode:
+        // ~50% of streamed docs are true dups, so the collide+verify
+        // path is hot, not just the no-collision fast path.
+        val corpusN = math.max(1000, rows / 10)
+        spark.range(rows)
+          .select(col("id").as("doc_id"),
+            docText(pmod(col("id") * 31, lit(corpusN * 2L))).as("text"))
+          .repartition(8).write.option("header", "true").csv(s"$dir/in")
+        val corpus = spark.range(corpusN)
+          .select(col("id").as("doc_id"), docText(col("id")).as("text"))
+        val t0 = System.nanoTime()
+        val reader = spark.readStream.schema("doc_id LONG, text STRING")
+          .option("header", "true")
+        if (filesPerTrigger != "0") reader.option("maxFilesPerTrigger", filesPerTrigger)
+        val q = graft.operators.Dedup.lshScreenStream(
+            reader.csv(s"$dir/in"), corpus, "text", "doc_id")
+          .writeStream.format("noop").outputMode("append")
+          .option("checkpointLocation", s"$dir/ckpt").start()
+        (q, corpusN, t0)
       } else if (mode == "dedup") {
         // at-least-once repair topology: dropDuplicatesWithinWatermark
         // keyed by message id — the T1 effectively-once screen at
@@ -235,7 +257,7 @@ object StreamBench {
 
     val messages =
       if (mode == "funnel" || mode == "latency" || mode == "bloom" ||
-        mode == "session" || mode == "dedup") rows.toLong
+        mode == "session" || mode == "dedup" || mode == "lsh") rows.toLong
       else rows.toLong * 4
     val windows = progress.map(_.stateOperators.headOption.map(_.numRowsTotal).getOrElse(0L)).maxOption.getOrElse(0L)
     println(s"""{"metric":"stream_rows_per_sec","mode":"$mode","value":${(rows / secs).round},"unit":"rows/sec","dataset_rows":$rows,"keys":$keys,"wire_messages":$messages,"state_rows":$windows,"wall_sec":${math.round(secs * 100) / 100.0}}""")

@@ -919,4 +919,62 @@ object Dedup {
       idCol)
       .select(col(idCol), col("cand"), col("dup"))
   }
+
+  /** STREAMING twin of the incremental LSH near-dup path
+    * ([[crossCorpusCandidates]] / q_dedup_incremental): probe an
+    * unbounded document stream against a STATIC ingested corpus'
+    * word-minhash profile table, emitting verified near-dup pairs
+    * (idCol, ref_id, jaccard) in Append mode. Stateless stream-static
+    * shape, exactly like [[bloomScreenStream]]: the corpus sig and
+    * sh_set tables are built ONCE (eagerly localCheckpoint'ed), and
+    * each micro-batch pays the native profile projection, the band-sig
+    * explode, and two keyed stream-static joins — the batch plan,
+    * applied per trigger.
+    *
+    * Pair-emission semantics are at-least-once: a pair colliding in k
+    * bands is emitted k times (de-duplicating would need a keyed state
+    * store this screen deliberately does not have); the downstream
+    * materializer is set-semantic and LshScreenStreamSpec pins DISTINCT
+    * stream pairs ≡ the batch [[crossCorpusCandidates]] +
+    * [[jaccardFromProfiles]] composition.
+    */
+  def lshScreenStream(stream: DataFrame, corpus: DataFrame, textCol: String,
+                      idCol: String, n: Int = 3, bands: Int = 8,
+                      rowsPerBand: Int = 2, threshold: Double = 0.5): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val numDigests = (numHashes + 3) / 4
+    val refProf = wordDedupProfiles(corpus, textCol, idCol, n, bands, rowsPerBand)
+      .localCheckpoint()
+    val refSigs = refProf
+      .select(col(idCol).as("ref_id"), explode(col("band_sigs")).as("bs"))
+      .select(col("ref_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .localCheckpoint()
+    val refSets = refProf
+      .select(col(idCol).as("ref_id"), col("sh_set").as("ref_sh"))
+      .localCheckpoint()
+    val prof = stream
+      .select(col(idCol), lower(trim(col(textCol))).as("t"))
+      .filter(size(split(col("t"), "\\s+")) >= n)
+      .select(col(idCol),
+        graft.functions.WordMinHashProfile
+          .wordMinHashProfile(col("t"), n, numDigests).as("p"))
+    val bandCols = (0 until bands).map { b =>
+      val members = (0 until rowsPerBand)
+        .map(r => col("p.mins").getItem(b * rowsPerBand + r))
+      struct(lit(b).as("band"), md5(concat(members: _*)).as("sig"))
+    }
+    val sSigs = prof.select(col(idCol), col("p.sh_set").as("new_sh"),
+        explode(array(bandCols: _*)).as("bs"))
+      .select(col(idCol), col("new_sh"), col("bs.band").as("band"),
+        col("bs.sig").as("sig"))
+    sSigs.join(refSigs, Seq("band", "sig"))
+      .join(refSets, Seq("ref_id"))
+      .select(col(idCol), col("ref_id"),
+        size(array_intersect(col("new_sh"), col("ref_sh"))).cast("long")
+          .as("n_inter"),
+        (size(col("new_sh")) + size(col("ref_sh"))).cast("long").as("sz"))
+      .select(col(idCol), col("ref_id"),
+        (col("n_inter") / (col("sz") - col("n_inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
 }
