@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -71,5 +72,47 @@ object Profiling {
     df.join(stats, Seq(groupCol))
       .filter(dev * dev > lit(k * k).cast(d38) * varN2)
       .drop("_n", "_s", "_v")
+  }
+
+  /** Two-sample histogram drift per group — the "did the new snapshot's
+    * distribution move?" monitor a corpus pipeline runs between ingests.
+    * Rows are split into sides A/B by `sideACond`; `valueCol` is binned
+    * into `binWidth`-wide bins capped at `maxBin`; the per-group drift
+    * statistic is the L1 distance between the two sides' normalized
+    * histograms, kept FRACTION-FREE so it is bit-identical across
+    * engines:
+    *
+    *   L1·(nA·nB) = Σ_bins |cA·nB − cB·nA|,  reported in ppm as
+    *   l1_ppm = (Σ|cA·nB − cB·nA| · 10⁶) div (nA·nB)  ∈ [0, 2·10⁶].
+    *
+    * Products are DECIMAL(38,0) (DuckDB mirror: HUGEINT): with counts
+    * ≤ 10¹⁰ every term stays under 10²⁶. Plan shape: one (group, bin)
+    * partial-aggregated shuffle over the facts, then a window + final
+    * aggregate over ≤ maxBin+1 rows per group — the second stage is
+    * negligible at any scale. NULL l1_ppm/drifted when either side of a
+    * group is empty (drift is undefined, not zero).
+    */
+  def histogramDrift(df: DataFrame, groupCol: String, sideACond: Column,
+      valueCol: String, binWidth: Long, maxBin: Int,
+      driftPpmThreshold: Long = 300000L): DataFrame = {
+    val c = df
+      .select(col(groupCol), sideACond.as("is_a"),
+        least(expr(s"$valueCol div $binWidth"), lit(maxBin.toLong)).as("bin"))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+    val w = Window.partitionBy(col(groupCol))
+    val l1Ppm = expr(
+      "(l1 * 1000000) div (CAST(n_a AS DECIMAL(38,0)) * n_b)")
+    c.withColumn("n_a", sum(col("ca")).over(w))
+      .withColumn("n_b", sum(col("cb")).over(w))
+      .groupBy(col(groupCol))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum(abs(col("ca").cast(d38) * col("n_b") -
+          col("cb").cast(d38) * col("n_a"))).as("l1"))
+      .select(col(groupCol), col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0, l1Ppm).as("l1_ppm"))
+      .withColumn("drifted",
+        when(col("l1_ppm").isNotNull, col("l1_ppm") >= driftPpmThreshold))
   }
 }

@@ -472,4 +472,47 @@ object TextAnalysis {
         size(col("chunk")).cast("long").as("n_chunk_toks"),
         md5(concat_ws(" ", col("chunk"))).as("chunk_fp"))
   }
+
+  /** Feature-hash bucket count for [[hashedLinearScore]]. 256 keeps the
+    * affine products under 2⁴⁰ (overflow-safe in any engine's int64)
+    * while still exercising real bucket collisions on the fixture vocab.
+    */
+  val logitBuckets = 256
+
+  /** Deterministic stand-in weight table for [[hashedLinearScore]]:
+    * w(b) = (b · 2654435761) mod 2003 − 1001 ∈ [−1001, 1001] — a
+    * Knuth-multiplier scramble so adjacent buckets get unrelated signs.
+    * A trained model would replace this with a broadcast lookup; keeping
+    * it affine lets the DuckDB oracle recompute every weight exactly.
+    */
+  private def bucketWeight(h: Column): Column =
+    (h % logitBuckets) * lit(2654435761L) % 2003L - 1001L
+
+  /** Hashing-trick linear classifier INFERENCE — the fastText-style
+    * quality-filter shape production corpus pipelines run over every
+    * document: hash each token into one of [[logitBuckets]] feature
+    * buckets, sum the buckets' integer weights into a logit, threshold
+    * into a keep/drop decision.
+    *
+    * ONE narrow projection per row: token split → native
+    * [[graft.functions.RollingHash]] per token inside the `transform`
+    * lambda (child evaluated once per element — no per-character
+    * re-evaluation hazard) → integer fold. No explode, no shuffle, no
+    * UDF; at 100 TB this runs at scan speed and composes with any
+    * downstream filter. All arithmetic is exact int64 (hash < 2³⁰,
+    * bucket < 2⁸, product < 2⁴⁰), so every engine agrees bit-for-bit.
+    *
+    * Output: (idCol, n_scored_tokens, logit, decision).
+    */
+  def hashedLinearScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toksF = filter(toks(col(textCol)), t => t =!= "")
+    val weights = transform(toksF,
+      t => bucketWeight(graft.functions.RollingHash.rollingHash(t)))
+    df.select(
+        col(idCol),
+        size(toksF).cast("long").as("n_scored_tokens"),
+        aggregate(weights, lit(0L), (acc, w) => acc + w).as("logit"))
+      .withColumn("decision",
+        when(col("logit") >= 0, lit("keep")).otherwise(lit("drop")))
+  }
 }

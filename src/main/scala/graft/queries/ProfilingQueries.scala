@@ -105,7 +105,17 @@ object ProfilingQueries {
       val minLen = gate("documents.min_200_chars",
         docs.select((col("n_chars") < 200).as("viol")))
       range.union(fk).union(uniq).union(cons).union(biz).union(minLen)
-    })
+    }),
+
+    // Distribution drift between two corpus snapshots (stand-in: the
+    // even/odd doc_id halves) — per-language fraction-free histogram-L1
+    // in ppm over 200-char-wide length bins. The inter-ingest monitor
+    // that catches "the new crawl's documents are suddenly shorter"
+    // before training does.
+    "q_drift" -> ((s, d) =>
+      Profiling.histogramDrift(Tables.documents(s, d),
+        groupCol = "lang", sideACond = pmod(col("doc_id"), lit(2)) === 0,
+        valueCol = "n_chars", binWidth = 200L, maxBin = 9))
   )
 
   private val profileOracle = profileCols.map { c =>
@@ -188,6 +198,37 @@ object ProfilingQueries {
         |UNION ALL
         |SELECT 'documents.min_200_chars', COUNT(*),
         |  COUNT(*) FILTER (n_chars < 200)
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // Mirrors Profiling.histogramDrift: HUGEINT cross-multiplied L1,
+    // integer // division, NULL when either side is empty.
+    "q_drift" ->
+      """WITH s AS (
+        |  SELECT lang, doc_id % 2 = 0 AS is_a,
+        |    least(n_chars // 200, 9) AS bin
+        |  FROM documents
+        |), c AS (
+        |  SELECT lang, bin,
+        |    CAST(COUNT(*) FILTER (is_a) AS BIGINT) AS ca,
+        |    CAST(COUNT(*) FILTER (NOT is_a) AS BIGINT) AS cb
+        |  FROM s GROUP BY lang, bin
+        |), t AS (
+        |  SELECT lang, CAST(SUM(ca) AS BIGINT) AS n_a,
+        |    CAST(SUM(cb) AS BIGINT) AS n_b
+        |  FROM c GROUP BY lang
+        |), l AS (
+        |  SELECT c.lang,
+        |    SUM(abs(CAST(c.ca AS HUGEINT) * t.n_b - CAST(c.cb AS HUGEINT) * t.n_a))
+        |      AS l1
+        |  FROM c JOIN t USING (lang) GROUP BY c.lang
+        |)
+        |SELECT t.lang, t.n_a, t.n_b,
+        |  CASE WHEN t.n_a > 0 AND t.n_b > 0
+        |       THEN CAST((l.l1 * 1000000) // (CAST(t.n_a AS HUGEINT) * t.n_b)
+        |                 AS BIGINT) END AS l1_ppm,
+        |  CASE WHEN t.n_a > 0 AND t.n_b > 0
+        |       THEN (l.l1 * 1000000) // (CAST(t.n_a AS HUGEINT) * t.n_b) >= 300000
+        |       END AS drifted
+        |FROM t JOIN l USING (lang)""".stripMargin
   )
 }

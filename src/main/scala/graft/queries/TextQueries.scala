@@ -35,6 +35,12 @@ object TextQueries {
     "q_quality_score" -> ((s, d) =>
       TextAnalysis.qualityScore(Tables.documents(s, d), "text", "doc_id")),
 
+    // Hashing-trick linear classifier inference (fastText-style quality
+    // filter): per-token bucket hash + integer weight fold, one
+    // projection, no shuffle — see TextAnalysis.hashedLinearScore.
+    "q_quality_logit" -> ((s, d) =>
+      TextAnalysis.hashedLinearScore(Tables.documents(s, d), "text", "doc_id")),
+
     // rollingHash is a per-character fold (interpreted HOF) — spread the
     // sub-split-size scan across all cores before paying it
     "q_fingerprint" -> ((s, d) =>
@@ -419,6 +425,30 @@ object TextQueries {
          |       WHEN ttr >= 0.25 THEN 'medium'
          |       ELSE 'low' END AS quality
          |FROM r""".stripMargin,
+
+    // Mirrors TextAnalysis.hashedLinearScore exactly: same rolling hash
+    // per token (list_reduce's no-init fold matches the 0-seeded fold
+    // because 0·31+c₁ = c₁), same bucket mod 256, same affine weight,
+    // same 0-seeded sum (list_sum over the empty token list is NULL →
+    // COALESCE 0, matching aggregate's 0 init).
+    "q_quality_logit" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter($toksSql, t -> t <> '') AS toks
+         |  FROM documents
+         |), w AS (
+         |  SELECT doc_id, toks,
+         |    list_transform(toks, t ->
+         |      ((list_reduce(list_transform(generate_series(1, length(t)),
+         |            i -> CAST(ascii(substr(t, i, 1)) AS BIGINT)),
+         |          (acc, c) -> (acc * 31 + c) % 1000000007) % 256)
+         |        * 2654435761) % 2003 - 1001) AS ws
+         |  FROM t
+         |)
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_scored_tokens,
+         |  CAST(COALESCE(list_sum(ws), 0) AS BIGINT) AS logit,
+         |  CASE WHEN COALESCE(list_sum(ws), 0) >= 0 THEN 'keep'
+         |       ELSE 'drop' END AS decision
+         |FROM w""".stripMargin,
 
     "q_fingerprint" ->
       """WITH n AS (SELECT doc_id,

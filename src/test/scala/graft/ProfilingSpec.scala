@@ -65,4 +65,36 @@ class ProfilingSpec extends SparkSpec {
     assert(RangeJoin.intervalOverlap(left, right, "ls", "le", "rs", "re", 100L)
       .count() == 1)
   }
+
+  test("histogramDrift: identical sides → 0 ppm; disjoint bins → 2M ppm") {
+    // group g1: both sides put 2 rows in bin 0 and 1 row in bin 1 → L1 = 0.
+    // group g2: side A all in bin 0, side B all in bin 2 → L1 = 2 (max).
+    val rows = Seq(
+      ("g1", true, 5L), ("g1", true, 15L), ("g1", true, 105L),
+      ("g1", false, 7L), ("g1", false, 17L), ("g1", false, 107L),
+      ("g2", true, 5L), ("g2", true, 15L),
+      ("g2", false, 205L), ("g2", false, 215L), ("g2", false, 225L))
+      .toDF("g", "a", "v")
+    val out = Profiling.histogramDrift(rows, "g", col("a"), "v",
+        binWidth = 100L, maxBin = 9)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.get(3), r.get(4))).toMap
+    assert(out("g1") == ((3L, 3L, 0L, false)))
+    assert(out("g2") == ((2L, 3L, 2000000L, true)))
+  }
+
+  test("histogramDrift: an empty side yields NULL drift, not zero") {
+    val rows = Seq(("g", true, 5L), ("g", true, 15L)).toDF("g", "a", "v")
+    val r = Profiling.histogramDrift(rows, "g", col("a"), "v", 100L, 9).head()
+    assert(r.getLong(1) == 2L && r.getLong(2) == 0L)
+    assert(r.isNullAt(3) && r.isNullAt(4))
+  }
+
+  test("histogramDrift caps overflow bins at maxBin") {
+    // values past maxBin·width all land in the cap bin on both sides
+    val rows = Seq(("g", true, 100000L), ("g", false, 999999L))
+      .toDF("g", "a", "v")
+    val r = Profiling.histogramDrift(rows, "g", col("a"), "v", 100L, 9).head()
+    assert(r.get(3) == 0L) // same (capped) bin → no drift
+  }
 }

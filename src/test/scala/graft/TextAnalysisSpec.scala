@@ -196,4 +196,33 @@ class TextAnalysisSpec extends SparkSpec {
       assert(out(i.toLong) == want, s"url $u")
     }
   }
+
+  test("hashedLinearScore matches a hand-computed fold") {
+    // weight of token t: h = fold(h·31 + cp) mod 1e9+7 over lowercased
+    // t, then ((h mod 256)·2654435761) mod 2003 − 1001 — recomputed
+    // here from first principles.
+    def w(tok: String): Long = {
+      val h = tok.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L)
+      (h % 256) * 2654435761L % 2003L - 1001L
+    }
+    val d = Seq((1L, "The  quick brown FOX"), (2L, ""), (3L, "   "))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.hashedLinearScore(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val want1 = Seq("the", "quick", "brown", "fox").map(w).sum
+    assert(out(1L)._1 == 4L && out(1L)._2 == want1)
+    assert(out(1L)._3 == (if (want1 >= 0) "keep" else "drop"))
+    // empty / whitespace-only docs score the bias (0) and keep
+    assert(out(2L) == ((0L, 0L, "keep")))
+    assert(out(3L) == ((0L, 0L, "keep")))
+  }
+
+  test("hashedLinearScore decisions split the fixture corpus both ways") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val byDec = TextAnalysis.hashedLinearScore(docs, "text", "doc_id")
+      .groupBy("decision").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDec.getOrElse("keep", 0L) > 0 && byDec.getOrElse("drop", 0L) > 0)
+  }
 }
