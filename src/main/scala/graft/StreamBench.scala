@@ -121,6 +121,24 @@ object StreamBench {
           .writeStream.format("noop").outputMode("append")
           .option("checkpointLocation", s"$dir/ckpt").start()
         (q, corpusN, t0)
+      } else if (mode == "logit") {
+        // inline model-inference screen: the hashing-trick quality
+        // classifier as a pure streaming projection — no state store,
+        // no stream-static join; measures the per-row inference cost
+        // (token split + native RollingHash per token + integer fold)
+        // riding the ingest path.
+        spark.range(rows)
+          .select(col("id").as("doc_id"), docText(col("id")).as("text"))
+          .repartition(8).write.option("header", "true").csv(s"$dir/in")
+        val t0 = System.nanoTime()
+        val reader = spark.readStream.schema("doc_id LONG, text STRING")
+          .option("header", "true")
+        if (filesPerTrigger != "0") reader.option("maxFilesPerTrigger", filesPerTrigger)
+        val q = graft.operators.TextAnalysis.hashedLinearScore(
+            reader.csv(s"$dir/in"), "text", "doc_id")
+          .writeStream.format("noop").outputMode("append")
+          .option("checkpointLocation", s"$dir/ckpt").start()
+        (q, rows, t0)
       } else if (mode == "funnel") {
         // the flatMapGroupsWithState path (per-key O(1) state, no
         // windowed aggregation, no wire demux)
@@ -257,7 +275,8 @@ object StreamBench {
 
     val messages =
       if (mode == "funnel" || mode == "latency" || mode == "bloom" ||
-        mode == "session" || mode == "dedup" || mode == "lsh") rows.toLong
+        mode == "session" || mode == "dedup" || mode == "lsh" ||
+        mode == "logit") rows.toLong
       else rows.toLong * 4
     val windows = progress.map(_.stateOperators.headOption.map(_.numRowsTotal).getOrElse(0L)).maxOption.getOrElse(0L)
     println(s"""{"metric":"stream_rows_per_sec","mode":"$mode","value":${(rows / secs).round},"unit":"rows/sec","dataset_rows":$rows,"keys":$keys,"wire_messages":$messages,"state_rows":$windows,"wall_sec":${math.round(secs * 100) / 100.0}}""")
