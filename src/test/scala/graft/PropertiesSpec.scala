@@ -167,4 +167,61 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("histogramDrift equals a BigInt brute-force L1 on random samples") {
+    val width = 100L
+    val maxBin = 9
+    val rows = sample(org.scalacheck.Gen.listOfN(600, org.scalacheck.Gen.zip(
+      org.scalacheck.Gen.oneOf("g1", "g2", "g3"),
+      org.scalacheck.Gen.oneOf(true, false),
+      org.scalacheck.Gen.chooseNum(0L, 2500L)))) // 2500/100 > 9 → cap hit
+    val got = graft.operators.Profiling
+      .histogramDrift(rows.toDF("g", "a", "v"), "g", col("a"), "v",
+        width, maxBin)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)), Option(r.get(4)))))
+      .toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val bins = rs.groupBy(r => math.min(r._3 / width, maxBin.toLong))
+      val na = rs.count(_._2).toLong
+      val nb = rs.count(!_._2).toLong
+      val l1 = bins.values.map { b =>
+        (BigInt(b.count(_._2)) * nb - BigInt(b.count(!_._2)) * na).abs
+      }.sum
+      val ppm = if (na > 0 && nb > 0)
+        Some((l1 * 1000000 / (BigInt(na) * nb)).toLong) else None
+      assert(got(g) == ((na, nb, ppm, ppm.map(_ >= 300000L))), s"group $g")
+    }
+  }
+
+  test("hashedLinearScore equals the broadcast weight-table join path") {
+    // the scaladoc claim: a trained model swaps in as a broadcast
+    // lookup with the same result — pin fold ≡ explode+join+sum
+    val words = Seq("the", "FOX!", "123", "éclair", "naïve", "zz",
+      "...", "Lorem", "IPSUM", "a")
+    val texts = sample(org.scalacheck.Gen.listOfN(80,
+      org.scalacheck.Gen.listOf(org.scalacheck.Gen.oneOf(words))
+        .map(_.mkString(" "))))
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .hashedLinearScore(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val wtable = spark.range(256).select(col("id").as("bucket"),
+      (col("id") * 2654435761L % 2003L - 1001L).as("w"))
+    val joined = docs
+      .select(col("doc_id"), explode(filter(
+        graft.operators.Dedup.tokens(col("text")), t => t =!= "")).as("tok"))
+      .select(col("doc_id"),
+        (graft.functions.RollingHash.rollingHash(col("tok")) % 256)
+          .as("bucket"))
+      .join(broadcast(wtable), Seq("bucket"))
+      .groupBy("doc_id").agg(sum("w").as("logit"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (id, (n, logit)) =>
+      if (n == 0) assert(logit == 0L, s"doc $id")
+      else assert(joined(id) == logit, s"doc $id")
+    }
+  }
 }
