@@ -144,7 +144,15 @@ object SimilarityQueries {
     "q_ann_recall" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.annRecall(emb, emb.filter(col("vec_id") < 10), 10, planes = 3)
-    })
+    }),
+
+    // Hard-negative mining for contrastive training: per anchor, top-3
+    // most-similar vectors from a DIFFERENT k-means cell — sign-LSH
+    // multi-probe candidates × the semanticDedup cell partition, all
+    // bucket/cell equi-joins (never all-pairs).
+    "q_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(Tables.embeddings(s, d), k = 3, planes = 4,
+        cells = 8))
   )
 
   /** Oracle fragments: fold-order-exact cosine between q.v and c.v. */
@@ -255,6 +263,43 @@ object SimilarityQueries {
          |  COALESCE(na.n_approx, CAST(0 AS BIGINT)) AS n_approx, j.n_hit,
          |  CAST(j.n_hit * 1000 // j.n_exact AS BIGINT) AS recall_permille
          |FROM j LEFT JOIN na ON na.query_id = j.query_id""".stripMargin,
+
+    // Mirrors Similarity.hardNegatives stage-for-stage: the
+    // q_semantic_dedup cell assignment (integer L2 argmin, ties →
+    // lowest cid), the q_embedding_ann multi-probe screen (self bucket
+    // + 4 single-bit flips), cross-cell filter, top-3 per anchor.
+    "q_hard_negatives" ->
+      s"""WITH e AS ($vecsSql),
+         |b AS (SELECT vec_id, v, $bucket4Sql AS bucket FROM e),
+         |q AS (SELECT vec_id, i - 1 AS pos,
+         |        CAST(floor(v[i] * 1000) AS BIGINT) AS qv
+         |      FROM (SELECT vec_id, v, unnest(generate_series(1, $dim)) AS i FROM e)),
+         |seeds AS (SELECT vec_id AS cid FROM embeddings ORDER BY vec_id LIMIT 8),
+         |cq AS (SELECT s.cid, q.pos, q.qv AS qc FROM seeds s
+         |       JOIN q ON q.vec_id = s.cid),
+         |a1 AS (SELECT v.vec_id, c.cid,
+         |         SUM((v.qv - c.qc) * (v.qv - c.qc)) AS dist
+         |       FROM q v JOIN cq c USING (pos) GROUP BY v.vec_id, c.cid),
+         |asg AS (SELECT vec_id, cid FROM (
+         |          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |            ORDER BY dist ASC, cid ASC) AS rn FROM a1) WHERE rn = 1),
+         |pr AS (SELECT vec_id, v,
+         |         unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+         |                 xor(bucket, 4), xor(bucket, 8)]) AS bucket
+         |       FROM b),
+         |p AS (
+         |  SELECT q.vec_id AS anchor_id, c.vec_id AS negative_id,
+         |    $cosineSql AS sim
+         |  FROM pr q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+         |  JOIN asg aq ON aq.vec_id = q.vec_id
+         |  JOIN asg ac ON ac.vec_id = c.vec_id AND ac.cid <> aq.cid
+         |), r AS (
+         |  SELECT anchor_id, negative_id, sim,
+         |    row_number() OVER (PARTITION BY anchor_id
+         |                       ORDER BY sim DESC, negative_id ASC) AS rank
+         |  FROM p
+         |)
+         |SELECT anchor_id, negative_id, sim, rank FROM r WHERE rank <= 3""".stripMargin,
 
     "q_knn_brute" ->
       s"""WITH e AS ($vecsSql),

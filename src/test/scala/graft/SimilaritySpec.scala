@@ -225,4 +225,42 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_.getLong(2)).toSeq == Seq(0L, 0L))
     assert(out.forall(_.isNullAt(3)))
   }
+
+  test("hardNegatives: bucket-close cross-cell vectors, ranked by sim") {
+    // seeds 0/1 split the space by the sign of v[1]; vectors 2/3 sit
+    // just either side of that boundary, so their sign buckets differ
+    // by ONE bit (the multi-probe reach) while their cells differ.
+    val df = Seq(
+      (0L, Array(1.0f, 1.0f)),   // seed cell 0, bucket 3
+      (1L, Array(1.0f, -1.0f)),  // seed cell 1, bucket 1
+      (2L, Array(0.9f, 0.15f)),  // cell 0, bucket 3
+      (3L, Array(0.9f, -0.15f))  // cell 1, bucket 1
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.hardNegatives(df, k = 3, planes = 2, cells = 2)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(3)).map(_.getLong(1)).toSeq).toMap
+    // anchor 2's candidates are {0 (same cell, dropped), 3, 1}; the
+    // near-boundary twin 3 outranks the far seed 1 on cosine
+    assert(out(2L) == Seq(3L, 1L))
+    assert(out(3L) == Seq(2L, 0L))
+  }
+
+  test("hardNegatives never pairs an anchor with its own cell (fixture corpus)") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val asg = Similarity.cellAssignments(emb, 8, "vec_id", "embedding", 1000)
+    val neg = Similarity.hardNegatives(emb, k = 3, planes = 4, cells = 8)
+    val sameCell = neg
+      .join(asg.select(col("vid").as("anchor_id"), col("cid").as("ca")), "anchor_id")
+      .join(asg.select(col("vid").as("negative_id"), col("cid").as("cn")), "negative_id")
+      .filter(col("ca") === col("cn")).count()
+    assert(sameCell == 0)
+    // ranks are 1..k and sims descend within each anchor
+    val bad = neg.groupBy("anchor_id")
+      .agg(max("rank").as("mx"), count(lit(1)).as("n"),
+        min(col("rank")).as("mn"))
+      .filter(col("mx") > 3 || col("mx") =!= col("n") || col("mn") =!= 1)
+      .count()
+    assert(bad == 0)
+  }
 }
