@@ -4,6 +4,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.core.PipelineConfig
+import graft.operators.Profiling
 import graft.streaming.StreamingPipeline
 
 /** Streaming-throughput main: replays the reference's full workload
@@ -139,6 +140,34 @@ object StreamBench {
           .writeStream.format("noop").outputMode("append")
           .option("checkpointLocation", s"$dir/ckpt").start()
         (q, rows, t0)
+      } else if (mode == "drift") {
+        // distribution-drift monitor topology: ONE windowed stateful
+        // aggregation emitting the whole bin vector, then a stateless
+        // broadcast join against the static full-day baseline — the
+        // "is the live feed still yesterday's distribution?" alarm.
+        // Value = floor(cpu_pct·100) (exact integral quantization).
+        val servers = writeSyntheticDay(spark, dir, rows)
+        val base = Profiling.histogramBaseline(
+          spark.read.schema(graft.core.Schemas.dataset).option("header", "true")
+            .csv(s"$dir/in")
+            .select(col("server_id"),
+              floor(col("cpu_pct") * 100).cast("long").as("qv")),
+          "server_id", "qv", binWidth = 1000L, maxBin = 9)
+        val t0 = System.nanoTime()
+        val reader = spark.readStream.schema(graft.core.Schemas.dataset)
+          .option("header", "true")
+        if (filesPerTrigger != "0") reader.option("maxFilesPerTrigger", filesPerTrigger)
+        val ev = reader.csv(s"$dir/in")
+          .select(graft.operators.RefOps.anchorTimeOfDay(col("ts")).as("ts"),
+            col("server_id"),
+            floor(col("cpu_pct") * 100).cast("long").as("qv"))
+        val q = Profiling.histogramDriftStream(ev, base,
+            groupCol = "server_id", tsCol = "ts", valueCol = "qv",
+            binWidth = 1000L, maxBin = 9,
+            windowDur = "60 seconds", watermarkDur = "120 seconds")
+          .writeStream.format("noop").outputMode("append")
+          .option("checkpointLocation", s"$dir/ckpt").start()
+        (q, servers, t0)
       } else if (mode == "funnel") {
         // the flatMapGroupsWithState path (per-key O(1) state, no
         // windowed aggregation, no wire demux)
@@ -276,7 +305,7 @@ object StreamBench {
     val messages =
       if (mode == "funnel" || mode == "latency" || mode == "bloom" ||
         mode == "session" || mode == "dedup" || mode == "lsh" ||
-        mode == "logit") rows.toLong
+        mode == "logit" || mode == "drift") rows.toLong
       else rows.toLong * 4
     val windows = progress.map(_.stateOperators.headOption.map(_.numRowsTotal).getOrElse(0L)).maxOption.getOrElse(0L)
     println(s"""{"metric":"stream_rows_per_sec","mode":"$mode","value":${(rows / secs).round},"unit":"rows/sec","dataset_rows":$rows,"keys":$keys,"wire_messages":$messages,"state_rows":$windows,"wall_sec":${math.round(secs * 100) / 100.0}}""")

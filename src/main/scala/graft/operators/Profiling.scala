@@ -115,4 +115,59 @@ object Profiling {
       .withColumn("drifted",
         when(col("l1_ppm").isNotNull, col("l1_ppm") >= driftPpmThreshold))
   }
+
+  /** Static-side reference histogram for [[histogramDriftStream]]: one
+    * row per group with fixed-width bin counts as columns b0..b{maxBin}
+    * plus the group total `n_ref` — the broadcastable "yesterday's
+    * corpus" shape, |groups|·(maxBin+2) cells regardless of corpus
+    * size. `valueCol` must be integral (quantize doubles with
+    * floor(x·k) first, as everywhere else in this library).
+    */
+  def histogramBaseline(df: DataFrame, groupCol: String, valueCol: String,
+      binWidth: Long, maxBin: Int): DataFrame = {
+    val bin = least(expr(s"$valueCol div $binWidth"), lit(maxBin.toLong))
+    val cs = (0 to maxBin).map(b =>
+      sum(when(bin === b, 1L).otherwise(0L)).as(s"b$b"))
+    df.groupBy(col(groupCol)).agg(cs.head, cs.tail: _*)
+      .withColumn("n_ref", (0 to maxBin).map(i => col(s"b$i")).reduce(_ + _))
+  }
+
+  /** Streaming twin of [[histogramDrift]]: per event-time window and
+    * group, the L1 drift of the window's value histogram against a
+    * STATIC baseline ([[histogramBaseline]]) — the "is the live feed's
+    * distribution still yesterday's?" alarm.
+    *
+    * Deliberately ONE stateful operator: the windowed aggregation emits
+    * the whole bin vector as maxBin+1 conditional sums in a single
+    * pass, so the L1 fold against the broadcast baseline is a stateless
+    * projection — no chained stateful aggregations, no second shuffle,
+    * state = open windows × groups × (maxBin+2) longs. Same
+    * fraction-free ppm arithmetic as the batch operator. Groups absent
+    * from the baseline are dropped (drift vs nothing is undefined);
+    * Append emission = the batch verdict for each closed window.
+    */
+  def histogramDriftStream(stream: DataFrame, baseline: DataFrame,
+      groupCol: String, tsCol: String, valueCol: String,
+      binWidth: Long, maxBin: Int, windowDur: String, watermarkDur: String,
+      ppmThreshold: Long = 300000L): DataFrame = {
+    val bin = least(expr(s"$valueCol div $binWidth"), lit(maxBin.toLong))
+    val as = (0 to maxBin).map(b =>
+      sum(when(bin === b, 1L).otherwise(0L)).as(s"a$b"))
+    val counts = stream.withWatermark(tsCol, watermarkDur)
+      .groupBy(window(col(tsCol), windowDur), col(groupCol))
+      .agg(as.head, as.tail: _*)
+      .withColumn("n_win", (0 to maxBin).map(i => col(s"a$i")).reduce(_ + _))
+    val l1 = (0 to maxBin).map(i =>
+      abs(col(s"a$i").cast(d38) * col("n_ref") -
+        col(s"b$i").cast(d38) * col("n_win"))).reduce(_ + _)
+    counts.join(broadcast(baseline), Seq(groupCol))
+      .withColumn("l1", l1)
+      .select(col("window.start").as("window_start"), col(groupCol),
+        col("n_win"), col("n_ref"),
+        when(col("n_win") > 0 && col("n_ref") > 0,
+          expr("(l1 * 1000000) div (CAST(n_win AS DECIMAL(38,0)) * n_ref)"))
+          .as("l1_ppm"))
+      .withColumn("drifted",
+        when(col("l1_ppm").isNotNull, col("l1_ppm") >= ppmThreshold))
+  }
 }
