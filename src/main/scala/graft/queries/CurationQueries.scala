@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.{Clustering, Dedup, Packing, Sampling, TextAnalysis}
+import graft.operators.{Clustering, Dedup, Packing, Sampling, Skyline, TextAnalysis}
 
 /** Training-data curation queries: TF-IDF term weighting, PII
   * redaction, stratified corpus rebalancing, repetition (boilerplate)
@@ -111,7 +111,42 @@ object CurationQueries {
       Packing.paddingWaste(
         Tables.documents(s, d)
           .select(TextAnalysis.tokenCount(col("text")).as("n_tokens")),
-        "n_tokens"))
+        "n_tokens")),
+
+    // Pareto-frontier curation: the documents not dominated on
+    // (n_chars minimized, classifier logit maximized) — every dropped
+    // doc has a strictly better-or-equal alternative at equal-or-lower
+    // cost. Distributed running-max skyline (see Skyline), never the
+    // oracle's O(n²) NOT EXISTS.
+    "q_skyline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pts = docs.select(col("doc_id"), col("n_chars"))
+        .join(TextAnalysis.hashedLinearScore(docs, "text", "doc_id")
+          .select(col("doc_id"), col("logit")), Seq("doc_id"))
+      Skyline.paretoFrontier2D(pts, "n_chars", "logit", bucketWidth = 256)
+    }),
+
+    // Classifier calibration curve: bucket the hash-classifier logit
+    // into fixed-width bins and measure, per bin, how often the
+    // independent heuristic quality label is positive (≠ low). The
+    // reliability diagram every production quality filter needs before
+    // its threshold is trusted. The 2⁴⁰ offset keeps the binned
+    // numerator positive so `div`'s truncation direction can never
+    // disagree across engines.
+    "q_calibration" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val lg = TextAnalysis.hashedLinearScore(docs, "text", "doc_id")
+        .select(col("doc_id"), col("logit"))
+      val lab = TextAnalysis.qualityScore(docs, "text", "doc_id")
+        .select(col("doc_id"),
+          (col("quality") =!= "low").cast("long").as("pos"))
+      lg.join(lab, Seq("doc_id"))
+        .withColumn("bin", expr("(logit + 1099511627776) div 2000"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("pos")).as("n_pos"),
+          min(col("logit")).as("min_logit"), max(col("logit")).as("max_logit"))
+        .withColumn("pos_permille", expr("n_pos * 1000 div n_docs"))
+    })
   )
 
   private val toksSql = """string_split_regex(lower(trim(text)), '\s+')"""
@@ -324,6 +359,79 @@ object CurationQueries {
         |asg2 AS (SELECT vec_id, cid FROM r2 WHERE rn = 1)
         |SELECT cid AS cluster_id, COUNT(*) AS n_members,
         |  MIN(vec_id) AS min_id, MAX(vec_id) AS max_id
-        |FROM asg2 GROUP BY cid""".stripMargin
+        |FROM asg2 GROUP BY cid""".stripMargin,
+
+    // Independent formulation on purpose: the oracle states skyline as
+    // the O(n²) NOT EXISTS dominance definition, so it checks the
+    // distributed running-max plan against the SEMANTICS, not against a
+    // mirror of the plan. Logit CTE = q_quality_logit's (TextQueries).
+    "q_skyline" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter($toksSql, t -> t <> '') AS toks
+         |  FROM documents
+         |), w AS (
+         |  SELECT doc_id,
+         |    list_transform(toks, t ->
+         |      ((list_reduce(list_transform(generate_series(1, length(t)),
+         |            i -> CAST(ascii(substr(t, i, 1)) AS BIGINT)),
+         |          (acc, c) -> (acc * 31 + c) % 1000000007) % 256)
+         |        * 2654435761) % 2003 - 1001) AS ws
+         |  FROM t
+         |), lg AS (
+         |  SELECT doc_id, CAST(COALESCE(list_sum(ws), 0) AS BIGINT) AS logit
+         |  FROM w
+         |), pts AS (
+         |  SELECT d.doc_id, d.n_chars, lg.logit
+         |  FROM documents d JOIN lg USING (doc_id)
+         |)
+         |SELECT p.doc_id, p.n_chars, p.logit FROM pts p
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM pts o
+         |  WHERE o.n_chars <= p.n_chars AND o.logit >= p.logit
+         |    AND (o.n_chars < p.n_chars OR o.logit > p.logit))""".stripMargin,
+
+    // Logit CTE from q_quality_logit + label CTE from q_corpus_curation,
+    // binned with the positive-offset integer div.
+    "q_calibration" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter($toksSql, t -> t <> '') AS toks
+         |  FROM documents
+         |), w AS (
+         |  SELECT doc_id,
+         |    list_transform(toks, t ->
+         |      ((list_reduce(list_transform(generate_series(1, length(t)),
+         |            i -> CAST(ascii(substr(t, i, 1)) AS BIGINT)),
+         |          (acc, c) -> (acc * 31 + c) % 1000000007) % 256)
+         |        * 2654435761) % 2003 - 1001) AS ws
+         |  FROM t
+         |), lg AS (
+         |  SELECT doc_id, CAST(COALESCE(list_sum(ws), 0) AS BIGINT) AS logit
+         |  FROM w
+         |), st AS (
+         |  SELECT doc_id,
+         |    length(text) AS n_chars,
+         |    len($toksSql) AS n_tokens,
+         |    len(list_distinct($toksSql)) AS n_distinct_tokens,
+         |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+         |  FROM documents
+         |), lab AS (
+         |  SELECT doc_id,
+         |    CASE WHEN quality <> 'low' THEN 1 ELSE 0 END AS pos
+         |  FROM (SELECT doc_id,
+         |          CASE WHEN n_distinct_tokens / n_tokens >= 0.5
+         |                 AND n_chars / n_tokens >= 3
+         |                 AND n_punct / n_chars < 0.1 THEN 'high'
+         |               WHEN n_distinct_tokens / n_tokens >= 0.25 THEN 'medium'
+         |               ELSE 'low' END AS quality
+         |        FROM st WHERE n_tokens > 0)
+         |), b AS (
+         |  SELECT (lg.logit + 1099511627776) // 2000 AS bin, lg.logit, lab.pos
+         |  FROM lg JOIN lab USING (doc_id)
+         |)
+         |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(pos) AS BIGINT) AS n_pos,
+         |  MIN(logit) AS min_logit, MAX(logit) AS max_logit,
+         |  CAST(SUM(pos) AS BIGINT) * 1000 // COUNT(*) AS pos_permille
+         |FROM b GROUP BY bin""".stripMargin
   )
 }
