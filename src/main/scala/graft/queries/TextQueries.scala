@@ -146,7 +146,15 @@ object TextQueries {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
           count(when(col("vb").isNull, 1)).as("n_oov"))
-    })
+    }),
+
+    // Blocked positional inverted index (64-doc blocks) — see
+    // TextAnalysis.invertedIndex for why blocking is the thing that
+    // makes an index build survive 100 TB (bounded aggregate state and
+    // row size for stopword-grade tokens).
+    "q_postings" -> ((s, d) =>
+      TextAnalysis.invertedIndex(Tables.documents(s, d), "text", "doc_id",
+        blockWidth = 64))
   )
 
   private val bpeRounds = 6
@@ -528,6 +536,30 @@ object TextQueries {
          |      FROM t WHERE len(toks) >= 2),
          |b AS (SELECT toks[i - 1] || ' ' || toks[i] AS bigram FROM g)
          |SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
-         |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin
+         |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+
+    // Mirrors invertedIndex: 0-based positions in the raw split stream
+    // (empties filtered AFTER positioning), per-(tok,doc) ascending
+    // position runs, per-(tok, doc_id//64) blocks in ascending doc
+    // order, corpus-wide df/tf as token-partitioned window sums.
+    "q_postings" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |u AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+         |      FROM (SELECT doc_id, toks,
+         |              unnest(generate_series(1, len(toks))) AS i FROM t)),
+         |f AS (SELECT * FROM u WHERE tok <> ''),
+         |pd AS (SELECT tok, doc_id, CAST(COUNT(*) AS BIGINT) AS tf,
+         |         CAST(doc_id AS VARCHAR) || ':' ||
+         |           string_agg(CAST(pos AS VARCHAR), '|' ORDER BY pos) AS entry
+         |       FROM f GROUP BY tok, doc_id),
+         |blk AS (SELECT tok, doc_id // 64 AS block,
+         |          CAST(COUNT(*) AS BIGINT) AS block_df,
+         |          CAST(SUM(tf) AS BIGINT) AS block_tf,
+         |          string_agg(entry, ';' ORDER BY doc_id) AS postings
+         |        FROM pd GROUP BY tok, doc_id // 64)
+         |SELECT tok, block, block_df, block_tf, postings,
+         |  CAST(SUM(block_df) OVER (PARTITION BY tok) AS BIGINT) AS df,
+         |  CAST(SUM(block_tf) OVER (PARTITION BY tok) AS BIGINT) AS tf_total
+         |FROM blk""".stripMargin
   )
 }

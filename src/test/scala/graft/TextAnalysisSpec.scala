@@ -225,4 +225,36 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byDec.getOrElse("keep", 0L) > 0 && byDec.getOrElse("drop", 0L) > 0)
   }
+
+  test("invertedIndex: known postings, positions, and block split") {
+    val d = Seq(
+      (0L, "a b a"),        // a at 0,2; b at 1
+      (1L, "b  a"),         // run of spaces = ONE delimiter (regex \s+)
+      (2L, "c"),
+      (5L, "a")             // block 1 under blockWidth=4
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.invertedIndex(d, "text", "doc_id", blockWidth = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    // "a": block 0 has docs 0 (pos 0,2) and 1 (pos 1 — \s+ collapses
+    // the double space, so no empty token takes a position);
+    // block 1 has doc 5
+    assert(rows(("a", 0L)) == ((2L, 3L, "0:0|2;1:1", 3L, 4L)))
+    assert(rows(("a", 1L)) == ((1L, 1L, "5:0", 3L, 4L)))
+    assert(rows(("b", 0L)) == ((2L, 2L, "0:1;1:0", 2L, 2L)))
+    assert(rows(("c", 0L)) == ((1L, 1L, "2:0", 1L, 1L)))
+  }
+
+  test("invertedIndex blocks bound row size: block_df ≤ blockWidth") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val idx = TextAnalysis.invertedIndex(docs, "text", "doc_id", blockWidth = 8)
+    assert(idx.filter(col("block_df") > 8).count() == 0)
+    // df must equal the number of docs containing the token: spot-check
+    // consistency — sum of block_df over a token equals its df column
+    val bad = idx.groupBy(col("tok"), col("df"))
+      .agg(sum(col("block_df")).as("s"))
+      .filter(col("s") =!= col("df")).count()
+    assert(bad == 0)
+  }
 }
