@@ -121,8 +121,80 @@ object GraphQueries {
         .filter(col("w") >= 2)
         .select(col("u"), col("v"))
       triangleStats(und)
+    }),
+
+    // k-core peeling (k=3, 3 rounds) over the same co-purchase graph:
+    // the graph-density curation primitive (nodes outside the k-core
+    // are weakly-connected periphery — the graph analogue of a quality
+    // cut). Each round: degree count (one union + one node-keyed
+    // aggregate), threshold, and a two-sided semi-join that drops edges
+    // touching peeled nodes. FIXED rounds, converging from above —
+    // true-core fixpoint iteration has data-dependent depth; 3 rounds
+    // is the bounded-latency contract (at sf0.01 the survivor set is
+    // within ~1.6% of the fixpoint by round 3), exactly like the
+    // unrolled PageRank above. Output: surviving nodes with their
+    // round-3 degree.
+    //
+    // Scale: shuffles are keyed by node (degree agg) and by u / v (the
+    // semi-joins) — all ∝ current |edges|, which only shrinks; each
+    // round's edge set is localCheckpoint'ed (degree reads it twice,
+    // the next round again — uncheckpointed, round r would recompute
+    // every earlier round ~2^r times) and released as soon as the next
+    // round's set materializes, so resident state is O(|edges|), not
+    // O(rounds · |edges|).
+    "q_kcore" -> ((s, d) => {
+      val so = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val und = so.as("a")
+        .join(so.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("u"), col("v"))
+      kcorePeel(s, und, k = 3, rounds = 3)
     })
   )
+
+  /** `rounds` peeling rounds toward the k-core of an undirected simple
+    * graph given as (u, v) edge rows, each edge once. Returns surviving
+    * nodes with their final-round degree (see q_kcore above for the
+    * algorithm, the fixed-round contract, and the checkpoint-release
+    * discipline). Exposed for direct testing on known graphs.
+    */
+  def kcorePeel(s: org.apache.spark.sql.SparkSession, und: DataFrame,
+      k: Int, rounds: Int): DataFrame = {
+    val sc = s.sparkContext
+    var prevRdds: Iterable[org.apache.spark.rdd.RDD[_]] = Nil
+    def snap(df: DataFrame, name: String): DataFrame = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint()
+      val newRdds = (sc.getPersistentRDDs -- before).values.map { r =>
+        r.setName(name); r
+      }
+      prevRdds.foreach(_.unpersist(blocking = false))
+      prevRdds = newRdds
+      out
+    }
+    var edges = snap(und.repartition(col("u")), "graft.kcore edges round 0")
+    var result: DataFrame = null
+    for (round <- 1 to rounds) {
+      val deg = edges.select(col("u").as("x"))
+        .union(edges.select(col("v").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("dx"))
+      val keep = deg.filter(col("dx") >= k)
+      if (round == rounds)
+        result = snap(keep.select(col("x").as("node"), col("dx").as("deg")),
+          "graft.kcore result")
+      else
+        edges = snap(edges
+          .join(keep.select(col("x").as("u")), Seq("u"), "left_semi")
+          .join(keep.select(col("x").as("v")), Seq("v"), "left_semi"),
+          s"graft.kcore edges round $round")
+    }
+    result
+  }
 
   /** Degree-ordered triangle/wedge/edge counts of an undirected simple
     * graph given as (u, v) edge rows with u ≠ v, each edge once (see
@@ -225,6 +297,40 @@ object GraphQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_wedges,
         |  CAST(COUNT(e.src) AS BIGINT) AS n_triangles
         |FROM wedge w
-        |LEFT JOIN ori e ON w.b = e.src AND w.c = e.dst""".stripMargin
+        |LEFT JOIN ori e ON w.b = e.src AND w.c = e.dst""".stripMargin,
+
+    // Mirrors q_kcore round-for-round: same ≥2-support graph, three
+    // degree→threshold(≥3)→edge-filter rounds, survivors with their
+    // round-3 degree.
+    "q_kcore" ->
+      """WITH so AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), und AS (
+        |  SELECT a.pk AS u, b.pk AS v
+        |  FROM so a JOIN so b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY a.pk, b.pk HAVING COUNT(*) >= 2
+        |), d1 AS (
+        |  SELECT x, COUNT(*) AS dx FROM (
+        |    SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und) t
+        |  GROUP BY x
+        |), k1 AS (SELECT x FROM d1 WHERE dx >= 3),
+        |e1 AS (
+        |  SELECT u, v FROM und
+        |  WHERE u IN (SELECT x FROM k1) AND v IN (SELECT x FROM k1)
+        |), d2 AS (
+        |  SELECT x, COUNT(*) AS dx FROM (
+        |    SELECT u AS x FROM e1 UNION ALL SELECT v AS x FROM e1) t
+        |  GROUP BY x
+        |), k2 AS (SELECT x FROM d2 WHERE dx >= 3),
+        |e2 AS (
+        |  SELECT u, v FROM e1
+        |  WHERE u IN (SELECT x FROM k2) AND v IN (SELECT x FROM k2)
+        |), d3 AS (
+        |  SELECT x, COUNT(*) AS dx FROM (
+        |    SELECT u AS x FROM e2 UNION ALL SELECT v AS x FROM e2) t
+        |  GROUP BY x
+        |)
+        |SELECT x AS node, CAST(dx AS BIGINT) AS deg
+        |FROM d3 WHERE dx >= 3""".stripMargin
   )
 }

@@ -56,4 +56,25 @@ class GraphSpec extends SparkSpec {
     assert(r.getAs[Long]("n_edges") == 5L)
     assert(r.getAs[Long]("n_triangles") == 0L)
   }
+
+  test("kcorePeel: K4 with a pendant chain peels to exactly the K4") {
+    import spark.implicits._
+    // K4 on 1-4 (every node degree 3) + chain 4-5-6: 5 and 6 can never
+    // reach degree 3, and once 6 peels, 5 drops to 1 and peels too
+    val und = (for {
+      a <- 1L to 4L; b <- 1L to 4L if a < b
+    } yield (a, b)).toSeq ++ Seq((4L, 5L), (5L, 6L))
+    val got = GraphQueries.kcorePeel(spark, und.toDF("u", "v"), k = 3, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(spark.sparkContext.getPersistentRDDs.values
+      .count(r => Option(r.name).exists(_.startsWith("graft.kcore edges"))) == 0,
+      "intermediate round snapshots must be released")
+  }
+
+  test("kcorePeel: graph thinner than k everywhere peels to empty") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v") // a path
+    assert(GraphQueries.kcorePeel(spark, und, k = 2, rounds = 3).count() == 0)
+  }
 }
