@@ -152,7 +152,60 @@ object SimilarityQueries {
     // bucket/cell equi-joins (never all-pairs).
     "q_hard_negatives" -> ((s, d) =>
       Similarity.hardNegatives(Tables.embeddings(s, d), k = 3, planes = 4,
-        cells = 8))
+        cells = 8)),
+
+    // Hybrid retrieval with reciprocal-rank fusion: the two-system
+    // shape every modern retrieval/curation stack runs — a lexical
+    // ranker (token-set Jaccard against the query doc, integer
+    // permille) and the semantic sign-LSH ranker (q_knn_bucketed's
+    // plan, k=20), fused per (query, candidate) by
+    // Σ 1000000 div (60 + rank). documents.doc_id ↔ embeddings.vec_id
+    // share the id space, so the full-outer rank join is an id join.
+    //
+    // Scale: the O(1)-row query-docs side broadcasts into both
+    // rankers (per-query work is a corpus scan — linear, the standard
+    // broadcast-the-queries retrieval shape); the fusion join and both
+    // top-k windows are keyed/partitioned by query. Integer div
+    // everywhere → engine-exact.
+    "q_rrf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val tokset = docs.select(col("doc_id"),
+        array_distinct(filter(graft.operators.Dedup.tokens(col("text")),
+          t => t =!= "")).as("ts"))
+      val qs = tokset.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"), col("ts").as("qts"))
+      val inter = size(array_intersect(col("ts"), col("qts")))
+      val lex = tokset.crossJoin(broadcast(qs))
+        .filter(col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id").as("cand_id"),
+          inter.as("i"), (size(col("ts")) + size(col("qts")) - inter).as("u"))
+        .filter(col("u") > 0)
+        .withColumn("jac", expr("i * 1000 div u"))
+      val wl = Window.partitionBy(col("query_id"))
+        .orderBy(desc("jac"), asc("cand_id"))
+      val lexTop = lex.withColumn("lrank", row_number().over(wl).cast("long"))
+        .filter(col("lrank") <= 20)
+        .select(col("query_id"), col("cand_id"), col("lrank"))
+      val emb = Tables.embeddings(s, d)
+      val semTop = Similarity.bucketedTopK(emb,
+          emb.filter(col("vec_id") < 10), 20, planes = 3)
+        .select(col("query_id"), col("cand_id"),
+          col("rank").cast("long").as("srank"))
+      val fused = lexTop.join(semTop, Seq("query_id", "cand_id"), "full_outer")
+        .withColumn("rrf_micros",
+          coalesce(expr("1000000 div (60 + lrank)"), lit(0L)) +
+            coalesce(expr("1000000 div (60 + srank)"), lit(0L)))
+        .withColumn("n_lists",
+          (col("lrank").isNotNull.cast("long") +
+            col("srank").isNotNull.cast("long")))
+      val wf = Window.partitionBy(col("query_id"))
+        .orderBy(desc("rrf_micros"), asc("cand_id"))
+      fused.withColumn("rank", row_number().over(wf).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("cand_id"), col("rrf_micros"),
+          col("n_lists"), col("rank"))
+    })
   )
 
   /** Oracle fragments: fold-order-exact cosine between q.v and c.v. */
@@ -313,6 +366,60 @@ object SimilarityQueries {
          |  FROM p
          |)
          |SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 10""".stripMargin,
+
+    // Mirrors q_rrf: the lexical Jaccard ranker (list_intersect on
+    // already-distinct token sets ≡ Spark array_intersect), the
+    // q_knn_bucketed semantic CTE at k=20, full-outer fusion with
+    // integer reciprocal ranks.
+    "q_rrf" ->
+      s"""WITH ts AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_filter(
+         |      string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS ts
+         |  FROM documents
+         |), qd AS (
+         |  SELECT doc_id AS query_id, ts AS qts FROM ts WHERE doc_id < 10
+         |), p AS (
+         |  SELECT q.query_id, c.doc_id AS cand_id,
+         |    len(list_intersect(c.ts, q.qts)) AS i,
+         |    len(c.ts) + len(q.qts) - len(list_intersect(c.ts, q.qts)) AS u
+         |  FROM ts c CROSS JOIN qd q WHERE c.doc_id <> q.query_id
+         |), lx AS (
+         |  SELECT query_id, cand_id, i * 1000 // u AS jac
+         |  FROM p WHERE u > 0
+         |), lr AS (
+         |  SELECT query_id, cand_id, lrank FROM (
+         |    SELECT query_id, cand_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY jac DESC, cand_id ASC) AS lrank
+         |    FROM lx) WHERE lrank <= 20
+         |), e AS (SELECT vec_id, v, $bucketSql AS bucket FROM ($vecsSql)),
+         |sp AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    $cosineSql AS sim
+         |  FROM e q JOIN e c
+         |    ON q.vec_id < 10 AND c.bucket = q.bucket AND c.vec_id <> q.vec_id
+         |), sr AS (
+         |  SELECT query_id, cand_id, srank FROM (
+         |    SELECT query_id, cand_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY sim DESC, cand_id ASC) AS srank
+         |    FROM sp) WHERE srank <= 20
+         |), f AS (
+         |  SELECT COALESCE(lr.query_id, sr.query_id) AS query_id,
+         |    COALESCE(lr.cand_id, sr.cand_id) AS cand_id,
+         |    COALESCE(1000000 // (60 + lr.lrank), 0)
+         |      + COALESCE(1000000 // (60 + sr.srank), 0) AS rrf_micros,
+         |    (CASE WHEN lr.lrank IS NULL THEN 0 ELSE 1 END
+         |      + CASE WHEN sr.srank IS NULL THEN 0 ELSE 1 END) AS n_lists
+         |  FROM lr FULL OUTER JOIN sr
+         |    ON lr.query_id = sr.query_id AND lr.cand_id = sr.cand_id
+         |)
+         |SELECT query_id, cand_id, CAST(rrf_micros AS BIGINT) AS rrf_micros,
+         |  CAST(n_lists AS BIGINT) AS n_lists, rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY rrf_micros DESC, cand_id ASC) AS rank FROM f)
+         |WHERE rank <= 10""".stripMargin,
 
     "q_knn_bucketed" ->
       s"""WITH e AS (SELECT vec_id, v, $bucketSql AS bucket FROM ($vecsSql)),
