@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the harness parquet fixtures (/root/repo/TESTDATA.md).
   *
@@ -27,18 +27,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.parquet` carries INT64 TIMESTAMP(NANOS), which Spark 4
-    * rejects by default. Read nanos as long (dynamic SQL conf, set
-    * defensively here so any session works) and truncate to microsecond
-    * timestamps — the same ns→µs truncation DuckDB applies when it reads
-    * the file, keeping the oracle comparable.
+  /** `events.parquet` has shipped with two physical `ts` encodings across
+    * harness generations: INT64 TIMESTAMP(NANOS) (Spark 4 rejects it by
+    * default → read nanos as long, truncate to µs) and, currently, plain
+    * `timestamp[us]` with no zone, which Spark 4 surfaces as
+    * TIMESTAMP_NTZ. Every downstream operator (event-time windows,
+    * `unix_micros`, watermarking) expects the session-zoned TIMESTAMP
+    * type, so both shapes are normalized here — under the pipeline's
+    * pinned UTC session timezone the NTZ→LTZ cast is value-identity and
+    * matches DuckDB's naive read of the same file, keeping oracles
+    * comparable.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
