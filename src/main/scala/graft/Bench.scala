@@ -120,20 +120,21 @@ object Bench {
     * harness with topology/trigger knobs). Tracked in BENCH so streaming
     * regressions are visible round-over-round.
     *
-    * Volume is 10× the reference dataset (288k rows): profiling
-    * (StreamBench's stream_phase_ms line) shows ~4-5s of per-query fixed
-    * cost (codegen, 2 micro-batches' planning + state-store setup,
-    * checkpoint fsyncs) against a marginal rate of ~1M rows/s — at the
-    * reference's own 28.8k rows the number measured the FIXED cost
-    * (r4: 9,041 rows/s ⇒ 3.2s wall, overhead-bound), not the engine.
-    * 288k is the smallest volume where data cost dominates; SCALE.md
-    * §Streaming carries the full breakdown (measured with window state
-    * scaling linearly in volume — see writeSyntheticDay's no-midnight-
-    * wrap contract) and the r4-comparable old-volume figure.
-    * SPARK_GRAFT_STREAM_ROWS overrides.
+    * Volume is 160× the reference dataset (4.6M rows, 18.4M wire
+    * messages). The r5/r6 default of 288k still measured mostly FIXED
+    * cost: the phase breakdown (StreamBench's stream_phase_ms line)
+    * showed ~6s of session/planning/state-store/fsync overhead against
+    * <1s of data — so sandbox contention swung the headline ±40%
+    * round-over-round (90k → 65k → 54k rows/s on identical code). At
+    * 4.6M rows addBatch (the data path) is ~91% of wall and the
+    * sustained rate is ~290k dataset rows/s (~1.2M wire msgs/s), so a
+    * ±2s contention swing moves the number ~12%, not 40%. SCALE.md
+    * §Streaming carries the measured volume curve (window state scales
+    * linearly in volume — see writeSyntheticDay's no-midnight-wrap
+    * contract). SPARK_GRAFT_STREAM_ROWS overrides.
     */
   private def streamThroughput(spark: SparkSession): Long = {
-    val rows = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "288000").toInt
+    val rows = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "4608000").toInt
     import graft.core.PipelineConfig
     import graft.streaming.StreamingPipeline
     try {

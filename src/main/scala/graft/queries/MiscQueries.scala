@@ -76,6 +76,22 @@ object MiscQueries {
         .filter(col("rk") <= 3)
     }),
 
+    // Same result as q_topk_per_group through a different physical
+    // strategy: the bounded-heap TypedImperativeAggregate. The window
+    // form above shuffles + sorts EVERY document on lang before
+    // discarding all but 3; this form reduces each task's slice to ≤3
+    // rows per lang map-side (ObjectHashAggregate partial), so the
+    // exchange carries keys × k × tasks rows at any corpus size. Same
+    // oracle text as q_topk_per_group — two plans, one answer.
+    "q_topk_heap" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(graft.functions.TopKStruct.topK(
+          struct(col("n_chars"), col("doc_id")), 3, true, false).as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), col("col.doc_id").as("doc_id"),
+          col("col.n_chars").as("n_chars"), (col("pos") + 1).cast("long").as("rk"))),
+
     // Histogram: fixed-width binning of events.value (floor-div bins).
     "q_histogram" -> ((s, d) =>
       Tables.events(s, d)
@@ -460,6 +476,14 @@ object MiscQueries {
         |FROM s GROUP BY split""".stripMargin,
 
     "q_topk_per_group" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rk
+        |  FROM documents
+        |)
+        |SELECT lang, doc_id, n_chars, rk FROM r WHERE rk <= 3""".stripMargin,
+
+    "q_topk_heap" ->
       """WITH r AS (
         |  SELECT lang, doc_id, n_chars,
         |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rk
