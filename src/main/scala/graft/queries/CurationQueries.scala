@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.{Clustering, Dedup, Packing, Sampling, Skyline, TextAnalysis}
+import graft.operators.{Annotation, Clustering, Dedup, Packing, Sampling, Skyline, TextAnalysis}
 
 /** Training-data curation queries: TF-IDF term weighting, PII
   * redaction, stratified corpus rebalancing, repetition (boilerplate)
@@ -23,6 +23,20 @@ object CurationQueries {
     // Top-3 TF-IDF terms per document (rational idf — see operator doc).
     "q_tfidf" -> ((s, d) =>
       TextAnalysis.tfIdfTopK(Tables.documents(s, d), "text", "doc_id", 3)),
+
+    // Preference-data label aggregation: events re-read as an
+    // annotation log (item = event_id mod 3000, rater vote =
+    // event_type) → per-item majority label, vote totals, and
+    // integer-basis-point agreement. The consensus pick rides the
+    // bounded-heap TopKStruct aggregate (k=1), so the item-keyed
+    // exchange carries one candidate per item per task, not the label
+    // histogram.
+    "q_label_vote" -> ((s, d) =>
+      Annotation.majorityVote(
+        Tables.events(s, d)
+          .select(expr("event_id % 3000").as("item_id"),
+            col("event_type").as("label")),
+        "item_id", "label")),
 
     // PII scrubbing over synthesized log lines (the fixture corpus has
     // no emails/digit runs, so the query builds a deterministic PII-rich
@@ -171,6 +185,24 @@ object CurationQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_label_vote" ->
+      """WITH c AS (
+        |  SELECT event_id % 3000 AS item_id, event_type AS label,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT item_id, label, cnt,
+        |    row_number() OVER (PARTITION BY item_id ORDER BY cnt DESC, label ASC) AS rk
+        |  FROM c
+        |), t AS (
+        |  SELECT item_id, CAST(SUM(cnt) AS BIGINT) AS n_votes,
+        |    CAST(COUNT(*) AS BIGINT) AS n_labels
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT t.item_id, r.label AS majority_label, r.cnt AS majority_n,
+        |  t.n_votes, t.n_labels, (r.cnt * 10000) // t.n_votes AS agreement_bp
+        |FROM t JOIN r ON r.item_id = t.item_id AND r.rk = 1""".stripMargin,
+
     "q_tfidf" ->
       s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
          |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tk WHERE tok <> ''

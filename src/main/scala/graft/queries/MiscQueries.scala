@@ -134,6 +134,28 @@ object MiscQueries {
           (abs(col("approx_users") - col("exact_users")) * 20 <= col("exact_users"))
             .as("within_5pct"))),
 
+    // Mergeable-sketch rollup — the pattern q_approx_distinct can't
+    // show: per-(lang,source) HLL sketches built ONCE, then UNIONED to
+    // the lang level without touching the raw data again. At 100 TB
+    // this is how distinct counts serve every rollup level: partial
+    // sketches persist at the finest grain; coarser grains are sketch
+    // unions (bytes per group), not re-scans. Gate: the datasketches
+    // estimate is engine-specific state, so (as with approx_distinct)
+    // the oracle carries the exact count and an in-query ≤5% verdict.
+    "q_hll_rollup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val perSource = docs.groupBy(col("lang"), col("source"))
+        .agg(hll_sketch_agg(col("text")).as("sk"))
+      val est = perSource.groupBy(col("lang"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      docs.groupBy(col("lang"))
+        .agg(count_distinct(col("text")).as("exact_texts"))
+        .join(est, Seq("lang"))
+        .select(col("lang"), col("exact_texts"),
+          (abs(col("est") - col("exact_texts")) * 20 <= col("exact_texts"))
+            .as("within_5pct"))
+    }),
+
     // Count-min-sketch heavy hitters, the third sketch in the family —
     // and unlike HLL/GK (engine-specific state → accuracy-verdict
     // gates) this sketch is built from PORTABLE affine hashes, so the
@@ -362,6 +384,11 @@ object MiscQueries {
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
         |  TRUE AS within_5pct
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_hll_rollup" ->
+      """SELECT lang, COUNT(DISTINCT text) AS exact_texts,
+        |  TRUE AS within_5pct
+        |FROM documents GROUP BY lang""".stripMargin,
 
     // Full mirror of the CMS — portable affine hashes mean the sketch
     // cells, the min-estimate, and the overestimates are all recomputed

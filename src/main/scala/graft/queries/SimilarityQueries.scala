@@ -103,6 +103,20 @@ object SimilarityQueries {
         .groupBy(col("component"))
         .agg(count(lit(1)).as("n_members"), max(col("vec_id")).as("max_id"))),
 
+    // Margin-based bitext mining (CCMatrix criterion): even vec_ids
+    // play the source language, odd ones the target; a bounded mining
+    // batch (query side < 200) accepts its best target neighbor only
+    // when top-1 cosine clearly beats the top-4 mean. Top-4 rides the
+    // bounded-heap TopKStruct aggregate — no |corpus|-sized window
+    // sort; the oracle replays the identical IEEE op order.
+    "q_bitext_margin" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.marginMining(
+        emb.filter(col("vec_id") % 2 === 1),
+        emb.filter(col("vec_id") % 2 === 0 && col("vec_id") < 200),
+        minMargin = 1.05)
+    }),
+
     // IVF-style top-10: 8 seeded centroids, 2 probes per query — the
     // data-adaptive bucketed scale path (vs q_knn_bucketed's fixed
     // sign planes).
@@ -482,6 +496,35 @@ object SimilarityQueries {
          |FROM e q JOIN e c ON q.vec_id < c.vec_id
          | AND xor(q.bucket, c.bucket) IN (0, 1, 2, 4, 8)
          |WHERE $cosineSql >= 0.4""".stripMargin,
+
+    // Mirrors marginMining: same rank rule, same pivot, and the margin
+    // expression parenthesized exactly as the Scala column tree.
+    "q_bitext_margin" ->
+      s"""WITH e AS ($vecsSql),
+         |p AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    $cosineSql AS sim
+         |  FROM e q JOIN e c
+         |    ON q.vec_id % 2 = 0 AND q.vec_id < 200 AND c.vec_id % 2 = 1
+         |), r AS (
+         |  SELECT query_id, cand_id, sim,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rk
+         |  FROM p
+         |), piv AS (
+         |  SELECT query_id,
+         |    max(CASE WHEN rk = 1 THEN cand_id END) AS best_id,
+         |    max(CASE WHEN rk = 1 THEN sim END) AS sim1,
+         |    max(CASE WHEN rk = 2 THEN sim END) AS sim2,
+         |    max(CASE WHEN rk = 3 THEN sim END) AS sim3,
+         |    max(CASE WHEN rk = 4 THEN sim END) AS sim4
+         |  FROM r WHERE rk <= 4 GROUP BY query_id
+         |), m AS (
+         |  SELECT query_id, best_id, sim1,
+         |    (sim1 * 4.0) / (((sim1 + sim2) + sim3) + sim4) AS margin
+         |  FROM piv
+         |)
+         |SELECT query_id, best_id, sim1, margin, margin >= 1.05 AS accepted
+         |FROM m""".stripMargin,
 
     "q_embedding_clusters" ->
       s"""WITH RECURSIVE e0 AS ($cappedVecsSql),
