@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.{Annotation, Clustering, Dedup, Packing, Sampling, Skyline, TextAnalysis}
+import graft.operators.{Annotation, Clustering, Dedup, Mixture, Packing, Sampling, Skyline, TextAnalysis}
 
 /** Training-data curation queries: TF-IDF term weighting, PII
   * redaction, stratified corpus rebalancing, repetition (boilerplate)
@@ -37,6 +37,16 @@ object CurationQueries {
           .select(expr("event_id % 3000").as("item_id"),
             col("event_type").as("label")),
         "item_id", "label")),
+
+    // Budgeted domain-mixture waterfill: per-source char counts, a
+    // 3-epoch repetition cap, and a budget of 1.5× the corpus — small
+    // sources cap out, the rest split the remainder to the token
+    // (exact integers; Σ alloc == budget is asserted in MixtureSpec).
+    "q_mix_budget" -> ((s, d) =>
+      Mixture.waterfill(
+        Tables.documents(s, d).groupBy(col("source"))
+          .agg(sum(col("n_chars")).as("toks")),
+        "source", "toks", repCap = 3, budgetNum = 3, budgetDen = 2)),
 
     // PII scrubbing over synthesized log lines (the fixture corpus has
     // no emails/digit runs, so the query builds a deterministic PII-rich
@@ -202,6 +212,40 @@ object CurationQueries {
         |SELECT t.item_id, r.label AS majority_label, r.cnt AS majority_n,
         |  t.n_votes, t.n_labels, (r.cnt * 10000) // t.n_votes AS agreement_bp
         |FROM t JOIN r ON r.item_id = t.item_id AND r.rk = 1""".stripMargin,
+
+    // Step-for-step mirror of Mixture.waterfill (same rank order, same
+    // prefix frame, same CASE guards); every column CAST BIGINT because
+    // DuckDB widens SUM to HUGEINT.
+    "q_mix_budget" ->
+      """WITH t AS (
+        |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS toks
+        |  FROM documents GROUP BY source
+        |), tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS T FROM t),
+        |r AS (
+        |  SELECT source, toks, toks * 3 AS cap, (3 * T) // 2 AS budget,
+        |    CAST(row_number() OVER (ORDER BY toks * 3, source) AS BIGINT) AS k,
+        |    CAST(SUM(toks * 3) OVER (ORDER BY toks * 3, source) AS BIGINT) AS pfx,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+        |  FROM t CROSS JOIN tot
+        |), f AS (
+        |  SELECT *, (pfx - cap) + cap * (n - k + 1) <= budget AS capped FROM r
+        |), s1 AS (
+        |  SELECT *, COALESCE(MAX(CASE WHEN capped THEN k END) OVER (), 0) AS kstar FROM f
+        |), s2 AS (
+        |  SELECT *, COALESCE(MAX(CASE WHEN k = kstar THEN pfx END) OVER (), 0) AS pks FROM s1
+        |), s3 AS (
+        |  SELECT *,
+        |    CASE WHEN n > kstar THEN (budget - pks) // (n - kstar) ELSE 0 END AS level,
+        |    CASE WHEN n > kstar THEN (budget - pks) % (n - kstar) ELSE 0 END AS rem
+        |  FROM s2
+        |), a AS (
+        |  SELECT source, toks, cap,
+        |    CASE WHEN k <= kstar THEN cap
+        |         ELSE level + CASE WHEN k - kstar <= rem THEN 1 ELSE 0 END END AS alloc
+        |  FROM s3
+        |)
+        |SELECT source, toks, cap, alloc, (alloc * 10000) // toks AS epochs_bp
+        |FROM a""".stripMargin,
 
     "q_tfidf" ->
       s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Mixture
+
+/** Waterfill invariants that must hold for ANY input, not just the
+  * fixture: the allocation exhausts the budget exactly, never exceeds
+  * a domain's repetition cap, and spreads the water level evenly
+  * (uncapped domains differ by at most one token).
+  */
+class MixtureSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(toks: Seq[(String, Long)], repCap: Int,
+                    num: Int, den: Int): Unit = {
+    val in = toks.toDF("source", "toks")
+    val out = Mixture.waterfill(in, "source", "toks", repCap, num, den)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = toks.map(_._2).sum
+    val budget = (num.toLong * total) / den
+    val capTotal = toks.map(_._2 * repCap).sum
+    // budget beyond the cap ceiling can't be spent: everyone caps out
+    assert(out.map(_._4).sum === math.min(budget, capTotal))
+    out.foreach { case (_, t, cap, alloc) =>
+      assert(cap === t * repCap)
+      assert(alloc <= cap)
+      assert(alloc >= 0)
+    }
+    val uncapped = out.filter { case (_, _, cap, alloc) => alloc < cap }.map(_._4)
+    if (uncapped.nonEmpty)
+      assert(uncapped.max - uncapped.min <= 1)
+  }
+
+  test("binding budget: small domains cap, big ones split the rest") {
+    check(Seq(("a", 10L), ("b", 100L), ("c", 1000L), ("d", 10000L)), 3, 3, 2)
+  }
+
+  test("loose budget: every domain capped, allocation = cap ceiling") {
+    check(Seq(("a", 10L), ("b", 20L)), 2, 10, 1)
+  }
+
+  test("uniform domains: remainder spreads one token each") {
+    // budget 3·700/2 = 1050 over 7 equal domains of cap 300:
+    // level 150, remainder 0; then a lopsided variant with remainder
+    check((1 to 7).map(i => (s"s$i", 100L)), 3, 3, 2)
+    check((1 to 7).map(i => (s"s$i", 101L)), 3, 3, 2)
+  }
+
+  test("single domain") {
+    check(Seq(("only", 12345L)), 3, 3, 2)
+  }
+
+  test("fixture allocation is deterministic and budget-exact") {
+    val per = graft.core.Tables.documents(spark, sf0001)
+      .groupBy(col("source")).agg(sum(col("n_chars")).as("toks"))
+    val out = Mixture.waterfill(per, "source", "toks", 3, 3, 2)
+    val total = per.agg(sum("toks")).collect()(0).getLong(0)
+    assert(out.agg(sum("alloc")).collect()(0).getLong(0) === 3L * total / 2)
+    val again = Mixture.waterfill(per, "source", "toks", 3, 3, 2)
+    assert(out.collect().toSet === again.collect().toSet)
+  }
+}
