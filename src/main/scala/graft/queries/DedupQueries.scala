@@ -144,6 +144,38 @@ object DedupQueries {
       Dedup.clusterSurvivors(docs, pairs, "doc_id", "n_chars")
     }),
 
+    // Leakage-safe train/val split: the split unit is the near-dup
+    // CLUSTER, not the document — hash-splitting doc ids sends
+    // near-duplicates across the boundary and the val set stops
+    // measuring generalization. Singleton docs are their own cluster
+    // (left join + coalesce). The naive_leak_pairs column quantifies
+    // exactly the damage the doc-level split would have done: verified
+    // near-dup pairs whose endpoints hash to different splits.
+    "q_leakage_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      // the pair pipeline (shingle → LSH → verify) feeds THREE readers
+      // (CC's edge build, the naive-leak audit) — persist it once or
+      // the whole LSH stack re-executes per reader
+      val pairs = Dedup.minhashNearDuplicates(docs, "text", "doc_id",
+        shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.5).persist()
+      val cc = Dedup.connectedComponents(pairs, "doc_id")
+      val tagged = docs.select(col("doc_id"))
+        .join(cc, Seq("doc_id"), "left")
+        .withColumn("component", coalesce(col("component"), col("doc_id")))
+        .withColumn("split",
+          graft.operators.Sampling.splitTag(col("component"), 0.9))
+      val naiveLeaks = pairs
+        .filter(graft.operators.Sampling.splitTag(col("id_a"), 0.9) =!=
+          graft.operators.Sampling.splitTag(col("id_b"), 0.9))
+        .agg(count(lit(1)).as("naive_leak_pairs"))
+      graft.core.CacheScope.releaseAfterUse(
+        tagged.groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            count_distinct(col("component")).as("n_clusters"))
+          .crossJoin(broadcast(naiveLeaks)),
+        pairs)
+    }),
+
     // Asymmetric containment over LSH candidates: catches short-doc-
     // quoted-in-long-doc shapes whose Jaccard stays low. Keep pairs
     // where either side is ≥70% contained in the other.
@@ -372,6 +404,37 @@ object DedupQueries {
          |comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
          |SELECT component, COUNT(*) AS n_members, MAX(node) AS max_id
          |FROM comp GROUP BY component""".stripMargin,
+
+    // Cluster-keyed split mirror: same recursive closure as
+    // q_dedup_clusters, singletons coalesced to their own id, then the
+    // exact md5-prefix cut of Sampling.splitTag (cutHex(0.9) = 'e666').
+    "q_leakage_split" ->
+      s"""WITH RECURSIVE $minhashPairsSql,
+         |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |      UNION SELECT id_b, id_a FROM pairs),
+         |reach(node, lbl) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node
+         |),
+         |comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+         |tagged AS (
+         |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+         |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+         |), s AS (
+         |  SELECT doc_id, component,
+         |    CASE WHEN substr(md5(CAST(component AS VARCHAR)), 1, 4) < 'e666'
+         |         THEN 'train' ELSE 'val' END AS split
+         |  FROM tagged
+         |), leaks AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS naive_leak_pairs FROM pairs
+         |  WHERE (substr(md5(CAST(id_a AS VARCHAR)), 1, 4) < 'e666')
+         |     <> (substr(md5(CAST(id_b AS VARCHAR)), 1, 4) < 'e666')
+         |)
+         |SELECT split, COUNT(*) AS n_docs,
+         |  COUNT(DISTINCT component) AS n_clusters, naive_leak_pairs
+         |FROM s CROSS JOIN leaks
+         |GROUP BY split, naive_leak_pairs""".stripMargin,
 
     // identical result contract to q_dedup_clusters — the Spark sides
     // differ only in the closure algorithm (label propagation vs star

@@ -111,6 +111,25 @@ object TextQueries {
         graft.operators.Bpe.merges(docs, "text", bpeRounds), bpeRounds)
     }),
 
+    // Tokenizer fertility per language — the metric a pipeline reads
+    // when choosing/retraining a tokenizer: chars-per-token and
+    // tokens-per-word in integer basis points, rolled up from the SAME
+    // merge application as q_bpe_encode. A language whose cpt_bp drops
+    // toward 10000 (one char per token) is being shredded by the vocab.
+    "q_bpe_fertility" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Bpe.encode(docs, "text", "doc_id",
+          graft.operators.Bpe.merges(docs, "text", bpeRounds), bpeRounds)
+        .join(docs.select(col("doc_id"), col("lang"), col("n_chars")), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("tokens"),
+          sum(col("n_words")).as("words"),
+          sum(col("n_chars")).as("chars"))
+        .withColumn("cpt_bp", expr("chars * 10000 div tokens"))
+        .withColumn("tpw_bp", expr("tokens * 10000 div words"))
+    }),
+
     // Out-of-vocabulary bigram rate per doc — the count-based fluency
     // signal (docs whose bigrams rarely appear in the corpus top-K are
     // boilerplate/garble candidates). Integer counts, no log-prob libm
@@ -283,6 +302,21 @@ object TextQueries {
     "q_bpe_merges" -> bpeSql,
 
     "q_bpe_encode" -> bpeEncodeSql,
+
+    // Per-lang rollup over the encode mirror (nested as a subquery —
+    // its WITH chain rides inside the parens). SUMs CAST BIGINT for
+    // DuckDB's HUGEINT widening; integer div matches the Spark `div`.
+    "q_bpe_fertility" ->
+      s"""SELECT d.lang,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(e.n_tokens) AS BIGINT) AS tokens,
+         |  CAST(SUM(e.n_words) AS BIGINT) AS words,
+         |  CAST(SUM(d.n_chars) AS BIGINT) AS chars,
+         |  CAST(SUM(d.n_chars) AS BIGINT) * 10000 // CAST(SUM(e.n_tokens) AS BIGINT) AS cpt_bp,
+         |  CAST(SUM(e.n_tokens) AS BIGINT) * 10000 // CAST(SUM(e.n_words) AS BIGINT) AS tpw_bp
+         |FROM ($bpeEncodeSql) e
+         |JOIN documents d USING (doc_id)
+         |GROUP BY d.lang""".stripMargin,
 
     // Mirrors bm25TopK stage-for-stage in HUGEINT (the decimal(38,0)
     // twin): rational idf, cleared k1/b denominators, one truncating
