@@ -69,6 +69,29 @@ class TopKStructSpec extends SparkSpec {
     }
   }
 
+  test("streaming state: complete-mode aggregation equals batch over all micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = (1 to 300).map(i => (s"g${i % 7}", i.toLong, (i * 37 % 251).toLong))
+    val src = MemoryStream[(String, Long, Long)](spark)
+    val agg = src.toDS().toDF("g", "id", "v")
+      .groupBy(col("g"))
+      .agg(TopKStruct.topK(struct(col("v"), col("id")), 3, true, false).as("top"))
+    val q = agg.writeStream.format("memory").queryName("topk_state")
+      .outputMode("complete").start()
+    rows.grouped(100).foreach { c =>
+      src.addData(c.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("topk_state")
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), col("col.id").as("id"), col("col.v").as("v"),
+        (col("pos") + 1).cast("long").as("rk"))
+      .collect().toSet
+    val batch = windowTopK(rows.toDF("g", "id", "v"), 3).collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("k larger than any group returns whole groups, ordered") {
     val df = Seq(("a", 1L, 5L), ("a", 2L, 9L), ("b", 3L, 1L)).toDF("g", "id", "v")
     val rows = heapTopK(df, 10).orderBy("g", "rk").collect()
