@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bradley-Terry preference-strength ranking — the pairwise-preference
+  * analytics step of an RLHF data pipeline: given (winner, loser)
+  * comparison outcomes, estimate a strength γ_i per player such that
+  * P(i beats j) = γ_i/(γ_i+γ_j), via the classic minorization-
+  * maximization update
+  *
+  *   γ_i ← W_i / Σ_j n_ij/(γ_i+γ_j)
+  *
+  * (W_i = total wins, n_ij = games against j), run a FIXED number of
+  * unrolled rounds like the catalog's PageRank — bounded latency, and
+  * every quantity in micro-units with truncating integer division, so
+  * the result is bit-portable to the DuckDB oracle (no libm, no float
+  * accumulation order).
+  *
+  * Zero-win players converge to strength 0; a floor of 1 µ-unit keeps
+  * later rounds' denominators positive (and is itself mirrored).
+  *
+  * Scale: the aggregated pair table (|player-pairs| rows, built once
+  * and checkpointed) is re-joined with the |players|-sized rating
+  * table each round — shuffle ∝ |pairs| per round, the PageRank shape.
+  * Rounds are sequential by nature; per-round state is released as the
+  * next round materializes (same discipline as connectedComponents).
+  */
+object Ranking {
+
+  private val S = 1000000L            // γ micro-units
+  private val SD = 1000000000000L     // division scale (S²)
+
+  /** matches: one row per game with `winnerCol`/`loserCol` player ids.
+    * Returns (player, rating, wins, n_matches) after `rounds` MM
+    * rounds from a uniform start.
+    */
+  def bradleyTerry(matches: DataFrame, winnerCol: String, loserCol: String,
+                   rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val sc = matches.sparkSession.sparkContext
+    val before0 = sc.getPersistentRDDs.keySet
+    // directed aggregated pairs: (i, j, n games, i's wins in them) —
+    // both directions, so D_i sums one join away
+    val dir = matches
+      .select(col(winnerCol).as("i"), col(loserCol).as("j"), lit(1L).as("w"))
+      .unionByName(matches
+        .select(col(loserCol).as("i"), col(winnerCol).as("j"), lit(0L).as("w")))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("wins"))
+      .localCheckpoint()
+    val pairRdds = (sc.getPersistentRDDs -- before0).values
+
+    var rating = dir.groupBy(col("i").as("player"))
+      .agg(sum(col("wins")).as("wins"), sum(col("n")).as("n_matches"))
+      .withColumn("r", lit(S))
+    var prevRdds: Iterable[org.apache.spark.rdd.RDD[_]] = Nil
+    for (round <- 1 to rounds) {
+      val before = sc.getPersistentRDDs.keySet
+      val snap = rating.localCheckpoint()
+      val snapRdds = (sc.getPersistentRDDs -- before).values.map { r =>
+        r.setName(s"graft.bradleyTerry round $round"); r
+      }
+      prevRdds.foreach(_.unpersist(blocking = false))
+      prevRdds = snapRdds
+      val ri = snap.select(col("player").as("i"), col("r").as("ri"))
+      val rj = snap.select(col("player").as("j"), col("r").as("rj"))
+      val denom = dir
+        .join(ri, Seq("i")).join(rj, Seq("j"))
+        .select(col("i"),
+          expr(s"(n * ${SD}L) div (ri + rj)").as("t"))
+        .groupBy(col("i")).agg(sum(col("t")).as("d"))
+      rating = snap
+        .join(denom, col("player") === col("i")).drop("i")
+        .select(col("player"), col("wins"), col("n_matches"),
+          greatest(lit(1L), expr(s"(wins * ${SD}L) div d")).as("r"))
+    }
+    val result = rating
+      .select(col("player"), col("r").as("rating"), col("wins"), col("n_matches"))
+      .localCheckpoint()
+    (prevRdds ++ pairRdds).foreach(_.unpersist(blocking = false))
+    result
+  }
+}

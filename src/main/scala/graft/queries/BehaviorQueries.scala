@@ -24,6 +24,30 @@ object BehaviorQueries {
   private def tu = expr("unix_micros(ts)")
 
   val queries: Map[String, Q] = Map(
+    // Bradley-Terry preference strengths over deterministic pairwise
+    // "matches" (consecutive event-id pairs; higher value wins, ties
+    // to the lower user id) — the RLHF preference-data ranking step,
+    // MM-iterated 2 unrolled rounds in integer micro-units (see
+    // Ranking.bradleyTerry for the arithmetic and scale shape).
+    "q_bradley_terry" -> ((s, d) => {
+      val sided = Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
+        .select(expr("event_id div 2").as("mid"),
+          expr("event_id % 2").as("side"), col("user_id"), col("value"))
+      val aWins = col("va") > col("vb") ||
+        (col("va") === col("vb") && col("ua") < col("ub"))
+      val matches = sided.groupBy(col("mid")).agg(
+          max(when(col("side") === 0, col("user_id"))).as("ua"),
+          max(when(col("side") === 0, col("value"))).as("va"),
+          max(when(col("side") === 1, col("user_id"))).as("ub"),
+          max(when(col("side") === 1, col("value"))).as("vb"))
+        .filter(col("ua").isNotNull && col("ub").isNotNull &&
+          col("ua") =!= col("ub"))
+        .select(when(aWins, col("ua")).otherwise(col("ub")).as("winner"),
+          when(aWins, col("ub")).otherwise(col("ua")).as("loser"))
+      graft.operators.Ranking.bradleyTerry(matches, "winner", "loser", rounds = 2)
+    }),
+
     // Ordered funnel view → click → purchase, sequential semantics
     // (a purchase before the first post-view click does not convert) —
     // see Behavior.funnelStages for the semantics + scale argument.
@@ -134,6 +158,53 @@ object BehaviorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Unrolled two-round MM mirror: identical match derivation,
+    // identical truncating integer divisions (all operands positive, so
+    // DuckDB `//` == Spark `div`), identical GREATEST floor.
+    "q_bradley_terry" ->
+      """WITH e AS (
+        |  SELECT event_id // 2 AS mid, event_id % 2 AS side, user_id, value
+        |  FROM events WHERE user_id IS NOT NULL
+        |), m0 AS (
+        |  SELECT mid,
+        |    max(CASE WHEN side = 0 THEN user_id END) AS ua,
+        |    max(CASE WHEN side = 0 THEN value END) AS va,
+        |    max(CASE WHEN side = 1 THEN user_id END) AS ub,
+        |    max(CASE WHEN side = 1 THEN value END) AS vb
+        |  FROM e GROUP BY mid
+        |), m AS (
+        |  SELECT
+        |    CASE WHEN va > vb OR (va = vb AND ua < ub) THEN ua ELSE ub END AS winner,
+        |    CASE WHEN va > vb OR (va = vb AND ua < ub) THEN ub ELSE ua END AS loser
+        |  FROM m0 WHERE ua IS NOT NULL AND ub IS NOT NULL AND ua <> ub
+        |), dir AS (
+        |  SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(w) AS BIGINT) AS wins
+        |  FROM (
+        |    SELECT winner AS i, loser AS j, 1 AS w FROM m
+        |    UNION ALL SELECT loser AS i, winner AS j, 0 AS w FROM m
+        |  ) t GROUP BY i, j
+        |), p0 AS (
+        |  SELECT i AS player, CAST(SUM(wins) AS BIGINT) AS wins,
+        |    CAST(SUM(n) AS BIGINT) AS n_matches, CAST(1000000 AS BIGINT) AS r
+        |  FROM dir GROUP BY i
+        |), d1 AS (
+        |  SELECT d.i, CAST(SUM((d.n * 1000000000000) // (pi.r + pj.r)) AS BIGINT) AS dd
+        |  FROM dir d JOIN p0 pi ON pi.player = d.i JOIN p0 pj ON pj.player = d.j
+        |  GROUP BY d.i
+        |), p1 AS (
+        |  SELECT p.player, p.wins, p.n_matches,
+        |    CAST(GREATEST(1, (p.wins * 1000000000000) // d1.dd) AS BIGINT) AS r
+        |  FROM p0 p JOIN d1 ON d1.i = p.player
+        |), d2 AS (
+        |  SELECT d.i, CAST(SUM((d.n * 1000000000000) // (pi.r + pj.r)) AS BIGINT) AS dd
+        |  FROM dir d JOIN p1 pi ON pi.player = d.i JOIN p1 pj ON pj.player = d.j
+        |  GROUP BY d.i
+        |), p2 AS (
+        |  SELECT p.player, p.wins, p.n_matches,
+        |    CAST(GREATEST(1, (p.wins * 1000000000000) // d2.dd) AS BIGINT) AS r
+        |  FROM p1 p JOIN d2 ON d2.i = p.player
+        |)
+        |SELECT player, r AS rating, wins, n_matches FROM p2""".stripMargin,
     "q_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),
         |t1 AS (SELECT user_id, MIN(tu) AS t1 FROM e
