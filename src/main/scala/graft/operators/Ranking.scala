@@ -81,4 +81,48 @@ object Ranking {
     (prevRdds ++ pairRdds).foreach(_.unpersist(blocking = false))
     result
   }
+
+  /** Exact global NTILE(n) over (keyCol asc, tieCol asc) WITHOUT the
+    * single-partition window trap: a naive `ntile(n) OVER (ORDER BY …)`
+    * moves the whole corpus through one task. Requires `keyCol` to have
+    * a bounded value domain (scores, bucketed metrics — NOT unique ids):
+    *
+    *   1. per-key counts (one exchange, |distinct keys| rows),
+    *   2. the serial prefix sum runs over |distinct keys| rows only —
+    *      the same hierarchical-smallness argument as Packing.packBins,
+    *   3. within-key ranks partition by key (parallel),
+    *   4. global rank = key offset + within-key rank; the standard
+    *      NTILE formula (first n_rows mod n tiles get the extra row)
+    *      is applied arithmetically.
+    *
+    * Emits the input columns plus `tier` (1-based). The formula is the
+    * SQL-standard tile rule, so an oracle can use the engine's own
+    * ntile() — cross-validating this construction against a built-in.
+    */
+  def globalNtile(df: DataFrame, keyCol: String, tieCol: String, n: Int): DataFrame = {
+    require(n >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val perKey = df.groupBy(col(keyCol).as("gk")).agg(count(lit(1)).as("cnt"))
+    val pfx = Window.orderBy(col("gk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perKey
+      .withColumn("base", coalesce(sum(col("cnt")).over(pfx), lit(0L)))
+      .select(col("gk").as(keyCol), col("base"))
+    val within = Window.partitionBy(col(keyCol)).orderBy(col(tieCol))
+    val tot = df.agg(count(lit(1)).as("n_rows"))
+    df.withColumn("wr", row_number().over(within).cast("long"))
+      .join(broadcast(offsets), Seq(keyCol))
+      .crossJoin(broadcast(tot))
+      .withColumn("r", col("base") + col("wr"))
+      // CASE branches are evaluated lazily per row: with n_rows < n the
+      // ELSE (which divides by q = 0) is unreachable, not an ANSI error
+      .withColumn("tier", expr(
+        s"""CASE WHEN r <= (n_rows % $n) * (n_rows div $n + 1)
+           |     THEN (r - 1) div (n_rows div $n + 1) + 1
+           |     ELSE (n_rows % $n) +
+           |          (r - (n_rows % $n) * (n_rows div $n + 1) - 1)
+           |            div (n_rows div $n) + 1
+           |END""".stripMargin))
+      .drop("wr", "base", "n_rows", "r")
+  }
 }

@@ -150,6 +150,22 @@ object TextQueries {
     "q_lm_surprisal" -> ((s, d) =>
       TextAnalysis.bigramSurprisal(Tables.documents(s, d), "text", "doc_id")),
 
+    // Curriculum tiers: exact global NTILE(4) over per-doc surprisal
+    // (easy → hard), computed WITHOUT a single-partition window via
+    // Ranking.globalNtile's two-level rank (millibit values are a
+    // bounded domain; the serial prefix touches |distinct values|
+    // rows). The oracle uses DuckDB's own ntile() — an independent
+    // implementation of the tile rule, not a replay.
+    "q_curriculum" -> ((s, d) =>
+      graft.operators.Ranking.globalNtile(
+          TextAnalysis.bigramSurprisal(Tables.documents(s, d), "text", "doc_id"),
+          "avg_millibits", "doc_id", 4)
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("avg_millibits")).as("min_mb"),
+          max(col("avg_millibits")).as("max_mb"),
+          sum(col("n_bigrams")).as("n_bigrams"))),
+
     // Character-diversity quality filter in exact integer bits (the
     // floor-log2 entropy analogue — see TextAnalysis.charDiversity).
     "q_char_entropy" -> ((s, d) =>
@@ -298,6 +314,46 @@ object TextQueries {
        |GROUP BY d.doc_id""".stripMargin
   }
 
+  /** Mirror of bigramSurprisal as a standalone statement (shared by
+    * q_lm_surprisal and, as a nested subquery, q_curriculum).
+    */
+  private val lmSurprisalSql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |g AS (SELECT doc_id, toks, unnest(generate_series(2, len(toks))) AS i
+       |      FROM t WHERE len(toks) >= 2),
+       |bg AS (SELECT doc_id, toks[i - 1] AS w1, toks[i] AS w2 FROM g),
+       |docbig AS (
+       |  SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS m
+       |  FROM bg GROUP BY doc_id, w1, w2),
+       |uni AS (
+       |  SELECT tok AS t, CAST(COUNT(*) AS BIGINT) AS c1 FROM (
+       |    SELECT unnest(toks) AS tok FROM t) u
+       |  WHERE tok <> '' GROUP BY tok),
+       |voc AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+       |big AS (
+       |  SELECT w1, w2, CAST(SUM(m) AS BIGINT) AS c12
+       |  FROM docbig GROUP BY w1, w2),
+       |j AS (
+       |  SELECT d.doc_id, d.m, b.c12 + 1 AS num, u.c1 + voc.v AS den
+       |  FROM docbig d
+       |  JOIN big b USING (w1, w2)
+       |  JOIN uni u ON u.t = d.w1
+       |  CROSS JOIN voc),
+       |k AS (
+       |  SELECT doc_id, m,
+       |    (length(bin(den)) - 1) - (length(bin(num)) - 1) AS k0,
+       |    num, den
+       |  FROM j),
+       |s AS (
+       |  SELECT doc_id, m,
+       |    CASE WHEN (num << k0) <= den THEN k0 ELSE k0 - 1 END AS bits
+       |  FROM k)
+       |SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams,
+       |  CAST(SUM(m * bits) AS BIGINT) AS total_bits,
+       |  CAST(SUM(m * bits) AS BIGINT) * 1000 // CAST(SUM(m) AS BIGINT)
+       |    AS avg_millibits
+       |FROM s GROUP BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_bpe_merges" -> bpeSql,
 
@@ -378,42 +434,21 @@ object TextQueries {
     // Mirrors bigramSurprisal stage-for-stage: bigram multiplicities,
     // corpus bigram/unigram counts, vocab size, then the exact integer
     // floor-log2 (length(bin(n)) - 1 plus the shift-compare correction).
-    "q_lm_surprisal" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |g AS (SELECT doc_id, toks, unnest(generate_series(2, len(toks))) AS i
-         |      FROM t WHERE len(toks) >= 2),
-         |bg AS (SELECT doc_id, toks[i - 1] AS w1, toks[i] AS w2 FROM g),
-         |docbig AS (
-         |  SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS m
-         |  FROM bg GROUP BY doc_id, w1, w2),
-         |uni AS (
-         |  SELECT tok AS t, CAST(COUNT(*) AS BIGINT) AS c1 FROM (
-         |    SELECT unnest(toks) AS tok FROM t) u
-         |  WHERE tok <> '' GROUP BY tok),
-         |voc AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
-         |big AS (
-         |  SELECT w1, w2, CAST(SUM(m) AS BIGINT) AS c12
-         |  FROM docbig GROUP BY w1, w2),
-         |j AS (
-         |  SELECT d.doc_id, d.m, b.c12 + 1 AS num, u.c1 + voc.v AS den
-         |  FROM docbig d
-         |  JOIN big b USING (w1, w2)
-         |  JOIN uni u ON u.t = d.w1
-         |  CROSS JOIN voc),
-         |k AS (
-         |  SELECT doc_id, m,
-         |    (length(bin(den)) - 1) - (length(bin(num)) - 1) AS k0,
-         |    num, den
-         |  FROM j),
-         |s AS (
-         |  SELECT doc_id, m,
-         |    CASE WHEN (num << k0) <= den THEN k0 ELSE k0 - 1 END AS bits
-         |  FROM k)
-         |SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams,
-         |  CAST(SUM(m * bits) AS BIGINT) AS total_bits,
-         |  CAST(SUM(m * bits) AS BIGINT) * 1000 // CAST(SUM(m) AS BIGINT)
-         |    AS avg_millibits
-         |FROM s GROUP BY doc_id""".stripMargin,
+    "q_lm_surprisal" -> lmSurprisalSql,
+
+    // The engine's own ntile over the surprisal mirror — deliberately
+    // NOT a replay of globalNtile's arithmetic: the oracle's built-in
+    // ntile cross-validates the distributed two-level-rank construction.
+    "q_curriculum" ->
+      s"""WITH sur AS ($lmSurprisalSql),
+         |r AS (
+         |  SELECT *, CAST(ntile(4) OVER (ORDER BY avg_millibits, doc_id) AS BIGINT) AS tier
+         |  FROM sur
+         |)
+         |SELECT tier, COUNT(*) AS n_docs,
+         |  MIN(avg_millibits) AS min_mb, MAX(avg_millibits) AS max_mb,
+         |  CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams
+         |FROM r GROUP BY tier""".stripMargin,
 
     "q_oov_rate" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
