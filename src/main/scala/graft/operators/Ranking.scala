@@ -98,6 +98,14 @@ object Ranking {
     * Emits the input columns plus `tier` (1-based). The formula is the
     * SQL-standard tile rule, so an oracle can use the engine's own
     * ntile() — cross-validating this construction against a built-in.
+    *
+    * `df` feeds three readers (per-key counts, row total, main path)
+    * but is deliberately NOT persisted: everything lands in ONE action,
+    * where ReuseExchange dedupes the identical upstream subtrees —
+    * persist was measured 14% SLOWER on q_curriculum (cache-write cost,
+    * nothing saved). Contrast q_leakage_split, whose pair pipeline
+    * feeds separate ACTIONS (CC's per-round counts) and does need the
+    * persist.
     */
   def globalNtile(df: DataFrame, keyCol: String, tieCol: String, n: Int): DataFrame = {
     require(n >= 1)
