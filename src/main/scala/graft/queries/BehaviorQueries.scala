@@ -48,6 +48,17 @@ object BehaviorQueries {
       graft.operators.Ranking.bradleyTerry(matches, "winner", "loser", rounds = 2)
     }),
 
+    // Chat-transcript assembly: per-user 2h-gap sessions, events
+    // concatenated in (time, id) order until a 64-token budget is hit;
+    // the truncated tail is counted, not silently lost. The per-event
+    // cost and every boundary are exact integers; the assembled string
+    // itself rides the hash gate.
+    "q_chat_assembly" -> ((s, d) =>
+      graft.operators.Sessionize.assembleSessions(
+        Tables.events(s, d).filter(col("user_id").isNotNull),
+        "user_id", "event_id", "event_type", "ts",
+        gapUs = 7200L * 1000000L, budget = 64L)),
+
     // Ordered funnel view → click → purchase, sequential semantics
     // (a purchase before the first post-view click does not convert) —
     // see Behavior.funnelStages for the semantics + scale argument.
@@ -158,6 +169,33 @@ object BehaviorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Same gaps-and-islands session ids, same (tu, event_id) total
+    // order, same prefix-cost cut; string_agg skips the CASE's NULL
+    // tail exactly as collect_list does.
+    "q_chat_assembly" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tu
+        |  FROM events WHERE user_id IS NOT NULL
+        |), s AS (
+        |  SELECT *, CASE WHEN lag(tu) OVER w IS NULL
+        |                   OR tu - lag(tu) OVER w > 7200000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)
+        |), s2 AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS sid
+        |  FROM s
+        |), c AS (
+        |  SELECT *, SUM(length(event_type) + 1)
+        |    OVER (PARTITION BY user_id, sid ORDER BY tu, event_id) AS cum
+        |  FROM s2
+        |)
+        |SELECT user_id, MIN(tu) AS session_start,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN cum <= 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(COUNT(*) - SUM(CASE WHEN cum <= 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  string_agg(CASE WHEN cum <= 64 THEN event_type END, ' '
+        |             ORDER BY tu, event_id) AS assembled
+        |FROM c GROUP BY user_id, sid""".stripMargin,
+
     // Unrolled two-round MM mirror: identical match derivation,
     // identical truncating integer divisions (all operands positive, so
     // DuckDB `//` == Spark `div`), identical GREATEST floor.
