@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Ranking
+
+/** Ranking.globalNtile vs Spark's own single-partition ntile — a third
+  * implementation of the tile rule next to the DuckDB oracle: every
+  * (rows, n) shape must agree, including n larger than the row count
+  * (where the distributed form's guarded CASE must not divide by zero)
+  * and heavy key ties (where the within-key rank carries the order).
+  */
+class GlobalNtileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(rows: Seq[(Long, Long)], n: Int): Unit = {
+    val df = rows.toDF("score", "id")
+    val w = Window.orderBy(col("score"), col("id"))
+    val expected = df.withColumn("tier", ntile(n).over(w).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val actual = Ranking.globalNtile(df, "score", "id", n)
+      .select(col("score"), col("id"), col("tier"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(actual === expected, s"n=$n, rows=${rows.size}")
+  }
+
+  test("agrees with built-in ntile across shapes") {
+    val data = (1 to 500).map(i => ((i * 37 % 13).toLong, i.toLong))
+    for (n <- Seq(1, 2, 4, 7, 499, 500, 501, 1000)) check(data, n)
+  }
+
+  test("all rows share one key value") {
+    check((1 to 100).map(i => (5L, i.toLong)), 4)
+  }
+
+  test("every key unique") {
+    check((1 to 97).map(i => (i.toLong, i.toLong)), 5)
+  }
+
+  test("single row") {
+    check(Seq((1L, 1L)), 3)
+  }
+}
