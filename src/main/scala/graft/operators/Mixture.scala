@@ -75,4 +75,38 @@ object Mixture {
       .withColumn("epochs_bp", expr("alloc * 10000 div toks"))
       .select(col(domainCol), col("toks"), col("cap"), col("alloc"), col("epochs_bp"))
   }
+
+  /** Apply a [[waterfill]] plan as a deterministic per-domain hash
+    * sample and audit the realization: each domain keeps rows whose
+    * md5-prefix falls under an integer cut `(alloc · 65536) div cap`
+    * (the same 16-bit hash-space cut as `Sampling.splitTag`, but with a
+    * per-domain data-dependent fraction computed in pure integer
+    * arithmetic — no float round() whose half-case differs across
+    * engines). Fully-capped domains (alloc == cap) keep everything
+    * explicitly — their cut would be 65536 = '10000', which a 4-hex
+    * prefix comparison mis-orders.
+    *
+    * Emits per domain: the plan's alloc target, rows kept, token mass
+    * kept, and realized epochs in basis points — the number an operator
+    * compares against the plan's `epochs_bp` to see how faithfully a
+    * 1/65536-granular hash cut tracks the waterfill at this corpus
+    * size. Membership is a pure function of (id, plan), so the sample
+    * is reproducible across engines, runs, and partitioning.
+    */
+  def applyPlan(rows: DataFrame, plan: DataFrame, domainCol: String,
+                idCol: String, tokCol: String): DataFrame = {
+    val hx = substring(md5(col(idCol).cast("string")), 1, 4)
+    val keep = col("alloc") === col("cap") ||
+      hx < format_string("%04x", expr("(alloc * 65536) div cap"))
+    rows.join(broadcast(plan), Seq(domainCol))
+      .filter(keep)
+      .groupBy(col(domainCol))
+      .agg(first(col("alloc")).as("alloc"),
+        count(lit(1)).as("n_kept"),
+        sum(col(tokCol)).as("kept_toks"),
+        first(col("toks")).as("toks"))
+      .withColumn("realized_bp", expr("kept_toks * 10000 div toks"))
+      .select(col(domainCol), col("alloc"), col("n_kept"),
+        col("kept_toks"), col("realized_bp"))
+  }
 }

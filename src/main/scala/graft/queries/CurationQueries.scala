@@ -48,6 +48,16 @@ object CurationQueries {
           .agg(sum(col("n_chars")).as("toks")),
         "source", "toks", repCap = 3, budgetNum = 3, budgetDen = 2)),
 
+    // Close the mixture loop: apply the waterfill plan as a per-source
+    // integer hash cut and audit realized vs planned token mass.
+    "q_mix_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val plan = Mixture.waterfill(
+        docs.groupBy(col("source")).agg(sum(col("n_chars")).as("toks")),
+        "source", "toks", repCap = 3, budgetNum = 3, budgetDen = 2)
+      Mixture.applyPlan(docs, plan, "source", "doc_id", "n_chars")
+    }),
+
     // PII scrubbing over synthesized log lines (the fixture corpus has
     // no emails/digit runs, so the query builds a deterministic PII-rich
     // text from events columns first — integer concat only; doubles
@@ -194,30 +204,11 @@ object CurationQueries {
     s"CASE $whens\n         ELSE h < '${Sampling.cutHex(defaultFraction)}' END"
   }
 
-  val oracles: Map[String, String] = Map(
-    "q_label_vote" ->
-      """WITH c AS (
-        |  SELECT event_id % 3000 AS item_id, event_type AS label,
-        |    CAST(COUNT(*) AS BIGINT) AS cnt
-        |  FROM events GROUP BY 1, 2
-        |), r AS (
-        |  SELECT item_id, label, cnt,
-        |    row_number() OVER (PARTITION BY item_id ORDER BY cnt DESC, label ASC) AS rk
-        |  FROM c
-        |), t AS (
-        |  SELECT item_id, CAST(SUM(cnt) AS BIGINT) AS n_votes,
-        |    CAST(COUNT(*) AS BIGINT) AS n_labels
-        |  FROM c GROUP BY 1
-        |)
-        |SELECT t.item_id, r.label AS majority_label, r.cnt AS majority_n,
-        |  t.n_votes, t.n_labels, (r.cnt * 10000) // t.n_votes AS agreement_bp
-        |FROM t JOIN r ON r.item_id = t.item_id AND r.rk = 1""".stripMargin,
-
-    // Step-for-step mirror of Mixture.waterfill (same rank order, same
-    // prefix frame, same CASE guards); every column CAST BIGINT because
-    // DuckDB widens SUM to HUGEINT.
-    "q_mix_budget" ->
-      """WITH t AS (
+  /** Waterfill-plan mirror shared by q_mix_budget and (as a nested
+    * subquery) q_mix_apply.
+    */
+  private val mixPlanSql: String =
+    """WITH t AS (
         |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS toks
         |  FROM documents GROUP BY source
         |), tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS T FROM t),
@@ -245,7 +236,50 @@ object CurationQueries {
         |  FROM s3
         |)
         |SELECT source, toks, cap, alloc, (alloc * 10000) // toks AS epochs_bp
-        |FROM a""".stripMargin,
+        |FROM a""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_label_vote" ->
+      """WITH c AS (
+        |  SELECT event_id % 3000 AS item_id, event_type AS label,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT item_id, label, cnt,
+        |    row_number() OVER (PARTITION BY item_id ORDER BY cnt DESC, label ASC) AS rk
+        |  FROM c
+        |), t AS (
+        |  SELECT item_id, CAST(SUM(cnt) AS BIGINT) AS n_votes,
+        |    CAST(COUNT(*) AS BIGINT) AS n_labels
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT t.item_id, r.label AS majority_label, r.cnt AS majority_n,
+        |  t.n_votes, t.n_labels, (r.cnt * 10000) // t.n_votes AS agreement_bp
+        |FROM t JOIN r ON r.item_id = t.item_id AND r.rk = 1""".stripMargin,
+
+    // Step-for-step mirror of Mixture.waterfill (same rank order, same
+    // prefix frame, same CASE guards); every column CAST BIGINT because
+    // DuckDB widens SUM to HUGEINT.
+    "q_mix_budget" -> mixPlanSql,
+
+    // Plan applied as the per-source integer hash cut (printf('%04x')
+    // == Spark's format_string — both C-style lowercase), fully-capped
+    // sources kept wholesale, realization audited in basis points.
+    "q_mix_apply" ->
+      s"""WITH plan AS ($mixPlanSql),
+         |k AS (
+         |  SELECT d.source, d.n_chars, p.alloc, p.cap, p.toks
+         |  FROM documents d JOIN plan p USING (source)
+         |  WHERE p.alloc = p.cap
+         |     OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+         |        < printf('%04x', (p.alloc * 65536) // p.cap)
+         |)
+         |SELECT source, CAST(MIN(alloc) AS BIGINT) AS alloc,
+         |  COUNT(*) AS n_kept,
+         |  CAST(SUM(n_chars) AS BIGINT) AS kept_toks,
+         |  CAST(SUM(n_chars) AS BIGINT) * 10000 // CAST(MIN(toks) AS BIGINT)
+         |    AS realized_bp
+         |FROM k GROUP BY source""".stripMargin,
 
     "q_tfidf" ->
       s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
