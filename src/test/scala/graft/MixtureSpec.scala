@@ -50,6 +50,28 @@ class MixtureSpec extends SparkSpec {
     check(Seq(("only", 12345L)), 3, 3, 2)
   }
 
+  test("applyPlan keeps fully-capped domains wholesale; sample is deterministic") {
+    val docs = graft.core.Tables.documents(spark, sf0001)
+    val per = docs.groupBy(col("source")).agg(sum(col("n_chars")).as("toks"))
+    val plan = Mixture.waterfill(per, "source", "toks", 3, 3, 2)
+    val applied = Mixture.applyPlan(docs, plan, "source", "doc_id", "n_chars")
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+    val joined = applied
+      .join(plan.select(col("source"), col("cap")), Seq("source"))
+      .join(counts, Seq("source"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (alloc, nKept, cap, nTotal) =
+        (r.getAs[Long]("alloc"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("cap"), r.getAs[Long]("n_total"))
+      if (alloc == cap) assert(nKept === nTotal, s"capped ${r.getString(0)}")
+      else assert(nKept <= nTotal)
+    }
+    val again = Mixture.applyPlan(docs, plan, "source", "doc_id", "n_chars")
+    assert(applied.collect().toSet === again.collect().toSet)
+  }
+
   test("fixture allocation is deterministic and budget-exact") {
     val per = graft.core.Tables.documents(spark, sf0001)
       .groupBy(col("source")).agg(sum(col("n_chars")).as("toks"))

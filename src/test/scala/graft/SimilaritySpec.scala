@@ -263,4 +263,27 @@ class SimilaritySpec extends SparkSpec {
       .count()
     assert(bad == 0)
   }
+
+  test("marginMining separates a genuine translation pair from a hub") {
+    import spark.implicits._
+    // query 0: one clear match (100) among decoys → big margin.
+    // query 2: a hub neighborhood where four targets are all equally
+    // close → margin ≈ 1, rejected at any sensible threshold.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),       // query A
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),       // query B (the hub)
+      (100L, Array(0.9f, 0.1f, 0.0f, 0.0f)),     // A's translation
+      (101L, Array(0.1f, 0.9f, 0.1f, 0.0f)),     // hub-ish
+      (102L, Array(0.0f, 0.9f, 0.1f, 0.1f)),     // hub-ish
+      (103L, Array(0.1f, 0.8f, 0.2f, 0.0f)),     // hub-ish
+      (104L, Array(0.0f, 0.8f, 0.1f, 0.2f)))     // hub-ish
+      .toDF("vec_id", "embedding")
+    val out = Similarity.marginMining(
+        vecs.filter(col("vec_id") >= 100), vecs.filter(col("vec_id") < 100),
+        minMargin = 1.05)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(4))).toMap
+    assert(out(0L)._1 === 100L)
+    assert(out(0L)._2, "clear translation must pass the margin")
+    assert(!out(2L)._2, "hub neighborhood must fail the margin")
+  }
 }
