@@ -26,10 +26,16 @@ object Annotation {
     * smallest label, deterministic), its vote count, total votes,
     * distinct labels, and agreement = majority_n·10000 div n_votes.
     */
-  def majorityVote(votes: DataFrame, itemCol: String, labelCol: String): DataFrame = {
-    val counts = votes
-      .groupBy(col(itemCol), col(labelCol).as("label"))
-      .agg(count(lit(1)).as("cnt"))
+  def majorityVote(votes: DataFrame, itemCol: String, labelCol: String): DataFrame =
+    consensusFromCounts(
+      votes.groupBy(col(itemCol), col(labelCol).as("label"))
+        .agg(count(lit(1)).as("cnt")),
+      itemCol)
+
+  /** The consensus pick over a pre-counted (item, label, cnt) table —
+    * shared by the batch path above and the streaming twin below.
+    */
+  def consensusFromCounts(counts: DataFrame, itemCol: String): DataFrame =
     counts
       .groupBy(col(itemCol))
       .agg(
@@ -42,5 +48,33 @@ object Annotation {
         element_at(col("top"), 1).getField("cnt").as("majority_n"),
         col("n_votes"), col("n_labels"))
       .withColumn("agreement_bp", expr("majority_n * 10000 div n_votes"))
-  }
+
+  /** Streaming consensus over an unbounded vote stream. Structured
+    * Streaming forbids chained aggregations, so the stateful layer is
+    * the SINGLE (item, label) count in complete mode — state bounded by
+    * |items| × |label vocabulary|, the right shape for a finite
+    * annotation campaign (an unbounded item space would want
+    * watermarked windows instead) — and the second level (the
+    * consensus pick) runs as a BATCH aggregate over each emitted count
+    * snapshot inside foreachBatch: the standard two-level workaround,
+    * here reusing the exact batch code so stream ≡ batch by
+    * construction (asserted against independently-computed batch
+    * output in LabelVoteStreamSpec).
+    *
+    * `onBatch` receives the full consensus table per micro-batch
+    * (complete snapshots — each supersedes the last).
+    */
+  def majorityVoteStream(votes: DataFrame, itemCol: String, labelCol: String)(
+      onBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    votes
+      .groupBy(col(itemCol), col(labelCol).as("label"))
+      .agg(count(lit(1)).as("cnt"))
+      .writeStream
+      .outputMode("complete")
+      .foreachBatch { (counts: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        onBatch(consensusFromCounts(counts.toDF(), itemCol), batchId)
+      }
+      .start()
 }
