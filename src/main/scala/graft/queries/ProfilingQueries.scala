@@ -26,6 +26,24 @@ object ProfilingQueries {
     // Per-column profile of lineitem (keys, flags, ship date as epoch
     // seconds — doubles excluded: their string rendering is not
     // engine-portable).
+    // Corpus concentration: per-source token share in basis points,
+    // the Herfindahl–Hirschman index over those shares (Σ share² —
+    // bp², exact integers), and the dominant source's share — the
+    // diversity dashboard a mixture designer reads next to
+    // q_mix_budget. One |rows|-sized aggregate; everything after runs
+    // on |sources| rows.
+    "q_concentration" -> ((s, d) => {
+      val per = Tables.documents(s, d)
+        .groupBy(col("source")).agg(sum(col("n_chars")).as("toks"))
+      val tot = per.agg(sum(col("toks")).as("T"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("share_bp", expr("toks * 10000 div T"))
+        .agg(count(lit(1)).as("n_sources"),
+          sum(expr("share_bp * share_bp")).as("hhi_bp2"),
+          max(col("share_bp")).as("top_share_bp"),
+          sum(col("toks")).as("total_toks"))
+    }),
+
     "q_profile" -> ((s, d) =>
       Profiling.tableProfile(
         Tables.lineitem(s, d).select(
@@ -126,6 +144,20 @@ object ProfilingQueries {
   }.mkString("\nUNION ALL\n")
 
   val oracles: Map[String, String] = Map(
+    "q_concentration" ->
+      """WITH t AS (
+        |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS toks
+        |  FROM documents GROUP BY source
+        |), tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS T FROM t),
+        |s AS (
+        |  SELECT toks, (toks * 10000) // T AS share_bp FROM t CROSS JOIN tot
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+        |  CAST(SUM(share_bp * share_bp) AS BIGINT) AS hhi_bp2,
+        |  MAX(share_bp) AS top_share_bp,
+        |  CAST(SUM(toks) AS BIGINT) AS total_toks
+        |FROM s""".stripMargin,
+
     "q_profile" ->
       s"""WITH li AS (
          |  SELECT l_orderkey, l_partkey, l_suppkey, l_returnflag, l_linestatus,
