@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   *
   * Methodology: every query runs SPARK_GRAFT_BENCH_N times (default 3)
   * and the reported number is the per-query MEDIAN — single runs on a
-  * shared sandbox are noise. The cache is cleared between passes so a
-  * query's persist() calls can't make later passes artificially warm.
+  * shared sandbox are noise. The cache (including checkpoint straggler
+  * blocks) is swept after EVERY query so one query's resident state can
+  * neither warm nor pressure any other measurement.
   *
   * Dev loop: pass query names as args to run only those (driver passes
   * none and gets the full suite).
@@ -44,13 +45,25 @@ object Bench {
 
     def materialize(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
-      }
-      (System.nanoTime() - t0) / 1e9
+      val elapsed =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+        }
+      // release checkpoint stragglers PER QUERY, not per pass: a
+      // CC/localCheckpoint-family query's final-round blocks stay
+      // resident after its materialize (unrecomputable by design) and
+      // otherwise pressure every later query in the pass — measured
+      // r6→r7 as q_dedup_clusters 2.59→4.99s on unchanged code once
+      // more checkpoint-family queries joined the catalog. The sweep
+      // runs after the clock stops, so its cost never lands in any
+      // query's own number.
+      graft.core.CacheScope.releaseStragglers(spark)
+      elapsed
     }
 
     // JVM/codegen warmup on the smallest query (not reported)
@@ -63,12 +76,10 @@ object Bench {
     var leakedRdds = 0
     val passes = (1 to n).map { _ =>
       val pass = names.map(materialize)
-      // clears CacheManager entries AND checkpoint RDDs the per-query
-      // CacheScope release cannot touch — no pass warms the next one
-      graft.core.CacheScope.releaseStragglers(spark)
-      // cache-hygiene tripwire: a query that leaves blocks pinned after
-      // the release pass distorts every later query's numbers (memory
-      // pressure + GC) — the r5 full-catalog-vs-targeted drift suspect
+      // cache-hygiene tripwire: materialize() sweeps stragglers after
+      // every query, so anything still pinned here survived an explicit
+      // unpersist — a genuine leak (and it would distort every later
+      // query's numbers via memory pressure + GC)
       val leaked = spark.sparkContext.getPersistentRDDs
       if (leaked.nonEmpty) {
         leakedRdds += leaked.size

@@ -65,7 +65,7 @@ object CacheScope {
     * `Dedup.connectedComponents`), which is unrecomputable by design and
     * therefore must stay resident as long as its result might be
     * re-materialized. Call between independent materializations (Verify
-    * does per query, Bench per pass) when every previously returned
+    * and Bench both do per query) when every previously returned
     * DataFrame is dead. NOT safe while a checkpoint-backed result is
     * still awaiting (re-)use.
     */

@@ -46,11 +46,11 @@ final class TopKBuffer(val k: Int, val ord: Ordering[InternalRow]) {
   * ObjectHashAggregate with map-side partial aggregation: each task
   * reduces its slice to ≤ k rows per key BEFORE the exchange, so
   * shuffle volume is bounded by keys × k × tasks regardless of input
-  * size, and no sort of the full input ever happens. The classic
-  * bounded-heap pattern every external engine hand-writes (e.g. the
-  * reference's dashboard "max metric per window" views,
-  * `Real-time-Server-Monitoring.../dashboard/app.py` top-host panels),
-  * here as a reusable Catalyst aggregate instead of a per-query trick.
+  * size, and no sort of the full input ever happens. The reference has
+  * no top-k surface at all (SURVEY.md §2.2 — no sort/limit anywhere in
+  * its 13 files); this is the classic bounded-heap pattern external
+  * engines hand-write, here as a reusable Catalyst aggregate instead
+  * of a per-query trick.
   *
   * State is O(k) per key and spill-safe (ObjectHashAggregate falls back
   * to sort-based aggregation past the configured key cardinality;
@@ -117,8 +117,14 @@ case class TopKStruct(
   override def eval(buffer: TopKBuffer): Any =
     new GenericArrayData(buffer.sortedRows.asInstanceOf[Array[Any]])
 
+  // Hoisted: serialize() runs once per buffer on the sort-based
+  // fallback path, so building the (codegen'd) projection inside it
+  // would pay projection compilation per GROUP at high key cardinality
+  // — the same pattern Spark's own Collect/ApproximatePercentile use.
+  @transient private lazy val serializeProj = UnsafeProjection.create(structType)
+
   override def serialize(buffer: TopKBuffer): Array[Byte] = {
-    val proj = UnsafeProjection.create(structType)
+    val proj = serializeProj
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buffer.heap.size)

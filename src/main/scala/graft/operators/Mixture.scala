@@ -43,6 +43,10 @@ object Mixture {
     val pfxW = Window.orderBy(col("cap"), col(domainCol))
     val ranked = perDomain
       .select(col(domainCol), col(tokCol).cast("long").as("toks"))
+      // a zero-token domain has nothing to allocate and would divide by
+      // zero in epochs_bp (and in applyPlan's hash cut) — a hard error
+      // under ANSI, not a null. Dropping it IS its allocation (0).
+      .filter(col("toks") > 0)
       .crossJoin(broadcast(tot))
       .withColumn("cap", col("toks") * repCap)
       .withColumn("budget", expr(s"($budgetNum * T) div $budgetDen"))
@@ -96,8 +100,13 @@ object Mixture {
   def applyPlan(rows: DataFrame, plan: DataFrame, domainCol: String,
                 idCol: String, tokCol: String): DataFrame = {
     val hx = substring(md5(col(idCol).cast("string")), 1, 4)
+    // cap > 0 guard: waterfill never emits cap = 0 rows, but a
+    // hand-built plan might — and Or short-circuiting is an optimizer
+    // detail, not a guarantee, so the division is CASE-guarded rather
+    // than left to evaluation order (ANSI div-by-zero is a hard error)
     val keep = col("alloc") === col("cap") ||
-      hx < format_string("%04x", expr("(alloc * 65536) div cap"))
+      hx < format_string("%04x",
+        expr("CASE WHEN cap > 0 THEN (alloc * 65536) div cap ELSE 0 END"))
     rows.join(broadcast(plan), Seq(domainCol))
       .filter(keep)
       .groupBy(col(domainCol))
@@ -105,7 +114,8 @@ object Mixture {
         count(lit(1)).as("n_kept"),
         sum(col(tokCol)).as("kept_toks"),
         first(col("toks")).as("toks"))
-      .withColumn("realized_bp", expr("kept_toks * 10000 div toks"))
+      .withColumn("realized_bp",
+        expr("CASE WHEN toks > 0 THEN kept_toks * 10000 div toks ELSE 0 END"))
       .select(col(domainCol), col("alloc"), col("n_kept"),
         col("kept_toks"), col("realized_bp"))
   }

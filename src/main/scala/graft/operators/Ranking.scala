@@ -25,6 +25,16 @@ import org.apache.spark.sql.functions._
   * table each round — shuffle ∝ |pairs| per round, the PageRank shape.
   * Rounds are sequential by nature; per-round state is released as the
   * next round materializes (same discipline as connectedComponents).
+  *
+  * Concurrency note: per-round checkpoint blocks are tracked by
+  * set-differencing `sc.getPersistentRDDs` around the localCheckpoint
+  * call (same pattern as connectedComponents). That diff assumes no
+  * OTHER query is concurrently creating persistent RDDs on this
+  * SparkContext — under concurrent sessions it could capture a
+  * sibling's checkpoint and later unpersist the only copy of its
+  * result. Fine for the sequential Verify/Bench harnesses; a
+  * multi-tenant deployment should derive the round's RDD ids from the
+  * checkpointed Dataset's own plan instead.
   */
 object Ranking {
 
@@ -106,9 +116,26 @@ object Ranking {
     * nothing saved). Contrast q_leakage_split, whose pair pipeline
     * feeds separate ACTIONS (CC's per-round counts) and does need the
     * persist.
+    *
+    * The bounded-domain precondition is ENFORCED, not just documented:
+    * called on a high-cardinality key (a unique id) this would
+    * broadcast an unbounded offset table and serialize the prefix-sum
+    * window — so the builder first counts the key domain (one cheap
+    * approx_count_distinct pass, ~2% error) and fails loudly past
+    * `maxKeys`. The 10% slack on the threshold absorbs sketch error;
+    * the failure message names the range-partitioned-rank alternative.
     */
-  def globalNtile(df: DataFrame, keyCol: String, tieCol: String, n: Int): DataFrame = {
+  def globalNtile(df: DataFrame, keyCol: String, tieCol: String, n: Int,
+                  maxKeys: Long = 1000000L): DataFrame = {
     require(n >= 1)
+    val approxKeys = df.agg(approx_count_distinct(col(keyCol)).as("k"))
+      .head().getLong(0)
+    require(approxKeys <= maxKeys + maxKeys / 10,
+      s"globalNtile($keyCol): ~$approxKeys distinct keys exceeds maxKeys=$maxKeys. " +
+        "The serial prefix sum and broadcast offset table are sized by the key " +
+        "domain, so this key is too fine — bucket it first (e.g. floor/round the " +
+        "score), raise maxKeys deliberately, or use a range-partitioned global " +
+        "rank (df.repartitionByRange + per-partition offsets) instead.")
     import org.apache.spark.sql.expressions.Window
     val perKey = df.groupBy(col(keyCol).as("gk")).agg(count(lit(1)).as("cnt"))
     val pfx = Window.orderBy(col("gk"))

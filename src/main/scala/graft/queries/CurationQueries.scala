@@ -208,10 +208,11 @@ object CurationQueries {
     * subquery) q_mix_apply.
     */
   private val mixPlanSql: String =
-    """WITH t AS (
+    """WITH t0 AS (
         |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS toks
         |  FROM documents GROUP BY source
-        |), tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS T FROM t),
+        |), t AS (SELECT * FROM t0 WHERE toks > 0),
+        |tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS T FROM t),
         |r AS (
         |  SELECT source, toks, toks * 3 AS cap, (3 * T) // 2 AS budget,
         |    CAST(row_number() OVER (ORDER BY toks * 3, source) AS BIGINT) AS k,

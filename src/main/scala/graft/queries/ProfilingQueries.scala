@@ -23,9 +23,6 @@ object ProfilingQueries {
   private val dayUs = 86400000000L
 
   val queries: Map[String, Q] = Map(
-    // Per-column profile of lineitem (keys, flags, ship date as epoch
-    // seconds — doubles excluded: their string rendering is not
-    // engine-portable).
     // Corpus concentration: per-source token share in basis points,
     // the Herfindahl–Hirschman index over those shares (Σ share² —
     // bp², exact integers), and the dominant source's share — the
@@ -44,6 +41,9 @@ object ProfilingQueries {
           sum(col("toks")).as("total_toks"))
     }),
 
+    // Per-column profile of lineitem (keys, flags, ship date as epoch
+    // seconds — doubles excluded: their string rendering is not
+    // engine-portable).
     "q_profile" -> ((s, d) =>
       Profiling.tableProfile(
         Tables.lineitem(s, d).select(

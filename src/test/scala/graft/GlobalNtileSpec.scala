@@ -40,4 +40,17 @@ class GlobalNtileSpec extends SparkSpec {
   test("single row") {
     check(Seq((1L, 1L)), 3)
   }
+
+  test("high-cardinality key domain fails loudly, not by broadcast OOM") {
+    // every key unique: the offset table would be |rows|-sized — the
+    // exact shape the bounded-domain precondition exists to reject
+    val df = (1 to 5000).map(i => (i.toLong, i.toLong)).toDF("score", "id")
+    val e = intercept[IllegalArgumentException] {
+      Ranking.globalNtile(df, "score", "id", 4, maxKeys = 1000)
+    }
+    assert(e.getMessage.contains("distinct keys"))
+    assert(e.getMessage.contains("maxKeys=1000"))
+    // same data under an explicit, deliberate cap still computes
+    check((1 to 97).map(i => (i.toLong, i.toLong)), 5)
+  }
 }

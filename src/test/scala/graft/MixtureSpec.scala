@@ -50,6 +50,20 @@ class MixtureSpec extends SparkSpec {
     check(Seq(("only", 12345L)), 3, 3, 2)
   }
 
+  test("zero-token domain is dropped, not a division error") {
+    // toks = 0 → cap = 0: unguarded this is div-by-zero in epochs_bp
+    // (hard error under ANSI). The allocation for an empty domain IS 0,
+    // expressed by omitting the row; everyone else is unaffected.
+    val out = Mixture.waterfill(
+        Seq(("a", 0L), ("b", 100L), ("c", 1000L)).toDF("source", "toks"),
+        "source", "toks", 3, 3, 2)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(!out.contains("a"))
+    assert(out.keySet === Set("b", "c"))
+    // total still exhausts the budget: (3 * 1100) / 2 = 1650
+    assert(out.values.sum === 1650L)
+  }
+
   test("applyPlan keeps fully-capped domains wholesale; sample is deterministic") {
     val docs = graft.core.Tables.documents(spark, sf0001)
     val per = docs.groupBy(col("source")).agg(sum(col("n_chars")).as("toks"))

@@ -286,4 +286,26 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0L)._2, "clear translation must pass the margin")
     assert(!out(2L)._2, "hub neighborhood must fail the margin")
   }
+
+  test("marginMining with < 4 corpus candidates yields NULL margin, not an error") {
+    import spark.implicits._
+    // 2-candidate corpus: sim3/sim4 don't exist — the pivoted
+    // row_number oracle leaves them NULL, so margin and accepted must
+    // be NULL here too (and the array reads must not throw under ANSI)
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (100L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (101L, Array(0.5f, 0.5f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.marginMining(
+        vecs.filter(col("vec_id") >= 100), vecs.filter(col("vec_id") < 100),
+        minMargin = 1.05)
+      .collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getLong(1) === 100L, "best candidate still reported")
+    assert(!r.isNullAt(2), "sim1 exists")
+    assert(r.isNullAt(3), "margin NULL below 4 candidates")
+    assert(r.isNullAt(4), "accepted NULL below 4 candidates")
+  }
 }
