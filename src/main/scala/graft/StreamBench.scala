@@ -54,6 +54,8 @@ object StreamBench {
     // topology: "join" = stream-stream join of two landed families
     // (reference shape); "pivot" = single-source conditional-agg
     // variant (half the state, no join — the recommended topology);
+    // "interval" = watermarked ±10s stream-stream INTERVAL join of the
+    // cpu×mem families (time-proximity correlation, not ts equality);
     // "funnel" = flatMapGroupsWithState user-journey tracking (the
     // custom-state path: per-key state, no windowed aggregation)
     val mode = if (args.length > 1) args(1) else "join"
@@ -279,7 +281,25 @@ object StreamBench {
         val cfg = PipelineConfig.default
         val wire = StreamingPipeline.producerWire(dataset)
         val alerts =
-          if (mode == "pivot") {
+          if (mode == "interval") {
+            // stream-stream INTERVAL join topology: cpu readings paired
+            // with same-server mem readings within ±10s — the
+            // time-proximity correlation two INDEPENDENT streams need
+            // (exact-ts equi-join only works because the reference's one
+            // producer stamps both families on the same clock). State =
+            // both sides' rows within tolerance+watermark per server.
+            val cpu = StreamingPipeline.landedTable(wire, cfg, cfg.cpuTopic)
+              .withColumn("ts", graft.operators.RefOps.anchorTimeOfDay(col("ts")))
+              .withColumnRenamed("ts", "c_ts")
+            val mem = StreamingPipeline.landedTable(wire, cfg, cfg.memTopic)
+              .withColumn("ts", graft.operators.RefOps.anchorTimeOfDay(col("ts")))
+              .withColumnRenamed("ts", "m_ts")
+            StreamingPipeline.intervalJoin(cpu, "c_ts", mem, "m_ts",
+                "server_id", "10 seconds", "30 seconds")
+              .select(col("server_id"), col("c_ts"), col("cpu_pct"),
+                col("mem_pct"),
+                (expr("unix_micros(m_ts)") - expr("unix_micros(c_ts)")).as("lag_us"))
+          } else if (mode == "pivot") {
             // single-scan fan-in demux (landedFamilies) — the union form
             // re-scans the source per family; see SCALE.md §Streaming
             val landed = StreamingPipeline.landedFamilies(wire,

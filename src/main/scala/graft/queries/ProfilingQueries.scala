@@ -89,6 +89,28 @@ object ProfilingQueries {
             greatest(col("s_start"), col("i_start"))).as("total_overlap_us"))
     }),
 
+    // Watermarked interval (band) join, batch twin: each error event
+    // paired with the same user's purchases within ±10 minutes — the
+    // "what did this failure interrupt?" correlation. Runs the EXACT
+    // code path the streaming topology uses (StreamingPipeline
+    // .intervalJoin; withWatermark is a no-op in batch), so this oracle
+    // gates the stream-stream plan's join semantics too. Lag stays in
+    // exact microseconds — no seconds division to disagree over.
+    // Plan: equi-join on user_id with the band as a post-join filter —
+    // at 100 TB a keyed shuffle join, pairs bounded by events within
+    // ±tolerance per user, never |errors|×|purchases|.
+    "q_band_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("err_ts"), col("event_id").as("err_id"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pur_ts"), col("event_id").as("pur_id"))
+      graft.streaming.StreamingPipeline
+        .intervalJoin(err, "err_ts", pur, "pur_ts", "user_id", "10 minutes")
+        .select(col("user_id"), col("err_id"), col("pur_id"),
+          (expr("unix_micros(pur_ts)") - expr("unix_micros(err_ts)")).as("lag_us"))
+    }),
+
     // Data-quality expectations gate (the pre-training contract check):
     // hard invariants (range, FK, uniqueness, derived-column
     // consistency) plus curation expectations that genuinely trip on
@@ -180,6 +202,15 @@ object ProfilingQueries {
         |SELECT q.event_id, q.event_type, q.qv
         |FROM q JOIN s USING (event_type)
         |WHERE (n * qv - sm) * (n * qv - sm) > 9 * (n * v - sm * sm)""".stripMargin,
+
+    "q_band_join" ->
+      """SELECT e.user_id, e.event_id AS err_id, p.event_id AS pur_id,
+        |  epoch_us(p.ts) - epoch_us(e.ts) AS lag_us
+        |FROM events e JOIN events p
+        |  ON e.user_id = p.user_id
+        | AND e.event_type = 'error' AND p.event_type = 'purchase'
+        | AND p.ts >= e.ts - INTERVAL 10 MINUTE
+        | AND p.ts <= e.ts + INTERVAL 10 MINUTE""".stripMargin,
 
     "q_interval_overlap" ->
       s"""WITH ev AS (

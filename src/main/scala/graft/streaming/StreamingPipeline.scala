@@ -154,6 +154,47 @@ object StreamingPipeline {
     df.withWatermark("ts", cfg.watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Watermarked stream-stream INTERVAL join: pair left rows with right
+    * rows sharing `key` whose event time lands within ±`tolerance` of
+    * the left row's — correlation by time proximity, not timestamp
+    * equality (the reference's two metric families are joinable on
+    * exact ts, `spark_jobs/spark_job1.py:18`, ONLY because one producer
+    * emits both on the same clock; independent streams never line up
+    * like that, and this is the standard fix).
+    *
+    * Both sides are watermarked on their own event-time column, and the
+    * join condition carries explicit range bounds on those columns —
+    * the two things Structured Streaming needs to compute a state
+    * eviction horizon for BOTH sides (each side's state is dropped once
+    * the other's watermark passes `tolerance` + watermark delay; without
+    * the bounds a stream-stream inner join keeps unbounded state).
+    * State per trigger is O(rows within the tolerance+watermark horizon
+    * per key), not O(stream).
+    *
+    * `leftTs` and `rightTs` must differ (both survive into the output —
+    * the caller's lag arithmetic needs them). The key column keeps its
+    * left name. Works identically on batch frames (withWatermark is a
+    * documented no-op in batch; the range predicate rides the equi-join
+    * on `key` as a post-join filter), so a DuckDB oracle and a
+    * stream ≡ batch spec both gate the same plan.
+    */
+  def intervalJoin(left: DataFrame, leftTs: String,
+                   right: DataFrame, rightTs: String,
+                   key: String, tolerance: String,
+                   watermark: String = "1 minute"): DataFrame = {
+    require(leftTs != rightTs,
+      s"leftTs and rightTs must differ (both are emitted), got '$leftTs' twice")
+    val rKey = s"__${key}_r"
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withColumnRenamed(key, rKey).withWatermark(rightTs, watermark)
+    l.join(r,
+        col(key) === col(rKey) &&
+          col(rightTs) >= col(leftTs) - expr(s"INTERVAL $tolerance") &&
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $tolerance"),
+        "inner")
+      .drop(rKey)
+  }
+
   /** Streaming job1: cpu + mem landed streams (ts TIMESTAMP, server_id,
     * metric) → watermarked stream-stream inner join on (ts, server_id)
     * → sliding-window avg → CASE alerts. Watermarks bound both the join

@@ -69,6 +69,40 @@ class StreamingSpec extends SparkSpec {
     assert(n100.map(_.getLong(0)).toSeq == Seq(1L)) // late duplicate not counted
   }
 
+  test("watermarked interval join: stream ≡ batch, band bounds enforced") {
+    // errors at t=100/t=500 on k1, candidates at 95/112/130/490 on k1
+    // (plus a k2 decoy at 100): with ±15s tolerance only (100,95),
+    // (100,112) and (500,490) pair up — 130 is outside the band, k2
+    // never matches. The SAME intervalJoin call runs on MemoryStreams
+    // and on batch frames; row sets must be identical.
+    val errRows = Seq((ts(100), "k1", 1L), (ts(500), "k1", 2L))
+    val candRows = Seq(
+      (ts(95), "k1", 10L), (ts(112), "k1", 11L), (ts(130), "k1", 12L),
+      (ts(490), "k1", 13L), (ts(100), "k2", 14L))
+    def join(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+      StreamingPipeline.intervalJoin(
+          l.toDF("l_ts", "key", "l_id"), "l_ts",
+          r.toDF("r_ts", "key", "r_id"), "r_ts",
+          "key", "15 seconds", "1 minute")
+        .select(col("l_id"), col("r_id"))
+
+    val batch = join(errRows.toDF(), candRows.toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch === Set((1L, 10L), (1L, 11L), (2L, 13L)))
+
+    val lSrc = MemoryStream[(Timestamp, String, Long)](spark)
+    val rSrc = MemoryStream[(Timestamp, String, Long)](spark)
+    lSrc.addData(errRows: _*)
+    rSrc.addData(candRows: _*)
+    // advance both watermarks far past every band so Append emits all
+    // (distinct sentinel keys so the two advance rows can't pair up)
+    lSrc.addData((ts(9000), "kx", 99L))
+    rSrc.addData((ts(9000), "ky", 98L))
+    val streamed = runToCompletion(join(lSrc.toDF(), rSrc.toDF()), "bandout")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch, "stream-stream interval join must equal the batch twin")
+  }
+
   test("E1 streaming dedup: duplicates within watermark collapse") {
     val src = MemoryStream[(Timestamp, String, Double)](spark)
     val df = src.toDF().toDF("ts", "server_id", "cpu_pct")
