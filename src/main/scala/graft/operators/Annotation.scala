@@ -49,6 +49,43 @@ object Annotation {
         col("n_votes"), col("n_labels"))
       .withColumn("agreement_bp", expr("majority_n * 10000 div n_votes"))
 
+  /** Cohen's κ inter-annotator agreement between two raters over
+    * shared items — the annotation-campaign QA number read next to
+    * [[majorityVote]]'s per-item agreement: how much better than chance
+    * do the raters agree, given their individual label marginals?
+    *
+    *   κ = (p_o − p_e)/(1 − p_e),  p_o = A/N,  p_e = Σ_l nA_l·nB_l / N²
+    *     = (A·N − P)/(N² − P)      with P = Σ_l nA_l·nB_l
+    *
+    * Emitted as the EXACT integer numerator/denominator pair (plus the
+    * ingredients), never divided: κ is legitimately negative when
+    * raters agree less than chance, and integer-division truncation
+    * direction for negatives differs across engines — a ratio the
+    * consumer divides is portable, a truncated quotient is not.
+    *
+    * `pairs` is one row per doubly-labeled item with the two label
+    * columns. Scale: one pass for (N, A), one |label-vocabulary|-sized
+    * aggregate per side for the marginals, every join broadcast-bounded
+    * by the vocabulary — nothing is ever keyed by item.
+    */
+  def cohenKappa(pairs: DataFrame, labelACol: String, labelBCol: String): DataFrame = {
+    val totals = pairs.agg(
+      count(lit(1)).as("n_items"),
+      // coalesce: SUM over ZERO pairs is NULL, but "no items, no
+      // agreements" is a 0 — and the COUNT(*) FILTER oracle form says 0
+      coalesce(sum(when(col(labelACol) === col(labelBCol), 1L).otherwise(0L)),
+        lit(0L)).as("agree_n"))
+    val aCnt = pairs.groupBy(col(labelACol).as("l")).agg(count(lit(1)).as("na"))
+    val bCnt = pairs.groupBy(col(labelBCol).as("l")).agg(count(lit(1)).as("nb"))
+    // inner join: a label used by only one rater contributes nA_l·0 = 0
+    val pe = aCnt.join(bCnt, Seq("l"))
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("pe_num"))
+    totals.crossJoin(broadcast(pe))
+      .select(col("n_items"), col("agree_n"), col("pe_num"),
+        (col("agree_n") * col("n_items") - col("pe_num")).as("kappa_num"),
+        (col("n_items") * col("n_items") - col("pe_num")).as("kappa_den"))
+  }
+
   /** Streaming consensus over an unbounded vote stream. Structured
     * Streaming forbids chained aggregations, so the stateful layer is
     * the SINGLE (item, label) count in complete mode — state bounded by

@@ -516,6 +516,53 @@ object TextAnalysis {
         when(col("logit") >= 0, lit("keep")).otherwise(lit("drop")))
   }
 
+  /** DSIR-style importance weights for data selection (Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023 shape): score every document by how much its hashed
+    * token distribution looks like a TARGET slice of the corpus versus
+    * the corpus overall, so a later weighted sample (see
+    * `Sampling.weightedSample`) can tilt the mixture toward
+    * target-like data without a trained classifier.
+    *
+    * Deviation from the paper, on purpose: the per-feature weight is
+    * the add-one-smoothed RATE RATIO in exact integer micro-units —
+    *
+    *   w(b) = (tgt_b+1)·(T_all+B)·10⁶ div ((all_b+1)·(T_tgt+B))
+    *
+    * summed per document, rather than a sum of log-ratios (no libm in
+    * a cross-engine-exact pipeline; the ranking it induces is the same
+    * monotone "more target-like → bigger" signal, and every value is
+    * bit-portable to the oracle). Buckets are the first 2 md5 hex chars
+    * of each token (B = 256, string-keyed — no hex→int conversion to
+    * disagree over); target ⊆ corpus gives tgt_b ≤ all_b, so w(b) ≤
+    * (T_all+B)/(T_tgt+B)·10⁶ and a doc's score fits long comfortably;
+    * the intermediate products ride DECIMAL(38,0) (oracle: HUGEINT).
+    *
+    * Scale: one token explode (corpus-linear), ONE 256-row bucket
+    * table built from a single grouped pass + broadcast back onto the
+    * token stream, one per-doc aggregation. Nothing is ever keyed finer
+    * than (bucket) or (doc).
+    */
+  def importanceWeights(df: DataFrame, textCol: String, idCol: String,
+      targetCond: Column): DataFrame = {
+    val occ = df
+      .select(col(idCol), targetCond.as("is_t"),
+        explode(filter(toks(col(textCol)), t => t =!= "")).as("w"))
+      .select(col(idCol), col("is_t"), substring(md5(col("w")), 1, 2).as("b"))
+    val buckets = occ.groupBy(col("b"))
+      .agg(count(lit(1)).as("all_b"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("tgt_b"))
+    val totals = buckets.agg(sum(col("all_b")).as("t_all"), sum(col("tgt_b")).as("t_tgt"))
+    val weighted = buckets.crossJoin(broadcast(totals))
+      .select(col("b"),
+        expr("""(CAST(tgt_b + 1 AS DECIMAL(38,0)) * (t_all + 256) * 1000000)
+               | div (CAST(all_b + 1 AS DECIMAL(38,0)) * (t_tgt + 256))"""
+          .stripMargin).as("w_micro"))
+    occ.join(broadcast(weighted), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"), sum(col("w_micro")).as("dsir_micro"))
+  }
+
   /** Blocked positional inverted index — the search-index build that is
     * one of the canonical 100 TB batch jobs. Tokens carry their 0-based
     * position in the document's whitespace token stream; each posting

@@ -38,6 +38,26 @@ object CurationQueries {
             col("event_type").as("label")),
         "item_id", "label")),
 
+    // Inter-annotator agreement (Cohen's κ): the same annotation log
+    // as q_label_vote, read as TWO raters per item — rater A is the
+    // earliest event's type, rater B the latest's (ties broken by
+    // event_id; items need ≥ 2 events). κ is emitted as its exact
+    // integer numerator/denominator — never divided, because κ can be
+    // negative and truncation direction differs across engines.
+    "q_kappa" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(expr("event_id % 3000").as("item_id"),
+          expr("unix_micros(ts)").as("t_us"), col("event_id"), col("event_type"))
+      val pairs = ev.groupBy(col("item_id"))
+        .agg(count(lit(1)).as("n"),
+          min(struct(col("t_us"), col("event_id"), col("event_type"))).as("fst"),
+          max(struct(col("t_us"), col("event_id"), col("event_type"))).as("lst"))
+        .filter(col("n") >= 2)
+        .select(col("item_id"),
+          col("fst.event_type").as("label_a"), col("lst.event_type").as("label_b"))
+      Annotation.cohenKappa(pairs, "label_a", "label_b")
+    }),
+
     // Budgeted domain-mixture waterfill: per-source char counts, a
     // 3-epoch repetition cap, and a budget of 1.5× the corpus — small
     // sources cap out, the rest split the remainder to the token
@@ -257,6 +277,39 @@ object CurationQueries {
         |SELECT t.item_id, r.label AS majority_label, r.cnt AS majority_n,
         |  t.n_votes, t.n_labels, (r.cnt * 10000) // t.n_votes AS agreement_bp
         |FROM t JOIN r ON r.item_id = t.item_id AND r.rk = 1""".stripMargin,
+
+    // Mirrors q_kappa's rater construction (row_number twins of the
+    // struct min/max) and the exact-rational κ ingredients.
+    "q_kappa" ->
+      """WITH ev AS (
+        |  SELECT event_id % 3000 AS item_id, epoch_us(ts) AS t_us,
+        |    event_id, event_type
+        |  FROM events
+        |), r AS (
+        |  SELECT item_id, event_type,
+        |    row_number() OVER (PARTITION BY item_id ORDER BY t_us, event_id) AS rk_a,
+        |    row_number() OVER (PARTITION BY item_id ORDER BY t_us DESC, event_id DESC) AS rk_b,
+        |    COUNT(*) OVER (PARTITION BY item_id) AS n
+        |  FROM ev
+        |), p AS (
+        |  SELECT item_id,
+        |    MAX(CASE WHEN rk_a = 1 THEN event_type END) AS label_a,
+        |    MAX(CASE WHEN rk_b = 1 THEN event_type END) AS label_b
+        |  FROM r WHERE n >= 2 GROUP BY item_id
+        |), t AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+        |    CAST(COUNT(*) FILTER (label_a = label_b) AS BIGINT) AS agree_n
+        |  FROM p
+        |), ma AS (SELECT label_a AS l, CAST(COUNT(*) AS BIGINT) AS na FROM p GROUP BY 1),
+        |mb AS (SELECT label_b AS l, CAST(COUNT(*) AS BIGINT) AS nb FROM p GROUP BY 1),
+        |pe AS (
+        |  SELECT CAST(COALESCE(SUM(na * nb), 0) AS BIGINT) AS pe_num
+        |  FROM ma JOIN mb USING (l)
+        |)
+        |SELECT n_items, agree_n, pe_num,
+        |  agree_n * n_items - pe_num AS kappa_num,
+        |  n_items * n_items - pe_num AS kappa_den
+        |FROM t CROSS JOIN pe""".stripMargin,
 
     // Step-for-step mirror of Mixture.waterfill (same rank order, same
     // prefix frame, same CASE guards); every column CAST BIGINT because

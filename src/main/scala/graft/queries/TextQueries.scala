@@ -35,6 +35,15 @@ object TextQueries {
     "q_quality_score" -> ((s, d) =>
       TextAnalysis.qualityScore(Tables.documents(s, d), "text", "doc_id")),
 
+    // DSIR-style importance weights: target slice = English docs; every
+    // doc scored by how target-like its hashed-token distribution is
+    // (exact rational rate-ratios in micro-units — the log-ratio
+    // estimator's engine-portable twin; see TextAnalysis
+    // .importanceWeights). Feeds a weighted resample downstream.
+    "q_dsir" -> ((s, d) =>
+      TextAnalysis.importanceWeights(Tables.documents(s, d), "text", "doc_id",
+        col("lang") === "en")),
+
     // Hashing-trick linear classifier inference (fastText-style quality
     // filter): per-token bucket hash + integer weight fold, one
     // projection, no shuffle — see TextAnalysis.hashedLinearScore.
@@ -355,6 +364,32 @@ object TextQueries {
        |FROM s GROUP BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Mirrors importanceWeights: same 2-hex-char md5 buckets, same
+    // add-one-smoothed rate ratio with HUGEINT products (the
+    // DECIMAL(38,0) twin) and one truncating integer division.
+    "q_dsir" ->
+      s"""WITH occ AS (
+         |  SELECT doc_id, lang = 'en' AS is_t,
+         |    substring(md5(t), 1, 2) AS b
+         |  FROM documents, unnest($toksSql) AS u(t)
+         |  WHERE t <> ''
+         |), buckets AS (
+         |  SELECT b, CAST(COUNT(*) AS HUGEINT) AS all_b,
+         |    CAST(COUNT(*) FILTER (is_t) AS HUGEINT) AS tgt_b
+         |  FROM occ GROUP BY b
+         |), tot AS (
+         |  SELECT SUM(all_b) AS t_all, SUM(tgt_b) AS t_tgt FROM buckets
+         |), w AS (
+         |  SELECT b,
+         |    CAST(((tgt_b + 1) * (t_all + 256) * 1000000)
+         |      // ((all_b + 1) * (t_tgt + 256)) AS BIGINT) AS w_micro
+         |  FROM buckets CROSS JOIN tot
+         |)
+         |SELECT occ.doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+         |  CAST(SUM(w.w_micro) AS BIGINT) AS dsir_micro
+         |FROM occ JOIN w USING (b)
+         |GROUP BY occ.doc_id""".stripMargin,
+
     "q_bpe_merges" -> bpeSql,
 
     "q_bpe_encode" -> bpeEncodeSql,

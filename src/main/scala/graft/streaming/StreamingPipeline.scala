@@ -177,13 +177,24 @@ object StreamingPipeline {
     * documented no-op in batch; the range predicate rides the equi-join
     * on `key` as a post-join filter), so a DuckDB oracle and a
     * stream ≡ batch spec both gate the same plan.
+    *
+    * `joinType` "left_outer" keeps unmatched left rows (right columns
+    * null). In streaming that null row can only be emitted once the
+    * RIGHT watermark has passed the row's whole tolerance band — until
+    * then a matching right row could still arrive — so outer results
+    * trail the inner ones by the watermark delay: the fundamental
+    * outer-join-on-streams latency/completeness trade, surfaced as
+    * API behavior and pinned by the spec.
     */
   def intervalJoin(left: DataFrame, leftTs: String,
                    right: DataFrame, rightTs: String,
                    key: String, tolerance: String,
-                   watermark: String = "1 minute"): DataFrame = {
+                   watermark: String = "1 minute",
+                   joinType: String = "inner"): DataFrame = {
     require(leftTs != rightTs,
       s"leftTs and rightTs must differ (both are emitted), got '$leftTs' twice")
+    require(Set("inner", "left_outer")(joinType),
+      s"intervalJoin supports inner and left_outer, got '$joinType'")
     val rKey = s"__${key}_r"
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withColumnRenamed(key, rKey).withWatermark(rightTs, watermark)
@@ -191,7 +202,7 @@ object StreamingPipeline {
         col(key) === col(rKey) &&
           col(rightTs) >= col(leftTs) - expr(s"INTERVAL $tolerance") &&
           col(rightTs) <= col(leftTs) + expr(s"INTERVAL $tolerance"),
-        "inner")
+        joinType)
       .drop(rKey)
   }
 

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Annotation, TextAnalysis}
+
+/** Batch annotation/selection operators: Cohen's κ against hand-computed
+  * confusion tables (including the κ < 0 case the integer num/den
+  * contract exists for), and DSIR importance weights against the
+  * definitional per-bucket recomputation.
+  */
+class AnnotationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def kappa(pairs: Seq[(String, String)]): (Long, Long, Long, Long, Long) = {
+    val r = Annotation.cohenKappa(
+        pairs.toDF("label_a", "label_b"), "label_a", "label_b")
+      .collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+  }
+
+  test("perfect agreement: kappa_num == kappa_den (κ = 1)") {
+    val (n, a, _, num, den) = kappa(Seq(("x", "x"), ("y", "y"), ("x", "x")))
+    assert(n === 3 && a === 3)
+    assert(num === den && den > 0)
+  }
+
+  test("textbook 2x2 confusion: κ = (A·N − P)/(N² − P) exactly") {
+    // classic example: N=50, A=20+15=35, marginals a:(25,25) b:(30,20)
+    // P = 25·30 + 25·20 = 1250 → num = 35·50 − 1250 = 500,
+    // den = 2500 − 1250 = 1250 → κ = 0.4
+    val pairs =
+      Seq.fill(20)(("yes", "yes")) ++ Seq.fill(5)(("yes", "no")) ++
+        Seq.fill(10)(("no", "yes")) ++ Seq.fill(15)(("no", "no"))
+    val (n, a, p, num, den) = kappa(pairs)
+    assert((n, a, p) === ((50L, 35L, 1250L)))
+    assert((num, den) === ((500L, 1250L)))
+  }
+
+  test("systematic disagreement yields negative κ — numerator sign survives") {
+    // raters always flip: A=0; marginals a:(2,2) b:(2,2), P = 2·2+2·2 = 8
+    // num = 0·4 − 8 = −8, den = 16 − 8 = 8 → κ = −1
+    val (_, a, _, num, den) = kappa(
+      Seq(("x", "y"), ("y", "x"), ("x", "y"), ("y", "x")))
+    assert(a === 0)
+    assert(num === -8L && den === 8L)
+  }
+
+  test("label used by only one rater contributes nothing to chance agreement") {
+    // b-only label "z": P must count only shared labels
+    val (_, _, p, _, _) = kappa(Seq(("x", "x"), ("x", "z")))
+    // marginals: a x:2; b x:1, z:1 → shared label x: 2·1 = 2
+    assert(p === 2L)
+  }
+
+  test("importance weights: target-heavy doc outscores corpus-average doc") {
+    // target docs speak 'alpha', the rest 'beta'; a fresh doc of all
+    // 'alpha' must outscore one of all 'beta'
+    val docs = (
+      (1 to 5).map(i => (i.toLong, "alpha alpha alpha", "en")) ++
+      (6 to 10).map(i => (i.toLong, "beta beta beta", "de")) ++
+      Seq((11L, "alpha alpha alpha alpha", "de"), (12L, "beta beta beta beta", "de"))
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.importanceWeights(docs, "text", "doc_id",
+        col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(11L)._1 === 4L)
+    assert(out(11L)._2 > out(12L)._2,
+      "all-target-vocabulary doc must carry the larger importance weight")
+    // definitional check on doc 12 (all 'beta'): w = (tgt+1)(T_all+256)e6
+    // div ((all+1)(T_tgt+256)); beta: tgt=0, all=19; totals: T_all=38, T_tgt=15
+    val wBeta = (1L * (38L + 256) * 1000000L) / (20L * (15L + 256))
+    assert(out(12L)._2 === 4L * wBeta)
+  }
+}

@@ -103,6 +103,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch, "stream-stream interval join must equal the batch twin")
   }
 
+  test("left-outer interval join emits the unmatched row with nulls after watermark") {
+    // error id=2 at t=500 has no candidate within ±15s: inner drops it,
+    // left_outer must emit (2, null) — in streaming only AFTER the
+    // right watermark passes its band, which the sentinel row provides
+    def join(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+      StreamingPipeline.intervalJoin(
+          l.toDF("l_ts", "key", "l_id"), "l_ts",
+          r.toDF("r_ts", "key", "r_id"), "r_ts",
+          "key", "15 seconds", "1 minute", joinType = "left_outer")
+        .select(col("l_id"), col("r_id"))
+    val errRows = Seq((ts(100), "k1", 1L), (ts(500), "k1", 2L))
+    val candRows = Seq((ts(95), "k1", 10L))
+    def toSet(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    val expected = Set((1L, Some(10L)), (2L, None))
+
+    val batch = toSet(join(errRows.toDF(), candRows.toDF()).collect())
+    assert(batch === expected)
+
+    val lSrc = MemoryStream[(Timestamp, String, Long)](spark)
+    val rSrc = MemoryStream[(Timestamp, String, Long)](spark)
+    lSrc.addData(errRows: _*)
+    rSrc.addData(candRows: _*)
+    lSrc.addData((ts(9000), "kx", 99L))
+    rSrc.addData((ts(9000), "ky", 98L))
+    val streamed = toSet(runToCompletion(join(lSrc.toDF(), rSrc.toDF()), "bandouter")
+      .filter(col("l_id") < 99L).collect())
+    assert(streamed === expected,
+      "outer row must surface once the right watermark clears its band")
+  }
+
   test("E1 streaming dedup: duplicates within watermark collapse") {
     val src = MemoryStream[(Timestamp, String, Double)](spark)
     val df = src.toDF().toDF("ts", "server_id", "cpu_pct")
