@@ -538,29 +538,35 @@ object TextAnalysis {
     * (T_all+B)/(T_tgt+B)·10⁶ and a doc's score fits long comfortably;
     * the intermediate products ride DECIMAL(38,0) (oracle: HUGEINT).
     *
-    * Scale: one token explode (corpus-linear), ONE 256-row bucket
-    * table built from a single grouped pass + broadcast back onto the
-    * token stream, one per-doc aggregation. Nothing is ever keyed finer
-    * than (bucket) or (doc).
+    * Scale: the token explode collapses IMMEDIATELY into per-(doc,
+    * bucket) counts — map-side partial aggregation caps the exchange at
+    * ≤ B rows per document whatever the doc length, and both downstream
+    * readers (the 256-row bucket table and the per-doc score) hang off
+    * that ONE exchange, which ReuseExchange dedupes within the single
+    * action (the q_curriculum pattern — no persist needed). The weight
+    * join is a 256-row broadcast. Nothing is ever keyed finer than
+    * (doc, bucket).
     */
   def importanceWeights(df: DataFrame, textCol: String, idCol: String,
       targetCond: Column): DataFrame = {
-    val occ = df
+    val grouped = df
       .select(col(idCol), targetCond.as("is_t"),
         explode(filter(toks(col(textCol)), t => t =!= "")).as("w"))
       .select(col(idCol), col("is_t"), substring(md5(col("w")), 1, 2).as("b"))
-    val buckets = occ.groupBy(col("b"))
-      .agg(count(lit(1)).as("all_b"),
-        sum(when(col("is_t"), 1L).otherwise(0L)).as("tgt_b"))
+      .groupBy(col(idCol), col("is_t"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val buckets = grouped.groupBy(col("b"))
+      .agg(sum(col("c")).as("all_b"),
+        sum(when(col("is_t"), col("c")).otherwise(0L)).as("tgt_b"))
     val totals = buckets.agg(sum(col("all_b")).as("t_all"), sum(col("tgt_b")).as("t_tgt"))
     val weighted = buckets.crossJoin(broadcast(totals))
       .select(col("b"),
         expr("""(CAST(tgt_b + 1 AS DECIMAL(38,0)) * (t_all + 256) * 1000000)
                | div (CAST(all_b + 1 AS DECIMAL(38,0)) * (t_tgt + 256))"""
           .stripMargin).as("w_micro"))
-    occ.join(broadcast(weighted), Seq("b"))
+    grouped.join(broadcast(weighted), Seq("b"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_toks"), sum(col("w_micro")).as("dsir_micro"))
+      .agg(sum(col("c")).as("n_toks"), sum(col("c") * col("w_micro")).as("dsir_micro"))
   }
 
   /** Blocked positional inverted index — the search-index build that is
