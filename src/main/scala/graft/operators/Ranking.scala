@@ -120,28 +120,41 @@ object Ranking {
     * The bounded-domain precondition is ENFORCED, not just documented:
     * called on a high-cardinality key (a unique id) this would
     * broadcast an unbounded offset table and serialize the prefix-sum
-    * window — so the builder first counts the key domain (one cheap
-    * approx_count_distinct pass, ~2% error) and fails loudly past
-    * `maxKeys`. The 10% slack on the threshold absorbs sketch error;
-    * the failure message names the range-partitioned-rank alternative.
+    * window. The guard rides IN-PLAN on the same single-partition
+    * window pass the prefix sum already makes over the aggregated
+    * per-key table — a count over the full frame next to the prefix
+    * frame, raise_error past `maxKeys` — so the legitimate case pays
+    * ZERO extra passes (an earlier eager approx_count_distinct guard
+    * re-executed the whole upstream pipeline: +55% on q_curriculum),
+    * and the pathological case fails with a clear message after
+    * sorting only the |keys|-row AGGREGATE, before anything is
+    * broadcast or joined. The failure message names the
+    * range-partitioned-rank alternative.
     */
   def globalNtile(df: DataFrame, keyCol: String, tieCol: String, n: Int,
                   maxKeys: Long = 1000000L): DataFrame = {
     require(n >= 1)
-    val approxKeys = df.agg(approx_count_distinct(col(keyCol)).as("k"))
-      .head().getLong(0)
-    require(approxKeys <= maxKeys + maxKeys / 10,
-      s"globalNtile($keyCol): ~$approxKeys distinct keys exceeds maxKeys=$maxKeys. " +
-        "The serial prefix sum and broadcast offset table are sized by the key " +
-        "domain, so this key is too fine — bucket it first (e.g. floor/round the " +
-        "score), raise maxKeys deliberately, or use a range-partitioned global " +
-        "rank (df.repartitionByRange + per-partition offsets) instead.")
     import org.apache.spark.sql.expressions.Window
     val perKey = df.groupBy(col(keyCol).as("gk")).agg(count(lit(1)).as("cnt"))
     val pfx = Window.orderBy(col("gk"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    val full = Window.orderBy(col("gk"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val offsets = perKey
       .withColumn("base", coalesce(sum(col("cnt")).over(pfx), lit(0L)))
+      .withColumn("__nk", count(lit(1)).over(full))
+      // data-dependent raise_error survives column pruning (it feeds
+      // `base`); a pruned-away side column would be optimized out
+      .withColumn("base",
+        when(col("__nk") > maxKeys, raise_error(concat(
+          lit(s"globalNtile($keyCol): "), col("__nk"),
+          lit(s" distinct keys exceeds maxKeys=$maxKeys. The serial prefix " +
+            "sum and broadcast offset table are sized by the key domain, so " +
+            "this key is too fine — bucket it first (e.g. floor/round the " +
+            "score), raise maxKeys deliberately, or use a range-partitioned " +
+            "global rank (repartitionByRange + per-partition offsets) " +
+            "instead."))).cast("long"))
+          .otherwise(col("base")))
       .select(col("gk").as(keyCol), col("base"))
     val within = Window.partitionBy(col(keyCol)).orderBy(col(tieCol))
     val tot = df.agg(count(lit(1)).as("n_rows"))

@@ -43,13 +43,18 @@ class GlobalNtileSpec extends SparkSpec {
 
   test("high-cardinality key domain fails loudly, not by broadcast OOM") {
     // every key unique: the offset table would be |rows|-sized — the
-    // exact shape the bounded-domain precondition exists to reject
+    // exact shape the bounded-domain precondition exists to reject.
+    // The guard is in-plan (raise_error on the offset window pass), so
+    // the failure surfaces at materialize time, wrapped by Spark.
     val df = (1 to 5000).map(i => (i.toLong, i.toLong)).toDF("score", "id")
-    val e = intercept[IllegalArgumentException] {
-      Ranking.globalNtile(df, "score", "id", 4, maxKeys = 1000)
+    val e = intercept[Exception] {
+      Ranking.globalNtile(df, "score", "id", 4, maxKeys = 1000).collect()
     }
-    assert(e.getMessage.contains("distinct keys"))
-    assert(e.getMessage.contains("maxKeys=1000"))
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val all = messages(e).mkString("\n")
+    assert(all.contains("distinct keys"), s"unexpected failure: $all")
+    assert(all.contains("maxKeys=1000"))
     // same data under an explicit, deliberate cap still computes
     check((1 to 97).map(i => (i.toLong, i.toLong)), 5)
   }
