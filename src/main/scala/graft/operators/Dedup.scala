@@ -669,6 +669,54 @@ object Dedup {
         countDistinct(col("bench_id")).as("n_bench_docs"))
   }
 
+  /** Cross-source overlap matrix: exact pairwise Jaccard between the
+    * distinct word-n-gram shingle SETS of every pair of provenance
+    * groups (sources) — the corpus-acquisition dashboard number
+    * ("how much of source B do I already have via source A?") read
+    * before paying for an ingest, and the between-groups complement of
+    * [[dupNgramCoverage]]'s within-corpus view.
+    *
+    * Exact, not sketched: intersections come from one self-equi-join of
+    * the distinct (group, shingle-hash) table on the shingle, so
+    * jaccard_bp is integer-exact and oracle-portable (16-hex md5
+    * prefixes bound shuffle width exactly as in [[dupNgramCoverage]]).
+    * Only pairs with a non-empty intersection emit a row.
+    *
+    * Scale: shuffles are shingle-keyed (corpus-linear); join output is
+    * Σ_shingle (k_h choose 2) rows where k_h = groups containing that
+    * shingle — bounded by |groups|² per shingle, and |groups| is a
+    * provenance label domain (tens to low thousands), the same
+    * bounded-domain class as globalNtile's key. The per-pair aggregate
+    * is |groups|²-sized at most. For very large group domains, sketch
+    * the per-group sets (HLL union/intersection) instead.
+    */
+  def sourceOverlapMatrix(df: DataFrame, textCol: String, idCol: String,
+                          groupCol: String, n: Int = 3): DataFrame = {
+    val grams = (0 until n).map(j => element_at(col("toks"), col("g") + j))
+    val sh = spreadByKey(df, col(idCol))
+      .select(col(groupCol), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col(groupCol),
+        explode(sequence(lit(1), size(col("toks")) - (n - 1))).as("g"), col("toks"))
+      .select(col(groupCol), substring(md5(concat_ws(" ", grams: _*)), 1, 16).as("h"))
+      .distinct()
+    val counts = sh.groupBy(col(groupCol)).agg(count(lit(1)).as("n_g"))
+    val inter = sh.select(col(groupCol).as("source_a"), col("h"))
+      .join(sh.select(col(groupCol).as("source_b"), col("h")), Seq("h"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(counts.select(col(groupCol).as("source_a"), col("n_g").as("n_a"))),
+        Seq("source_a"))
+      .join(broadcast(counts.select(col(groupCol).as("source_b"), col("n_g").as("n_b"))),
+        Seq("source_b"))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+      .withColumn("jaccard_bp", expr("n_inter * 10000 div n_union"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_inter"), col("n_union"), col("jaccard_bp"))
+  }
+
   /** Duplicate-n-gram coverage: for every document, the share of its
     * DISTINCT word n-grams that also occur in at least one OTHER
     * document — the "how much of this text is already elsewhere in the

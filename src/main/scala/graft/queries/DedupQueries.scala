@@ -219,6 +219,14 @@ object DedupQueries {
     "q_dup_ngram_coverage" -> ((s, d) =>
       Dedup.dupNgramCoverage(Tables.documents(s, d), "text", "doc_id", n = 5)),
 
+    // Cross-source overlap matrix: exact pairwise shingle-set Jaccard
+    // between provenance sources — the "do I already have this corpus?"
+    // acquisition dashboard. Shingle-keyed self-join, |sources|²-bounded
+    // pair aggregate; see Dedup.sourceOverlapMatrix.
+    "q_source_overlap" -> ((s, d) =>
+      Dedup.sourceOverlapMatrix(Tables.documents(s, d), "text", "doc_id",
+        "source", n = 3)),
+
     // Soft dedup: keep every document, weight it by 1/|near-dup cluster|
     // in exact integer ppm — the reweight-instead-of-drop alternative a
     // training pipeline uses when duplicates carry signal. Same
@@ -327,6 +335,26 @@ object DedupQueries {
          |    AS dup_permille
          |FROM shs s JOIN f USING (h)
          |GROUP BY s.doc_id""".stripMargin,
+
+    // Mirrors sourceOverlapMatrix: distinct (source, 3-gram-md5) sets,
+    // self-join on the shingle hash, integer-exact Jaccard in bp.
+    "q_source_overlap" ->
+      s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
+         |gs AS (SELECT source, toks, unnest(generate_series(1, len(toks)-2)) AS g
+         |       FROM t WHERE len(toks) >= 3),
+         |shs AS (SELECT DISTINCT source,
+         |          substr(md5(toks[g]||' '||toks[g+1]||' '||toks[g+2]), 1, 16) AS h
+         |        FROM gs),
+         |c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_g FROM shs GROUP BY source),
+         |i AS (SELECT a.source AS source_a, b.source AS source_b,
+         |        CAST(COUNT(*) AS BIGINT) AS n_inter
+         |      FROM shs a JOIN shs b USING (h)
+         |      WHERE a.source < b.source GROUP BY 1, 2)
+         |SELECT i.source_a, i.source_b, ca.n_g AS n_a, cb.n_g AS n_b, i.n_inter,
+         |  ca.n_g + cb.n_g - i.n_inter AS n_union,
+         |  i.n_inter * 10000 // (ca.n_g + cb.n_g - i.n_inter) AS jaccard_bp
+         |FROM i JOIN c ca ON ca.source = i.source_a
+         |       JOIN c cb ON cb.source = i.source_b""".stripMargin,
 
     // Same reach/comp closure as q_dedup_clusters; docs outside every
     // pair default to cluster_size 1 via the left joins.

@@ -295,4 +295,24 @@ class DedupSpec extends SparkSpec {
       assert(e >= 0L && e <= 16L && i <= u && er == e * u - 16L * i)
     }
   }
+
+  test("sourceOverlapMatrix: identical sources at 10000 bp, partial exact, disjoint absent") {
+    import spark.implicits._
+    // s1 ≡ s2 (same shingle set), s3 shares "b c d" with both via one
+    // doc, s4 disjoint. 3-gram sets: s1/s2 = {a b c, b c d}; s3 =
+    // {b c d, c d e}; s4 = {x y z}.
+    val d = Seq(
+      (1L, "a b c d", "s1"), (2L, "a b c d", "s2"),
+      (3L, "b c d e", "s3"), (4L, "x y z", "s4"))
+      .toDF("doc_id", "text", "source")
+    val rows = Dedup.sourceOverlapMatrix(d, "text", "doc_id", "source")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(rows((String.valueOf("s1"), "s2")) === ((2L, 2L, 2L, 2L, 10000L)))
+    assert(rows(("s1", "s3")) === ((2L, 2L, 1L, 3L, 3333L)))
+    assert(rows(("s2", "s3")) === ((2L, 2L, 1L, 3L, 3333L)))
+    assert(rows.size === 3, "disjoint s4 must emit no pair rows")
+  }
 }
