@@ -92,6 +92,63 @@ object Ranking {
     result
   }
 
+  /** Exact global rank (row_number over a TOTAL corpus order) without
+    * the single-partition window trap, for UNBOUNDED key domains — the
+    * range-partitioned alternative [[globalNtile]]'s guard message
+    * points to when the key is too fine to bucket.
+    *
+    *   1. bucket boundaries = `approxQuantile` of `keyCol` at P−1
+    *      evenly spaced fractions, taken EAGERLY and embedded as plan
+    *      CONSTANTS. Deliberate: the bucket id feeds two reader
+    *      subtrees (offsets and ranks), and an in-plan sketch could in
+    *      principle evaluate differently per subtree if exchange reuse
+    *      ever failed (GK merge order is scheduling-dependent) —
+    *      inconsistent boundaries would corrupt ranks SILENTLY.
+    *      Literal boundaries make consistency unconditional. The price
+    *      is one narrow pre-pass over `keyCol` (contrast globalNtile,
+    *      whose eager guard was removed: that one was advisory, this
+    *      one is load-bearing);
+    *   2. bucket id = count of boundaries < key (a ≤P-element array
+    *      scan per row against the literal boundary array);
+    *   3. within-bucket rank: window partitioned by bucket — P
+    *      parallel sorts of ~|rows|/P each, never one task;
+    *   4. bucket offsets: per-bucket counts → serial prefix sum over
+    *      ≤ P rows (hierarchically small) → broadcast join.
+    *
+    * global_rank = offset + within-bucket rank. Approximation error in
+    * the sketch moves only bucket SIZES (skew), never the rank values:
+    * the output is exactly row_number() over (keyCol, tieCols...) for
+    * any boundary choice, which is what the DuckDB oracle replays. Rows
+    * sharing one key value land in one bucket, so a single dominant
+    * key degrades toward one big sort task — ties are the price of
+    * value-deterministic bucketing; for unique-ish keys (the intended
+    * domain) buckets stay balanced. NULL keys are the caller's problem
+    * (filter or coalesce first); `keyCol` must be numeric
+    * (percentile_approx's domain).
+    */
+  def globalRank(df: DataFrame, keyCol: String, tieCols: Seq[String],
+                 buckets: Int = 64): DataFrame = {
+    require(buckets >= 2)
+    import org.apache.spark.sql.expressions.Window
+    val fracs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds = df.stat.approxQuantile(keyCol, fracs, 0.001)
+      .distinct.sorted
+    val order = col(keyCol) +: tieCols.map(col)
+    val w = Window.partitionBy(col("__b")).orderBy(order: _*)
+    val pfx = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketed = df.withColumn("__b",
+      size(filter(lit(bounds), x => x < col(keyCol))).cast("long"))
+    val offsets = bucketed.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
+      .withColumn("__base", coalesce(sum(col("__n")).over(pfx), lit(0L)))
+      .select(col("__b"), col("__base"))
+    bucketed
+      .withColumn("__lr", row_number().over(w).cast("long"))
+      .join(broadcast(offsets), Seq("__b"))
+      .withColumn("global_rank", col("__base") + col("__lr"))
+      .drop("__b", "__lr", "__base")
+  }
+
   /** Exact global NTILE(n) over (keyCol asc, tieCol asc) WITHOUT the
     * single-partition window trap: a naive `ntile(n) OVER (ORDER BY …)`
     * moves the whole corpus through one task. Requires `keyCol` to have
@@ -151,9 +208,9 @@ object Ranking {
           lit(s" distinct keys exceeds maxKeys=$maxKeys. The serial prefix " +
             "sum and broadcast offset table are sized by the key domain, so " +
             "this key is too fine — bucket it first (e.g. floor/round the " +
-            "score), raise maxKeys deliberately, or use a range-partitioned " +
-            "global rank (repartitionByRange + per-partition offsets) " +
-            "instead."))).cast("long"))
+            "score), raise maxKeys deliberately, or use Ranking.globalRank " +
+            "(quantile-bucketed, built for unbounded key domains) and " +
+            "derive tiles from global_rank."))).cast("long"))
           .otherwise(col("base")))
       .select(col("gk").as(keyCol), col("base"))
     val within = Window.partitionBy(col(keyCol)).orderBy(col(tieCol))

@@ -193,6 +193,18 @@ object AnalyticsQueries {
     // interpolated quantiles are 1-ulp-unstable across engines, rank
     // selection returns an actual data value). One window sort per
     // group, then a pivot-style conditional aggregate.
+    // Exact GLOBAL rank over an unbounded key domain (the total corpus
+    // order a curriculum/dedup-priority pipeline sorts by): quantile-
+    // bucketed parallel sorts + a ≤64-row offset prefix — never one
+    // window task over the corpus. Rank values are boundary-independent
+    // (sketch error only moves bucket sizes), so the oracle is a plain
+    // global row_number. See Ranking.globalRank.
+    "q_global_rank" -> ((s, d) =>
+      graft.operators.Ranking.globalRank(
+        Tables.events(s, d)
+          .select(col("event_id"), col("event_type"), col("value")),
+        "value", Seq("event_id"))),
+
     "q_percentile_rank" -> ((s, d) =>
       rankOrdered(Tables.events(s, d)
           .select(col("event_type"), col("event_id"), col("value")),
@@ -313,6 +325,11 @@ object AnalyticsQueries {
         |SELECT event_type, event_id, e, qv, n_1h FROM r
         |WHERE (n_1h * qv - s_1h) * (n_1h * qv - s_1h)
         |      > 4 * (n_1h * v_1h - s_1h * s_1h)""".stripMargin,
+
+    "q_global_rank" ->
+      """SELECT event_id, event_type, value,
+        |  row_number() OVER (ORDER BY value ASC, event_id ASC) AS global_rank
+        |FROM events""".stripMargin,
 
     "q_percentile_rank" ->
       s"""WITH r AS (

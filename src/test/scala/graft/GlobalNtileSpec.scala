@@ -41,6 +41,27 @@ class GlobalNtileSpec extends SparkSpec {
     check(Seq((1L, 1L)), 3)
   }
 
+  test("globalRank equals the single-window row_number for any bucket count") {
+    // heavy ties (13 distinct scores over 500 rows) AND unique keys —
+    // rank must be identical whatever the quantile boundaries do
+    val data = (1 to 500).map(i => ((i * 37 % 13).toLong, i.toLong))
+    val df = data.toDF("score", "id")
+    val w = Window.orderBy(col("score"), col("id"))
+    val expected = df.withColumn("global_rank", row_number().over(w).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    for (b <- Seq(2, 7, 64)) {
+      val actual = Ranking.globalRank(df, "score", Seq("id"), buckets = b)
+        .select(col("score"), col("id"), col("global_rank"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(actual === expected, s"buckets=$b")
+    }
+    // unique keys: every rank 1..n exactly once
+    val uniq = (1 to 97).map(i => (i * 1000L % 97, i.toLong)).toDF("score", "id")
+    val ranks = Ranking.globalRank(uniq, "score", Seq("id"))
+      .select(col("global_rank")).collect().map(_.getLong(0)).sorted
+    assert(ranks.toSeq === (1L to 97L))
+  }
+
   test("high-cardinality key domain fails loudly, not by broadcast OOM") {
     // every key unique: the offset table would be |rows|-sized — the
     // exact shape the bounded-domain precondition exists to reject.
