@@ -594,6 +594,89 @@ object TextAnalysis {
     * Determinism: positions sort ascending, in-block docs ascending,
     * integer counts only — engine-exact (oracle: q_postings).
     */
+  /** Gopher-style WITHIN-document n-gram repetition signals (the
+    * complement of [[graft.operators.Dedup]]'s cross-document
+    * `q_dup_ngram_coverage`): for each document, the character share of
+    * its single most frequent word {2,3,4}-gram, and the character
+    * share of all word 5-grams that occur more than once in the SAME
+    * document. These are the repetition filters LLM corpus curation
+    * applies before any cross-doc dedup — boilerplate and
+    * degenerate-generation pages score high here even when globally
+    * unique.
+    *
+    * Exact semantics (all integers, engine-portable):
+    *   - tokens = whitespace split of lower(trim(text)), empties
+    *     dropped; `den` = char length of the space-joined tokens.
+    *   - for n in {2,3,4}: `topN_chars` = cnt(g*)·len(g*) where g* is
+    *     the most frequent n-gram (ties → lexicographically first);
+    *     0 when the doc has < n tokens.
+    *   - `dup5_chars` = Σ over 5-grams with cnt ≥ 2 of cnt·len(g)
+    *     (occurrences overlap, so the ratio may exceed 1 — it is a
+    *     repetition SIGNAL, not a partition of the text).
+    *   - ratios = chars / den as one exact-int double division.
+    *
+    * Plan shape: the four n-gram streams are generated in ONE
+    * projection (per-row `transform` over token positions, no
+    * cross-row state) and exploded once after [[spreadByKey]], so the
+    * ×|tokens| amplification runs on all cores; then two keyed
+    * aggregations — (doc, n, gram) counts, then a (doc)-keyed pivot
+    * whose input is one row per (doc, n). Both group on the doc key
+    * the spread already established. At 100 TB this is the linear
+    * explode+combine shape (amplification constant ≈ 4·|tokens|);
+    * the per-row HOF alternative (count each distinct gram inside the
+    * array) would be O(|doc|²) per row and die on long documents.
+    */
+  def ngramRepetition(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val ns = Seq(2, 3, 4, 5)
+    val gramType = "array<struct<n:int,gram:string>>"
+    val tk = filter(toks(col(textCol)), t => t =!= "")
+    val base = spreadByKey(df, col(idCol))
+      .select(col(idCol), tk.as("tk"))
+      .withColumn("den", length(array_join(col("tk"), " ")).cast("long"))
+      .filter(col("den") > 0)
+    val gramArrays = ns.map { n =>
+      when(size(col("tk")) >= n,
+        transform(sequence(lit(1), size(col("tk")) - (n - 1)),
+          i => struct(lit(n).as("n"),
+            array_join(slice(col("tk"), i, lit(n)), " ").as("gram"))))
+        .otherwise(array().cast(gramType))
+    }
+    val grams = base
+      .select(col(idCol), col("den"),
+        explode(flatten(array(gramArrays: _*))).as("g"))
+      .select(col(idCol), col("den"), col("g.n").as("n"), col("g.gram").as("gram"))
+    val counted = grams
+      .groupBy(col(idCol), col("den"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("chars", col("cnt") * length(col("gram")))
+    val perN = counted
+      .groupBy(col(idCol), col("den"), col("n"))
+      .agg(
+        min(struct((-col("cnt")).as("neg"), col("gram"), col("chars"))).as("top"),
+        sum(when(col("cnt") >= 2, col("chars")).otherwise(lit(0L))).as("dup_chars"))
+    def pick(n: Int, c: Column): Column = max(when(col("n") === n, c))
+    val pivoted = perN
+      .groupBy(col(idCol))
+      .agg(
+        pick(2, col("top.chars")).as("p2"),
+        pick(3, col("top.chars")).as("p3"),
+        pick(4, col("top.chars")).as("p4"),
+        pick(5, col("dup_chars")).as("p5"))
+    // docs too short for ANY n-gram (< 2 tokens) must still surface
+    // with zeros — they are the trivially-clean end of the filter
+    // signal, not absent data. The left side is one row per doc and
+    // the join key is the partitioning both inputs already share.
+    base.select(col(idCol), col("den"))
+      .join(pivoted, Seq(idCol), "left")
+      .select(col(idCol), col("den"),
+        coalesce(col("p2"), lit(0L)).as("top2_chars"),
+        coalesce(col("p3"), lit(0L)).as("top3_chars"),
+        coalesce(col("p4"), lit(0L)).as("top4_chars"),
+        coalesce(col("p5"), lit(0L)).as("dup5_chars"))
+      .withColumn("top2_ratio", col("top2_chars").cast("double") / col("den"))
+      .withColumn("dup5_ratio", col("dup5_chars").cast("double") / col("den"))
+  }
+
   def invertedIndex(df: DataFrame, textCol: String, idCol: String,
       blockWidth: Long): DataFrame = {
     require(blockWidth > 0, "blockWidth must be positive")

@@ -129,6 +129,13 @@ object CurationQueries {
     "q_repetition" -> ((s, d) =>
       TextAnalysis.repetitionProfile(Tables.documents(s, d), "text", "doc_id")),
 
+    // Gopher-style within-doc n-gram repetition: top-{2,3,4}-gram char
+    // share + duplicated-5-gram char share per document (boilerplate /
+    // degenerate-generation screen; see operator doc for exact
+    // integer semantics).
+    "q_gopher_rep" -> ((s, d) =>
+      TextAnalysis.ngramRepetition(Tables.documents(s, d), "text", "doc_id")),
+
     // Eval-set leakage: train-split docs sharing any word 5-gram with
     // the val split (the benchmark stand-in).
     "q_contamination" -> ((s, d) => {
@@ -437,6 +444,48 @@ object CurationQueries {
          |  tok AS top_tok, cnt AS top_cnt,
          |  CAST(cnt AS DOUBLE) / n_tokens AS top_ratio
          |FROM r WHERE rk = 1""".stripMargin,
+
+    "q_gopher_rep" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS tk
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id, tk,
+         |    CAST(length(array_to_string(tk, ' ')) AS BIGINT) AS den
+         |  FROM t WHERE length(array_to_string(tk, ' ')) > 0),
+         |g AS (
+         |  SELECT doc_id, den, n, array_to_string(tk[i:i+n-1], ' ') AS gram
+         |  FROM d
+         |  CROSS JOIN (VALUES (2),(3),(4),(5)) AS v(n)
+         |  CROSS JOIN UNNEST(CASE WHEN len(tk) >= n
+         |    THEN generate_series(1, len(tk)-n+1)
+         |    ELSE CAST([] AS BIGINT[]) END) AS u(i)),
+         |c AS (
+         |  SELECT doc_id, den, n, gram, COUNT(*) AS cnt,
+         |    COUNT(*) * length(gram) AS chars
+         |  FROM g GROUP BY doc_id, den, n, gram),
+         |p AS (
+         |  SELECT doc_id, den, n, chars, cnt,
+         |    row_number() OVER (PARTITION BY doc_id, n
+         |      ORDER BY cnt DESC, gram ASC) AS rk,
+         |    SUM(CASE WHEN cnt >= 2 THEN chars ELSE 0 END)
+         |      OVER (PARTITION BY doc_id, n) AS dupc
+         |  FROM c),
+         |agg AS (
+         |  SELECT doc_id,
+         |    MAX(CASE WHEN n = 2 AND rk = 1 THEN chars END) AS p2,
+         |    MAX(CASE WHEN n = 3 AND rk = 1 THEN chars END) AS p3,
+         |    MAX(CASE WHEN n = 4 AND rk = 1 THEN chars END) AS p4,
+         |    MAX(CASE WHEN n = 5 THEN dupc END) AS p5
+         |  FROM p GROUP BY doc_id)
+         |SELECT d.doc_id, d.den,
+         |  CAST(COALESCE(p2, 0) AS BIGINT) AS top2_chars,
+         |  CAST(COALESCE(p3, 0) AS BIGINT) AS top3_chars,
+         |  CAST(COALESCE(p4, 0) AS BIGINT) AS top4_chars,
+         |  CAST(COALESCE(p5, 0) AS BIGINT) AS dup5_chars,
+         |  CAST(COALESCE(p2, 0) AS DOUBLE) / d.den AS top2_ratio,
+         |  CAST(COALESCE(p5, 0) AS DOUBLE) / d.den AS dup5_ratio
+         |FROM d LEFT JOIN agg USING (doc_id)""".stripMargin,
 
     "q_contamination" ->
       s"""WITH $gram5Sql

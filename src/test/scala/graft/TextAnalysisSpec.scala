@@ -257,4 +257,34 @@ class TextAnalysisSpec extends SparkSpec {
       .filter(col("s") =!= col("df")).count()
     assert(bad == 0)
   }
+
+  test("ngramRepetition: hand-computed Gopher signals") {
+    // "a b a b a b c": tokens=7, den = 13 chars
+    // 2-grams: "a b"×3, "b a"×2, "b c"×1 → top2 = 3·3 = 9
+    // 3-grams: "a b a"×2, "b a b"×2, "a b c"×1 → tie → lexicographically
+    //   first of the two count-2 grams = "a b a" → top3 = 2·5 = 10
+    // 4-grams: "a b a b"×2, "b a b a"×1, "b a b c"×1 → top4 = 2·7 = 14
+    // 5-grams: "a b a b a"×1, "b a b a b"×1, "a b a b c"×1 → no dups → 0
+    val d = Seq((1L, "a b a b a b c"), (2L, "x x x x x x"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.ngramRepetition(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("den") == 13L)
+    assert(r1.getAs[Long]("top2_chars") == 9L)
+    assert(r1.getAs[Long]("top3_chars") == 10L)
+    assert(r1.getAs[Long]("top4_chars") == 14L)
+    assert(r1.getAs[Long]("dup5_chars") == 0L)
+    // "x x x x x x": den=11; 5-grams "x x x x x"×2 (both occurrences of
+    // the same gram) → dup5 = 2·9 = 18; top2 "x x"×5 → 15
+    val r2 = out(2L)
+    assert(r2.getAs[Long]("top2_chars") == 15L)
+    assert(r2.getAs[Long]("dup5_chars") == 18L)
+    assert(r2.getAs[Double]("dup5_ratio") == 18.0 / 11.0)
+    // single-token doc: no n-grams at any n → all zeros, den = 4
+    val r3 = out(3L)
+    assert(r3.getAs[Long]("den") == 4L)
+    assert(r3.getAs[Long]("top2_chars") == 0L)
+    assert(r3.getAs[Long]("dup5_chars") == 0L)
+  }
 }
