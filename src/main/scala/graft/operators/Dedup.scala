@@ -1025,4 +1025,68 @@ object Dedup {
         (col("n_inter") / (col("sz") - col("n_inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Exact-substring duplicate-span screen (the "dedup at the substring
+    * level" the MinHash family cannot see: two long documents sharing
+    * one copied paragraph have near-zero whole-doc Jaccard but are
+    * still training-data duplicates).
+    *
+    * Alignment-free 0-mod-p fingerprinting (Manber 1994 / the
+    * suffix-array-free screen behind exact-substring dedup): every
+    * k-char window of the whitespace-normalized text is hashed with the
+    * portable polynomial fold ([[graft.functions.RollingHash]]); a
+    * window is SELECTED when its hash ≡ 0 (mod p). Selection depends
+    * only on window CONTENT, so two documents sharing any substring of
+    * length ≥ k select identical windows inside it regardless of
+    * alignment — a shared span of length L ≥ k survives with
+    * probability 1 − (1−1/p)^(L−k+1), i.e. a span twice the sampling
+    * period is virtually always caught. Matching joins on the WINDOW
+    * STRING itself, so a reported pair is exact by construction — the
+    * hash only thins the candidate stream, it is never trusted.
+    *
+    * Scale shape (100 TB): the per-row projection generates and filters
+    * windows INSIDE one `transform`/`filter` pair, so only ~len/p
+    * fingerprints per doc ever leave the row (the ×len amplification is
+    * folded before the explode). Everything after is keyed on the
+    * window: one (doc, w) dedup, one window-frequency count, and a
+    * window-keyed self-join whose fan-out is bounded by `maxDf`² per
+    * window (boilerplate windows shared by > maxDf docs are dropped —
+    * same hot-bucket discipline as the LSH screen). No all-pairs stage
+    * anywhere.
+    *
+    * Output: (doc_a, doc_b, n_shared, first_a, first_b) — pair-distinct
+    * shared-window count and the earliest shared-window offset in each
+    * doc (1-based, on the normalized text).
+    */
+  def exactSubstringPairs(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 40, p: Int = 8, maxDf: Int = 50): DataFrame = {
+    require(k > 0 && p > 0 && maxDf > 0)
+    val winType = "array<struct<pos:int,w:string>>"
+    val base = spreadByKey(df, col(idCol))
+      .select(col(idCol), TextAnalysis.normalizedText(col(textCol)).as("t"))
+    val wins = base
+      .select(col(idCol),
+        explode(
+          when(length(col("t")) >= k,
+            filter(
+              transform(sequence(lit(1), length(col("t")) - (k - 1)),
+                i => struct(i.as("pos"), col("t").substr(i, lit(k)).as("w"))),
+              s => graft.functions.RollingHash.rollingHash(s.getField("w")) % p === 0))
+            .otherwise(array().cast(winType))).as("x"))
+      .select(col(idCol), col("x.pos").as("pos"), col("x.w").as("w"))
+    // within-doc repeats of the same window collapse to the earliest
+    // offset — pair counts are DISTINCT shared windows by construction
+    val fp = wins.groupBy(col(idCol), col("w"))
+      .agg(min(col("pos")).cast("long").as("pos"))
+    val hot = fp.groupBy(col("w")).agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") <= maxDf)
+    val keep = fp.join(hot, Seq("w"))
+    keep.select(col("w"), col(idCol).as("doc_a"), col("pos").as("pos_a"))
+      .join(keep.select(col("w"), col(idCol).as("doc_b"), col("pos").as("pos_b")),
+        Seq("w"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        min(col("pos_a")).as("first_a"), min(col("pos_b")).as("first_b"))
+  }
 }

@@ -227,6 +227,15 @@ object DedupQueries {
       Dedup.sourceOverlapMatrix(Tables.documents(s, d), "text", "doc_id",
         "source", n = 3)),
 
+    // Exact-substring duplicate spans: alignment-free 0-mod-p window
+    // fingerprinting (content-selected 40-char windows, poly-hash
+    // thinning ×8, match = the window STRING itself) — catches copied
+    // paragraphs the whole-doc MinHash family cannot see. See
+    // Dedup.exactSubstringPairs for the survival-probability argument.
+    "q_substring_dup" -> ((s, d) =>
+      Dedup.exactSubstringPairs(Tables.documents(s, d), "text", "doc_id",
+        k = 40, p = 8, maxDf = 50)),
+
     // Soft dedup: keep every document, weight it by 1/|near-dup cluster|
     // in exact integer ppm — the reweight-instead-of-drop alternative a
     // training pipeline uses when duplicates carry signal. Same
@@ -355,6 +364,35 @@ object DedupQueries {
          |  i.n_inter * 10000 // (ca.n_g + cb.n_g - i.n_inter) AS jaccard_bp
          |FROM i JOIN c ca ON ca.source = i.source_a
          |       JOIN c cb ON cb.source = i.source_b""".stripMargin,
+
+    // Mirrors exactSubstringPairs: same normalized text, same k=40
+    // windows, same (acc·31+code) mod 1e9+7 selection fold, same
+    // maxDf=50 hot-window cap; the join key is the window string.
+    "q_substring_dup" ->
+      raw"""WITH n AS (
+         |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+         |  FROM documents),
+         |w AS (
+         |  SELECT doc_id, i, substr(t, CAST(i AS INT), 40) AS w
+         |  FROM n CROSS JOIN UNNEST(CASE WHEN length(t) >= 40
+         |      THEN generate_series(1, length(t) - 39)
+         |      ELSE CAST([] AS BIGINT[]) END) AS u(i)),
+         |f AS (
+         |  SELECT doc_id, CAST(MIN(i) AS BIGINT) AS pos, w
+         |  FROM w
+         |  WHERE list_reduce(
+         |    list_transform(generate_series(1, 40),
+         |      j -> CAST(ascii(substr(w, CAST(j AS INT), 1)) AS BIGINT)),
+         |    (acc, c) -> (acc * 31 + c) % 1000000007) % 8 = 0
+         |  GROUP BY doc_id, w),
+         |hot AS (SELECT w FROM f GROUP BY w HAVING COUNT(*) <= 50),
+         |keep AS (SELECT f.* FROM f JOIN hot USING (w))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  COUNT(*) AS n_shared,
+         |  MIN(a.pos) AS first_a, MIN(b.pos) AS first_b
+         |FROM keep a JOIN keep b USING (w)
+         |WHERE a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id""".stripMargin,
 
     // Same reach/comp closure as q_dedup_clusters; docs outside every
     // pair default to cluster_size 1 via the left joins.

@@ -315,4 +315,52 @@ class DedupSpec extends SparkSpec {
     assert(rows(("s2", "s3")) === ((2L, 2L, 1L, 3L, 3333L)))
     assert(rows.size === 3, "disjoint s4 must emit no pair rows")
   }
+
+  test("exactSubstringPairs: shared paragraph found at any alignment; matches are exact") {
+    // a ~200-char shared span (25 distinct words) placed at DIFFERENT
+    // offsets in two otherwise-disjoint docs; selection is content-only
+    // so alignment cannot matter. ~160 windows in the span → the
+    // 0-mod-8 thinning keeps some with overwhelming margin (content is
+    // fixed, so the outcome is deterministic).
+    val shared = (1 to 25).map(i => s"shared$i").mkString(" ")
+    val fillA = (1 to 10).map(i => s"alpha$i").mkString(" ")
+    val fillB = (1 to 30).map(i => s"beta$i").mkString(" ")
+    val d = Seq(
+      (1L, s"$fillA $shared endalpha"),
+      (2L, s"$fillB $shared endbeta"),
+      (3L, "gamma one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactSubstringPairs(d, "text", "doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)),
+      "only the pair sharing the span may match")
+    val r = out.head
+    assert(r.getAs[Long]("n_shared") >= 1L)
+    // exactness self-check: the k-char windows at the reported first
+    // offsets must be IDENTICAL strings in both docs
+    val texts = d.collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    val (fa, fb) = (r.getAs[Long]("first_a").toInt, r.getAs[Long]("first_b").toInt)
+    assert(texts(1L).substring(fa - 1, fa - 1 + 40) ==
+      texts(2L).substring(fb - 1, fb - 1 + 40))
+  }
+
+  test("exactSubstringPairs: hot-window cap drops boilerplate shared by > maxDf docs") {
+    val body = (1 to 30).map(i => s"boiler$i").mkString(" ")
+    val many = (1L to 60L).map(i => (i, body)).toDF("doc_id", "text")
+    assert(Dedup.exactSubstringPairs(many, "text", "doc_id", maxDf = 50).count() == 0,
+      "every window lives in 60 > maxDf docs — all capped away")
+    val uncapped = Dedup.exactSubstringPairs(many, "text", "doc_id", maxDf = 60)
+    assert(uncapped.count() == 60L * 59 / 2, "uncapped: all pairs, once each")
+  }
+
+  test("exactSubstringPairs: sub-k overlap is invisible; within-doc repeats don't self-pair") {
+    // shared run of 4 words ≈ 28 chars < k=40 → no pair
+    val d = Seq(
+      (1L, "prefix1 prefix2 common1 common2 common3 common4 tail1 tail2 tail3"),
+      (2L, "other1 other2 common1 common2 common3 common4 end1 end2 end3"),
+      (3L, ((1 to 40).map(_ => "loop word").mkString(" "))))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactSubstringPairs(d, "text", "doc_id").collect()
+    assert(!out.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    assert(!out.exists(r => r.getLong(0) == r.getLong(1)))
+  }
 }
