@@ -134,6 +134,12 @@ object SimilarityQueries {
     "q_pq_codes" -> ((s, d) =>
       Similarity.pqCodes(Tables.embeddings(s, d), m = 4, nCent = 8)),
 
+    // Int8 scalar quantization + reconstruction-error audit: the
+    // storage-tier compression decision (int8 vs PQ) made measurable —
+    // exact integer scale/checksum/saturation/error columns per vector.
+    "q_sq8" -> ((s, d) =>
+      Similarity.scalarQuantize(Tables.embeddings(s, d), "embedding", "vec_id")),
+
     // SemDeDup-style semantic dedup over the FULL corpus: k-means cells
     // as the candidate screen (data-adaptive, vs the sign-LSH screens
     // above), exact integer cosine ≥ 2/5 as the in-cell verify, per-cell
@@ -645,6 +651,37 @@ object SimilarityQueries {
         |)
         |SELECT query_id, vec_id AS neighbor_id, adc_dist, rank
         |FROM r WHERE rank <= 5""".stripMargin,
+
+    // Mirrors scalarQuantize step for step; the only operations on
+    // doubles are single IEEE ops in the same association order, and
+    // every output is floor'd to an exact integer before compare.
+    "q_sq8" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, x, list_max(list_transform(x, v -> abs(v))) AS scale
+        |  FROM e),
+        |q AS (
+        |  SELECT vec_id, x, scale,
+        |    CASE WHEN scale = 0
+        |      THEN list_transform(x, v -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(x, v -> CAST(floor(v / scale * 127 + 0.5) AS BIGINT))
+        |    END AS qs
+        |  FROM s),
+        |r AS (
+        |  SELECT vec_id, scale, qs,
+        |    list_transform(generate_series(1, len(qs)), i ->
+        |      CAST(floor(abs(x[i] - (qs[i] * scale) / 127) * 1e6) AS BIGINT)) AS errs
+        |  FROM q)
+        |SELECT vec_id,
+        |  CAST(floor(scale * 1e6) AS BIGINT) AS scale_us,
+        |  CAST(list_sum(list_transform(generate_series(1, len(qs)),
+        |    i -> qs[i] * i)) AS BIGINT) AS checksum,
+        |  CAST(len(list_filter(qs, v -> abs(v) = 127)) AS BIGINT) AS n_sat,
+        |  CAST(list_max(errs) AS BIGINT) AS max_err_us,
+        |  CAST(list_sum(errs) AS BIGINT) AS sum_err_us
+        |FROM r""".stripMargin,
 
     "q_pq_codes" ->
       """WITH q AS (

@@ -308,4 +308,27 @@ class SimilaritySpec extends SparkSpec {
     assert(r.isNullAt(3), "margin NULL below 4 candidates")
     assert(r.isNullAt(4), "accepted NULL below 4 candidates")
   }
+
+  test("scalarQuantize: hand-computed codes, checksum, saturation, errors") {
+    // x = [1.0, -0.5, 0.25, 0.0], scale = 1:
+    //   q = [127, floor(-63.5+0.5) = -63, floor(31.75+0.5) = 32, 0]
+    //   checksum = 127·1 - 63·2 + 32·3 + 0·4 = 97; n_sat = 1
+    //   errors: 0; |−0.5+63/127|·1e6 → 3937; |0.25−32/127|·1e6 → 1968; 0
+    val d = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))) // zero vector: guarded path
+      .toDF("vec_id", "embedding")
+    val out = Similarity.scalarQuantize(d, "embedding", "vec_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("scale_us") == 1000000L)
+    assert(r1.getAs[Long]("checksum") == 97L)
+    assert(r1.getAs[Long]("n_sat") == 1L)
+    assert(r1.getAs[Long]("max_err_us") == 3937L)
+    assert(r1.getAs[Long]("sum_err_us") == 3937L + 1968L)
+    val r2 = out(2L)
+    assert(r2.getAs[Long]("scale_us") == 0L)
+    assert(r2.getAs[Long]("checksum") == 0L)
+    assert(r2.getAs[Long]("max_err_us") == 0L)
+  }
 }
