@@ -594,6 +594,73 @@ object TextAnalysis {
     * Determinism: positions sort ascending, in-block docs ascending,
     * integer counts only — engine-exact (oracle: q_postings).
     */
+  /** Sparse lexical top-k neighbors: TF-IDF-weighted word-shingle
+    * cosine via an inverted-index join — the sparse complement of the
+    * dense embedding ANN family (catches lexical near-neighbors that
+    * embedding geometry misses, and needs no model).
+    *
+    * Exactness: weights are INTEGER rational idf, w = (tf·N·scale) div
+    * df — one integer division, engine-identical (log idf would be
+    * 1-ulp-unstable and changes no ranking). Dot products and squared
+    * norms are exact BIGINT sums of those weights; the only double math
+    * is the final cosine dot/(√na²·√nb²), three correctly-rounded IEEE
+    * ops in a fixed association, so ranking and values match the
+    * oracle bit-for-bit. Ties break by neighbor id.
+    *
+    * Scale shape (100 TB): classic impact-ordered retrieval bones —
+    * shingle-keyed posting join whose fan-out is Σ df², bounded by the
+    * `maxDf` posting-length cap (df > maxDf shingles are boilerplate;
+    * dropping them is what every production sparse index does). The
+    * per-doc top-k rides the bounded-heap [[graft.functions.TopKStruct]]
+    * (shuffle ∝ docs·k per task, never the full pair stream sorted).
+    * All joins are keyed (shingle, then doc); the corpus size N is a
+    * broadcast 1-row aggregate.
+    */
+  def sparseNeighbors(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, k: Int = 3, maxDf: Int = 50, scale: Int = 100): DataFrame = {
+    val tf = Dedup.rawWordShingles(df, textCol, idCol, n)
+      .groupBy(col(idCol), col("shingle")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val weights = tf.join(dfreq, Seq("shingle")).crossJoin(broadcast(nDocs))
+      .select(col(idCol), col("shingle"),
+        expr(s"tf * n_docs * $scale div df").as("w"))
+    val norms = weights.groupBy(col(idCol))
+      .agg(sum(col("w") * col("w")).as("norm2"))
+    // each unordered pair's dot is aggregated ONCE (a < b inside the
+    // join condition halves the pair stream feeding the hash agg) and
+    // mirrored afterwards on the |pairs|-sized result
+    val half = weights
+      .select(col("shingle"), col(idCol).as("doc_a"), col("w").as("wa"))
+      .join(weights.select(col("shingle").as("shingle_b"),
+        col(idCol).as("doc_b"), col("w").as("wb")),
+        col("shingle") === col("shingle_b") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+    val pairs = half.union(
+      half.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"),
+        col("dot")))
+    val sims = pairs
+      .join(norms.select(col(idCol).as("doc_a"), col("norm2").as("na2")),
+        Seq("doc_a"))
+      .join(norms.select(col(idCol).as("doc_b"), col("norm2").as("nb2")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("dot"),
+        (col("dot").cast("double") /
+          (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))))
+          .as("sim"))
+    sims.groupBy(col("doc_a"))
+      .agg(graft.functions.TopKStruct.topK(
+        struct(col("sim"), col("doc_b"), col("dot")), k, true, false, false)
+        .as("top"))
+      .select(col("doc_a"), posexplode(col("top")))
+      .select(col("doc_a").as("doc_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.doc_b").as("neighbor_id"), col("col.dot").as("dot"),
+        col("col.sim").as("sim"))
+  }
+
   /** Gopher-style WITHIN-document n-gram repetition signals (the
     * complement of [[graft.operators.Dedup]]'s cross-document
     * `q_dup_ngram_coverage`): for each document, the character share of

@@ -134,6 +134,16 @@ object SimilarityQueries {
     "q_pq_codes" -> ((s, d) =>
       Similarity.pqCodes(Tables.embeddings(s, d), m = 4, nCent = 8)),
 
+    // Sparse lexical top-k neighbors: TF-IDF 3-gram cosine through an
+    // inverted-index join with a posting-length cap — the model-free
+    // sparse complement of the dense ANN family. Integer weights,
+    // exact dot/norms, fixed-association cosine; per-doc top-3 rides
+    // the bounded-heap TopKStruct.
+    "q_sparse_knn" -> ((s, d) =>
+      graft.operators.TextAnalysis.sparseNeighbors(
+        Tables.documents(s, d), "text", "doc_id",
+        n = 3, k = 3, maxDf = 50, scale = 100)),
+
     // Int8 scalar quantization + reconstruction-error audit: the
     // storage-tier compression decision (int8 vs PQ) made measurable —
     // exact integer scale/checksum/saturation/error columns per vector.
@@ -651,6 +661,40 @@ object SimilarityQueries {
         |)
         |SELECT query_id, vec_id AS neighbor_id, adc_dist, rank
         |FROM r WHERE rank <= 5""".stripMargin,
+
+    // Mirrors sparseNeighbors: same shingles, same integer rational
+    // idf (tf·N·100 // df), same fixed-association cosine; top-3 via
+    // row_number (sim DESC, neighbor ASC).
+    "q_sparse_knn" ->
+      raw"""WITH t AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+         |  FROM t CROSS JOIN UNNEST(generate_series(1, len(toks) - 2)) AS u(i)
+         |  WHERE len(toks) >= 3),
+         |tf AS (SELECT doc_id, shingle, COUNT(*) AS tf FROM g GROUP BY doc_id, shingle),
+         |dfq AS (SELECT shingle, COUNT(*) AS df FROM tf GROUP BY shingle
+         |        HAVING COUNT(*) <= 50),
+         |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |w AS (SELECT doc_id, shingle, tf * n_docs * 100 // df AS w
+         |      FROM tf JOIN dfq USING (shingle) CROSS JOIN nd),
+         |nm AS (SELECT doc_id, SUM(w * w) AS norm2 FROM w GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w) AS dot
+         |      FROM w a JOIN w b USING (shingle)
+         |      WHERE a.doc_id <> b.doc_id GROUP BY 1, 2),
+         |s AS (SELECT doc_a, doc_b, dot,
+         |        CAST(dot AS DOUBLE) /
+         |          (sqrt(CAST(na.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE))) AS sim
+         |      FROM p JOIN nm na ON na.doc_id = doc_a
+         |             JOIN nm nb ON nb.doc_id = doc_b),
+         |r AS (SELECT doc_a AS doc_id, doc_b AS neighbor_id, dot, sim,
+         |        row_number() OVER (PARTITION BY doc_a
+         |          ORDER BY sim DESC, doc_b ASC) AS rank
+         |      FROM s)
+         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+         |  CAST(dot AS BIGINT) AS dot, sim
+         |FROM r WHERE rank <= 3""".stripMargin,
 
     // Mirrors scalarQuantize step for step; the only operations on
     // doubles are single IEEE ops in the same association order, and

@@ -258,6 +258,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("sparseNeighbors: hand-computed idf weights, dot, cosine; disjoint docs emit nothing") {
+    // shingles: doc1 {"a b c","b c d"}, doc2 {"a b c","b c e"}, doc3 disjoint.
+    // N=3: w("a b c") = 1·3·100 div 2 = 150, unique shingles → 300.
+    // norms 1,2: 150²+300² = 112500; dot(1,2) = 150·150 = 22500
+    // → sim = 22500/112500 = 0.2
+    val d = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.sparseNeighbors(d, "text", "doc_id").collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 2L),
+      "disjoint doc3 has no neighbors and must not appear")
+    val r1 = out.find(_.getLong(0) == 1L).get
+    assert(r1.getAs[Long]("rank") == 1L)
+    assert(r1.getAs[Long]("neighbor_id") == 2L)
+    assert(r1.getAs[Long]("dot") == 22500L)
+    assert(math.abs(r1.getAs[Double]("sim") - 0.2) < 1e-12)
+  }
+
+  test("sparseNeighbors: maxDf cap silences boilerplate shingles") {
+    // the shared shingle lives in 3 docs; with maxDf = 2 it is dropped
+    // and nothing else overlaps → no pairs at all
+    val d = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "a b c f"))
+      .toDF("doc_id", "text")
+    assert(TextAnalysis.sparseNeighbors(d, "text", "doc_id", maxDf = 2).count() == 0)
+    assert(TextAnalysis.sparseNeighbors(d, "text", "doc_id", maxDf = 3).count() == 6)
+  }
+
   test("ngramRepetition: hand-computed Gopher signals") {
     // "a b a b a b c": tokens=7, den = 13 chars
     // 2-grams: "a b"×3, "b a"×2, "b c"×1 → top2 = 3·3 = 9
