@@ -3,8 +3,9 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** h = fold(h·31 + code(c)) mod 1e9+7 over a string's characters — the
@@ -144,4 +145,72 @@ object CharEntropyStats {
   /** Column-level entry point. */
   def charEntropyStats(t: Column): Column =
     ColumnBridge.column(CharEntropyStats(ColumnBridge.expression(t)))
+}
+
+/** 1-based codepoint positions i whose k-char window hash
+  * `RollingHash(substring(t, i, k)) % p == 0` — the 0-mod-p window
+  * selection of [[graft.operators.Dedup.exactSubstringPairs]] as one
+  * TRUE Rabin-Karp pass: the window hash is rolled in O(1) per
+  * position (subtract the leaving codepoint times 31^(k-1) mod M,
+  * shift, add the entering codepoint) instead of re-folding k chars
+  * per window, and only the ~n/p SELECTED positions are materialized —
+  * the compositional `filter(transform(sequence(...)))` form pays
+  * O(n·k) hash work plus a k-char substring allocation per position
+  * BEFORE the filter. Value-identical to that form by modular
+  * arithmetic (same (acc·31+cp) mod 1e9+7 fold; ZeroModWindowsSpec
+  * pins bit-equality, astral codepoints included). Same
+  * preference-order (b) rationale as [[RollingHash]] /
+  * [[CharMinHashProfile]].
+  */
+case class ZeroModWindows(child: Expression, k: Int, p: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def prettyName: String = "zero_mod_windows"
+
+  override def nullSafeEval(t: Any): Any =
+    ZeroModWindows.compute(t.asInstanceOf[UTF8String], k, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ZeroModWindows$$.MODULE$$.compute($c, $k, $p)")
+
+  override protected def withNewChildInternal(newChild: Expression): ZeroModWindows =
+    copy(child = newChild)
+}
+
+object ZeroModWindows {
+
+  private val Mod = 1000000007L
+
+  /** Empty array for texts shorter than k (no windows) — the analogue
+    * of the compositional form's `length(t) >= k` guard.
+    */
+  def compute(t: UTF8String, k: Int, p: Int): ArrayData = {
+    val cps = t.toString.codePoints().toArray
+    val n = cps.length - (k - 1)
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    var pow = 1L
+    var j = 0
+    while (j < k - 1) { pow = pow * 31L % Mod; j += 1 }
+    var h = 0L
+    j = 0
+    while (j < k) { h = (h * 31L + cps(j)) % Mod; j += 1 }
+    val buf = new scala.collection.mutable.ArrayBuffer[Any]
+    if (h % p == 0) buf += 1
+    var i = 1
+    while (i < n) {
+      var d = (h - cps(i - 1) * pow % Mod) % Mod
+      if (d < 0) d += Mod
+      h = (d * 31L + cps(i + k - 1)) % Mod
+      if (h % p == 0) buf += (i + 1)
+      i += 1
+    }
+    new GenericArrayData(buf.toArray)
+  }
+
+  /** Column-level entry point. */
+  def zeroModWindows(t: Column, k: Int, p: Int): Column =
+    ColumnBridge.column(ZeroModWindows(ColumnBridge.expression(t), k, p))
 }

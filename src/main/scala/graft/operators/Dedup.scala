@@ -1061,19 +1061,17 @@ object Dedup {
   def exactSubstringPairs(df: DataFrame, textCol: String, idCol: String,
       k: Int = 40, p: Int = 8, maxDf: Int = 50): DataFrame = {
     require(k > 0 && p > 0 && maxDf > 0)
-    val winType = "array<struct<pos:int,w:string>>"
     val base = spreadByKey(df, col(idCol))
       .select(col(idCol), TextAnalysis.normalizedText(col(textCol)).as("t"))
+    // selection is one O(len) Rabin-Karp pass per doc (native
+    // ZeroModWindows); only the ~len/p selected positions are exploded
+    // and only THEIR window strings materialized
     val wins = base
-      .select(col(idCol),
-        explode(
-          when(length(col("t")) >= k,
-            filter(
-              transform(sequence(lit(1), length(col("t")) - (k - 1)),
-                i => struct(i.as("pos"), col("t").substr(i, lit(k)).as("w"))),
-              s => graft.functions.RollingHash.rollingHash(s.getField("w")) % p === 0))
-            .otherwise(array().cast(winType))).as("x"))
-      .select(col(idCol), col("x.pos").as("pos"), col("x.w").as("w"))
+      .select(col(idCol), col("t"),
+        explode(graft.functions.ZeroModWindows
+          .zeroModWindows(col("t"), k, p)).as("pos"))
+      .select(col(idCol), col("pos"),
+        col("t").substr(col("pos"), lit(k)).as("w"))
     // within-doc repeats of the same window collapse to the earliest
     // offset — pair counts are DISTINCT shared windows by construction
     val fp = wins.groupBy(col(idCol), col("w"))
