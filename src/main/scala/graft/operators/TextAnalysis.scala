@@ -196,6 +196,72 @@ object TextAnalysis {
       .withColumn("avg_millibits", expr("(total_bits * 1000) div n_bigrams"))
   }
 
+  /** Held-out cross-entropy of the corpus bigram LM — the eval half of
+    * [[bigramSurprisal]]'s train-on-everything score: the model
+    * (unigram counts, bigram counts, vocabulary) is built from the
+    * `trainFraction` hash split ONLY, then scores the held-out split's
+    * bigrams, aggregated per `groupCol`. This is the fit-vs-memorize
+    * check a pipeline runs before trusting perplexity filters: a model
+    * whose held-out bits/bigram diverge from its training-fit bits is
+    * memorizing its duplicates, not learning the domain.
+    *
+    * Same exact integer floor-log2 bits as [[bigramSurprisal]] (see
+    * there for the no-libm argument), extended to the open vocabulary:
+    * unseen-in-train words/bigrams hit the add-one floor through LEFT
+    * joins with coalesce(·, 0) — an OOV continuation costs
+    * floor(log2(c1+V)) bits, num ≤ den still holds (c12 ≤ c1 in train,
+    * V ≥ 1), so bits stay ≥ 0 and exactly summable.
+    *
+    * Plan shape: the split tag is a pure per-row md5 projection (no
+    * shuffle); model tables are |train vocab| / |train bigrams| keyed
+    * aggregates; the held-out stream joins them on (w1,w2) and w1 with
+    * the 1-row vocabulary broadcast. Per-doc rollup before the
+    * group rollup keeps the final exchange |val docs|-sized. Docs with
+    * < 2 tokens carry no bigrams and (by definition) drop out.
+    */
+  def heldOutCrossEntropy(df: DataFrame, textCol: String, idCol: String,
+      groupCol: String, trainFraction: Double = 0.9): DataFrame = {
+    val tagged = df.withColumn("split",
+      Sampling.splitTag(col(idCol), trainFraction))
+    val train = tagged.filter(col("split") === "train")
+    val heldOut = tagged.filter(col("split") === "val")
+    val trainBig = docBigrams(train, textCol, idCol)
+      .select(substring_index(col("bigram"), " ", 1).as("w1"),
+        substring_index(col("bigram"), " ", -1).as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val trainUni = spreadByKey(train, col(idCol))
+      .select(explode(toks(col(textCol))).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("t")).agg(count(lit(1)).as("c1"))
+    val vocab = trainUni.agg(count(lit(1)).as("v"))
+    val valBig = docBigrams(heldOut, textCol, idCol)
+      .select(col(idCol),
+        substring_index(col("bigram"), " ", 1).as("w1"),
+        substring_index(col("bigram"), " ", -1).as("w2"))
+      .groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("m"))
+    val perDoc = valBig
+      .join(trainBig, Seq("w1", "w2"), "left")
+      .join(trainUni.withColumnRenamed("t", "w1").withColumnRenamed("c1", "c1t"),
+        Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("num", coalesce(col("c12"), lit(0L)) + 1)
+      .withColumn("den", coalesce(col("c1t"), lit(0L)) + col("v"))
+      .withColumn("k0", floorLog2(col("den")) - floorLog2(col("num")))
+      .withColumn("bits",
+        when(expr("shiftleft(num, cast(k0 as int)) <= den"), col("k0"))
+          .otherwise(col("k0") - 1))
+      .groupBy(col(idCol))
+      .agg(sum(col("m")).as("n_bigrams"),
+        sum(col("m") * col("bits")).as("total_bits"))
+    perDoc
+      .join(heldOut.select(col(idCol), col(groupCol)), Seq(idCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        sum(col("total_bits")).as("total_bits"))
+      .withColumn("avg_millibits", expr("(total_bits * 1000) div n_bigrams"))
+  }
+
   /** BM25 retrieval: top-k documents for a fixed query term set, scored
     * in exact integer MICRO-UNITS so the ranking is engine-portable.
     *

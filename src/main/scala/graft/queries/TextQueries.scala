@@ -159,6 +159,14 @@ object TextQueries {
     "q_lm_surprisal" -> ((s, d) =>
       TextAnalysis.bigramSurprisal(Tables.documents(s, d), "text", "doc_id")),
 
+    // Held-out cross-entropy: the bigram LM trained on the 90% hash
+    // split scores the 10% held-out split, per language — the
+    // fit-vs-memorize audit behind perplexity filtering. OOV words/
+    // bigrams hit the add-one floor through left joins.
+    "q_heldout_ppl" -> ((s, d) =>
+      TextAnalysis.heldOutCrossEntropy(Tables.documents(s, d), "text",
+        "doc_id", "lang", trainFraction = 0.9)),
+
     // Curriculum tiers: exact global NTILE(4) over per-doc surprisal
     // (easy → hard), computed WITHOUT a single-partition window via
     // Ranking.globalNtile's two-level rank (millibit values are a
@@ -470,6 +478,55 @@ object TextQueries {
     // corpus bigram/unigram counts, vocab size, then the exact integer
     // floor-log2 (length(bin(n)) - 1 plus the shift-compare correction).
     "q_lm_surprisal" -> lmSurprisalSql,
+
+    // Mirrors heldOutCrossEntropy: model CTEs read the train split
+    // only, the held-out stream LEFT-joins them (coalesce 0), same
+    // integer floor-log2 bits, per-doc then per-lang rollup.
+    "q_heldout_ppl" ->
+      s"""WITH t0 AS (
+         |  SELECT doc_id, lang, $toksSql AS toks,
+         |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+         |         THEN 'train' ELSE 'val' END AS split
+         |  FROM documents),
+         |tg AS (SELECT doc_id, toks, unnest(generate_series(2, len(toks))) AS i
+         |       FROM t0 WHERE split = 'train' AND len(toks) >= 2),
+         |tbig AS (SELECT toks[i - 1] AS w1, toks[i] AS w2,
+         |           CAST(COUNT(*) AS BIGINT) AS c12
+         |         FROM tg GROUP BY 1, 2),
+         |tuni AS (SELECT tok AS t, CAST(COUNT(*) AS BIGINT) AS c1 FROM (
+         |    SELECT unnest(toks) AS tok FROM t0 WHERE split = 'train') u
+         |  WHERE tok <> '' GROUP BY tok),
+         |voc AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM tuni),
+         |vg AS (SELECT doc_id, toks, unnest(generate_series(2, len(toks))) AS i
+         |       FROM t0 WHERE split = 'val' AND len(toks) >= 2),
+         |vbig AS (SELECT doc_id, toks[i - 1] AS w1, toks[i] AS w2,
+         |           CAST(COUNT(*) AS BIGINT) AS m
+         |         FROM vg GROUP BY 1, 2, 3),
+         |j AS (
+         |  SELECT d.doc_id, d.m,
+         |    COALESCE(b.c12, 0) + 1 AS num,
+         |    COALESCE(u.c1, 0) + voc.v AS den
+         |  FROM vbig d
+         |  LEFT JOIN tbig b USING (w1, w2)
+         |  LEFT JOIN tuni u ON u.t = d.w1
+         |  CROSS JOIN voc),
+         |s AS (
+         |  SELECT doc_id, m,
+         |    CASE WHEN (num << ((length(bin(den)) - 1) - (length(bin(num)) - 1))) <= den
+         |         THEN (length(bin(den)) - 1) - (length(bin(num)) - 1)
+         |         ELSE (length(bin(den)) - 1) - (length(bin(num)) - 1) - 1 END AS bits
+         |  FROM j),
+         |pd AS (
+         |  SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams,
+         |    CAST(SUM(m * bits) AS BIGINT) AS total_bits
+         |  FROM s GROUP BY doc_id)
+         |SELECT t0.lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(pd.n_bigrams) AS BIGINT) AS n_bigrams,
+         |  CAST(SUM(pd.total_bits) AS BIGINT) AS total_bits,
+         |  CAST(SUM(pd.total_bits) AS BIGINT) * 1000
+         |    // CAST(SUM(pd.n_bigrams) AS BIGINT) AS avg_millibits
+         |FROM pd JOIN t0 USING (doc_id)
+         |GROUP BY t0.lang""".stripMargin,
 
     // The engine's own ntile over the surprisal mirror — deliberately
     // NOT a replay of globalNtile's arithmetic: the oracle's built-in

@@ -258,6 +258,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("heldOutCrossEntropy: in-model bigrams cost ~0 bits, OOV pays the add-one floor") {
+    import graft.operators.Sampling
+    // 40 identical 8-word docs (lang 'base') + one guaranteed-val doc of
+    // two train-unseen words (lang 'oov'). Train vocab V = 8, so the OOV
+    // bigram costs exactly floor(log2(0 + 8 / 0 + 1)) = 3 bits; base
+    // bigrams have num/den ratio < 2 throughout → 0 bits.
+    val candidates = (1000L to 1100L).map(i => Tuple1(i)).toDF("id")
+      .withColumn("split", Sampling.splitTag(col("id"), 0.9))
+    val oovId = candidates.filter(col("split") === "val")
+      .head().getLong(0)
+    val base = (1L to 40L).map(i => (i, "a b c d e f g h", "base"))
+    val d = (base :+ ((oovId, "zzz yyy", "oov")))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.heldOutCrossEntropy(d, "text", "doc_id", "lang")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val nValBase = d.filter(col("lang") === "base")
+      .filter(Sampling.splitTag(col("doc_id"), 0.9) === "val").count()
+    val rb = out("base")
+    assert(rb.getAs[Long]("n_docs") == nValBase)
+    assert(rb.getAs[Long]("total_bits") == 0L)
+    val ro = out("oov")
+    assert(ro.getAs[Long]("n_docs") == 1L)
+    assert(ro.getAs[Long]("n_bigrams") == 1L)
+    assert(ro.getAs[Long]("total_bits") == 3L)
+    assert(ro.getAs[Long]("avg_millibits") == 3000L)
+  }
+
   test("sparseNeighbors: hand-computed idf weights, dot, cosine; disjoint docs emit nothing") {
     // shingles: doc1 {"a b c","b c d"}, doc2 {"a b c","b c e"}, doc3 disjoint.
     // N=3: w("a b c") = 1·3·100 div 2 = 150, unique shingles → 300.
