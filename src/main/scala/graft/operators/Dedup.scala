@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Large-scale deduplication operators (SURVEY.md §2.3 E1/E2): exact
@@ -1024,6 +1025,39 @@ object Dedup {
       .select(col(idCol), col("ref_id"),
         (col("n_inter") / (col("sz") - col("n_inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Temporal n-gram novelty: for each document, how much of its
+    * content is NEW relative to everything ingested before it (id
+    * order = arrival order). The acquisition-time mirror of
+    * [[dupNgramCoverage]]: coverage asks "is this n-gram duplicated
+    * anywhere", novelty asks "was it already here when this doc
+    * arrived" — the curve a crawl pipeline watches to decide when a
+    * source has stopped contributing.
+    *
+    * Exact semantics: over DISTINCT word n-grams per doc, a gram is
+    * `seen` iff its minimum doc id over the corpus is < this doc's id
+    * (the first carrier itself scores it novel). Output per doc:
+    * distinct-gram count, seen count, novelty in integer basis points
+    * (10000·(n−seen) div n). Docs with < n tokens have no grams and
+    * drop out (nothing to judge).
+    *
+    * Plan: one shingle explode → distinct (doc, gram) → gram-keyed
+    * min-id aggregate derived from the SAME frame via a window sum
+    * (one exchange on gram, the bigramSurprisal trick) → doc rollup.
+    * Corpus-linear shuffles only; no joins at all.
+    */
+  def ngramNovelty(df: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame = {
+    val grams = wordShingles(df, textCol, idCol, n)
+    val wGram = Window.partitionBy(col("shingle"))
+    grams
+      .withColumn("first_id", min(col(idCol)).over(wGram))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_id") < col(idCol), 1L).otherwise(0L)).as("n_seen"))
+      .withColumn("novelty_bp",
+        expr("(n_grams - n_seen) * 10000 div n_grams"))
   }
 
   /** Exact-substring duplicate-span screen (the "dedup at the substring

@@ -216,6 +216,13 @@ object DedupQueries {
     // quality signal exact-substring dedup reports. Two linear shuffles,
     // no pairs; see Dedup.dupNgramCoverage for the md5-compressed
     // shingle identity that keeps shuffle bytes bounded.
+    // Temporal novelty: share of each doc's 5-grams NOT already carried
+    // by an earlier-arriving doc (id order = arrival) — the
+    // diminishing-returns curve for a crawl source. No joins: one
+    // gram-keyed window min + doc rollup; see Dedup.ngramNovelty.
+    "q_ngram_novelty" -> ((s, d) =>
+      Dedup.ngramNovelty(Tables.documents(s, d), "text", "doc_id", n = 5)),
+
     "q_dup_ngram_coverage" -> ((s, d) =>
       Dedup.dupNgramCoverage(Tables.documents(s, d), "text", "doc_id", n = 5)),
 
@@ -329,6 +336,25 @@ object DedupQueries {
        |          WHERE i.n_inter / (sx.n + sy.n - i.n_inter) >= 0.5)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Mirrors ngramNovelty: distinct (doc, 5-gram), gram-level first
+    // carrier, doc rollup; a gram is seen iff first_id < doc_id.
+    "q_ngram_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |gs AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-4)) AS g
+         |       FROM t WHERE len(toks) >= 5),
+         |shs AS (SELECT DISTINCT doc_id,
+         |          toks[g]||' '||toks[g+1]||' '||toks[g+2]||' '||
+         |          toks[g+3]||' '||toks[g+4] AS sh
+         |        FROM gs),
+         |f AS (SELECT sh, MIN(doc_id) AS first_id FROM shs GROUP BY sh)
+         |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |  CAST(COUNT(*) FILTER (f.first_id < s.doc_id) AS BIGINT) AS n_seen,
+         |  (CAST(COUNT(*) AS BIGINT)
+         |    - CAST(COUNT(*) FILTER (f.first_id < s.doc_id) AS BIGINT)) * 10000
+         |    // CAST(COUNT(*) AS BIGINT) AS novelty_bp
+         |FROM shs s JOIN f USING (sh)
+         |GROUP BY s.doc_id""".stripMargin,
+
     "q_dup_ngram_coverage" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |gs AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-4)) AS g

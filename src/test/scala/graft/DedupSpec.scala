@@ -316,6 +316,21 @@ class DedupSpec extends SparkSpec {
     assert(rows.size === 3, "disjoint s4 must emit no pair rows")
   }
 
+  test("ngramNovelty: first carrier scores novel, later carriers see its grams") {
+    // doc 1: grams {"a b c", "b c d"}; doc 2 repeats gram "a b c" and
+    // adds "c x y"-family grams; doc 3 is all-new.
+    val d = Seq(
+      (1L, "a b c d"),          // 2 grams, both first here → novelty 10000
+      (2L, "a b c q r"),        // grams {a b c, b c q, c q r}: 1 seen → (3-1)·10000/3
+      (3L, "u v w x y"))        // all new
+      .toDF("doc_id", "text")
+    val out = Dedup.ngramNovelty(d, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((2L, 0L, 10000L)))
+    assert(out(2L) == ((3L, 1L, 6666L)))
+    assert(out(3L) == ((3L, 0L, 10000L)))
+  }
+
   test("exactSubstringPairs: shared paragraph found at any alignment; matches are exact") {
     // a ~200-char shared span (25 distinct words) placed at DIFFERENT
     // offsets in two otherwise-disjoint docs; selection is content-only
