@@ -176,6 +176,15 @@ object SimilarityQueries {
       Similarity.annRecall(emb, emb.filter(col("vec_id") < 10), 10, planes = 3)
     }),
 
+    // Matryoshka truncation audit: recall@10 of the 16-dim-prefix
+    // cosine top-k against full 64-dim ground truth on the standard
+    // query sample — what serving a truncated embedding would lose.
+    "q_mrl_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.mrlRecall(emb, emb.filter(col("vec_id") < 10), 10,
+        prefixDim = 16)
+    }),
+
     // Hard-negative mining for contrastive training: per anchor, top-3
     // most-similar vectors from a DIFFERENT k-means cell — sign-LSH
     // multi-probe candidates × the semanticDedup cell partition, all
@@ -246,6 +255,15 @@ object SimilarityQueries {
     s"""${fold("q.v[i] * c.v[i]")} /
        |    (sqrt(${fold("q.v[i] * q.v[i]")}) * sqrt(${fold("c.v[i] * c.v[i]")}))""".stripMargin
 
+  /** Prefix-width cosine for the Matryoshka audit: the same fold over
+    * the first 16 coordinates only.
+    */
+  private def foldP(p: Int, exprBody: String): String =
+    s"list_reduce(list_transform(generate_series(1, $p), i -> $exprBody), (x, y) -> x + y)"
+  private val cosine16Sql =
+    s"""${foldP(16, "q.v[i] * c.v[i]")} /
+       |    (sqrt(${foldP(16, "q.v[i] * q.v[i]")}) * sqrt(${foldP(16, "c.v[i] * c.v[i]")}))""".stripMargin
+
   private val vecsSql =
     "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
 
@@ -306,6 +324,38 @@ object SimilarityQueries {
          |  MAX(pr.first_pruned) AS first_pruned
          |FROM asg g LEFT JOIN pr ON pr.cid = g.cid
          |GROUP BY g.cid""".stripMargin,
+
+    // Mirrors mrlRecall: the q_knn_brute CTE twice — once at full
+    // width, once with the fold cut at 16 dims — joined per (query,
+    // candidate).
+    "q_mrl_recall" ->
+      s"""WITH e AS ($vecsSql),
+         |pf AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    $cosineSql AS sim
+         |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |ex AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY sim DESC, cand_id ASC) AS rank
+         |    FROM pf) WHERE rank <= 10),
+         |pt AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    $cosine16Sql AS sim
+         |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |tr AS (
+         |  SELECT query_id, cand_id, 1 AS hit FROM (
+         |    SELECT query_id, cand_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY sim DESC, cand_id ASC) AS rank
+         |    FROM pt) WHERE rank <= 10)
+         |SELECT ex.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |  CAST(COALESCE(SUM(tr.hit), 0) AS BIGINT) AS n_hit,
+         |  CAST(COALESCE(SUM(tr.hit), 0) AS BIGINT) * 1000
+         |    // CAST(COUNT(*) AS BIGINT) AS recall_permille
+         |FROM ex LEFT JOIN tr USING (query_id, cand_id)
+         |GROUP BY ex.query_id""".stripMargin,
 
     // The brute and bucketed CTEs are q_knn_brute / q_knn_bucketed
     // verbatim; recall joins them per (query, candidate).

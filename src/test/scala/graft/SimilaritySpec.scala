@@ -309,6 +309,41 @@ class SimilaritySpec extends SparkSpec {
     assert(r.isNullAt(4), "accepted NULL below 4 candidates")
   }
 
+  test("mrlRecall: aligned prefix gives perfect recall; adversarial tail breaks it") {
+    // vectors whose FIRST 2 dims carry all similarity → prefixDim=2
+    // reproduces full ranking exactly (recall 1000); vectors whose
+    // prefix is identical but tails differ → prefix ranking is
+    // tie-broken arbitrarily vs full ranking, recall measured honestly.
+    val aligned = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),   // query
+      (1L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Seq(0.5f, 0.5f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.mrlRecall(aligned,
+        aligned.filter(col("vec_id") === 0), k = 2, prefixDim = 2)
+      .head()
+    assert(r.getAs[Long]("n_exact") == 2L)
+    assert(r.getAs[Long]("n_hit") == 2L)
+    assert(r.getAs[Long]("recall_permille") == 1000L)
+
+    // similarity lives ONLY in dims 3-4; a 2-dim prefix sees all
+    // candidates as identical to the query (cos=1 everywhere) and
+    // keeps the lowest ids — missing the true top-2 {3, 2} half the time
+    val tail = Seq(
+      (0L, Seq(1.0f, 0.0f, 1.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.0f, -1.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f, 0.5f, 0.5f)),
+      (3L, Seq(1.0f, 0.0f, 1.0f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val r2 = Similarity.mrlRecall(tail,
+        tail.filter(col("vec_id") === 0), k = 2, prefixDim = 2)
+      .head()
+    assert(r2.getAs[Long]("n_exact") == 2L)
+    assert(r2.getAs[Long]("n_hit") == 1L, "prefix tie-break keeps {1,2}; truth is {3,2}")
+    assert(r2.getAs[Long]("recall_permille") == 500L)
+  }
+
   test("scalarQuantize: hand-computed codes, checksum, saturation, errors") {
     // x = [1.0, -0.5, 0.25, 0.0], scale = 1:
     //   q = [127, floor(-63.5+0.5) = -63, floor(31.75+0.5) = 32, 0]
