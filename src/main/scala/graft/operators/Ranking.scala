@@ -149,6 +149,46 @@ object Ranking {
       .drop("__b", "__lr", "__base")
   }
 
+  /** Exact global RUNNING SUM of an integer column in (keyCol,
+    * tieCols…) order WITHOUT the single-partition window trap — the
+    * prefix-sum sibling of [[globalRank]], same scaffold: literal
+    * quantile boundaries bucket the rows (boundary choice affects only
+    * balance, never values), per-bucket inclusive running sums run in
+    * parallel, and a ≤|buckets|-row offset table (prefix of bucket
+    * totals) is broadcast back. `valueCol` must be integral — the sums
+    * are exact and order-independent, which is what makes the
+    * bucket-decomposition value-identical to the serial window.
+    *
+    * This is the scale form of every "cumulative bytes/tokens in
+    * arrival order" computation — shard planning, token-budget cuts,
+    * quota lines — where `sum(x) OVER (ORDER BY …)` would serialize
+    * the corpus through one task.
+    */
+  def globalRunningSum(df: DataFrame, keyCol: String, tieCols: Seq[String],
+      valueCol: String, buckets: Int = 64): DataFrame = {
+    require(buckets >= 2)
+    import org.apache.spark.sql.expressions.Window
+    val fracs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds = df.stat.approxQuantile(keyCol, fracs, 0.001)
+      .distinct.sorted
+    val order = col(keyCol) +: tieCols.map(col)
+    val w = Window.partitionBy(col("__b")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pfx = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketed = df.withColumn("__b",
+      size(filter(lit(bounds), x => x < col(keyCol))).cast("long"))
+    val offsets = bucketed.groupBy(col("__b"))
+      .agg(sum(col(valueCol)).as("__s"))
+      .withColumn("__base", coalesce(sum(col("__s")).over(pfx), lit(0L)))
+      .select(col("__b"), col("__base"))
+    bucketed
+      .withColumn("__ls", sum(col(valueCol)).over(w))
+      .join(broadcast(offsets), Seq("__b"))
+      .withColumn("running_sum", col("__base") + col("__ls"))
+      .drop("__b", "__ls", "__base")
+  }
+
   /** Exact global NTILE(n) over (keyCol asc, tieCol asc) WITHOUT the
     * single-partition window trap: a naive `ntile(n) OVER (ORDER BY …)`
     * moves the whole corpus through one task. Requires `keyCol` to have

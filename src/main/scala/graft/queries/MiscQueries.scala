@@ -142,6 +142,27 @@ object MiscQueries {
     // unions (bytes per group), not re-scans. Gate: the datasketches
     // estimate is engine-specific state, so (as with approx_distinct)
     // the oracle carries the exact count and an in-query ≤5% verdict.
+    // Output shard planning: cumulative corpus bytes in arrival order
+    // via Ranking.globalRunningSum (bucketed prefix sums — no
+    // single-partition window), shard = start-offset div target so a
+    // doc never splits; per-shard fill audit. The oracle replays the
+    // prefix sum as one serial window — same values, the plan shape is
+    // exactly what's being traded.
+    "q_shard_plan" -> ((s, d) => {
+      val target = 16384L
+      val run = graft.operators.Ranking.globalRunningSum(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        "doc_id", Nil, "n_chars")
+      run
+        .withColumn("shard",
+          expr(s"(running_sum - n_chars) div ${target}L"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("shard_bytes"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+    }),
+
     "q_hll_rollup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val perSource = docs.groupBy(col("lang"), col("source"))
@@ -384,6 +405,18 @@ object MiscQueries {
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
         |  TRUE AS within_5pct
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_shard_plan" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |    SUM(n_chars) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_sum
+        |  FROM documents)
+        |SELECT (running_sum - n_chars) // 16384 AS shard,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS shard_bytes,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM r GROUP BY 1""".stripMargin,
 
     "q_hll_rollup" ->
       """SELECT lang, COUNT(DISTINCT text) AS exact_texts,

@@ -79,4 +79,22 @@ class GlobalNtileSpec extends SparkSpec {
     // same data under an explicit, deliberate cap still computes
     check((1 to 97).map(i => (i.toLong, i.toLong)), 5)
   }
+
+  test("globalRunningSum agrees with the single-window form across bucket counts") {
+    // skewed integer values, shuffled key order, duplicate keys with a
+    // tie column carrying the order
+    val data = (1 to 400).map(i =>
+      ((i * 53 % 40).toLong, i.toLong, ((i * 17) % 97 + 1).toLong))
+    val df = data.toDF("k", "id", "v")
+    val w = Window.orderBy(col("k"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df.withColumn("running_sum", sum(col("v")).over(w))
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toSet
+    for (b <- Seq(2, 8, 64)) {
+      val actual = Ranking.globalRunningSum(df, "k", Seq("id"), "v", b)
+        .select(col("id"), col("running_sum"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(actual === expected, s"buckets=$b")
+    }
+  }
 }
