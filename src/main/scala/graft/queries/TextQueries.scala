@@ -35,6 +35,22 @@ object TextQueries {
     "q_quality_score" -> ((s, d) =>
       TextAnalysis.qualityScore(Tables.documents(s, d), "text", "doc_id")),
 
+    // Language-ID confusion matrix: predicted vs labeled language with
+    // per-label share in integer basis points — the eval that turns the
+    // heuristic classifier into a measured component (which labels it
+    // confuses, and how often marker absence falls to 'und').
+    "q_lang_confusion" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val li = TextAnalysis.languageId(docs, "text", "doc_id")
+        .select(col("doc_id"), col("pred_lang"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      docs.select(col("doc_id"), col("lang"))
+        .join(li, Seq("doc_id"))
+        .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
+        .withColumn("lang_total", sum(col("n")).over(w))
+        .withColumn("share_bp", expr("n * 10000 div lang_total"))
+    }),
+
     // DSIR-style importance weights: target slice = English docs; every
     // doc scored by how target-like its hashed-token distribution is
     // (exact rational rate-ratios in micro-units — the log-ratio
@@ -573,6 +589,25 @@ object TextQueries {
          |SELECT doc_id, score_en, score_de, score_es, score_fr,
          |  $predLangCase AS pred_lang
          |FROM s""".stripMargin,
+
+    // Same marker scores and precedence CASE as q_lang_id, rolled up
+    // to the (label, prediction) matrix.
+    "q_lang_confusion" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, lang,
+         |  $markerScores
+         |  FROM documents
+         |), p AS (
+         |  SELECT doc_id, lang, $predLangCase AS pred_lang FROM s
+         |), c AS (
+         |  SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM p GROUP BY lang, pred_lang
+         |)
+         |SELECT lang, pred_lang, n,
+         |  CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
+         |  n * 10000 // CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT)
+         |    AS share_bp
+         |FROM c""".stripMargin,
 
     "q_quality_score" ->
       s"""WITH st AS (
