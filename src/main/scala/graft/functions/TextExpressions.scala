@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -145,6 +146,136 @@ object CharEntropyStats {
   /** Column-level entry point. */
   def charEntropyStats(t: Column): Column =
     ColumnBridge.column(CharEntropyStats(ColumnBridge.expression(t)))
+}
+
+/** The whole Gopher repetition profile of one document in one pass:
+  * `struct(den, top2, top3, top4, dup5)` — space-joined-token char
+  * length, the char weight (count·len) of the most frequent word
+  * {2,3,4}-gram (ties → smallest gram in CODE POINT order, matching
+  * `min(struct(-cnt, gram))`'s UTF8String binary ordering, NOT Java's
+  * UTF-16 compareTo), and the summed char weight of word 5-grams
+  * occurring ≥ 2 times. Value-identical to
+  * [[graft.operators.TextAnalysis.ngramRepetitionComposed]]'s
+  * explode→count→pivot pipeline (NgramRepProfileSpec pins equality,
+  * astral text included; the q_gopher_rep DuckDB oracle gates the
+  * result) — but the ~4·|tokens| generated gram rows never exist:
+  * each document folds its own counts in a per-row loop, so the
+  * operator drops from two keyed exchanges to a pure projection.
+  * Same preference-order (b) rationale as [[CharEntropyStats]].
+  *
+  * Null for documents with no nonempty tokens (den would be 0).
+  */
+case class NgramRepProfile(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = NgramRepProfile.schema
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "ngram_rep_profile"
+
+  override def nullSafeEval(t: Any): Any =
+    NgramRepProfile.compute(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, tc => {
+      s"""
+         |${ev.value} = graft.functions.NgramRepProfile$$.MODULE$$.compute($tc);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NgramRepProfile =
+    copy(child = newChild)
+}
+
+object NgramRepProfile {
+
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  val schema: StructType = StructType(Seq(
+    StructField("den", LongType, nullable = false),
+    StructField("top2", LongType, nullable = false),
+    StructField("top3", LongType, nullable = false),
+    StructField("top4", LongType, nullable = false),
+    StructField("dup5", LongType, nullable = false)))
+
+  /** Code-point-order string compare — UTF8String binary order, which
+    * is what the compositional form's `min(struct(-cnt, gram))` uses
+    * (UTF-16 `String.compareTo` disagrees on astral-vs-high-BMP).
+    */
+  private def cpCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** Codepoint length — Spark's `length()` semantics. */
+  private def cpLen(s: String): Long = s.codePointCount(0, s.length).toLong
+
+  def compute(t: UTF8String): Any = {
+    // UTF8String.toLowerCase IS Spark's lower() — locale-independent,
+    // unlike bare String.toLowerCase; empties are filtered, so the
+    // trim flavor cannot matter (tokens are maximal \S runs either way)
+    val toks = t.toLowerCase.toString.split("\\s+")
+      .filter(_.nonEmpty)
+    if (toks.isEmpty) return null
+    var den = (toks.length - 1).toLong
+    var i = 0
+    while (i < toks.length) { den += cpLen(toks(i)); i += 1 }
+    val tops = new Array[Long](3) // n = 2, 3, 4
+    var dup5 = 0L
+    var n = 2
+    while (n <= 5) {
+      val counts = new java.util.HashMap[String, Long]()
+      var g = 0
+      val last = toks.length - n
+      while (g <= last) {
+        val sb = new java.lang.StringBuilder()
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(g + j))
+          j += 1
+        }
+        counts.merge(sb.toString, 1L, (a, b) => a + b)
+        g += 1
+      }
+      if (n == 5) {
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue >= 2L) dup5 += e.getValue * cpLen(e.getKey)
+        }
+      } else {
+        var bestGram: String = null
+        var bestCnt = 0L
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue > bestCnt ||
+              (e.getValue == bestCnt && bestGram != null &&
+                cpCompare(e.getKey, bestGram) < 0)) {
+            bestGram = e.getKey
+            bestCnt = e.getValue
+          }
+        }
+        tops(n - 2) = if (bestGram == null) 0L else bestCnt * cpLen(bestGram)
+      }
+      n += 1
+    }
+    InternalRow(den, tops(0), tops(1), tops(2), dup5)
+  }
+
+  /** Column-level entry point. */
+  def ngramRepProfile(t: Column): Column =
+    ColumnBridge.column(NgramRepProfile(ColumnBridge.expression(t)))
 }
 
 /** 1-based codepoint positions i whose k-char window hash

@@ -748,18 +748,35 @@ object TextAnalysis {
     *     repetition SIGNAL, not a partition of the text).
     *   - ratios = chars / den as one exact-int double division.
     *
-    * Plan shape: the four n-gram streams are generated in ONE
-    * projection (per-row `transform` over token positions, no
-    * cross-row state) and exploded once after [[spreadByKey]], so the
-    * ×|tokens| amplification runs on all cores; then two keyed
-    * aggregations — (doc, n, gram) counts, then a (doc)-keyed pivot
-    * whose input is one row per (doc, n). Both group on the doc key
-    * the spread already established. At 100 TB this is the linear
-    * explode+combine shape (amplification constant ≈ 4·|tokens|);
-    * the per-row HOF alternative (count each distinct gram inside the
-    * array) would be O(|doc|²) per row and die on long documents.
+    * Plan shape: ONE native projection — the per-document profile
+    * folds inside [[graft.functions.NgramRepProfile]]'s row loop
+    * (O(|tokens|·n) per doc, a hash map per n), so the operator is
+    * scan-speed with NO shuffle at all. The explode→count→pivot
+    * pipeline it replaced ([[ngramRepetitionComposed]], kept as the
+    * spec twin) generated ~4·|tokens| gram rows into two keyed
+    * exchanges — 2.3 s → native at sf0.1. Long documents are the one
+    * trade: the row loop holds one doc's distinct-gram map in memory
+    * (fine at any realistic doc length; a 1M-token outlier document
+    * costs a ~4M-entry map transiently, the explode form's aggregate
+    * would buffer the same keys spread across tasks).
     */
-  def ngramRepetition(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def ngramRepetition(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+        graft.functions.NgramRepProfile.ngramRepProfile(col(textCol)).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col(idCol), col("p.den").as("den"),
+        col("p.top2").as("top2_chars"), col("p.top3").as("top3_chars"),
+        col("p.top4").as("top4_chars"), col("p.dup5").as("dup5_chars"))
+      .withColumn("top2_ratio", col("top2_chars").cast("double") / col("den"))
+      .withColumn("dup5_ratio", col("dup5_chars").cast("double") / col("den"))
+
+  /** The original explode→count→pivot composition of
+    * [[ngramRepetition]], kept as the cross-validation twin
+    * (NgramRepProfileSpec pins value equality on adversarial text and
+    * the fixture corpus).
+    */
+  private[graft] def ngramRepetitionComposed(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
     val ns = Seq(2, 3, 4, 5)
     val gramType = "array<struct<n:int,gram:string>>"
     val tk = filter(toks(col(textCol)), t => t =!= "")
