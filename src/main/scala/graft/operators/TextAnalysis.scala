@@ -684,12 +684,23 @@ object TextAnalysis {
     */
   def sparseNeighbors(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, k: Int = 3, maxDf: Int = 50, scale: Int = 100): DataFrame = {
+    // df(shingle) as a WINDOW count over the tf frame (the
+    // bigramSurprisal trick) instead of an aggregate-then-join round
+    // trip, and — critically — every downstream consumer's renames sit
+    // ABOVE the shingle exchange this window establishes: the posting
+    // join's two sides and the norms all read ONE reused exchange. The
+    // first cut of this operator aliased before exchanging (lhs/rhs
+    // projections below the shuffle), which made the subtrees
+    // non-identical — 38 Generate nodes, ~78 live exchanges, the
+    // shingle explode re-executed per consumer.
     val tf = Dedup.rawWordShingles(df, textCol, idCol, n)
       .groupBy(col(idCol), col("shingle")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
-    val weights = tf.join(dfreq, Seq("shingle")).crossJoin(broadcast(nDocs))
+    val wSh = Window.partitionBy(col("shingle"))
+    val weights = tf
+      .withColumn("df", count(lit(1)).over(wSh))
+      .filter(col("df") <= maxDf)
+      .crossJoin(broadcast(nDocs))
       .select(col(idCol), col("shingle"),
         expr(s"tf * n_docs * $scale div df").as("w"))
     val norms = weights.groupBy(col(idCol))
