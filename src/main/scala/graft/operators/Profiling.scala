@@ -170,4 +170,36 @@ object Profiling {
       .withColumn("drifted",
         when(col("l1_ppm").isNotNull, col("l1_ppm") >= ppmThreshold))
   }
+
+  /** k-anonymity audit over a quasi-identifier tuple: how many rows
+    * share each distinct quasi-identifier combination, and which
+    * combinations fall below `k` — the re-identification screen run
+    * before releasing metadata-carrying training data (a document
+    * whose (lang, source, size-band) tuple is unique is linkable even
+    * with the text scrubbed). One keyed aggregate; the risk flag and
+    * the at-risk row share are derived in the same pass via a window
+    * over the aggregated (|combinations|-sized) frame — sublinear in
+    * the corpus, the usual hierarchical-smallness argument.
+    *
+    * Output per combination: the quasi columns, `group_n`, `at_risk`
+    * (group_n < k), and `risk_share_bp` — the corpus-wide share of
+    * ROWS living in at-risk combinations, in integer basis points
+    * (same value on every row: it is the dataset verdict).
+    */
+  def kAnonymity(df: DataFrame, quasi: Seq[(String, Column)],
+      k: Long): DataFrame = {
+    require(quasi.nonEmpty && k >= 1)
+    val keyed = df.select(quasi.map { case (n, c) => c.as(n) }: _*)
+    val counts = keyed.groupBy(quasi.map(q => col(q._1)): _*)
+      .agg(count(lit(1)).as("group_n"))
+    val all = Window.partitionBy()
+    counts
+      .withColumn("at_risk", col("group_n") < k)
+      .withColumn("__risk_rows",
+        sum(when(col("at_risk"), col("group_n")).otherwise(lit(0L))).over(all))
+      .withColumn("__total_rows", sum(col("group_n")).over(all))
+      .withColumn("risk_share_bp",
+        expr("__risk_rows * 10000 div __total_rows"))
+      .drop("__risk_rows", "__total_rows")
+  }
 }

@@ -41,6 +41,17 @@ object ProfilingQueries {
           sum(col("toks")).as("total_toks"))
     }),
 
+    // k-anonymity audit over the (lang, source, 100-char size band)
+    // quasi-identifier: combinations carried by < 5 docs are
+    // re-identification risks even with the text scrubbed; one
+    // aggregate + a window over the |combinations| frame.
+    "q_k_anonymity" -> ((s, d) =>
+      Profiling.kAnonymity(
+        Tables.documents(s, d),
+        Seq("lang" -> col("lang"), "source" -> col("source"),
+          "len_band" -> expr("n_chars div 100")),
+        k = 5)),
+
     // Per-column profile of lineitem (keys, flags, ship date as epoch
     // seconds — doubles excluded: their string rendering is not
     // engine-portable).
@@ -179,6 +190,20 @@ object ProfilingQueries {
         |  MAX(share_bp) AS top_share_bp,
         |  CAST(SUM(toks) AS BIGINT) AS total_toks
         |FROM s""".stripMargin,
+
+    "q_k_anonymity" ->
+      """WITH c AS (
+        |  SELECT lang, source, n_chars // 100 AS len_band,
+        |    CAST(COUNT(*) AS BIGINT) AS group_n
+        |  FROM documents GROUP BY 1, 2, 3
+        |), t AS (
+        |  SELECT CAST(SUM(CASE WHEN group_n < 5 THEN group_n ELSE 0 END) AS BIGINT) AS risk_rows,
+        |    CAST(SUM(group_n) AS BIGINT) AS total_rows
+        |  FROM c)
+        |SELECT lang, source, len_band, group_n,
+        |  group_n < 5 AS at_risk,
+        |  risk_rows * 10000 // total_rows AS risk_share_bp
+        |FROM c CROSS JOIN t""".stripMargin,
 
     "q_profile" ->
       s"""WITH li AS (

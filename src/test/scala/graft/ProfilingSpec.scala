@@ -97,4 +97,21 @@ class ProfilingSpec extends SparkSpec {
     val r = Profiling.histogramDrift(rows, "g", col("a"), "v", 100L, 9).head()
     assert(r.get(3) == 0L) // same (capped) bin → no drift
   }
+
+  test("kAnonymity: rare combinations flagged, corpus risk share in bp") {
+    // combos: (en, a) ×6 safe; (en, b) ×3 at risk; (de, a) ×1 at risk
+    // → risk rows 4 of 10 → 4000 bp on every row
+    val rows = (Seq.fill(6)(("en", "a")) ++ Seq.fill(3)(("en", "b")) ++
+        Seq(("de", "a")))
+      .toDF("lang", "source")
+    val out = Profiling.kAnonymity(rows,
+        Seq("lang" -> col("lang"), "source" -> col("source")), k = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getBoolean(3), r.getLong(4))))
+      .toMap
+    assert(out(("en", "a")) == ((6L, false, 4000L)))
+    assert(out(("en", "b")) == ((3L, true, 4000L)))
+    assert(out(("de", "a")) == ((1L, true, 4000L)))
+  }
 }
