@@ -206,6 +206,36 @@ object StreamingPipeline {
       .drop(rKey)
   }
 
+  /** Streaming temporal-dimension lookup: enrich an event stream with
+    * the dimension version VALID AT each event's own time — the
+    * stream-side consumer of an SCD2 table (q_scd2 builds one in
+    * batch). Join condition: key equality AND `valid_from <= ts <
+    * valid_to` (half-open, NULL valid_to = current version), so every
+    * event matches at most one version no matter how often the
+    * dimension has changed.
+    *
+    * Plan shape: a STREAM-STATIC join — the dimension is a bounded
+    * batch table, so this is stateless on the stream side (no
+    * watermark, no state store; each micro-batch hash-joins against
+    * the dim, which Spark broadcasts when small). That's the right
+    * scale shape: dimension history is |keys|·|versions|, tiny next to
+    * the stream, and classic stream-stream machinery would buy nothing
+    * but state. Left_outer keeps events whose key predates the
+    * dimension (enrichment columns null) — the at-least-once landing
+    * contract (K2) says never drop the fact row.
+    */
+  def temporalLookup(events: DataFrame, eventTs: String, key: String,
+                     dim: DataFrame, validFrom: String = "valid_from",
+                     validTo: String = "valid_to"): DataFrame = {
+    val dKey = s"__${key}_d"
+    events.join(dim.withColumnRenamed(key, dKey),
+        col(key) === col(dKey) &&
+          col(eventTs) >= col(validFrom) &&
+          (col(validTo).isNull || col(eventTs) < col(validTo)),
+        "left_outer")
+      .drop(dKey)
+  }
+
   /** Streaming job1: cpu + mem landed streams (ts TIMESTAMP, server_id,
     * metric) → watermarked stream-stream inner join on (ts, server_id)
     * → sliding-window avg → CASE alerts. Watermarks bound both the join

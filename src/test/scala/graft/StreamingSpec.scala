@@ -255,4 +255,35 @@ class StreamingSpec extends SparkSpec {
     assert(all.filter(col("family") === "disk").count() == rows.length)
     assert(all.count() == rows.length * 3)
   }
+
+  test("temporalLookup: each event enriched with the dim version valid at its own time; stream ≡ batch") {
+    // dim key k1 has two versions (v1 until t=200, v2 from t=200, open
+    // end); k2 appears in the dim only from t=300. Events straddle the
+    // boundaries; the one predating every version survives with nulls.
+    val dim = Seq(
+      ("k1", "v1", ts(0), Some(ts(200))),
+      ("k1", "v2", ts(200), None),
+      ("k2", "w1", ts(300), None))
+      .toDF("key", "version", "valid_from", "valid_to")
+    val evRows = Seq(
+      (ts(150), "k1", 1L),  // → v1
+      (ts(200), "k1", 2L),  // boundary: half-open → v2
+      (ts(500), "k1", 3L),  // → v2 (open end)
+      (ts(100), "k2", 4L),  // predates k2's first version → nulls
+      (ts(400), "k2", 5L))  // → w1
+    def enrich(ev: org.apache.spark.sql.DataFrame) =
+      StreamingPipeline.temporalLookup(
+          ev.toDF("ts", "key", "ev_id"), "ts", "key", dim)
+        .select(col("ev_id"), col("version"))
+    val expect = Map(1L -> "v1", 2L -> "v2", 3L -> "v2", 4L -> null, 5L -> "w1")
+    val batch = enrich(evRows.toDF())
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(batch === expect)
+
+    val src = MemoryStream[(Timestamp, String, Long)](spark)
+    src.addData(evRows: _*)
+    val streamed = runToCompletion(enrich(src.toDF()), "scdout")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed === expect, "stream-static lookup must equal the batch join")
+  }
 }
