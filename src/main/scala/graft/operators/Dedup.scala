@@ -421,6 +421,54 @@ object Dedup {
       profiles)
   }
 
+  /** Chaining audit of CC-based near-dup clusters — the known failure
+    * mode of transitive closure (a~b, b~c chains a and c into one
+    * cluster even when J(a,c) ≈ 0; chains of near-dups can merge
+    * genuinely distinct documents) made measurable: for every cluster,
+    * the exact Jaccard of EVERY member pair (not just the LSH-verified
+    * edges), its minimum, and a `chained` verdict when the weakest
+    * pair falls below `thresholdBp`. This is the audit that decides
+    * whether clusterSurvivors can be trusted or the threshold/banding
+    * needs tightening.
+    *
+    * Cost shape: member-pair compute is Σ|cluster|² — the same bound
+    * as the candidate verify, small for honest near-dup clusters and
+    * EXACTLY the thing being audited when it isn't (a pathological
+    * mega-cluster shows up as its own quadratic cost; cap cluster size
+    * upstream via the hot-bucket cap if that risk is live). Pairs with
+    * zero shared shingles are included via the component self-join
+    * (they are the chained evidence, jbp = 0).
+    */
+  def chainAudit(df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
+      threshold: Double = 0.5, thresholdBp: Long = 5000L): DataFrame = {
+    val profiles = wordDedupProfiles(df, textCol, idCol, shingleSize,
+      bands, rowsPerBand).persist()
+    val cands = profileCandidatePairs(profiles, idCol)
+    val pairs = jaccardFromProfiles(profiles, cands, idCol)
+      .filter(col("jaccard") >= threshold)
+    val comp = connectedComponents(pairs, idCol)
+    val msh = comp.join(profiles.select(col(idCol), col("sh_set")), Seq(idCol))
+    val pj = msh.select(col("component"), col(idCol).as("id_a"),
+        col("sh_set").as("sa"))
+      .join(msh.select(col("component").as("comp_b"), col(idCol).as("id_b"),
+          col("sh_set").as("sb")),
+        col("component") === col("comp_b") && col("id_a") < col("id_b"))
+      .select(col("component"), col("id_a"), col("id_b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("ni"),
+        (size(col("sa")) + size(col("sb"))).cast("long").as("sz"))
+      .withColumn("jbp", expr("ni * 10000 div (sz - ni)"))
+    val agg = pj.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("jbp")).as("min_jbp"),
+        sum(col("jbp")).as("sum_jbp"))
+    val members = comp.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"))
+    graft.core.CacheScope.releaseAfterUse(
+      members.join(agg, Seq("component"))
+        .withColumn("chained", col("min_jbp") < thresholdBp),
+      profiles)
+  }
+
   /** Materialize the deduplicated corpus: drop every doc named as the
     * right-hand member of a near-dup pair (id_a < id_b convention keeps
     * the smallest id as representative). A left-anti join — the 100 TB

@@ -71,6 +71,16 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_id"))
     }),
 
+    // Chaining audit: exact Jaccard of EVERY member pair inside each
+    // CC cluster (zero-overlap pairs included — they ARE the chained
+    // evidence), min + verdict per cluster. The measurement that
+    // decides whether transitive closure can be trusted at the chosen
+    // threshold/banding; see Dedup.chainAudit.
+    "q_chain_audit" -> ((s, d) =>
+      Dedup.chainAudit(Tables.documents(s, d), "text", "doc_id",
+        shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.5,
+        thresholdBp = 5000L)),
+
     // Same clusters via the alternating large-star/small-star
     // contraction (the O(log d) high-diameter path) — identical output
     // contract to q_dedup_clusters, so the two CC algorithms are
@@ -496,6 +506,44 @@ object DedupQueries {
          |comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
          |SELECT component, COUNT(*) AS n_members, MAX(node) AS max_id
          |FROM comp GROUP BY component""".stripMargin,
+
+    // Mirrors chainAudit: same recursive closure, then ALL member
+    // pairs per component (left-join the shingle intersection so
+    // zero-overlap pairs keep jbp 0), integer-bp Jaccard, per-cluster
+    // rollup.
+    "q_chain_audit" ->
+      s"""WITH RECURSIVE $minhashPairsSql,
+         |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |      UNION SELECT id_b, id_a FROM pairs),
+         |reach(node, lbl) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node
+         |),
+         |comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+         |mp AS (SELECT ca.component, ca.node AS id_a, cb.node AS id_b
+         |       FROM comp ca JOIN comp cb
+         |         ON ca.component = cb.component AND ca.node < cb.node),
+         |pi AS (SELECT m.id_a, m.id_b, CAST(COUNT(*) AS BIGINT) AS ni
+         |       FROM mp m
+         |       JOIN sh x ON x.doc_id = m.id_a
+         |       JOIN sh y ON y.doc_id = m.id_b AND y.shingle = x.shingle
+         |       GROUP BY m.id_a, m.id_b),
+         |pj AS (SELECT m.component,
+         |         CAST(COALESCE(pi.ni, 0) * 10000 AS BIGINT)
+         |           // (sa.n + sb.n - COALESCE(pi.ni, 0)) AS jbp
+         |       FROM mp m
+         |       LEFT JOIN pi ON pi.id_a = m.id_a AND pi.id_b = m.id_b
+         |       JOIN sz sa ON sa.doc_id = m.id_a
+         |       JOIN sz sb ON sb.doc_id = m.id_b),
+         |ag AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |         MIN(jbp) AS min_jbp, CAST(SUM(jbp) AS BIGINT) AS sum_jbp
+         |       FROM pj GROUP BY component),
+         |nm AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
+         |       FROM comp GROUP BY component)
+         |SELECT nm.component, nm.n_members, ag.n_pairs, ag.min_jbp,
+         |  ag.sum_jbp, ag.min_jbp < 5000 AS chained
+         |FROM nm JOIN ag USING (component)""".stripMargin,
 
     // Cluster-keyed split mirror: same recursive closure as
     // q_dedup_clusters, singletons coalesced to their own id, then the

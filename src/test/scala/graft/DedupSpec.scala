@@ -316,6 +316,35 @@ class DedupSpec extends SparkSpec {
     assert(rows.size === 3, "disjoint s4 must emit no pair rows")
   }
 
+  test("chainAudit: a chain cluster is flagged, a tight cluster is not") {
+    // docs 1/2 and 2/3 are near-dups but 1/3 share almost nothing —
+    // transitive closure chains them into one cluster whose weakest
+    // pair (1,3) has low exact Jaccard → chained. Docs 10/11 are
+    // near-identical → tight cluster, chained = false.
+    val mid = (1 to 12).map(i => s"mid$i").mkString(" ")
+    val d = Seq(
+      (1L, s"a1 a2 a3 a4 a5 a6 a7 a8 $mid"),
+      (2L, s"$mid z1 z2 z3 z4 z5 z6 z7 z8"),
+      (3L, s"q1 q2 q3 $mid q9 q10 q11 q12 q13 q14 q15 q16"),
+      (10L, "same same2 same3 same4 same5 same6 same7 same8 tail"),
+      (11L, "same same2 same3 same4 same5 same6 same7 same8 other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.chainAudit(d, "text", "doc_id", threshold = 0.3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // tight cluster {10, 11}
+    val tight = out(10L)
+    assert(tight.getAs[Long]("n_members") == 2L)
+    assert(tight.getAs[Long]("n_pairs") == 1L)
+    assert(!tight.getAs[Boolean]("chained"))
+    // the chain {1,2,3} forms deterministically at this banding
+    // (verified edges J(1,2)=.385, J(2,3)=.345; (1,3) only via closure)
+    val chain = out(1L)
+    assert(chain.getAs[Long]("n_members") == 3L)
+    assert(chain.getAs[Long]("n_pairs") == 3L, "all member pairs, not just edges")
+    assert(chain.getAs[Long]("min_jbp") < 5000L)
+    assert(chain.getAs[Boolean]("chained"))
+  }
+
   test("ngramNovelty: first carrier scores novel, later carriers see its grams") {
     // doc 1: grams {"a b c", "b c d"}; doc 2 repeats gram "a b c" and
     // adds "c x y"-family grams; doc 3 is all-new.
