@@ -488,6 +488,48 @@ object TextAnalysis {
         col("f.distinct_chars").as("distinct_chars"),
         col("f.diversity_bits").as("diversity_bits"))
 
+  /** Integer quality-ensemble gate: the final keep/review/drop decision
+    * a curation pipeline makes by COMBINING its per-doc signals —
+    * within-doc repetition ([[graft.functions.NgramRepProfile]]),
+    * character diversity ([[graft.functions.CharEntropyStats]]), and a
+    * token-count band — into one exact integer score. Every input is a
+    * native per-row expression, so the whole gate is ONE shuffle-free
+    * projection (scan speed at any corpus size), and every arithmetic
+    * step is integer (basis points, millibits, integer div), so the
+    * score and tier are engine-exact.
+    *
+    * Score (0-based, higher = better), engineered so each term has a
+    * bounded integer range:
+    *   rep2_bp  = min(top2_chars·10⁴ div den, 10⁴)   — boilerplate
+    *   dup5_bp  = min(dup5_chars·10⁴ div den, 10⁴)   — self-plagiarism
+    *   bpc_mil  = min(diversity_bits·10³ div n_chars, 3000) — garble ↓
+    *   base     = 10⁴ − rep2_bp − dup5_bp div 2 + bpc_mil
+    *   score    = max(0, base) halved when tokens ∉ [minTokens, maxTokens]
+    *   tier     = keep (≥ 9000) / review (≥ 6000) / drop
+    */
+  def qualityEnsemble(df: DataFrame, textCol: String, idCol: String,
+      minTokens: Long = 5L, maxTokens: Long = 1000L): DataFrame =
+    df.select(col(idCol),
+        graft.functions.NgramRepProfile.ngramRepProfile(col(textCol)).as("p"),
+        graft.functions.CharEntropyStats
+          .charEntropyStats(lower(trim(col(textCol)))).as("e"),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .filter(col("p").isNotNull)
+      .select(col(idCol), col("n_tokens"),
+        expr("least(p.top2 * 10000 div p.den, 10000)").as("rep2_bp"),
+        expr("least(p.dup5 * 10000 div p.den, 10000)").as("dup5_bp"),
+        expr("least(e.diversity_bits * 1000 div e.n_chars, 3000)").as("bpc_mil"))
+      .withColumn("base",
+        expr("10000 - rep2_bp - dup5_bp div 2 + bpc_mil"))
+      .withColumn("score",
+        expr(s"greatest(0L, CASE WHEN n_tokens BETWEEN $minTokens AND $maxTokens" +
+          " THEN base ELSE base div 2 END)"))
+      .withColumn("tier",
+        when(col("score") >= 9000, "keep")
+          .when(col("score") >= 6000, "review")
+          .otherwise("drop"))
+      .drop("base")
+
   /** URL canonicalization — the normalization half of crawl dedup
     * (CommonCrawl-style): lowercase the host, drop a leading `www.`,
     * drop the fragment, drop `utm_*` tracking parameters (keeping every

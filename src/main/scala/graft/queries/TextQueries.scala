@@ -175,6 +175,12 @@ object TextQueries {
     "q_lm_surprisal" -> ((s, d) =>
       TextAnalysis.bigramSurprisal(Tables.documents(s, d), "text", "doc_id")),
 
+    // Quality-ensemble gate: repetition + char diversity + length band
+    // combined into one exact integer score and keep/review/drop tier —
+    // one shuffle-free projection over three native expressions.
+    "q_quality_ensemble" -> ((s, d) =>
+      TextAnalysis.qualityEnsemble(Tables.documents(s, d), "text", "doc_id")),
+
     // Held-out cross-entropy: the bigram LM trained on the 90% hash
     // split scores the 10% held-out split, per language — the
     // fit-vs-memorize audit behind perplexity filtering. OOV words/
@@ -470,6 +476,75 @@ object TextQueries {
          |FROM j GROUP BY doc_id
          |ORDER BY score_micros DESC, doc_id ASC LIMIT 20""".stripMargin
     },
+
+    // Mirrors qualityEnsemble: the q_gopher_rep CTEs (den/top2/dup5),
+    // the q_char_entropy CTEs (diversity bits), token count, then the
+    // identical integer score/tier arithmetic.
+    "q_quality_ensemble" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS tk
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id, tk,
+         |    CAST(length(array_to_string(tk, ' ')) AS BIGINT) AS den
+         |  FROM t WHERE length(array_to_string(tk, ' ')) > 0),
+         |g AS (
+         |  SELECT doc_id, den, n, array_to_string(tk[i:i+n-1], ' ') AS gram
+         |  FROM d
+         |  CROSS JOIN (VALUES (2),(5)) AS v(n)
+         |  CROSS JOIN UNNEST(CASE WHEN len(tk) >= n
+         |    THEN generate_series(1, len(tk)-n+1)
+         |    ELSE CAST([] AS BIGINT[]) END) AS u(i)),
+         |c AS (
+         |  SELECT doc_id, den, n, gram, COUNT(*) AS cnt,
+         |    COUNT(*) * length(gram) AS chars
+         |  FROM g GROUP BY doc_id, den, n, gram),
+         |p AS (
+         |  SELECT doc_id, den, n, chars, cnt,
+         |    row_number() OVER (PARTITION BY doc_id, n
+         |      ORDER BY cnt DESC, gram ASC) AS rk,
+         |    SUM(CASE WHEN cnt >= 2 THEN chars ELSE 0 END)
+         |      OVER (PARTITION BY doc_id, n) AS dupc
+         |  FROM c),
+         |rep AS (
+         |  SELECT d.doc_id, d.den,
+         |    CAST(COALESCE(MAX(CASE WHEN n = 2 AND rk = 1 THEN chars END), 0) AS BIGINT) AS top2,
+         |    CAST(COALESCE(MAX(CASE WHEN n = 5 THEN dupc END), 0) AS BIGINT) AS dup5
+         |  FROM d LEFT JOIN p USING (doc_id) GROUP BY d.doc_id, d.den),
+         |e0 AS (SELECT doc_id, lower(trim(text)) AS et FROM documents),
+         |egs AS (SELECT doc_id, et, unnest(generate_series(1, length(et))) AS g
+         |        FROM e0 WHERE length(et) >= 1),
+         |ecnt AS (SELECT doc_id, substr(et, g, 1) AS ch, CAST(COUNT(*) AS BIGINT) AS m
+         |         FROM egs GROUP BY doc_id, substr(et, g, 1)),
+         |etot AS (SELECT doc_id, CAST(SUM(m) AS BIGINT) AS len FROM ecnt GROUP BY doc_id),
+         |ent AS (
+         |  SELECT c.doc_id, MIN(tt.len) AS n_chars,
+         |    CAST(SUM(m * ((length(bin(tt.len)) - 1) - (length(bin(m)) - 1)))
+         |      AS BIGINT) AS bits
+         |  FROM ecnt c JOIN etot tt ON c.doc_id = tt.doc_id
+         |  GROUP BY c.doc_id),
+         |tok AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |        FROM documents),
+         |s AS (
+         |  SELECT r.doc_id, tok.n_tokens,
+         |    LEAST(r.top2 * 10000 // r.den, 10000) AS rep2_bp,
+         |    LEAST(r.dup5 * 10000 // r.den, 10000) AS dup5_bp,
+         |    LEAST(ent.bits * 1000 // ent.n_chars, 3000) AS bpc_mil
+         |  FROM rep r JOIN ent ON ent.doc_id = r.doc_id
+         |             JOIN tok ON tok.doc_id = r.doc_id),
+         |b AS (
+         |  SELECT doc_id, n_tokens, rep2_bp, dup5_bp, bpc_mil,
+         |    10000 - rep2_bp - dup5_bp // 2 + bpc_mil AS base
+         |  FROM s)
+         |SELECT doc_id, n_tokens, rep2_bp, dup5_bp, bpc_mil,
+         |  GREATEST(0, CASE WHEN n_tokens BETWEEN 5 AND 1000
+         |    THEN base ELSE base // 2 END) AS score,
+         |  CASE WHEN GREATEST(0, CASE WHEN n_tokens BETWEEN 5 AND 1000
+         |      THEN base ELSE base // 2 END) >= 9000 THEN 'keep'
+         |    WHEN GREATEST(0, CASE WHEN n_tokens BETWEEN 5 AND 1000
+         |      THEN base ELSE base // 2 END) >= 6000 THEN 'review'
+         |    ELSE 'drop' END AS tier
+         |FROM b""".stripMargin,
 
     // Natural two-aggregate formulation of the same integers the
     // Spark side folds in-row: Σ m·(fl2 L − fl2 m) = L·fl2 L − Σ m·fl2 m.

@@ -258,6 +258,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("qualityEnsemble: degenerate repetition drops, diverse prose keeps, length band halves") {
+    val diverse = "the quick brown fox jumps over seven lazy dogs while birds sing quietly near rivers"
+    val d = Seq(
+      (1L, diverse),                              // diverse, in-band → keep
+      (2L, ("spam " * 40).trim),                  // one token repeated → rep2+dup5 max → drop
+      (3L, "tiny doc"))                           // 2 tokens < minTokens → halved
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.qualityEnsemble(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("tier") == "keep")
+    val r2 = out(2L)
+    assert(r2.getAs[Long]("rep2_bp") == 10000L, "capped boilerplate share")
+    assert(r2.getAs[String]("tier") == "drop")
+    val r3 = out(3L)
+    assert(r3.getAs[Long]("n_tokens") == 2L)
+    assert(r3.getAs[String]("tier") != "keep", "out-of-band length halves the score")
+    // plan must stay a pure projection
+    val plan = TextAnalysis.qualityEnsemble(d, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "ensemble gate must not shuffle")
+  }
+
   test("heldOutCrossEntropy: in-model bigrams cost ~0 bits, OOV pays the add-one floor") {
     import graft.operators.Sampling
     // 40 identical 8-word docs (lang 'base') + one guaranteed-val doc of
