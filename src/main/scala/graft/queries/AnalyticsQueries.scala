@@ -213,7 +213,42 @@ object AnalyticsQueries {
         .agg(max(col("n")).as("n_events"),
           max(when(col("rn") === rankIdx(50), col("value"))).as("p50"),
           max(when(col("rn") === rankIdx(90), col("value"))).as("p90"),
-          max(when(col("rn") === rankIdx(99), col("value"))).as("p99")))
+          max(when(col("rn") === rankIdx(99), col("value"))).as("p99"))),
+
+    // Association-rule mining over co-ordered parts (market basket):
+    // for every part pair appearing together in ≥ 2 distinct orders,
+    // its support count, both directional confidences (bp) and lift
+    // (milli-units). The pair-generation self-join is keyed by order
+    // (the exchange is planned once and reused for both sides), the
+    // support filter keeps the rule table sparse before the per-part
+    // count joins, and the 1-row basket total rides a broadcast — at
+    // 100 TB every shuffle stays ∝ its input (orders, pairs, parts)
+    // and nothing is quadratic in the part domain. Lift's cross-
+    // multiplied numerator (n_ab·N·1000) runs in DECIMAL(38,0) so the
+    // arithmetic is exact past the int64 bound (N ~ 1e10 baskets ×
+    // n_ab would overflow a long); `div` lands it back in BIGINT.
+    // Integer fixed-point throughout — engine-exact.
+    "q_market_basket" -> ((s, d) => {
+      val so = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val n = so.agg(count_distinct(col("ok")).as("N"))
+      val per = so.groupBy(col("pk")).agg(count(lit(1)).as("n_i"))
+      so.as("a")
+        .join(so.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2)
+        .join(per.select(col("pk").as("u"), col("n_i").as("n_u")), Seq("u"))
+        .join(per.select(col("pk").as("v"), col("n_i").as("n_v")), Seq("v"))
+        .crossJoin(broadcast(n))
+        .select(col("u"), col("v"), col("n_ab"), col("n_u"), col("n_v"),
+          expr("n_ab * 10000 div n_u").as("conf_uv_bp"),
+          expr("n_ab * 10000 div n_v").as("conf_vu_bp"),
+          expr("(cast(n_ab as decimal(38,0)) * N * 1000) div " +
+            "(cast(n_u as decimal(38,0)) * n_v)").as("lift_m"))
+    })
   )
 
   private val pivotCountCols = priorities
@@ -343,6 +378,29 @@ object AnalyticsQueries {
          |  MAX(CASE WHEN rn = ${sqlRankIdx(50)} THEN value END) AS p50,
          |  MAX(CASE WHEN rn = ${sqlRankIdx(90)} THEN value END) AS p90,
          |  MAX(CASE WHEN rn = ${sqlRankIdx(99)} THEN value END) AS p99
-         |FROM r GROUP BY event_type""".stripMargin
+         |FROM r GROUP BY event_type""".stripMargin,
+
+    // HUGEINT mirrors the Spark side's DECIMAL(38,0) lift numerator.
+    "q_market_basket" ->
+      """WITH so AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), tot AS (
+        |  SELECT CAST(COUNT(DISTINCT ok) AS HUGEINT) AS N FROM so
+        |), per AS (
+        |  SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_i FROM so GROUP BY pk
+        |), pairs AS (
+        |  SELECT a.pk AS u, b.pk AS v, CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM so a JOIN so b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |)
+        |SELECT u, v, n_ab, pu.n_i AS n_u, pv.n_i AS n_v,
+        |  n_ab * 10000 // pu.n_i AS conf_uv_bp,
+        |  n_ab * 10000 // pv.n_i AS conf_vu_bp,
+        |  CAST((CAST(n_ab AS HUGEINT) * N * 1000)
+        |       // (CAST(pu.n_i AS HUGEINT) * pv.n_i) AS BIGINT) AS lift_m
+        |FROM pairs
+        |JOIN per pu ON pairs.u = pu.pk
+        |JOIN per pv ON pairs.v = pv.pk
+        |CROSS JOIN tot""".stripMargin
   )
 }

@@ -166,7 +166,79 @@ object ProfilingQueries {
     "q_drift" -> ((s, d) =>
       Profiling.histogramDrift(Tables.documents(s, d),
         groupCol = "lang", sideACond = pmod(col("doc_id"), lit(2)) === 0,
-        valueCol = "n_chars", binWidth = 200L, maxBin = 9))
+        valueCol = "n_chars", binWidth = 200L, maxBin = 9)),
+
+    // Exact two-sample Kolmogorov–Smirnov distance per language between
+    // the same even/odd doc_id halves q_drift compares — the bin-free
+    // sup-norm complement to its binned histogram-L1 (KS sees a shift
+    // that lands inside one 200-char bin; L1 sees mass reshuffles KS's
+    // single sup point misses). D = max|F̂_a − F̂_b| over the pooled
+    // support, fraction-free: per distinct length the cross-multiplied
+    // gap |ca·nb − cb·na| is an exact integer and the ppm division
+    // happens once per language at the end.
+    //
+    // Scale: the per-(lang, length) count aggregate compresses |docs|
+    // rows to |langs × distinct lengths| BEFORE the ECDF window, so the
+    // window sorts thousands of rows, never the corpus; the cross-
+    // multiplied gap stays in int64 while docs-per-lang < 3e9 (past
+    // that, lift the two products to DECIMAL(38,0) — same shape).
+    "q_ks_drift" -> ((s, d) => {
+      val cnt = Tables.documents(s, d)
+        .select(col("lang"), col("n_chars").as("v"),
+          pmod(col("doc_id"), lit(2)).as("side"))
+        .groupBy(col("lang"), col("v"))
+        .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("a"),
+          sum(when(col("side") === 1, 1L).otherwise(0L)).as("b"))
+      val ord = Window.partitionBy(col("lang")).orderBy(col("v"))
+      val all = Window.partitionBy(col("lang"))
+      cnt
+        .withColumn("ca", sum(col("a")).over(ord))
+        .withColumn("cb", sum(col("b")).over(ord))
+        .withColumn("na", sum(col("a")).over(all))
+        .withColumn("nb", sum(col("b")).over(all))
+        .groupBy(col("lang"))
+        .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+          max(abs(col("ca") * col("nb") - col("cb") * col("na"))).as("d_num"))
+        .filter(col("n_a") > 0 && col("n_b") > 0)
+        .select(col("lang"), col("n_a"), col("n_b"),
+          expr("d_num * 1000000 div (n_a * n_b)").as("ks_ppm"))
+    }),
+
+    // Per-dimension embedding health: exact micro-unit mean, variance
+    // and range for every dimension, plus a dead-dim flag (min == max —
+    // a collapsed dimension wastes index width and, for cosine search,
+    // adds a constant that distorts every similarity). Values are
+    // quantized once (floor(x·10⁶), the same IEEE double multiply in
+    // both engines) and SHIFTED +10⁶ so every sum is nonnegative —
+    // integer `div` truncates toward zero while DuckDB's `//` floors,
+    // so negative numerators are the one cross-engine hazard; the shift
+    // removes it (mean unshifts at the end, variance is shift-
+    // invariant). Σp² rides DECIMAL(38,0) (HUGEINT mirror): at 1e11
+    // vectors a dimension's squared micro-unit sum is ~1e23, past
+    // int64.
+    //
+    // Scale: posexplode fans |vectors| rows to |vectors|·dims, but the
+    // aggregate is keyed by dim — partial (map-side) aggregation
+    // collapses each task's fan-out to ≤ dims rows before the shuffle,
+    // so the exchange carries |tasks|·dims rows regardless of corpus
+    // size.
+    "q_dim_stats" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("dim", "e")))
+        .select(col("dim").cast("long").as("dim"),
+          (floor(col("e").cast("double") * 1000000).cast("long") +
+            1000000L).as("p"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("p")).as("sp"),
+          min(col("p")).as("mn"), max(col("p")).as("mx"),
+          sum(col("p").cast("decimal(38,0)") * col("p")).as("ss"))
+        .select(col("dim"), col("n"),
+          (expr("sp div n") - 1000000L).as("mean_u"),
+          (col("mn") - 1000000L).as("min_u"),
+          (col("mx") - 1000000L).as("max_u"),
+          expr("(n * ss - cast(sp as decimal(38,0)) * sp) div (n * n)")
+            .as("var_u2"),
+          (col("mn") === col("mx")).as("is_dead")))
   )
 
   private val profileOracle = profileCols.map { c =>
@@ -317,6 +389,53 @@ object ProfilingQueries {
         |  CASE WHEN t.n_a > 0 AND t.n_b > 0
         |       THEN (l.l1 * 1000000) // (CAST(t.n_a AS HUGEINT) * t.n_b) >= 300000
         |       END AS drifted
-        |FROM t JOIN l USING (lang)""".stripMargin
+        |FROM t JOIN l USING (lang)""".stripMargin,
+
+    // Window SUM(BIGINT) is HUGEINT in DuckDB; every product is cast
+    // back through BIGINT only after the final division.
+    "q_ks_drift" ->
+      """WITH c AS (
+        |  SELECT lang, n_chars AS v,
+        |    CAST(COUNT(*) FILTER (doc_id % 2 = 0) AS BIGINT) AS a,
+        |    CAST(COUNT(*) FILTER (doc_id % 2 = 1) AS BIGINT) AS b
+        |  FROM documents GROUP BY 1, 2
+        |), e AS (
+        |  SELECT lang,
+        |    SUM(a) OVER (PARTITION BY lang ORDER BY v) AS ca,
+        |    SUM(b) OVER (PARTITION BY lang ORDER BY v) AS cb,
+        |    SUM(a) OVER (PARTITION BY lang) AS na,
+        |    SUM(b) OVER (PARTITION BY lang) AS nb
+        |  FROM c
+        |)
+        |SELECT lang, CAST(MAX(na) AS BIGINT) AS n_a,
+        |  CAST(MAX(nb) AS BIGINT) AS n_b,
+        |  CAST(MAX(ABS(ca * nb - cb * na)) * 1000000
+        |       // (MAX(na) * MAX(nb)) AS BIGINT) AS ks_ppm
+        |FROM e GROUP BY lang
+        |HAVING MAX(na) > 0 AND MAX(nb) > 0""".stripMargin,
+
+    // List position via CROSS JOIN range(64): the fixture embeds are
+    // 64-wide (DuckDB 1.0 has no UNNEST WITH ORDINALITY); DuckDB lists
+    // are 1-indexed, so element i of dim d = embedding[d+1]. The +10⁶
+    // shift and HUGEINT Σp² mirror the Spark side exactly.
+    "q_dim_stats" ->
+      """WITH x AS (
+        |  SELECT t.i AS dim,
+        |    CAST(floor(CAST(embedding[CAST(t.i AS INT) + 1] AS DOUBLE)
+        |               * 1000000) AS BIGINT) + 1000000 AS p
+        |  FROM embeddings CROSS JOIN range(64) t(i)
+        |), s AS (
+        |  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(p) AS BIGINT) AS sp,
+        |    SUM(CAST(p AS HUGEINT) * p) AS ss,
+        |    CAST(MIN(p) AS BIGINT) AS mn, CAST(MAX(p) AS BIGINT) AS mx
+        |  FROM x GROUP BY dim
+        |)
+        |SELECT dim, n, sp // n - 1000000 AS mean_u,
+        |  mn - 1000000 AS min_u, mx - 1000000 AS max_u,
+        |  CAST((n * ss - CAST(sp AS HUGEINT) * sp)
+        |       // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_u2,
+        |  mn = mx AS is_dead
+        |FROM s""".stripMargin
   )
 }
