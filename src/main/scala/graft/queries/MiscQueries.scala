@@ -163,6 +163,77 @@ object MiscQueries {
           max(col("doc_id")).as("last_doc"))
     }),
 
+    // KMV set-INTERSECTION estimates between event types' (user, day)
+    // activity sets — the query HLL cannot answer (HLL unions only;
+    // inclusion-exclusion explodes the relative error). Each type's
+    // bottom-k sketch (functions/KmvExpressions.scala) is built from
+    // RAW event rows — the sketch absorbs duplicates, no pre-distinct
+    // shuffle — then every type pair's overlap is estimated from the
+    // two k-long arrays alone. Gate: deterministic hashes make the
+    // estimate a pure function of the data, so the exact overlap (the
+    // oracle side) + an in-query ≤20% verdict ride the compare (the
+    // q_hll_rollup convention; k=1024 ⇒ ~7% expected error on these
+    // ~22%-Jaccard sets).
+    //
+    // Scale: sketch build is one map-side-partial aggregate over
+    // events (state k longs per type); the pair join is |types|² rows
+    // of k-long arrays — broadcast-trivial at any corpus size. The
+    // exact side (for the gate) is the expensive twin: distinct +
+    // user-keyed self-join, deliberately bounded to the |types|² pair
+    // domain.
+    "q_kmv_overlap" -> ((s, d) => {
+      val k = 1024
+      val ud = Tables.events(s, d).filter(col("user_id").isNotNull)
+        .select(col("event_type"), col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+      val sk = ud.groupBy(col("event_type"))
+        .agg(graft.functions.Kmv.kmvSketch(
+          xxhash64(col("user_id"), col("day")), k).as("sk"))
+      val est = sk.select(col("event_type").as("t_a"), col("sk").as("sk_a"))
+        .join(broadcast(
+          sk.select(col("event_type").as("t_b"), col("sk").as("sk_b"))),
+          col("t_a") < col("t_b"))
+        .select(col("t_a"), col("t_b"),
+          graft.functions.Kmv.estIntersect(col("sk_a"), col("sk_b"), k).as("est"))
+      val dd = ud.distinct()
+      dd.as("a")
+        .join(dd.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.day") === col("b.day") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("t_a"), col("b.event_type").as("t_b"))
+        .agg(count(lit(1)).as("exact_overlap"))
+        .join(est, Seq("t_a", "t_b"))
+        .select(col("t_a"), col("t_b"), col("exact_overlap"),
+          (abs(col("est") - col("exact_overlap")) * 5 <= col("exact_overlap"))
+            .as("within_20pct"))
+    }),
+
+    // KMV rollup twin of q_hll_rollup: per-(type, day) sketches
+    // union-merged to per-type via kmv_union_agg — the lossless rollup
+    // algebra (union of bottom-k's = bottom-k of the union, specced
+    // bit-exact in KmvSpec) — then the distinct estimate gated ≤10%
+    // against the exact per-type (user, day) count.
+    "q_kmv_rollup" -> ((s, d) => {
+      val k = 1024
+      val ud = Tables.events(s, d).filter(col("user_id").isNotNull)
+        .select(col("event_type"), col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+      val est = ud.groupBy(col("event_type"), col("day"))
+        .agg(graft.functions.Kmv.kmvSketch(
+          xxhash64(col("user_id"), col("day")), k).as("sk"))
+        .groupBy(col("event_type"))
+        .agg(graft.functions.Kmv.kmvUnion(col("sk"), k).as("sk"))
+        .select(col("event_type"),
+          graft.functions.Kmv.estDistinct(col("sk"), k).as("est"))
+      ud.distinct().groupBy(col("event_type"))
+        .agg(count(lit(1)).as("exact_user_days"))
+        .join(est, Seq("event_type"))
+        .select(col("event_type"), col("exact_user_days"),
+          (abs(col("est") - col("exact_user_days")) * 10 <= col("exact_user_days"))
+            .as("within_10pct"))
+    }),
+
     "q_hll_rollup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val perSource = docs.groupBy(col("lang"), col("source"))
@@ -422,6 +493,30 @@ object MiscQueries {
       """SELECT lang, COUNT(DISTINCT text) AS exact_texts,
         |  TRUE AS within_5pct
         |FROM documents GROUP BY lang""".stripMargin,
+
+    // The estimates are deterministic functions of the data (xxhash64),
+    // so the verdict columns are stable facts the oracle can assert.
+    "q_kmv_overlap" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT event_type AS t, user_id AS u,
+        |    epoch_us(ts) // 86400000000 AS d
+        |  FROM events WHERE user_id IS NOT NULL
+        |)
+        |SELECT a.t AS t_a, b.t AS t_b,
+        |  CAST(COUNT(*) AS BIGINT) AS exact_overlap,
+        |  TRUE AS within_20pct
+        |FROM ud a JOIN ud b ON a.u = b.u AND a.d = b.d AND a.t < b.t
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_kmv_rollup" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    epoch_us(ts) // 86400000000 AS d
+        |  FROM events WHERE user_id IS NOT NULL
+        |)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_user_days,
+        |  TRUE AS within_10pct
+        |FROM ud GROUP BY event_type""".stripMargin,
 
     // Full mirror of the CMS — portable affine hashes mean the sketch
     // cells, the min-estimate, and the overestimates are all recomputed
