@@ -219,7 +219,13 @@ object NgramRepProfile {
   /** Codepoint length — Spark's `length()` semantics. */
   private def cpLen(s: String): Long = s.codePointCount(0, s.length).toLong
 
-  def compute(t: UTF8String): Any = {
+  // Return type must be the JVM-visible InternalRow, NOT Any: the
+  // generated assignment `${ev.value} = ...compute(...)` targets an
+  // InternalRow lvalue, and an Object-returning signature fails Janino
+  // compilation — silently degrading the WHOLE enclosing projection/
+  // predicate to interpreted mode (observed as "Expr codegen error and
+  // falling back" on every q_gopher_rep consumer).
+  def compute(t: UTF8String): InternalRow = {
     // UTF8String.toLowerCase IS Spark's lower() — locale-independent,
     // unlike bare String.toLowerCase; empties are filtered, so the
     // trim flavor cannot matter (tokens are maximal \S runs either way)
