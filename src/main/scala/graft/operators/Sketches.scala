@@ -49,4 +49,22 @@ object Sketches {
   def cmsCells(events: DataFrame, keyCol: String, w: Int): DataFrame =
     cmsCellsFromCounts(events.select(col(keyCol), lit(1L).as("n")),
       keyCol, "n", w)
+
+  /** Streaming (or batch) per-group KMV sketch + distinct estimate.
+    *
+    * Works unchanged under `readStream` in complete/update mode: the
+    * TypedImperativeAggregate's serialize/merge IS the state-store
+    * contract, so the running sketch state is O(k) longs per group —
+    * the streaming distinct-count that never stores the key set. The
+    * union algebra being LOSSLESS (KmvSpec) gives the strongest twin
+    * property in the streaming catalog: the stream's final sketch is
+    * BIT-IDENTICAL to the batch sketch of the same rows, however the
+    * micro-batches split them (KmvStreamSpec pins this).
+    */
+  def kmvDistinct(rows: DataFrame, groupCol: String, hash: Column,
+      k: Int): DataFrame =
+    rows.groupBy(col(groupCol))
+      .agg(graft.functions.Kmv.kmvSketch(hash, k).as("sk"))
+      .select(col(groupCol), col("sk"),
+        graft.functions.Kmv.estDistinct(col("sk"), k).as("est_distinct"))
 }
