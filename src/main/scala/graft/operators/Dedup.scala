@@ -482,7 +482,8 @@ object Dedup {
     * closure step between "pairs" and "keep one per CLUSTER" (pairwise
     * drop alone mislabels chains: a~b, b~c must collapse to ONE
     * representative even if a~c was never a candidate). Label
-    * propagation to fixpoint: every node starts as its own label; each
+    * propagation to fixpoint: every node starts at min(self ∪
+    * neighbors) — round 1 fused into initialization — then each
     * round takes the min of its own and all neighbors' labels;
     * converged when a round changes nothing. Each round is one
     * self-equi-join + one groupBy keyed by node id — no adjacency
@@ -500,11 +501,25 @@ object Dedup {
     // persist: the edge table is re-joined every round — without this
     // the whole upstream pair pipeline (LSH, Jaccard, ...) re-executes
     // per iteration. Edge set is |pairs|·2 rows — small by construction.
+    // repartition by src BEFORE the persist (the q_pagerank discipline):
+    // distinct hashes (src, dst), so the persisted blocks would not
+    // satisfy the per-round join's HashPartitioning(src) and the WHOLE
+    // edge set would re-exchange every round; src-partitioned blocks
+    // make the join's edge side exchange-free for every round (the
+    // labels side is already node-hashed by the previous round's
+    // aggregate — measured: one shuffle per round instead of two).
     val edges = fwd.unionByName(
-      fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct().persist()
+      fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      .repartition(col("src")).persist()
     val sc = pairs.sparkSession.sparkContext
-    var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("component"))
+    // Initial labels = min(self ∪ neighbor IDS) — exactly round 1 of
+    // label propagation (neighbors' initial labels ARE their ids),
+    // fused into the node-list aggregate instead of paying a full
+    // join+union+groupBy round to compute it. Saves one round on every
+    // graph (a pair/star component now converges after ONE loop pass).
+    var labels = edges.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("node"), least(col("mn"), col("node")).as("component"))
     var converged = false
     var iter = 0
     // RDDs pinned by the previous round's localCheckpoint: once round N

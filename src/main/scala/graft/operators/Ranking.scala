@@ -58,6 +58,10 @@ object Ranking {
         .select(col(loserCol).as("i"), col(winnerCol).as("j"), lit(0L).as("w")))
       .groupBy(col("i"), col("j"))
       .agg(count(lit(1)).as("n"), sum(col("w")).as("wins"))
+      // i-partitioned blocks make each round's first join (ratings→i)
+      // exchange-free (the connectedComponents/pagerank discipline);
+      // the j-side join re-keys regardless
+      .repartition(col("i"))
       .localCheckpoint()
     val pairRdds = (sc.getPersistentRDDs -- before0).values
 

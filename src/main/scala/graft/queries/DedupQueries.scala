@@ -125,6 +125,23 @@ object DedupQueries {
       Dedup.minhashErrorAudit(Tables.documents(s, d), "text", "doc_id",
         n = 3, bands = 8, rowsPerBand = 2)),
 
+    // Sketch-threshold tuning curve: the same audit rolled up by
+    // signature-agreement level — per est_slots, how many candidate
+    // pairs exist and how many exactly clear Jaccard 0.5/0.7/0.8
+    // (integer cross-multiplied, never a float division). This is the
+    // table an operator reads to PICK the dedup threshold: precision
+    // per sketch level, before committing a 100 TB pass to it. Cost:
+    // one |pairs|-keyed aggregate over the audit frame — the LSH
+    // pipeline itself is the dominant (and already banded) term.
+    "q_threshold_sweep" -> ((s, d) =>
+      Dedup.minhashErrorAudit(Tables.documents(s, d), "text", "doc_id",
+          n = 3, bands = 8, rowsPerBand = 2)
+        .groupBy(col("est_slots"))
+        .agg(count(lit(1)).as("n_pairs"),
+          count(when(col("n_inter") * 2 >= col("n_union"), 1)).as("pass_050"),
+          count(when(col("n_inter") * 10 >= col("n_union") * 7, 1)).as("pass_070"),
+          count(when(col("n_inter") * 5 >= col("n_union") * 4, 1)).as("pass_080"))),
+
     "q_dedup_materialize" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val pairs = Dedup.minhashNearDuplicates(docs, "text", "doc_id",
@@ -329,6 +346,32 @@ object DedupQueries {
        |         FROM sig a JOIN sig b
        |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** Sketch-error audit body (candidate pairs with signature-agreement
+    * slots and exact shingle intersection/union), shared by
+    * q_minhash_error and its q_threshold_sweep rollup.
+    */
+  private val minhashErrorBodySql =
+    s"""$candSql,
+       |agree AS (SELECT c.id_a, c.id_b,
+       |            CAST(COUNT(*) FILTER (x.mh = y.mh) AS BIGINT) AS est_slots
+       |          FROM cand c
+       |          JOIN mh x ON x.doc_id = c.id_a
+       |          JOIN mh y ON y.doc_id = c.id_b AND y.h = x.h
+       |          GROUP BY c.id_a, c.id_b),
+       |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+       |          FROM cand c
+       |          JOIN sh x ON x.doc_id = c.id_a
+       |          JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+       |          GROUP BY c.id_a, c.id_b),
+       |err AS (SELECT a.id_a, a.id_b, a.est_slots,
+       |          COALESCE(i.n_inter, 0) AS n_inter,
+       |          sx.n + sy.n - COALESCE(i.n_inter, 0) AS n_union
+       |        FROM agree a
+       |        LEFT JOIN inter i ON i.id_a = a.id_a AND i.id_b = a.id_b
+       |        JOIN sz sx ON sx.doc_id = a.id_a
+       |        JOIN sz sy ON sy.doc_id = a.id_b)""".stripMargin
+
   /** Full MinHash→LSH→Jaccard pair pipeline as a reusable WITH body. */
   private val minhashPairsSql =
     s"""$candSql,
@@ -471,28 +514,20 @@ object DedupQueries {
     // built from; exact set counts from sh. LEFT JOIN + COALESCE keeps
     // zero-overlap candidate pairs (Spark's array_intersect gives 0).
     "q_minhash_error" ->
-      s"""WITH $candSql,
-         |agree AS (SELECT c.id_a, c.id_b,
-         |            CAST(COUNT(*) FILTER (x.mh = y.mh) AS BIGINT) AS est_slots
-         |          FROM cand c
-         |          JOIN mh x ON x.doc_id = c.id_a
-         |          JOIN mh y ON y.doc_id = c.id_b AND y.h = x.h
-         |          GROUP BY c.id_a, c.id_b),
-         |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
-         |inter AS (SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
-         |          FROM cand c
-         |          JOIN sh x ON x.doc_id = c.id_a
-         |          JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
-         |          GROUP BY c.id_a, c.id_b)
-         |SELECT a.id_a, a.id_b, a.est_slots,
-         |  COALESCE(i.n_inter, 0) AS n_inter,
-         |  sx.n + sy.n - COALESCE(i.n_inter, 0) AS n_union,
-         |  a.est_slots * (sx.n + sy.n - COALESCE(i.n_inter, 0)) -
-         |    16 * COALESCE(i.n_inter, 0) AS err_units
-         |FROM agree a
-         |LEFT JOIN inter i ON i.id_a = a.id_a AND i.id_b = a.id_b
-         |JOIN sz sx ON sx.doc_id = a.id_a
-         |JOIN sz sy ON sy.doc_id = a.id_b""".stripMargin,
+      s"""WITH $minhashErrorBodySql
+         |SELECT id_a, id_b, est_slots, n_inter, n_union,
+         |  est_slots * n_union - 16 * n_inter AS err_units
+         |FROM err""".stripMargin,
+
+    // Outer rollup of the SAME audit body: the sketch-threshold tuning
+    // curve (pairs and exact-pass precision per agreement level).
+    "q_threshold_sweep" ->
+      s"""WITH $minhashErrorBodySql
+         |SELECT est_slots, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(COUNT(*) FILTER (n_inter * 2 >= n_union) AS BIGINT) AS pass_050,
+         |  CAST(COUNT(*) FILTER (n_inter * 10 >= n_union * 7) AS BIGINT) AS pass_070,
+         |  CAST(COUNT(*) FILTER (n_inter * 5 >= n_union * 4) AS BIGINT) AS pass_080
+         |FROM err GROUP BY est_slots""".stripMargin,
 
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $minhashPairsSql,
