@@ -236,7 +236,16 @@ object Ranking {
                   maxKeys: Long = 1000000L): DataFrame = {
     require(n >= 1)
     import org.apache.spark.sql.expressions.Window
-    val perKey = df.groupBy(col(keyCol).as("gk")).agg(count(lit(1)).as("cnt"))
+    // The input feeds THREE subtrees (per-key counts, the total-rows
+    // aggregate, and the ranked main branch), and nothing guarantees
+    // exchange reuse across them — an expensive upstream (q_curriculum
+    // feeds the whole bigram-surprisal pipeline in here) executed ~3×
+    // before this persist (measured 4.8 → 4.0 s at sf0.1; the remaining
+    // cost is the one cache-populating surprisal run plus the ~8 small
+    // stages of the rank/offset scaffold). Scoped: the cache dies with
+    // the first consuming action.
+    val in = df.persist()
+    val perKey = in.groupBy(col(keyCol).as("gk")).agg(count(lit(1)).as("cnt"))
     val pfx = Window.orderBy(col("gk"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val full = Window.orderBy(col("gk"))
@@ -258,8 +267,8 @@ object Ranking {
           .otherwise(col("base")))
       .select(col("gk").as(keyCol), col("base"))
     val within = Window.partitionBy(col(keyCol)).orderBy(col(tieCol))
-    val tot = df.agg(count(lit(1)).as("n_rows"))
-    df.withColumn("wr", row_number().over(within).cast("long"))
+    val tot = in.agg(count(lit(1)).as("n_rows"))
+    val result = in.withColumn("wr", row_number().over(within).cast("long"))
       .join(broadcast(offsets), Seq(keyCol))
       .crossJoin(broadcast(tot))
       .withColumn("r", col("base") + col("wr"))
@@ -273,5 +282,6 @@ object Ranking {
            |            div (n_rows div $n) + 1
            |END""".stripMargin))
       .drop("wr", "base", "n_rows", "r")
+    graft.core.CacheScope.releaseAfterUse(result, in)
   }
 }
