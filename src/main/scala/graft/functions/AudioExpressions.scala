@@ -1,0 +1,145 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
+
+/** REAL audio sample decoding — no codec required: PCM16 WAV stores raw
+  * little-endian two's-complement samples, so "decoding" is pure byte
+  * arithmetic. This is the honest upgrade over the header-only tier
+  * ([[graft.operators.Multimodal.wavMeta]]): the full RIFF chunk walk
+  * plus a per-sample loop, as ONE codegen'd Catalyst expression — the
+  * payload never leaves the row, no UDF serialization, and the loop
+  * compiles into the enclosing WholeStageCodegen projection.
+  *
+  * Compressed formats (MP3/AAC/Opus, JPEG pixels) stay stubbed —
+  * those genuinely need codecs this container does not ship; PCM does
+  * not, which is why this one is implemented for real.
+  *
+  * Emits `struct(sample_rate, n_samples, peak_abs, sum_abs, energy)` —
+  * exact integer stats over ALL channels' interleaved samples — or
+  * NULL for anything that is not a well-formed PCM16 RIFF/WAVE payload
+  * (wrong magic, non-PCM format tag, bits ≠ 16, truncated chunks).
+  * Integer bounds: |sample| ≤ 2¹⁵, so `energy` (Σs²) fits int64 up to
+  * ~8.6e9 samples per payload (~60 h of 16 kHz two-channel audio);
+  * `sum_abs`/`peak_abs` far below that.
+  */
+case class PcmStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = PcmStats.schema
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "pcm_stats"
+
+  override def nullSafeEval(payload: Any): Any =
+    PcmStats.compute(payload.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      s"""
+         |${ev.value} = graft.functions.PcmStats$$.MODULE$$.compute($b);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PcmStats =
+    copy(child = newChild)
+}
+
+object PcmStats {
+
+  val schema: StructType = StructType(Seq(
+    StructField("sample_rate", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("peak_abs", LongType, nullable = false),
+    StructField("sum_abs", LongType, nullable = false),
+    StructField("energy", LongType, nullable = false)))
+
+  private def leU16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  private def leU32(b: Array[Byte], i: Int): Long =
+    (leU16(b, i) & 0xffffL) | ((leU16(b, i + 2) & 0xffffL) << 16)
+
+  private def tag(b: Array[Byte], i: Int, t: String): Boolean =
+    b(i) == t.charAt(0).toByte && b(i + 1) == t.charAt(1).toByte &&
+      b(i + 2) == t.charAt(2).toByte && b(i + 3) == t.charAt(3).toByte
+
+  /** Strict RIFF/WAVE walk: returns null unless the payload is
+    * `RIFF … WAVE` with a PCM (format tag 1) 16-bit `fmt ` chunk and an
+    * intact `data` chunk. Chunk order beyond fmt-before-data is not
+    * assumed; unknown chunks are skipped by their declared size (word-
+    * aligned, per the RIFF spec).
+    */
+  def compute(b: Array[Byte]): InternalRow = {
+    if (b.length < 44 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return null
+    var off = 12
+    var sampleRate = -1L
+    var fmtOk = false
+    var dataOff = -1
+    var dataLen = -1L
+    while (off + 8 <= b.length && (dataOff < 0 || !fmtOk)) {
+      val size = leU32(b, off + 4)
+      val body = off + 8
+      if (body + size > b.length) return null // truncated chunk
+      if (tag(b, off, "fmt ")) {
+        if (size < 16) return null
+        val formatTag = leU16(b, body)
+        val bits = leU16(b, body + 14)
+        sampleRate = leU32(b, body + 4)
+        fmtOk = formatTag == 1 && bits == 16
+        if (!fmtOk) return null // non-PCM / non-16-bit: not decodable here
+      } else if (tag(b, off, "data")) {
+        dataOff = body
+        dataLen = size
+      }
+      off = body + size.toInt + (size.toInt & 1) // RIFF word alignment
+    }
+    if (!fmtOk || dataOff < 0 || dataLen % 2 != 0) return null
+    val n = (dataLen / 2).toInt
+    var i = 0
+    var peak = 0L
+    var sumAbs = 0L
+    var energy = 0L
+    while (i < n) {
+      val u = leU16(b, dataOff + 2 * i)
+      val s = (u.toShort).toLong // two's-complement sign extension
+      val a = math.abs(s)
+      if (a > peak) peak = a
+      sumAbs += a
+      energy += s * s
+      i += 1
+    }
+    InternalRow(sampleRate, n.toLong, peak, sumAbs, energy)
+  }
+
+  /** Column-level entry point. */
+  def pcmStats(payload: Column): Column =
+    ColumnBridge.column(PcmStats(ColumnBridge.expression(payload)))
+
+  /** Fixture-side WAV assembly (the ingest twin of [[compute]]): a
+    * minimal PCM16 mono RIFF/WAVE container around the given samples.
+    * Used by specs and the q_wav_pcm fixture builder — the decode path
+    * above never sees anything but real WAV bytes.
+    */
+  def wavBytes(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1) // PCM
+    bb.putShort(1) // mono
+    bb.putInt(sampleRate)
+    bb.putInt(sampleRate * 2) // byte rate
+    bb.putShort(2) // block align
+    bb.putShort(16) // bits per sample
+    bb.put("data".getBytes); bb.putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+}

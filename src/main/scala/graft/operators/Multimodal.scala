@@ -7,11 +7,15 @@ import org.apache.spark.sql.functions._
   * `binary` payloads with typed metadata, processed by per-partition
   * batch operators.
   *
-  * The pixel/sample DECODE step is STUBBED (deterministic fake — no
-  * image/audio codecs ship in this container), but header-level
+  * The COMPRESSED-format decode step is STUBBED (deterministic fake —
+  * no image/audio codecs ship in this container), but header-level
   * metadata extraction is REAL: PNG/WAV fields as pure byte-slice
   * expressions ([[pngMeta]]/[[wavMeta]], no UDF, codegen'd) and a JPEG
-  * SOF marker walk ([[imageDimensions]]). Everything Spark-side is real
+  * SOF marker walk ([[imageDimensions]]) — and PCM16 WAV *sample*
+  * decode is REAL too ([[graft.functions.PcmStats]]: RIFF chunk walk +
+  * per-sample loop as one codegen'd expression; PCM is raw samples, no
+  * codec needed — gated end-to-end by q_wav_pcm's encode→decode
+  * round-trip oracle). Everything Spark-side is real
   * and tested: the schema shape, binary columns, partitioning,
   * batch-iterator operator signature (`mapPartitions`, the Scala
   * analogue of `mapInPandas`-style batch UDFs), and frame/chunk

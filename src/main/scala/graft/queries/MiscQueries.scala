@@ -163,6 +163,42 @@ object MiscQueries {
           max(col("doc_id")).as("last_doc"))
     }),
 
+    // REAL PCM sample decode, gated end-to-end: per event type, a
+    // genuine PCM16 RIFF/WAVE payload is ASSEMBLED from integer
+    // samples derived from the events table (ingest side, typed map —
+    // one media file per group), then DECODED back by the native
+    // PcmStats expression (RIFF chunk walk + per-sample LE16 loop,
+    // codegen'd, no codec, no UDF in the read path) into exact integer
+    // stats. The oracle computes the same stats from the RAW integers
+    // without ever seeing bytes — so the hash gate proves the
+    // encode→decode round trip is the identity on the sample stream.
+    // Scale: one WAV per group, size bounded by the media file itself;
+    // assembly is a grouped sort (media are bounded objects, not
+    // corpus-sized streams), decode is row-local at scan speed.
+    "q_wav_pcm" -> ((s, d) => {
+      import s.implicits._
+      val samples = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          (pmod(floor(col("value") * 100).cast("long"), lit(4096L)) - 2048L)
+            .as("smp"))
+        .groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("event_id"), col("smp"))))
+          .as("arr"))
+        .select(col("event_type"), expr("transform(arr, x -> x.smp)").as("smps"))
+      val wav = samples.as[(String, Seq[Long])]
+        .map { case (t, ss) =>
+          (t, graft.functions.PcmStats.wavBytes(16000, ss.map(_.toShort).toArray))
+        }.toDF("event_type", "payload")
+      wav.select(col("event_type"),
+          graft.functions.PcmStats.pcmStats(col("payload")).as("st"))
+        .select(col("event_type"),
+          col("st.sample_rate").as("sample_rate"),
+          col("st.n_samples").as("n_samples"),
+          col("st.peak_abs").as("peak_abs"),
+          col("st.sum_abs").as("sum_abs"),
+          col("st.energy").as("energy"))
+    }),
+
     // KMV set-INTERSECTION estimates between event types' (user, day)
     // activity sets — the query HLL cannot answer (HLL unions only;
     // inclusion-exclusion explodes the relative error). Each type's
@@ -493,6 +529,23 @@ object MiscQueries {
       """SELECT lang, COUNT(DISTINCT text) AS exact_texts,
         |  TRUE AS within_5pct
         |FROM documents GROUP BY lang""".stripMargin,
+
+    // Stats from the RAW integers — the Spark side must reproduce them
+    // THROUGH the WAV encode→decode round trip. The pmod mirror is
+    // (a % m + m) % m (Spark's pmod vs DuckDB's signed %).
+    "q_wav_pcm" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |    ((CAST(floor(value * 100) AS BIGINT) % 4096 + 4096) % 4096)
+        |      - 2048 AS smp
+        |  FROM events
+        |)
+        |SELECT event_type, CAST(16000 AS BIGINT) AS sample_rate,
+        |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(MAX(ABS(smp)) AS BIGINT) AS peak_abs,
+        |  CAST(SUM(ABS(smp)) AS BIGINT) AS sum_abs,
+        |  CAST(SUM(smp * smp) AS BIGINT) AS energy
+        |FROM s GROUP BY event_type""".stripMargin,
 
     // The estimates are deterministic functions of the data (xxhash64),
     // so the verdict columns are stable facts the oracle can assert.
