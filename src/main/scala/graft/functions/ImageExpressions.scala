@@ -1,0 +1,141 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
+
+/** REAL image pixel decoding for the one mainstream format that needs
+  * no codec: uncompressed 24-bit BMP stores raw BGR bytes. The image
+  * twin of [[PcmStats]] — full header validation plus the padded-row
+  * pixel loop as ONE codegen'd expression, so pixel statistics run at
+  * scan speed with the payload never leaving the row. Compressed
+  * formats (PNG/JPEG pixels) stay at the header-metadata tier
+  * ([[graft.operators.Multimodal]]) — those genuinely need codecs this
+  * container does not ship.
+  *
+  * Emits `struct(width, height, n_pixels, sum_r, sum_g, sum_b)` —
+  * exact integer channel sums (the inputs to mean-brightness /
+  * channel-balance quality filters) — or NULL for anything that is not
+  * a well-formed uncompressed 24-bit BITMAPINFOHEADER BMP (wrong
+  * magic, other bit depths, BI_RLE/BI_BITFIELDS compression, truncated
+  * pixel array, nonpositive dimensions).
+  */
+case class BmpPixelStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BmpPixelStats.schema
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "bmp_pixel_stats"
+
+  override def nullSafeEval(payload: Any): Any =
+    BmpPixelStats.compute(payload.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      s"""
+         |${ev.value} = graft.functions.BmpPixelStats$$.MODULE$$.compute($b);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BmpPixelStats =
+    copy(child = newChild)
+}
+
+object BmpPixelStats {
+
+  val schema: StructType = StructType(Seq(
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("n_pixels", LongType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false)))
+
+  private def leU16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  private def leS32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+  /** Strict decode: BITMAPFILEHEADER ('BM', pixel-array offset) +
+    * BITMAPINFOHEADER (size ≥ 40, planes 1, 24 bpp, BI_RGB), rows
+    * bottom-up or top-down (negative height), stride padded to 4
+    * bytes. Channel sums are orientation-invariant, so row order never
+    * matters to the result — only the padding skip does.
+    */
+  def compute(b: Array[Byte]): InternalRow = {
+    if (b.length < 54 || b(0) != 'B'.toByte || b(1) != 'M'.toByte) return null
+    val dataOff = leS32(b, 10)
+    val dibSize = leS32(b, 14)
+    val width = leS32(b, 18)
+    val rawHeight = leS32(b, 22)
+    val planes = leU16(b, 26)
+    val bpp = leU16(b, 28)
+    val compression = leS32(b, 30)
+    if (dibSize < 40 || planes != 1 || bpp != 24 || compression != 0) return null
+    val height = math.abs(rawHeight)
+    if (width <= 0 || height == 0 || dataOff < 54) return null
+    val stride = (width * 3 + 3) & ~3 // rows padded to 4 bytes
+    if (dataOff.toLong + stride.toLong * height > b.length) return null
+    var sumR = 0L
+    var sumG = 0L
+    var sumB = 0L
+    var row = 0
+    while (row < height) {
+      var i = dataOff + row * stride
+      val end = i + width * 3
+      while (i < end) {
+        sumB += b(i) & 0xff
+        sumG += b(i + 1) & 0xff
+        sumR += b(i + 2) & 0xff
+        i += 3
+      }
+      row += 1
+    }
+    InternalRow(width.toLong, height.toLong, width.toLong * height,
+      sumR, sumG, sumB)
+  }
+
+  /** Column-level entry point. */
+  def bmpPixelStats(payload: Column): Column =
+    ColumnBridge.column(BmpPixelStats(ColumnBridge.expression(payload)))
+
+  /** Fixture-side BMP assembly (the ingest twin of [[compute]]): a
+    * minimal bottom-up uncompressed 24-bit BMP around (r, g, b) pixel
+    * rows given top-to-bottom. Used by specs and the q_bmp_pixels
+    * fixture builder.
+    */
+  def bmpBytes(width: Int, height: Int,
+               pixels: Array[(Int, Int, Int)]): Array[Byte] = {
+    require(pixels.length == width * height, "pixels must fill the raster")
+    val stride = (width * 3 + 3) & ~3
+    val dataLen = stride * height
+    val bb = java.nio.ByteBuffer.allocate(54 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte)
+    bb.putInt(54 + dataLen).putInt(0).putInt(54)
+    bb.putInt(40).putInt(width).putInt(height) // bottom-up
+    bb.putShort(1).putShort(24)
+    bb.putInt(0).putInt(dataLen).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    // bottom-up: last pixel row first in the file
+    var row = height - 1
+    while (row >= 0) {
+      var x = 0
+      while (x < width) {
+        val (r, g, cb) = pixels(row * width + x)
+        bb.put(cb.toByte).put(g.toByte).put(r.toByte)
+        x += 1
+      }
+      var pad = stride - width * 3
+      while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+      row -= 1
+    }
+    bb.array()
+  }
+}

@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   * no image/audio codecs ship in this container), but header-level
   * metadata extraction is REAL: PNG/WAV fields as pure byte-slice
   * expressions ([[pngMeta]]/[[wavMeta]], no UDF, codegen'd) and a JPEG
-  * SOF marker walk ([[imageDimensions]]) — and PCM16 WAV *sample*
-  * decode is REAL too ([[graft.functions.PcmStats]]: RIFF chunk walk +
-  * per-sample loop as one codegen'd expression; PCM is raw samples, no
-  * codec needed — gated end-to-end by q_wav_pcm's encode→decode
-  * round-trip oracle). Everything Spark-side is real
+  * SOF marker walk ([[imageDimensions]]) — and the codec-free formats
+  * decode for REAL: PCM16 WAV samples ([[graft.functions.PcmStats]])
+  * and uncompressed 24-bit BMP pixels
+  * ([[graft.functions.BmpPixelStats]]), each a single codegen'd
+  * chunk-walk + per-element loop, gated end-to-end by the
+  * q_wav_pcm / q_bmp_pixels encode→decode round-trip oracles.
+  * Everything Spark-side is real
   * and tested: the schema shape, binary columns, partitioning,
   * batch-iterator operator signature (`mapPartitions`, the Scala
   * analogue of `mapInPandas`-style batch UDFs), and frame/chunk

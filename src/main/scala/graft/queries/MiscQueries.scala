@@ -199,6 +199,39 @@ object MiscQueries {
           col("st.energy").as("energy"))
     }),
 
+    // The image twin of q_wav_pcm: per language, a genuine
+    // uncompressed 24-bit BMP is assembled from integer-derived pixels
+    // (one raster per group), then decoded back by the native
+    // BmpPixelStats expression (header validation + padded-row BGR
+    // loop, codegen'd, no codec) into exact channel sums — the inputs
+    // to mean-brightness / channel-balance image quality filters. The
+    // oracle computes the sums from the raw integers without seeing
+    // bytes: the hash gate proves the BMP encode→decode round trip.
+    "q_bmp_pixels" -> ((s, d) => {
+      import s.implicits._
+      val px = Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          pmod(col("doc_id"), lit(256L)).as("r"),
+          pmod(col("n_chars"), lit(256L)).as("g"),
+          pmod(col("doc_id") * 7 + col("n_chars"), lit(256L)).as("b"))
+        .groupBy(col("lang"))
+        .agg(sort_array(collect_list(
+          struct(col("doc_id"), col("r"), col("g"), col("b")))).as("arr"))
+      val bmp = px.as[(String, Seq[(Long, Long, Long, Long)])]
+        .map { case (lang, rows) =>
+          val pixels =
+            rows.map(t => (t._2.toInt, t._3.toInt, t._4.toInt)).toArray
+          (lang, graft.functions.BmpPixelStats
+            .bmpBytes(pixels.length, 1, pixels))
+        }.toDF("lang", "payload")
+      bmp.select(col("lang"),
+          graft.functions.BmpPixelStats.bmpPixelStats(col("payload")).as("st"))
+        .select(col("lang"), col("st.width").as("width"),
+          col("st.height").as("height"), col("st.n_pixels").as("n_pixels"),
+          col("st.sum_r").as("sum_r"), col("st.sum_g").as("sum_g"),
+          col("st.sum_b").as("sum_b"))
+    }),
+
     // KMV set-INTERSECTION estimates between event types' (user, day)
     // activity sets — the query HLL cannot answer (HLL unions only;
     // inclusion-exclusion explodes the relative error). Each type's
@@ -529,6 +562,23 @@ object MiscQueries {
       """SELECT lang, COUNT(DISTINCT text) AS exact_texts,
         |  TRUE AS within_5pct
         |FROM documents GROUP BY lang""".stripMargin,
+
+    // Channel sums from the RAW integers — the Spark side reproduces
+    // them THROUGH the BMP encode→decode round trip (operands are
+    // nonnegative, so plain % mirrors pmod).
+    "q_bmp_pixels" ->
+      """WITH p AS (
+        |  SELECT lang, doc_id % 256 AS r, n_chars % 256 AS g,
+        |    (doc_id * 7 + n_chars) % 256 AS b
+        |  FROM documents
+        |)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS width,
+        |  CAST(1 AS BIGINT) AS height,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pixels,
+        |  CAST(SUM(r) AS BIGINT) AS sum_r,
+        |  CAST(SUM(g) AS BIGINT) AS sum_g,
+        |  CAST(SUM(b) AS BIGINT) AS sum_b
+        |FROM p GROUP BY lang""".stripMargin,
 
     // Stats from the RAW integers — the Spark side must reproduce them
     // THROUGH the WAV encode→decode round trip. The pmod mirror is
