@@ -81,8 +81,12 @@ object BmpPixelStats {
     if (dibSize < 40 || planes != 1 || bpp != 24 || compression != 0) return null
     val height = math.abs(rawHeight)
     if (width <= 0 || height == 0 || dataOff < 54) return null
-    val stride = (width * 3 + 3) & ~3 // rows padded to 4 bytes
-    if (dataOff.toLong + stride.toLong * height > b.length) return null
+    // stride in LONG: a hostile width near Int.MaxValue overflows
+    // width*3 to a negative int, which would slip past the bounds
+    // check and decode as an empty raster instead of null
+    val strideL = (width.toLong * 3 + 3) & ~3L // rows padded to 4 bytes
+    if (dataOff.toLong + strideL * height > b.length) return null
+    val stride = strideL.toInt // safe: total fits in b.length < 2^31
     var sumR = 0L
     var sumG = 0L
     var sumB = 0L

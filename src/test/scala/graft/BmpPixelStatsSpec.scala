@@ -47,7 +47,11 @@ class BmpPixelStatsSpec extends SparkSpec {
     val eightBit = good.clone(); eightBit(28) = 8
     val rle = good.clone(); rle(30) = 1
     val truncated = good.dropRight(4)
-    val df = Seq(notBmp, eightBit, rle, truncated, "BM".getBytes)
+    val hostileWidth = good.clone() // width := Int.MaxValue (3w overflows int)
+    hostileWidth(18) = 0xff.toByte; hostileWidth(19) = 0xff.toByte
+    hostileWidth(20) = 0xff.toByte; hostileWidth(21) = 0x7f.toByte
+    val df = Seq(notBmp, eightBit, rle, truncated, hostileWidth,
+        "BM".getBytes)
       .toDF("payload")
       .select(BmpPixelStats.bmpPixelStats(col("payload")).as("st"))
     assert(df.filter(col("st").isNotNull).count() == 0)
