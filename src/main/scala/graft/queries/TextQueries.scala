@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.operators.TextAnalysis
@@ -210,6 +211,37 @@ object TextQueries {
     "q_char_entropy" -> ((s, d) =>
       TextAnalysis.charDiversity(Tables.documents(s, d), "text", "doc_id")),
 
+    // Tie-broken Spearman rank correlation (exact integers) between
+    // doc length and character diversity per language — "are longer
+    // docs more diverse?", the signal-redundancy check a curation
+    // pipeline runs before adding both signals to a quality ensemble.
+    // Ranks are row_number with the doc_id tiebreak (deterministic in
+    // both engines — NOT the tie-averaged textbook variant, which
+    // would need fractional ranks); ρ in milli-units via the
+    // fraction-free 1 − 6Σd²/(n(n²−1)), the 6·Σd² cross-multiply in
+    // DECIMAL(38,0) (Σd² ~ n³ passes int64 near n=2e6 docs/lang).
+    // Scale: two windows partitioned by lang over per-doc rows — the
+    // parallel-sort shape every ranked query here uses.
+    "q_rank_corr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val feats = TextAnalysis.charDiversity(docs, "text", "doc_id")
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      val wx = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      val wy = Window.partitionBy(col("lang"))
+        .orderBy(col("diversity_bits"), col("doc_id"))
+      feats
+        .withColumn("rx", row_number().over(wx).cast("long"))
+        .withColumn("ry", row_number().over(wy).cast("long"))
+        .withColumn("dd", col("rx") - col("ry"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("dd") * col("dd")).as("sum_d2"))
+        .filter(col("n") >= 2)
+        .select(col("lang"), col("n"), col("sum_d2"),
+          expr("1000 - (6000 * cast(sum_d2 as decimal(38,0))) div " +
+            "(cast(n as decimal(38,0)) * (n * n - 1))").as("rho_milli"))
+    }),
+
     "q_oov_rate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val vocab = TextAnalysis.topBigrams(docs, "text", "doc_id", 200)
@@ -356,6 +388,26 @@ object TextQueries {
   /** Mirror of bigramSurprisal as a standalone statement (shared by
     * q_lm_surprisal and, as a nested subquery, q_curriculum).
     */
+  /** Per-doc char-entropy body (mirrors CharEntropyStats), shared by
+    * q_char_entropy and the q_rank_corr rank-correlation rollup.
+    */
+  private val charEntropyCtes: String =
+    """t0 AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+      |t AS (SELECT doc_id, t FROM t0 WHERE length(t) >= 1),
+      |gs AS (SELECT doc_id, t, unnest(generate_series(1, length(t))) AS g FROM t),
+      |cnt AS (SELECT doc_id, substr(t, g, 1) AS c, CAST(COUNT(*) AS BIGINT) AS m
+      |        FROM gs GROUP BY doc_id, substr(t, g, 1)),
+      |tot AS (SELECT doc_id, CAST(SUM(m) AS BIGINT) AS len,
+      |          CAST(COUNT(*) AS BIGINT) AS dc
+      |        FROM cnt GROUP BY doc_id),
+      |ce AS (SELECT c.doc_id,
+      |         MIN(tt.len) AS n_chars,
+      |         MIN(tt.dc) AS distinct_chars,
+      |         CAST(SUM(m * ((length(bin(tt.len)) - 1) - (length(bin(m)) - 1)))
+      |           AS BIGINT) AS diversity_bits
+      |       FROM cnt c JOIN tot tt ON c.doc_id = tt.doc_id
+      |       GROUP BY c.doc_id)""".stripMargin
+
   private val lmSurprisalSql: String =
     s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |g AS (SELECT doc_id, toks, unnest(generate_series(2, len(toks))) AS i
@@ -549,21 +601,31 @@ object TextQueries {
     // Natural two-aggregate formulation of the same integers the
     // Spark side folds in-row: Σ m·(fl2 L − fl2 m) = L·fl2 L − Σ m·fl2 m.
     "q_char_entropy" ->
-      """WITH t0 AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
-        |t AS (SELECT doc_id, t FROM t0 WHERE length(t) >= 1),
-        |gs AS (SELECT doc_id, t, unnest(generate_series(1, length(t))) AS g FROM t),
-        |cnt AS (SELECT doc_id, substr(t, g, 1) AS c, CAST(COUNT(*) AS BIGINT) AS m
-        |        FROM gs GROUP BY doc_id, substr(t, g, 1)),
-        |tot AS (SELECT doc_id, CAST(SUM(m) AS BIGINT) AS len,
-        |          CAST(COUNT(*) AS BIGINT) AS dc
-        |        FROM cnt GROUP BY doc_id)
-        |SELECT c.doc_id,
-        |  MIN(tt.len) AS n_chars,
-        |  MIN(tt.dc) AS distinct_chars,
-        |  CAST(SUM(m * ((length(bin(tt.len)) - 1) - (length(bin(m)) - 1)))
-        |    AS BIGINT) AS diversity_bits
-        |FROM cnt c JOIN tot tt ON c.doc_id = tt.doc_id
-        |GROUP BY c.doc_id""".stripMargin,
+      s"""WITH $charEntropyCtes
+         |SELECT doc_id, n_chars, distinct_chars, diversity_bits
+         |FROM ce""".stripMargin,
+
+    // Tie-broken Spearman over the SAME per-doc entropy body: both
+    // rank windows mirror the Spark side exactly (row_number with the
+    // doc_id tiebreak — deterministic, NOT tie-averaged), HUGEINT for
+    // the 6·Σd² cross-multiply.
+    "q_rank_corr" ->
+      s"""WITH $charEntropyCtes,
+         |f AS (SELECT ce.doc_id, d.lang, ce.n_chars, ce.diversity_bits
+         |      FROM ce JOIN documents d USING (doc_id)),
+         |r AS (SELECT lang,
+         |        row_number() OVER (PARTITION BY lang
+         |                           ORDER BY n_chars, doc_id) AS rx,
+         |        row_number() OVER (PARTITION BY lang
+         |                           ORDER BY diversity_bits, doc_id) AS ry
+         |      FROM f),
+         |a AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+         |        CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2
+         |      FROM r GROUP BY lang)
+         |SELECT lang, n, sum_d2,
+         |  CAST(1000 - (6000 * CAST(sum_d2 AS HUGEINT))
+         |       // (CAST(n AS HUGEINT) * (n * n - 1)) AS BIGINT) AS rho_milli
+         |FROM a WHERE n >= 2""".stripMargin,
 
     // Mirrors bigramSurprisal stage-for-stage: bigram multiplicities,
     // corpus bigram/unigram counts, vocab size, then the exact integer
