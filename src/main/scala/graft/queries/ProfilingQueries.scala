@@ -204,6 +204,34 @@ object ProfilingQueries {
           expr("d_num * 1000000 div (n_a * n_b)").as("ks_ppm"))
     }),
 
+    // Benford leading-digit audit over price cents: observed share per
+    // first digit (milli-units, fraction-free) against the public
+    // Benford constants ⌊1000·log10(1+1/d)⌋ — the classic naturalness
+    // check on numeric columns (synthetic or tampered value streams,
+    // like this fixture's uniform prices, light up with large
+    // deviations; organically-grown magnitudes track the curve).
+    // Leading digit extracted from the INTEGER's decimal string — both
+    // engines print int64 identically, unlike double formatting. One
+    // |rows|→9-row aggregate; everything after runs on 9 rows.
+    "q_benford" -> ((s, d) => {
+      val digits = Tables.lineitem(s, d)
+        .filter(col("l_extendedprice") > 0)
+        .select(substring(floor(col("l_extendedprice") * 100).cast("long")
+          .cast("string"), 1, 1).cast("long").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val tot = digits.agg(sum(col("n")).as("total"))
+      val expected = benfordMilli.tail.foldLeft(
+        when(col("digit") === benfordMilli.head._1, benfordMilli.head._2)) {
+        case (acc, (dig, m)) => acc.when(col("digit") === dig, m)
+      }.otherwise(0L)
+      digits.crossJoin(broadcast(tot))
+        .withColumn("share_milli", expr("n * 1000 div total"))
+        .withColumn("expected_milli", expected)
+        .select(col("digit"), col("n"), col("share_milli"),
+          col("expected_milli"),
+          abs(col("share_milli") - col("expected_milli")).as("dev_milli"))
+    }),
+
     // Per-dimension embedding health: exact micro-unit mean, variance
     // and range for every dimension, plus a dead-dim flag (min == max —
     // a collapsed dimension wastes index width and, for cosine search,
@@ -240,6 +268,17 @@ object ProfilingQueries {
             .as("var_u2"),
           (col("mn") === col("mx")).as("is_dead")))
   )
+
+  /** ⌊1000·log10(1+1/d)⌋ for d = 1..9 — the Benford first-digit law
+    * in integer milli-units (public constants; floors sum to 995).
+    */
+  private val benfordMilli: Seq[(Long, Long)] =
+    Seq(1L -> 301L, 2L -> 176L, 3L -> 124L, 4L -> 96L, 5L -> 79L,
+      6L -> 66L, 7L -> 57L, 8L -> 51L, 9L -> 45L)
+
+  private val benfordCaseSql: String =
+    "CASE digit " + benfordMilli.map { case (d, m) => s"WHEN $d THEN $m" }
+      .mkString(" ") + " ELSE 0 END"
 
   private val profileOracle = profileCols.map { c =>
     s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows, COUNT($c) AS n_nonnull,
@@ -390,6 +429,20 @@ object ProfilingQueries {
         |       THEN (l.l1 * 1000000) // (CAST(t.n_a AS HUGEINT) * t.n_b) >= 300000
         |       END AS drifted
         |FROM t JOIN l USING (lang)""".stripMargin,
+
+    "q_benford" ->
+      s"""WITH c AS (
+         |  SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
+         |  FROM lineitem WHERE l_extendedprice > 0
+         |), d AS (
+         |  SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM c GROUP BY 1
+         |), t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM d)
+         |SELECT digit, n, n * 1000 // total AS share_milli,
+         |  CAST($benfordCaseSql AS BIGINT) AS expected_milli,
+         |  ABS(n * 1000 // total - ($benfordCaseSql)) AS dev_milli
+         |FROM d CROSS JOIN t""".stripMargin,
 
     // Window SUM(BIGINT) is HUGEINT in DuckDB; every product is cast
     // back through BIGINT only after the final division.

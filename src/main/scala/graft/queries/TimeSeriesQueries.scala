@@ -24,6 +24,30 @@ object TimeSeriesQueries {
         keyCol = "event_type", epochCol = "e", tieCol = "event_id",
         valCol = "value", bucketSeconds = 3600L)),
 
+    // Time-series completeness audit: per user, the active-day count,
+    // calendar span, missing days, and longest silent gap — the
+    // coverage report that decides whether an interaction log is dense
+    // enough to train on. No day-grid explode: span − distinct-active
+    // gives the missing count and a lag window gives the max gap, so
+    // cost is one distinct + one user-partitioned window regardless of
+    // span length (the generate_series form pays |users|·|days| rows).
+    "q_gap_audit" -> ((s, d) => {
+      val ud = Tables.events(s, d).filter(col("user_id").isNotNull)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("day"))
+      ud.withColumn("gap", col("day") - lag(col("day"), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_active"),
+          (max(col("day")) - min(col("day")) + 1).as("span_days"),
+          max(col("gap")).as("max_gap"))
+        .select(col("user_id"), col("n_active"), col("span_days"),
+          (col("span_days") - col("n_active")).as("n_missing"),
+          coalesce(col("max_gap"), lit(0L)).as("max_gap"))
+    }),
+
     // SCD2 history of each user's event_type: rows where the type
     // changed, with [valid_from, valid_to) microsecond intervals
     // (valid_to null on the open row).
@@ -63,6 +87,21 @@ object TimeSeriesQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_gap_audit" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events WHERE user_id IS NOT NULL
+        |), g AS (
+        |  SELECT user_id, day,
+        |    day - lag(day) OVER (PARTITION BY user_id ORDER BY day) AS gap
+        |  FROM ud
+        |)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_active,
+        |  CAST(MAX(day) - MIN(day) + 1 AS BIGINT) AS span_days,
+        |  CAST(MAX(day) - MIN(day) + 1 - COUNT(*) AS BIGINT) AS n_missing,
+        |  CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap
+        |FROM g GROUP BY user_id""".stripMargin,
+
     "q_snapshot_diff" ->
       """WITH a AS (SELECT doc_id, md5(text) AS ha FROM documents
         |           WHERE doc_id % 10 <> 7),
