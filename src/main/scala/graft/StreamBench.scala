@@ -227,6 +227,27 @@ object StreamBench {
           .writeStream.format("noop").outputMode("append")
           .option("checkpointLocation", s"$dir/ckpt").start()
         (q, distinctMsgs, t0)
+      } else if (mode == "kmv") {
+        // streaming distinct-sketch topology: per-group KMV bottom-k
+        // (Sketches.kmvDistinct, complete mode) — running distinct
+        // state is O(k) longs per group no matter how many rows
+        // stream through; ~50% of rows are duplicates (id mod rows/2)
+        // so both insert and absorb paths are measured.
+        val distinctVals = math.max(1000, rows / 2)
+        val groups = 16
+        spark.range(rows)
+          .select((col("id") % groups).as("g"),
+            (col("id") % distinctVals).as("v"))
+          .repartition(8).write.option("header", "true").csv(s"$dir/in")
+        val t0 = System.nanoTime()
+        val reader = spark.readStream.schema("g LONG, v LONG")
+          .option("header", "true")
+        if (filesPerTrigger != "0") reader.option("maxFilesPerTrigger", filesPerTrigger)
+        val q = graft.operators.Sketches.kmvDistinct(
+            reader.csv(s"$dir/in"), "g", xxhash64(col("v")), k = 1024)
+          .writeStream.format("noop").outputMode("complete")
+          .option("checkpointLocation", s"$dir/ckpt").start()
+        (q, groups, t0)
       } else if (mode == "session") {
         // gap-session topology: the BUILT-IN session_window state path —
         // merge-on-update session state per user, append once the
@@ -325,7 +346,7 @@ object StreamBench {
     val messages =
       if (mode == "funnel" || mode == "latency" || mode == "bloom" ||
         mode == "session" || mode == "dedup" || mode == "lsh" ||
-        mode == "logit" || mode == "drift") rows.toLong
+        mode == "logit" || mode == "drift" || mode == "kmv") rows.toLong
       else rows.toLong * 4
     val windows = progress.map(_.stateOperators.headOption.map(_.numRowsTotal).getOrElse(0L)).maxOption.getOrElse(0L)
     println(s"""{"metric":"stream_rows_per_sec","mode":"$mode","value":${(rows / secs).round},"unit":"rows/sec","dataset_rows":$rows,"keys":$keys,"wire_messages":$messages,"state_rows":$windows,"wall_sec":${math.round(secs * 100) / 100.0}}""")
