@@ -293,6 +293,38 @@ object DedupQueries {
         "text", "doc_id", mBits = 4096)
     }),
 
+    // Heaps-law growth of the SHINGLE space by corpus prefix — the
+    // capacity question behind every LSH deployment: how does the
+    // distinct-shingle table (the dedup index's key domain) grow as
+    // the corpus grows? Prefixes at 10/25/50/75/100% of the doc_id
+    // range; per prefix the doc count, shingle-occurrence count and
+    // distinct-shingle count, all exact integers. Cost: first-seen doc
+    // per shingle (one shingle-keyed aggregate) + a 5-row broadcast —
+    // the sublinearity (or not) of the last column against the middle
+    // one IS the Heaps exponent a planner reads off this table.
+    "q_heaps" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sh = Dedup.wordShingles(docs, "text", "doc_id", 3)
+      val pcts = docs
+        .agg(min(col("doc_id")).as("lo"),
+          (max(col("doc_id")) - min(col("doc_id")) + 1).as("span"))
+        .select(explode(array(Seq(10, 25, 50, 75, 100).map(lit): _*)).as("pct"),
+          col("lo"), col("span"))
+        .select(col("pct"), (col("lo") + expr("span * pct div 100")).as("cut"))
+      val vocab = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("fd"))
+        .crossJoin(broadcast(pcts))
+        .filter(col("fd") < col("cut"))
+        .groupBy(col("pct")).agg(count(lit(1)).as("distinct_shingles"))
+      sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+        .crossJoin(broadcast(pcts))
+        .filter(col("doc_id") < col("cut"))
+        .groupBy(col("pct"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nsh")).as("n_occurrences"))
+        .join(vocab, Seq("pct"))
+        .select(col("pct"), col("n_docs"), col("n_occurrences"),
+          col("distinct_shingles"))
+    }),
+
     // Edit-distance verification of LSH candidates — the fuzzy-dedup
     // complement to Jaccard (within-word edits vs set overlap). Both
     // engines compare the ASCII projection so byte-wise and
@@ -513,6 +545,27 @@ object DedupQueries {
     // Slot agreement from the same mh table the band signatures are
     // built from; exact set counts from sh. LEFT JOIN + COALESCE keeps
     // zero-overlap candidate pairs (Spark's array_intersect gives 0).
+    // The sh CTE is DISTINCT (doc_id, shingle) — exactly the
+    // Dedup.wordShingles set the Spark side counts.
+    "q_heaps" ->
+      s"""WITH $shinglesSql,
+         |p AS (SELECT pct, lo + span * pct // 100 AS cut
+         |      FROM (SELECT CAST(MIN(doc_id) AS BIGINT) AS lo,
+         |              CAST(MAX(doc_id) - MIN(doc_id) + 1 AS BIGINT) AS span
+         |            FROM documents),
+         |           (SELECT unnest([10, 25, 50, 75, 100]) AS pct)),
+         |fs AS (SELECT shingle, MIN(doc_id) AS fd FROM sh GROUP BY shingle),
+         |v AS (SELECT pct, CAST(COUNT(*) AS BIGINT) AS distinct_shingles
+         |      FROM fs JOIN p ON fd < cut GROUP BY pct),
+         |o AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nsh
+         |      FROM sh GROUP BY doc_id),
+         |a AS (SELECT pct, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |        CAST(SUM(nsh) AS BIGINT) AS n_occurrences
+         |      FROM o JOIN p ON doc_id < cut GROUP BY pct)
+         |SELECT CAST(a.pct AS INT) AS pct, n_docs, n_occurrences,
+         |  distinct_shingles
+         |FROM a JOIN v ON a.pct = v.pct""".stripMargin,
+
     "q_minhash_error" ->
       s"""WITH $minhashErrorBodySql
          |SELECT id_a, id_b, est_slots, n_inter, n_union,
