@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** User-journey operators over keyed event streams.
   *
   * Ref behavior: the reference's per-server stream aggregation
-  * (jobs/job1.py) keyed by host; these generalize the same
+  * (spark_jobs/spark_job1.py) keyed by host; these generalize the same
   * shuffle-by-key shapes to per-user journey analysis.
   */
 object Behavior {

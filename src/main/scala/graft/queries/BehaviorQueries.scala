@@ -13,7 +13,7 @@ import graft.core.Tables
   * selection of stored values, so results are engine-exact.
   *
   * Ref behavior: the reference aggregates per-server metric streams
-  * (jobs/job1.py); these queries apply the same shuffle-by-key +
+  * (spark_jobs/spark_job1.py); these queries apply the same shuffle-by-key +
   * aggregate shapes to per-user event streams.
   */
 object BehaviorQueries {
