@@ -2,12 +2,16 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, LongDotProduct}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+import graft.functions._
 
-/** Catalyst extension wiring: registers graft's native functions into
-  * the session's FunctionRegistry so SQL text can use them
-  * (`SELECT vec_dot(a, b) ...`), in addition to the Column API.
+/** Catalyst extension wiring: registers the library's ENTIRE native
+  * expression surface into the session's FunctionRegistry so plain SQL
+  * text can use it (`SELECT pcm_stats(payload), kmv_sketch(h, 1024)
+  * ...`), in addition to the Column API. Aggregate registrations
+  * return the bare AggregateFunction — the analyzer wraps it, exactly
+  * as for built-in aggregates.
   *
   * Install with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
@@ -22,26 +26,60 @@ import graft.functions.{DotProduct, LongDotProduct}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction(GraftExtensions.vecDot)
-    e.injectFunction(GraftExtensions.vecDotLong)
+    GraftExtensions.all.foreach(e.injectFunction)
     e.injectOptimizerRule(_ => new RangeJoinRewrite)
   }
 }
 
 object GraftExtensions {
-  val vecDot: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("vec_dot"),
-    new ExpressionInfo(classOf[DotProduct].getCanonicalName, "vec_dot"),
+
+  private type Entry =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def entry(name: String, clazz: Class[_], arity: Int)(
+      build: Seq[Expression] => Expression): Entry = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(clazz.getCanonicalName, name),
     (children: Seq[Expression]) => {
-      require(children.length == 2, "vec_dot(a, b) takes exactly 2 arguments")
-      DotProduct(children.head, children(1))
+      require(children.length == arity,
+        s"$name takes exactly $arity arguments, got ${children.length}")
+      build(children)
     })
 
-  val vecDotLong: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("vec_dot_long"),
-    new ExpressionInfo(classOf[LongDotProduct].getCanonicalName, "vec_dot_long"),
-    (children: Seq[Expression]) => {
-      require(children.length == 2, "vec_dot_long(a, b) takes exactly 2 arguments")
-      LongDotProduct(children.head, children(1))
-    })
+  /** SQL-literal int parameter (e.g. the k in `kmv_sketch(h, 1024)`) —
+    * structural parameters must be foldable at registration time.
+    */
+  private def litInt(e: Expression, fn: String, pos: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $pos must be an INTEGER literal, got $other")
+  }
+
+  val all: Seq[Entry] = Seq(
+    entry("vec_dot", classOf[DotProduct], 2)(c => DotProduct(c(0), c(1))),
+    entry("vec_dot_long", classOf[LongDotProduct], 2)(c =>
+      LongDotProduct(c(0), c(1))),
+    entry("rolling_hash", classOf[RollingHash], 1)(c => RollingHash(c(0))),
+    entry("char_entropy_stats", classOf[CharEntropyStats], 1)(c =>
+      CharEntropyStats(c(0))),
+    entry("ngram_rep_profile", classOf[NgramRepProfile], 1)(c =>
+      NgramRepProfile(c(0))),
+    entry("zero_mod_windows", classOf[ZeroModWindows], 3)(c =>
+      ZeroModWindows(c(0), litInt(c(1), "zero_mod_windows", "k"),
+        litInt(c(2), "zero_mod_windows", "p"))),
+    entry("char_minhash_profile", classOf[CharMinHashProfile], 3)(c =>
+      CharMinHashProfile(c(0), litInt(c(1), "char_minhash_profile", "k"),
+        litInt(c(2), "char_minhash_profile", "numDigests"))),
+    entry("word_minhash_profile", classOf[WordMinHashProfile], 3)(c =>
+      WordMinHashProfile(c(0), litInt(c(1), "word_minhash_profile", "n"),
+        litInt(c(2), "word_minhash_profile", "numDigests"))),
+    entry("min_ticket_key", classOf[MinTicketKey], 2)(c =>
+      MinTicketKey(c(0), c(1))),
+    entry("pcm_stats", classOf[PcmStats], 1)(c => PcmStats(c(0))),
+    entry("bmp_pixel_stats", classOf[BmpPixelStats], 1)(c =>
+      BmpPixelStats(c(0))),
+    entry("kmv_sketch", classOf[KmvSketchAgg], 2)(c =>
+      KmvSketchAgg(c(0), litInt(c(1), "kmv_sketch", "k"))),
+    entry("kmv_union_agg", classOf[KmvUnionAgg], 2)(c =>
+      KmvUnionAgg(c(0), litInt(c(1), "kmv_union_agg", "k"))))
 }

@@ -106,20 +106,40 @@ class LakeAndExtensionsSpec extends SparkSpec {
     assert(ln <= 2 && zn > ln, s"lex=$ln z=$zn")
   }
 
-  test("GraftExtensions' function builder registers vec_dot for SQL text") {
-    // exercise the same (identifier, info, builder) triple the
+  test("GraftExtensions registers the full native surface for SQL text") {
+    // exercise the same (identifier, info, builder) triples the
     // SparkSessionExtensions injection uses (a fresh session with
     // withExtensions can't be created inside the shared test JVM)
-    val (id, info, builder) = graft.plans.GraftExtensions.vecDot
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-    val out = spark.sql("SELECT vec_dot(array(1D, 2D, 3D), array(4D, 5D, 6D)) AS d")
-      .head().getDouble(0)
-    assert(out == 32.0)
-    val (idL, infoL, builderL) = graft.plans.GraftExtensions.vecDotLong
-    spark.sessionState.functionRegistry.registerFunction(idL, infoL, builderL)
-    val outL = spark.sql("SELECT vec_dot_long(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
-      .head().getLong(0)
-    assert(outL == 32L)
+    graft.plans.GraftExtensions.all.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+    assert(spark.sql("SELECT vec_dot(array(1D, 2D, 3D), array(4D, 5D, 6D)) AS d")
+      .head().getDouble(0) == 32.0)
+    assert(spark.sql("SELECT vec_dot_long(array(1L, 2L), array(4L, 5L)) AS d")
+      .head().getLong(0) == 14L)
+    // scalar natives
+    assert(spark.sql("SELECT char_entropy_stats('aab').n_chars AS n")
+      .head().getLong(0) == 3L)
+    assert(spark.sql("SELECT ngram_rep_profile('a b a b').den AS den")
+      .head().getLong(0) == 7L)
+    assert(spark.sql("SELECT size(zero_mod_windows('abcabcabc', 3, 1)) AS n")
+      .head().getInt(0) == 7)
+    // binary decoders ride SQL too
+    val wav = graft.functions.PcmStats.wavBytes(8000, Array[Short](3, -3))
+    Seq(Tuple1(wav)).toDF("p").createOrReplaceTempView("wavs")
+    assert(spark.sql("SELECT pcm_stats(p).sum_abs AS s FROM wavs")
+      .head().getLong(0) == 6L)
+    // AGGREGATE registration: the analyzer must wrap the bare
+    // AggregateFunction exactly as for built-ins
+    assert(spark.sql(
+      "SELECT size(kmv_sketch(xxhash64(id), 16)) AS n FROM range(10)")
+      .head().getInt(0) == 10)
+    // structural params must be literals — clear analysis-time error
+    val err = intercept[Exception] {
+      spark.sql("SELECT kmv_sketch(xxhash64(id), cast(id AS INT)) FROM range(5)")
+        .collect()
+    }
+    assert(err.getMessage.contains("INTEGER literal"))
   }
 
   test("ORC and JSON-lines round-trips preserve values and schema") {
