@@ -26,21 +26,8 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      // fixture tables are single ~30MB parquet files; the default 128MB
-      // split size would scan them on ONE core — split finer so the
-      // scan parallelizes (the 100 TB knob, pointed the other way)
-      .config("spark.sql.files.maxPartitionBytes", "8m")
-      // collect_set profiles run in ObjectHashAggregate, whose default
-      // 128-keys-per-partition fallback silently degrades to SORT-based
-      // aggregation on any real corpus slice — raise it (state is ~KB/key)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "16384")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // knob rationale: core/GraftSession.scala (shared with Verify/Explain)
+    val spark = graft.core.GraftSession.local(cpus, "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
 
     def materialize(name: String): Double = {

@@ -15,21 +15,8 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq
                 else SparkEntry.queries.keys.toSeq.sorted
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      // fixture tables are single ~30MB parquet files; the default 128MB
-      // split size would scan them on ONE core — split finer so the
-      // scan parallelizes (the 100 TB knob, pointed the other way)
-      .config("spark.sql.files.maxPartitionBytes", "8m")
-      // collect_set profiles run in ObjectHashAggregate, whose default
-      // 128-keys-per-partition fallback silently degrades to SORT-based
-      // aggregation on any real corpus slice — raise it (state is ~KB/key)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "16384")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // knob rationale: core/GraftSession.scala (shared with Bench/Verify)
+    val spark = graft.core.GraftSession.local(cpus, "graft-explain")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n========== $n ==========")

@@ -11,21 +11,8 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      // fixture tables are single ~30MB parquet files; the default 128MB
-      // split size would scan them on ONE core — split finer so the
-      // scan parallelizes (the 100 TB knob, pointed the other way)
-      .config("spark.sql.files.maxPartitionBytes", "8m")
-      // collect_set profiles run in ObjectHashAggregate, whose default
-      // 128-keys-per-partition fallback silently degrades to SORT-based
-      // aggregation on any real corpus slice — raise it (state is ~KB/key)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "16384")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // knob rationale: core/GraftSession.scala (shared with Bench/Explain)
+    val spark = graft.core.GraftSession.local(cpus, "graft-verify")
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // targeted mode must not leave stale dumps from an earlier run in a

@@ -62,6 +62,23 @@ class SketchDecoderPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("decoders never throw on arbitrary bytes — null or valid, only") {
+    (1L to 100L).foreach { seed =>
+      val junk = sample(Gen.listOfN((seed % 200).toInt,
+        Gen.chooseNum(Byte.MinValue.toInt, Byte.MaxValue.toInt)), seed)
+        .map(_.toByte).toArray
+      PcmStats.compute(junk) // must not throw
+      BmpPixelStats.compute(junk)
+      // adversarial: valid magics with garbage bodies
+      val riffJunk = "RIFF".getBytes ++ junk
+      val wavJunk = "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++
+        "WAVE".getBytes ++ junk
+      val bmJunk = "BM".getBytes ++ junk
+      PcmStats.compute(riffJunk); PcmStats.compute(wavJunk)
+      BmpPixelStats.compute(bmJunk)
+    }
+  }
+
   test("BMP: bmpBytes → compute is the identity on channel sums") {
     (1L to 30L).foreach { seed =>
       val w = 1 + (seed % 5).toInt
