@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.operators.Multimodal
@@ -276,6 +277,45 @@ object MiscQueries {
         .select(col("t_a"), col("t_b"), col("exact_overlap"),
           (abs(col("est") - col("exact_overlap")) * 5 <= col("exact_overlap"))
             .as("within_20pct"))
+    }),
+
+    // Rolling 7-day distinct users (DAU/WAU): per-day KMV sketches,
+    // then kmv_union_agg AS A WINDOW AGGREGATE over the 7-day frame —
+    // sketch state rides the window processor like any built-in, so
+    // the rolling distinct costs |days|·7 O(k) merges instead of the
+    // exact twin's |days|·7-day user-set re-scan (at 100 TB the exact
+    // form re-touches every event seven times; the sketch path touches
+    // each once at day grain). Exact DAU is cheap at day grain and
+    // rides the oracle directly; WAU is gated by the ≤10% verdict
+    // (k=1024, ~3% expected).
+    "q_rolling_distinct" -> ((s, d) => {
+      val k = 1024
+      val ud = Tables.events(s, d).filter(col("user_id").isNotNull)
+        .select(expr("unix_micros(ts) div 86400000000").as("day"),
+          col("user_id"))
+      val daily = ud.groupBy(col("day"))
+        .agg(graft.functions.Kmv.kmvSketch(xxhash64(col("user_id")), k)
+          .as("sk"),
+          count_distinct(col("user_id")).as("exact_dau"))
+      // |days| is bounded (30 here; ~36k even for a century of logs) —
+      // the unpartitioned ordered window is a deliberate serial frame
+      // over the DAY GRAIN, never over events
+      val w7 = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      val est = daily.withColumn("wau_sk",
+          graft.functions.Kmv.kmvUnion(col("sk"), k).over(w7))
+        .select(col("day"), col("exact_dau"),
+          graft.functions.Kmv.estDistinct(col("wau_sk"), k).as("est_wau"))
+      // exact 7-day twin (the expensive form the sketch replaces):
+      // day × active-day user sets within the frame, distinct-counted
+      val days = daily.select(col("day"))
+      val exactW = days.join(ud.select(col("day").as("d2"), col("user_id")),
+          col("d2").between(col("day") - 6, col("day")))
+        .groupBy(col("day"))
+        .agg(count_distinct(col("user_id")).as("exact_wau"))
+      est.join(exactW, Seq("day"))
+        .select(col("day"), col("exact_dau"), col("exact_wau"),
+          (abs(col("est_wau") - col("exact_wau")) * 10 <= col("exact_wau"))
+            .as("within_10pct"))
     }),
 
     // KMV rollup twin of q_hll_rollup: per-(type, day) sketches
@@ -610,6 +650,20 @@ object MiscQueries {
         |  TRUE AS within_20pct
         |FROM ud a JOIN ud b ON a.u = b.u AND a.d = b.d AND a.t < b.t
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_rolling_distinct" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+        |  FROM events WHERE user_id IS NOT NULL
+        |), dau AS (
+        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS exact_dau FROM ud GROUP BY day
+        |), wau AS (
+        |  SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS exact_wau
+        |  FROM dau d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY d.day
+        |)
+        |SELECT dau.day, exact_dau, exact_wau, TRUE AS within_10pct
+        |FROM dau JOIN wau ON dau.day = wau.day""".stripMargin,
 
     "q_kmv_rollup" ->
       """WITH ud AS (
