@@ -99,11 +99,15 @@ object Bench {
     // The per-query line above is ~3KB and the harness captures a bounded
     // stdout tail, which can truncate its head — so the full map is ALSO
     // written as its own artifact file (repo-visible, never truncated).
-    try Files.write(java.nio.file.Paths.get("BENCH_QUERIES.json"),
-      (fullLine + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
-    }
+    // FULL-CATALOG runs only: a dev-loop invocation (explicit query
+    // args) would silently clobber the committed full-catalog record
+    // with a partial map (it did once — a 1-query smoke got committed).
+    if (args.isEmpty)
+      try Files.write(java.nio.file.Paths.get("BENCH_QUERIES.json"),
+        (fullLine + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
+      }
     // Repeat the headline numbers as a short (<200 byte) FINAL line so the
     // last line is always a complete JSON object whatever the tail size.
     println(s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"queries_n":${results.size},"stream_rows_per_sec":$streamRps,"leaked_rdds":$leakedRdds}""")

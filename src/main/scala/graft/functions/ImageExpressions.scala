@@ -79,14 +79,18 @@ object BmpPixelStats {
     val bpp = leU16(b, 28)
     val compression = leS32(b, 30)
     if (dibSize < 40 || planes != 1 || bpp != 24 || compression != 0) return null
-    val height = math.abs(rawHeight)
-    if (width <= 0 || height == 0 || dataOff < 54) return null
+    // height in LONG: math.abs(Int.MinValue) IS Int.MinValue, so a
+    // hostile height of 0x80000000 would stay negative, skip the pixel
+    // loop entirely, and return a garbage non-null row
+    val heightL = math.abs(rawHeight.toLong)
+    if (width <= 0 || heightL == 0 || dataOff < 54) return null
     // stride in LONG: a hostile width near Int.MaxValue overflows
     // width*3 to a negative int, which would slip past the bounds
     // check and decode as an empty raster instead of null
     val strideL = (width.toLong * 3 + 3) & ~3L // rows padded to 4 bytes
-    if (dataOff.toLong + strideL * height > b.length) return null
+    if (dataOff.toLong + strideL * heightL > b.length) return null
     val stride = strideL.toInt // safe: total fits in b.length < 2^31
+    val height = heightL.toInt
     var sumR = 0L
     var sumG = 0L
     var sumB = 0L

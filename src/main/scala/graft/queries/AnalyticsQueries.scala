@@ -229,6 +229,12 @@ object AnalyticsQueries {
     // n_ab would overflow a long); `div` lands it back in BIGINT.
     // Integer fixed-point throughout — engine-exact.
     "q_market_basket" -> ((s, d) => {
+      // deliberately NOT persisted: a persist was measured SLOWER here
+      // (2.4 vs 1.8 s at sf0.1) — the self-join sides share one
+      // exchange via ReuseExchange and the two small aggregates (N,
+      // per-part) ride cheap scans; caching 1.2M rows cost more than
+      // the rescans. At a scale where the distinct dominates, persist
+      // `so` with the CacheScope scoped-release pattern.
       val so = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()

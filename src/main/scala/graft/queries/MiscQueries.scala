@@ -299,8 +299,11 @@ object MiscQueries {
           count_distinct(col("user_id")).as("exact_dau"))
       // |days| is bounded (30 here; ~36k even for a century of logs) —
       // the unpartitioned ordered window is a deliberate serial frame
-      // over the DAY GRAIN, never over events
-      val w7 = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      // over the DAY GRAIN, never over events. RANGE, not ROWS: a rows
+      // frame would union the 7 most recent ACTIVE days, silently
+      // spanning 8+ calendar days whenever a day has no events —
+      // calendar semantics must match the exact twin's BETWEEN join
+      val w7 = Window.orderBy(col("day")).rangeBetween(-6, 0)
       val est = daily.withColumn("wau_sk",
           graft.functions.Kmv.kmvUnion(col("sk"), k).over(w7))
         .select(col("day"), col("exact_dau"),

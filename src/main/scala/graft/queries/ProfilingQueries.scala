@@ -200,8 +200,12 @@ object ProfilingQueries {
         .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
           max(abs(col("ca") * col("nb") - col("cb") * col("na"))).as("d_num"))
         .filter(col("n_a") > 0 && col("n_b") > 0)
+        // the ppm lift rides decimal: d_num ≤ n_a·n_b, so a LONG
+        // d_num·10⁶ would wrap at ~3e6 docs per side — 1000× below the
+        // cross-multiply's own 3e9 bound documented above
         .select(col("lang"), col("n_a"), col("n_b"),
-          expr("d_num * 1000000 div (n_a * n_b)").as("ks_ppm"))
+          expr("(cast(d_num as decimal(38,0)) * 1000000) div (n_a * n_b)")
+            .as("ks_ppm"))
     }),
 
     // Benford leading-digit audit over price cents: observed share per
@@ -219,12 +223,16 @@ object ProfilingQueries {
         .select(substring(floor(col("l_extendedprice") * 100).cast("long")
           .cast("string"), 1, 1).cast("long").as("digit"))
         .groupBy(col("digit")).agg(count(lit(1)).as("n"))
-      val tot = digits.agg(sum(col("n")).as("total"))
       val expected = benfordMilli.tail.foldLeft(
         when(col("digit") === benfordMilli.head._1, benfordMilli.head._2)) {
         case (acc, (dig, m)) => acc.when(col("digit") === dig, m)
       }.otherwise(0L)
-      digits.crossJoin(broadcast(tot))
+      // total as a window over the ALREADY-AGGREGATED 9-row frame — a
+      // separate `digits.agg(sum)` subtree would re-scan lineitem and
+      // re-run the digit aggregate (no exchange reuse across
+      // differently-shaped plans); the serial window is over ≤ 9 rows
+      digits
+        .withColumn("total", sum(col("n")).over(Window.partitionBy()))
         .withColumn("share_milli", expr("n * 1000 div total"))
         .withColumn("expected_milli", expected)
         .select(col("digit"), col("n"), col("share_milli"),

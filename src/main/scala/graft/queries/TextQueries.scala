@@ -235,10 +235,14 @@ object TextQueries {
         .withColumn("ry", row_number().over(wy).cast("long"))
         .withColumn("dd", col("rx") - col("ry"))
         .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n"), sum(col("dd") * col("dd")).as("sum_d2"))
+        // the SUM itself rides decimal — a long Σd² would wrap at
+        // n ≳ 2e6 before any later cast could save it (DuckDB's
+        // SUM(BIGINT) is HUGEINT and would not)
+        .agg(count(lit(1)).as("n"),
+          sum((col("dd") * col("dd")).cast("decimal(38,0)")).as("sd2"))
         .filter(col("n") >= 2)
-        .select(col("lang"), col("n"), col("sum_d2"),
-          expr("1000 - (6000 * cast(sum_d2 as decimal(38,0))) div " +
+        .select(col("lang"), col("n"), col("sd2").cast("long").as("sum_d2"),
+          expr("1000 - (6000 * sd2) div " +
             "(cast(n as decimal(38,0)) * (n * n - 1))").as("rho_milli"))
     }),
 

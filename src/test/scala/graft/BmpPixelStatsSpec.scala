@@ -50,8 +50,11 @@ class BmpPixelStatsSpec extends SparkSpec {
     val hostileWidth = good.clone() // width := Int.MaxValue (3w overflows int)
     hostileWidth(18) = 0xff.toByte; hostileWidth(19) = 0xff.toByte
     hostileWidth(20) = 0xff.toByte; hostileWidth(21) = 0x7f.toByte
+    val hostileHeight = good.clone() // height := Int.MinValue (abs is a no-op)
+    hostileHeight(22) = 0; hostileHeight(23) = 0
+    hostileHeight(24) = 0; hostileHeight(25) = 0x80.toByte
     val df = Seq(notBmp, eightBit, rle, truncated, hostileWidth,
-        "BM".getBytes)
+        hostileHeight, "BM".getBytes)
       .toDF("payload")
       .select(BmpPixelStats.bmpPixelStats(col("payload")).as("st"))
     assert(df.filter(col("st").isNotNull).count() == 0)
