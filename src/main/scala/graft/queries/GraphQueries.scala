@@ -51,12 +51,14 @@ object GraphQueries {
       }
       val deg = edges.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("deg"))
-      // 1-row node count, checkpointed once — it feeds every round's
-      // damping term, and uncheckpointed each use would re-run the
-      // degree aggregate over |edges|
-      val n = deg.agg(count(lit(1)).as("n")).localCheckpoint()
-      var rank = deg.crossJoin(broadcast(n))
-        .select(col("node"), col("deg"), expr(s"$S div n").as("r"))
+      // uniform start mass as a PLAN CONSTANT: the damping base
+      // S div |nodes| is the same literal in every round, so one eager
+      // 1-row action here replaces a 1-row broadcast + nested-loop
+      // join per round (4 of them incl. init) — the globalRank
+      // eager-boundaries rationale; the value is exact, not a sketch
+      val nodes = deg.agg(count(lit(1))).head().getLong(0)
+      val base = if (nodes == 0) 0L else S / nodes // 0-node guard: empty slice, empty result
+      var rank = deg.select(col("node"), col("deg"), lit(base).as("r"))
       // per-round release discipline (as in Bpe.merges / Dedup CC):
       // round N's rank snapshot dies once round N+1's materializes
       val sc = s.sparkContext
@@ -79,9 +81,8 @@ object GraphQueries {
           .groupBy(col("dst")).agg(sum(col("c")).as("ins"))
         rank = snap.drop("r")
           .join(contrib, col("node") === col("dst")).drop("dst")
-          .crossJoin(broadcast(n))
           .select(col("node"), col("deg"),
-            expr(s"(15 * ($S div n) + 85 * ins) div 100").as("r"))
+            expr(s"(15 * ${base}L + 85 * ins) div 100").as("r"))
       }
       // materialize the final ranks, then release the last round's snap
       // AND the edge set — the returned frame reads only this checkpoint
