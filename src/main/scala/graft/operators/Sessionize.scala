@@ -42,6 +42,84 @@ object Sessionize {
                      watermark: String, aggs: Seq[Column]): DataFrame =
     sessions(df.withWatermark(tsCol, watermark), keyCol, tsCol, gap, aggs)
 
+  /** Per-key explicit session state for the timeout form. */
+  final case class SessState(startUs: Long, lastUs: Long, n: Long)
+
+  /** One closed session. `session_end_us` is the LAST EVENT's time
+    * (the `session_window` form reports last + gap — callers compare
+    * accordingly).
+    */
+  final case class SessOut(key: Long, session_start_us: Long,
+                           session_end_us: Long, n_events: Long)
+
+  /** CUSTOM-STATE sessionizer with EVENT-TIME TIMEOUT — the
+    * `flatMapGroupsWithState` + `GroupStateTimeout.EventTimeTimeout`
+    * facet of the state API (the built-in `session_window` path above
+    * cannot run user code at session close; this one can — enrich,
+    * side-output, price the session — and is the template for any
+    * "emit when the key goes quiet" operator).
+    *
+    * Semantics: events within `gapUs` of the session's last event
+    * extend it; a farther event closes it (emitted immediately) and
+    * opens a new one; the watermark passing `last + gap` fires the
+    * timeout and emits the still-open session. Batch-equivalent to
+    * gaps-and-islands sessionization (SessionTimeoutStreamSpec pins
+    * stream ≡ hand-model across micro-batch splits and out-of-order
+    * arrival inside the watermark).
+    *
+    * Scale: state is ONE SessState per active key (not per event);
+    * shuffle is the groupByKey on the session key; timeouts evict
+    * state, so resident size tracks concurrently-active keys only.
+    */
+  def sessionsTimeoutStream(df: DataFrame, keyCol: String, tsCol: String,
+      gapUs: Long, watermark: String): org.apache.spark.sql.Dataset[SessOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    // the WATERMARKED TIMESTAMP COLUMN must reach the stateful operator
+    // unchanged — projecting it to a long would strip the watermark tag
+    // and fail analysis ("Event-time timeout not supported without
+    // watermark"); micros are derived inside the lambda instead
+    df.withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast("long").as("k"), col(tsCol).as("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, raw: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[SessState]) =>
+          val rows = raw.map { case (k, t) =>
+            (k, t.getTime * 1000 + (t.getNanos % 1000000) / 1000)
+          }
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessOut(key, s.startUs, s.lastUs, s.n))
+          } else {
+            // in-batch arrival order is not event order — sort the
+            // micro-batch slice; cross-batch disorder is bounded by
+            // the watermark (later batches only carry newer sessions)
+            val ts = rows.map(_._2).toArray
+            java.util.Arrays.sort(ts)
+            var closed = List.empty[SessOut]
+            var cur = state.getOption.orNull
+            ts.foreach { t =>
+              cur =
+                if (cur == null) SessState(t, t, 1)
+                else if (t - cur.lastUs > gapUs) {
+                  closed ::= SessOut(key, cur.startUs, cur.lastUs, cur.n)
+                  SessState(t, t, 1)
+                } else SessState(cur.startUs, math.max(cur.lastUs, t),
+                  cur.n + 1)
+            }
+            state.update(cur)
+            // fire once the watermark clears the session's close
+            state.setTimeoutTimestamp((cur.lastUs + gapUs) / 1000 + 1)
+            closed.reverse.iterator
+          }
+      }
+  }
+
   /** Session-transcript assembly under a token budget — the chat-data
     * export step: each key's events are cut into gap-separated sessions
     * (gaps-and-islands, so every EVENT carries its session id — the
