@@ -88,8 +88,15 @@ object BmpPixelStats {
     // width*3 to a negative int, which would slip past the bounds
     // check and decode as an empty raster instead of null
     val strideL = (width.toLong * 3 + 3) & ~3L // rows padded to 4 bytes
-    if (dataOff.toLong + strideL * heightL > b.length) return null
-    val stride = strideL.toInt // safe: total fits in b.length < 2^31
+    // DIVISION-form bounds check: strideL · heightL can itself wrap
+    // Long for combined hostile dims (2.1e9 × 1.5e9 ≈ 9.4e18 → negative
+    // product → a vacuously-passing additive check → the pixel loop
+    // reads out of bounds). heightL > avail/strideL is overflow-free
+    // (strideL ≥ 4; a dataOff past the buffer makes avail negative and
+    // fails for every height).
+    val avail = b.length.toLong - dataOff
+    if (avail < 0 || heightL > avail / strideL) return null
+    val stride = strideL.toInt // safe: stride ≤ avail ≤ b.length < 2^31
     val height = heightL.toInt
     var sumR = 0L
     var sumG = 0L

@@ -59,13 +59,19 @@ object Sessionize {
     * side-output, price the session — and is the template for any
     * "emit when the key goes quiet" operator).
     *
-    * Semantics: events within `gapUs` of the session's last event
-    * extend it; a farther event closes it (emitted immediately) and
-    * opens a new one; the watermark passing `last + gap` fires the
-    * timeout and emits the still-open session. Batch-equivalent to
-    * gaps-and-islands sessionization (SessionTimeoutStreamSpec pins
-    * stream ≡ hand-model across micro-batch splits and out-of-order
-    * arrival inside the watermark).
+    * Semantics: events within `gapUs` of EITHER session edge extend it
+    * (start can move backward for a late-but-in-gap arrival); an event
+    * past `last + gap` closes the session (emitted immediately) and
+    * opens a new one; an event before `start − gap` — a cross-batch
+    * stray from an era whose sessions may already be emitted — emits
+    * as its own singleton session (never silently folded, never lost);
+    * the watermark passing `last + gap` fires the timeout and emits
+    * the still-open session. Equals batch gaps-and-islands whenever
+    * cross-batch arrival is nondecreasing BY SESSION (within-batch
+    * order is arbitrary — the batch slice is sorted); online emission
+    * cannot retroactively merge strays into sessions already emitted,
+    * which is the inherent stream/batch boundary every append-mode
+    * sessionizer has. SessionTimeoutStreamSpec pins all four paths.
     *
     * Scale: state is ONE SessState per active key (not per event);
     * shuffle is the groupByKey on the session key; timeouts evict
@@ -97,8 +103,16 @@ object Sessionize {
             Iterator.single(SessOut(key, s.startUs, s.lastUs, s.n))
           } else {
             // in-batch arrival order is not event order — sort the
-            // micro-batch slice; cross-batch disorder is bounded by
-            // the watermark (later batches only carry newer sessions)
+            // micro-batch slice. Cross-batch disorder (bounded by the
+            // watermark) is handled by EXTENT, not arrival: an event
+            // within `gap` of either session edge extends that edge
+            // (including moving `start` BACKWARD); an event more than
+            // `gap` before the current start is a stray from an
+            // already-sealed era — it emits as its own session rather
+            // than corrupting the current one (online emission cannot
+            // retroactively merge it with sessions already emitted;
+            // equality with batch gaps-and-islands holds whenever
+            // cross-batch arrival is nondecreasing by session).
             val ts = rows.map(_._2).toArray
             java.util.Arrays.sort(ts)
             var closed = List.empty[SessOut]
@@ -109,8 +123,11 @@ object Sessionize {
                 else if (t - cur.lastUs > gapUs) {
                   closed ::= SessOut(key, cur.startUs, cur.lastUs, cur.n)
                   SessState(t, t, 1)
-                } else SessState(cur.startUs, math.max(cur.lastUs, t),
-                  cur.n + 1)
+                } else if (cur.startUs - t > gapUs) {
+                  closed ::= SessOut(key, t, t, 1)
+                  cur
+                } else SessState(math.min(cur.startUs, t),
+                  math.max(cur.lastUs, t), cur.n + 1)
             }
             state.update(cur)
             // fire once the watermark clears the session's close

@@ -241,6 +241,11 @@ object TextQueries {
         .agg(count(lit(1)).as("n"),
           sum((col("dd") * col("dd")).cast("decimal(38,0)")).as("sd2"))
         .filter(col("n") >= 2)
+        // sum_d2's OUTPUT stays BIGINT by contract (the oracle's own
+        // CAST(... AS BIGINT) has the same ceiling — DuckDB errors,
+        // Spark nulls, both at n ≳ 3e6/lang); rho_milli, the number
+        // that matters, rides the decimal to any n. Callers needing
+        // raw Σd² past that read `sd2` before this projection.
         .select(col("lang"), col("n"), col("sd2").cast("long").as("sum_d2"),
           expr("1000 - (6000 * sd2) div " +
             "(cast(n as decimal(38,0)) * (n * n - 1))").as("rho_milli"))

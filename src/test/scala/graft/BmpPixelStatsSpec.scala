@@ -53,8 +53,15 @@ class BmpPixelStatsSpec extends SparkSpec {
     val hostileHeight = good.clone() // height := Int.MinValue (abs is a no-op)
     hostileHeight(22) = 0; hostileHeight(23) = 0
     hostileHeight(24) = 0; hostileHeight(25) = 0x80.toByte
+    // COMBINED hostile dims: stride·height wraps Long (2.1e9 × 1.5e9),
+    // which a multiplicative bounds check would pass vacuously
+    val hostileBoth = good.clone()
+    hostileBoth(18) = 0x00.toByte; hostileBoth(19) = 0x2e.toByte // width 2,100,000,000 ≈ 0x7D2B7500
+    hostileBoth(20) = 0x2b.toByte; hostileBoth(21) = 0x7d.toByte
+    hostileBoth(22) = 0x00.toByte; hostileBoth(23) = 0x2f.toByte // height 1,500,000,000 ≈ 0x59682F00
+    hostileBoth(24) = 0x68.toByte; hostileBoth(25) = 0x59.toByte
     val df = Seq(notBmp, eightBit, rle, truncated, hostileWidth,
-        hostileHeight, "BM".getBytes)
+        hostileHeight, hostileBoth, "BM".getBytes)
       .toDF("payload")
       .select(BmpPixelStats.bmpPixelStats(col("payload")).as("st"))
     assert(df.filter(col("st").isNotNull).count() == 0)

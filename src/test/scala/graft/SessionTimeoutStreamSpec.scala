@@ -61,6 +61,29 @@ class SessionTimeoutStreamSpec extends SparkSpec {
     assert(got.intersect(want) == want, s"got $got")
   }
 
+  test("cross-batch disorder: in-gap stray extends start backward, far stray emits alone") {
+    val src = MemoryStream[(Long, Long)](spark)
+    val q = Sessionize.sessionsTimeoutStream(
+        src.toDS().toDF("user_id", "sec")
+          .select(col("user_id"), expr("timestamp_seconds(sec)").as("ts")),
+        "user_id", "ts", gapUs, "30 minutes") // wide watermark: strays arrive
+      .writeStream.format("memory").queryName("sess_stray")
+      .outputMode("append").start()
+    src.addData((5L, B + 600)); q.processAllAvailable() // session opens at B+600
+    // batch 2: one stray 30s BEFORE the start (in gap → extends start
+    // backward), one stray 5 min before (far → its own singleton)
+    src.addData((5L, B + 570), (5L, B + 300)); q.processAllAvailable()
+    src.addData((99L, B + 10000)); q.processAllAvailable() // fire timeouts
+    q.stop()
+    val got = spark.table("sess_stray")
+      .filter(col("key") === 5L)
+      .select(col("session_start_us"), col("session_end_us"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ((B + 300) * 1000000, (B + 300) * 1000000, 1L), // far stray, alone
+      ((B + 570) * 1000000, (B + 600) * 1000000, 2L)), s"got $got")
+  }
+
   test("within-batch disorder sorts out; state is one row per key") {
     val src = MemoryStream[(Long, Long)](spark)
     val q = Sessionize.sessionsTimeoutStream(
