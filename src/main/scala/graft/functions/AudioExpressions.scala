@@ -50,6 +50,52 @@ case class PcmStats(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Header-only twin of [[PcmStats]]: the same strict RIFF walk, but it
+  * never touches the sample bytes — `sample_rate` and `n_samples` come
+  * from the fmt/data chunk headers alone, O(chunks) instead of
+  * O(samples). Exists for [[graft.plans.DecodePruneRule]]: a query
+  * extracting only these two fields from `pcm_stats(...)` is rewritten
+  * to this expression, so "count the audio seconds in the corpus"
+  * never runs the per-sample loop. Null exactly when [[PcmStats]] is
+  * null (same validation path), so the rewrite is value-identical on
+  * every input, including malformed ones.
+  */
+case class PcmHeaderStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = PcmHeaderStats.schema
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "pcm_header_stats"
+
+  override def nullSafeEval(payload: Any): Any =
+    PcmHeaderStats.compute(payload.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      s"""
+         |${ev.value} = graft.functions.PcmHeaderStats$$.MODULE$$.compute($b);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PcmHeaderStats =
+    copy(child = newChild)
+}
+
+object PcmHeaderStats {
+
+  val schema: StructType = StructType(Seq(
+    StructField("sample_rate", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false)))
+
+  def compute(b: Array[Byte]): InternalRow =
+    PcmStats.header(b) match {
+      case null => null
+      case Array(rate, n) => InternalRow(rate, n)
+    }
+}
+
 object PcmStats {
 
   val schema: StructType = StructType(Seq(
@@ -69,13 +115,15 @@ object PcmStats {
     b(i) == t.charAt(0).toByte && b(i + 1) == t.charAt(1).toByte &&
       b(i + 2) == t.charAt(2).toByte && b(i + 3) == t.charAt(3).toByte
 
-  /** Strict RIFF/WAVE walk: returns null unless the payload is
-    * `RIFF … WAVE` with a PCM (format tag 1) 16-bit `fmt ` chunk and an
-    * intact `data` chunk. Chunk order beyond fmt-before-data is not
-    * assumed; unknown chunks are skipped by their declared size (word-
-    * aligned, per the RIFF spec).
+  /** The strict RIFF/WAVE chunk walk, shared with [[PcmHeaderStats]]:
+    * returns `Array(sampleRate, nSamples, dataOff)`, or null unless
+    * the payload is `RIFF … WAVE` with a PCM (format tag 1) 16-bit
+    * `fmt ` chunk and an intact even-length `data` chunk. Chunk order
+    * beyond fmt-before-data is not assumed; unknown chunks are skipped
+    * by their declared size (word-aligned, per the RIFF spec). Never
+    * reads a sample byte.
     */
-  def compute(b: Array[Byte]): InternalRow = {
+  private[functions] def headerWalk(b: Array[Byte]): Array[Long] = {
     if (b.length < 44 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return null
     var off = 12
     var sampleRate = -1L
@@ -100,7 +148,23 @@ object PcmStats {
       off = body + size.toInt + (size.toInt & 1) // RIFF word alignment
     }
     if (!fmtOk || dataOff < 0 || dataLen % 2 != 0) return null
-    val n = (dataLen / 2).toInt
+    Array(sampleRate, dataLen / 2, dataOff.toLong)
+  }
+
+  /** (sample_rate, n_samples) or null — [[PcmHeaderStats]]' payload. */
+  private[functions] def header(b: Array[Byte]): Array[Long] =
+    headerWalk(b) match {
+      case null => null
+      case a => Array(a(0), a(1))
+    }
+
+  /** Full decode: [[headerWalk]] + the per-sample loop. */
+  def compute(b: Array[Byte]): InternalRow = {
+    val h = headerWalk(b)
+    if (h == null) return null
+    val sampleRate = h(0)
+    val n = h(1).toInt
+    val dataOff = h(2).toInt
     var i = 0
     var peak = 0L
     var sumAbs = 0L

@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach(e.injectFunction)
     e.injectOptimizerRule(_ => new RangeJoinRewrite)
+    e.injectOptimizerRule(_ => DecodePruneRule)
   }
 }
 
