@@ -227,6 +227,31 @@ object StreamBench {
           .writeStream.format("noop").outputMode("append")
           .option("checkpointLocation", s"$dir/ckpt").start()
         (q, distinctMsgs, t0)
+      } else if (mode == "tws") {
+        // transformWithState TTL first-seen screen on ROCKSDB state
+        // (TwsOps.ttlDedup): the "dedup" workload (every message
+        // arrives twice) through the state API v2 — seen-set is one
+        // long per distinct key in RocksDB, disk-bounded rather than
+        // heap-bounded. ProcessingTime mode makes the query a
+        // perpetual service, so the drain below POLLS progress until
+        // the input is consumed instead of processAllAvailable.
+        val distinctMsgs = math.max(1000, rows / 2)
+        spark.range(rows)
+          .select((col("id") % distinctMsgs).cast("string").as("msg_id"),
+            col("id").cast("string").as("payload"))
+          .repartition(8).write.option("header", "true").csv(s"$dir/in")
+        graft.streaming.TwsOps.useRocksDb(spark)
+        val t0 = System.nanoTime()
+        val reader = spark.readStream.schema("msg_id STRING, payload STRING")
+          .option("header", "true")
+        if (filesPerTrigger != "0") reader.option("maxFilesPerTrigger", filesPerTrigger)
+        val q = graft.streaming.TwsOps.ttlDedup(reader.csv(s"$dir/in"),
+            "msg_id", "payload", java.time.Duration.ofHours(1))
+          .writeStream.format("noop").outputMode("append")
+          .option("checkpointLocation", s"$dir/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+          .start()
+        (q, distinctMsgs, t0)
       } else if (mode == "kmv") {
         // streaming distinct-sketch topology: per-group KMV bottom-k
         // (Sketches.kmvDistinct, complete mode) — running distinct
@@ -338,7 +363,22 @@ object StreamBench {
           .option("checkpointLocation", s"$dir/ckpt").start()
         (q, servers, t0)
       }
-    q.processAllAvailable()
+    if (mode == "tws") {
+      // perpetual-service drain: accumulate numInputRows across
+      // progress entries (the 100-entry ring is re-read every poll, so
+      // empty-batch flooding can't evict an unseen data batch) until
+      // every input row has been processed
+      val deadline = System.currentTimeMillis + 600000
+      var seen = 0L
+      var lastBatch = -1L
+      while (seen < rows && System.currentTimeMillis < deadline) {
+        q.recentProgress.foreach { p =>
+          if (p.batchId > lastBatch) { seen += p.numInputRows; lastBatch = p.batchId }
+        }
+        if (seen < rows) Thread.sleep(100)
+      }
+      require(seen >= rows, s"tws drain timed out at $seen/$rows rows")
+    } else q.processAllAvailable()
     val secs = (System.nanoTime() - t0) / 1e9
     val progress = q.recentProgress
     q.stop()
@@ -346,7 +386,8 @@ object StreamBench {
     val messages =
       if (mode == "funnel" || mode == "latency" || mode == "bloom" ||
         mode == "session" || mode == "dedup" || mode == "lsh" ||
-        mode == "logit" || mode == "drift" || mode == "kmv") rows.toLong
+        mode == "logit" || mode == "drift" || mode == "kmv" ||
+        mode == "tws") rows.toLong
       else rows.toLong * 4
     val windows = progress.map(_.stateOperators.headOption.map(_.numRowsTotal).getOrElse(0L)).maxOption.getOrElse(0L)
     println(s"""{"metric":"stream_rows_per_sec","mode":"$mode","value":${(rows / secs).round},"unit":"rows/sec","dataset_rows":$rows,"keys":$keys,"wire_messages":$messages,"state_rows":$windows,"wall_sec":${math.round(secs * 100) / 100.0}}""")
