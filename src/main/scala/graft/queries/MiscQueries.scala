@@ -12,6 +12,23 @@ import graft.operators.Multimodal
 object MiscQueries {
 
   val queries: Map[String, Q] = Map(
+    // The metricgen DataSource V2 (graft.sources.MetricGen) end to
+    // end: ts-range predicate pushed INTO generation (the scan plans
+    // ids 28800..60000 only — MetricGenSpec pins the bounds), pruned
+    // to 3 columns, then a per-server rollup. Doubles leave as exact
+    // centi-units (k/100 is within 1 ulp of exact, ·100 + round
+    // recovers the integer k — engine-portable). Ignores the sf dir:
+    // the source generates; the oracle regenerates over range().
+    "q_gen_scan" -> ((s, _) =>
+      s.read.format("metricgen")
+        .option("rows", 60000).option("servers", 20).load()
+        .filter(col("ts") >= "1970-01-01 02:00:00")
+        .groupBy(col("server_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("cpu_pct") * 100).cast("long")).as("cpu_centi"),
+          sum(round(col("net_in") * 100).cast("long")).as("net_centi"),
+          max(col("ts")).cast("long").as("last_ts"))),
+
     // Sessionization: per-user sessions at a 2h silence gap over the
     // events log (native session_window; gaps-and-islands oracle).
     "q_session_windows" -> ((s, d) =>
@@ -581,6 +598,23 @@ object MiscQueries {
   }.mkString("(", " | ", ")")
 
   val oracles: Map[String, String] = Map(
+    // regenerates the metricgen feed over range(): same id formulas,
+    // same exact-integer extraction — the hash gate proves source
+    // generation + pushdown returns exactly the declared relation
+    "q_gen_scan" ->
+      """WITH g AS (
+        |  SELECT to_timestamp((id // 20) * 5) AS ts,
+        |    'server_' || CAST(id % 20 + 1 AS VARCHAR) AS server_id,
+        |    (id * 37 % 10000) / 100.0 AS cpu_pct,
+        |    (id * 71 % 2000000) / 100.0 AS net_in
+        |  FROM range(60000) t(id))
+        |SELECT server_id, COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(cpu_pct * 100) AS BIGINT)) AS BIGINT) AS cpu_centi,
+        |  CAST(SUM(CAST(round(net_in * 100) AS BIGINT)) AS BIGINT) AS net_centi,
+        |  CAST(epoch(MAX(ts)) AS BIGINT) AS last_ts
+        |FROM g WHERE ts >= TIMESTAMP '1970-01-01 02:00:00'
+        |GROUP BY server_id""".stripMargin,
+
     // The sketch side is engine-specific, so the oracle pins the exact
     // count and asserts the accuracy verdict: the gate fails loudly if
     // the HLL estimate ever drifts past 5% relative error.

@@ -1,0 +1,245 @@
+package graft.sources
+
+import java.util.OptionalLong
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
+  TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition,
+  PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics,
+  SupportsPushDownFilters, SupportsPushDownLimit,
+  SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
+  GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `metricgen` — a DataSource V2 TableProvider that GENERATES the
+  * reference-shaped metrics feed (`data/dataset.csv:1` columns:
+  * `ts,server_id,cpu_pct,mem_pct,net_in,net_out,disk_io`) at any row
+  * count, deterministically, with the source-planning behaviors a real
+  * 100 TB connector needs, implemented for real:
+  *
+  *  - **Filter pushdown into generation** (`SupportsPushDownFilters`):
+  *    `ts` is nondecreasing in the row id (`ts(id) =
+  *    floor(id/servers)·5s`), so every ts range predicate converts to
+  *    an EXACT row-id bound — the scan then never plans, generates, or
+  *    ships the excluded rows. This is the same shape as parquet
+  *    row-group pruning or a time-partitioned table's partition
+  *    pruning: the predicate dies at the source, not in a Filter node.
+  *  - **Column pruning** (`SupportsPushDownRequiredColumns`): only the
+  *    projected columns are generated; a 2-column aggregate reads
+  *    2-field rows (ReadSchema in the plan shows it).
+  *  - **Limit pushdown** (`SupportsPushDownLimit`): LIMIT n caps the
+  *    planned id range itself.
+  *  - **Statistics** (`SupportsReportStatistics`): row count and byte
+  *    size AFTER pruning, so the optimizer can (e.g.) pick a broadcast
+  *    join when a tight ts slice makes the generated side small.
+  *
+  * The same formulas as `StreamBench.writeSyntheticDay` (co-prime
+  * residue metrics), but epoch-anchored timestamps and an unbounded
+  * day count — and reproducible in ANSI SQL over `range(n)`, which is
+  * what makes `q_gen_scan` hash-gateable against DuckDB.
+  *
+  * Usage:
+  * {{{
+  * spark.read.format("metricgen")
+  *   .option("rows", 60000).option("servers", 20).load()
+  * }}}
+  *
+  * Scale posture: partitions are contiguous id slices ([[MetricGen]]
+  * `slices` option), embarrassingly parallel, zero I/O, zero skew; at
+  * any cluster size the scan is CPU-bound generation with perfect
+  * pushdown — which is why it is also the honest load generator for
+  * benchmarking downstream operators without a disk bottleneck.
+  */
+class MetricGen extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "metricgen"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    MetricGen.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new MetricGenTable()
+}
+
+object MetricGen {
+  val schema: StructType = StructType(Seq(
+    StructField("ts", TimestampType, nullable = false),
+    StructField("server_id", StringType, nullable = false),
+    StructField("cpu_pct", DoubleType, nullable = false),
+    StructField("mem_pct", DoubleType, nullable = false),
+    StructField("net_in", DoubleType, nullable = false),
+    StructField("net_out", DoubleType, nullable = false),
+    StructField("disk_io", DoubleType, nullable = false)))
+
+  private val StepUs = 5L * 1000000 // 5s cadence, reference parity
+
+  /** Event-time micros for a row id (nondecreasing in id). */
+  def tsUs(id: Long, servers: Long): Long = id / servers * StepUs
+
+  /** One generated field; ids are nonnegative so `%` is a true mod.
+    * (`id·71` is the largest multiplier: ids stay exact below ~1.3e17
+    * rows — beyond any conceivable generation request.)
+    */
+  def fieldValue(ord: Int, id: Long, servers: Long): Any = ord match {
+    case 0 => tsUs(id, servers)
+    case 1 => UTF8String.fromString("server_" + (id % servers + 1))
+    case 2 => (id * 37 % 10000) / 100.0
+    case 3 => (id * 53 % 10000) / 100.0
+    case 4 => (id * 71 % 2000000) / 100.0
+    case 5 => (id * 13 % 2000000) / 100.0
+    case 6 => (id * 29 % 1000000) / 100.0
+  }
+
+  private[sources] def ceilDiv(x: Long, d: Long): Long = -Math.floorDiv(-x, d)
+}
+
+private[sources] class MetricGenTable extends Table with SupportsRead {
+  override def name(): String = "metricgen"
+  override def schema(): StructType = MetricGen.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new MetricGenScanBuilder(options)
+}
+
+private[sources] class MetricGenScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+
+  private val rows = options.getLong("rows", 28800L)
+  private val servers = options.getLong("servers", 20L)
+  private val slices = options.getInt("slices", 32)
+  require(rows >= 0 && servers > 0 && slices > 0,
+    s"metricgen: rows=$rows servers=$servers slices=$slices")
+
+  // planned id range; ts pushdown and limit tighten it
+  private var lo = 0L
+  private var hi = rows
+  private var pushed = Array.empty[Filter]
+  private var required: StructType = MetricGen.schema
+
+  private def tsMicros(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp =>
+      Some(t.getTime * 1000 + (t.getNanos % 1000000) / 1000)
+    case i: java.time.Instant =>
+      Some(i.getEpochSecond * 1000000 + i.getNano / 1000)
+    case _ => None
+  }
+
+  /** ts(id) = floor(id/servers)·step ⇒ every ts bound is an exact
+    * floor(id/servers) bound ⇒ an exact id bound. Returns true when the
+    * filter is FULLY handled by the tightened range (no residual).
+    */
+  private def tighten(f: Filter): Boolean = {
+    val step = 5L * 1000000
+    f match {
+      case GreaterThanOrEqual("ts", v) => tsMicros(v).exists { x =>
+        lo = math.max(lo, MetricGen.ceilDiv(x, step) * servers); true }
+      case GreaterThan("ts", v) => tsMicros(v).exists { x =>
+        lo = math.max(lo, (Math.floorDiv(x, step) + 1) * servers); true }
+      case LessThan("ts", v) => tsMicros(v).exists { x =>
+        hi = math.min(hi, MetricGen.ceilDiv(x, step) * servers); true }
+      case LessThanOrEqual("ts", v) => tsMicros(v).exists { x =>
+        hi = math.min(hi, (Math.floorDiv(x, step) + 1) * servers); true }
+      case EqualTo("ts", v) => tsMicros(v).exists { x =>
+        if (x % step == 0) {
+          val q = x / step
+          lo = math.max(lo, q * servers); hi = math.min(hi, (q + 1) * servers)
+        } else hi = lo // off-grid instant: provably empty
+        true
+      }
+      case _ => false
+    }
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (handled, residual) = filters.partition(tighten)
+    pushed = handled
+    residual // Spark keeps evaluating these above the scan
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushLimit(limit: Int): Boolean = {
+    hi = math.min(hi, lo + limit)
+    true
+  }
+
+  override def build(): Scan =
+    new MetricGenScan(math.min(lo, hi), hi, servers, slices, required)
+}
+
+private[sources] case class MetricGenPartition(start: Long, end: Long)
+  extends InputPartition
+
+private[sources] class MetricGenScan(lo: Long, hi: Long, servers: Long,
+    slices: Int, required: StructType)
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"metricgen[ids $lo..$hi, ${required.fieldNames.mkString(",")}]"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = hi - lo
+    if (n <= 0) return Array.empty
+    val width = math.max(1L, MetricGen.ceilDiv(n, slices.toLong))
+    (lo until hi by width)
+      .map(s => MetricGenPartition(s, math.min(s + width, hi)): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MetricGenReaderFactory(servers,
+      required.fieldNames.map(MetricGen.schema.fieldIndex))
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    // post-pruning numbers: a tight ts slice reports small, so the
+    // optimizer can broadcast the generated side
+    override def numRows(): OptionalLong = OptionalLong.of(math.max(0, hi - lo))
+    // ts 8B + server_id ~9B + 8B per double
+    private val rowBytes = required.fields.map(_.dataType match {
+      case StringType => 9L
+      case _ => 8L
+    }).sum
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(math.max(0, hi - lo) * math.max(rowBytes, 1L))
+  }
+}
+
+private[sources] class MetricGenReaderFactory(servers: Long, ords: Array[Int])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[MetricGenPartition]
+    new PartitionReader[InternalRow] {
+      private var id = part.start - 1
+      override def next(): Boolean = { id += 1; id < part.end }
+      override def get(): InternalRow = {
+        val vals = new Array[Any](ords.length)
+        var i = 0
+        while (i < ords.length) {
+          vals(i) = MetricGen.fieldValue(ords(i), id, servers)
+          i += 1
+        }
+        new GenericInternalRow(vals)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,160 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, IsNotNull,
+  LessThan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.SparkSpec
+
+/** The metricgen DataSource V2: value parity with the declarative twin,
+  * and the four source-planning behaviors (ts-filter pushdown to exact
+  * id bounds, column pruning, limit pushdown, post-pruning statistics)
+  * asserted at BOTH the API level (ScanBuilder in hand) and the
+  * end-to-end plan level (the executed plan carries the pruned bounds).
+  */
+class MetricGenSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def gen(rows: Long, servers: Long): DataFrame =
+    spark.read.format("metricgen")
+      .option("rows", rows).option("servers", servers).load()
+
+  /** The same generation, declared over range() — also the shape of
+    * q_gen_scan's DuckDB oracle.
+    */
+  private def twin(rows: Long, servers: Long): DataFrame =
+    spark.range(rows).select(
+      expr(s"timestamp_seconds(id div $servers * 5)").as("ts"),
+      concat(lit("server_"), col("id") % servers + 1).as("server_id"),
+      (col("id") * 37 % 10000 / 100.0).as("cpu_pct"),
+      (col("id") * 53 % 10000 / 100.0).as("mem_pct"),
+      (col("id") * 71 % 2000000 / 100.0).as("net_in"),
+      (col("id") * 13 % 2000000 / 100.0).as("net_out"),
+      (col("id") * 29 % 1000000 / 100.0).as("disk_io"))
+
+  private def builder(rows: Long, servers: Long) =
+    new MetricGenScanBuilder(new CaseInsensitiveStringMap(
+      Map("rows" -> rows.toString, "servers" -> servers.toString).asJava))
+
+  private def plannedIds(b: MetricGenScanBuilder): Seq[(Long, Long)] =
+    b.build().toBatch.planInputPartitions().toSeq
+      .map { case MetricGenPartition(s, e) => (s, e) }
+
+  test("generated rows equal the declarative twin, shortName resolves") {
+    val got = gen(2000, 7)
+    assert(got.schema == MetricGen.schema)
+    assert(got.exceptAll(twin(2000, 7)).isEmpty &&
+      twin(2000, 7).exceptAll(got).isEmpty)
+  }
+
+  test("ts range filters prune the planned id range exactly (API + plan + values)") {
+    // 60000 rows, 20 servers: ts >= 02:00:00 ⇔ id >= 1440·20 = 28800
+    val b = builder(60000, 20)
+    val residual = b.pushFilters(Array[org.apache.spark.sql.sources.Filter](
+      GreaterThanOrEqual("ts", java.sql.Timestamp.valueOf("1970-01-01 02:00:00")),
+      LessThan("ts", java.sql.Timestamp.valueOf("1970-01-01 03:00:00")),
+      IsNotNull("ts")))
+    assert(residual.toSeq == Seq(IsNotNull("ts"))) // not a range: stays residual
+    assert(b.pushedFilters().length == 2)
+    val parts = plannedIds(b)
+    assert(parts.head._1 == 28800 && parts.last._2 == 43200, parts)
+    assert(parts.map(p => p._2 - p._1).sum == 14400)
+
+    // end-to-end: the executed plan's scan carries the pruned bounds
+    val df = gen(60000, 20).filter(col("ts") >= "1970-01-01 02:00:00" &&
+      col("ts") < "1970-01-01 03:00:00")
+    df.collect() // force planning of the final plan
+    assert(df.queryExecution.executedPlan.toString.contains("ids 28800..43200"),
+      df.queryExecution.executedPlan.toString.take(500))
+    // and the values equal the twin under the same (unpruned) filter
+    val t = twin(60000, 20).filter(col("ts") >= "1970-01-01 02:00:00" &&
+      col("ts") < "1970-01-01 03:00:00")
+    assert(df.exceptAll(t).isEmpty && t.exceptAll(df).isEmpty)
+  }
+
+  test("off-grid ts equality is provably empty at the source") {
+    val b = builder(60000, 20)
+    b.pushFilters(Array[org.apache.spark.sql.sources.Filter](
+      EqualTo("ts", java.sql.Timestamp.valueOf("1970-01-01 00:00:01"))))
+    assert(plannedIds(b).isEmpty)
+    assert(gen(60000, 20)
+      .filter(col("ts") === "1970-01-01 00:00:01").count() == 0)
+  }
+
+  test("column pruning reaches the reader; limit pushdown caps the id range") {
+    val b = builder(60000, 20)
+    b.pruneColumns(StructType(MetricGen.schema.filter(f =>
+      f.name == "server_id" || f.name == "cpu_pct")))
+    val scan = b.build()
+    assert(scan.readSchema().fieldNames.toSeq == Seq("server_id", "cpu_pct"))
+    val reader = scan.toBatch.createReaderFactory()
+      .createReader(MetricGenPartition(40, 41))
+    assert(reader.next())
+    val row = reader.get()
+    assert(row.numFields == 2)
+    assert(row.getUTF8String(0).toString == "server_1") // id 40 on 20 servers
+    assert(row.getDouble(1) == (40L * 37 % 10000) / 100.0)
+
+    val lb = builder(60000, 20)
+    assert(lb.pushLimit(100))
+    assert(plannedIds(lb).map(p => p._2 - p._1).sum == 100)
+
+    // end-to-end: a 2-column aggregate reads 2-field rows
+    val agg = gen(60000, 20).groupBy("server_id")
+      .agg(count(lit(1)).as("n")).orderBy("server_id")
+    agg.collect()
+    assert(agg.queryExecution.executedPlan.toString.contains("ids 0..60000"))
+    assert(agg.queryExecution.executedPlan.toString.contains("metricgen[ids"))
+  }
+
+  test("property: pushed ts bounds equal the brute-force row-id model") {
+    // independent model: evaluate the predicate per id over ts(id);
+    // the builder's algebra (ceil/floor div on the 5s grid) must plan
+    // exactly that id set, for every operator, at random geometries
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val cases = Gen.listOfN(120, Gen.zip(
+        Gen.chooseNum(0L, 5000L), Gen.chooseNum(1L, 50L),
+        Gen.chooseNum(0L, 1500L), Gen.oneOf(0, 1, 2, 3, 4)))
+      .apply(Gen.Parameters.default, Seed(7L)).get
+    cases.foreach { case (rows, servers, boundSec, op) =>
+      val boundUs = boundSec * 1000000
+      val b = builder(rows, servers)
+      val filter: org.apache.spark.sql.sources.Filter = op match {
+        case 0 => GreaterThanOrEqual("ts", new java.sql.Timestamp(boundSec * 1000))
+        case 1 => org.apache.spark.sql.sources.GreaterThan("ts", new java.sql.Timestamp(boundSec * 1000))
+        case 2 => LessThan("ts", new java.sql.Timestamp(boundSec * 1000))
+        case 3 => org.apache.spark.sql.sources.LessThanOrEqual("ts", new java.sql.Timestamp(boundSec * 1000))
+        case 4 => EqualTo("ts", new java.sql.Timestamp(boundSec * 1000))
+      }
+      assert(b.pushFilters(Array(filter)).isEmpty)
+      val planned = plannedIds(b).map(p => p._2 - p._1).sum
+      val model = (0L until rows).count { id =>
+        val t = MetricGen.tsUs(id, servers)
+        op match {
+          case 0 => t >= boundUs
+          case 1 => t > boundUs
+          case 2 => t < boundUs
+          case 3 => t <= boundUs
+          case 4 => t == boundUs
+        }
+      }
+      assert(planned == model,
+        s"rows=$rows servers=$servers bound=${boundSec}s op=$op: planned $planned model $model")
+    }
+  }
+
+  test("statistics report the POST-pruning row count") {
+    val b = builder(60000, 20)
+    b.pushFilters(Array[org.apache.spark.sql.sources.Filter](
+      GreaterThanOrEqual("ts", java.sql.Timestamp.valueOf("1970-01-01 02:00:00"))))
+    val stats = b.build().asInstanceOf[MetricGenScan].estimateStatistics()
+    assert(stats.numRows().getAsLong == 60000 - 28800)
+    assert(stats.sizeInBytes().getAsLong > 0)
+  }
+}
