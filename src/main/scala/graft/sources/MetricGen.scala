@@ -13,6 +13,8 @@ import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics,
   SupportsPushDownFilters, SupportsPushDownLimit,
   SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream,
+  Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
   GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -107,7 +109,7 @@ private[sources] class MetricGenTable extends Table with SupportsRead {
   override def name(): String = "metricgen"
   override def schema(): StructType = MetricGen.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new MetricGenScanBuilder(options)
 }
@@ -122,9 +124,21 @@ private[sources] class MetricGenScanBuilder(options: CaseInsensitiveStringMap)
   require(rows >= 0 && servers > 0 && slices > 0,
     s"metricgen: rows=$rows servers=$servers slices=$slices")
 
-  // planned id range; ts pushdown and limit tighten it
+  // planned id range; ts pushdown and limit tighten it. startSec /
+  // endSec (epoch seconds, inclusive / exclusive) clamp it up front —
+  // the option-driven pruning STREAMING reads need: Spark applies
+  // predicate pushdown only to batch V2 scans, so a readStream filter
+  // runs above the source (all ids generated) while these options
+  // bound the offset range itself — the same contract as Kafka's
+  // startingOffsets/endingOffsets.
   private var lo = 0L
   private var hi = rows
+  if (options.containsKey("startSec"))
+    lo = math.max(lo,
+      MetricGen.ceilDiv(options.getLong("startSec", 0L) * 1000000, 5000000L) * servers)
+  if (options.containsKey("endSec"))
+    hi = math.min(hi,
+      MetricGen.ceilDiv(options.getLong("endSec", 0L) * 1000000, 5000000L) * servers)
   private var pushed = Array.empty[Filter]
   private var required: StructType = MetricGen.schema
 
@@ -179,14 +193,15 @@ private[sources] class MetricGenScanBuilder(options: CaseInsensitiveStringMap)
   }
 
   override def build(): Scan =
-    new MetricGenScan(math.min(lo, hi), hi, servers, slices, required)
+    new MetricGenScan(math.min(lo, hi), hi, servers, slices, required,
+      options.getLong("rowsPerBatch", 100000L))
 }
 
 private[sources] case class MetricGenPartition(start: Long, end: Long)
   extends InputPartition
 
 private[sources] class MetricGenScan(lo: Long, hi: Long, servers: Long,
-    slices: Int, required: StructType)
+    slices: Int, required: StructType, rowsPerBatch: Long)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -195,6 +210,25 @@ private[sources] class MetricGenScan(lo: Long, hi: Long, servers: Long,
     s"metricgen[ids $lo..$hi, ${required.fieldNames.mkString(",")}]"
 
   override def toBatch: Batch = this
+
+  /** Streaming facet: the same generated relation delivered as
+    * micro-batches of `rowsPerBatch` ids. Offsets ARE row ids in the
+    * `[lo, hi)` range, so the `startSec`/`endSec` options prune
+    * streamed generation at the source — excluded ids are never
+    * offered as offsets. (Predicate pushdown does NOT reach streaming
+    * V2 scans — Spark only pushes into batch scans, a filter on a
+    * readStream runs above the source; option-driven bounds are the
+    * streaming-pruning contract, exactly like Kafka's
+    * startingOffsets/endingOffsets. MetricGenSpec measures both
+    * sides.) The stream is finite: once the offset reaches `hi`,
+    * `latestOffset` stops advancing and the query quiesces — the
+    * replay-a-corpus-then-stop ingest shape, vs the rate source's
+    * unbounded clock. Admission control caps each batch at
+    * `rowsPerBatch` (a passed maxRows ReadLimit tightens it further).
+    */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new MetricGenMicroBatchStream(lo, hi, servers, slices,
+      required.fieldNames.map(MetricGen.schema.fieldIndex), rowsPerBatch)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val n = hi - lo
@@ -221,6 +255,49 @@ private[sources] class MetricGenScan(lo: Long, hi: Long, servers: Long,
     override def sizeInBytes(): OptionalLong =
       OptionalLong.of(math.max(0, hi - lo) * math.max(rowBytes, 1L))
   }
+}
+
+private[sources] case class GenOffset(id: Long) extends Offset {
+  override def json(): String = id.toString
+}
+
+private[sources] class MetricGenMicroBatchStream(lo: Long, hi: Long,
+    servers: Long, slices: Int, ords: Array[Int], rowsPerBatch: Long)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  override def initialOffset(): Offset = GenOffset(lo)
+
+  override def deserializeOffset(json: String): Offset = GenOffset(json.toLong)
+
+  // non-admission-control fallback: everything that remains
+  override def latestOffset(): Offset = GenOffset(hi)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[GenOffset].id
+    val cap = limit match {
+      case m: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        math.min(rowsPerBatch, m.maxRows)
+      case _ => rowsPerBatch
+    }
+    GenOffset(math.min(hi, s + math.max(1L, cap)))
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GenOffset].id
+    val e = end.asInstanceOf[GenOffset].id
+    val n = e - s
+    if (n <= 0) return Array.empty
+    val width = math.max(1L, MetricGen.ceilDiv(n, slices.toLong))
+    (s until e by width)
+      .map(p => MetricGenPartition(p, math.min(p + width, e)): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MetricGenReaderFactory(servers, ords)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] class MetricGenReaderFactory(servers: Long, ords: Array[Int])

@@ -149,6 +149,47 @@ class MetricGenSpec extends SparkSpec {
     }
   }
 
+  test("streaming facet: micro-batched generation equals the batch relation, then quiesces") {
+    val q = spark.readStream.format("metricgen")
+      .option("rows", 5000).option("servers", 20)
+      .option("rowsPerBatch", 1000).load()
+      .writeStream.format("memory").queryName("gen_stream")
+      .outputMode("append").start()
+    q.processAllAvailable() // finite stream: offsets stop at rows
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    val got = spark.table("gen_stream")
+    assert(got.count() == 5000)
+    assert(batches == 5, s"expected 5 batches of 1000, saw $batches")
+    assert(got.exceptAll(twin(5000, 20)).isEmpty &&
+      twin(5000, 20).exceptAll(got).isEmpty)
+  }
+
+  test("streaming facet: startSec prunes generation at the source; a filter alone does not") {
+    // rows=5000, servers=20: ts >= 00:10:00 ⇔ id >= 120·20 = 2400.
+    // Spark pushes predicates only into BATCH V2 scans, so the
+    // filter-only form generates all 5000 ids and filters above the
+    // source — the startSec option is the streaming-pruning contract
+    // (Kafka's startingOffsets shape). Both must return the same rows;
+    // only the option form may skip generation.
+    def run(name: String, startSec: Option[Long]): Long = {
+      val r = spark.readStream.format("metricgen")
+        .option("rows", 5000).option("servers", 20)
+        .option("rowsPerBatch", 1000)
+      val df = startSec.fold(r.load().filter(col("ts") >= "1970-01-01 00:10:00"))(
+        s => r.option("startSec", s).load())
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      val inputRows = q.recentProgress.map(_.numInputRows).sum
+      q.stop()
+      assert(spark.table(name).count() == 2600, name)
+      inputRows
+    }
+    assert(run("gen_stream_filtered", None) == 5000) // filter above source
+    assert(run("gen_stream_pruned", Some(600)) == 2600) // pruned at source
+  }
+
   test("statistics report the POST-pruning row count") {
     val b = builder(60000, 20)
     b.pushFilters(Array[org.apache.spark.sql.sources.Filter](
