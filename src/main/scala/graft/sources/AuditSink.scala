@@ -1,0 +1,178 @@
+package graft.sources
+
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.UnsafeRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table,
+  TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
+  DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate,
+  Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory,
+  StreamingWrite}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** `auditsink` — a DataSource V2 write connector that lands nothing and
+  * accounts for everything: per-commit row counts and an
+  * order-independent value checksum, recorded on the driver through the
+  * REAL V2 commit protocol (task `DataWriter.commit` → driver
+  * `BatchWrite.commit` / `StreamingWrite.commit(epochId, _)`).
+  *
+  * This is the write-side twin of the reference consumers' delivery
+  * accounting (`consumers/consumer1.py:44-53` counts appended messages
+  * per topic): instead of trusting the transport, the sink proves WHAT
+  * landed — `rows` and `checksum` per commit — while exercising the
+  * exact protocol a real exactly-once sink implements:
+  *
+  *  - task writers accumulate locally and surface totals only in their
+  *    commit message; an ABORTED task's partials never reach the
+  *    driver (the failed-task/speculative-duplicate story);
+  *  - the driver commit is IDEMPOTENT PER EPOCH for streaming — a
+  *    replayed `commit(epoch, _)` after a driver recovery re-delivers
+  *    the same epoch and must not double-count (Spark's streaming sink
+  *    contract; AuditSinkSpec replays one);
+  *  - the checksum is an order- and partitioning-independent fold
+  *    (sum + xor of per-row 64-bit hashes), so two writes of the same
+  *    relation match regardless of task layout — which is what makes
+  *    it a usable end-to-end integrity gate in tests and canaries.
+  *
+  * Scale: task state is two longs; commit messages are O(1); the
+  * driver registry is O(channels + epochs). Nothing touches disk.
+  *
+  * Usage: `df.write.format("auditsink").option("channel", "x").save()`;
+  * read back via [[AuditSink.stats]]/[[AuditSink.epochs]].
+  */
+class AuditSink extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "auditsink"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    new StructType()
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new AuditSinkTable()
+}
+
+object AuditSink {
+
+  /** One committed write (batch commits land at epoch = -1). */
+  final case class Commit(epochId: Long, rows: Long, checksumSum: Long,
+                          checksumXor: Long)
+
+  private val registry = new TrieMap[String, TrieMap[Long, Commit]]()
+
+  private[sources] def record(channel: String, c: Commit): Unit = {
+    val epochs = registry.getOrElseUpdate(channel, new TrieMap[Long, Commit]())
+    // idempotent per epoch: a replayed streaming commit no-ops
+    epochs.putIfAbsent(c.epochId, c)
+  }
+
+  /** All commits of a channel, epoch-ordered. */
+  def epochs(channel: String): Seq[Commit] =
+    registry.get(channel).map(_.values.toSeq.sortBy(_.epochId)).getOrElse(Nil)
+
+  /** (total rows, combined sum-checksum, combined xor-checksum). */
+  def stats(channel: String): (Long, Long, Long) = {
+    val cs = epochs(channel)
+    (cs.map(_.rows).sum, cs.map(_.checksumSum).sum,
+      cs.foldLeft(0L)(_ ^ _.checksumXor))
+  }
+
+  def clear(channel: String): Unit = registry.remove(channel)
+}
+
+private[sources] class AuditSinkTable extends Table with SupportsWrite {
+  override def name(): String = "auditsink"
+  override def schema(): StructType = new StructType()
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new AuditWriteBuilder(info.options.getOrDefault("channel", "default"))
+}
+
+private[sources] class AuditWriteBuilder(channel: String)
+    extends WriteBuilder with SupportsTruncate {
+  override def truncate(): WriteBuilder = this // nothing lands; nothing to cut
+  override def build(): Write = new AuditWrite(channel)
+}
+
+private[sources] class AuditWrite(channel: String) extends Write {
+  override def description(): String = s"auditsink[$channel]"
+  override def toBatch: BatchWrite = new AuditBatchWrite(channel)
+  override def toStreaming: StreamingWrite = new AuditStreamingWrite(channel)
+}
+
+/** Task-side totals; only ever reaches the driver through commit(). */
+private[sources] final case class AuditTaskTotals(rows: Long, sum: Long,
+    xor: Long) extends WriterCommitMessage
+
+private[sources] object AuditProtocol {
+  def fold(msgs: Array[WriterCommitMessage], epochId: Long): AuditSink.Commit = {
+    var rows = 0L; var sum = 0L; var xor = 0L
+    msgs.foreach {
+      case AuditTaskTotals(r, s, x) => rows += r; sum += s; xor ^= x
+      case _ => ()
+    }
+    AuditSink.Commit(epochId, rows, sum, xor)
+  }
+}
+
+private[sources] class AuditBatchWrite(channel: String) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new AuditWriterFactory
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    AuditSink.record(channel, AuditProtocol.fold(messages, epochId = -1L))
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[sources] class AuditStreamingWrite(channel: String) extends StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new AuditWriterFactory
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    AuditSink.record(channel, AuditProtocol.fold(messages, epochId))
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[sources] class AuditWriterFactory
+    extends DataWriterFactory with StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new AuditDataWriter
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new AuditDataWriter
+}
+
+private[sources] class AuditDataWriter extends DataWriter[InternalRow] {
+  private var rows = 0L
+  private var sum = 0L
+  private var xor = 0L
+
+  override def write(row: InternalRow): Unit = {
+    // rows arrive as UnsafeRow on the write path; its bytes are a
+    // deterministic function of (schema, values), so a 64-bit mix of
+    // them is a value checksum. sum+xor make the channel-level combine
+    // independent of row order AND task partitioning.
+    val h = row match {
+      case u: UnsafeRow =>
+        org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+          u.getBaseObject, u.getBaseOffset, u.getSizeInBytes, 42).toLong
+      case other => other.hashCode.toLong
+    }
+    rows += 1; sum += h; xor ^= h
+  }
+
+  override def commit(): WriterCommitMessage = AuditTaskTotals(rows, sum, xor)
+
+  override def abort(): Unit = { rows = 0; sum = 0; xor = 0 } // partials die here
+
+  override def close(): Unit = ()
+}
