@@ -295,6 +295,26 @@ object StreamBench {
           .writeStream.format("noop").outputMode("append")
           .option("checkpointLocation", s"$dir/ckpt").start()
         (q, users, t0)
+      } else if (mode == "twssession") {
+        // the SAME gap-session workload as "session", but through the
+        // transformWithState sessionizer on RocksDB state (explicit
+        // timer registry, one SessState per active key) instead of the
+        // built-in session_window's merge-on-update windowed state —
+        // the head-to-head that prices the state-API-v2 + RocksDB path
+        val users = math.max(1000, rows / 100)
+        writeJourneyEvents(users)
+        graft.streaming.TwsOps.useRocksDb(spark)
+        val t0 = System.nanoTime()
+        val ev = journeyReader()
+          .select(col("user_id"),
+            timestamp_seconds(
+              floor(col("tu") / users) * 10 + pmod(col("tu") * 7, lit(25)))
+              .as("ts"))
+        val q = graft.streaming.TwsOps.sessionsTws(ev, "user_id", "ts",
+            gapUs = 15L * 1000000, watermark = "30 seconds")
+          .writeStream.format("noop").outputMode("append")
+          .option("checkpointLocation", s"$dir/ckpt").start()
+        (q, users, t0)
       } else if (mode == "latency") {
         // conversion-latency topology: TWO chained stateful operators —
         // conversionsStream (per-user journey state) feeding windowed
@@ -387,7 +407,7 @@ object StreamBench {
       if (mode == "funnel" || mode == "latency" || mode == "bloom" ||
         mode == "session" || mode == "dedup" || mode == "lsh" ||
         mode == "logit" || mode == "drift" || mode == "kmv" ||
-        mode == "tws") rows.toLong
+        mode == "tws" || mode == "twssession") rows.toLong
       else rows.toLong * 4
     val windows = progress.map(_.stateOperators.headOption.map(_.numRowsTotal).getOrElse(0L)).maxOption.getOrElse(0L)
     println(s"""{"metric":"stream_rows_per_sec","mode":"$mode","value":${(rows / secs).round},"unit":"rows/sec","dataset_rows":$rows,"keys":$keys,"wire_messages":$messages,"state_rows":$windows,"wall_sec":${math.round(secs * 100) / 100.0}}""")
