@@ -54,24 +54,36 @@ class AuditSink extends TableProvider
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     new StructType()
 
+  // a SQL `CREATE TABLE (cols...) USING auditsink` declares a schema;
+  // the sink accepts any (it only hashes rows), so external metadata
+  // is supported and ignored
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
-    new AuditSinkTable()
+    new AuditSinkTable(schema, properties)
 }
 
 object AuditSink {
 
-  /** One committed write (batch commits land at epoch = -1). */
+  /** One committed write (batch commits carry unique negative ids). */
   final case class Commit(epochId: Long, rows: Long, checksumSum: Long,
                           checksumXor: Long)
 
   private val registry = new TrieMap[String, TrieMap[Long, Commit]]()
+  private val batchSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private[sources] def record(channel: String, c: Commit): Unit = {
     val epochs = registry.getOrElseUpdate(channel, new TrieMap[Long, Commit]())
     // idempotent per epoch: a replayed streaming commit no-ops
     epochs.putIfAbsent(c.epochId, c)
   }
+
+  /** Batch commits have no engine epoch; each gets a unique NEGATIVE
+    * id so repeated batch writes to one channel all count (only
+    * streaming epochs carry replay-idempotence semantics).
+    */
+  private[sources] def nextBatchEpoch(): Long = -batchSeq.incrementAndGet()
 
   /** All commits of a channel, epoch-ordered. */
   def epochs(channel: String): Seq[Commit] =
@@ -87,15 +99,25 @@ object AuditSink {
   def clear(channel: String): Unit = registry.remove(channel)
 }
 
-private[sources] class AuditSinkTable extends Table with SupportsWrite {
+private[sources] class AuditSinkTable(declared: StructType,
+    props: java.util.Map[String, String]) extends Table with SupportsWrite {
   override def name(): String = "auditsink"
-  override def schema(): StructType = new StructType()
+  // a catalog table must report its DECLARED columns (INSERT resolves
+  // against them); the path API passes an empty struct, and
+  // ACCEPT_ANY_SCHEMA lets any query schema through either way
+  override def schema(): StructType = declared
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new AuditWriteBuilder(info.options.getOrDefault("channel", "default"))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // a catalog table's CREATE OPTIONS arrive as properties (possibly
+    // `option.`-prefixed), write-time options win — same contract as
+    // MetricGenTable.mergedOptions
+    val channel = MetricGenTable.mergedOptions(props, info.options)
+      .getOrDefault("channel", "default")
+    new AuditWriteBuilder(channel)
+  }
 }
 
 private[sources] class AuditWriteBuilder(channel: String)
@@ -129,7 +151,8 @@ private[sources] class AuditBatchWrite(channel: String) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new AuditWriterFactory
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    AuditSink.record(channel, AuditProtocol.fold(messages, epochId = -1L))
+    AuditSink.record(channel,
+      AuditProtocol.fold(messages, AuditSink.nextBatchEpoch()))
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 

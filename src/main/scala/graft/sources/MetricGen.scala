@@ -70,7 +70,7 @@ class MetricGen extends TableProvider
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
-    new MetricGenTable()
+    new MetricGenTable(properties)
 }
 
 object MetricGen {
@@ -105,13 +105,33 @@ object MetricGen {
   private[sources] def ceilDiv(x: Long, d: Long): Long = -Math.floorDiv(-x, d)
 }
 
-private[sources] class MetricGenTable extends Table with SupportsRead {
+private[sources] class MetricGenTable(
+    props: java.util.Map[String, String]) extends Table with SupportsRead {
   override def name(): String = "metricgen"
   override def schema(): StructType = MetricGen.schema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MetricGenScanBuilder(options)
+    new MetricGenScanBuilder(
+      MetricGenTable.mergedOptions(props, options))
+}
+
+private[sources] object MetricGenTable {
+  /** A `CREATE TABLE ... USING metricgen OPTIONS(...)` catalog table
+    * delivers its OPTIONS as table PROPERTIES (some catalogs under an
+    * `option.` prefix), not as scan options — merge them, read-time
+    * options winning.
+    */
+  def mergedOptions(props: java.util.Map[String, String],
+      options: CaseInsensitiveStringMap): CaseInsensitiveStringMap = {
+    val merged = new java.util.HashMap[String, String]()
+    props.forEach { (k, v) =>
+      val key = if (k.startsWith("option.")) k.substring(7) else k
+      merged.put(key, v)
+    }
+    options.entrySet().forEach(e => merged.put(e.getKey, e.getValue))
+    new CaseInsensitiveStringMap(merged)
+  }
 }
 
 private[sources] class MetricGenScanBuilder(options: CaseInsensitiveStringMap)

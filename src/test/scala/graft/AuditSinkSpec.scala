@@ -30,6 +30,12 @@ class AuditSinkSpec extends SparkSpec {
     assert(AuditSink.stats("b2") == ((n1, s1, x1)))
     val (n3, s3, x3) = AuditSink.stats("b3")
     assert(n3 == 1000 && (s3 != s1 || x3 != x1))
+
+    // a SECOND batch write to the same channel accumulates (only
+    // streaming epochs carry replay-idempotence)
+    df.write.format("auditsink").mode("append").option("channel", "b1").save()
+    assert(AuditSink.stats("b1")._1 == 2000)
+    assert(AuditSink.epochs("b1").size == 2)
   }
 
   test("streaming write: per-epoch commits; totals equal the batch write of the same rows") {
@@ -53,6 +59,19 @@ class AuditSinkSpec extends SparkSpec {
       .write.format("auditsink").mode("append").option("channel", "s1b").save()
     val (bn, bs, bx) = AuditSink.stats("s1b")
     assert(AuditSink.stats("s1") == ((bn, bs, bx))) // stream ≡ batch checksum
+  }
+
+  test("SQL DDL surface: INSERT INTO a USING-auditsink table records the commit") {
+    AuditSink.clear("sql")
+    spark.sql("DROP TABLE IF EXISTS audit_sql")
+    spark.sql(
+      """CREATE TABLE audit_sql (id BIGINT, doc STRING)
+        |USING auditsink OPTIONS (channel 'sql')""".stripMargin)
+    try {
+      spark.sql(
+        "INSERT INTO audit_sql SELECT id, 'doc-' || id FROM range(500)")
+      assert(AuditSink.stats("sql")._1 == 500)
+    } finally spark.sql("DROP TABLE IF EXISTS audit_sql")
   }
 
   test("a replayed epoch commit is idempotent (driver-recovery re-delivery)") {

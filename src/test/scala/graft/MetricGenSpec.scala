@@ -190,6 +190,25 @@ class MetricGenSpec extends SparkSpec {
     assert(run("gen_stream_pruned", Some(600)) == 2600) // pruned at source
   }
 
+  test("SQL DDL surface: CREATE TABLE USING metricgen serves plain SQL") {
+    spark.sql("DROP TABLE IF EXISTS gen_sql")
+    spark.sql(
+      "CREATE TABLE gen_sql USING metricgen OPTIONS (rows 2000, servers 20)")
+    try {
+      val got = spark.sql(
+        """SELECT server_id, count(*) AS n,
+          |  sum(cast(round(cpu_pct * 100) AS BIGINT)) AS cpu_centi
+          |FROM gen_sql WHERE ts >= TIMESTAMP '1970-01-01 00:05:00'
+          |GROUP BY server_id""".stripMargin)
+      val want = twin(2000, 20)
+        .filter(col("ts") >= "1970-01-01 00:05:00")
+        .groupBy("server_id")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("cpu_pct") * 100).cast("long")).as("cpu_centi"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS gen_sql")
+  }
+
   test("statistics report the POST-pruning row count") {
     val b = builder(60000, 20)
     b.pushFilters(Array[org.apache.spark.sql.sources.Filter](
