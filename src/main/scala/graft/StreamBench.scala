@@ -392,12 +392,18 @@ object StreamBench {
       var seen = 0L
       var lastBatch = -1L
       while (seen < rows && System.currentTimeMillis < deadline) {
+        // a dead query never advances progress: surface ITS error, not
+        // a 10-minute-later timeout that hides it
+        q.exception.foreach(e => { q.stop(); throw e })
         q.recentProgress.foreach { p =>
           if (p.batchId > lastBatch) { seen += p.numInputRows; lastBatch = p.batchId }
         }
         if (seen < rows) Thread.sleep(100)
       }
-      require(seen >= rows, s"tws drain timed out at $seen/$rows rows")
+      if (seen < rows) {
+        q.stop()
+        throw new IllegalStateException(s"tws drain timed out at $seen/$rows rows")
+      }
     } else q.processAllAvailable()
     val secs = (System.nanoTime() - t0) / 1e9
     val progress = q.recentProgress

@@ -19,6 +19,11 @@ object MiscQueries {
     // centi-units (k/100 is within 1 ulp of exact, ·100 + round
     // recovers the integer k — engine-portable). Ignores the sf dir:
     // the source generates; the oracle regenerates over range().
+    // Oracle hazard: DuckDB to_timestamp() yields TIMESTAMPTZ, so a
+    // naive literal in its WHERE would shift with the HOST timezone
+    // (verified: 0 rows under America/New_York) — the oracle compares
+    // epoch(ts), absolute in any zone, and last_ts is epoch-cast on
+    // both sides for the same reason.
     "q_gen_scan" -> ((s, _) =>
       s.read.format("metricgen")
         .option("rows", 60000).option("servers", 20).load()
@@ -612,7 +617,7 @@ object MiscQueries {
         |  CAST(SUM(CAST(round(cpu_pct * 100) AS BIGINT)) AS BIGINT) AS cpu_centi,
         |  CAST(SUM(CAST(round(net_in * 100) AS BIGINT)) AS BIGINT) AS net_centi,
         |  CAST(epoch(MAX(ts)) AS BIGINT) AS last_ts
-        |FROM g WHERE ts >= TIMESTAMP '1970-01-01 02:00:00'
+        |FROM g WHERE epoch(ts) >= 7200
         |GROUP BY server_id""".stripMargin,
 
     // The sketch side is engine-specific, so the oracle pins the exact

@@ -31,10 +31,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *  - task writers accumulate locally and surface totals only in their
   *    commit message; an ABORTED task's partials never reach the
   *    driver (the failed-task/speculative-duplicate story);
-  *  - the driver commit is IDEMPOTENT PER EPOCH for streaming — a
-  *    replayed `commit(epoch, _)` after a driver recovery re-delivers
-  *    the same epoch and must not double-count (Spark's streaming sink
-  *    contract; AuditSinkSpec replays one);
+  *  - the driver commit is IDEMPOTENT PER (QUERY RUN, EPOCH) for
+  *    streaming — a replayed `commit(epoch, _)` after a driver
+  *    recovery re-delivers the same epoch and must not double-count
+  *    (Spark's streaming sink contract; AuditSinkSpec replays one),
+  *    while a DIFFERENT query run writing the same channel counts
+  *    (epoch ids restart at 0 per run, so epoch alone is no identity);
   *  - the checksum is an order- and partitioning-independent fold
   *    (sum + xor of per-row 64-bit hashes), so two writes of the same
   *    relation match regardless of task layout — which is what makes
@@ -70,13 +72,20 @@ object AuditSink {
   final case class Commit(epochId: Long, rows: Long, checksumSum: Long,
                           checksumXor: Long)
 
-  private val registry = new TrieMap[String, TrieMap[Long, Commit]]()
+  private val registry = new TrieMap[String, TrieMap[(String, Long), Commit]]()
   private val batchSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  private[sources] def record(channel: String, c: Commit): Unit = {
-    val epochs = registry.getOrElseUpdate(channel, new TrieMap[Long, Commit]())
-    // idempotent per epoch: a replayed streaming commit no-ops
-    epochs.putIfAbsent(c.epochId, c)
+  /** Replay-idempotence is keyed (queryId, epochId): Spark's epoch ids
+    * are PER QUERY RUN (a restart from a fresh checkpoint starts over
+    * at 0), so channel+epoch alone would silently drop a second
+    * query's — or a re-checkpointed pipeline's — commits as replays.
+    */
+  private[sources] def record(channel: String, queryId: String,
+      c: Commit): Unit = {
+    val epochs = registry.getOrElseUpdate(channel,
+      new TrieMap[(String, Long), Commit]())
+    // idempotent per (query, epoch): a replayed streaming commit no-ops
+    epochs.putIfAbsent((queryId, c.epochId), c)
   }
 
   /** Batch commits have no engine epoch; each gets a unique NEGATIVE
@@ -87,7 +96,8 @@ object AuditSink {
 
   /** All commits of a channel, epoch-ordered. */
   def epochs(channel: String): Seq[Commit] =
-    registry.get(channel).map(_.values.toSeq.sortBy(_.epochId)).getOrElse(Nil)
+    registry.get(channel)
+      .map(_.toSeq.sortBy(_._1).map(_._2)).getOrElse(Nil)
 
   /** (total rows, combined sum-checksum, combined xor-checksum). */
   def stats(channel: String): (Long, Long, Long) = {
@@ -116,20 +126,21 @@ private[sources] class AuditSinkTable(declared: StructType,
     // MetricGenTable.mergedOptions
     val channel = MetricGenTable.mergedOptions(props, info.options)
       .getOrDefault("channel", "default")
-    new AuditWriteBuilder(channel)
+    new AuditWriteBuilder(channel, info.queryId)
   }
 }
 
-private[sources] class AuditWriteBuilder(channel: String)
+private[sources] class AuditWriteBuilder(channel: String, queryId: String)
     extends WriteBuilder with SupportsTruncate {
   override def truncate(): WriteBuilder = this // nothing lands; nothing to cut
-  override def build(): Write = new AuditWrite(channel)
+  override def build(): Write = new AuditWrite(channel, queryId)
 }
 
-private[sources] class AuditWrite(channel: String) extends Write {
+private[sources] class AuditWrite(channel: String, queryId: String) extends Write {
   override def description(): String = s"auditsink[$channel]"
   override def toBatch: BatchWrite = new AuditBatchWrite(channel)
-  override def toStreaming: StreamingWrite = new AuditStreamingWrite(channel)
+  override def toStreaming: StreamingWrite =
+    new AuditStreamingWrite(channel, queryId)
 }
 
 /** Task-side totals; only ever reaches the driver through commit(). */
@@ -151,17 +162,18 @@ private[sources] class AuditBatchWrite(channel: String) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new AuditWriterFactory
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    AuditSink.record(channel,
+    AuditSink.record(channel, queryId = "batch",
       AuditProtocol.fold(messages, AuditSink.nextBatchEpoch()))
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-private[sources] class AuditStreamingWrite(channel: String) extends StreamingWrite {
+private[sources] class AuditStreamingWrite(channel: String,
+    queryId: String) extends StreamingWrite {
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new AuditWriterFactory
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    AuditSink.record(channel, AuditProtocol.fold(messages, epochId))
+    AuditSink.record(channel, queryId, AuditProtocol.fold(messages, epochId))
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 

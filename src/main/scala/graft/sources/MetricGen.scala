@@ -324,6 +324,13 @@ private[sources] class MetricGenReaderFactory(servers: Long, ords: Array[Int])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[MetricGenPartition]
+    // server_id has only `servers` distinct values — intern them once
+    // per task instead of allocating String+UTF8String per row (this
+    // reader's whole point is to NOT be the benchmark bottleneck)
+    val names: Array[UTF8String] =
+      if (ords.contains(1))
+        Array.tabulate(servers.toInt)(i => UTF8String.fromString(s"server_${i + 1}"))
+      else null
     new PartitionReader[InternalRow] {
       private var id = part.start - 1
       override def next(): Boolean = { id += 1; id < part.end }
@@ -331,7 +338,9 @@ private[sources] class MetricGenReaderFactory(servers: Long, ords: Array[Int])
         val vals = new Array[Any](ords.length)
         var i = 0
         while (i < ords.length) {
-          vals(i) = MetricGen.fieldValue(ords(i), id, servers)
+          vals(i) =
+            if (ords(i) == 1) names((id % servers).toInt)
+            else MetricGen.fieldValue(ords(i), id, servers)
           i += 1
         }
         new GenericInternalRow(vals)

@@ -74,15 +74,19 @@ class AuditSinkSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS audit_sql")
   }
 
-  test("a replayed epoch commit is idempotent (driver-recovery re-delivery)") {
+  test("a replayed epoch commit is idempotent; a different query run counts") {
     AuditSink.clear("replay")
-    val w = new AuditStreamingWrite("replay")
+    val w = new AuditStreamingWrite("replay", "run-a")
     val msgs: Array[WriterCommitMessage] = Array(AuditTaskTotals(10, 111, 7))
     w.commit(5, msgs)
     w.commit(5, msgs) // Spark re-commits the last epoch after recovery
     val (n, s, x) = AuditSink.stats("replay")
     assert((n, s, x) == ((10L, 111L, 7L)))
     assert(AuditSink.epochs("replay").size == 1)
+    // epoch ids restart at 0 per query run: a DIFFERENT run hitting
+    // the same channel+epoch is new data, not a replay
+    new AuditStreamingWrite("replay", "run-b").commit(5, msgs)
+    assert(AuditSink.stats("replay")._1 == 20)
   }
 
   test("aborted task partials never reach the driver") {
