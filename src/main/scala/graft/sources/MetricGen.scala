@@ -8,15 +8,17 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
   TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions,
+  NamedReference, Transform}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics,
   SupportsPushDownFilters, SupportsPushDownLimit,
-  SupportsPushDownRequiredColumns, SupportsReportStatistics}
+  SupportsPushDownRequiredColumns, SupportsReportStatistics,
+  SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream,
   Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
-  GreaterThanOrEqual, LessThan, LessThanOrEqual}
+  GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -103,6 +105,51 @@ object MetricGen {
   }
 
   private[sources] def ceilDiv(x: Long, d: Long): Long = -Math.floorDiv(-x, d)
+
+  private[sources] def tsMicros(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp =>
+      Some(t.getTime * 1000 + (t.getNanos % 1000000) / 1000)
+    case i: java.time.Instant =>
+      Some(i.getEpochSecond * 1000000 + i.getNano / 1000)
+    case _ => None
+  }
+
+  /** ts(id) = floor(id/servers)·step ⇒ every ts bound is an exact
+    * floor(id/servers) bound ⇒ an exact id bound. Shared by the
+    * compile-time pushdown (ScanBuilder) and the RUNTIME filter path
+    * (SupportsRuntimeFiltering on the scan). Returns the tightened
+    * (lo, hi), or None when the filter isn't a ts bound this algebra
+    * handles. `In` — the shape DPP-style runtime filters take — is
+    * clamped to its [min, max] value range: a superset, always safe
+    * (the join above re-applies exact semantics).
+    */
+  private[sources] def tightenBounds(f: Filter, lo0: Long, hi0: Long,
+      servers: Long): Option[(Long, Long)] = {
+    val step = 5L * 1000000
+    f match {
+      case GreaterThanOrEqual("ts", v) => tsMicros(v).map { x =>
+        (math.max(lo0, ceilDiv(x, step) * servers), hi0) }
+      case GreaterThan("ts", v) => tsMicros(v).map { x =>
+        (math.max(lo0, (Math.floorDiv(x, step) + 1) * servers), hi0) }
+      case LessThan("ts", v) => tsMicros(v).map { x =>
+        (lo0, math.min(hi0, ceilDiv(x, step) * servers)) }
+      case LessThanOrEqual("ts", v) => tsMicros(v).map { x =>
+        (lo0, math.min(hi0, (Math.floorDiv(x, step) + 1) * servers)) }
+      case EqualTo("ts", v) => tsMicros(v).map { x =>
+        if (x % step == 0) {
+          val q = x / step
+          (math.max(lo0, q * servers), math.min(hi0, (q + 1) * servers))
+        } else (lo0, lo0) // off-grid instant: provably empty
+      }
+      case In("ts", values) =>
+        val us = values.toSeq.flatMap(tsMicros)
+        if (us.isEmpty) { if (values.isEmpty) Some((lo0, lo0)) else None }
+        else Some((
+          math.max(lo0, Math.floorDiv(us.min, step) * servers),
+          math.min(hi0, (Math.floorDiv(us.max, step) + 1) * servers)))
+      case _ => None
+    }
+  }
 }
 
 private[sources] class MetricGenTable(
@@ -162,39 +209,14 @@ private[sources] class MetricGenScanBuilder(options: CaseInsensitiveStringMap)
   private var pushed = Array.empty[Filter]
   private var required: StructType = MetricGen.schema
 
-  private def tsMicros(v: Any): Option[Long] = v match {
-    case t: java.sql.Timestamp =>
-      Some(t.getTime * 1000 + (t.getNanos % 1000000) / 1000)
-    case i: java.time.Instant =>
-      Some(i.getEpochSecond * 1000000 + i.getNano / 1000)
-    case _ => None
-  }
-
-  /** ts(id) = floor(id/servers)·step ⇒ every ts bound is an exact
-    * floor(id/servers) bound ⇒ an exact id bound. Returns true when the
-    * filter is FULLY handled by the tightened range (no residual).
+  /** Delegates to [[MetricGen.tightenBounds]]; true = fully handled
+    * by the tightened range (no residual).
     */
-  private def tighten(f: Filter): Boolean = {
-    val step = 5L * 1000000
-    f match {
-      case GreaterThanOrEqual("ts", v) => tsMicros(v).exists { x =>
-        lo = math.max(lo, MetricGen.ceilDiv(x, step) * servers); true }
-      case GreaterThan("ts", v) => tsMicros(v).exists { x =>
-        lo = math.max(lo, (Math.floorDiv(x, step) + 1) * servers); true }
-      case LessThan("ts", v) => tsMicros(v).exists { x =>
-        hi = math.min(hi, MetricGen.ceilDiv(x, step) * servers); true }
-      case LessThanOrEqual("ts", v) => tsMicros(v).exists { x =>
-        hi = math.min(hi, (Math.floorDiv(x, step) + 1) * servers); true }
-      case EqualTo("ts", v) => tsMicros(v).exists { x =>
-        if (x % step == 0) {
-          val q = x / step
-          lo = math.max(lo, q * servers); hi = math.min(hi, (q + 1) * servers)
-        } else hi = lo // off-grid instant: provably empty
-        true
-      }
-      case _ => false
+  private def tighten(f: Filter): Boolean =
+    MetricGen.tightenBounds(f, lo, hi, servers) match {
+      case Some((l, h)) => lo = l; hi = h; true
+      case None => false
     }
-  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (handled, residual) = filters.partition(tighten)
@@ -222,7 +244,13 @@ private[sources] case class MetricGenPartition(start: Long, end: Long)
 
 private[sources] class MetricGenScan(lo: Long, hi: Long, servers: Long,
     slices: Int, required: StructType, rowsPerBatch: Long)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+
+  // runtime filters (DPP-style, delivered after the other join side
+  // materializes) tighten these; compile-time pushdown fixed lo/hi
+  private var curLo = lo
+  private var curHi = hi
 
   override def readSchema(): StructType = required
 
@@ -230,6 +258,27 @@ private[sources] class MetricGenScan(lo: Long, hi: Long, servers: Long,
     s"metricgen[ids $lo..$hi, ${required.fieldNames.mkString(",")}]"
 
   override def toBatch: Batch = this
+
+  /** RUNTIME filter pushdown (`SupportsRuntimeFiltering`): when this
+    * scan sits under a join whose other side carries a selective
+    * filter, Spark materializes that side first and hands the join
+    * keys here as an `In("ts", …)` before partitions are planned —
+    * dynamic partition pruning, connector-side. The IN-set is clamped
+    * to its [min, max] id range (a superset — the join re-applies
+    * exact semantics), so a dimension slice selecting one hour prunes
+    * the generated fact to that hour at RUNTIME, with zero static
+    * predicate on the fact side. Unsupported filter shapes are
+    * ignored (best-effort by contract).
+    */
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("ts"))
+
+  override def filter(filters: Array[Filter]): Unit =
+    filters.foreach { f =>
+      MetricGen.tightenBounds(f, curLo, curHi, servers).foreach {
+        case (l, h) => curLo = l; curHi = h
+      }
+    }
 
   /** Streaming facet: the same generated relation delivered as
     * micro-batches of `rowsPerBatch` ids. Offsets ARE row ids in the
@@ -251,11 +300,11 @@ private[sources] class MetricGenScan(lo: Long, hi: Long, servers: Long,
       required.fieldNames.map(MetricGen.schema.fieldIndex), rowsPerBatch)
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val n = hi - lo
+    val n = curHi - curLo
     if (n <= 0) return Array.empty
     val width = math.max(1L, MetricGen.ceilDiv(n, slices.toLong))
-    (lo until hi by width)
-      .map(s => MetricGenPartition(s, math.min(s + width, hi)): InputPartition)
+    (curLo until curHi by width)
+      .map(s => MetricGenPartition(s, math.min(s + width, curHi)): InputPartition)
       .toArray
   }
 
@@ -266,14 +315,15 @@ private[sources] class MetricGenScan(lo: Long, hi: Long, servers: Long,
   override def estimateStatistics(): Statistics = new Statistics {
     // post-pruning numbers: a tight ts slice reports small, so the
     // optimizer can broadcast the generated side
-    override def numRows(): OptionalLong = OptionalLong.of(math.max(0, hi - lo))
+    override def numRows(): OptionalLong =
+      OptionalLong.of(math.max(0, curHi - curLo))
     // ts 8B + server_id ~9B + 8B per double
     private val rowBytes = required.fields.map(_.dataType match {
       case StringType => 9L
       case _ => 8L
     }).sum
     override def sizeInBytes(): OptionalLong =
-      OptionalLong.of(math.max(0, hi - lo) * math.max(rowBytes, 1L))
+      OptionalLong.of(math.max(0, curHi - curLo) * math.max(rowBytes, 1L))
   }
 }
 

@@ -4,8 +4,8 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, IsNotNull,
-  LessThan}
+import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, In,
+  IsNotNull, LessThan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -207,6 +207,40 @@ class MetricGenSpec extends SparkSpec {
           sum(round(col("cpu_pct") * 100).cast("long")).as("cpu_centi"))
       assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
     } finally spark.sql("DROP TABLE IF EXISTS gen_sql")
+  }
+
+  test("runtime filtering: an In(ts) filter prunes partitions at execution time") {
+    // API level: the scan advertises ts and clamps to the IN-set's range
+    val b = builder(60000, 20)
+    val scan = b.build().asInstanceOf[MetricGenScan]
+    assert(scan.filterAttributes().map(_.toString).toSeq == Seq("ts"))
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("ts", Array[Any](
+        java.sql.Timestamp.valueOf("1970-01-01 02:00:00"),
+        java.sql.Timestamp.valueOf("1970-01-01 02:30:00")))))
+    val parts = scan.toBatch.planInputPartitions().toSeq
+      .map { case MetricGenPartition(s, e) => (s, e) }
+    // min 7200s → id 28800; max 9000s grid slot ends at id (1800+1)·20
+    assert(parts.head._1 == 28800 && parts.last._2 == 36020, parts)
+    assert(scan.estimateStatistics().numRows().getAsLong == 36020 - 28800)
+
+    // end to end: joining against a filtered 4-row dim triggers the
+    // DPP-style runtime filter (the plan carries dynamicpruning on the
+    // scan) and the values equal the twin join
+    val dim = spark.range(40).select(
+      expr("timestamp_seconds(id * 900)").as("ts"), (col("id") % 10).as("grp"))
+    val fact = gen(60000, 20)
+    val joined = fact.join(dim.filter(col("grp") === 2), Seq("ts"))
+      .groupBy("server_id").agg(count(lit(1)).as("n"),
+        sum(round(col("cpu_pct") * 100).cast("long")).as("cpu_centi"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan.take(800))
+    val twinJoined = twin(60000, 20).join(dim.filter(col("grp") === 2), Seq("ts"))
+      .groupBy("server_id").agg(count(lit(1)).as("n"),
+        sum(round(col("cpu_pct") * 100).cast("long")).as("cpu_centi"))
+    assert(joined.exceptAll(twinJoined).isEmpty &&
+      twinJoined.exceptAll(joined).isEmpty)
   }
 
   test("statistics report the POST-pruning row count") {
