@@ -46,23 +46,71 @@ object ScaleSweep {
         Alerts.cpuMemBoth, Alerts.cpuOnly, Alerts.memOnly))
   }
 
+  /** Synthetic corpus for the dedup sweep: 12 pseudo-words, ids mapped
+    * onto 2·|distinct| texts → ~50% true-duplicate rate (both the
+    * candidate-collision and the no-collision path stay hot at every
+    * scale). The number-vocab moduli SCALE with the corpus: real text
+    * obeys Heaps' law (shingle space grows with corpus size — measured
+    * on the fixture corpus by `q_heaps`), and a fixed-entropy synthetic
+    * corpus violates it, making unrelated texts share ever more
+    * shingles until LSH candidate volume inflates superlinearly. The
+    * first version of this sweep had exactly that bug — 2M docs cost
+    * 3.2× the 1M point — and the bent curve is precisely the signal
+    * the sweep exists to produce; the fix belongs in the WORKLOAD, not
+    * the operator.
+    */
+  def corpus(spark: org.apache.spark.sql.SparkSession, docs: Long): DataFrame = {
+    val k = pmod(col("id") * 31, lit(math.max(1L, docs / 2))) // ~2 ids per text value
+    val m = math.max(997L, docs) // Heaps-growing word vocabulary
+    spark.range(docs).select(col("id").as("doc_id"),
+      concat_ws(" ", lit("lorem"), pmod(k * 7, lit(m)), lit("ipsum"),
+        pmod(k * 13, lit(m - 6)), lit("dolor"), pmod(k * 29, lit(m - 14)),
+        lit("sit"), pmod(k * 37, lit(m - 20)), lit("amet"),
+        pmod(k * 41, lit(m - 26)), lit("sed"), pmod(k * 43, lit(m - 30)))
+        .as("text"))
+  }
+
   def main(args: Array[String]): Unit = {
+    val mode = args.headOption.filter(a => a == "monitor" || a == "dedup")
+      .getOrElse("monitor")
+    val rest = if (args.headOption.exists(a => a == "monitor" || a == "dedup"))
+      args.drop(1) else args
     val points =
-      if (args.nonEmpty) args.toSeq.map(_.toLong)
+      if (rest.nonEmpty) rest.toSeq.map(_.toLong)
+      else if (mode == "dedup") Seq(50000L, 500000L, 5000000L)
       else Seq(60000L, 600000L, 6000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.core.GraftSession.local(cpus, "graft-scalesweep")
     spark.sparkContext.setLogLevel("WARN")
-    // one warmup so point 1 isn't charged for JVM/codegen startup
-    monitorOverGen(spark, 10000, 20)
-      .write.format("noop").mode("overwrite").save()
-    points.foreach { rows =>
-      val servers = math.max(20L, rows / 2880) // fixed windows per key
-      val t0 = System.nanoTime()
-      monitorOverGen(spark, rows, servers)
+    if (mode == "dedup") {
+      // MinHash+LSH near-dup (the flagship corpus operator): banded
+      // signatures → bucket equi-join candidates → exact verify. The
+      // curve proves the banding claim — candidate volume rides the
+      // DUPLICATE structure (constant ~50% here), never |docs|².
+      graft.operators.Dedup.minhashNearDuplicates(
+          corpus(spark, 5000), "text", "doc_id")
+        .write.format("noop").mode("overwrite").save() // warmup
+      points.foreach { docs =>
+        val t0 = System.nanoTime()
+        graft.operators.Dedup.minhashNearDuplicates(
+            corpus(spark, docs), "text", "doc_id")
+          .write.format("noop").mode("overwrite").save()
+        val secs = (System.nanoTime() - t0) / 1e9
+        graft.core.CacheScope.releaseStragglers(spark)
+        println(s"""{"metric":"lsh_dedup_sweep","docs":$docs,"wall_sec":${math.round(secs * 1000) / 1000.0},"docs_per_sec":${(docs / secs).round}}""")
+      }
+    } else {
+      // one warmup so point 1 isn't charged for JVM/codegen startup
+      monitorOverGen(spark, 10000, 20)
         .write.format("noop").mode("overwrite").save()
-      val secs = (System.nanoTime() - t0) / 1e9
-      println(s"""{"metric":"monitor_pipeline_sweep","rows":$rows,"servers":$servers,"wall_sec":${math.round(secs * 1000) / 1000.0},"rows_per_sec":${(rows / secs).round}}""")
+      points.foreach { rows =>
+        val servers = math.max(20L, rows / 2880) // fixed windows per key
+        val t0 = System.nanoTime()
+        monitorOverGen(spark, rows, servers)
+          .write.format("noop").mode("overwrite").save()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(s"""{"metric":"monitor_pipeline_sweep","rows":$rows,"servers":$servers,"wall_sec":${math.round(secs * 1000) / 1000.0},"rows_per_sec":${(rows / secs).round}}""")
+      }
     }
     spark.stop()
   }
