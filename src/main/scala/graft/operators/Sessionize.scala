@@ -95,7 +95,7 @@ object Sessionize {
         (key: Long, raw: Iterator[(Long, java.sql.Timestamp)],
          state: GroupState[SessState]) =>
           val rows = raw.map { case (k, t) =>
-            (k, t.getTime * 1000 + (t.getNanos % 1000000) / 1000)
+            (k, graft.core.TimeCodec.micros(t))
           }
           if (state.hasTimedOut) {
             val s = state.get

@@ -72,8 +72,15 @@ object AuditSink {
   final case class Commit(epochId: Long, rows: Long, checksumSum: Long,
                           checksumXor: Long)
 
-  private val registry = new TrieMap[String, TrieMap[(String, Long), Commit]]()
+  // value = (arrival seq, commit): the dedup key is (queryId, epochId)
+  // but readback order is ARRIVAL — (queryId, epochId) sorts batch
+  // commits (negative descending ids) newest-first and interleaves
+  // multi-query channels by queryId string, neither of which is the
+  // "epoch-ordered" a consumer means
+  private val registry =
+    new TrieMap[String, TrieMap[(String, Long), (Long, Commit)]]()
   private val batchSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val arrivalSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Replay-idempotence is keyed (queryId, epochId): Spark's epoch ids
     * are PER QUERY RUN (a restart from a fresh checkpoint starts over
@@ -83,9 +90,10 @@ object AuditSink {
   private[sources] def record(channel: String, queryId: String,
       c: Commit): Unit = {
     val epochs = registry.getOrElseUpdate(channel,
-      new TrieMap[(String, Long), Commit]())
+      new TrieMap[(String, Long), (Long, Commit)]())
     // idempotent per (query, epoch): a replayed streaming commit no-ops
-    epochs.putIfAbsent((queryId, c.epochId), c)
+    epochs.putIfAbsent((queryId, c.epochId),
+      (arrivalSeq.incrementAndGet(), c))
   }
 
   /** Batch commits have no engine epoch; each gets a unique NEGATIVE
@@ -94,10 +102,10 @@ object AuditSink {
     */
   private[sources] def nextBatchEpoch(): Long = -batchSeq.incrementAndGet()
 
-  /** All commits of a channel, epoch-ordered. */
+  /** All commits of a channel, in ARRIVAL order. */
   def epochs(channel: String): Seq[Commit] =
     registry.get(channel)
-      .map(_.toSeq.sortBy(_._1).map(_._2)).getOrElse(Nil)
+      .map(_.values.toSeq.sortBy(_._1).map(_._2)).getOrElse(Nil)
 
   /** (total rows, combined sum-checksum, combined xor-checksum). */
   def stats(channel: String): (Long, Long, Long) = {

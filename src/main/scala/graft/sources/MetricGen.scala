@@ -108,7 +108,7 @@ object MetricGen {
 
   private[sources] def tsMicros(v: Any): Option[Long] = v match {
     case t: java.sql.Timestamp =>
-      Some(t.getTime * 1000 + (t.getNanos % 1000000) / 1000)
+      Some(graft.core.TimeCodec.micros(t))
     case i: java.time.Instant =>
       Some(i.getEpochSecond * 1000000 + i.getNano / 1000)
     case _ => None
@@ -219,9 +219,20 @@ private[sources] class MetricGenScanBuilder(options: CaseInsensitiveStringMap)
     }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (handled, residual) = filters.partition(tighten)
-    pushed = handled
-    residual // Spark keeps evaluating these above the scan
+    // In("ts", …) is PARTIALLY pushed: tightenBounds clamps to the
+    // IN-set's [min, max] grid range — a superset — so unlike the
+    // exact range shapes it MUST stay in the residual for Spark to
+    // re-apply above the scan (a filter omitted from the residual is
+    // treated as exactly applied by the source; returning a clamped
+    // superset there would silently over-return rows). The runtime
+    // path (SupportsRuntimeFiltering.filter) keeps the superset-only
+    // treatment because its join re-applies exact semantics.
+    val (partial, rest) = filters.partition(_.isInstanceOf[In])
+    partial.foreach(f => MetricGen.tightenBounds(f, lo, hi, servers)
+      .foreach { case (l, h) => lo = l; hi = h })
+    val (handled, residual) = rest.partition(tighten)
+    pushed = handled ++ partial
+    partial ++ residual // Spark keeps evaluating these above the scan
   }
 
   override def pushedFilters(): Array[Filter] = pushed

@@ -160,9 +160,8 @@ object TwsOps {
     override def handleInputRows(key: Long,
         raw: Iterator[(Long, java.sql.Timestamp)],
         tv: TimerValues): Iterator[SessOut] = {
-      val ts = raw.map { case (_, t) =>
-        t.getTime * 1000 + (t.getNanos % 1000000) / 1000
-      }.toArray
+      val ts = raw.map { case (_, t) => graft.core.TimeCodec.micros(t) }
+        .toArray
       if (ts.isEmpty) return Iterator.empty
       java.util.Arrays.sort(ts) // in-batch arrival order is not event order
       var closed = List.empty[SessOut]

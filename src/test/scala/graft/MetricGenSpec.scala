@@ -209,6 +209,20 @@ class MetricGenSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS gen_sql")
   }
 
+  test("compile-time In(ts) is only PARTIALLY pushed: clamp prunes, residual keeps semantics") {
+    // the clamp is a [min,max] superset — if pushFilters claimed it
+    // fully handled, every row in the span would leak through (found
+    // by review; this pins the fix). 2 grid instants × 20 servers:
+    val df = gen(60000, 20).filter(col("ts").isin(
+      java.sql.Timestamp.valueOf("1970-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("1970-01-01 01:00:00")))
+    assert(df.count() == 40)
+    df.collect()
+    // and the scan still pruned to the IN-set's grid span (not 0..60000)
+    assert(df.queryExecution.executedPlan.toString.contains("ids 0..14420"),
+      df.queryExecution.executedPlan.toString.take(400))
+  }
+
   test("runtime filtering: an In(ts) filter prunes partitions at execution time") {
     // API level: the scan advertises ts and clamps to the IN-set's range
     val b = builder(60000, 20)
