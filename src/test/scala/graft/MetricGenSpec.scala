@@ -146,6 +146,22 @@ class MetricGenSpec extends SparkSpec {
       }
       assert(planned == model,
         s"rows=$rows servers=$servers bound=${boundSec}s op=$op: planned $planned model $model")
+
+      // In is PARTIAL pushdown: the clamp must be a SUPERSET of the
+      // exact rows (never loses a match) and the filter must stay in
+      // the residual (never claims exactness)
+      val b2 = builder(rows, servers)
+      val inF: org.apache.spark.sql.sources.Filter = In("ts", Array[Any](
+        new java.sql.Timestamp(boundSec * 1000),
+        new java.sql.Timestamp((boundSec / 2) * 1000)))
+      assert(b2.pushFilters(Array(inF)).toSeq == Seq(inF))
+      val planned2 = plannedIds(b2).map(p => p._2 - p._1).sum
+      val model2 = (0L until rows).count { id =>
+        val t = MetricGen.tsUs(id, servers)
+        t == boundUs || t == (boundSec / 2) * 1000000
+      }
+      assert(planned2 >= model2,
+        s"rows=$rows servers=$servers In clamp lost rows: planned $planned2 model $model2")
     }
   }
 
