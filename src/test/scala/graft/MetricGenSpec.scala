@@ -273,6 +273,39 @@ class MetricGenSpec extends SparkSpec {
       twinJoined.exceptAll(joined).isEmpty)
   }
 
+  test("streaming restart resumes from the committed offset, exactly once") {
+    // exercises the offset round-trip no single run touches:
+    // deserializeOffset on recovery + commit() + the file sink's
+    // metadata log. Run 1 is stopped MID-STREAM (poll for ≥2 data
+    // batches, then stop — possibly mid-batch: the metadata log only
+    // exposes COMMITTED batches, so a torn batch must re-run, not
+    // duplicate); run 2 restarts from the checkpoint and drains.
+    val dir = java.nio.file.Files.createTempDirectory("gen-resume").toString
+    def start() = spark.readStream.format("metricgen")
+      .option("rows", 20000).option("servers", 20)
+      .option("rowsPerBatch", 500).load()
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    val q1 = start()
+    val deadline = System.currentTimeMillis + 60000
+    def committedRows() =
+      try spark.read.parquet(s"$dir/out").count() catch { case _: Exception => 0L }
+    while (committedRows() < 1000 && System.currentTimeMillis < deadline)
+      Thread.sleep(50)
+    q1.stop() // mid-stream: well under the 20000-row cap
+    val afterStop = committedRows()
+    assert(afterStop >= 1000 && afterStop < 20000, s"stopped at $afterStop")
+    val q2 = start() // same checkpoint: resumes via deserializeOffset
+    q2.processAllAvailable()
+    q2.stop()
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() == 20000) // no gaps, no duplicates
+    assert(out.exceptAll(twin(20000, 20)).isEmpty &&
+      twin(20000, 20).exceptAll(out).isEmpty)
+  }
+
   test("statistics report the POST-pruning row count") {
     val b = builder(60000, 20)
     b.pushFilters(Array[org.apache.spark.sql.sources.Filter](
