@@ -13,8 +13,10 @@ import org.apache.spark.sql.connector.expressions.{Expressions,
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics,
   SupportsPushDownFilters, SupportsPushDownLimit,
-  SupportsPushDownRequiredColumns, SupportsReportStatistics,
-  SupportsRuntimeFiltering}
+  SupportsPushDownAggregates, SupportsPushDownRequiredColumns,
+  SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation,
+  CountStar, Max => AggMax, Min => AggMin}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream,
   Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
@@ -41,6 +43,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    2-field rows (ReadSchema in the plan shows it).
   *  - **Limit pushdown** (`SupportsPushDownLimit`): LIMIT n caps the
   *    planned id range itself.
+  *  - **COMPLETE aggregate pushdown** (`SupportsPushDownAggregates`):
+  *    ungrouped COUNT(*)/MIN(ts)/MAX(ts) are closed-form over the
+  *    (filter-clamped) id range — the scan answers them in one
+  *    zero-generation row, the connector-side equivalent of
+  *    metadata-only parquet footers.
   *  - **Statistics** (`SupportsReportStatistics`): row count and byte
   *    size AFTER pruning, so the optimizer can (e.g.) pick a broadcast
   *    join when a tight ts slice makes the generated side small.
@@ -183,7 +190,8 @@ private[sources] object MetricGenTable {
 
 private[sources] class MetricGenScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private val rows = options.getLong("rows", 28800L)
   private val servers = options.getLong("servers", 20L)
@@ -245,9 +253,95 @@ private[sources] class MetricGenScanBuilder(options: CaseInsensitiveStringMap)
     true
   }
 
-  override def build(): Scan =
-    new MetricGenScan(math.min(lo, hi), hi, servers, slices, required,
-      options.getLong("rowsPerBatch", 100000L))
+  // COMPLETE aggregate pushdown: COUNT(*) / MIN(ts) / MAX(ts) with no
+  // grouping are CLOSED-FORM over the (already filter-clamped) id
+  // range — count = hi−lo, min = ts(lo), max = ts(hi−1) — so the
+  // query answers without generating a single data row. Safe to
+  // compose with the In partial pushdown because Spark only pushes an
+  // aggregate when NO residual Filter sits between it and the scan
+  // (a residual would have to run on unaggregated rows).
+  private var aggKinds: Option[Seq[String]] = None
+
+  private def isTs(e: org.apache.spark.sql.connector.expressions.Expression) =
+    e match {
+      case nr: NamedReference => nr.fieldNames.sameElements(Array("ts"))
+      case _ => false
+    }
+
+  private def translate(agg: Aggregation): Option[Seq[String]] = {
+    if (agg.groupByExpressions.nonEmpty) return None
+    val kinds = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => "count"
+      case m: AggMin if isTs(m.column) => "min_ts"
+      case m: AggMax if isTs(m.column) => "max_ts"
+      case _ => return None
+    }
+    Some(kinds)
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translate(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    translate(agg) match {
+      case Some(kinds) => aggKinds = Some(kinds); true
+      case None => false
+    }
+
+  override def build(): Scan = aggKinds match {
+    case Some(kinds) =>
+      new MetricGenAggScan(math.min(lo, hi), hi, servers, kinds)
+    case None =>
+      new MetricGenScan(math.min(lo, hi), hi, servers, slices, required,
+        options.getLong("rowsPerBatch", 100000L))
+  }
+}
+
+/** The closed-form aggregate scan: one partition, one row, zero data
+  * generated. Empty range follows global-aggregate-over-empty-input
+  * semantics: count 0, min/max NULL.
+  */
+private[sources] class MetricGenAggScan(lo: Long, hi: Long, servers: Long,
+    kinds: Seq[String]) extends Scan with Batch {
+
+  override def readSchema(): StructType = StructType(kinds.map {
+    case "count" => StructField("count", LongType, nullable = false)
+    case "min_ts" => StructField("min_ts", TimestampType, nullable = true)
+    case "max_ts" => StructField("max_ts", TimestampType, nullable = true)
+  })
+
+  override def description(): String =
+    s"metricgen[agg-pushed ${kinds.mkString(",")}, ids $lo..$hi]"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(MetricGenPartition(lo, hi))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MetricGenAggReaderFactory(servers, kinds.toArray)
+}
+
+private[sources] class MetricGenAggReaderFactory(servers: Long,
+    kinds: Array[String]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[MetricGenPartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = !emitted && { emitted = true; true }
+      override def get(): InternalRow = {
+        val n = math.max(0L, part.end - part.start)
+        new GenericInternalRow(kinds.map {
+          case "count" => n: Any
+          case "min_ts" =>
+            if (n == 0) null else MetricGen.tsUs(part.start, servers): Any
+          case "max_ts" =>
+            if (n == 0) null else MetricGen.tsUs(part.end - 1, servers): Any
+        })
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 private[sources] case class MetricGenPartition(start: Long, end: Long)

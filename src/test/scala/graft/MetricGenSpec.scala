@@ -306,6 +306,40 @@ class MetricGenSpec extends SparkSpec {
       twin(20000, 20).exceptAll(out).isEmpty)
   }
 
+  test("aggregate pushdown: COUNT/MIN(ts)/MAX(ts) answer closed-form, zero rows generated") {
+    // plain count: closed form over the id range
+    val cnt = gen(60000, 20).groupBy().count()
+    assert(cnt.head().getLong(0) == 60000)
+    assert(cnt.queryExecution.executedPlan.toString.contains("agg-pushed"),
+      cnt.queryExecution.executedPlan.toString.take(400))
+
+    // min/max ts compose with the FILTER clamp: still closed form
+    val mm = gen(60000, 20).filter(col("ts") >= "1970-01-01 02:00:00")
+      .agg(count(lit(1)).as("n"), min("ts").as("lo"), max("ts").as("hi"))
+    val r = mm.head()
+    assert(r.getLong(0) == 31200)
+    assert(r.getTimestamp(1) == java.sql.Timestamp.valueOf("1970-01-01 02:00:00"))
+    assert(r.getTimestamp(2) == java.sql.Timestamp.valueOf("1970-01-01 04:09:55"))
+    assert(mm.queryExecution.executedPlan.toString.contains("agg-pushed"))
+
+    // empty range: global-agg-over-empty semantics (0, null, null)
+    val empty = gen(60000, 20).filter(col("ts") >= "1970-01-02 00:00:00")
+      .agg(count(lit(1)).as("n"), min("ts").as("lo"))
+    val er = empty.head()
+    assert(er.getLong(0) == 0 && er.isNullAt(1))
+
+    // non-pushable shapes fall back to the generating scan, still exact
+    val sumDf = gen(2000, 20).agg(
+      sum(round(col("cpu_pct") * 100).cast("long")).as("s"))
+    assert(!sumDf.queryExecution.executedPlan.toString.contains("agg-pushed"))
+    val twinSum = twin(2000, 20).agg(
+      sum(round(col("cpu_pct") * 100).cast("long")).as("s"))
+    assert(sumDf.head().getLong(0) == twinSum.head().getLong(0))
+    val grouped = gen(2000, 20).groupBy("server_id").count()
+    assert(!grouped.queryExecution.executedPlan.toString.contains("agg-pushed"))
+    assert(grouped.count() == 20)
+  }
+
   test("statistics report the POST-pruning row count") {
     val b = builder(60000, 20)
     b.pushFilters(Array[org.apache.spark.sql.sources.Filter](
