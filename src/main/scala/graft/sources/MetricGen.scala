@@ -302,13 +302,25 @@ private[sources] class MetricGenScanBuilder(options: CaseInsensitiveStringMap)
   * semantics: count 0, min/max NULL.
   */
 private[sources] class MetricGenAggScan(lo: Long, hi: Long, servers: Long,
-    kinds: Seq[String]) extends Scan with Batch {
+    kinds: Seq[String]) extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = StructType(kinds.map {
     case "count" => StructField("count", LongType, nullable = false)
     case "min_ts" => StructField("min_ts", TimestampType, nullable = true)
     case "max_ts" => StructField("max_ts", TimestampType, nullable = true)
   })
+
+  // without this, pushing the aggregate would REPLACE a 1-row-estimated
+  // Aggregate node with a scan whose size falls back to
+  // defaultSizeInBytes (Long.MaxValue) — flipping broadcast joins over
+  // the aggregated side to sort-merge/cartesian and making the
+  // "optimization" a regression (review finding; the whole point of
+  // the closed form is that the result IS one tiny row)
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def numRows(): OptionalLong = OptionalLong.of(1L)
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(8L * math.max(1, kinds.size))
+  }
 
   override def description(): String =
     s"metricgen[agg-pushed ${kinds.mkString(",")}, ids $lo..$hi]"

@@ -37,6 +37,12 @@ class MetricGenSpec extends SparkSpec {
       (col("id") * 13 % 2000000 / 100.0).as("net_out"),
       (col("id") * 29 % 1000000 / 100.0).as("disk_io"))
 
+  /** Epoch-based Timestamp: immune to the JVM default timezone
+    * (Timestamp.valueOf parses in JVM-default tz while the session is
+    * pinned UTC — a non-UTC machine would shift every literal).
+    */
+  private def tsAt(epochSec: Long) = new java.sql.Timestamp(epochSec * 1000)
+
   private def builder(rows: Long, servers: Long) =
     new MetricGenScanBuilder(new CaseInsensitiveStringMap(
       Map("rows" -> rows.toString, "servers" -> servers.toString).asJava))
@@ -56,8 +62,8 @@ class MetricGenSpec extends SparkSpec {
     // 60000 rows, 20 servers: ts >= 02:00:00 ⇔ id >= 1440·20 = 28800
     val b = builder(60000, 20)
     val residual = b.pushFilters(Array[org.apache.spark.sql.sources.Filter](
-      GreaterThanOrEqual("ts", java.sql.Timestamp.valueOf("1970-01-01 02:00:00")),
-      LessThan("ts", java.sql.Timestamp.valueOf("1970-01-01 03:00:00")),
+      GreaterThanOrEqual("ts", tsAt(7200)),
+      LessThan("ts", tsAt(10800)),
       IsNotNull("ts")))
     assert(residual.toSeq == Seq(IsNotNull("ts"))) // not a range: stays residual
     assert(b.pushedFilters().length == 2)
@@ -80,7 +86,7 @@ class MetricGenSpec extends SparkSpec {
   test("off-grid ts equality is provably empty at the source") {
     val b = builder(60000, 20)
     b.pushFilters(Array[org.apache.spark.sql.sources.Filter](
-      EqualTo("ts", java.sql.Timestamp.valueOf("1970-01-01 00:00:01"))))
+      EqualTo("ts", tsAt(1))))
     assert(plannedIds(b).isEmpty)
     assert(gen(60000, 20)
       .filter(col("ts") === "1970-01-01 00:00:01").count() == 0)
@@ -155,13 +161,14 @@ class MetricGenSpec extends SparkSpec {
         new java.sql.Timestamp(boundSec * 1000),
         new java.sql.Timestamp((boundSec / 2) * 1000)))
       assert(b2.pushFilters(Array(inF)).toSeq == Seq(inF))
-      val planned2 = plannedIds(b2).map(p => p._2 - p._1).sum
-      val model2 = (0L until rows).count { id =>
+      val ranges = plannedIds(b2)
+      val lost = (0L until rows).filter { id =>
         val t = MetricGen.tsUs(id, servers)
-        t == boundUs || t == (boundSec / 2) * 1000000
+        (t == boundUs || t == (boundSec / 2) * 1000000) &&
+          !ranges.exists(r => id >= r._1 && id < r._2)
       }
-      assert(planned2 >= model2,
-        s"rows=$rows servers=$servers In clamp lost rows: planned $planned2 model $model2")
+      assert(lost.isEmpty, // superset must contain EVERY matching id
+        s"rows=$rows servers=$servers In clamp lost ids $lost of ranges $ranges")
     }
   }
 
@@ -229,9 +236,7 @@ class MetricGenSpec extends SparkSpec {
     // the clamp is a [min,max] superset — if pushFilters claimed it
     // fully handled, every row in the span would leak through (found
     // by review; this pins the fix). 2 grid instants × 20 servers:
-    val df = gen(60000, 20).filter(col("ts").isin(
-      java.sql.Timestamp.valueOf("1970-01-01 00:00:00"),
-      java.sql.Timestamp.valueOf("1970-01-01 01:00:00")))
+    val df = gen(60000, 20).filter(col("ts").isin(tsAt(0), tsAt(3600)))
     assert(df.count() == 40)
     df.collect()
     // and the scan still pruned to the IN-set's grid span (not 0..60000)
@@ -245,9 +250,7 @@ class MetricGenSpec extends SparkSpec {
     val scan = b.build().asInstanceOf[MetricGenScan]
     assert(scan.filterAttributes().map(_.toString).toSeq == Seq("ts"))
     scan.filter(Array[org.apache.spark.sql.sources.Filter](
-      In("ts", Array[Any](
-        java.sql.Timestamp.valueOf("1970-01-01 02:00:00"),
-        java.sql.Timestamp.valueOf("1970-01-01 02:30:00")))))
+      In("ts", Array[Any](tsAt(7200), tsAt(9000)))))
     val parts = scan.toBatch.planInputPartitions().toSeq
       .map { case MetricGenPartition(s, e) => (s, e) }
     // min 7200s → id 28800; max 9000s grid slot ends at id (1800+1)·20
@@ -276,28 +279,29 @@ class MetricGenSpec extends SparkSpec {
   test("streaming restart resumes from the committed offset, exactly once") {
     // exercises the offset round-trip no single run touches:
     // deserializeOffset on recovery + commit() + the file sink's
-    // metadata log. Run 1 is stopped MID-STREAM (poll for ≥2 data
-    // batches, then stop — possibly mid-batch: the metadata log only
-    // exposes COMMITTED batches, so a torn batch must re-run, not
-    // duplicate); run 2 restarts from the checkpoint and drains.
+    // metadata log. Run 1 is DETERMINISTICALLY partial — endSec caps
+    // its offset range at the half-way grid slot (the Kafka
+    // endingOffsets shape), so it quiesces mid-corpus with no poll
+    // race; run 2 reopens WITHOUT the cap on the same checkpoint and
+    // must continue from the committed id, not restart or overlap.
     val dir = java.nio.file.Files.createTempDirectory("gen-resume").toString
-    def start() = spark.readStream.format("metricgen")
-      .option("rows", 20000).option("servers", 20)
-      .option("rowsPerBatch", 500).load()
-      .writeStream.format("parquet")
-      .option("path", s"$dir/out")
-      .option("checkpointLocation", s"$dir/ckpt")
-      .outputMode("append").start()
-    val q1 = start()
-    val deadline = System.currentTimeMillis + 60000
-    def committedRows() =
-      try spark.read.parquet(s"$dir/out").count() catch { case _: Exception => 0L }
-    while (committedRows() < 1000 && System.currentTimeMillis < deadline)
-      Thread.sleep(50)
-    q1.stop() // mid-stream: well under the 20000-row cap
-    val afterStop = committedRows()
-    assert(afterStop >= 1000 && afterStop < 20000, s"stopped at $afterStop")
-    val q2 = start() // same checkpoint: resumes via deserializeOffset
+    def start(endSec: Option[Long]) = {
+      val r = spark.readStream.format("metricgen")
+        .option("rows", 20000).option("servers", 20)
+        .option("rowsPerBatch", 500)
+      endSec.foreach(e => r.option("endSec", e))
+      r.load()
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode("append").start()
+    }
+    // 20000 rows / 20 servers = grid slots 0..999; cap at slot 500
+    val q1 = start(Some(2500)) // 2500s / 5s = slot 500 ⇒ ids < 10000
+    q1.processAllAvailable()
+    q1.stop()
+    assert(spark.read.parquet(s"$dir/out").count() == 10000)
+    val q2 = start(None) // same checkpoint: resumes via deserializeOffset
     q2.processAllAvailable()
     q2.stop()
     val out = spark.read.parquet(s"$dir/out")
@@ -315,12 +319,25 @@ class MetricGenSpec extends SparkSpec {
 
     // min/max ts compose with the FILTER clamp: still closed form
     val mm = gen(60000, 20).filter(col("ts") >= "1970-01-01 02:00:00")
-      .agg(count(lit(1)).as("n"), min("ts").as("lo"), max("ts").as("hi"))
+      .agg(count(lit(1)).as("n"),
+        expr("unix_micros(min(ts))").as("lo"),
+        expr("unix_micros(max(ts))").as("hi"))
     val r = mm.head()
     assert(r.getLong(0) == 31200)
-    assert(r.getTimestamp(1) == java.sql.Timestamp.valueOf("1970-01-01 02:00:00"))
-    assert(r.getTimestamp(2) == java.sql.Timestamp.valueOf("1970-01-01 04:09:55"))
+    assert(r.getLong(1) == 7200L * 1000000)   // 02:00:00 UTC
+    assert(r.getLong(2) == 14995L * 1000000)  // 04:09:55 UTC
     assert(mm.queryExecution.executedPlan.toString.contains("agg-pushed"))
+
+    // the safety claim the pushdown rests on, PINNED: an aggregate
+    // above the partially-pushed In residual must NOT push (a pushed
+    // COUNT would silently return the clamp-superset count). Verified
+    // against Spark 4.1.2 (V2ScanRelationPushDown requires zero
+    // residual filters); this assertion catches any future engine or
+    // pushFilters change that breaks the invariant.
+    val inCnt = gen(60000, 20).filter(col("ts").isin(tsAt(0), tsAt(3600)))
+      .groupBy().count()
+    assert(inCnt.head().getLong(0) == 40) // exact, not the 14420 superset
+    assert(!inCnt.queryExecution.executedPlan.toString.contains("agg-pushed"))
 
     // empty range: global-agg-over-empty semantics (0, null, null)
     val empty = gen(60000, 20).filter(col("ts") >= "1970-01-02 00:00:00")
@@ -343,7 +360,7 @@ class MetricGenSpec extends SparkSpec {
   test("statistics report the POST-pruning row count") {
     val b = builder(60000, 20)
     b.pushFilters(Array[org.apache.spark.sql.sources.Filter](
-      GreaterThanOrEqual("ts", java.sql.Timestamp.valueOf("1970-01-01 02:00:00"))))
+      GreaterThanOrEqual("ts", tsAt(7200))))
     val stats = b.build().asInstanceOf[MetricGenScan].estimateStatistics()
     assert(stats.numRows().getAsLong == 60000 - 28800)
     assert(stats.sizeInBytes().getAsLong > 0)
