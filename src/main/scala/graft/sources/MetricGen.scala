@@ -441,7 +441,45 @@ private[sources] class MetricGenScan(lo: Long, hi: Long, servers: Long,
     }).sum
     override def sizeInBytes(): OptionalLong =
       OptionalLong.of(math.max(0, curHi - curLo) * math.max(rowBytes, 1L))
+
+    // per-column statistics are closed-form too: ts ndv = grid slots
+    // in the clamped range with exact micros bounds (internal long
+    // form), server_id ndv = the fleet size a contiguous id span
+    // covers. CBO-grade inputs for join-selectivity estimates, exact
+    // rather than sampled.
+    override def columnStats(): java.util.Map[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val span = math.max(0, curHi - curLo)
+      val m = new java.util.HashMap[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      if (span > 0 && required.fieldNames.contains("ts")) {
+        val slots =
+          Math.floorDiv(curHi - 1, servers) - Math.floorDiv(curLo, servers) + 1
+        m.put(Expressions.column("ts"), new ColStats(slots,
+          Some(MetricGen.tsUs(curLo, servers)),
+          Some(MetricGen.tsUs(curHi - 1, servers))))
+      }
+      if (span > 0 && required.fieldNames.contains("server_id"))
+        m.put(Expressions.column("server_id"),
+          new ColStats(math.min(servers, span), None, None))
+      m
+    }
   }
+}
+
+/** Exact closed-form column stats (ndv + optional internal-form
+  * min/max).
+  */
+private[sources] class ColStats(ndv: Long, lo: Option[Long], hi: Option[Long])
+    extends org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+  override def distinctCount(): OptionalLong = OptionalLong.of(ndv)
+  override def nullCount(): OptionalLong = OptionalLong.of(0L)
+  override def min(): java.util.Optional[Object] =
+    lo.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+      .getOrElse(java.util.Optional.empty[Object]())
+  override def max(): java.util.Optional[Object] =
+    hi.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+      .getOrElse(java.util.Optional.empty[Object]())
 }
 
 private[sources] case class GenOffset(id: Long) extends Offset {

@@ -357,12 +357,23 @@ class MetricGenSpec extends SparkSpec {
     assert(grouped.count() == 20)
   }
 
-  test("statistics report the POST-pruning row count") {
+  test("statistics report the POST-pruning row count and closed-form column stats") {
     val b = builder(60000, 20)
     b.pushFilters(Array[org.apache.spark.sql.sources.Filter](
       GreaterThanOrEqual("ts", tsAt(7200))))
     val stats = b.build().asInstanceOf[MetricGenScan].estimateStatistics()
     assert(stats.numRows().getAsLong == 60000 - 28800)
     assert(stats.sizeInBytes().getAsLong > 0)
+    // column stats: ts ndv = grid slots 1440..2999 (1560 of them) with
+    // exact micros bounds; server_id ndv = full fleet (span ≥ servers)
+    val cs = stats.columnStats()
+    val tsStats = cs.get(org.apache.spark.sql.connector.expressions
+      .Expressions.column("ts"))
+    assert(tsStats.distinctCount().getAsLong == 1560)
+    assert(tsStats.min().get() == 7200L * 1000000)
+    assert(tsStats.max().get() == 14995L * 1000000)
+    val sidStats = cs.get(org.apache.spark.sql.connector.expressions
+      .Expressions.column("server_id"))
+    assert(sidStats.distinctCount().getAsLong == 20)
   }
 }
