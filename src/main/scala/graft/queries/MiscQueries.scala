@@ -34,6 +34,20 @@ object MiscQueries {
           sum(round(col("net_in") * 100).cast("long")).as("net_centi"),
           max(col("ts")).cast("long").as("last_ts"))),
 
+    // The metricgen COMPLETE aggregate pushdown end to end: ungrouped
+    // count/min/max over a pushed ts filter answer CLOSED-FORM in one
+    // zero-generation row (the plan's scan is `agg-pushed`); the
+    // oracle recomputes over range(), so the hash gate proves the
+    // closed forms equal the real aggregation. Epoch-micros output on
+    // both sides (TZ-independent, same rule as q_gen_scan).
+    "q_gen_agg" -> ((s, _) =>
+      s.read.format("metricgen")
+        .option("rows", 60000).option("servers", 20).load()
+        .filter(col("ts") >= "1970-01-01 02:00:00")
+        .agg(count(lit(1)).as("n"),
+          expr("unix_micros(min(ts))").as("first_us"),
+          expr("unix_micros(max(ts))").as("last_us"))),
+
     // Sessionization: per-user sessions at a 2h silence gap over the
     // events log (native session_window; gaps-and-islands oracle).
     "q_session_windows" -> ((s, d) =>
@@ -603,6 +617,18 @@ object MiscQueries {
   }.mkString("(", " | ", ")")
 
   val oracles: Map[String, String] = Map(
+    // regenerates the feed and re-aggregates for real — the engine
+    // side answers closed-form without generating rows; equality IS
+    // the pushdown's correctness proof
+    "q_gen_agg" ->
+      """WITH g AS (
+        |  SELECT to_timestamp((id // 20) * 5) AS ts
+        |  FROM range(60000) t(id))
+        |SELECT COUNT(*) AS n,
+        |  CAST(epoch_us(MIN(ts)) AS BIGINT) AS first_us,
+        |  CAST(epoch_us(MAX(ts)) AS BIGINT) AS last_us
+        |FROM g WHERE epoch(ts) >= 7200""".stripMargin,
+
     // regenerates the metricgen feed over range(): same id formulas,
     // same exact-integer extraction — the hash gate proves source
     // generation + pushdown returns exactly the declared relation
