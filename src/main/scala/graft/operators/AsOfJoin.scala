@@ -1,8 +1,11 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.PlanBridge
+import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy}
 
 /** As-of (point-in-time) join: for each probe row, the most recent
   * state row with the same key and state.ts <= probe.ts — the classic
@@ -62,5 +65,54 @@ object AsOfJoin {
       .filter(col("_tag") === 1)
       .select(probeCols.map(col) ++
         payloadCols.map(c => col("_carry").getField(c).as(s"asof_$c")): _*)
+  }
+
+  /** The same as-of semantics through the library's custom PHYSICAL
+    * operator ([[graft.plans.AsOfJoinExec]], a sorted-merge pass
+    * planned from [[graft.plans.AsOfJoinPlan]] by
+    * [[graft.plans.AsOfJoinStrategy]]) — preference-order (c) where
+    * [[asOf]] is preference-order (a); both are cross-gated on the
+    * same DuckDB `ASOF JOIN` oracle.
+    *
+    * Output matches [[asOf]]: all probe columns, then one
+    * `asof_<payload>` column per payload. Ties on state (key, ts)
+    * resolve arbitrarily (sort-order-last) — pre-aggregate states when
+    * determinism matters, as the shipped queries do.
+    *
+    * Scale: two shuffle+sorts on (keys) — the exact cost of the
+    * sort-merge equi-join Spark would plan for the same keys — then a
+    * single O(|probes| + |states|) merge with one retained row of
+    * state, versus the composition's window over the UNION of both
+    * sides. At 100 TB the windowed form pays sort + carry over
+    * |probes| + |states| rows per key; this pays the same sorts but no
+    * union materialization and no window frame machinery.
+    *
+    * @param inner drop unmatched probes (DuckDB `ASOF JOIN`) instead
+    *              of null-extending them (`ASOF LEFT JOIN`, default)
+    */
+  def asOfExec(probes: DataFrame, states: DataFrame, keys: Seq[String],
+               tsCol: String, payloadCols: Seq[String],
+               inner: Boolean = false): DataFrame = {
+    val spark = probes.sparkSession
+    PlanBridge.ensureStrategy(spark, AsOfJoinStrategy)
+    // Re-alias EVERY right column: collision-free names against the
+    // probe side and fresh exprIds, so probes/states may share a scan
+    // (self-as-of) without ambiguous attributes in the custom node.
+    val rightSel = states.select(
+      keys.map(k => col(k).as(s"_rk_$k")) ++
+        Seq(col(tsCol).as("_rts")) ++
+        payloadCols.map(c => col(c).as(s"asof_$c")): _*)
+    val lPlan = probes.queryExecution.analyzed
+    val rPlan = rightSel.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String) = p.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"as-of join: no column '$n'"))
+    val lKeys = keys.map(attr(lPlan, _))
+    val rKeys = keys.map(k => attr(rPlan, s"_rk_$k"))
+    require(lKeys.map(_.dataType) == rKeys.map(_.dataType),
+      s"as-of join key types differ: ${lKeys.map(_.dataType)} vs ${rKeys.map(_.dataType)}")
+    val node = AsOfJoinPlan(lPlan, rPlan, lKeys, rKeys,
+      attr(lPlan, tsCol), attr(rPlan, "_rts"), isLeftOuter = !inner)
+    PlanBridge.ofRows(spark, node)
+      .select(probes.columns.map(col) ++ payloadCols.map(c => col(s"asof_$c")): _*)
   }
 }

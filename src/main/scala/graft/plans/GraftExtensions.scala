@@ -17,11 +17,13 @@ import graft.functions._
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.plans.GraftExtensions`.
   *
-  * Also injects [[RangeJoinRewrite]] (opt-in via
-  * `spark.graft.rangeJoin.binWidth`; a no-op otherwise) — the one
-  * Rule[LogicalPlan] this library ships. The reference surface itself
-  * needs none (SURVEY.md §4): every rewrite it relies on is built-in
-  * Catalyst behavior.
+  * Also injects the library's plan-level surface: the optimizer rules
+  * [[RangeJoinRewrite]] (opt-in via `spark.graft.rangeJoin.binWidth`;
+  * a no-op otherwise) and [[DecodePruneRule]], plus
+  * [[AsOfJoinStrategy]], the planner strategy for the custom
+  * [[AsOfJoinPlan]] sorted-merge as-of join. The reference surface
+  * itself needs none of these (SURVEY.md §4): every rewrite it relies
+  * on is built-in Catalyst behavior.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -29,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.all.foreach(e.injectFunction)
     e.injectOptimizerRule(_ => new RangeJoinRewrite)
     e.injectOptimizerRule(_ => DecodePruneRule)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
 

@@ -114,6 +114,25 @@ object TpchQueries {
         .withColumnRenamed("asof_sval", "asof_value")
     }),
 
+    // The as-of join again, through the custom PHYSICAL operator
+    // (AsOfJoinPlan -> AsOfJoinStrategy -> AsOfJoinExec sorted-merge):
+    // every event picks up the user's most recent purchase amount
+    // at-or-before its timestamp, INNER form (unmatched probes drop) to
+    // cover the path q_asof_join's outer composition doesn't. States
+    // are pre-aggregated to unique (user_id, ts) so the at-ts tie-break
+    // is deterministic in both engines.
+    // Oracle: DuckDB's native ASOF JOIN.
+    "q_asof_exec" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val probes = ev.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"))
+      val states = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("pval"))
+      graft.operators.AsOfJoin.asOfExec(probes, states, Seq("user_id"), "ts",
+          Seq("pval"), inner = true)
+        .withColumnRenamed("asof_pval", "asof_purchase")
+    }),
+
     // Semi/anti joins (EXISTS / NOT EXISTS): customers partitioned by
     // whether they have any urgent order. Broadcast the filtered orders.
     "q_semi_anti" -> ((s, d) => {
@@ -368,6 +387,15 @@ object TpchQueries {
         |           WHERE event_type = 'signup')
         |SELECT p.event_id, p.ts, p.user_id, p.value, s.sval AS asof_value
         |FROM probes p ASOF LEFT JOIN states s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts""".stripMargin,
+
+    "q_asof_exec" ->
+      """WITH probes AS (SELECT event_id, ts, user_id, event_type FROM events),
+        |states AS (SELECT user_id, ts, max(value) AS pval FROM events
+        |           WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT p.event_id, p.ts, p.user_id, p.event_type,
+        |  s.pval AS asof_purchase
+        |FROM probes p ASOF JOIN states s
         |  ON p.user_id = s.user_id AND p.ts >= s.ts""".stripMargin,
 
     "q_semi_anti" ->

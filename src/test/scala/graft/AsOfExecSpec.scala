@@ -1,0 +1,150 @@
+package graft
+
+import java.sql.Timestamp
+import scala.util.Random
+import org.apache.spark.sql.functions._
+import graft.operators.AsOfJoin
+
+/** The custom physical as-of join (AsOfJoinPlan → AsOfJoinStrategy →
+  * AsOfJoinExec) against the window-composition twin and hand-computed
+  * fixtures: same semantics, independent execution paths.
+  */
+class AsOfExecSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000)
+
+  test("physical as-of join matches the hand-computed fixture (outer)") {
+    val probes = Seq(
+      (1L, ts(50), "u1", 0.5),   // before any state → null
+      (2L, ts(100), "u1", 0.6),  // exactly at state(100) → 10.0
+      (3L, ts(150), "u1", 0.7),  // between → 10.0
+      (4L, ts(250), "u1", 0.8),  // after state(200) → 20.0
+      (5L, ts(250), "u2", 0.9)   // other key, no states → null
+    ).toDF("event_id", "ts", "user_id", "value")
+    val states = Seq(
+      ("u1", ts(100), 10.0), ("u1", ts(200), 20.0)
+    ).toDF("user_id", "ts", "sval")
+
+    val out = AsOfJoin.asOfExec(probes, states, Seq("user_id"), "ts", Seq("sval"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(4))).toMap
+    assert(out(1L).isEmpty)
+    assert(out(2L).contains(10.0))
+    assert(out(3L).contains(10.0))
+    assert(out(4L).contains(20.0))
+    assert(out(5L).isEmpty)
+  }
+
+  test("inner form drops unmatched probes; outer keeps them") {
+    val probes = Seq(
+      (1L, ts(10), "u1", 0.0), (2L, ts(300), "u1", 0.0),
+      (3L, ts(300), "zz", 0.0)
+    ).toDF("event_id", "ts", "user_id", "value")
+    val states = Seq(("u1", ts(100), 1.0)).toDF("user_id", "ts", "sval")
+
+    val inner = AsOfJoin.asOfExec(probes, states, Seq("user_id"), "ts",
+      Seq("sval"), inner = true)
+    assert(inner.select("event_id").as[Long].collect().toSet == Set(2L))
+    val outer = AsOfJoin.asOfExec(probes, states, Seq("user_id"), "ts", Seq("sval"))
+    assert(outer.count() == 3)
+  }
+
+  test("physical ≡ composition on randomized data (ties, gaps, missing keys)") {
+    val rnd = new Random(42)
+    val probes = Seq.tabulate(600) { i =>
+      (i.toLong, ts(rnd.nextInt(50)), s"k${rnd.nextInt(25)}", rnd.nextDouble())
+    }.toDF("event_id", "ts", "user_id", "value")
+    // states distinct on (key, ts): at-ts ties across engines are
+    // deterministic only with a unique state per (key, ts)
+    val states = Seq.tabulate(400) { i =>
+      (s"k${rnd.nextInt(30)}", ts(rnd.nextInt(50)), i.toDouble)
+    }.distinct.groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
+      .toDF("user_id", "ts", "sval")
+
+    val viaExec = AsOfJoin.asOfExec(probes, states, Seq("user_id"), "ts", Seq("sval"))
+    val viaWindow = AsOfJoin.asOf(probes, states, Seq("user_id"), "ts", Seq("sval"))
+    val a = viaExec.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val b = viaWindow.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(a.length == 600)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("NULL keys and NULL times never match (SQL equality semantics)") {
+    val probes = Seq(
+      (1L, Some(ts(100)), Some("u1")),
+      (2L, Some(ts(100)), Option.empty[String]), // null key probe
+      (3L, Option.empty[Timestamp], Some("u1"))  // null time probe
+    ).toDF("event_id", "ts", "user_id")
+    val states = Seq(
+      (Some("u1"), Some(ts(50)), 1.0),
+      (Option.empty[String], Some(ts(10)), 2.0), // null key state
+      (Some("u1"), Option.empty[Timestamp], 3.0) // null time state
+    ).toDF("user_id", "ts", "sval")
+
+    val out = AsOfJoin.asOfExec(probes, states, Seq("user_id"), "ts", Seq("sval"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(out(1L).contains(1.0)) // matches only the non-null state
+    assert(out(2L).isEmpty)
+    assert(out(3L).isEmpty)
+  }
+
+  test("multi-column keys co-partition and merge correctly") {
+    val probes = Seq(
+      (1L, ts(100), "a", 1, 0.0), (2L, ts(100), "a", 2, 0.0),
+      (3L, ts(100), "b", 1, 0.0)
+    ).toDF("event_id", "ts", "k1", "k2", "value")
+    val states = Seq(
+      ("a", 1, ts(90), 11.0), ("a", 2, ts(90), 12.0), ("b", 2, ts(90), 22.0)
+    ).toDF("k1", "k2", "ts", "sval")
+
+    val out = AsOfJoin.asOfExec(probes, states, Seq("k1", "k2"), "ts", Seq("sval"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(5))).toMap
+    assert(out(1L).contains(11.0))
+    assert(out(2L).contains(12.0))
+    assert(out(3L).isEmpty) // (b,1) has no state
+  }
+
+  test("empty state side: outer null-extends every probe") {
+    val probes = Seq((1L, ts(1), "u1", 0.0)).toDF("event_id", "ts", "user_id", "value")
+    val states = Seq.empty[(String, Timestamp, Double)].toDF("user_id", "ts", "sval")
+    val out = AsOfJoin.asOfExec(probes, states, Seq("user_id"), "ts", Seq("sval"))
+    assert(out.count() == 1)
+    assert(out.filter(col("asof_sval").isNull).count() == 1)
+  }
+
+  test("the plan actually contains the custom operator and co-partitioning sorts") {
+    val probes = Seq((1L, ts(1), "u1", 0.0)).toDF("event_id", "ts", "user_id", "value")
+    val states = Seq(("u1", ts(1), 1.0)).toDF("user_id", "ts", "sval")
+    val df = AsOfJoin.asOfExec(probes, states, Seq("user_id"), "ts", Seq("sval"))
+    df.collect() // finalize any adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"custom node missing from plan:\n$plan")
+  }
+
+  test("self-as-of over one scan: shared attribute ids are de-conflicted") {
+    val ev = Seq(
+      (1L, ts(10), "u1", "signup", 5.0),
+      (2L, ts(20), "u1", "click", 0.0),
+      (3L, ts(30), "u1", "signup", 7.0),
+      (4L, ts(40), "u1", "click", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val probes = ev.select("event_id", "ts", "user_id")
+    val states = ev.filter($"event_type" === "signup")
+      .select($"user_id", $"ts", $"value".as("sval"))
+    val out = AsOfJoin.asOfExec(probes, states, Seq("user_id"), "ts", Seq("sval"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(out(1L).contains(5.0))
+    assert(out(2L).contains(5.0))
+    assert(out(3L).contains(7.0))
+    assert(out(4L).contains(7.0))
+  }
+
+  test("mismatched key types fail loudly at build time") {
+    val probes = Seq((1L, ts(1), 7, 0.0)).toDF("event_id", "ts", "user_id", "value")
+    val states = Seq(("7", ts(1), 1.0)).toDF("user_id", "ts", "sval")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOfExec(probes, states, Seq("user_id"), "ts", Seq("sval"))
+    }
+    assert(e.getMessage.contains("key types differ"))
+  }
+}
