@@ -87,12 +87,19 @@ object AsOfJoin {
     * |probes| + |states| rows per key; this pays the same sorts but no
     * union materialization and no window frame machinery.
     *
-    * @param inner drop unmatched probes (DuckDB `ASOF JOIN`) instead
-    *              of null-extending them (`ASOF LEFT JOIN`, default)
+    * @param inner     drop unmatched probes (DuckDB `ASOF JOIN`) instead
+    *                  of null-extending them (`ASOF LEFT JOIN`, default)
+    * @param forward   match the NEAREST state at-or-AFTER the probe
+    *                  (DuckDB `ON p.ts <= s.ts`) instead of at-or-before
+    * @param tolerance max |probe − state| in the time column's native
+    *                  units (micros for timestamps; pandas
+    *                  merge_asof-style): nearest match farther than the
+    *                  bound counts as no match
     */
   def asOfExec(probes: DataFrame, states: DataFrame, keys: Seq[String],
                tsCol: String, payloadCols: Seq[String],
-               inner: Boolean = false): DataFrame = {
+               inner: Boolean = false, forward: Boolean = false,
+               tolerance: Option[Long] = None): DataFrame = {
     val spark = probes.sparkSession
     PlanBridge.ensureStrategy(spark, AsOfJoinStrategy)
     // Re-alias EVERY right column: collision-free names against the
@@ -111,7 +118,8 @@ object AsOfJoin {
     require(lKeys.map(_.dataType) == rKeys.map(_.dataType),
       s"as-of join key types differ: ${lKeys.map(_.dataType)} vs ${rKeys.map(_.dataType)}")
     val node = AsOfJoinPlan(lPlan, rPlan, lKeys, rKeys,
-      attr(lPlan, tsCol), attr(rPlan, "_rts"), isLeftOuter = !inner)
+      attr(lPlan, tsCol), attr(rPlan, "_rts"), isLeftOuter = !inner,
+      isForward = forward, tolerance = tolerance)
     PlanBridge.ofRows(spark, node)
       .select(probes.columns.map(col) ++ payloadCols.map(c => col(s"asof_$c")): _*)
   }

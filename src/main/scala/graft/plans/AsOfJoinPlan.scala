@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, TimestampNTZType, TimestampType}
 
 /** Logical as-of join: for each left (probe) row, attach the single
   * right (state) row with equal keys and the greatest `rightTime <=
@@ -23,11 +24,18 @@ import org.apache.spark.sql.execution.metric.SQLMetrics
   * two independent engines.
   *
   * Semantics (matching DuckDB's `ASOF [LEFT] JOIN ... ON l.k = r.k AND
-  * l.ts >= r.ts`, which the oracle uses natively):
-  *  - equal keys, greatest right time at-or-before the probe's time;
+  * l.ts >= r.ts` — or `l.ts <= r.ts` for the forward direction — which
+  * the oracle uses natively):
+  *  - equal keys; backward picks the greatest right time at-or-before
+  *    the probe's time, forward (`isForward`) the smallest right time
+  *    at-or-after it;
+  *  - `tolerance` (pandas merge_asof-style) bounds |probe − state| in
+  *    the time column's native units (micros for timestamps): a
+  *    nearest-match farther than the bound is no match at all;
   *  - ties on right time resolve to the last row in (key, time) sort
-  *    order — callers needing determinism must make (key, time) unique
-  *    on the right (the shipped queries aggregate states first);
+  *    order (backward) / the first (forward) — callers needing
+  *    determinism must make (key, time) unique on the right (the
+  *    shipped queries aggregate states first);
   *  - NULL in any key or in the time never matches (SQL equality);
   *  - `isLeftOuter = true` keeps unmatched probes with a null-extended
   *    right side, `false` drops them.
@@ -43,7 +51,9 @@ case class AsOfJoinPlan(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    isLeftOuter: Boolean)
+    isLeftOuter: Boolean,
+    isForward: Boolean = false,
+    tolerance: Option[Long] = None)
   extends BinaryNode {
 
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
@@ -65,8 +75,9 @@ case class AsOfJoinPlan(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, outer) =>
-      AsOfJoinExec(lk, rk, lt, rt, outer, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, outer, fwd, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, outer, fwd, tol,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -97,6 +108,8 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     isLeftOuter: Boolean,
+    isForward: Boolean,
+    tolerance: Option[Long],
     left: SparkPlan,
     right: SparkPlan)
   extends BinaryExecNode {
@@ -105,6 +118,9 @@ case class AsOfJoinExec(
     s"as-of join key types differ: ${leftKeys.map(_.dataType)} vs ${rightKeys.map(_.dataType)}")
   require(leftTime.dataType == rightTime.dataType,
     s"as-of join time types differ: ${leftTime.dataType} vs ${rightTime.dataType}")
+  require(tolerance.forall(_ >= 0), "as-of join tolerance must be >= 0")
+  require(tolerance.isEmpty || AsOfJoinExec.tolerable(leftTime.dataType),
+    s"as-of join tolerance unsupported for time type ${leftTime.dataType}")
 
   override def output: Seq[Attribute] =
     left.output ++ (if (isLeftOuter) right.output.map(_.withNullability(true))
@@ -136,6 +152,8 @@ case class AsOfJoinExec(
     val lTime = leftTime
     val rTime = rightTime
     val outer = isLeftOuter
+    val forward = isForward
+    val tol = tolerance
     val outAttrs = output
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter0) =>
@@ -153,15 +171,29 @@ case class AsOfJoinExec(
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rOut.length)
       val rIter = rIter0.buffered
-      // Latest right row consumed whose (key, time) was <= some probe's
-      // (key, time); stays valid across probes of the same key because
-      // probe times are non-decreasing within a key group.
+      val needTol = tol.isDefined
+      val tolVal = tol.getOrElse(0L)
+      // time value in native long units, for the tolerance bound only
+      // (comparisons always go through the generic ordering)
+      def timeLong(row: InternalRow): Long = timeType match {
+        case IntegerType | DateType => row.getInt(0).toLong
+        case _ => row.getLong(0)
+      }
+      // Backward state: latest right row consumed whose (key, time) was
+      // <= some probe's (key, time); stays valid across probes of the
+      // same key because probe times are non-decreasing within a key.
       var candidate: InternalRow = null
       var candidateKey: UnsafeRow = null
+      var candidateTime: Long = 0L
 
       def nonMatch(l: InternalRow): Iterator[InternalRow] =
         if (outer) { numOutputRows += 1; Iterator.single(resultProj(joined(l, nullRight))) }
         else Iterator.empty
+
+      def emit(l: InternalRow, r: InternalRow): Iterator[InternalRow] = {
+        numOutputRows += 1
+        Iterator.single(resultProj(joined(l, r)))
+      }
 
       lIter.flatMap { l =>
         val lk = lKeyProj(l)
@@ -182,18 +214,39 @@ case class AsOfJoinExec(
                 else {
                   val rt = rTimeProj(r)
                   if (rt.isNullAt(0)) rIter.next() // NULL time never matches
-                  else if (timeOrd.compare(rt, lt) <= 0) {
+                  else if (forward) {
+                    // discard strictly-before rows (dead for every later
+                    // probe too); stop at the first at-or-after, which is
+                    // exactly this probe's nearest forward match
+                    if (timeOrd.compare(rt, lt) < 0) rIter.next() else done = true
+                  } else if (timeOrd.compare(rt, lt) <= 0) {
                     // newer at-or-before state: replaces the candidate
                     candidate = r.copy()
                     candidateKey = rk.copy()
+                    if (needTol) candidateTime = timeLong(rt)
                     rIter.next()
                   } else done = true
                 }
               }
             }
-            if (candidateKey != null && keyOrd.compare(candidateKey, lk) == 0) {
-              numOutputRows += 1
-              Iterator.single(resultProj(joined(l, candidate)))
+            if (forward) {
+              // match = the UNCONSUMED head (later probes of this key may
+              // need the same state row): equal key, time at-or-after,
+              // within tolerance
+              if (rIter.hasNext) {
+                val r = rIter.head
+                val rk = rKeyProj(r)
+                if (!rk.anyNull && keyOrd.compare(rk, lk) == 0) {
+                  val rt = rTimeProj(r)
+                  if (!rt.isNullAt(0) && timeOrd.compare(rt, lt) >= 0 &&
+                      (!needTol || timeLong(rt) - timeLong(lt) <= tolVal))
+                    emit(l, r)
+                  else nonMatch(l)
+                } else nonMatch(l)
+              } else nonMatch(l)
+            } else if (candidateKey != null && keyOrd.compare(candidateKey, lk) == 0 &&
+                (!needTol || timeLong(lt) - candidateTime <= tolVal)) {
+              emit(l, candidate)
             } else nonMatch(l)
           }
         }
@@ -204,4 +257,15 @@ case class AsOfJoinExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinExec {
+  /** Time types the tolerance bound supports: fixed-point types whose
+    * internal representation subtracts meaningfully (timestamp micros,
+    * date days, raw integers).
+    */
+  private[plans] def tolerable(dt: DataType): Boolean = dt match {
+    case TimestampType | TimestampNTZType | LongType | IntegerType | DateType => true
+    case _ => false
+  }
 }

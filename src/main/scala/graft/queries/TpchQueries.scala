@@ -133,6 +133,22 @@ object TpchQueries {
         .withColumnRenamed("asof_pval", "asof_purchase")
     }),
 
+    // FORWARD as-of with a tolerance bound, through the same physical
+    // operator: each event finds the user's NEXT error event at-or-after
+    // its timestamp, but only within one hour (pandas merge_asof
+    // tolerance semantics; for the inner form, tolerance == post-filter,
+    // which is exactly what the DuckDB oracle expresses).
+    "q_asof_forward" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val probes = ev.select(col("event_id"), col("ts"), col("user_id"))
+      val states = ev.filter(col("event_type") === "error")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("nerr"))
+      graft.operators.AsOfJoin.asOfExec(probes, states, Seq("user_id"), "ts",
+          Seq("nerr"), inner = true, forward = true,
+          tolerance = Some(3600L * 1000000L))
+        .withColumnRenamed("asof_nerr", "next_err")
+    }),
+
     // Semi/anti joins (EXISTS / NOT EXISTS): customers partitioned by
     // whether they have any urgent order. Broadcast the filtered orders.
     "q_semi_anti" -> ((s, d) => {
@@ -397,6 +413,15 @@ object TpchQueries {
         |  s.pval AS asof_purchase
         |FROM probes p ASOF JOIN states s
         |  ON p.user_id = s.user_id AND p.ts >= s.ts""".stripMargin,
+
+    "q_asof_forward" ->
+      """WITH probes AS (SELECT event_id, ts, user_id FROM events),
+        |states AS (SELECT user_id, ts, max(value) AS nerr FROM events
+        |           WHERE event_type = 'error' GROUP BY 1, 2)
+        |SELECT p.event_id, p.ts, p.user_id, s.nerr AS next_err
+        |FROM probes p ASOF JOIN states s
+        |  ON p.user_id = s.user_id AND p.ts <= s.ts
+        |WHERE epoch_us(s.ts) - epoch_us(p.ts) <= 3600000000""".stripMargin,
 
     "q_semi_anti" ->
       """WITH u AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')

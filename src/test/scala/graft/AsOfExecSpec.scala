@@ -139,6 +139,77 @@ class AsOfExecSpec extends SparkSpec {
     assert(out(4L).contains(7.0))
   }
 
+  test("forward direction: nearest state at-or-after; exactly-at matches") {
+    val probes = Seq(
+      (1L, ts(50), "u1", 0.0),   // next state at 100 → 10.0
+      (2L, ts(100), "u1", 0.0),  // exactly at state(100) → 10.0
+      (3L, ts(150), "u1", 0.0),  // next state at 200 → 20.0
+      (4L, ts(250), "u1", 0.0),  // nothing after → null
+      (5L, ts(50), "u2", 0.0)    // no states for key → null
+    ).toDF("event_id", "ts", "user_id", "value")
+    val states = Seq(
+      ("u1", ts(100), 10.0), ("u1", ts(200), 20.0)
+    ).toDF("user_id", "ts", "sval")
+
+    val out = AsOfJoin.asOfExec(probes, states, Seq("user_id"), "ts",
+        Seq("sval"), forward = true)
+      .collect().map(r => r.getLong(0) -> Option(r.get(4))).toMap
+    assert(out(1L).contains(10.0))
+    assert(out(2L).contains(10.0))
+    assert(out(3L).contains(20.0))
+    assert(out(4L).isEmpty)
+    assert(out(5L).isEmpty)
+  }
+
+  test("forward ≡ brute-force min_by on randomized data") {
+    val rnd = new Random(7)
+    val probes = Seq.tabulate(400) { i =>
+      (i.toLong, ts(rnd.nextInt(40)), s"k${rnd.nextInt(15)}")
+    }.toDF("event_id", "ts", "user_id")
+    val states = Seq.tabulate(250) { i =>
+      (s"k${rnd.nextInt(20)}", ts(rnd.nextInt(40)), i.toDouble)
+    }.groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
+      .toDF("user_id", "ts", "sval")
+
+    val viaExec = AsOfJoin.asOfExec(probes, states, Seq("user_id"), "ts",
+      Seq("sval"), forward = true)
+    // brute force: per probe, the state with min ts among ts >= probe.ts
+    val brute = probes.as("p")
+      .join(states.as("s"),
+        $"p.user_id" === $"s.user_id" && $"s.ts" >= $"p.ts", "left")
+      .groupBy($"p.event_id")
+      .agg(min_by(struct($"s.ts", $"s.sval"), $"s.ts").as("m"))
+      .select($"event_id", $"m.sval".as("asof_sval"))
+    val a = viaExec.select("event_id", "asof_sval").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val b = brute.collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(a.size == 400 && a == b)
+  }
+
+  test("tolerance bounds the match distance in both directions") {
+    val probes = Seq(
+      (1L, ts(100), "u1", 0.0),  // backward: state(90) within 20s → match
+      (2L, ts(200), "u1", 0.0)   // backward: state(90) is 110s stale → null
+    ).toDF("event_id", "ts", "user_id", "value")
+    val states = Seq(("u1", ts(90), 9.0)).toDF("user_id", "ts", "sval")
+
+    val back = AsOfJoin.asOfExec(probes, states, Seq("user_id"), "ts",
+        Seq("sval"), tolerance = Some(20L * 1000000L))
+      .collect().map(r => r.getLong(0) -> Option(r.get(4))).toMap
+    assert(back(1L).contains(9.0))
+    assert(back(2L).isEmpty)
+
+    val fwdProbes = Seq(
+      (1L, ts(80), "u1", 0.0),   // forward: state(90) within 20s → match
+      (2L, ts(10), "u1", 0.0)    // forward: state(90) is 80s ahead → null
+    ).toDF("event_id", "ts", "user_id", "value")
+    val fwd = AsOfJoin.asOfExec(fwdProbes, states, Seq("user_id"), "ts",
+        Seq("sval"), forward = true, tolerance = Some(20L * 1000000L))
+      .collect().map(r => r.getLong(0) -> Option(r.get(4))).toMap
+    assert(fwd(1L).contains(9.0))
+    assert(fwd(2L).isEmpty)
+  }
+
   test("mismatched key types fail loudly at build time") {
     val probes = Seq((1L, ts(1), 7, 0.0)).toDF("event_id", "ts", "user_id", "value")
     val states = Seq(("7", ts(1), 1.0)).toDF("user_id", "ts", "sval")
