@@ -64,6 +64,12 @@ object GraftExtensions {
     entry("vec_dot_long", classOf[LongDotProduct], 2)(c =>
       LongDotProduct(c(0), c(1))),
     entry("rolling_hash", classOf[RollingHash], 1)(c => RollingHash(c(0))),
+    entry("jaro_winkler", classOf[JaroWinkler], 2)(c =>
+      JaroWinkler(c(0), c(1))),
+    entry("jw_best_match", classOf[JwBestMatch], 3)(c =>
+      JwBestMatch(c(0), c(1), c(2))),
+    entry("jw_matches", classOf[JwMatches], 4)(c =>
+      JwMatches(c(0), c(1), c(2), c(3))),
     entry("char_entropy_stats", classOf[CharEntropyStats], 1)(c =>
       CharEntropyStats(c(0))),
     entry("ngram_rep_profile", classOf[NgramRepProfile], 1)(c =>

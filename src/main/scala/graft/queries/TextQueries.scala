@@ -13,6 +13,26 @@ import graft.operators.TextAnalysis
 object TextQueries {
 
   val queries: Map[String, Q] = Map(
+
+    // Record linkage, stage 1 (blocking + scoring): fuzzy part-name
+    // pairs within each brand block at Jaro-Winkler >= 0.88. The
+    // native expression is bit-identical to DuckDB's
+    // jaro_winkler_similarity, so the threshold cut and the raw sim
+    // doubles hash-match exactly.
+    "q_jaro_linkage" -> ((s, d) => {
+      val part = Tables.part(s, d)
+      graft.operators.Linkage.linkPairs(part, "p_partkey", "p_name",
+        "p_brand", 0.88)
+    }),
+
+    // Record linkage, stage 2 (resolution): each part's single best
+    // fuzzy match among the other parts of its brand — argmax via
+    // max(struct(sim, id)), ties to the highest id, cross-engine
+    // deterministic because the sims are bit-equal.
+    "q_best_match" -> ((s, d) => {
+      val part = Tables.part(s, d)
+      graft.operators.Linkage.bestMatch(part, "p_partkey", "p_name", "p_brand")
+    }),
     "q_text_stats" -> ((s, d) => {
       val st = TextAnalysis.textStats(Tables.documents(s, d), "text", "doc_id")
       st.select(col("doc_id"),
@@ -455,6 +475,26 @@ object TextQueries {
        |FROM s GROUP BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    "q_jaro_linkage" ->
+      """SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+        |  jaro_winkler_similarity(a.p_name, b.p_name) AS sim
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.88""".stripMargin,
+
+    "q_best_match" ->
+      """WITH scored AS (
+        |  SELECT a.p_partkey AS id, b.p_partkey AS b_id,
+        |    jaro_winkler_similarity(a.p_name, b.p_name) AS sim
+        |  FROM part a JOIN part b
+        |    ON a.p_brand = b.p_brand AND a.p_partkey <> b.p_partkey),
+        |r AS (SELECT id, b_id, sim,
+        |        row_number() OVER (PARTITION BY id
+        |                           ORDER BY sim DESC, b_id DESC) AS rn
+        |      FROM scored)
+        |SELECT id, b_id AS match_id, sim AS match_sim FROM r WHERE rn = 1""".stripMargin,
+
     // Mirrors importanceWeights: same 2-hex-char md5 buckets, same
     // add-one-smoothed rate ratio with HUGEINT products (the
     // DECIMAL(38,0) twin) and one truncating integer division.
