@@ -25,6 +25,21 @@ object TextQueries {
         "p_brand", 0.88)
     }),
 
+    // Record linkage, stage 3 (entity formation): threshold pairs at
+    // 0.92 feed connected components — transitive closure turns fuzzy
+    // match pairs into entity clusters, exactly the dedup-cluster
+    // machinery pointed at ER edges. Oracle: recursive CTE closure
+    // over the identical (bit-equal) pair set.
+    "q_er_clusters" -> ((s, d) => {
+      val part = Tables.part(s, d)
+      val pairs = graft.operators.Linkage.linkPairs(part, "p_partkey",
+          "p_name", "p_brand", 0.92)
+        .select(col("a_id").as("id_a"), col("b_id").as("id_b"))
+      graft.operators.Dedup.connectedComponents(pairs, "p_partkey")
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"), max(col("p_partkey")).as("max_id"))
+    }),
+
     // Record linkage, stage 2 (resolution): each part's single best
     // fuzzy match among the other parts of its brand — argmax via
     // max(struct(sim, id)), ties to the highest id, cross-engine
@@ -482,6 +497,22 @@ object TextQueries {
         |FROM part a JOIN part b
         |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
         |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.88""".stripMargin,
+
+    "q_er_clusters" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+        |  FROM part a JOIN part b
+        |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |  WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.92),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |      UNION SELECT id_b, id_a FROM pairs),
+        |reach(node, lbl) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node),
+        |comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
+        |SELECT component, COUNT(*) AS n_members, MAX(node) AS max_id
+        |FROM comp GROUP BY component""".stripMargin,
 
     "q_best_match" ->
       """WITH scored AS (
