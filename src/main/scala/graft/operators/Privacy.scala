@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Differentially-private aggregate release — the privacy-preserving
+  * statistics step of a training-data pipeline (publishing per-group
+  * corpus counts / clipped sums without exposing individual records).
+  *
+  * Mechanism: BINOMIAL noise (Dwork et al., "Our Data, Ourselves:
+  * Privacy via Distributed Noise Generation", EUROCRYPT 2006 — the
+  * binomial mechanism), not Laplace: noise = popcount(h) − N/2 where h
+  * is N fair bits, giving (ε, δ)-DP for counting queries with
+  * ε ≈ sensitivity·√(2·ln(1.25/δ))/σ, σ² = N/4. Chosen deliberately
+  * over Laplace for this library because it is INTEGER-EXACT: no
+  * ln/exp in the sampling path, so the released values are
+  * bit-identical on any engine (a Laplace inverse-CDF draw would
+  * inherit 1-ulp libm divergence between the JVM and C runtimes — the
+  * same cross-engine hazard SCALE.md documents for double aggregates).
+  *
+  * Noise seeding is per-GROUP (md5 of salt + group key), never
+  * per-row: re-running the release reproduces the same noise
+  * (idempotent publication — a fresh draw per run would let an
+  * observer average the noise away), and adding one record moves a
+  * noisy count by exactly 1 (the sensitivity the ε-accounting
+  * assumes). The salt rotates per release epoch.
+  *
+  * Scale: one hash-partitioned aggregation per release — the noise is
+  * a scalar expression over the GROUP row (|groups| evals, not
+  * |rows|), so DP costs nothing on top of the underlying groupBy.
+  */
+object Privacy {
+
+  /** popcount(60 salted hash bits) − 30: integer binomial(60, ½) noise
+    * centered at 0, σ² = 15. 60 bits = 15 md5 hex chars, which parse
+    * into a non-negative BIGINT on every engine.
+    */
+  private def binomialNoise(salt: String, groupCols: Seq[Column]): Column =
+    bit_count(conv(substring(md5(
+      concat_ws("|", lit(salt) +: groupCols: _*)), 1, 15), 16, 10)
+      .cast(LongType)) - lit(30)
+
+  /** DP per-group counts: (groupCols..., noisy_count). Sensitivity 1
+    * (one record moves one group's count by one).
+    */
+  def dpCounts(df: DataFrame, groupCols: Seq[String],
+               salt: String): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("noisy_count",
+        (col("_n") + binomialNoise(salt, groupCols.map(col))).cast(LongType))
+      .select(groupCols.map(col) :+ col("noisy_count"): _*)
+
+  /** DP per-group sums of a CLIPPED, micro-quantized value:
+    * contributions clamp to [clipLo, clipHi] in integer micro-units
+    * (the clip bounds the sensitivity; quantization keeps the release
+    * integer-exact), noise scales by the sensitivity (clipHi − clipLo).
+    * Output: (groupCols..., noisy_sum_q) in micro-units.
+    */
+  def dpSumQuantized(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     clipLo: Long, clipHi: Long, scale: Long,
+                     salt: String): DataFrame = {
+    val q = greatest(lit(clipLo), least(lit(clipHi),
+      floor(col(valueCol) * scale).cast(LongType)))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(sum(q).as("_s"))
+      .withColumn("noisy_sum_q",
+        (col("_s") + binomialNoise(salt, groupCols.map(col)) *
+          lit(clipHi - clipLo)).cast(LongType))
+      .select(groupCols.map(col) :+ col("noisy_sum_q"): _*)
+  }
+}

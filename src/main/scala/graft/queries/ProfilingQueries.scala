@@ -52,6 +52,22 @@ object ProfilingQueries {
           "len_band" -> expr("n_chars div 100")),
         k = 5)),
 
+    // DP release of per-(lang, source) corpus counts — integer-exact
+    // binomial noise seeded per group (see operators.Privacy), so the
+    // published values reproduce bit-for-bit on any engine and across
+    // release re-runs.
+    "q_dp_counts" -> ((s, d) =>
+      graft.operators.Privacy.dpCounts(Tables.documents(s, d),
+        Seq("lang", "source"), salt = "epoch1")),
+
+    // DP release of per-event-type clipped value sums: contributions
+    // micro-quantized (×100) and clamped to [0, 10000] (sensitivity =
+    // the clip width), noise scaled accordingly.
+    "q_dp_sum" -> ((s, d) =>
+      graft.operators.Privacy.dpSumQuantized(Tables.events(s, d),
+        Seq("event_type"), "value", clipLo = 0L, clipHi = 10000L,
+        scale = 100L, salt = "epoch1")),
+
     // Per-column profile of lineitem (keys, flags, ship date as epoch
     // seconds — doubles excluded: their string rendering is not
     // engine-portable).
@@ -296,6 +312,23 @@ object ProfilingQueries {
   }.mkString("\nUNION ALL\n")
 
   val oracles: Map[String, String] = Map(
+
+    // Mirrors Privacy.binomialNoise exactly: 15 md5 hex chars of
+    // 'salt|lang|source' parse to a 60-bit BIGINT, popcount - 30.
+    "q_dp_counts" ->
+      """SELECT lang, source,
+        |  CAST(COUNT(*) +
+        |    bit_count(('0x' || substr(md5('epoch1' || '|' || lang || '|' || source), 1, 15))::BIGINT)
+        |    - 30 AS BIGINT) AS noisy_count
+        |FROM documents GROUP BY lang, source""".stripMargin,
+
+    "q_dp_sum" ->
+      """SELECT event_type,
+        |  CAST(SUM(GREATEST(0, LEAST(10000, CAST(FLOOR(value * 100) AS BIGINT)))) +
+        |    (bit_count(('0x' || substr(md5('epoch1' || '|' || event_type), 1, 15))::BIGINT) - 30)
+        |    * 10000 AS BIGINT) AS noisy_sum_q
+        |FROM events GROUP BY event_type""".stripMargin,
+
     "q_concentration" ->
       """WITH t AS (
         |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS toks
