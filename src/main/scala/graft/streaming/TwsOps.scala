@@ -146,6 +146,129 @@ object TwsOps {
         TimeMode.EventTime, OutputMode.Append)
   }
 
+  /** Output of [[asOfTws]]: one row per probe, with the latest state
+    * payload at-or-before its event time (None when no state existed).
+    */
+  case class AsOfOut(key: Long, ts_us: Long, probe_v: Double,
+                     state_v: Option[Double])
+
+  /** STREAMING as-of join — the in-flight twin of
+    * [[graft.operators.AsOfJoin.asOf]] / the custom
+    * [[graft.plans.AsOfJoinExec]]: each probe row picks up the latest
+    * state row of its key with state.ts <= probe.ts, answered only
+    * once the WATERMARK passes the probe's event time (at which point
+    * every on-time state at-or-before it has arrived — the same
+    * completeness argument watermarked aggregation makes). Structured
+    * Streaming has no native as-of join (stream-stream joins are
+    * equality/interval only); this builds it from the state-API-v2
+    * primitives: two ListState variables (pending probes, retained
+    * states) and the event-time timer registry.
+    *
+    * Late rows (behind the min-of-both-streams watermark) are dropped
+    * by the engine, exactly as for any watermarked stateful operator.
+    * Ties (state.ts == probe.ts) match, as in the batch twins.
+    *
+    * State compaction is the as-of-specific part: after a flush at
+    * watermark W, only the single latest state <= W plus states > W
+    * are retained per key — every future probe has ts >= W, so older
+    * states can never be its answer. State per key is therefore
+    * bounded by state-arrival rate x watermark delay, not by history;
+    * it rides RocksDB like every TWS topology. Timer discipline:
+    * register-at-min-pending, no deletions — a stale timer firing
+    * early flushes whatever is ripe (idempotent) and re-arms.
+    *
+    * Same perpetual-service caveat as the other EventTime-mode ops:
+    * quiesces when the watermark stops, so `processAllAvailable`
+    * drains it (TwsOpsSpec's harness).
+    */
+  def asOfTws(probes: DataFrame, states: DataFrame, keyCol: String,
+              tsCol: String, probeValCol: String, stateValCol: String,
+              watermark: String): Dataset[AsOfOut] = {
+    val spark = probes.sparkSession
+    import spark.implicits._
+    // watermark each leg BEFORE the union (min-of-both policy); the
+    // watermarked timestamp column itself must reach the operator
+    val p = probes.withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast("long").as("k"), col(tsCol).as("ts"),
+        lit(1).as("tag"), col(probeValCol).cast("double").as("pv"),
+        lit(null).cast("double").as("sv"))
+    val s = states.withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast("long").as("k"), col(tsCol).as("ts"),
+        lit(0).as("tag"), lit(null).cast("double").as("pv"),
+        col(stateValCol).cast("double").as("sv"))
+    p.unionByName(s)
+      .as[(Long, java.sql.Timestamp, Int, Option[Double], Option[Double])]
+      .groupByKey(_._1)
+      .transformWithState(new AsOfTwsProcessor,
+        TimeMode.EventTime, OutputMode.Append)
+  }
+
+  private final class AsOfTwsProcessor extends StatefulProcessor[Long,
+      (Long, java.sql.Timestamp, Int, Option[Double], Option[Double]), AsOfOut] {
+    import org.apache.spark.sql.streaming.ListState
+    @transient private var pendingProbes: ListState[(Long, Double)] = _
+    @transient private var retainedStates: ListState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      pendingProbes = getHandle.getListState[(Long, Double)]("probes",
+        Encoders.product[(Long, Double)], TTLConfig.NONE)
+      retainedStates = getHandle.getListState[(Long, Double)]("states",
+        Encoders.product[(Long, Double)], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, java.sql.Timestamp, Int, Option[Double], Option[Double])],
+        tv: TimerValues): Iterator[AsOfOut] = {
+      var minNewProbeUs = Long.MaxValue
+      rows.foreach { case (_, ts, tag, pv, sv) =>
+        val us = graft.core.TimeCodec.micros(ts)
+        if (tag == 1) {
+          pendingProbes.appendValue((us, pv.getOrElse(Double.NaN)))
+          if (us < minNewProbeUs) minNewProbeUs = us
+        } else {
+          retainedStates.appendValue((us, sv.getOrElse(Double.NaN)))
+        }
+      }
+      // arm a flush for the earliest new probe; duplicates and stale
+      // timers are harmless (flushing is watermark-gated + idempotent)
+      if (minNewProbeUs != Long.MaxValue)
+        getHandle.registerTimer(minNewProbeUs / 1000 + 1)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[AsOfOut] = {
+      val wmMs = tv.getCurrentWatermarkInMs()
+      val probes = pendingProbes.get().toArray[(Long, Double)]
+      val states = retainedStates.get().toArray[(Long, Double)]
+        .sortBy(t => (t._1, t._2))
+      val (ripe, still) = probes.partition(_._1 / 1000 < wmMs)
+      if (ripe.nonEmpty) {
+        // compact: latest state at-or-before the watermark + newer ones
+        val wmUs = wmMs * 1000
+        val (old, fresh) = states.partition(_._1 <= wmUs)
+        val keep = (if (old.nonEmpty) Array(old.last) else Array.empty[(Long, Double)]) ++ fresh
+        retainedStates.clear()
+        if (keep.nonEmpty) retainedStates.put(keep)
+        pendingProbes.clear()
+        if (still.nonEmpty) {
+          pendingProbes.put(still)
+          getHandle.registerTimer(still.map(_._1).min / 1000 + 1)
+        }
+      }
+      java.util.Arrays.sort(ripe, Ordering.by((t: (Long, Double)) => t._1))
+      ripe.iterator.map { case (pUs, pv) =>
+        // latest state at-or-before this probe (states sorted asc):
+        var best: Option[Double] = None
+        var i = 0
+        while (i < states.length && states(i)._1 <= pUs) {
+          best = Some(states(i)._2); i += 1
+        }
+        AsOfOut(key, pUs, pv, best)
+      }
+    }
+  }
+
   private final class SessionTwsProcessor(gapUs: Long)
       extends StatefulProcessor[Long, (Long, java.sql.Timestamp), SessOut] {
     @transient private var st: ValueState[SessState] = _
