@@ -273,6 +273,38 @@ object StreamBench {
           .writeStream.format("noop").outputMode("complete")
           .option("checkpointLocation", s"$dir/ckpt").start()
         (q, groups, t0)
+      } else if (mode == "asof") {
+        // streaming as-of enrichment (TwsOps.asOfTws on RocksDB):
+        // probes = the journey-event stream; states = a 10x-sparser
+        // config-update stream over the same users and time span.
+        // Prices the two-ListState + timer-registry point-in-time
+        // topology: per-key state is pending probes (bounded by the
+        // 30s watermark delay) + compacted states.
+        val users = math.max(1000, rows / 100)
+        writeJourneyEvents(users)
+        spark.range(rows / 10)
+          .select((col("id") % users).as("user_id"),
+            (col("id") * 10).cast("long").as("tu"))
+          .repartition(4).write.option("header", "true").csv(s"$dir/in2")
+        graft.streaming.TwsOps.useRocksDb(spark)
+        val t0 = System.nanoTime()
+        def jitterTs(c: org.apache.spark.sql.Column, m: Int) =
+          timestamp_seconds(floor(c / users) * 10 + pmod(c * m, lit(25)))
+        val probes = journeyReader().select(col("user_id"),
+          jitterTs(col("tu"), 7).as("ts"), col("tu").cast("double").as("v"))
+        val stateReader = {
+          val r = spark.readStream.schema("user_id LONG, tu LONG")
+            .option("header", "true")
+          if (filesPerTrigger != "0") r.option("maxFilesPerTrigger", filesPerTrigger)
+          r.csv(s"$dir/in2")
+        }
+        val states = stateReader.select(col("user_id"),
+          jitterTs(col("tu"), 11).as("ts"), col("tu").cast("double").as("v"))
+        val q = graft.streaming.TwsOps.asOfTws(probes, states, "user_id",
+            "ts", "v", "v", "30 seconds")
+          .writeStream.format("noop").outputMode("append")
+          .option("checkpointLocation", s"$dir/ckpt").start()
+        (q, users, t0)
       } else if (mode == "session") {
         // gap-session topology: the BUILT-IN session_window state path —
         // merge-on-update session state per user, append once the
@@ -414,6 +446,7 @@ object StreamBench {
         mode == "session" || mode == "dedup" || mode == "lsh" ||
         mode == "logit" || mode == "drift" || mode == "kmv" ||
         mode == "tws" || mode == "twssession") rows.toLong
+      else if (mode == "asof") rows.toLong + rows / 10
       else rows.toLong * 4
     val windows = progress.map(_.stateOperators.headOption.map(_.numRowsTotal).getOrElse(0L)).maxOption.getOrElse(0L)
     println(s"""{"metric":"stream_rows_per_sec","mode":"$mode","value":${(rows / secs).round},"unit":"rows/sec","dataset_rows":$rows,"keys":$keys,"wire_messages":$messages,"state_rows":$windows,"wall_sec":${math.round(secs * 100) / 100.0}}""")
