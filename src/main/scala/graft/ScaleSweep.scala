@@ -70,19 +70,63 @@ object ScaleSweep {
         .as("text"))
   }
 
+  /** Synthetic point-in-time workload for the as-of sweep: probes at
+    * ~1ms cadence, states 10× sparser over the same span, |keys| scaled
+    * so per-key volume stays fixed (the monitor sweep's rule). Zero
+    * I/O — generated from `range`, so the sweep prices the OPERATORS.
+    */
+  def asofData(spark: org.apache.spark.sql.SparkSession, n: Long,
+               keys: Long): (DataFrame, DataFrame) = {
+    val probes = spark.range(n).select(
+      (col("id") % keys).as("k"),
+      timestamp_micros(col("id") * 1000L + pmod(col("id") * 7, lit(997)))
+        .as("ts"),
+      (col("id") % 1000).cast("double").as("v"))
+    val states = spark.range(math.max(1L, n / 10)).select(
+      (col("id") % keys).as("k"),
+      timestamp_micros(col("id") * 10000L + pmod(col("id") * 11, lit(991)))
+        .as("ts"),
+      col("id").cast("double").as("sv"))
+    (probes, states)
+  }
+
+  private val Modes = Set("monitor", "dedup", "asof")
+
   def main(args: Array[String]): Unit = {
-    val mode = args.headOption.filter(a => a == "monitor" || a == "dedup")
-      .getOrElse("monitor")
-    val rest = if (args.headOption.exists(a => a == "monitor" || a == "dedup"))
-      args.drop(1) else args
+    val mode = args.headOption.filter(Modes).getOrElse("monitor")
+    val rest = if (args.headOption.exists(Modes)) args.drop(1) else args
     val points =
       if (rest.nonEmpty) rest.toSeq.map(_.toLong)
       else if (mode == "dedup") Seq(50000L, 500000L, 5000000L)
+      else if (mode == "asof") Seq(100000L, 1000000L, 10000000L)
       else Seq(60000L, 600000L, 6000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.core.GraftSession.local(cpus, "graft-scalesweep")
     spark.sparkContext.setLogLevel("WARN")
-    if (mode == "dedup") {
+    if (mode == "asof") {
+      // composition (union + ordered window) vs custom physical
+      // operator (AsOfJoinExec sorted merge) on the SAME workload —
+      // the head-to-head that prices the preference-order-(c) tier.
+      import graft.operators.AsOfJoin
+      val (wp, ws) = asofData(spark, 10000, 20)
+      AsOfJoin.asOf(wp, ws, Seq("k"), "ts", Seq("sv"))
+        .write.format("noop").mode("overwrite").save() // warmup both paths
+      AsOfJoin.asOfExec(wp, ws, Seq("k"), "ts", Seq("sv"))
+        .write.format("noop").mode("overwrite").save()
+      points.foreach { n =>
+        val keys = math.max(20L, n / 1000) // fixed per-key volume
+        val (probes, states) = asofData(spark, n, keys)
+        val t0 = System.nanoTime()
+        AsOfJoin.asOf(probes, states, Seq("k"), "ts", Seq("sv"))
+          .write.format("noop").mode("overwrite").save()
+        val windowSec = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        AsOfJoin.asOfExec(probes, states, Seq("k"), "ts", Seq("sv"))
+          .write.format("noop").mode("overwrite").save()
+        val execSec = (System.nanoTime() - t1) / 1e9
+        println(s"""{"metric":"asof_sweep","probes":$n,"keys":$keys,"window_sec":${math.round(windowSec * 1000) / 1000.0},"exec_sec":${math.round(execSec * 1000) / 1000.0},"speedup":${math.round(windowSec / execSec * 100) / 100.0}}""")
+      }
+    } else if (mode == "dedup") {
       // MinHash+LSH near-dup (the flagship corpus operator): banded
       // signatures → bucket equi-join candidates → exact verify. The
       // curve proves the banding claim — candidate volume rides the
