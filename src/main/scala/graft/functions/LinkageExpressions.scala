@@ -93,11 +93,16 @@ case class JwBestMatch(first: Expression, second: Expression,
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val row = arr.getStruct(i, 2)
-        val cid = row.getLong(0)
-        if (cid != self && !row.isNullAt(1)) {
-          val sim = JaroWinkler.computeBytes(nameBytes, row.getUTF8String(1).getBytes)
-          if (!found || sim > bestSim || (sim == bestSim && cid > bestId)) {
-            bestSim = sim; bestId = cid; found = true
+        // NULL id or name: never a candidate (getLong on a null slot
+        // would read 0 and fabricate matches against record id 0)
+        if (!row.isNullAt(0) && !row.isNullAt(1)) {
+          val cid = row.getLong(0)
+          if (cid != self) {
+            val sim = JaroWinkler.computeBytes(nameBytes,
+              row.getUTF8String(1).getBytes)
+            if (!found || sim > bestSim || (sim == bestSim && cid > bestId)) {
+              bestSim = sim; bestId = cid; found = true
+            }
           }
         }
       }
@@ -147,11 +152,15 @@ case class JwMatches(first: Expression, second: Expression,
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val row = arr.getStruct(i, 2)
-        val cid = row.getLong(0)
-        if (cid > self && !row.isNullAt(1)) {
-          val sim = JaroWinkler.computeBytes(nameBytes, row.getUTF8String(1).getBytes)
-          if (sim >= threshold)
-            out += new GenericInternalRow(Array[Any](cid, sim))
+        // NULL id or name: never a candidate (same guard as JwBestMatch)
+        if (!row.isNullAt(0) && !row.isNullAt(1)) {
+          val cid = row.getLong(0)
+          if (cid > self) {
+            val sim = JaroWinkler.computeBytes(nameBytes,
+              row.getUTF8String(1).getBytes)
+            if (sim >= threshold)
+              out += new GenericInternalRow(Array[Any](cid, sim))
+          }
         }
       }
       i += 1

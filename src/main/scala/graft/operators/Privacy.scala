@@ -26,6 +26,21 @@ import org.apache.spark.sql.types.LongType
   * noisy count by exactly 1 (the sensitivity the ε-accounting
   * assumes). The salt rotates per release epoch.
   *
+  * PRIVACY PRECONDITIONS the caller owns — the mechanism is only as
+  * private as these hold:
+  *  - the SALT IS A SECRET of the releasing party. The noise is a
+  *    deterministic function of (salt, group key); publishing the salt
+  *    (or reusing a guessable one) lets any consumer recompute and
+  *    subtract the noise exactly. The shipped demo queries publish
+  *    their salt in the oracle SQL because their role is ENGINE
+  *    verification (the oracle must reproduce the release
+  *    bit-for-bit), not privacy — a real deployment treats the salt
+  *    like a key.
+  *  - only groups present in the data appear in the release, so group
+  *    KEY MEMBERSHIP itself leaks regardless of noise; release over a
+  *    fixed public key domain (left-join the domain, noise the empty
+  *    groups too) when membership is sensitive.
+  *
   * Scale: one hash-partitioned aggregation per release — the noise is
   * a scalar expression over the GROUP row (|groups| evals, not
   * |rows|), so DP costs nothing on top of the underlying groupBy.
@@ -56,13 +71,17 @@ object Privacy {
     * contributions clamp to [clipLo, clipHi] in integer micro-units
     * (the clip bounds the sensitivity; quantization keeps the release
     * integer-exact), noise scales by the sensitivity (clipHi − clipLo).
+    * NULL values contribute 0 — NOT the clip ceiling (least/greatest
+    * skip NULLs on every engine, so an unguarded clamp would turn each
+    * NULL row into a phantom clipHi contribution).
     * Output: (groupCols..., noisy_sum_q) in micro-units.
     */
   def dpSumQuantized(df: DataFrame, groupCols: Seq[String], valueCol: String,
                      clipLo: Long, clipHi: Long, scale: Long,
                      salt: String): DataFrame = {
-    val q = greatest(lit(clipLo), least(lit(clipHi),
-      floor(col(valueCol) * scale).cast(LongType)))
+    val q = when(col(valueCol).isNull, lit(0L))
+      .otherwise(greatest(lit(clipLo), least(lit(clipHi),
+        floor(col(valueCol) * scale).cast(LongType))))
     df.groupBy(groupCols.map(col): _*)
       .agg(sum(q).as("_s"))
       .withColumn("noisy_sum_q",

@@ -314,18 +314,24 @@ object ProfilingQueries {
   val oracles: Map[String, String] = Map(
 
     // Mirrors Privacy.binomialNoise exactly: 15 md5 hex chars of
-    // 'salt|lang|source' parse to a 60-bit BIGINT, popcount - 30.
+    // concat_ws('|', salt, keys...) parse to a 60-bit BIGINT,
+    // popcount - 30. concat_ws on BOTH engines (not '||'): Spark's
+    // concat_ws skips NULL group keys while '||' would NULL the whole
+    // seed — the seed strings must agree byte-for-byte.
     "q_dp_counts" ->
       """SELECT lang, source,
         |  CAST(COUNT(*) +
-        |    bit_count(('0x' || substr(md5('epoch1' || '|' || lang || '|' || source), 1, 15))::BIGINT)
+        |    bit_count(('0x' || substr(md5(concat_ws('|', 'epoch1', lang, source)), 1, 15))::BIGINT)
         |    - 30 AS BIGINT) AS noisy_count
         |FROM documents GROUP BY lang, source""".stripMargin,
 
+    // NULL values contribute 0, not the clip ceiling (see
+    // Privacy.dpSumQuantized) — the CASE guard mirrors the Spark side.
     "q_dp_sum" ->
       """SELECT event_type,
-        |  CAST(SUM(GREATEST(0, LEAST(10000, CAST(FLOOR(value * 100) AS BIGINT)))) +
-        |    (bit_count(('0x' || substr(md5('epoch1' || '|' || event_type), 1, 15))::BIGINT) - 30)
+        |  CAST(SUM(CASE WHEN value IS NULL THEN 0
+        |           ELSE GREATEST(0, LEAST(10000, CAST(FLOOR(value * 100) AS BIGINT))) END) +
+        |    (bit_count(('0x' || substr(md5(concat_ws('|', 'epoch1', event_type)), 1, 15))::BIGINT) - 30)
         |    * 10000 AS BIGINT) AS noisy_sum_q
         |FROM events GROUP BY event_type""".stripMargin,
 

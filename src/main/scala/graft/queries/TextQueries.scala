@@ -28,22 +28,28 @@ object TextQueries {
     // Record linkage, stage 3 (entity formation): threshold pairs at
     // 0.92 feed connected components — transitive closure turns fuzzy
     // match pairs into entity clusters, exactly the dedup-cluster
-    // machinery pointed at ER edges. Oracle: recursive CTE closure
-    // over the identical (bit-equal) pair set.
+    // machinery pointed at ER edges. The STAR variant (O(log d)
+    // rounds), not label propagation: fuzzy-similarity graphs are the
+    // chain-prone case (a≈b≈c≈... within a block), and the oracle's
+    // recursive closure has no iteration cap to hide behind.
+    // Oracle: recursive CTE closure over the identical (bit-equal)
+    // pair set.
     "q_er_clusters" -> ((s, d) => {
       val part = Tables.part(s, d)
       val pairs = graft.operators.Linkage.linkPairs(part, "p_partkey",
           "p_name", "p_brand", 0.92)
         .select(col("a_id").as("id_a"), col("b_id").as("id_b"))
-      graft.operators.Dedup.connectedComponents(pairs, "p_partkey")
+      graft.operators.Dedup.connectedComponentsStar(pairs, "p_partkey")
         .groupBy(col("component"))
         .agg(count(lit(1)).as("n_members"), max(col("p_partkey")).as("max_id"))
     }),
 
     // Record linkage, stage 2 (resolution): each part's single best
-    // fuzzy match among the other parts of its brand — argmax via
-    // max(struct(sim, id)), ties to the highest id, cross-engine
-    // deterministic because the sims are bit-equal.
+    // fuzzy match among the other parts of its brand — argmax computed
+    // INSIDE the JwBestMatch broadcast-scan kernel (one output row per
+    // record, no pair explosion; see Linkage.bestMatch), ties to the
+    // highest id, cross-engine deterministic because the sims are
+    // bit-equal.
     "q_best_match" -> ((s, d) => {
       val part = Tables.part(s, d)
       graft.operators.Linkage.bestMatch(part, "p_partkey", "p_name", "p_brand")

@@ -147,9 +147,12 @@ object TwsOps {
   }
 
   /** Output of [[asOfTws]]: one row per probe, with the latest state
-    * payload at-or-before its event time (None when no state existed).
+    * payload at-or-before its event time (None when no state existed —
+    * and a matched state whose payload is genuinely NULL also carries
+    * None, exactly as the batch twin carries NULL; the two cases are
+    * distinguishable the same way they are in batch: not at all).
     */
-  case class AsOfOut(key: Long, ts_us: Long, probe_v: Double,
+  case class AsOfOut(key: Long, ts_us: Long, probe_v: Option[Double],
                      state_v: Option[Double])
 
   /** STREAMING as-of join — the in-flight twin of
@@ -206,63 +209,78 @@ object TwsOps {
   private final class AsOfTwsProcessor extends StatefulProcessor[Long,
       (Long, java.sql.Timestamp, Int, Option[Double], Option[Double]), AsOfOut] {
     import org.apache.spark.sql.streaming.ListState
-    @transient private var pendingProbes: ListState[(Long, Double)] = _
-    @transient private var retainedStates: ListState[(Long, Double)] = _
+    // payloads stay Option so a genuinely-NULL value is carried
+    // faithfully (the batch twin's contract), never collapsed to NaN
+    @transient private var pendingProbes: ListState[(Long, Option[Double])] = _
+    @transient private var retainedStates: ListState[(Long, Option[Double])] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      pendingProbes = getHandle.getListState[(Long, Double)]("probes",
-        Encoders.product[(Long, Double)], TTLConfig.NONE)
-      retainedStates = getHandle.getListState[(Long, Double)]("states",
-        Encoders.product[(Long, Double)], TTLConfig.NONE)
+      pendingProbes = getHandle.getListState[(Long, Option[Double])]("probes",
+        Encoders.product[(Long, Option[Double])], TTLConfig.NONE)
+      retainedStates = getHandle.getListState[(Long, Option[Double])]("states",
+        Encoders.product[(Long, Option[Double])], TTLConfig.NONE)
     }
 
     override def handleInputRows(key: Long,
         rows: Iterator[(Long, java.sql.Timestamp, Int, Option[Double], Option[Double])],
         tv: TimerValues): Iterator[AsOfOut] = {
-      var minNewProbeUs = Long.MaxValue
+      var minNewUs = Long.MaxValue
       rows.foreach { case (_, ts, tag, pv, sv) =>
         val us = graft.core.TimeCodec.micros(ts)
-        if (tag == 1) {
-          pendingProbes.appendValue((us, pv.getOrElse(Double.NaN)))
-          if (us < minNewProbeUs) minNewProbeUs = us
-        } else {
-          retainedStates.appendValue((us, sv.getOrElse(Double.NaN)))
-        }
+        if (tag == 1) pendingProbes.appendValue((us, pv))
+        else retainedStates.appendValue((us, sv))
+        // STATE arrivals arm a timer too: compaction must run for keys
+        // that receive states but no probes, or their retained list
+        // would grow with history instead of with watermark delay
+        if (us < minNewUs) minNewUs = us
       }
-      // arm a flush for the earliest new probe; duplicates and stale
-      // timers are harmless (flushing is watermark-gated + idempotent)
-      if (minNewProbeUs != Long.MaxValue)
-        getHandle.registerTimer(minNewProbeUs / 1000 + 1)
+      // arm a flush/compaction pass for the earliest new row; duplicate
+      // and stale timers are harmless (watermark-gated + idempotent)
+      if (minNewUs != Long.MaxValue)
+        getHandle.registerTimer(minNewUs / 1000 + 1)
       Iterator.empty
     }
 
     override def handleExpiredTimer(key: Long, tv: TimerValues,
         info: ExpiredTimerInfo): Iterator[AsOfOut] = {
       val wmMs = tv.getCurrentWatermarkInMs()
-      val probes = pendingProbes.get().toArray[(Long, Double)]
-      val states = retainedStates.get().toArray[(Long, Double)]
+      val wmUs = wmMs * 1000
+      type Entry = (Long, Option[Double])
+      val probes = pendingProbes.get().toArray[Entry]
+      val states = retainedStates.get().toArray[Entry]
         .sortBy(t => (t._1, t._2))
       val (ripe, still) = probes.partition(_._1 / 1000 < wmMs)
-      if (ripe.nonEmpty) {
-        // compact: latest state at-or-before the watermark + newer ones
-        val wmUs = wmMs * 1000
-        val (old, fresh) = states.partition(_._1 <= wmUs)
-        val keep = (if (old.nonEmpty) Array(old.last) else Array.empty[(Long, Double)]) ++ fresh
+      // compact on EVERY firing (not only when probes flush): keep the
+      // latest state at-or-before the watermark + newer ones — the
+      // bound that holds state to arrival-rate x watermark-delay even
+      // for keys with no probe traffic
+      val (old, fresh) = states.partition(_._1 <= wmUs)
+      val keep = (if (old.nonEmpty) Array(old.last) else Array.empty[Entry]) ++ fresh
+      if (keep.length != states.length) {
         retainedStates.clear()
         if (keep.nonEmpty) retainedStates.put(keep)
-        pendingProbes.clear()
-        if (still.nonEmpty) {
-          pendingProbes.put(still)
-          getHandle.registerTimer(still.map(_._1).min / 1000 + 1)
-        }
       }
-      java.util.Arrays.sort(ripe, Ordering.by((t: (Long, Double)) => t._1))
+      if (ripe.nonEmpty) {
+        pendingProbes.clear()
+        if (still.nonEmpty) pendingProbes.put(still)
+      }
+      // ALWAYS re-arm for whatever probes remain — this firing may be a
+      // state-armed (or stale) timer at an instant before any probe is
+      // ripe, and without re-arming those probes would wait forever.
+      // The re-arm instant is strictly after this expiry (a non-ripe
+      // probe has ts/1000 >= wm >= this expiry), so no firing loop.
+      val remaining = if (ripe.nonEmpty) still else probes
+      if (remaining.nonEmpty)
+        getHandle.registerTimer(remaining.map(_._1).min / 1000 + 1)
+      java.util.Arrays.sort(ripe, Ordering.by((t: Entry) => t._1))
       ripe.iterator.map { case (pUs, pv) =>
-        // latest state at-or-before this probe (states sorted asc):
+        // latest state at-or-before this probe (states sorted asc);
+        // found-with-NULL-payload and not-found both surface as None,
+        // exactly as in the batch twin
         var best: Option[Double] = None
         var i = 0
         while (i < states.length && states(i)._1 <= pUs) {
-          best = Some(states(i)._2); i += 1
+          best = states(i)._2; i += 1
         }
         AsOfOut(key, pUs, pv, best)
       }

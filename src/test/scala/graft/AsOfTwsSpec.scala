@@ -26,6 +26,24 @@ class AsOfTwsSpec extends SparkSpec {
 
   private val B = 1000L // epoch anchor seconds (see SessionTimeoutStreamSpec)
 
+  /** Drain until the memory sink stops growing: the timer-only batch
+    * that fires after a watermark advance can land just after a
+    * processAllAvailable returns, so poll to a fixpoint.
+    */
+  private def settle(q: org.apache.spark.sql.streaming.StreamingQuery,
+                     table: String, atLeast: Long): Unit = {
+    val deadline = System.currentTimeMillis + 30000
+    var prev = -1L
+    var cur = spark.table(table).count()
+    while ((cur < atLeast || cur != prev) &&
+        System.currentTimeMillis < deadline) {
+      Thread.sleep(150)
+      q.processAllAvailable()
+      prev = cur
+      cur = spark.table(table).count()
+    }
+  }
+
   // (key, sec, value) -> DataFrame with a real timestamp column
   private def df(rows: Seq[(Long, Long, Double)]) =
     rows.toDF("user_id", "sec", "v")
@@ -62,6 +80,7 @@ class AsOfTwsSpec extends SparkSpec {
       pSrc.addData((99L, B + 10000, 0.0))
       sSrc.addData((99L, B + 10000, 0.0))
       q.processAllAvailable()
+      settle(q, "asof_tws", 5)
       q.stop()
 
       val got = spark.table("asof_tws")
@@ -83,6 +102,41 @@ class AsOfTwsSpec extends SparkSpec {
           if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
 
       assert(got == want, s"stream $got\nbatch $want")
+    }
+  }
+
+  test("a genuinely-NULL state payload is carried as NULL, not skipped or NaN") {
+    withRocksDb {
+      val pSrc = MemoryStream[(Long, Long, Double)](spark)
+      val sSrc = MemoryStream[(Long, Long, Option[Double])](spark)
+      val probes = pSrc.toDS().toDF("user_id", "sec", "v")
+        .select(col("user_id"), expr("timestamp_seconds(sec)").as("ts"),
+          col("v"))
+      val states = sSrc.toDS().toDF("user_id", "sec", "v")
+        .select(col("user_id"), expr("timestamp_seconds(sec)").as("ts"),
+          col("v"))
+      val q = TwsOps.asOfTws(probes, states, "user_id", "ts", "v", "v",
+          "10 seconds")
+        .writeStream.format("memory").queryName("asof_tws_null")
+        .outputMode("append").start()
+      // state(B+5) = 10.0, state(B+20) = NULL: the probe after the NULL
+      // state must see NULL (the latest row), never 10.0 carried over
+      sSrc.addData((4L, B + 5, Some(10.0)), (4L, B + 20, None))
+      pSrc.addData((4L, B + 10, 0.1), (4L, B + 30, 0.2))
+      q.processAllAvailable()
+      pSrc.addData((99L, B + 10000, 0.0))
+      sSrc.addData((99L, B + 10000, Some(0.0)))
+      q.processAllAvailable()
+      settle(q, "asof_tws_null", 2)
+      q.stop()
+      val got = spark.table("asof_tws_null")
+        .filter(col("key") === 4L)
+        .collect()
+        .map(r => (r.getLong(1),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+      assert(got == Set(
+        ((B + 10) * 1000000, Some(10.0)),
+        ((B + 30) * 1000000, None)), s"got $got")
     }
   }
 
@@ -115,6 +169,7 @@ class AsOfTwsSpec extends SparkSpec {
       pSrc.addData((99L, B + 10000, 0.0))
       sSrc.addData((99L, B + 10000, 0.0))
       q.processAllAvailable()
+      settle(q, "asof_tws2", 3)
       q.stop()
 
       val got = spark.table("asof_tws2")
