@@ -84,6 +84,79 @@ object Linkage {
       .select(col("a_id"), col("_m.b_id").as("b_id"), col("_m.sim").as("sim"))
   }
 
+  /** Exact global rank in (nameCol, idCol) order WITHOUT the
+    * single-partition window trap — [[graft.operators.Ranking.globalRank]]'s
+    * scaffold for STRING keys: deterministic sampled name boundaries
+    * bucket the rows (boundary choice affects only balance, never rank
+    * values — the total order has the id tie-break), per-bucket windows
+    * rank in parallel, a ≤|buckets|-row offset prefix broadcasts back.
+    * NULL names are excluded. Byte-order caveat: Spark compares strings
+    * as UTF-16 code units, DuckDB as UTF-8 bytes — identical on ASCII
+    * names (the fixture domain); non-ASCII callers must normalize
+    * first if oracle-parity of the ORDER matters.
+    */
+  def nameOrderIndex(records: DataFrame, idCol: String, nameCol: String,
+                     buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = records.filter(col(nameCol).isNotNull)
+    val n = math.max(1L, base.count())
+    val fraction = math.min(1.0, buckets * 200.0 / n)
+    val sampled = base.select(col(nameCol)).sample(fraction, seed = 42)
+      .collect().map(_.getString(0)).sorted
+    val step = math.max(1, sampled.length / buckets)
+    val bounds = sampled.indices.collect {
+      case i if i > 0 && i % step == 0 => sampled(i)
+    }.distinct.toArray
+    val order = Seq(col(nameCol), col(idCol))
+    val w = Window.partitionBy(col("__b")).orderBy(order: _*)
+    val pfx = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // bucket = #bounds below the name, as a plain indicator-sum fold:
+    // the array-HOF formulation (size(filter(lit(bounds), _ < name)))
+    // trips INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND when the lambda's
+    // captured column crosses the window-prefix branch on a parquet
+    // scan (Spark 4.1) — the fold is also codegen-friendlier
+    val bucketExpr = bounds.foldLeft(lit(0L)) { (acc, bnd) =>
+      acc + when(col(nameCol) > lit(bnd), 1L).otherwise(0L)
+    }
+    val bucketed = base.withColumn("__b", bucketExpr)
+    val offsets = bucketed.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
+      .withColumn("__base", coalesce(sum(col("__n")).over(pfx), lit(0L)))
+      .select(col("__b"), col("__base"))
+    bucketed
+      .withColumn("__lr", row_number().over(w).cast("long"))
+      .join(broadcast(offsets), Seq("__b"))
+      .withColumn("rn", col("__base") + col("__lr"))
+      .drop("__b", "__lr", "__base")
+  }
+
+  /** Sorted-neighborhood linkage — the blocking-KEY-free ER stage: rank
+    * all records by name (exact global order, parallel scaffold above),
+    * pair each record with its next `window` neighbors in that order,
+    * score, threshold. The classic answer when no bounded blocking key
+    * exists: candidates per record = `window`, total pairs = n·window,
+    * never n².
+    *
+    * The neighbor join is an EQUI-join: explode d ∈ [1, window] and
+    * join rn_b = rn_a + d — w-fold expansion of one side, shuffle on
+    * the rank (balanced by construction), no range-join machinery
+    * needed. Output (a_id, b_id, sim) with a before b in name order.
+    */
+  def sortedNeighborhood(records: DataFrame, idCol: String, nameCol: String,
+                         window: Int, threshold: Double): DataFrame = {
+    val idx = nameOrderIndex(records, idCol, nameCol)
+    val a = idx.select(col("rn").as("rn_a"), col(idCol).as("a_id"),
+        col(nameCol).as("_an"),
+        explode(sequence(lit(1), lit(window))).as("_d"))
+      .withColumn("rn_b", col("rn_a") + col("_d"))
+    val b = idx.select(col("rn").as("rn_b"), col(idCol).as("b_id"),
+      col(nameCol).as("_bn"))
+    a.join(b, Seq("rn_b"))
+      .withColumn("sim", JaroWinkler.of(col("_an"), col("_bn")))
+      .filter(col("sim") >= threshold)
+      .select(col("a_id"), col("b_id"), col("sim"))
+  }
+
   /** Best match per record among all OTHER records of its block:
     * (id, match_id, match_sim), ties broken by highest match_id —
     * deterministic cross-engine because the similarity doubles are

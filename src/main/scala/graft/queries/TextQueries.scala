@@ -25,6 +25,15 @@ object TextQueries {
         "p_brand", 0.88)
     }),
 
+    // Record linkage, blocking-key-free variant: sorted-neighborhood —
+    // exact global name rank (quantile-bucketed parallel scaffold, no
+    // single-partition window), each part paired with its next 10
+    // neighbors in name order, Jaro-Winkler >= 0.88. Oracle: plain
+    // row_number + band self-join (rank values are boundary-independent).
+    "q_sorted_neighborhood" -> ((s, d) =>
+      graft.operators.Linkage.sortedNeighborhood(Tables.part(s, d),
+        "p_partkey", "p_name", window = 10, threshold = 0.88)),
+
     // Record linkage, stage 3 (entity formation): threshold pairs at
     // 0.92 feed connected components — transitive closure turns fuzzy
     // match pairs into entity clusters, exactly the dedup-cluster
@@ -503,6 +512,15 @@ object TextQueries {
         |FROM part a JOIN part b
         |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
         |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.88""".stripMargin,
+
+    "q_sorted_neighborhood" ->
+      """WITH r AS (SELECT p_partkey AS id, p_name AS name,
+        |             row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+        |           FROM part WHERE p_name IS NOT NULL)
+        |SELECT a.id AS a_id, b.id AS b_id,
+        |  jaro_winkler_similarity(a.name, b.name) AS sim
+        |FROM r a JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + 10
+        |WHERE jaro_winkler_similarity(a.name, b.name) >= 0.88""".stripMargin,
 
     "q_er_clusters" ->
       """WITH RECURSIVE pairs AS (
