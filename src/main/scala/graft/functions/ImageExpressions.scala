@@ -154,3 +154,56 @@ object BmpPixelStats {
     bb.array()
   }
 }
+
+/** Magic-byte MIME sniffing — classify an opaque binary payload by its
+  * leading bytes (the crawl-curation primitive that routes blobs to
+  * the right decode path BEFORE any codec runs; classification never
+  * trusts a container-supplied content type). One codegen'd prefix
+  * compare per format, at scan speed.
+  *
+  * Recognized: png, jpeg, gif (87a/89a), wav (RIFF....WAVE), bmp,
+  * pdf, zip, gzip; everything else (including UTF-8 text) → "other".
+  * Rule order matters only for documentation — the magics are
+  * mutually exclusive byte-wise.
+  */
+case class MagicKind(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StringType
+
+  override def prettyName: String = "magic_kind"
+
+  override def nullSafeEval(p: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      MagicKind.sniff(p.asInstanceOf[Array[Byte]]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.MagicKind$$.MODULE$$.sniff($c))")
+
+  override protected def withNewChildInternal(newChild: Expression): MagicKind =
+    copy(child = newChild)
+}
+
+object MagicKind {
+
+  def of(payload: Column): Column =
+    ColumnBridge.column(MagicKind(ColumnBridge.expression(payload)))
+
+  private def has(b: Array[Byte], at: Int, magic: Int*): Boolean =
+    b.length >= at + magic.length &&
+      magic.indices.forall(i => (b(at + i) & 0xFF) == magic(i))
+
+  def sniff(b: Array[Byte]): String =
+    if (has(b, 0, 0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)) "png"
+    else if (has(b, 0, 0xFF, 0xD8, 0xFF)) "jpeg"
+    else if (has(b, 0, 'G', 'I', 'F', '8', '7', 'a') ||
+      has(b, 0, 'G', 'I', 'F', '8', '9', 'a')) "gif"
+    else if (has(b, 0, 'R', 'I', 'F', 'F') && has(b, 8, 'W', 'A', 'V', 'E')) "wav"
+    else if (has(b, 0, 'B', 'M')) "bmp"
+    else if (has(b, 0, '%', 'P', 'D', 'F')) "pdf"
+    else if (has(b, 0, 0x50, 0x4B, 0x03, 0x04)) "zip"
+    else if (has(b, 0, 0x1F, 0x8B)) "gzip"
+    else "other"
+}

@@ -88,6 +88,7 @@ object GraftExtensions {
     entry("pcm_stats", classOf[PcmStats], 1)(c => PcmStats(c(0))),
     entry("bmp_pixel_stats", classOf[BmpPixelStats], 1)(c =>
       BmpPixelStats(c(0))),
+    entry("magic_kind", classOf[MagicKind], 1)(c => MagicKind(c(0))),
     entry("kmv_sketch", classOf[KmvSketchAgg], 2)(c =>
       KmvSketchAgg(c(0), litInt(c(1), "kmv_sketch", "k"))),
     entry("kmv_union_agg", classOf[KmvUnionAgg], 2)(c =>

@@ -58,6 +58,30 @@ object MiscQueries {
 
     // Opaque-binary metadata projection: byte sizes + chunk counts
     // without ever decoding the payload.
+    // Magic-byte MIME sniffing over a deterministic mixed-blob table:
+    // doc_id % 5 picks which format magic prefixes the text bytes, the
+    // native MagicKind expression classifies from the RAW BYTES, and
+    // the oracle rebuilds the identical blobs and classifies via hex
+    // prefixes — the hash gate proves the sniff semantics byte-for-byte.
+    "q_magic_sniff" -> ((s, d) => {
+      val m5 = pmod(col("doc_id"), lit(5))
+      val payload = when(m5 === 0,
+          concat(unhex(lit("89504E470D0A1A0A")), encode(col("text"), "UTF-8")))
+        .when(m5 === 1,
+          concat(unhex(lit("FFD8FFE0")), encode(col("text"), "UTF-8")))
+        .when(m5 === 2,
+          concat(unhex(lit("474946383961")), encode(col("text"), "UTF-8")))
+        .when(m5 === 3,
+          concat(unhex(lit("524946460000000057415645")),
+            encode(col("text"), "UTF-8")))
+        .otherwise(encode(col("text"), "UTF-8"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), payload.as("p"))
+        .select(col("doc_id"),
+          graft.functions.MagicKind.of(col("p")).as("kind"),
+          octet_length(col("p")).cast("long").as("n_bytes"))
+    }),
+
     "q_multimodal_meta" -> ((s, d) => {
       val media = Multimodal.asMediaTable(Tables.documents(s, d), "doc_id", "text")
       Multimodal.mediaMeta(media, chunkBytes = 256)
@@ -815,6 +839,30 @@ object MiscQueries {
          |  COUNT(*) AS n_events,
          |  ${sqlDsum("value")} AS total_value
          |FROM g GROUP BY user_id, sid""".stripMargin,
+
+    "q_magic_sniff" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN '\x89\x50\x4E\x47\x0D\x0A\x1A\x0A'::BLOB || encode(text)
+        |      WHEN 1 THEN '\xFF\xD8\xFF\xE0'::BLOB || encode(text)
+        |      WHEN 2 THEN '\x47\x49\x46\x38\x39\x61'::BLOB || encode(text)
+        |      WHEN 3 THEN '\x52\x49\x46\x46\x00\x00\x00\x00\x57\x41\x56\x45'::BLOB || encode(text)
+        |      ELSE encode(text) END AS p
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN substr(hex(p), 1, 16) = '89504E470D0A1A0A' THEN 'png'
+        |       WHEN substr(hex(p), 1, 6) = 'FFD8FF' THEN 'jpeg'
+        |       WHEN substr(hex(p), 1, 12) IN ('474946383761', '474946383961') THEN 'gif'
+        |       WHEN substr(hex(p), 1, 8) = '52494646'
+        |            AND substr(hex(p), 17, 8) = '57415645' THEN 'wav'
+        |       WHEN substr(hex(p), 1, 4) = '424D' THEN 'bmp'
+        |       WHEN substr(hex(p), 1, 8) = '25504446' THEN 'pdf'
+        |       WHEN substr(hex(p), 1, 8) = '504B0304' THEN 'zip'
+        |       WHEN substr(hex(p), 1, 4) = '1F8B' THEN 'gzip'
+        |       ELSE 'other' END AS kind,
+        |  CAST(octet_length(p) AS BIGINT) AS n_bytes
+        |FROM m""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id, 'text' AS kind,

@@ -125,4 +125,39 @@ class MultimodalSpec extends SparkSpec {
     val again = Multimodal.extractFeatures(ds).collect().map(f => f.media_id -> f.checksum).toMap
     assert(again(1L) == out(1L).checksum)
   }
+
+  test("magic_kind classifies genuine encoder output and hand headers") {
+    import graft.functions.{MagicKind, PcmStats}
+    import graft.functions.BmpPixelStats
+    def sniff(b: Array[Byte]) = MagicKind.sniff(b)
+    // genuine containers from the library's own encoders
+    assert(sniff(PcmStats.wavBytes(16000, Array[Short](1, -2, 3))) == "wav")
+    assert(sniff(BmpPixelStats.bmpBytes(2, 2,
+      Array.fill(4)((1, 2, 3)))) == "bmp")
+    // canonical magics
+    assert(sniff(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A, 0x00)
+      .map(_.toByte)) == "png")
+    assert(sniff(Array(0xFF, 0xD8, 0xFF, 0xE1).map(_.toByte)) == "jpeg")
+    assert(sniff("GIF89a....".getBytes("UTF-8")) == "gif")
+    assert(sniff("GIF87a".getBytes("UTF-8")) == "gif")
+    assert(sniff("%PDF-1.7".getBytes("UTF-8")) == "pdf")
+    assert(sniff(Array(0x50, 0x4B, 0x03, 0x04).map(_.toByte)) == "zip")
+    assert(sniff(Array(0x1F, 0x8B, 0x08).map(_.toByte)) == "gzip")
+    // non-matches: text, truncated magics, empty
+    assert(sniff("plain text".getBytes("UTF-8")) == "other")
+    assert(sniff("GIF88a".getBytes("UTF-8")) == "other")
+    assert(sniff("RIFFxxxxAVI ".getBytes("UTF-8")) == "other") // RIFF, not WAVE
+    assert(sniff(Array[Byte](0x89.toByte)) == "other")
+    assert(sniff(Array.empty[Byte]) == "other")
+  }
+
+  test("magic_kind codegen path matches the static sniff") {
+    import graft.functions.MagicKind
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      "89504E470D0A1A0A00", "FFD8FFE0", "474946383961", "00112233"
+    ).toDF("hx").select(MagicKind.of(unhex(col("hx"))).as("k"))
+    assert(df.as[String].collect().toSeq ==
+      Seq("png", "jpeg", "gif", "other"))
+  }
 }
