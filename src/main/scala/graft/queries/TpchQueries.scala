@@ -164,6 +164,23 @@ object TpchQueries {
         .groupBy(col("bucket")).agg(count(lit(1)).as("n_customers"))
     }),
 
+    // TPC-H Q13 shape — distribution of per-customer order counts
+    // INCLUDING zero-order customers: left join (with the status filter
+    // in the join condition, the fixture's stand-in for Q13's comment
+    // predicate), per-customer count of MATCHED rows only (count(col)
+    // vs count(*) null semantics), then the histogram of those counts.
+    "q_count_distribution" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+        .filter(col("o_orderstatus") =!= "F")
+        .select(col("o_custkey"), col("o_orderkey"))
+      Tables.customer(s, d).select(col("c_custkey"))
+        .join(orders, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
     // Left outer join with null-extension accounting.
     "q_left_join" -> ((s, d) => {
       val bigOrders = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
@@ -430,6 +447,15 @@ object TpchQueries {
         |UNION ALL
         |SELECT 'no_urgent', COUNT(*) FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM u WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q_count_distribution" ->
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |      FROM customer LEFT JOIN orders
+        |        ON c_custkey = o_custkey
+        |           AND o_orderstatus <> 'F'
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
 
     "q_left_join" ->
       s"""SELECT c_mktsegment, COUNT(*) AS n_rows,
