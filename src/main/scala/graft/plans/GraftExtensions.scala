@@ -32,6 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => new RangeJoinRewrite)
     e.injectOptimizerRule(_ => DecodePruneRule)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectTableFunction(
+      (AsOfSqlFunction.ident, AsOfSqlFunction.info, AsOfSqlFunction.builder _))
   }
 }
 

@@ -133,6 +133,25 @@ object TpchQueries {
         .withColumnRenamed("asof_pval", "asof_purchase")
     }),
 
+    // The custom as-of operator from PLAIN SQL TEXT: the asof_join
+    // TABLE FUNCTION (plans.AsOfSqlFunction, injectTableFunction /
+    // runtime registry) resolves the view names, builds the identical
+    // AsOfJoinPlan subtree, and the enclosing SQL projects it — SQL
+    // text, Column API, and oracle all drive one physical operator.
+    // States: latest 'view' event value at-or-before each event, inner.
+    "q_asof_sql" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      ev.select(col("event_id"), col("ts"), col("user_id"))
+        .createOrReplaceTempView("asof_probes_v")
+      ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("vval"))
+        .createOrReplaceTempView("asof_states_v")
+      graft.plans.AsOfSqlFunction.register(s)
+      s.sql("""SELECT event_id, ts, user_id, asof_vval AS last_view
+              |FROM asof_join('asof_probes_v', 'asof_states_v',
+              |               'user_id', 'ts', 'vval', true)""".stripMargin)
+    }),
+
     // FORWARD as-of with a tolerance bound, through the same physical
     // operator: each event finds the user's NEXT error event at-or-after
     // its timestamp, but only within one hour (pandas merge_asof
@@ -428,6 +447,14 @@ object TpchQueries {
         |           WHERE event_type = 'purchase' GROUP BY 1, 2)
         |SELECT p.event_id, p.ts, p.user_id, p.event_type,
         |  s.pval AS asof_purchase
+        |FROM probes p ASOF JOIN states s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts""".stripMargin,
+
+    "q_asof_sql" ->
+      """WITH probes AS (SELECT event_id, ts, user_id FROM events),
+        |states AS (SELECT user_id, ts, max(value) AS vval FROM events
+        |           WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT p.event_id, p.ts, p.user_id, s.vval AS last_view
         |FROM probes p ASOF JOIN states s
         |  ON p.user_id = s.user_id AND p.ts >= s.ts""".stripMargin,
 

@@ -26,6 +26,18 @@ object PlanBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Register a SQL table function on a live session (the runtime
+    * analogue of GraftExtensions' injectTableFunction, for sessions
+    * built without extensions). Overwrites any previous registration
+    * under the same identifier (registerFunction semantics).
+    */
+  def registerTableFunction(spark: SparkSession,
+      ident: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] => LogicalPlan): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.tableFunctionRegistry.registerFunction(ident, info, builder)
+
   /** Idempotently add a planner strategy to a live session (the
     * runtime analogue of GraftExtensions' injectPlannerStrategy, for
     * sessions built without extensions).

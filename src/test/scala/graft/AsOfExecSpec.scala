@@ -210,6 +210,53 @@ class AsOfExecSpec extends SparkSpec {
     assert(fwd(2L).isEmpty)
   }
 
+  test("asof_join SQL table function ≡ the DataFrame asOfExec path") {
+    val probes = Seq(
+      (1L, ts(50), "u1", 0.5), (2L, ts(100), "u1", 0.6),
+      (3L, ts(150), "u2", 0.7)
+    ).toDF("event_id", "ts", "user_id", "value")
+    val states = Seq(
+      ("u1", ts(40), 1.0), ("u1", ts(100), 2.0), ("u2", ts(200), 3.0)
+    ).toDF("user_id", "ts", "sval")
+    probes.createOrReplaceTempView("aspec_probes")
+    states.createOrReplaceTempView("aspec_states")
+    graft.plans.AsOfSqlFunction.register(spark)
+
+    val viaSql = spark.sql(
+      """SELECT event_id, asof_sval FROM
+        |asof_join('aspec_probes', 'aspec_states', 'user_id', 'ts', 'sval')""".stripMargin)
+    val viaDf = AsOfJoin.asOfExec(probes, states, Seq("user_id"), "ts", Seq("sval"))
+      .select(col("event_id"), col("asof_sval"))
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(m(viaSql) == m(viaDf))
+    assert(m(viaSql) == Map(1L -> Some(1.0), 2L -> Some(2.0), 3L -> None))
+    // and it is genuinely the custom operator underneath
+    viaSql.collect()
+    assert(viaSql.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    // inner form via the 6th argument
+    val inner = spark.sql(
+      """SELECT event_id FROM
+        |asof_join('aspec_probes', 'aspec_states', 'user_id', 'ts', 'sval', true)""".stripMargin)
+    assert(inner.as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("asof_join SQL arguments are validated loudly") {
+    graft.plans.AsOfSqlFunction.register(spark)
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT * FROM asof_join('a', 'b', 'k')").collect()
+    }
+    assert(e1.getMessage.contains("5 or 6 arguments"))
+    Seq((1L, ts(1), 1.0)).toDF("id", "ts", "v")
+      .createOrReplaceTempView("aspec_one")
+    val e2 = intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM asof_join('aspec_one', 'aspec_one', 'id', 'ts', 'v', 7)")
+        .collect()
+    }
+    assert(e2.getMessage.contains("BOOLEAN literal"))
+  }
+
   test("mismatched key types fail loudly at build time") {
     val probes = Seq((1L, ts(1), 7, 0.0)).toDF("event_id", "ts", "user_id", "value")
     val states = Seq(("7", ts(1), 1.0)).toDF("user_id", "ts", "sval")
