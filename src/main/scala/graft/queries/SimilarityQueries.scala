@@ -27,6 +27,31 @@ object SimilarityQueries {
   private val exactCap = 500
 
   val queries: Map[String, Q] = Map(
+
+    // Exact Gram (uncentered covariance) matrix over the first 16
+    // embedding dims — the distributed front half of PCA/whitening, in
+    // the catalog's floor(x·1000) integer arithmetic so the 136
+    // upper-triangle sums are hash-exact cross-engine. Plan: per-row
+    // pair expansion (136×, bounded by dims² not rows) into one
+    // partial+final aggregation; at a production dim count the same
+    // sums ride a TypedImperativeAggregate outer-product buffer
+    // instead of the explode (noted in SCALE.md).
+    "q_embedding_gram" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .select(expr(
+          "transform(slice(embedding, 1, 16), x -> CAST(floor(x * 1000) AS BIGINT))")
+          .as("q"))
+        .select(explode(expr(
+          """flatten(transform(sequence(0, 15), i ->
+            |  transform(sequence(i, 15), j ->
+            |    named_struct('i', i, 'j', j,
+            |      'p', element_at(q, i + 1) * element_at(q, j + 1)))))""".stripMargin))
+          .as("c"))
+        .groupBy(col("c.i").cast("long").as("i"),
+          col("c.j").cast("long").as("j"))
+        .agg(sum(col("c.p")).as("gram_q"))
+    }),
+
     // Exact top-10 cosine for 10 query vectors against the corpus.
     "q_knn_brute" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -283,6 +308,18 @@ object SimilarityQueries {
       | CASE WHEN v[4] > 0 THEN 8 ELSE 0 END)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    "q_embedding_gram" ->
+      """WITH e AS (
+        |  SELECT list_transform(embedding[1:16],
+        |           x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |ix AS (SELECT i FROM range(0, 16) t(i)),
+        |jx AS (SELECT i AS j FROM range(0, 16) t(i))
+        |SELECT ix.i, jx.j,
+        |  CAST(SUM(e.q[ix.i + 1] * e.q[jx.j + 1]) AS BIGINT) AS gram_q
+        |FROM e, ix, jx WHERE jx.j >= ix.i
+        |GROUP BY 1, 2""".stripMargin,
     // Mirrors Similarity.semanticDedup stage-for-stage: floor(x·1000)
     // quantization, integer L2 argmin to the 8 lowest-id seeds
     // (ties → lowest cid), in-cell pairs, and the exact integer cosine
