@@ -58,6 +58,29 @@ object MiscQueries {
 
     // Opaque-binary metadata projection: byte sizes + chunk counts
     // without ever decoding the payload.
+    // XML ingest round trip (the remaining text ingest format next to
+    // CSV/JSON): each doc is serialized to an XML element (attribute +
+    // two child fields), parsed back with from_xml, and the PARSED
+    // values are emitted. The oracle computes the same values straight
+    // from the table without seeing XML — the hash gate proves the
+    // encode→parse round trip, exactly the q_bmp_pixels pattern.
+    "q_xml_roundtrip" -> ((s, d) => {
+      val xmlSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType)))
+      Tables.documents(s, d)
+        .select(col("doc_id"), concat(
+          lit("<doc id=\""), col("doc_id"), lit("\"><lang>"), col("lang"),
+          lit("</lang><n>"), col("n_chars"), lit("</n></doc>")).as("x"))
+        .select(col("doc_id"), from_xml(col("x"), xmlSchema).as("p"))
+        .select(col("doc_id"), col("p._id").as("xml_id"),
+          col("p.lang").as("xml_lang"), col("p.n").as("xml_n"))
+    }),
+
     // Magic-byte MIME sniffing over a deterministic mixed-blob table:
     // doc_id % 5 picks which format magic prefixes the text bytes, the
     // native MagicKind expression classifies from the RAW BYTES, and
@@ -839,6 +862,11 @@ object MiscQueries {
          |  COUNT(*) AS n_events,
          |  ${sqlDsum("value")} AS total_value
          |FROM g GROUP BY user_id, sid""".stripMargin,
+
+    "q_xml_roundtrip" ->
+      """SELECT doc_id, doc_id AS xml_id, lang AS xml_lang,
+        |  n_chars AS xml_n
+        |FROM documents""".stripMargin,
 
     "q_magic_sniff" ->
       """WITH m AS (
