@@ -52,6 +52,16 @@ object SimilarityQueries {
         .agg(sum(col("c.p")).as("gram_q"))
     }),
 
+    // Dominant eigenvector of the integer Gram matrix by 10 rounds of
+    // INTEGER power iteration (Spectral.dominantEigenvector): the only
+    // distributed step is the Gram aggregation; the 16x16 iteration
+    // runs on the driver, and because every step is exact integer
+    // arithmetic the DuckDB oracle replays the identical sequence in a
+    // recursive CTE - a hash-gated eigensolve, not a tolerance check.
+    "q_power_iteration" -> ((s, d) =>
+      graft.operators.Spectral.dominantEigenvector(
+        Tables.embeddings(s, d), "embedding", dims = 16, iters = 10)),
+
     // Exact top-10 cosine for 10 query vectors against the corpus.
     "q_knn_brute" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -308,6 +318,36 @@ object SimilarityQueries {
       | CASE WHEN v[4] > 0 THEN 8 ELSE 0 END)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    // Mirrors Spectral.dominantEigenvector: same quantized Gram, same
+    // v0 = [1000...], same sign-factored truncating renormalization,
+    // unrolled by a recursive CTE with the matvec done relationally
+    // (DuckDB lambdas cannot capture the correlated v).
+    "q_power_iteration" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT list_transform(embedding[1:16],
+        |           x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |gm AS (
+        |  SELECT i.i AS i, j.i AS j,
+        |    CAST(SUM(e.q[i.i + 1] * e.q[j.i + 1]) AS BIGINT) AS g
+        |  FROM e, range(0, 16) i(i), range(0, 16) j(i)
+        |  GROUP BY 1, 2),
+        |it(step, v) AS (
+        |  SELECT 0, list_transform(range(0, 16), x -> CAST(1000 AS BIGINT))
+        |  UNION ALL
+        |  SELECT step + 1, w.nv
+        |  FROM it, LATERAL (
+        |    SELECT list(CAST(sign(s) AS BIGINT) * ((abs(s) * 1000) // mx)
+        |                ORDER BY i) AS nv
+        |    FROM (
+        |      SELECT i, s, MAX(abs(s)) OVER () AS mx FROM (
+        |        SELECT gm.i AS i, SUM(gm.g * v[CAST(gm.j + 1 AS INT)]) AS s
+        |        FROM gm GROUP BY gm.i) t1) t2
+        |  ) w
+        |  WHERE step < 10)
+        |SELECT CAST(d.i AS BIGINT) AS dim, v[CAST(d.i + 1 AS INT)] AS v_q
+        |FROM it, range(0, 16) d(i) WHERE step = 10""".stripMargin,
 
     "q_embedding_gram" ->
       """WITH e AS (
