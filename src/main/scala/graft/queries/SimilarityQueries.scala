@@ -62,6 +62,28 @@ object SimilarityQueries {
       graft.operators.Spectral.dominantEigenvector(
         Tables.embeddings(s, d), "embedding", dims = 16, iters = 10)),
 
+    // 1-D spectral embedding: every vector's exact integer projection
+    // onto the dominant eigenvector from q_power_iteration, top-20 by
+    // |score| (the "most extreme along the principal direction"
+    // outlier/diversity probe). The eigenvector is collected (16
+    // longs) and folded in as an array literal; scores ride the
+    // codegen'd vec_dot_long. All integers -> the oracle replays the
+    // iteration AND the projection exactly.
+    "q_spectral_scores" -> ((s, d) => {
+      import graft.functions.VectorFunctions.vec_dot_long
+      val emb = Tables.embeddings(s, d)
+      val v = graft.operators.Spectral
+        .dominantEigenvector(emb, "embedding", dims = 16, iters = 10)
+        .orderBy(col("dim")).collect().map(_.getLong(1))
+      emb.select(col("vec_id"), expr(
+          "transform(slice(embedding, 1, 16), x -> CAST(floor(x * 1000) AS BIGINT))")
+          .as("q"))
+        .withColumn("score_q", vec_dot_long(col("q"), lit(v)))
+        .orderBy(abs(col("score_q")).desc, col("vec_id").asc)
+        .limit(20)
+        .select(col("vec_id"), col("score_q"))
+    }),
+
     // Exact top-10 cosine for 10 query vectors against the corpus.
     "q_knn_brute" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -318,6 +340,41 @@ object SimilarityQueries {
       | CASE WHEN v[4] > 0 THEN 8 ELSE 0 END)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    // The power-iteration CTE again, plus the relational projection
+    // (lambdas cannot capture the correlated v, so the dot product is
+    // an unnested sum over range(0,16)).
+    "q_spectral_scores" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, list_transform(embedding[1:16],
+        |           x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |gm AS (
+        |  SELECT i.i AS i, j.i AS j,
+        |    CAST(SUM(e.q[i.i + 1] * e.q[j.i + 1]) AS BIGINT) AS g
+        |  FROM e, range(0, 16) i(i), range(0, 16) j(i)
+        |  GROUP BY 1, 2),
+        |it(step, v) AS (
+        |  SELECT 0, list_transform(range(0, 16), x -> CAST(1000 AS BIGINT))
+        |  UNION ALL
+        |  SELECT step + 1, w.nv
+        |  FROM it, LATERAL (
+        |    SELECT list(CAST(sign(s) AS BIGINT) * ((abs(s) * 1000) // mx)
+        |                ORDER BY i) AS nv
+        |    FROM (
+        |      SELECT i, s, MAX(abs(s)) OVER () AS mx FROM (
+        |        SELECT gm.i AS i, SUM(gm.g * v[CAST(gm.j + 1 AS INT)]) AS s
+        |        FROM gm GROUP BY gm.i) t1) t2
+        |  ) w
+        |  WHERE step < 10),
+        |vf AS (SELECT v FROM it WHERE step = 10)
+        |SELECT vec_id,
+        |  CAST(SUM(e.q[k.i + 1] * (SELECT v FROM vf)[CAST(k.i + 1 AS INT)])
+        |       AS BIGINT) AS score_q
+        |FROM e, range(0, 16) k(i)
+        |GROUP BY vec_id
+        |ORDER BY abs(score_q) DESC, vec_id ASC
+        |LIMIT 20""".stripMargin,
 
     // Mirrors Spectral.dominantEigenvector: same quantized Gram, same
     // v0 = [1000...], same sign-factored truncating renormalization,
