@@ -191,19 +191,38 @@ object MagicKind {
   def of(payload: Column): Column =
     ColumnBridge.column(MagicKind(ColumnBridge.expression(payload)))
 
-  private def has(b: Array[Byte], at: Int, magic: Int*): Boolean =
-    b.length >= at + magic.length &&
-      magic.indices.forall(i => (b(at + i) & 0xFF) == magic(i))
+  // precomputed magic byte arrays + while-loop compare: the probe runs
+  // per input row inside generated code, so it must not allocate (the
+  // varargs/closure formulation boxed a Seq per probe)
+  private val Png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+  private val Jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte)
+  private val Gif87 = "GIF87a".getBytes("US-ASCII")
+  private val Gif89 = "GIF89a".getBytes("US-ASCII")
+  private val Riff = "RIFF".getBytes("US-ASCII")
+  private val Wave = "WAVE".getBytes("US-ASCII")
+  private val Bmp = "BM".getBytes("US-ASCII")
+  private val Pdf = "%PDF".getBytes("US-ASCII")
+  private val Zip = Array[Byte](0x50, 0x4B, 0x03, 0x04)
+  private val Gzip = Array[Byte](0x1F, 0x8B.toByte)
+
+  private def has(b: Array[Byte], at: Int, magic: Array[Byte]): Boolean = {
+    if (b.length < at + magic.length) return false
+    var i = 0
+    while (i < magic.length) {
+      if (b(at + i) != magic(i)) return false
+      i += 1
+    }
+    true
+  }
 
   def sniff(b: Array[Byte]): String =
-    if (has(b, 0, 0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)) "png"
-    else if (has(b, 0, 0xFF, 0xD8, 0xFF)) "jpeg"
-    else if (has(b, 0, 'G', 'I', 'F', '8', '7', 'a') ||
-      has(b, 0, 'G', 'I', 'F', '8', '9', 'a')) "gif"
-    else if (has(b, 0, 'R', 'I', 'F', 'F') && has(b, 8, 'W', 'A', 'V', 'E')) "wav"
-    else if (has(b, 0, 'B', 'M')) "bmp"
-    else if (has(b, 0, '%', 'P', 'D', 'F')) "pdf"
-    else if (has(b, 0, 0x50, 0x4B, 0x03, 0x04)) "zip"
-    else if (has(b, 0, 0x1F, 0x8B)) "gzip"
+    if (has(b, 0, Png)) "png"
+    else if (has(b, 0, Jpeg)) "jpeg"
+    else if (has(b, 0, Gif87) || has(b, 0, Gif89)) "gif"
+    else if (has(b, 0, Riff) && has(b, 8, Wave)) "wav"
+    else if (has(b, 0, Bmp)) "bmp"
+    else if (has(b, 0, Pdf)) "pdf"
+    else if (has(b, 0, Zip)) "zip"
+    else if (has(b, 0, Gzip)) "gzip"
     else "other"
 }

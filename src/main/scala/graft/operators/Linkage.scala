@@ -90,13 +90,15 @@ object Linkage {
     * bucket the rows (boundary choice affects only balance, never rank
     * values — the total order has the id tie-break), per-bucket windows
     * rank in parallel, a ≤|buckets|-row offset prefix broadcasts back.
-    * NULL names are excluded. Byte-order caveat: Spark compares strings
-    * as UTF-16 code units, DuckDB as UTF-8 bytes — identical on ASCII
-    * names (the fixture domain); non-ASCII callers must normalize
-    * first if oracle-parity of the ORDER matters.
+    * NULL names are excluded. Ordering parity: Spark's default
+    * UTF8_BINARY collation compares UTF-8 bytes — identical to DuckDB's
+    * default VARCHAR order, non-ASCII included. (The driver-side
+    * `.sorted` on the SAMPLED boundary names is UTF-16 code-unit order,
+    * but boundaries affect only bucket balance, never rank values.)
     */
   def nameOrderIndex(records: DataFrame, idCol: String, nameCol: String,
                      buckets: Int = 64): DataFrame = {
+    require(buckets >= 2, s"nameOrderIndex needs buckets >= 2, got $buckets")
     import org.apache.spark.sql.expressions.Window
     val base = records.filter(col(nameCol).isNotNull)
     val n = math.max(1L, base.count())
@@ -144,7 +146,12 @@ object Linkage {
     */
   def sortedNeighborhood(records: DataFrame, idCol: String, nameCol: String,
                          window: Int, threshold: Double): DataFrame = {
-    val idx = nameOrderIndex(records, idCol, nameCol)
+    require(window >= 1, // sequence(1, 0) would step BACKWARD to d=0:
+      s"sortedNeighborhood needs window >= 1, got $window") // self-pairs
+    // persist: the rank frame feeds BOTH join sides — without this the
+    // per-bucket window sort and the offsets aggregation re-execute per
+    // side (only the exchanges would be reused)
+    val idx = nameOrderIndex(records, idCol, nameCol).persist()
     val a = idx.select(col("rn").as("rn_a"), col(idCol).as("a_id"),
         col(nameCol).as("_an"),
         explode(sequence(lit(1), lit(window))).as("_d"))

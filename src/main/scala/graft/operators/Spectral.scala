@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -36,14 +36,23 @@ object Spectral {
     * that, shard the Gram by row-range and sum (the bound is per
     * aggregate, not fundamental).
     */
-  def dominantEigenvector(df: DataFrame, vecCol: String, dims: Int,
-                          iters: Int): DataFrame = {
-    val spark = df.sparkSession
+  /** The catalog's shared quantization: first `dims` dims at
+    * floor(x·1000) as array<bigint> — every spectral query and its
+    * DuckDB oracle mirror THIS expression; change it in one place.
+    */
+  def quantized(vecCol: String, dims: Int): Column =
+    expr(s"transform(slice($vecCol, 1, $dims), " +
+      "x -> CAST(floor(x * 1000) AS BIGINT))")
+
+  /** [[dominantEigenvector]]'s core, returning the raw driver-side
+    * vector (callers that immediately fold it back into expressions —
+    * q_spectral_scores — skip the DataFrame round trip).
+    */
+  def dominantEigenvectorArray(df: DataFrame, vecCol: String, dims: Int,
+                               iters: Int): Array[Long] = {
     val last = dims - 1
     val gramRows = df
-      .select(expr(
-        s"transform(slice($vecCol, 1, $dims), x -> CAST(floor(x * 1000) AS BIGINT))")
-        .as("q"))
+      .select(quantized(vecCol, dims).as("q"))
       .select(explode(expr(
         s"""flatten(transform(sequence(0, $last), i ->
            |  transform(sequence(0, $last), j ->
@@ -69,7 +78,13 @@ object Spectral {
       if (mx > 0) v = w.map(x => math.signum(x) * (math.abs(x) * 1000L / mx))
       it += 1
     }
+    v
+  }
 
+  def dominantEigenvector(df: DataFrame, vecCol: String, dims: Int,
+                          iters: Int): DataFrame = {
+    val spark = df.sparkSession
+    val v = dominantEigenvectorArray(df, vecCol, dims, iters)
     val out = v.zipWithIndex.map { case (x, i) => Row(i.toLong, x) }
     spark.createDataFrame(
       spark.sparkContext.parallelize(out.toSeq, 1),

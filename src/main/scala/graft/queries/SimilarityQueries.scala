@@ -38,9 +38,7 @@ object SimilarityQueries {
     // instead of the explode (noted in SCALE.md).
     "q_embedding_gram" -> ((s, d) => {
       Tables.embeddings(s, d)
-        .select(expr(
-          "transform(slice(embedding, 1, 16), x -> CAST(floor(x * 1000) AS BIGINT))")
-          .as("q"))
+        .select(graft.operators.Spectral.quantized("embedding", 16).as("q"))
         .select(explode(expr(
           """flatten(transform(sequence(0, 15), i ->
             |  transform(sequence(i, 15), j ->
@@ -73,11 +71,9 @@ object SimilarityQueries {
       import graft.functions.VectorFunctions.vec_dot_long
       val emb = Tables.embeddings(s, d)
       val v = graft.operators.Spectral
-        .dominantEigenvector(emb, "embedding", dims = 16, iters = 10)
-        .orderBy(col("dim")).collect().map(_.getLong(1))
-      emb.select(col("vec_id"), expr(
-          "transform(slice(embedding, 1, 16), x -> CAST(floor(x * 1000) AS BIGINT))")
-          .as("q"))
+        .dominantEigenvectorArray(emb, "embedding", dims = 16, iters = 10)
+      emb.select(col("vec_id"),
+          graft.operators.Spectral.quantized("embedding", 16).as("q"))
         .withColumn("score_q", vec_dot_long(col("q"), lit(v)))
         .orderBy(abs(col("score_q")).desc, col("vec_id").asc)
         .limit(20)
