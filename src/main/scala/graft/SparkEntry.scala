@@ -24,7 +24,7 @@ object SparkEntry {
       TextQueries.queries ++ SimilarityQueries.queries ++ MiscQueries.queries ++
       AnalyticsQueries.queries ++ CurationQueries.queries ++
       TimeSeriesQueries.queries ++ ProfilingQueries.queries ++
-      BehaviorQueries.queries ++ GraphQueries.queries
+      BehaviorQueries.queries ++ GraphQueries.queries ++ StatsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -34,5 +34,5 @@ object SparkEntry {
       TextQueries.oracles ++ SimilarityQueries.oracles ++ MiscQueries.oracles ++
       AnalyticsQueries.oracles ++ CurationQueries.oracles ++
       TimeSeriesQueries.oracles ++ ProfilingQueries.oracles ++
-      BehaviorQueries.oracles ++ GraphQueries.oracles
+      BehaviorQueries.oracles ++ GraphQueries.oracles ++ StatsQueries.oracles
 }

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.StatsQueries
+
+/** Invariants of the integer-exact stats queries (the DuckDB oracle
+  * proves cross-engine agreement; these pin the semantics).
+  */
+class StatsSpec extends SparkSpec {
+
+  test("q_decile_lift: 10 deciles partition all orders; lift averages to ~1") {
+    val df = StatsQueries.queries("q_decile_lift")(spark, sf0001)
+    val rows = df.collect()
+    assert(rows.length == 10)
+    val n = rows.map(_.getAs[Long]("n")).sum
+    val total = spark.read.parquet(s"$sf0001/orders.parquet").count()
+    assert(n == total)
+    // decile sizes differ by at most 1 (SQL-standard NTILE rule)
+    val sizes = rows.map(_.getAs[Long]("n"))
+    assert(sizes.max - sizes.min <= 1)
+    // weighted mean of per-decile positive rates = base rate, so the
+    // n-weighted mean lift is 10000 bp up to floor-division loss
+    val weighted = rows.map(r => r.getAs[Long]("lift_bp") * r.getAs[Long]("n")).sum
+    assert(weighted <= 10000L * n && weighted >= 10000L * n - 10 * n)
+  }
+
+  test("q_pmi_lift: marginals consistent; independence baseline on a uniform grid") {
+    val df = StatsQueries.queries("q_pmi_lift")(spark, sf0001)
+    val rows = df.collect()
+    // n_x is the sum of this x's cells; re-derive and compare
+    val byX = rows.groupBy(_.getAs[String]("x"))
+    byX.foreach { case (_, cells) =>
+      assert(cells.map(_.getAs[Long]("n_xy")).sum == cells.head.getAs[Long]("n_x"))
+    }
+    // every lift is nonnegative and floor(n_xy*N*1e6/(n_x*n_y)) exactly
+    rows.foreach { r =>
+      val (nxy, nx, ny) = (r.getAs[Long]("n_xy"), r.getAs[Long]("n_x"), r.getAs[Long]("n_y"))
+      val nn = rows.filter(_.getAs[String]("x") == r.getAs[String]("x"))
+        .map(_.getAs[Long]("n_xy")).sum +
+        rows.filter(_.getAs[String]("x") != r.getAs[String]("x"))
+          .map(_.getAs[Long]("n_xy")).sum
+      assert(r.getAs[Long]("lift_ppm") == nxy * nn * 1000000L / (nx * ny))
+    }
+  }
+
+  test("q_ols_trend semantics: exact slope on a constructed line") {
+    import spark.implicits._
+    // y = 3.5 + 0.25·day over 5 days, one observation per day:
+    // slope = 0.25 units/day = 250000 micro-units/day exactly
+    val ts = (0 until 5).map { day =>
+      (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(day * 86400L)),
+        3.5 + 0.25 * day)
+    }
+    val df = ts.toDF("ts", "value")
+      .select(lit("m").as("event_type"), col("ts"), col("value"),
+        lit(1L).as("event_id"), lit(1L).as("user_id"), lit("").as("props"))
+    // run the same pipeline as the query, inlined on the fixture
+    val daily = df.select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        floor(col("value") * 1e6).cast("long").as("vu"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("cnt"), sum(col("vu")).as("sq"))
+      .select(col("event_type"), col("day"), expr("sq div cnt").as("vq"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+    val g = daily.withColumn("x", col("day") - min(col("day")).over(w))
+      .groupBy(col("event_type")).agg(
+        count(lit(1)).as("n_days"), sum(col("x")).as("sx"),
+        sum(col("vq")).as("sy"), sum(col("x") * col("vq")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("num", expr("n_days * sxy - sx * sy"))
+      .withColumn("den", expr("n_days * sxx - sx * sx"))
+      .select(expr("num div den").as("slope_micro"))
+    assert(g.collect().head.getAs[Long]("slope_micro") == 250000L)
+  }
+
+  test("q_ols_trend on sf0.001: every type has a slope, spans > 1 day") {
+    val df = StatsQueries.queries("q_ols_trend")(spark, sf0001)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_days") > 1)
+      assert(!r.isNullAt(r.fieldIndex("slope_micro_per_day")))
+    }
+  }
+}
