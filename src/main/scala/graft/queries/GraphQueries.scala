@@ -155,6 +155,30 @@ object GraphQueries {
         .filter(col("w") >= 2)
         .select(col("u"), col("v"))
       kcorePeel(s, und, k = 3, rounds = 3)
+    }),
+
+    // Multi-source BFS hop distance (≤ 3 hops) from a deterministic
+    // seed set over the same co-purchase graph: the reachability /
+    // shortest-unweighted-path primitive the graph tier was missing
+    // (CC answers "same component?", this answers "how far?" — the
+    // blast-radius question every lineage / contamination-spread audit
+    // asks). Each round is one frontier→edges hash join + one anti-join
+    // against the visited set — shuffle ∝ frontier-adjacent edges, not
+    // the whole graph — with the same per-round localCheckpoint/release
+    // discipline as PageRank. FIXED rounds (bounded latency), so the
+    // output is exact hop distance for every node within 3 hops.
+    "q_bfs_hops" -> ((s, d) => {
+      val so = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val und = so.as("a")
+        .join(so.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("u"), col("v"))
+      bfsHops(s, und, seedPred = col("node") % 97 === 0, rounds = 3)
     })
   )
 
@@ -197,6 +221,60 @@ object GraphQueries {
     result
   }
 
+  /** Multi-source BFS over an undirected simple graph given as (u, v)
+    * edge rows, each edge once: returns (node, hop) for every node
+    * within `rounds` hops of the seed set, hop = exact unweighted
+    * shortest distance. Seeds are the graph nodes satisfying `seedPred`
+    * (over a `node` column) at hop 0.
+    *
+    * Round r: frontier (hop r−1 rows of the visited checkpoint) joins
+    * the symmetrized edge set (hashed on u — built once, checkpointed,
+    * reused every round), distinct neighbors, anti-join against
+    * visited. Both shuffles are keyed by node and sized by the frontier
+    * adjacency, not the graph. The visited set is re-checkpointed per
+    * round (it feeds the next round's frontier filter AND anti-join —
+    * uncheckpointed, round r would re-expand all earlier rounds) and
+    * the previous round's blocks released, so resident state is
+    * O(|visited| + |edges|). At 100 TB: identical shape — BFS is
+    * |frontier-edges| shuffle per round, the textbook Pregel iteration
+    * expressed as joins.
+    */
+  def bfsHops(s: org.apache.spark.sql.SparkSession, und: DataFrame,
+      seedPred: org.apache.spark.sql.Column, rounds: Int): DataFrame = {
+    val sc = s.sparkContext
+    def tracked(df: DataFrame, name: String): (DataFrame, Iterable[org.apache.spark.rdd.RDD[_]]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint()
+      val rdds = (sc.getPersistentRDDs -- before).values.map { r =>
+        r.setName(name); r
+      }
+      (out, rdds)
+    }
+    val (edges, edgeRdds) = tracked(
+      und.select(col("u"), col("v"))
+        .union(und.select(col("v").as("u"), col("u").as("v")))
+        .repartition(col("u")),
+      "graft.bfs edges")
+    val seeds = edges.select(col("u").as("node")).distinct()
+      .filter(seedPred)
+    var (visited, prevRdds) = tracked(
+      seeds.select(col("node"), lit(0L).as("hop")), "graft.bfs round 0")
+    for (r <- 1 to rounds) {
+      val frontier = visited.filter(col("hop") === (r - 1))
+      val nbrs = edges
+        .join(frontier.select(col("node").as("u")), Seq("u"))
+        .select(col("v").as("node")).distinct()
+      val novel = nbrs.join(visited, Seq("node"), "left_anti")
+        .select(col("node"), lit(r.toLong).as("hop"))
+      val (nv, nvRdds) = tracked(visited.union(novel), s"graft.bfs round $r")
+      prevRdds.foreach(_.unpersist(blocking = false))
+      prevRdds = nvRdds
+      visited = nv
+    }
+    edgeRdds.foreach(_.unpersist(blocking = false))
+    visited
+  }
+
   /** Degree-ordered triangle/wedge/edge counts of an undirected simple
     * graph given as (u, v) edge rows with u ≠ v, each edge once (see
     * q_triangles above for the algorithm and scale notes). Exposed for
@@ -235,6 +313,16 @@ object GraphQueries {
     oriRdds.foreach(_.unpersist(blocking = false))
     result
   }
+
+  private def bfsRound(i: Int): String =
+    s"""f$i AS (
+       |  SELECT DISTINCT e.v AS node
+       |  FROM e JOIN v${i - 1} p ON e.u = p.node AND p.hop = ${i - 1}
+       |  WHERE e.v NOT IN (SELECT node FROM v${i - 1})
+       |), v$i AS (
+       |  SELECT node, hop FROM v${i - 1}
+       |  UNION ALL SELECT node, $i AS hop FROM f$i
+       |)""".stripMargin
 
   private def prRound(i: Int): String =
     s"""c$i AS (
@@ -299,6 +387,26 @@ object GraphQueries {
         |  CAST(COUNT(e.src) AS BIGINT) AS n_triangles
         |FROM wedge w
         |LEFT JOIN ori e ON w.b = e.src AND w.c = e.dst""".stripMargin,
+
+    // Mirrors q_bfs_hops round-for-round: symmetrized ≥2-support
+    // co-purchase edges, seed nodes (% 97), three frontier expansions
+    // each excluding already-visited nodes.
+    "q_bfs_hops" -> {
+      val rounds = (1 to 3).map(bfsRound).mkString(",\n")
+      s"""WITH so AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+         |), und AS (
+         |  SELECT a.pk AS u, b.pk AS v
+         |  FROM so a JOIN so b ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY a.pk, b.pk HAVING COUNT(*) >= 2
+         |), e AS (
+         |  SELECT u, v FROM und UNION ALL SELECT v, u FROM und
+         |), v0 AS (
+         |  SELECT DISTINCT u AS node, 0 AS hop FROM e WHERE u % 97 = 0
+         |),
+         |$rounds
+         |SELECT node, CAST(hop AS BIGINT) AS hop FROM v3""".stripMargin
+    },
 
     // Mirrors q_kcore round-for-round: same ≥2-support graph, three
     // degree→threshold(≥3)→edge-filter rounds, survivors with their

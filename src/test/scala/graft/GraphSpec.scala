@@ -77,4 +77,28 @@ class GraphSpec extends SparkSpec {
     val und = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v") // a path
     assert(GraphQueries.kcorePeel(spark, und, k = 2, rounds = 3).count() == 0)
   }
+
+  test("bfsHops: path graph distances from one seed, horizon capped") {
+    import spark.implicits._
+    // path 0-1-2-3-4-5 plus a disconnected edge 10-11; seed = node 0
+    val und = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L)).toDF("u", "v")
+    val got = GraphQueries.bfsHops(spark, und, col("node") === 0, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exact hops up to 3; 4, 5 beyond horizon; 10, 11 unreachable
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("bfsHops: multi-source takes the MIN distance; cycle converges") {
+    import spark.implicits._
+    // cycle 1-2-3-4-1 with seeds {1, 3}: 2 and 4 are 1 hop from EITHER
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("u", "v")
+    val got = GraphQueries.bfsHops(spark, und,
+        col("node") === 1 || col("node") === 3, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 1L))
+    assert(spark.sparkContext.getPersistentRDDs.values
+      .count(r => Option(r.name).exists(_.startsWith("graft.bfs edges"))) == 0,
+      "edge checkpoint must be released")
+  }
 }
