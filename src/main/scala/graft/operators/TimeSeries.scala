@@ -66,6 +66,69 @@ object TimeSeries {
         Window.partitionBy(col(keyCol), col("grp"))).as("value_ffill"))
   }
 
+  /** Resample onto a regular bucket grid with LINEAR INTERPOLATION
+    * across interior gaps — the numeric-feature twin of
+    * [[resampleLastFfill]] (ffill repairs state-like streams, linear
+    * interpolation repairs continuous metrics before feature
+    * extraction).
+    *
+    * Each bucket's anchor is its last observation by (epochCol,
+    * tieCol), quantized to micro-units (`floor(v·10⁶)` as long) so the
+    * interpolated value is integer-exact and engine-portable: a gap
+    * bucket between anchors (pb, pv) and (nb, nv) gets
+    * `pv + ((nv−pv)·(b−pb)) div (nb−pb)` with the division applied to
+    * the non-negative magnitude (truncation toward zero on both Spark
+    * and DuckDB regardless of their negative-`div` conventions).
+    * Exterior gaps (before the first / after the last observation)
+    * stay null — interpolation needs both anchors; extrapolation is a
+    * different (and lying) operator.
+    *
+    * Plan shape: the anchor aggregate shuffles on (key, bucket); the
+    * grid is keys × span/bucket rows; prev/next anchors ride the
+    * gaps-and-islands trick twice (ascending and descending running
+    * counts), four windows all partitioned by key — per-key grids are
+    * the parallelism unit, as in ffill. Output: (keyCol, bucket_start,
+    * obs_cnt, value_interp_micro: long).
+    */
+  def resampleLinear(df: DataFrame, keyCol: String, epochCol: String,
+      tieCol: String, valCol: String, bucketSeconds: Long): DataFrame = {
+    val bucketed = df.select(
+      col(keyCol), col(epochCol), col(tieCol), col(valCol),
+      expr(s"$epochCol div $bucketSeconds").as("bucket"))
+    val obs = bucketed.groupBy(col(keyCol), col("bucket"))
+      .agg(count(lit(1)).as("obs_cnt"),
+        max(struct(col(epochCol), col(tieCol), col(valCol)))
+          .getField(valCol).as("v"))
+      .withColumn("vq", floor(col("v") * 1e6).cast("long")).drop("v")
+    val grid = bucketed.groupBy(col(keyCol))
+      .agg(min(col("bucket")).as("mn"), max(col("bucket")).as("mx"))
+      .select(col(keyCol), explode(sequence(col("mn"), col("mx"))).as("bucket"))
+    val joined = grid.join(obs, Seq(keyCol, "bucket"), "left")
+    val wAsc = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    val wDesc = Window.partitionBy(col(keyCol)).orderBy(col("bucket").desc)
+    val g = joined
+      .withColumn("grp", count(col("vq")).over(wAsc))
+      .withColumn("grpr", count(col("vq")).over(wDesc))
+    val wP = Window.partitionBy(col(keyCol), col("grp"))
+    val wN = Window.partitionBy(col(keyCol), col("grpr"))
+    g.withColumn("pv", max(col("vq")).over(wP))
+      .withColumn("pb", min(col("bucket")).over(wP))
+      .withColumn("nv", max(col("vq")).over(wN))
+      .withColumn("nb", max(col("bucket")).over(wN))
+      .select(
+        col(keyCol),
+        (col("bucket") * bucketSeconds).as("bucket_start"),
+        coalesce(col("obs_cnt"), lit(0L)).as("obs_cnt"),
+        when(col("vq").isNotNull, col("vq"))
+          .when(col("pv").isNull || col("nv").isNull, lit(null).cast("long"))
+          .otherwise(col("pv") + expr(
+            """CASE WHEN (nv - pv) * (bucket - pb) >= 0
+              |THEN ((nv - pv) * (bucket - pb)) div (nb - pb)
+              |ELSE -((-((nv - pv) * (bucket - pb))) div (nb - pb))
+              |END""".stripMargin))
+          .as("value_interp_micro"))
+  }
+
   /** SCD2 history: compact an event log to the rows where `attrCol`
     * changed, each carrying its validity interval [valid_from,
     * valid_to) — valid_to is the next change's epoch, null for the

@@ -24,6 +24,20 @@ object TimeSeriesQueries {
         keyCol = "event_type", epochCol = "e", tieCol = "event_id",
         valCol = "value", bucketSeconds = 3600L)),
 
+    // Linear-interpolation twin of q_resample: the same hourly grid,
+    // but interior gaps repaired by integer-exact linear interpolation
+    // between the neighboring anchors (micro-unit fixed point), and
+    // exterior gaps left null. The repair step for continuous metrics
+    // where carrying the last value forward would fabricate a plateau.
+    "q_interpolate" -> ((s, d) =>
+      TimeSeries.resampleLinear(
+        Tables.events(s, d)
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 1000000").as("e"),
+            col("event_id"), col("value")),
+        keyCol = "event_type", epochCol = "e", tieCol = "event_id",
+        valCol = "value", bucketSeconds = 3600L)),
+
     // Time-series completeness audit: per user, the active-day count,
     // calendar span, missing days, and longest silent gap — the
     // coverage report that decides whether an interaction log is dense
@@ -115,6 +129,59 @@ object TimeSeriesQueries {
         |       WHEN a.ha = b.hb THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM a FULL JOIN b ON a.doc_id = b.doc_id""".stripMargin,
+
+    // Mirrors resampleLinear stage-by-stage: same anchor/grid CTEs as
+    // q_resample, then BOTH running counts (asc for the previous
+    // anchor, desc for the next) and the magnitude-guarded integer
+    // interpolation.
+    "q_interpolate" ->
+      """WITH o AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 AS e, event_id, value,
+        |    (epoch_us(ts) // 1000000) // 3600 AS bucket
+        |  FROM events
+        |), lastv AS (
+        |  SELECT event_type, bucket, value,
+        |    row_number() OVER (PARTITION BY event_type, bucket
+        |                       ORDER BY e DESC, event_id DESC) AS rn
+        |  FROM o
+        |), cnt AS (
+        |  SELECT event_type, bucket, COUNT(*) AS obs_cnt
+        |  FROM o GROUP BY event_type, bucket
+        |), b AS (
+        |  SELECT event_type, MIN(bucket) AS mn, MAX(bucket) AS mx
+        |  FROM o GROUP BY event_type
+        |), grid AS (
+        |  SELECT event_type, unnest(generate_series(mn, mx)) AS bucket FROM b
+        |), j AS (
+        |  SELECT g.event_type, g.bucket, c.obs_cnt,
+        |    CAST(floor(l.value * 1e6) AS BIGINT) AS vq
+        |  FROM grid g
+        |  LEFT JOIN cnt c ON g.event_type = c.event_type AND g.bucket = c.bucket
+        |  LEFT JOIN (SELECT event_type, bucket, value FROM lastv WHERE rn = 1) l
+        |    ON g.event_type = l.event_type AND g.bucket = l.bucket
+        |), f AS (
+        |  SELECT event_type, bucket, obs_cnt, vq,
+        |    COUNT(vq) OVER (PARTITION BY event_type ORDER BY bucket) AS grp,
+        |    COUNT(vq) OVER (PARTITION BY event_type ORDER BY bucket DESC) AS grpr
+        |  FROM j
+        |), a AS (
+        |  SELECT event_type, bucket, obs_cnt, vq,
+        |    MAX(vq) OVER (PARTITION BY event_type, grp) AS pv,
+        |    MIN(bucket) OVER (PARTITION BY event_type, grp) AS pb,
+        |    MAX(vq) OVER (PARTITION BY event_type, grpr) AS nv,
+        |    MAX(bucket) OVER (PARTITION BY event_type, grpr) AS nb
+        |  FROM f
+        |)
+        |SELECT event_type, bucket * 3600 AS bucket_start,
+        |  CAST(COALESCE(obs_cnt, 0) AS BIGINT) AS obs_cnt,
+        |  CASE WHEN vq IS NOT NULL THEN vq
+        |       WHEN pv IS NULL OR nv IS NULL THEN NULL
+        |       ELSE pv + CASE WHEN (nv - pv) * (bucket - pb) >= 0
+        |                 THEN ((nv - pv) * (bucket - pb)) // (nb - pb)
+        |                 ELSE -((-((nv - pv) * (bucket - pb))) // (nb - pb))
+        |                 END
+        |  END AS value_interp_micro
+        |FROM a""".stripMargin,
 
     // Mirrors the operator stage-by-stage: per-bucket count + last
     // value (row_number instead of Spark's max(struct)), key-range

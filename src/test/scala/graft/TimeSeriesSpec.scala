@@ -72,4 +72,40 @@ class TimeSeriesSpec extends SparkSpec {
     val out = TimeSeries.scd2History(df, "k", "e", "tie", "attr").collect()
     assert(out.length == 3)
   }
+
+  test("resampleLinear interpolates interior gaps exactly, micro-units") {
+    // obs at buckets 0 (v=1.0) and 3 (v=2.5): buckets 1, 2 get
+    // 1.0 + (1.5·k/3) → 1500000, 2000000 micro; observed rows pass
+    // through quantized
+    val df = obs(("a", 5L, 1L, 1.0), ("a", 35L, 1L, 2.5))
+    val out = TimeSeries.resampleLinear(df, "k", "e", "tie", "v", 10L)
+      .orderBy("bucket_start")
+      .select("bucket_start", "obs_cnt", "value_interp_micro").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0L, 1L, 1000000L), (10L, 0L, 1500000L),
+        (20L, 0L, 2000000L), (30L, 1L, 2500000L)))
+  }
+
+  test("resampleLinear: downward slope truncates toward zero on both gaps") {
+    // obs 2.0 → 0.5 over 3 buckets: exact thirds are non-integers,
+    // delta·k = -1500000·{1,2} / 3 → -500000, -1000000 exactly
+    val df = obs(("a", 5L, 1L, 2.0), ("a", 35L, 1L, 0.5))
+    val out = TimeSeries.resampleLinear(df, "k", "e", "tie", "v", 10L)
+      .orderBy("bucket_start").select("value_interp_micro").collect()
+    assert(out.map(_.getLong(0)).toSeq ==
+      Seq(2000000L, 1500000L, 1000000L, 500000L))
+  }
+
+  test("resampleLinear: grid endpoints are observed, so no nulls; per-key isolation") {
+    // the grid spans each key's OWN [min, max] observed bucket, so
+    // both endpoints are anchors and every gap is interior — the
+    // exterior-null branch is defensive only. Key b has a single obs:
+    // its one-bucket grid is all-observed.
+    val df = obs(("a", 20L, 1L, 1.0), ("a", 30L, 1L, 2.0),
+      ("b", 50L, 1L, 9.0))
+    val out = TimeSeries.resampleLinear(df, "k", "e", "tie", "v", 10L)
+    assert(out.filter($"value_interp_micro".isNull).count() == 0)
+    val b = out.filter($"k" === "b").collect()
+    assert(b.length == 1 && b.head.getAs[Long]("value_interp_micro") == 9000000L)
+  }
 }
