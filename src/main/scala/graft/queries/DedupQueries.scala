@@ -53,6 +53,16 @@ object DedupQueries {
         profiles)
     }),
 
+    // E2 EXACT similarity join (PPJoin-family prefix filtering):
+    // provably ALL pairs with char-12-gram Jaccard ≥ 0.8 — the
+    // zero-false-negative counterpart to q_ngram_jaccard's LSH (whose
+    // banding can miss true pairs). The oracle is the brute
+    // all-co-occurring-pairs join, so a hash match PROVES the prefix
+    // pruning (100× fewer candidates at sf0.1) lost nothing.
+    "q_prefix_join" -> ((s, d) =>
+      Dedup.prefixJaccardJoin(Tables.documents(s, d), "text", "doc_id",
+        shingleSize = 12, tNum = 8, tDen = 10)),
+
     // E2 SimHash near-dup pairs: byte-band bucketing (pigeonhole-exact
     // for hamming ≤ 3) + hamming verify.
     "q_simhash_pairs" -> ((s, d) =>
@@ -846,6 +856,27 @@ object DedupQueries {
         |JOIN sz sx ON sx.doc_id = i.id_a
         |JOIN sz sy ON sy.doc_id = i.id_b
         |WHERE i.n_inter / (sx.n + sy.n - i.n_inter) >= 0.8""".stripMargin,
+
+    // Brute-force twin of the prefix-filtered join: EVERY co-occurring
+    // pair (no pruning), intersection counts, integer cross-multiplied
+    // threshold. Agreement proves the prefix filter's exactness.
+    "q_prefix_join" ->
+      """WITH t AS (SELECT doc_id, lower(trim(text)) AS t FROM documents
+        |           WHERE length(trim(text)) >= 12),
+        |gs AS (SELECT doc_id, t, unnest(generate_series(1, length(t)-11)) AS g FROM t),
+        |sh AS (SELECT DISTINCT doc_id, substr(t, g, 12) AS shingle FROM gs),
+        |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+        |p AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |        CAST(COUNT(*) AS BIGINT) AS n_inter
+        |      FROM sh x JOIN sh y
+        |        ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |      GROUP BY x.doc_id, y.doc_id)
+        |SELECT p.id_a, p.id_b, p.n_inter, sx.n AS n_a, sy.n AS n_b,
+        |  p.n_inter / (sx.n + sy.n - p.n_inter) AS jaccard
+        |FROM p
+        |JOIN sz sx ON sx.doc_id = p.id_a
+        |JOIN sz sy ON sy.doc_id = p.id_b
+        |WHERE p.n_inter * 10 >= (sx.n + sy.n - p.n_inter) * 8""".stripMargin,
 
     "q_simhash_pairs" ->
       s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),

@@ -407,4 +407,44 @@ class DedupSpec extends SparkSpec {
     assert(!out.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
     assert(!out.exists(r => r.getLong(0) == r.getLong(1)))
   }
+
+  test("prefixJaccardJoin finds exact and near dups, drops dissimilar") {
+    val out = Dedup.prefixJaccardJoin(docs, "text", "doc_id",
+        shingleSize = 5, tNum = 7, tDen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1≈2 (one word differs), 1=4, 2≈4; 3 shares nothing above 0.7
+    assert(out == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+
+  test("prefixJaccardJoin is COMPLETE: matches brute-force all-pairs on sf0.001") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val pruned = Dedup.prefixJaccardJoin(d, "text", "doc_id",
+        shingleSize = 12, tNum = 8, tDen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force: every co-occurring pair, no prefix pruning
+    val sh = Dedup.charShingles(d, "text", "doc_id", 12)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val brute = sh.select(col("doc_id").as("id_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("id_b"), col("shingle")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .filter(col("n_inter") * 10 >= (col("n_a") + col("n_b") - col("n_inter")) * 8)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("n_inter"))).toSet
+    assert(pruned == brute, "prefix filtering must lose no pair")
+    assert(brute.nonEmpty, "fixture must actually contain near-dups")
+  }
+
+  test("prefixJaccardJoin boundary: J exactly at threshold is kept") {
+    // sets of 5-gram shingles engineered so J = 4/5 = 0.8 exactly:
+    // a 9-char string has 5 5-grams; dropping the last char leaves 4
+    // shared of 5 → J = 4/(5+4-4) = 4/5
+    val d = Seq((1L, "abcdefghi"), (2L, "abcdefgh")).toDF("doc_id", "text")
+    val keep = Dedup.prefixJaccardJoin(d, "text", "doc_id", 5, 8, 10).count()
+    assert(keep == 1L)
+    val drop = Dedup.prefixJaccardJoin(d, "text", "doc_id", 5, 81, 100).count()
+    assert(drop == 0L)
+  }
 }
