@@ -305,6 +305,26 @@ object StreamBench {
           .writeStream.format("noop").outputMode("append")
           .option("checkpointLocation", s"$dir/ckpt").start()
         (q, users, t0)
+      } else if (mode == "interp") {
+        // streaming gap-repair (TwsOps.interpTws on RocksDB): per-user
+        // irregular observations resampled onto a 10s grid with linear
+        // interpolation as buckets close. Prices the pending-list +
+        // single-anchor-carry topology — state is bounded by arrival
+        // rate × the 30s watermark delay plus one anchor per key.
+        val users = math.max(1000, rows / 100)
+        writeJourneyEvents(users)
+        graft.streaming.TwsOps.useRocksDb(spark)
+        val t0 = System.nanoTime()
+        val obs = journeyReader().select(col("user_id"),
+          timestamp_seconds(
+            floor(col("tu") / users) * 10 + pmod(col("tu") * 7, lit(25)))
+            .as("ts"),
+          col("tu").as("tie"), pmod(col("tu"), lit(1000)).cast("double").as("v"))
+        val q = graft.streaming.TwsOps.interpTws(obs, "user_id", "ts",
+            "tie", "v", bucketSeconds = 10L, watermark = "30 seconds")
+          .writeStream.format("noop").outputMode("append")
+          .option("checkpointLocation", s"$dir/ckpt").start()
+        (q, users, t0)
       } else if (mode == "session") {
         // gap-session topology: the BUILT-IN session_window state path —
         // merge-on-update session state per user, append once the
@@ -445,7 +465,7 @@ object StreamBench {
       if (mode == "funnel" || mode == "latency" || mode == "bloom" ||
         mode == "session" || mode == "dedup" || mode == "lsh" ||
         mode == "logit" || mode == "drift" || mode == "kmv" ||
-        mode == "tws" || mode == "twssession") rows.toLong
+        mode == "tws" || mode == "twssession" || mode == "interp") rows.toLong
       else if (mode == "asof") rows.toLong + rows / 10
       else rows.toLong * 4
     val windows = progress.map(_.stateOperators.headOption.map(_.numRowsTotal).getOrElse(0L)).maxOption.getOrElse(0L)

@@ -287,6 +287,127 @@ object TwsOps {
     }
   }
 
+  /** One closed grid row of the streaming interpolation resample. */
+  case class InterpOut(key: String, bucket_start: Long, obs_cnt: Long,
+                       value_interp_micro: Long)
+
+  /** STREAMING linear-interpolation resample — the in-flight twin of
+    * [[graft.operators.TimeSeries.resampleLinear]]: grid rows are
+    * emitted as their buckets CLOSE (watermark past the bucket end —
+    * only then is the bucket's last-by-(ts, tie) anchor final), with
+    * interior gap buckets interpolated the moment the next anchor
+    * closes. Output over the closed region is row-identical to the
+    * batch operator on the same input: same micro-unit quantization,
+    * and JVM long division truncates toward zero — exactly the
+    * magnitude-guarded `div` the batch/oracle forms use.
+    *
+    * Streaming-contract differences, both inherent: rows at or past
+    * the last closed anchor are not emitted yet (batch sees the global
+    * max bucket; the stream cannot), and late observations behind the
+    * watermark are dropped by the engine rather than re-anchoring a
+    * closed bucket (the same completeness argument as any watermarked
+    * aggregate — a closed bucket's ts all precede the watermark, so
+    * nothing the engine admits can reopen one).
+    *
+    * State: pending on-time observations (bounded by arrival rate ×
+    * watermark delay) + ONE (bucket, value) anchor per key — the
+    * carry that lets interpolation span micro-batches. Timers follow
+    * the register-at-min-bucket-end / re-arm-unconditionally
+    * discipline of [[asOfTws]] (a timer armed by one observation can
+    * fire before any bucket is closed; failing to re-arm would strand
+    * the rest forever). RocksDB-backed like every TWS topology; same
+    * perpetual-service caveat.
+    */
+  def interpTws(df: DataFrame, keyCol: String, tsCol: String,
+                tieCol: String, valCol: String, bucketSeconds: Long,
+                watermark: String): Dataset[InterpOut] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast("string").as("k"), col(tsCol).as("ts"),
+        col(tieCol).cast("long").as("tie"),
+        floor(col(valCol) * lit(1e6)).cast("long").as("vq"))
+      .as[(String, java.sql.Timestamp, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new InterpTwsProcessor(bucketSeconds),
+        TimeMode.EventTime, OutputMode.Append)
+  }
+
+  private final class InterpTwsProcessor(bucketSeconds: Long)
+      extends StatefulProcessor[String,
+        (String, java.sql.Timestamp, Long, Long), InterpOut] {
+    import org.apache.spark.sql.streaming.ListState
+    // pending on-time observations: (us, tie, vq)
+    @transient private var pending: ListState[(Long, Long, Long)] = _
+    // last closed anchor: (bucket, vq) — the interpolation carry
+    @transient private var anchor: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      pending = getHandle.getListState[(Long, Long, Long)]("pending",
+        Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+      anchor = getHandle.getValueState[(Long, Long)]("anchor",
+        Encoders.product[(Long, Long)], TTLConfig.NONE)
+    }
+
+    // event times are nonnegative epoch micros in this library, so
+    // integer division IS floor here (matches the batch `div` chain)
+    private def bucketOf(us: Long): Long = us / 1000000L / bucketSeconds
+    private def bucketEndMs(b: Long): Long = (b + 1) * bucketSeconds * 1000
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, java.sql.Timestamp, Long, Long)],
+        tv: TimerValues): Iterator[InterpOut] = {
+      var minEndMs = Long.MaxValue
+      rows.foreach { case (_, ts, tie, vq) =>
+        val us = graft.core.TimeCodec.micros(ts)
+        pending.appendValue((us, tie, vq))
+        val endMs = bucketEndMs(bucketOf(us))
+        if (endMs < minEndMs) minEndMs = endMs
+      }
+      if (minEndMs != Long.MaxValue) getHandle.registerTimer(minEndMs + 1)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: String, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[InterpOut] = {
+      val wmMs = tv.getCurrentWatermarkInMs()
+      type Obs = (Long, Long, Long)
+      val all = pending.get().toArray[Obs]
+      val (ripe, still) = all.partition(o => bucketEndMs(bucketOf(o._1)) <= wmMs)
+      if (ripe.nonEmpty) {
+        pending.clear()
+        if (still.nonEmpty) pending.put(still)
+      }
+      // ALWAYS re-arm for remaining buffered work (asOfTws's lesson):
+      // this firing may precede every pending bucket's close
+      if (still.nonEmpty)
+        getHandle.registerTimer(
+          still.map(o => bucketEndMs(bucketOf(o._1))).min + 1)
+      if (ripe.isEmpty) return Iterator.empty
+      val byBucket = ripe.groupBy(o => bucketOf(o._1)).toArray.sortBy(_._1)
+      val out = Array.newBuilder[InterpOut]
+      var carry: Option[(Long, Long)] =
+        if (anchor.exists()) Some(anchor.get()) else None
+      byBucket.foreach { case (b, obs) =>
+        val av = obs.maxBy(o => (o._1, o._2))._3
+        carry.foreach { case (pb, pv) =>
+          var g = pb + 1
+          while (g < b) {
+            // JVM long division truncates toward zero — the batch
+            // CASE-abs `div` semantics, natively
+            out += InterpOut(key, g * bucketSeconds, 0L,
+              pv + (av - pv) * (g - pb) / (b - pb))
+            g += 1
+          }
+        }
+        out += InterpOut(key, b * bucketSeconds, obs.length.toLong, av)
+        carry = Some((b, av))
+      }
+      carry.foreach(anchor.update)
+      out.result().iterator
+    }
+  }
+
   private final class SessionTwsProcessor(gapUs: Long)
       extends StatefulProcessor[Long, (Long, java.sql.Timestamp), SessOut] {
     @transient private var st: ValueState[SessState] = _
