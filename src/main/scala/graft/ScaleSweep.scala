@@ -90,7 +90,7 @@ object ScaleSweep {
     (probes, states)
   }
 
-  private val Modes = Set("monitor", "dedup", "asof")
+  private val Modes = Set("monitor", "dedup", "asof", "prefixjoin")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.filter(Modes).getOrElse("monitor")
@@ -98,6 +98,7 @@ object ScaleSweep {
     val points =
       if (rest.nonEmpty) rest.toSeq.map(_.toLong)
       else if (mode == "dedup") Seq(50000L, 500000L, 5000000L)
+      else if (mode == "prefixjoin") Seq(20000L, 200000L, 2000000L)
       else if (mode == "asof") Seq(100000L, 1000000L, 10000000L)
       else Seq(60000L, 600000L, 6000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -125,6 +126,35 @@ object ScaleSweep {
           .write.format("noop").mode("overwrite").save()
         val execSec = (System.nanoTime() - t1) / 1e9
         println(s"""{"metric":"asof_sweep","probes":$n,"keys":$keys,"window_sec":${math.round(windowSec * 1000) / 1000.0},"exec_sec":${math.round(execSec * 1000) / 1000.0},"speedup":${math.round(windowSec / execSec * 100) / 100.0}}""")
+      }
+    } else if (mode == "prefixjoin") {
+      // exact prefix-filtered similarity join vs MinHash LSH on the
+      // SAME corpus — the price of the zero-false-negative guarantee.
+      // This corpus's duplicates are exact (J = 1 in every shingle
+      // space), so both find the same pair set and the sweep isolates
+      // COST: the exact join pays the df-count + prefix-window passes
+      // LSH's one-row-per-doc profiles avoid; what the curve must show
+      // is both staying ~linear in docs (candidates riding duplicate
+      // structure, never |docs|²).
+      import graft.operators.Dedup
+      Dedup.prefixJaccardJoin(corpus(spark, 5000), "text", "doc_id")
+        .write.format("noop").mode("overwrite").save() // warmup
+      Dedup.minhashNearDuplicates(corpus(spark, 5000), "text", "doc_id",
+          threshold = 0.8)
+        .write.format("noop").mode("overwrite").save()
+      graft.core.CacheScope.releaseStragglers(spark)
+      points.foreach { docs =>
+        val t0 = System.nanoTime()
+        val exactPairs = Dedup.prefixJaccardJoin(
+          corpus(spark, docs), "text", "doc_id", 12, 8, 10).count()
+        val exactSec = (System.nanoTime() - t0) / 1e9
+        graft.core.CacheScope.releaseStragglers(spark)
+        val t1 = System.nanoTime()
+        val lshPairs = Dedup.minhashNearDuplicates(
+          corpus(spark, docs), "text", "doc_id", threshold = 0.8).count()
+        val lshSec = (System.nanoTime() - t1) / 1e9
+        graft.core.CacheScope.releaseStragglers(spark)
+        println(s"""{"metric":"prefixjoin_sweep","docs":$docs,"exact_pairs":$exactPairs,"exact_sec":${math.round(exactSec * 1000) / 1000.0},"lsh_pairs":$lshPairs,"lsh_sec":${math.round(lshSec * 1000) / 1000.0}}""")
       }
     } else if (mode == "dedup") {
       // MinHash+LSH near-dup (the flagship corpus operator): banded
