@@ -183,6 +183,35 @@ object MiscQueries {
         .agg(count(lit(1)).as("n"),
           min(col("value")).as("lo"), max(col("value")).as("hi"))),
 
+    // EQUI-DEPTH histogram (the optimizer-statistics twin of
+    // q_histogram's equi-width bins): 20 buckets of near-equal row
+    // count with their value boundaries. Global ranks come from
+    // Ranking.globalRank (quantile-bucketed parallel scaffold — no
+    // single-partition window over the fact table); the bucket id is
+    // the SQL-standard NTILE formula applied arithmetically to the
+    // rank, so DuckDB's native ntile() cross-validates the whole
+    // construction. n_rows rides in as a broadcast 1-row aggregate of
+    // the base scan (not a re-execution of the rank pipeline). lo/hi
+    // are stored values — no arithmetic, engine-exact.
+    "q_equidepth" -> ((s, d) => {
+      val B = 20
+      val ranked = graft.operators.Ranking.globalRank(
+        Tables.events(s, d).select(col("event_id"), col("value")),
+        "value", Seq("event_id"))
+      val tot = Tables.events(s, d).agg(count(lit(1)).as("n_rows"))
+      ranked.crossJoin(broadcast(tot))
+        .withColumn("bucket", expr(
+          s"""CASE WHEN global_rank <= (n_rows % $B) * (n_rows div $B + 1)
+             |     THEN (global_rank - 1) div (n_rows div $B + 1) + 1
+             |     ELSE (n_rows % $B) +
+             |          (global_rank - (n_rows % $B) * (n_rows div $B + 1) - 1)
+             |            div (n_rows div $B) + 1
+             |END""".stripMargin))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("lo"), max(col("value")).as("hi"))
+    }),
+
     // E2 HLL++ sketch next to the exact count. The HLL estimate itself
     // is engine-specific (no DuckDB bit-match possible), so the compared
     // output carries the exact count plus a deterministic accuracy
@@ -951,6 +980,17 @@ object MiscQueries {
       """SELECT CAST(floor(value / 50) AS BIGINT) AS bin, COUNT(*) AS n,
         |  MIN(value) AS lo, MAX(value) AS hi
         |FROM events GROUP BY 1""".stripMargin,
+
+    // DuckDB's native ntile() vs the arithmetic rank-to-tile formula:
+    // agreement gates both the globalRank scaffold and the tile rule.
+    "q_equidepth" ->
+      """WITH t AS (
+        |  SELECT value, ntile(20) OVER (ORDER BY value, event_id) AS bucket
+        |  FROM events
+        |)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(value) AS lo, MAX(value) AS hi
+        |FROM t GROUP BY bucket""".stripMargin,
 
     "q_latest_per_key" ->
       """WITH r AS (

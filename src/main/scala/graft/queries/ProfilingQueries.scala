@@ -89,6 +89,37 @@ object ProfilingQueries {
           floor(col("value") * 100).cast("long").as("qv")),
         groupCol = "event_type", quantCol = "qv", k = 3)),
 
+    // ROBUST outlier screen: median / MAD instead of mean / σ — the
+    // q_outliers variant that a heavy-tailed metric needs (3σ under a
+    // few huge spikes inflates σ until nothing flags; the median
+    // absolute deviation is breakdown-point-0.5 robust). Both medians
+    // are RANK-SELECTED stored values via the shared rankOrdered
+    // scaffold (no interpolation — the 1-ulp cross-engine hazard), and
+    // every comparison is a single IEEE op on stored doubles
+    // (subtract/abs/multiply-by-3), so the flag set is engine-exact
+    // with no quantization needed. Two rank windows + two broadcast
+    // joins of the 5-row med/mad tables; shuffles ∝ |events| twice.
+    "q_mad_outliers" -> ((s, d) => {
+      val base = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("value"))
+      val med = rankOrdered(base, "event_type", "value", "event_id")
+        .filter(col("rn") === rankIdx(50))
+        .select(col("event_type"), col("value").as("med"))
+      val dev = base.join(broadcast(med), Seq("event_type"))
+        .withColumn("adev", abs(col("value") - col("med")))
+      val mad = rankOrdered(
+          dev.select(col("event_type"), col("event_id"), col("adev")),
+          "event_type", "adev", "event_id")
+        .filter(col("rn") === rankIdx(50))
+        .select(col("event_type"), col("adev").as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("adev") > col("mad") * 3, 1L).otherwise(0L))
+            .as("n_outliers"),
+          max(col("med")).as("med"), max(col("mad")).as("mad"))
+    }),
+
     // Interval-overlap join: user sessions (2h gap) × daily error
     // incident windows, then a per-day rollup. The overlap join is the
     // binned equi-join — no BroadcastNestedLoopJoin.
@@ -370,6 +401,39 @@ object ProfilingQueries {
          |  FROM lineitem
          |)
          |$profileOracle""".stripMargin,
+
+    "q_mad_outliers" -> {
+      val idx = sqlRankIdx(50)
+      s"""WITH b AS (
+         |  SELECT event_type, event_id, value FROM events
+         |), r1 AS (
+         |  SELECT event_type, value,
+         |    row_number() OVER (PARTITION BY event_type
+         |                       ORDER BY value ASC, event_id ASC) AS rn,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS n
+         |  FROM b
+         |), med AS (
+         |  SELECT event_type, value AS med FROM r1 WHERE rn = $idx
+         |), dev AS (
+         |  SELECT b.event_type, b.event_id, b.value, med.med,
+         |    abs(b.value - med.med) AS adev
+         |  FROM b JOIN med USING (event_type)
+         |), r2 AS (
+         |  SELECT event_type, adev,
+         |    row_number() OVER (PARTITION BY event_type
+         |                       ORDER BY adev ASC, event_id ASC) AS rn,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS n
+         |  FROM dev
+         |), mad AS (
+         |  SELECT event_type, adev AS mad FROM r2 WHERE rn = $idx
+         |)
+         |SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CASE WHEN d.adev > m.mad * 3 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_outliers,
+         |  MAX(d.med) AS med, MAX(m.mad) AS mad
+         |FROM dev d JOIN mad m USING (event_type)
+         |GROUP BY d.event_type""".stripMargin
+    },
 
     "q_outliers" ->
       """WITH q AS (

@@ -73,6 +73,42 @@ class StatsSpec extends SparkSpec {
     assert(g.collect().head.getAs[Long]("slope_micro") == 250000L)
   }
 
+  test("q_equidepth: 20 buckets partition all events, sizes within 1") {
+    val rows = graft.queries.MiscQueries.queries("q_equidepth")(spark, sf0001)
+      .collect()
+    assert(rows.length == 20)
+    val sizes = rows.map(_.getAs[Long]("n"))
+    assert(sizes.max - sizes.min <= 1)
+    assert(sizes.sum == spark.read.parquet(s"$sf0001/events.parquet").count())
+    // buckets are value-ordered: each bucket's hi <= next bucket's lo
+    val ordered = rows.sortBy(_.getAs[Long]("bucket"))
+    ordered.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"))
+    }
+  }
+
+  test("q_mad_outliers: MAD screen survives a spike that masks the z-score") {
+    import spark.implicits._
+    // 99 values at 10.0 plus one 1e6 spike: mean/sigma are dragged so
+    // far that 3-sigma flags nothing... but median=10, MAD=0 — the
+    // spike (adev 1e6-10 > 0) flags robustly
+    val df = ((1 to 99).map(i => ("m", i.toLong, 10.0)) :+ ("m", 100L, 1e6))
+      .toDF("event_type", "event_id", "value")
+    val med = graft.queries.rankOrdered(df, "event_type", "value", "event_id")
+      .filter(col("rn") === graft.queries.rankIdx(50))
+      .select(col("event_type"), col("value").as("med"))
+    val dev = df.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = graft.queries.rankOrdered(
+        dev.select(col("event_type"), col("event_id"), col("adev")),
+        "event_type", "adev", "event_id")
+      .filter(col("rn") === graft.queries.rankIdx(50))
+      .select(col("event_type"), col("adev").as("mad"))
+    val out = dev.join(broadcast(mad), Seq("event_type"))
+      .filter(col("adev") > col("mad") * 3).collect()
+    assert(out.length == 1 && out.head.getAs[Long]("event_id") == 100L)
+  }
+
   test("q_ols_trend on sf0.001: every type has a slope, spans > 1 day") {
     val df = StatsQueries.queries("q_ols_trend")(spark, sf0001)
     val rows = df.collect()
