@@ -29,6 +29,11 @@ object GraphQueries {
   /** Total rank mass in micro-units. */
   private val S = 1000000000000L
 
+  /** HITS total score mass: 10⁹ keeps every scaled product ar·S ≤
+    * S² = 10¹⁸ inside int64 unconditionally (see [[hitsScores]]).
+    */
+  private val HitsS = 1000000000L
+
   val queries: Map[String, Q] = Map(
     "q_pagerank" -> ((s, d) => {
       val raw = Tables.orders(s, d)
@@ -179,6 +184,21 @@ object GraphQueries {
         .filter(col("w") >= 2)
         .select(col("u"), col("v"))
       bfsHops(s, und, seedPred = col("node") % 97 === 0, rounds = 3)
+    }),
+
+    // HITS hubs & authorities (2 unrolled rounds) on the directed
+    // customer→supplier purchase graph: the MUTUALLY-recursive
+    // iteration PageRank doesn't exercise (two score families, each
+    // round reads the other's normalized output). Hubs = customers
+    // whose purchases concentrate on authoritative suppliers;
+    // authorities = suppliers bought by strong hubs.
+    "q_hits" -> ((s, d) => {
+      val raw = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("c"),
+          concat(lit("s"), col("l_suppkey")).as("s"))
+        .distinct()
+      hitsScores(s, raw, rounds = 2)
     })
   )
 
@@ -275,6 +295,72 @@ object GraphQueries {
     visited
   }
 
+  /** HITS over a directed bipartite edge set (c, s), each edge once:
+    * `rounds` iterations of auth(s) = Σ hub(c) over in-edges and
+    * hub(c) = Σ auth(s) over out-edges, each re-normalized to total
+    * mass [[HitsS]] by integer floor division (the L1 analogue of the
+    * classic L2 step — scale-free up to floor loss, and engine-exact
+    * where sqrt normalization could never be). Output: one row per
+    * node, (kind ∈ {hub, auth}, node, score) after the final round.
+    *
+    * Overflow safety is UNCONDITIONAL on graph shape: each raw score
+    * is a sum of normalized scores, so ar ≤ S and the scaled product
+    * ar·S ≤ S² = 10¹⁸ < int64 max; the normalizer t = Σ ar ≤
+    * maxdeg·S needs maxdeg ≤ 9·10⁹ — not a practical constraint.
+    *
+    * Plan per round: two (edges ⋈ scores → node-keyed sum) shuffles —
+    * the PageRank message-passing shape ×2 — plus two 1-row total
+    * aggregates that ride broadcast crossJoins against CHECKPOINTED
+    * raw-score tables (|nodes| rows; uncheckpointed, the totals
+    * subtree would re-run the round's join twice). Per-round release
+    * discipline as in PageRank/CC; at 100 TB shuffle ∝ |edges| per
+    * round, state ∝ |nodes|.
+    */
+  def hitsScores(s: org.apache.spark.sql.SparkSession, edges0: DataFrame,
+      rounds: Int): DataFrame = {
+    val sc = s.sparkContext
+    val live = scala.collection.mutable.Buffer.empty[Iterable[org.apache.spark.rdd.RDD[_]]]
+    def snap(df: DataFrame, name: String): DataFrame = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint()
+      val rdds = (sc.getPersistentRDDs -- before).values
+      rdds.foreach(_.setName(name))
+      live += rdds
+      out
+    }
+    val edges = snap(edges0.select(col("c"), col("s")).repartition(col("c")),
+      "graft.hits edges")
+    val nC = edges.select(col("c")).distinct().count()
+    val base = if (nC == 0) 0L else HitsS / nC
+    var hub = edges.select(col("c")).distinct()
+      .select(col("c"), lit(base).as("h"))
+    var auth: DataFrame = null
+    for (r <- 1 to rounds) {
+      val araw = snap(edges.join(hub, Seq("c"))
+        .groupBy(col("s")).agg(sum(col("h")).as("ar")), s"graft.hits araw $r")
+      val at = araw.agg(sum(col("ar")).as("t"))
+      auth = snap(araw.crossJoin(broadcast(at))
+        .select(col("s"), expr(s"ar * ${HitsS}L div t").as("a")),
+        s"graft.hits auth $r")
+      val hraw = snap(edges.join(auth, Seq("s"))
+        .groupBy(col("c")).agg(sum(col("a")).as("hr")), s"graft.hits hraw $r")
+      val ht = hraw.agg(sum(col("hr")).as("t"))
+      hub = snap(hraw.crossJoin(broadcast(ht))
+        .select(col("c"), expr(s"hr * ${HitsS}L div t").as("h")),
+        s"graft.hits hub $r")
+    }
+    val result = snap(
+      auth.select(lit("auth").as("kind"), col("s").as("node"),
+          col("a").as("score"))
+        .unionByName(hub.select(lit("hub").as("kind"), col("c").as("node"),
+          col("h").as("score"))),
+      "graft.hits result")
+    // release every intermediate snap group; only the (eager) result
+    // checkpoint stays resident for the caller's consuming action
+    live.dropRight(1).foreach(_.foreach(_.unpersist(blocking = false)))
+    result
+  }
+
   /** Degree-ordered triangle/wedge/edge counts of an undirected simple
     * graph given as (u, v) edge rows with u ≠ v, each edge once (see
     * q_triangles above for the algorithm and scale notes). Exposed for
@@ -322,6 +408,19 @@ object GraphQueries {
        |), v$i AS (
        |  SELECT node, hop FROM v${i - 1}
        |  UNION ALL SELECT node, $i AS hop FROM f$i
+       |)""".stripMargin
+
+  private def hitsRound(i: Int): String =
+    s"""a${i}r AS (
+       |  SELECT s, SUM(h) AS ar FROM raw JOIN h${i - 1} USING (c) GROUP BY s
+       |), a${i}t AS (SELECT SUM(ar) AS t FROM a${i}r),
+       |a$i AS (
+       |  SELECT s, ar * $HitsS // t AS a FROM a${i}r, a${i}t
+       |), h${i}r AS (
+       |  SELECT c, SUM(a) AS hr FROM raw JOIN a$i USING (s) GROUP BY c
+       |), h${i}t AS (SELECT SUM(hr) AS t FROM h${i}r),
+       |h$i AS (
+       |  SELECT c, hr * $HitsS // t AS h FROM h${i}r, h${i}t
        |)""".stripMargin
 
   private def prRound(i: Int): String =
@@ -387,6 +486,25 @@ object GraphQueries {
         |  CAST(COUNT(e.src) AS BIGINT) AS n_triangles
         |FROM wedge w
         |LEFT JOIN ori e ON w.b = e.src AND w.c = e.dst""".stripMargin,
+
+    // Mirrors q_hits round-for-round: directed c→s purchase edges,
+    // uniform hub start, two auth/hub normalization rounds.
+    "q_hits" -> {
+      val rounds = (1 to 2).map(hitsRound).mkString(",\n")
+      s"""WITH raw AS (
+         |  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |), nc AS (
+         |  SELECT COUNT(DISTINCT c) AS n FROM raw
+         |), h0 AS (
+         |  SELECT c, $HitsS // nc.n AS h
+         |  FROM (SELECT DISTINCT c FROM raw), nc
+         |),
+         |$rounds
+         |SELECT 'auth' AS kind, s AS node, CAST(a AS BIGINT) AS score FROM a2
+         |UNION ALL
+         |SELECT 'hub' AS kind, c AS node, CAST(h AS BIGINT) AS score FROM h2""".stripMargin
+    },
 
     // Mirrors q_bfs_hops round-for-round: symmetrized ≥2-support
     // co-purchase edges, seed nodes (% 97), three frontier expansions

@@ -88,6 +88,39 @@ object SimilarityQueries {
           col("rank").cast("long").as("rank"))
     }),
 
+    // kNN LABEL PROPAGATION (pseudo-labeling): vectors with
+    // vec_id % 5 = 0 keep their gold label; every other vector takes
+    // the majority label of its 5 nearest labeled neighbors (cosine,
+    // ties → lower cand_id; vote ties → lower label), reported next to
+    // its held-back gold label — the semi-supervised bootstrap +
+    // accuracy audit in one pass. On THIS corpus the audit's verdict
+    // is chance-level accuracy (~10% over 10 classes): the gold labels
+    // are independent of embedding geometry, which is precisely the
+    // failure the accuracy column exists to catch before pseudo-labels
+    // get trusted (SimilaritySpec pins both this and the
+    // clustered-fixture success case). Exact kNN here (the corpus is
+    // the bounded embeddings table); at scale the neighbor stage swaps
+    // for the bucketed/IVF variants unchanged, since the vote only
+    // reads (query_id, neighbor label, rank).
+    "q_knn_labelprop" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val known = emb.filter(col("vec_id") % 5 === 0)
+      val unk = emb.filter(col("vec_id") % 5 =!= 0)
+      val nn = Similarity.bruteForceTopK(known, unk, 5)
+      val votes = nn.join(known.select(col("vec_id").as("cand_id"),
+          col("label").cast("long").as("nlabel")), Seq("cand_id"))
+        .groupBy(col("query_id"), col("nlabel")).agg(count(lit(1)).as("cnt"))
+      val pred = votes.groupBy(col("query_id"))
+        .agg(max(struct(col("cnt"), (-col("nlabel")).as("negl"))).as("m"))
+        .select(col("query_id"), col("m.cnt").as("votes"),
+          (-col("m.negl")).as("pred_label"))
+      pred.join(unk.select(col("vec_id").as("query_id"),
+          col("label").cast("long").as("true_label")), Seq("query_id"))
+        .select(col("query_id"), col("pred_label"), col("votes"),
+          col("true_label"),
+          (col("pred_label") === col("true_label")).as("correct"))
+    }),
+
     // Approximate top-10 via sign-LSH buckets (3 planes → 8 buckets):
     // the scale-path plan (equi-join on bucket, no cross product).
     "q_knn_bucketed" -> ((s, d) => {
@@ -563,6 +596,38 @@ object SimilarityQueries {
          |  FROM p
          |)
          |SELECT anchor_id, negative_id, sim, rank FROM r WHERE rank <= 3""".stripMargin,
+
+    // Mirrors q_knn_labelprop: labeled/unlabeled split on vec_id % 5,
+    // exact cosine top-5 among labeled, majority vote with the same
+    // two-level deterministic tie-break.
+    "q_knn_labelprop" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+         |  FROM embeddings
+         |), p AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    c.label AS nlabel, $cosineSql AS sim
+         |  FROM e q JOIN e c ON q.vec_id % 5 <> 0 AND c.vec_id % 5 = 0
+         |), r AS (
+         |  SELECT query_id, nlabel,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, cand_id ASC) AS rank
+         |  FROM p
+         |), v AS (
+         |  SELECT query_id, CAST(nlabel AS BIGINT) AS nlabel,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM r WHERE rank <= 5 GROUP BY query_id, nlabel
+         |), pr AS (
+         |  SELECT query_id, nlabel AS pred_label, cnt AS votes,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cnt DESC, nlabel ASC) AS rn
+         |  FROM v
+         |)
+         |SELECT p.query_id, p.pred_label, p.votes,
+         |  CAST(e.label AS BIGINT) AS true_label,
+         |  p.pred_label = CAST(e.label AS BIGINT) AS correct
+         |FROM pr p JOIN e ON e.vec_id = p.query_id
+         |WHERE p.rn = 1""".stripMargin,
 
     "q_knn_brute" ->
       s"""WITH e AS ($vecsSql),

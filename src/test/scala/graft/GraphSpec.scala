@@ -78,6 +78,28 @@ class GraphSpec extends SparkSpec {
     assert(GraphQueries.kcorePeel(spark, und, k = 2, rounds = 3).count() == 0)
   }
 
+  test("hitsScores: mass conserved per family; star graph concentrates authority") {
+    import spark.implicits._
+    // star: customers 1..4 all buy from supplier 10; customer 1 also
+    // buys from supplier 11. Supplier 10 must dominate authority.
+    val edges = Seq(("c1", "s10"), ("c2", "s10"), ("c3", "s10"),
+      ("c4", "s10"), ("c1", "s11")).toDF("c", "s")
+    val out = GraphQueries.hitsScores(spark, edges, rounds = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val S = 1000000000L
+    for (kind <- Seq("hub", "auth")) {
+      val scores = out.filter(_._1 == kind).map(_._3)
+      assert(scores.forall(_ >= 0))
+      // normalization: total mass = S up to floor loss (< 1 per node)
+      assert(scores.sum <= S && scores.sum >= S - scores.length)
+    }
+    val auth = out.filter(_._1 == "auth").map(t => t._2 -> t._3).toMap
+    assert(auth("s10") > 3 * auth("s11"))
+    // c1 buys from both suppliers -> strongest hub
+    val hub = out.filter(_._1 == "hub").map(t => t._2 -> t._3).toMap
+    assert(hub("c1") == hub.values.max)
+  }
+
   test("bfsHops: path graph distances from one seed, horizon capped") {
     import spark.implicits._
     // path 0-1-2-3-4-5 plus a disconnected edge 10-11; seed = node 0

@@ -366,4 +366,48 @@ class SimilaritySpec extends SparkSpec {
     assert(r2.getAs[Long]("checksum") == 0L)
     assert(r2.getAs[Long]("max_err_us") == 0L)
   }
+
+  test("q_knn_labelprop: covers every unlabeled vector; flags label-geometry independence") {
+    val out = graft.queries.SimilarityQueries.queries("q_knn_labelprop")(
+      spark, sf0001).collect()
+    val unlabeled = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(org.apache.spark.sql.functions.expr("vec_id % 5 <> 0")).count()
+    assert(out.length == unlabeled)
+    out.foreach { r =>
+      assert(r.getAs[Long]("votes") >= 1L && r.getAs[Long]("votes") <= 5L)
+    }
+    // THE AUDIT'S FINDING on this corpus: gold labels are statistically
+    // independent of embedding geometry, so 5-NN accuracy sits at the
+    // 10-class chance floor (~10%) — exactly what the accuracy column
+    // exists to expose before anyone trusts pseudo-labels from it.
+    // Pinned as a band so a testdata regen that aligns labels with
+    // geometry fails this test and forces the doc to be updated.
+    val acc = out.count(_.getAs[Boolean]("correct")).toDouble / out.length
+    assert(acc < 0.3, s"labels unexpectedly aligned with geometry: $acc")
+  }
+
+  test("kNN label prop mechanism: clustered fixture propagates perfectly") {
+    import spark.implicits._
+    // two tight clusters on opposite axes; known = even ids
+    val rows = (0 until 40).map { i =>
+      val cluster = i % 2 // id parity picks the axis
+      val base = if (cluster == 0) Array(10f, 0f) else Array(0f, 10f)
+      val jit = (i / 2).toFloat / 100f
+      (i.toLong, Array(base(0) + jit, base(1) - jit), cluster)
+    }.toDF("vec_id", "embedding", "label")
+    // known = vec_id % 4 in {0, 1} (covers both clusters)
+    val known = rows.filter(col("vec_id") % 4 < 2)
+    val unk = rows.filter(col("vec_id") % 4 >= 2)
+    val nn = Similarity.bruteForceTopK(known, unk, 3)
+    val votes = nn.join(known.select(col("vec_id").as("cand_id"),
+        col("label").cast("long").as("nlabel")), Seq("cand_id"))
+      .groupBy(col("query_id"), col("nlabel")).agg(count(lit(1)).as("cnt"))
+    val pred = votes.groupBy(col("query_id"))
+      .agg(max(struct(col("cnt"), (-col("nlabel")).as("negl"))).as("m"))
+      .select(col("query_id"), (-col("m.negl")).as("pred_label"))
+    val acc = pred.join(unk.select(col("vec_id").as("query_id"),
+        col("label").cast("long").as("true_label")), Seq("query_id"))
+      .filter(col("pred_label") === col("true_label")).count()
+    assert(acc == unk.count(), "clustered labels must propagate exactly")
+  }
 }
