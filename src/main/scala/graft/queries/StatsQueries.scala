@@ -32,7 +32,7 @@ object StatsQueries {
   private def sqlSignDiv(num: String, den: String): String =
     s"CASE WHEN $num >= 0 THEN ($num) // ($den) ELSE -((-($num)) // ($den)) END"
 
-  val queries: Map[String, Q] = Map(
+  private val base: Map[String, Q] = Map(
     // Gains/lift table: orders ranked by (bucketed) price into exact
     // global deciles, per-decile finalized-order rate and its lift over
     // the base rate, in ppm / basis points. The ranking rides
@@ -113,7 +113,188 @@ object StatsQueries {
     })
   )
 
+  /** Shared daily-mean frame: (event_type, day, vq) with vq the
+    * sign-safe integer mean of the day's micro-unit values. The
+    * one-shuffle reduction every per-key series query here starts from.
+    */
+  private def dailyMeans(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        floor(col("value") * 1e6).cast("long").as("vu"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("cnt"), sum(col("vu")).as("sq"))
+      .select(col("event_type"), col("day"),
+        expr(signDiv("sq", "cnt")).as("vq"))
+
+  private val sqlDailyMeans: String = {
+    val vq = sqlSignDiv("sq", "cnt")
+    s"""daily AS (
+       |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt,
+       |    CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS sq
+       |  FROM events GROUP BY event_type, day
+       |), dv AS (
+       |  SELECT event_type, day, $vq AS vq FROM daily
+       |)""".stripMargin
+  }
+
+  val moreQueries: Map[String, Q] = Map(
+    // Per-type p10/p50/p90 value bands via the shared rank-selection
+    // scaffold — three stored-value quantiles from ONE ordered window
+    // pass (no interpolation, engine-exact).
+    "q_quantile_bands" -> ((s, d) => {
+      val r = rankOrdered(Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("value")),
+        "event_type", "value", "event_id")
+      r.groupBy(col("event_type")).agg(
+        max(col("n")).as("n"),
+        max(when(col("rn") === rankIdx(10), col("value"))).as("p10"),
+        max(when(col("rn") === rankIdx(50), col("value"))).as("p50"),
+        max(when(col("rn") === rankIdx(90), col("value"))).as("p90"))
+    }),
+
+    // CUSUM change-point scan per metric stream: cumulative sum of
+    // daily-mean deviations from the stream's own mean, reporting the
+    // day where |CUSUM| peaks (the classic single-change-point
+    // estimate) and the peak magnitude. All integer micro-units: the
+    // running sum is a per-type ordered window over ≤31 daily rows,
+    // the argmax a max(struct) with earlier-day tie-break — shuffles
+    // are the daily reduction plus one |types|-row aggregate.
+    "q_changepoint" -> ((s, d) => {
+      val dv = dailyMeans(s, d)
+      val w = Window.partitionBy(col("event_type"))
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val withMean = dv
+        .withColumn("n_days", count(lit(1)).over(w))
+        .withColumn("sy", sum(col("vq")).over(w))
+        .withColumn("mean_q", expr(signDiv("sy", "n_days")))
+      val cusum = withMean
+        .withColumn("cusum", sum(col("vq") - col("mean_q")).over(wOrd))
+      cusum.groupBy(col("event_type")).agg(
+        max(col("n_days")).as("n_days"),
+        max(struct(abs(col("cusum")).as("a"), (-col("day")).as("nd")))
+          .getField("a").as("max_abs_cusum"),
+        (-max(struct(abs(col("cusum")).as("a"), (-col("day")).as("nd")))
+          .getField("nd")).as("split_day"))
+    }),
+
+    // Lag-1 autocorrelation of the daily-mean series, exact: the
+    // squared Pearson correlation of (y_{t-1}, y_t) as an integer ppm
+    // plus its sign — r itself needs a square root, so the EXACT
+    // quantity shipped is sign·r²; the one fp-free formulation two
+    // engines can agree on bit-for-bit. Sufficient statistics are
+    // int64-safe in MILLI-units (y ≤ 5.6·10⁵, 31 days); the final
+    // num²·10⁶ / (denx·deny) runs in DECIMAL(38,0) (Spark) vs HUGEINT
+    // (DuckDB) — both exact at ≤36 digits (the q_outliers precedent).
+    // High |r²| with positive sign = momentum/drift; near-zero = the
+    // series is noise around its level.
+    "q_autocorr" -> ((s, d) => {
+      val dv = dailyMeans(s, d)
+        .select(col("event_type"), col("day"),
+          expr(signDiv("vq", "1000")).as("vm"))
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val pairs = dv
+        .withColumn("prev", lag(col("vm"), 1).over(wOrd))
+        .filter(col("prev").isNotNull)
+      pairs.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n_pairs"),
+          sum(col("prev")).as("sx"), sum(col("vm")).as("sy"),
+          sum(col("prev") * col("vm")).as("sxy"),
+          sum(col("prev") * col("prev")).as("sxx"),
+          sum(col("vm") * col("vm")).as("syy"))
+        .withColumn("num", expr("n_pairs * sxy - sx * sy"))
+        .withColumn("denx", expr("n_pairs * sxx - sx * sx"))
+        .withColumn("deny", expr("n_pairs * syy - sy * sy"))
+        .select(col("event_type"), col("n_pairs"),
+          when(col("denx") === 0 || col("deny") === 0,
+            lit(null).cast("long"))
+            .otherwise(expr(
+              """CAST((CAST(num AS DECIMAL(38,0)) * CAST(num AS DECIMAL(38,0))
+                |  * 1000000) div
+                |  (CAST(denx AS DECIMAL(38,0)) * CAST(deny AS DECIMAL(38,0)))
+                |  AS BIGINT)""".stripMargin))
+            .as("r2_ppm"),
+          signum(col("num")).cast("long").as("trend_sign"))
+    })
+  )
+
+  val queries: Map[String, Q] = base ++ moreQueries
+
   val oracles: Map[String, String] = Map(
+    "q_quantile_bands" -> {
+      s"""WITH r AS (
+         |  SELECT event_type, value,
+         |    row_number() OVER (PARTITION BY event_type
+         |                       ORDER BY value ASC, event_id ASC) AS rn,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS n
+         |  FROM events
+         |)
+         |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+         |  MAX(CASE WHEN rn = ${sqlRankIdx(10)} THEN value END) AS p10,
+         |  MAX(CASE WHEN rn = ${sqlRankIdx(50)} THEN value END) AS p50,
+         |  MAX(CASE WHEN rn = ${sqlRankIdx(90)} THEN value END) AS p90
+         |FROM r GROUP BY event_type""".stripMargin
+    },
+
+    "q_changepoint" -> {
+      val mean = sqlSignDiv("sy", "n_days")
+      s"""WITH $sqlDailyMeans, m AS (
+         |  SELECT event_type, day, vq,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS n_days,
+         |    SUM(vq) OVER (PARTITION BY event_type) AS sy
+         |  FROM dv
+         |), dev AS (
+         |  SELECT event_type, day, n_days, vq - ($mean) AS dev
+         |  FROM m
+         |), cu AS (
+         |  SELECT event_type, day, n_days,
+         |    SUM(dev) OVER (PARTITION BY event_type ORDER BY day
+         |                   ROWS UNBOUNDED PRECEDING) AS cusum
+         |  FROM dev
+         |), pick AS (
+         |  SELECT event_type, day, n_days, abs(cusum) AS a,
+         |    row_number() OVER (PARTITION BY event_type
+         |                       ORDER BY abs(cusum) DESC, day ASC) AS rk
+         |  FROM cu
+         |)
+         |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+         |  CAST(a AS BIGINT) AS max_abs_cusum, CAST(day AS BIGINT) AS split_day
+         |FROM pick WHERE rk = 1""".stripMargin
+    },
+
+    "q_autocorr" -> {
+      val vm = sqlSignDiv("vq", "1000")
+      s"""WITH $sqlDailyMeans, mm AS (
+         |  SELECT event_type, day, $vm AS vm FROM dv
+         |), p AS (
+         |  SELECT event_type, vm,
+         |    lag(vm) OVER (PARTITION BY event_type ORDER BY day) AS prev
+         |  FROM mm
+         |), g AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |    CAST(SUM(prev) AS BIGINT) AS sx, CAST(SUM(vm) AS BIGINT) AS sy,
+         |    CAST(SUM(prev * vm) AS BIGINT) AS sxy,
+         |    CAST(SUM(prev * prev) AS BIGINT) AS sxx,
+         |    CAST(SUM(vm * vm) AS BIGINT) AS syy
+         |  FROM p WHERE prev IS NOT NULL GROUP BY event_type
+         |), nd AS (
+         |  SELECT event_type, n_pairs,
+         |    CAST(n_pairs * sxy - sx * sy AS HUGEINT) AS num,
+         |    CAST(n_pairs * sxx - sx * sx AS HUGEINT) AS denx,
+         |    CAST(n_pairs * syy - sy * sy AS HUGEINT) AS deny
+         |  FROM g
+         |)
+         |SELECT event_type, n_pairs,
+         |  CASE WHEN denx = 0 OR deny = 0 THEN NULL
+         |       ELSE CAST((num * num * 1000000) // (denx * deny) AS BIGINT)
+         |  END AS r2_ppm,
+         |  CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+         |    AS BIGINT) AS trend_sign
+         |FROM nd""".stripMargin
+    },
+
     "q_decile_lift" ->
       """WITH r AS (
         |  SELECT o_orderkey,

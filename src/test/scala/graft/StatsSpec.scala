@@ -109,6 +109,57 @@ class StatsSpec extends SparkSpec {
     assert(out.length == 1 && out.head.getAs[Long]("event_id") == 100L)
   }
 
+  test("q_changepoint semantics: step series peaks |CUSUM| at the step") {
+    import spark.implicits._
+    // 10,10,10,20,20 → mean 14, cusum -4,-8,-12,-6,0: peak day 2
+    val dv = Seq(("m", 0L, 10000000L), ("m", 1L, 10000000L),
+      ("m", 2L, 10000000L), ("m", 3L, 20000000L), ("m", 4L, 20000000L))
+      .toDF("event_type", "day", "vq")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cusum = dv
+      .withColumn("n_days", count(lit(1)).over(w))
+      .withColumn("sy", sum(col("vq")).over(w))
+      .withColumn("mean_q", expr("CASE WHEN sy >= 0 THEN sy div n_days ELSE -((-sy) div n_days) END"))
+      .withColumn("cusum", sum(col("vq") - col("mean_q")).over(wOrd))
+    val top = cusum.orderBy(abs(col("cusum")).desc, col("day")).limit(1)
+      .select("day", "cusum").collect().head
+    assert(top.getLong(0) == 2L && top.getLong(1) == -12000000L)
+  }
+
+  test("q_autocorr semantics: perfect trend r2=1e6 sign +1; alternation sign -1") {
+    import spark.implicits._
+    def r2(series: Seq[Long]): (Long, Long) = {
+      val dv = series.zipWithIndex
+        .map { case (v, i) => ("m", i.toLong, v) }.toDF("event_type", "day", "vm")
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("day"))
+      val g = dv.withColumn("prev", lag(col("vm"), 1).over(wOrd))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("event_type")).agg(
+          count(lit(1)).as("n_pairs"), sum(col("prev")).as("sx"),
+          sum(col("vm")).as("sy"), sum(col("prev") * col("vm")).as("sxy"),
+          sum(col("prev") * col("prev")).as("sxx"),
+          sum(col("vm") * col("vm")).as("syy"))
+        .withColumn("num", expr("n_pairs * sxy - sx * sy"))
+        .withColumn("denx", expr("n_pairs * sxx - sx * sx"))
+        .withColumn("deny", expr("n_pairs * syy - sy * sy"))
+        .select(expr(
+          """CAST((CAST(num AS DECIMAL(38,0)) * CAST(num AS DECIMAL(38,0))
+            |  * 1000000) div
+            |  (CAST(denx AS DECIMAL(38,0)) * CAST(deny AS DECIMAL(38,0)))
+            |  AS BIGINT)""".stripMargin).as("r2"),
+          signum(col("num")).cast("long").as("sign"))
+        .collect().head
+      (g.getLong(0), g.getLong(1))
+    }
+    assert(r2(Seq(1L, 2L, 3L, 4L, 5L)) == (1000000L, 1L))
+    assert(r2(Seq(0L, 1L, 0L, 1L)) == (1000000L, -1L))
+  }
+
   test("q_ols_trend on sf0.001: every type has a slope, spans > 1 day") {
     val df = StatsQueries.queries("q_ols_trend")(spark, sf0001)
     val rows = df.collect()
