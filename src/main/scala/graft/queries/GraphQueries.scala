@@ -310,54 +310,61 @@ object GraphQueries {
     *
     * Plan per round: two (edges ⋈ scores → node-keyed sum) shuffles —
     * the PageRank message-passing shape ×2 — plus two 1-row total
-    * aggregates that ride broadcast crossJoins against CHECKPOINTED
-    * raw-score tables (|nodes| rows; uncheckpointed, the totals
-    * subtree would re-run the round's join twice). Per-round release
-    * discipline as in PageRank/CC; at 100 TB shuffle ∝ |edges| per
-    * round, state ∝ |nodes|.
+    * aggregates that ride broadcast crossJoins (scale-safe: no
+    * single-partition window over |nodes|). Each raw-score table feeds
+    * TWO subtrees (its own total and the normalize), which
+    * uncached doubles per stage — 2^stages over 2·rounds stages — so
+    * each is LAZILY persisted and the whole chain materializes in ONE
+    * action (the eager result checkpoint), after which every cache is
+    * dropped. An earlier eager-checkpoint-per-stage version paid ~10
+    * sequential jobs: 5.2 → 4.3 s at sf0.1 (the remaining floor is
+    * the edge build, shared with PageRank at 3.9 s). At 100 TB
+    * shuffle ∝ |edges| per round, resident state ∝ |nodes| per
+    * persisted stage.
     */
   def hitsScores(s: org.apache.spark.sql.SparkSession, edges0: DataFrame,
       rounds: Int): DataFrame = {
     val sc = s.sparkContext
-    val live = scala.collection.mutable.Buffer.empty[Iterable[org.apache.spark.rdd.RDD[_]]]
-    def snap(df: DataFrame, name: String): DataFrame = {
+    def snap(df: DataFrame, name: String): (DataFrame, Iterable[org.apache.spark.rdd.RDD[_]]) = {
       val before = sc.getPersistentRDDs.keySet
       val out = df.localCheckpoint()
       val rdds = (sc.getPersistentRDDs -- before).values
       rdds.foreach(_.setName(name))
-      live += rdds
-      out
+      (out, rdds)
     }
-    val edges = snap(edges0.select(col("c"), col("s")).repartition(col("c")),
+    val (edges, edgeRdds) = snap(
+      edges0.select(col("c"), col("s")).repartition(col("c")),
       "graft.hits edges")
     val nC = edges.select(col("c")).distinct().count()
     val base = if (nC == 0) 0L else HitsS / nC
     var hub = edges.select(col("c")).distinct()
       .select(col("c"), lit(base).as("h"))
     var auth: DataFrame = null
+    val cached = scala.collection.mutable.Buffer.empty[DataFrame]
     for (r <- 1 to rounds) {
-      val araw = snap(edges.join(hub, Seq("c"))
-        .groupBy(col("s")).agg(sum(col("h")).as("ar")), s"graft.hits araw $r")
+      val araw = edges.join(hub, Seq("c"))
+        .groupBy(col("s")).agg(sum(col("h")).as("ar")).persist()
+      cached += araw
       val at = araw.agg(sum(col("ar")).as("t"))
-      auth = snap(araw.crossJoin(broadcast(at))
-        .select(col("s"), expr(s"ar * ${HitsS}L div t").as("a")),
-        s"graft.hits auth $r")
-      val hraw = snap(edges.join(auth, Seq("s"))
-        .groupBy(col("c")).agg(sum(col("a")).as("hr")), s"graft.hits hraw $r")
+      auth = araw.crossJoin(broadcast(at))
+        .select(col("s"), expr(s"ar * ${HitsS}L div t").as("a"))
+      val hraw = edges.join(auth, Seq("s"))
+        .groupBy(col("c")).agg(sum(col("a")).as("hr")).persist()
+      cached += hraw
       val ht = hraw.agg(sum(col("hr")).as("t"))
-      hub = snap(hraw.crossJoin(broadcast(ht))
-        .select(col("c"), expr(s"hr * ${HitsS}L div t").as("h")),
-        s"graft.hits hub $r")
+      hub = hraw.crossJoin(broadcast(ht))
+        .select(col("c"), expr(s"hr * ${HitsS}L div t").as("h"))
     }
-    val result = snap(
+    // ONE materializing action evaluates the whole chain through the
+    // lazy caches; then nothing upstream is needed again
+    val (result, _) = snap(
       auth.select(lit("auth").as("kind"), col("s").as("node"),
           col("a").as("score"))
         .unionByName(hub.select(lit("hub").as("kind"), col("c").as("node"),
           col("h").as("score"))),
       "graft.hits result")
-    // release every intermediate snap group; only the (eager) result
-    // checkpoint stays resident for the caller's consuming action
-    live.dropRight(1).foreach(_.foreach(_.unpersist(blocking = false)))
+    cached.foreach(_.unpersist(blocking = false))
+    edgeRdds.foreach(_.unpersist(blocking = false))
     result
   }
 
