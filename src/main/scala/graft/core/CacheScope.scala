@@ -35,6 +35,25 @@ import org.apache.spark.sql.util.QueryExecutionListener
   */
 object CacheScope {
 
+  /** Eagerly localCheckpoint `df`, returning the checkpointed frame
+    * together with the checkpoint's RDDs (named `name` so leak checks
+    * can attribute them) for the caller's release discipline. The RDD
+    * set is derived by diffing `getPersistentRDDs` around the
+    * checkpoint — valid only for a sequentially-used session (the
+    * assumption every iterative operator in this library documents);
+    * the shared helper exists so the pattern can't drift per call
+    * site.
+    */
+  def trackedCheckpoint(df: DataFrame, name: String)
+      : (DataFrame, Iterable[org.apache.spark.rdd.RDD[_]]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint()
+    val rdds = (sc.getPersistentRDDs -- before).values
+    rdds.foreach(_.setName(name))
+    (out, rdds)
+  }
+
   /** Arrange for `cached` (already persisted) to be unpersisted once the
     * first action consuming `result` completes. Returns `result`
     * unchanged.

@@ -261,23 +261,15 @@ object GraphQueries {
     */
   def bfsHops(s: org.apache.spark.sql.SparkSession, und: DataFrame,
       seedPred: org.apache.spark.sql.Column, rounds: Int): DataFrame = {
-    val sc = s.sparkContext
-    def tracked(df: DataFrame, name: String): (DataFrame, Iterable[org.apache.spark.rdd.RDD[_]]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint()
-      val rdds = (sc.getPersistentRDDs -- before).values.map { r =>
-        r.setName(name); r
-      }
-      (out, rdds)
-    }
-    val (edges, edgeRdds) = tracked(
+    import graft.core.CacheScope.trackedCheckpoint
+    val (edges, edgeRdds) = trackedCheckpoint(
       und.select(col("u"), col("v"))
         .union(und.select(col("v").as("u"), col("u").as("v")))
         .repartition(col("u")),
       "graft.bfs edges")
     val seeds = edges.select(col("u").as("node")).distinct()
       .filter(seedPred)
-    var (visited, prevRdds) = tracked(
+    var (visited, prevRdds) = trackedCheckpoint(
       seeds.select(col("node"), lit(0L).as("hop")), "graft.bfs round 0")
     for (r <- 1 to rounds) {
       val frontier = visited.filter(col("hop") === (r - 1))
@@ -286,7 +278,8 @@ object GraphQueries {
         .select(col("v").as("node")).distinct()
       val novel = nbrs.join(visited, Seq("node"), "left_anti")
         .select(col("node"), lit(r.toLong).as("hop"))
-      val (nv, nvRdds) = tracked(visited.union(novel), s"graft.bfs round $r")
+      val (nv, nvRdds) = trackedCheckpoint(visited.union(novel),
+        s"graft.bfs round $r")
       prevRdds.foreach(_.unpersist(blocking = false))
       prevRdds = nvRdds
       visited = nv
@@ -324,15 +317,9 @@ object GraphQueries {
     */
   def hitsScores(s: org.apache.spark.sql.SparkSession, edges0: DataFrame,
       rounds: Int): DataFrame = {
-    val sc = s.sparkContext
-    def snap(df: DataFrame, name: String): (DataFrame, Iterable[org.apache.spark.rdd.RDD[_]]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint()
-      val rdds = (sc.getPersistentRDDs -- before).values
-      rdds.foreach(_.setName(name))
-      (out, rdds)
-    }
-    val (edges, edgeRdds) = snap(
+    require(rounds >= 1, "hitsScores needs at least one round")
+    import graft.core.CacheScope.trackedCheckpoint
+    val (edges, edgeRdds) = trackedCheckpoint(
       edges0.select(col("c"), col("s")).repartition(col("c")),
       "graft.hits edges")
     val nC = edges.select(col("c")).distinct().count()
@@ -357,7 +344,7 @@ object GraphQueries {
     }
     // ONE materializing action evaluates the whole chain through the
     // lazy caches; then nothing upstream is needed again
-    val (result, _) = snap(
+    val (result, _) = trackedCheckpoint(
       auth.select(lit("auth").as("kind"), col("s").as("node"),
           col("a").as("score"))
         .unionByName(hub.select(lit("hub").as("kind"), col("c").as("node"),

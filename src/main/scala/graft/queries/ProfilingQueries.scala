@@ -100,24 +100,33 @@ object ProfilingQueries {
     // with no quantization needed. Two rank windows + two broadcast
     // joins of the 5-row med/mad tables; shuffles ∝ |events| twice.
     "q_mad_outliers" -> ((s, d) => {
+      // base feeds the median window AND dev; dev feeds the MAD window
+      // AND the final aggregate — nothing guarantees exchange reuse
+      // across those subtrees, so both are scope-persisted (the
+      // prefixJaccardJoin / globalNtile lesson) and released after the
+      // first consuming action.
       val base = Tables.events(s, d)
         .select(col("event_type"), col("event_id"), col("value"))
+        .persist()
       val med = rankOrdered(base, "event_type", "value", "event_id")
         .filter(col("rn") === rankIdx(50))
         .select(col("event_type"), col("value").as("med"))
       val dev = base.join(broadcast(med), Seq("event_type"))
         .withColumn("adev", abs(col("value") - col("med")))
+        .persist()
       val mad = rankOrdered(
           dev.select(col("event_type"), col("event_id"), col("adev")),
           "event_type", "adev", "event_id")
         .filter(col("rn") === rankIdx(50))
         .select(col("event_type"), col("adev").as("mad"))
-      dev.join(broadcast(mad), Seq("event_type"))
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(when(col("adev") > col("mad") * 3, 1L).otherwise(0L))
-            .as("n_outliers"),
-          max(col("med")).as("med"), max(col("mad")).as("mad"))
+      graft.core.CacheScope.releaseAfterUse(
+        dev.join(broadcast(mad), Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("adev") > col("mad") * 3, 1L).otherwise(0L))
+              .as("n_outliers"),
+            max(col("med")).as("med"), max(col("mad")).as("mad")),
+        base, dev)
     }),
 
     // Interval-overlap join: user sessions (2h gap) × daily error

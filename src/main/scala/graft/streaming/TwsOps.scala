@@ -294,7 +294,9 @@ object TwsOps {
   /** STREAMING linear-interpolation resample — the in-flight twin of
     * [[graft.operators.TimeSeries.resampleLinear]]: grid rows are
     * emitted as their buckets CLOSE (watermark past the bucket end —
-    * only then is the bucket's last-by-(ts, tie) anchor final), with
+    * only then is the bucket's last-by-(epoch-second, tie, value)
+    * anchor final; the batch twin's epoch column is seconds, so the
+    * stream collapses micros identically), with
     * interior gap buckets interpolated the moment the next anchor
     * closes. Output over the closed region is row-identical to the
     * batch operator on the same input: same micro-unit quantization,
@@ -389,7 +391,12 @@ object TwsOps {
       var carry: Option[(Long, Long)] =
         if (anchor.exists()) Some(anchor.get()) else None
       byBucket.foreach { case (b, obs) =>
-        val av = obs.maxBy(o => (o._1, o._2))._3
+        // anchor = max (epoch-SECOND, tie, value) — the batch twin
+        // compares max(struct(e, tie, v)) with e at second
+        // granularity, so the stream must collapse micros the same
+        // way AND break exact (e, tie) duplicates by value, or
+        // sub-second inputs diverge from the batch row set
+        val av = obs.maxBy(o => (o._1 / 1000000L, o._2, o._3))._3
         carry.foreach { case (pb, pv) =>
           var g = pb + 1
           while (g < b) {

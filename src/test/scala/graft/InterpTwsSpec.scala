@@ -82,6 +82,36 @@ class InterpTwsSpec extends SparkSpec {
     }
   }
 
+  test("sub-second timestamps collapse to epoch seconds like the batch twin") {
+    withRocksDb {
+      val src = MemoryStream[(String, Long, Long, Double)](spark)
+      // sub-second offsets via timestamp_micros: 1.5s tie=1 v=10 and
+      // 1.2s tie=2 v=20 share epoch-second 1 -> batch max(struct(e,
+      // tie, v)) picks tie=2 (v=20); a raw-micros anchor would pick
+      // the 1.5s row (v=10)
+      val obs = src.toDF().toDF("k", "us", "tie", "v")
+        .select(col("k"), expr("timestamp_micros(us)").as("ts"),
+          col("tie"), col("v"))
+      val out = TwsOps.interpTws(obs, "k", "ts", "tie", "v",
+        bucketSeconds = 10L, watermark = "0 seconds")
+      val q = out.writeStream.format("memory").queryName("interp_tws3")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("interp-ck3").toString)
+        .outputMode("append").start()
+      try {
+        src.addData(("a", 1500000L, 1L, 10.0), ("a", 1200000L, 2L, 20.0))
+        q.processAllAvailable()
+        src.addData(("a", 60000000L, 1L, 0.0)) // close bucket 0
+        q.processAllAvailable()
+        settle(q, "interp_tws3", 1)
+        val got = spark.table("interp_tws3")
+          .filter(col("bucket_start") === 0L).collect()
+          .map(r => (r.getAs[Long]("obs_cnt"), r.getAs[Long]("value_interp_micro")))
+        assert(got.toSeq == Seq((2L, 20000000L)), s"got ${got.toSeq}")
+      } finally q.stop()
+    }
+  }
+
   test("anchor carries across micro-batches; ties resolve by tie column") {
     withRocksDb {
       val src = MemoryStream[(String, Long, Long, Double)](spark)

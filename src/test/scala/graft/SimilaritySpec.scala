@@ -398,7 +398,7 @@ class SimilaritySpec extends SparkSpec {
     // known = vec_id % 4 in {0, 1} (covers both clusters)
     val known = rows.filter(col("vec_id") % 4 < 2)
     val unk = rows.filter(col("vec_id") % 4 >= 2)
-    val nn = Similarity.bruteForceTopK(known, unk, 3)
+    val nn = Similarity.bruteForceTopKFromBroadcastCorpus(known, unk, 3)
     val votes = nn.join(known.select(col("vec_id").as("cand_id"),
         col("label").cast("long").as("nlabel")), Seq("cand_id"))
       .groupBy(col("query_id"), col("nlabel")).agg(count(lit(1)).as("cnt"))
