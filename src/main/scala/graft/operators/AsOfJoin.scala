@@ -123,4 +123,45 @@ object AsOfJoin {
     PlanBridge.ofRows(spark, node)
       .select(probes.columns.map(col) ++ payloadCols.map(c => col(s"asof_$c")): _*)
   }
+
+  /** merge_asof `direction='nearest'`: each probe takes the state with
+    * the smallest |probe.ts − state.ts| on its key, ties resolving
+    * BACKWARD (the at-or-before state) — pandas' tie rule. Composed as
+    * two [[asOfExec]] passes (backward then forward, the second fed
+    * the first's output so no probe-identity join is needed), each
+    * carrying the matched state's ts so the pick is a pure integer
+    * CASE on microsecond deltas. Adds `asof_delta_us` (the winning
+    * |Δ|, null when the key has no state at all) next to the
+    * `asof_<payload>` columns; unmatched probes null-extend.
+    *
+    * Scale: exactly two sorted-merge as-of passes — 2× the cost of one
+    * directional as-of, each the sort-merge-join shuffle shape; the
+    * CASE pick is row-local.
+    */
+  def asOfNearest(probes: DataFrame, states: DataFrame, keys: Seq[String],
+                  tsCol: String, payloadCols: Seq[String]): DataFrame = {
+    require(!probes.columns.contains("_sts"),
+      "asOfNearest reserves the column name _sts")
+    val st = states.withColumn("_sts", col(tsCol))
+    val pay = payloadCols :+ "_sts"
+    val back = asOfExec(probes, st, keys, tsCol, pay)
+    val bRen = payloadCols.foldLeft(
+      back.withColumnRenamed("asof__sts", "_b_ts"))((d, c) =>
+      d.withColumnRenamed(s"asof_$c", s"_b_$c"))
+    val fwd = asOfExec(bRen, st, keys, tsCol, pay, forward = true)
+    val both = payloadCols.foldLeft(
+      fwd.withColumnRenamed("asof__sts", "_f_ts"))((d, c) =>
+      d.withColumnRenamed(s"asof_$c", s"_f_$c"))
+    val db = expr(s"unix_micros($tsCol) - unix_micros(_b_ts)")
+    val df = expr(s"unix_micros(_f_ts) - unix_micros($tsCol)")
+    // no forward match, or backward at-most-as-far (tie -> backward)
+    val useB = col("_f_ts").isNull || (col("_b_ts").isNotNull && db <= df)
+    val withPick = payloadCols.foldLeft(
+      both.withColumn("asof_delta_us", when(useB, db).otherwise(df)))(
+      (d, c) => d.withColumn(s"asof_$c",
+        when(useB, col(s"_b_$c")).otherwise(col(s"_f_$c"))))
+    withPick.drop(
+      (payloadCols.map(c => s"_b_$c") ++ payloadCols.map(c => s"_f_$c") ++
+        Seq("_b_ts", "_f_ts")): _*)
+  }
 }

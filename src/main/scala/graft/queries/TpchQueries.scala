@@ -133,6 +133,23 @@ object TpchQueries {
         .withColumnRenamed("asof_pval", "asof_purchase")
     }),
 
+    // merge_asof direction='nearest': closest purchase in EITHER time
+    // direction per event, ties backward — two sorted-merge as-of
+    // passes through the custom physical operator + an integer CASE
+    // pick. Completes the merge_asof direction surface (backward =
+    // q_asof_exec, forward = q_asof_forward).
+    "q_asof_nearest" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val probes = ev.select(col("event_id"), col("ts"), col("user_id"))
+      val states = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("pval"))
+      graft.operators.AsOfJoin.asOfNearest(probes, states, Seq("user_id"),
+        "ts", Seq("pval"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_pval").as("nearest_pval"),
+          col("asof_delta_us").as("delta_us"))
+    }),
+
     // The custom as-of operator from PLAIN SQL TEXT: the asof_join
     // TABLE FUNCTION (plans.AsOfSqlFunction, injectTableFunction /
     // runtime registry) resolves the view names, builds the identical
@@ -449,6 +466,34 @@ object TpchQueries {
         |  s.pval AS asof_purchase
         |FROM probes p ASOF JOIN states s
         |  ON p.user_id = s.user_id AND p.ts >= s.ts""".stripMargin,
+
+    // Two native ASOF LEFT JOINs (backward, forward) joined on the
+    // unique probe id, then the same tie-backward integer pick.
+    "q_asof_nearest" ->
+      """WITH probes AS (SELECT event_id, ts, user_id FROM events),
+        |states AS (SELECT user_id, ts, max(value) AS pval FROM events
+        |           WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |b AS (
+        |  SELECT p.event_id, p.ts, p.user_id, s.pval AS bp, s.ts AS bts
+        |  FROM probes p ASOF LEFT JOIN states s
+        |    ON p.user_id = s.user_id AND p.ts >= s.ts
+        |), f AS (
+        |  SELECT p.event_id, s.pval AS fp, s.ts AS fts
+        |  FROM probes p ASOF LEFT JOIN states s
+        |    ON p.user_id = s.user_id AND p.ts <= s.ts
+        |), j AS (
+        |  SELECT b.event_id, b.ts, b.user_id, b.bp, b.bts, f.fp, f.fts,
+        |    epoch_us(b.ts) - epoch_us(b.bts) AS db,
+        |    epoch_us(f.fts) - epoch_us(b.ts) AS df,
+        |    (f.fts IS NULL OR (b.bts IS NOT NULL AND
+        |      epoch_us(b.ts) - epoch_us(b.bts)
+        |        <= epoch_us(f.fts) - epoch_us(b.ts))) AS use_b
+        |  FROM b JOIN f USING (event_id)
+        |)
+        |SELECT event_id, user_id,
+        |  CASE WHEN use_b THEN bp ELSE fp END AS nearest_pval,
+        |  CAST(CASE WHEN use_b THEN db ELSE df END AS BIGINT) AS delta_us
+        |FROM j""".stripMargin,
 
     "q_asof_sql" ->
       """WITH probes AS (SELECT event_id, ts, user_id FROM events),

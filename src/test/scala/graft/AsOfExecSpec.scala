@@ -257,6 +257,40 @@ class AsOfExecSpec extends SparkSpec {
     assert(e2.getMessage.contains("BOOLEAN literal"))
   }
 
+  test("asOfNearest picks the closer side, ties backward, one-sided and no-state rows") {
+    // key 1: probe@100 between states@90 (d=10) and @105 (d=5) -> fwd;
+    //        probe@95 equidistant (5 vs 10)? states 90,105: d=5 back,
+    //        10 fwd -> back; probe@80 before all states -> fwd only
+    // key 2: probe@50 after its only state@40 -> back only
+    // key 3: no states -> nulls
+    val probes = Seq((1L, ts(100), 1L), (2L, ts(95), 1L), (3L, ts(80), 1L),
+      (4L, ts(50), 2L), (5L, ts(10), 3L))
+      .toDF("event_id", "ts", "user_id")
+    val states = Seq((1L, ts(90), 9.0), (1L, ts(105), 5.0), (2L, ts(40), 4.0))
+      .toDF("user_id", "ts", "sval")
+    val out = AsOfJoin.asOfNearest(probes, states, Seq("user_id"), "ts",
+        Seq("sval"))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[java.lang.Double]("asof_sval")).map(_.toDouble),
+          Option(r.getAs[java.lang.Long]("asof_delta_us")).map(_.toLong)))
+      .toMap
+    assert(out(1L) == (Some(5.0), Some(5000000L)), s"got ${out(1L)}") // fwd closer
+    assert(out(2L) == (Some(9.0), Some(5000000L))) // back closer
+    assert(out(3L) == (Some(9.0), Some(10000000L))) // fwd-only side... back absent
+    assert(out(4L) == (Some(4.0), Some(10000000L))) // back only
+    assert(out(5L) == (None, None)) // no states for the key
+  }
+
+  test("asOfNearest exact tie resolves backward (pandas rule)") {
+    val probes = Seq((1L, ts(100), 1L)).toDF("event_id", "ts", "user_id")
+    val states = Seq((1L, ts(95), 1.0), (1L, ts(105), 2.0))
+      .toDF("user_id", "ts", "sval")
+    val r = AsOfJoin.asOfNearest(probes, states, Seq("user_id"), "ts",
+      Seq("sval")).collect().head
+    assert(r.getAs[Double]("asof_sval") == 1.0)
+    assert(r.getAs[Long]("asof_delta_us") == 5000000L)
+  }
+
   test("mismatched key types fail loudly at build time") {
     val probes = Seq((1L, ts(1), 7, 0.0)).toDF("event_id", "ts", "user_id", "value")
     val states = Seq(("7", ts(1), 1.0)).toDF("user_id", "ts", "sval")
