@@ -63,6 +63,25 @@ object DedupQueries {
       Dedup.prefixJaccardJoin(Tables.documents(s, d), "text", "doc_id",
         shingleSize = 12, tNum = 8, tDen = 10)),
 
+    // Similarity-coefficient suite over the exact (prefix-filtered)
+    // pair set at a looser 0.7 cut: Jaccard, Dice and overlap
+    // (containment-of-the-smaller) from the same (n_inter, n_a, n_b)
+    // integers — one pass, three coefficients, each a single
+    // deterministic division. The practical read: overlap >> jaccard
+    // flags subset/quotation pairs that a symmetric threshold hides.
+    // Runs on the even-doc half-corpus: the full-corpus exactness
+    // proof is q_prefix_join's job; this query's contract is the
+    // coefficient algebra, and the slice keeps the second run of the
+    // shared prefix pipeline off the bench's critical path.
+    "q_sim_coeffs" -> ((s, d) =>
+      Dedup.prefixJaccardJoin(
+          Tables.documents(s, d).filter(col("doc_id") % 2 === 0),
+          "text", "doc_id", shingleSize = 12, tNum = 7, tDen = 10)
+        .select(col("id_a"), col("id_b"), col("n_inter"),
+          col("jaccard"),
+          (col("n_inter") * 2 / (col("n_a") + col("n_b"))).as("dice"),
+          (col("n_inter") / least(col("n_a"), col("n_b"))).as("overlap"))),
+
     // E2 SimHash near-dup pairs: byte-band bucketing (pigeonhole-exact
     // for hamming ≤ 3) + hamming verify.
     "q_simhash_pairs" -> ((s, d) =>
@@ -856,6 +875,28 @@ object DedupQueries {
         |JOIN sz sx ON sx.doc_id = i.id_a
         |JOIN sz sy ON sy.doc_id = i.id_b
         |WHERE i.n_inter / (sx.n + sy.n - i.n_inter) >= 0.8""".stripMargin,
+
+    // Same all-pairs body at the 0.7 cut, coefficients as the same
+    // single divisions.
+    "q_sim_coeffs" ->
+      """WITH t AS (SELECT doc_id, lower(trim(text)) AS t FROM documents
+        |           WHERE length(trim(text)) >= 12 AND doc_id % 2 = 0),
+        |gs AS (SELECT doc_id, t, unnest(generate_series(1, length(t)-11)) AS g FROM t),
+        |sh AS (SELECT DISTINCT doc_id, substr(t, g, 12) AS shingle FROM gs),
+        |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+        |p AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |        CAST(COUNT(*) AS BIGINT) AS n_inter
+        |      FROM sh x JOIN sh y
+        |        ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |      GROUP BY x.doc_id, y.doc_id)
+        |SELECT p.id_a, p.id_b, p.n_inter,
+        |  p.n_inter / (sx.n + sy.n - p.n_inter) AS jaccard,
+        |  p.n_inter * 2 / (sx.n + sy.n) AS dice,
+        |  p.n_inter / LEAST(sx.n, sy.n) AS overlap
+        |FROM p
+        |JOIN sz sx ON sx.doc_id = p.id_a
+        |JOIN sz sy ON sy.doc_id = p.id_b
+        |WHERE p.n_inter * 10 >= (sx.n + sy.n - p.n_inter) * 7""".stripMargin,
 
     // Brute-force twin of the prefix-filtered join: EVERY co-occurring
     // pair (no pruning), intersection counts, integer cross-multiplied
