@@ -11,10 +11,10 @@ import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
   * no codec: uncompressed 24-bit BMP stores raw BGR bytes. The image
   * twin of [[PcmStats]] — full header validation plus the padded-row
   * pixel loop as ONE codegen'd expression, so pixel statistics run at
-  * scan speed with the payload never leaving the row. Compressed
-  * formats (PNG/JPEG pixels) stay at the header-metadata tier
-  * ([[graft.operators.Multimodal]]) — those genuinely need codecs this
-  * container does not ship.
+  * scan speed with the payload never leaving the row. PNG pixels are
+  * decoded too ([[PngPixelStats]] — zlib ships with the JDK); only
+  * entropy-coded formats (JPEG DCT, GIF LZW) remain at the
+  * header-metadata tier ([[graft.operators.Multimodal]]).
   *
   * Emits `struct(width, height, n_pixels, sum_r, sum_g, sum_b)` —
   * exact integer channel sums (the inputs to mean-brightness /
@@ -152,6 +152,249 @@ object BmpPixelStats {
       row -= 1
     }
     bb.array()
+  }
+}
+
+/** REAL compressed-image pixel decoding: PNG's "codec" is zlib — which
+  * the JDK ships (`java.util.zip`) — plus five per-scanline predictor
+  * filters defined in the PNG spec (RFC 2083 §6). So unlike JPEG's DCT
+  * entropy coding, FULL PNG pixel decode needs nothing this container
+  * lacks: chunk walk with CRC32 verification, concatenated-IDAT
+  * inflate, and None/Sub/Up/Average/Paeth unfiltering, emitting the
+  * same exact channel-sum struct as [[BmpPixelStats]]. This upgrades
+  * the E5 multimodal tier from "PNG header metadata" to "PNG pixels",
+  * leaving only entropy-coded formats (JPEG/GIF-LZW) at the header
+  * tier.
+  *
+  * Strictness: 8-bit RGB (color type 2), non-interlaced only; any
+  * malformed structure — bad signature, chunk CRC mismatch, truncated
+  * chunk, inflate error, wrong decompressed size — returns NULL, as
+  * does a raster larger than [[PngPixelStats.MaxRawBytes]] (the
+  * zip-bomb guard: IDAT is attacker-compressed, the declared dims size
+  * the inflate buffer, so the decoder refuses oversized rasters
+  * instead of allocating them).
+  *
+  * Not whole-stage-codegen'd arithmetic like the BMP walk — the value
+  * IS produced inside generated code, but via one static call whose
+  * body drives Inflater (stateful JDK native); that is the same
+  * codegen shape Spark's own codec-touching expressions use.
+  */
+case class PngPixelStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BmpPixelStats.schema
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "png_pixel_stats"
+
+  override def nullSafeEval(payload: Any): Any =
+    PngPixelStats.compute(payload.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      s"""
+         |${ev.value} = graft.functions.PngPixelStats$$.MODULE$$.compute($b);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PngPixelStats =
+    copy(child = newChild)
+}
+
+object PngPixelStats {
+
+  /** Refuse rasters whose decompressed size exceeds 64 MiB. */
+  val MaxRawBytes: Long = 1L << 26
+
+  private val Signature =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+
+  private def beU32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+  private def crcOf(b: Array[Byte], typeOff: Int, dataLen: Int): Long = {
+    val crc = new java.util.zip.CRC32
+    crc.update(b, typeOff, 4 + dataLen)
+    crc.getValue
+  }
+
+  private def paeth(a: Int, up: Int, c: Int): Int = {
+    val p = a + up - c
+    val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+  }
+
+  /** Strict decode; see the class doc for the acceptance contract. */
+  def compute(b: Array[Byte]): InternalRow = {
+    if (b.length < 8) return null
+    var i = 0
+    while (i < 8) { if (b(i) != Signature(i)) return null; i += 1 }
+    var pos = 8
+    var width = 0L
+    var height = 0L
+    var sawIhdr = false
+    var sawIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!sawIend) {
+      if (pos + 8 > b.length) return null
+      val len = beU32(b, pos)
+      if (len > Int.MaxValue - 12 || pos + 12 + len > b.length) return null
+      val dataOff = pos + 8
+      val ilen = len.toInt
+      if (crcOf(b, pos + 4, ilen) != beU32(b, dataOff + ilen)) return null
+      val ctype = new String(b, pos + 4, 4, "US-ASCII")
+      ctype match {
+        case "IHDR" =>
+          if (sawIhdr || ilen != 13) return null
+          width = beU32(b, dataOff)
+          height = beU32(b, dataOff + 4)
+          val bitDepth = b(dataOff + 8) & 0xff
+          val colorType = b(dataOff + 9) & 0xff
+          val compression = b(dataOff + 10) & 0xff
+          val filterMethod = b(dataOff + 11) & 0xff
+          val interlace = b(dataOff + 12) & 0xff
+          if (bitDepth != 8 || colorType != 2 || compression != 0 ||
+            filterMethod != 0 || interlace != 0) return null
+          if (width <= 0 || height <= 0) return null
+          sawIhdr = true
+        case "IDAT" =>
+          if (!sawIhdr) return null
+          idat.write(b, dataOff, ilen)
+        case "IEND" =>
+          if (!sawIhdr || ilen != 0) return null
+          sawIend = true
+        case _ => if (!sawIhdr) return null // ancillary chunks skipped
+      }
+      pos = dataOff + ilen + 4
+    }
+    val stride = width * 3
+    val rawLen = height * (stride + 1)
+    if (rawLen > MaxRawBytes) return null
+    val raw = new Array[Byte](rawLen.toInt)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && inf.needsInput()) return null // truncated stream
+        got += n
+      }
+      if (got != raw.length) return null
+      // surplus pixel data is as malformed as missing data
+      if (!inf.finished() && inf.inflate(new Array[Byte](1)) > 0) return null
+    } catch {
+      case _: java.util.zip.DataFormatException => return null
+    } finally inf.end()
+    // unfilter in place, summing as we go
+    val w3 = stride.toInt
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var row = 0
+    while (row < height) {
+      val base = row * (w3 + 1)
+      val filter = raw(base) & 0xff
+      if (filter > 4) return null
+      var x = 0
+      while (x < w3) {
+        val idx = base + 1 + x
+        val left = if (x >= 3) raw(idx - 3) & 0xff else 0
+        val up = if (row > 0) raw(idx - (w3 + 1)) & 0xff else 0
+        val upLeft =
+          if (row > 0 && x >= 3) raw(idx - (w3 + 1) - 3) & 0xff else 0
+        val pred = filter match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, upLeft)
+        }
+        val v = ((raw(idx) & 0xff) + pred) & 0xff
+        raw(idx) = v.toByte
+        (x % 3) match {
+          case 0 => sumR += v
+          case 1 => sumG += v
+          case 2 => sumB += v
+        }
+        x += 1
+      }
+      row += 1
+    }
+    InternalRow(width, height, width * height, sumR, sumG, sumB)
+  }
+
+  /** Column-level entry point. */
+  def pngPixelStats(payload: Column): Column =
+    ColumnBridge.column(PngPixelStats(ColumnBridge.expression(payload)))
+
+  /** Fixture-side PNG assembly (the ingest twin of [[compute]]): a
+    * REAL spec-conformant PNG — zlib-deflated IDAT (split into two
+    * chunks when the stream is long enough, exercising concatenation)
+    * with each scanline filtered by `filterFor(row)` (default cycles
+    * all five predictors, so a round trip proves every unfilter path).
+    */
+  def pngBytes(width: Int, height: Int, pixels: Array[(Int, Int, Int)],
+               filterFor: Int => Int = _ % 5): Array[Byte] = {
+    require(pixels.length == width * height, "pixels must fill the raster")
+    val w3 = width * 3
+    val raw = new Array[Byte](height * (w3 + 1))
+    // raw (unfiltered) scanlines first, for predictor inputs
+    val plain = new Array[Byte](height * w3)
+    var p = 0
+    pixels.foreach { case (r, g, bl) =>
+      plain(p) = r.toByte; plain(p + 1) = g.toByte; plain(p + 2) = bl.toByte
+      p += 3
+    }
+    var row = 0
+    while (row < height) {
+      val f = filterFor(row)
+      require(f >= 0 && f <= 4, "PNG filter must be 0-4")
+      raw(row * (w3 + 1)) = f.toByte
+      var x = 0
+      while (x < w3) {
+        val cur = plain(row * w3 + x) & 0xff
+        val left = if (x >= 3) plain(row * w3 + x - 3) & 0xff else 0
+        val up = if (row > 0) plain((row - 1) * w3 + x) & 0xff else 0
+        val upLeft =
+          if (row > 0 && x >= 3) plain((row - 1) * w3 + x - 3) & 0xff else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, upLeft)
+        }
+        raw(row * (w3 + 1) + 1 + x) = ((cur - pred) & 0xff).toByte
+        x += 1
+      }
+      row += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!defl.finished()) zbuf.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    val z = zbuf.toByteArray
+    def chunk(ctype: String, data: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + data.length)
+      out.putInt(data.length)
+      out.put(ctype.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(ctype.getBytes("US-ASCII")); crc.update(data)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      .array()
+    val idats =
+      if (z.length > 16) Seq(z.take(z.length / 2), z.drop(z.length / 2))
+      else Seq(z)
+    (Signature +: chunk("IHDR", ihdr) +: idats.map(chunk("IDAT", _)) :+
+      chunk("IEND", Array.empty[Byte])).reduce(_ ++ _)
   }
 }
 

@@ -345,6 +345,40 @@ object MiscQueries {
           col("st.sum_b").as("sum_b"))
     }),
 
+    // E5 pixel decode, COMPRESSED format: a real 2-wide RGB PNG per
+    // language — zlib-deflated IDAT (split across two chunks),
+    // scanline filters cycling all five predictors — decoded back by
+    // the native PngPixelStats expression (chunk walk + CRC32 verify +
+    // JDK Inflater + None/Sub/Up/Average/Paeth unfiltering). The
+    // oracle computes channel sums from the raw integers without ever
+    // seeing bytes: the hash gate proves deflate→filter→inflate→
+    // unfilter is the identity. An odd pixel count pads one (0,0,0)
+    // pixel — sums unchanged, n_pixels counts the full raster.
+    "q_png_pixels" -> ((s, d) => {
+      import s.implicits._
+      val px = Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          pmod(col("doc_id") * 3, lit(256L)).as("r"),
+          pmod(col("n_chars") * 5, lit(256L)).as("g"),
+          pmod(col("doc_id") + col("n_chars"), lit(256L)).as("b"))
+        .groupBy(col("lang"))
+        .agg(sort_array(collect_list(
+          struct(col("doc_id"), col("r"), col("g"), col("b")))).as("arr"))
+      val png = px.as[(String, Seq[(Long, Long, Long, Long)])]
+        .map { case (lang, rows) =>
+          val base = rows.map(t => (t._2.toInt, t._3.toInt, t._4.toInt)).toArray
+          val pixels = if (base.length % 2 == 1) base :+ ((0, 0, 0)) else base
+          (lang, graft.functions.PngPixelStats.pngBytes(2, pixels.length / 2,
+            pixels))
+        }.toDF("lang", "payload")
+      png.select(col("lang"),
+          graft.functions.PngPixelStats.pngPixelStats(col("payload")).as("st"))
+        .select(col("lang"), col("st.width").as("width"),
+          col("st.height").as("height"), col("st.n_pixels").as("n_pixels"),
+          col("st.sum_r").as("sum_r"), col("st.sum_g").as("sum_g"),
+          col("st.sum_b").as("sum_b"))
+    }),
+
     // KMV set-INTERSECTION estimates between event types' (user, day)
     // activity sets — the query HLL cannot answer (HLL unions only;
     // inclusion-exclusion explodes the relative error). Each type's
@@ -746,6 +780,23 @@ object MiscQueries {
       """SELECT lang, COUNT(DISTINCT text) AS exact_texts,
         |  TRUE AS within_5pct
         |FROM documents GROUP BY lang""".stripMargin,
+
+    // Channel sums from the RAW integers — the Spark side reproduces
+    // them THROUGH the full PNG deflate→inflate→unfilter round trip.
+    // Odd counts pad one zero pixel: sums unchanged, raster rounded up.
+    "q_png_pixels" ->
+      """WITH p AS (
+        |  SELECT lang, (doc_id * 3) % 256 AS r, (n_chars * 5) % 256 AS g,
+        |    (doc_id + n_chars) % 256 AS b
+        |  FROM documents
+        |)
+        |SELECT lang, CAST(2 AS BIGINT) AS width,
+        |  CAST((COUNT(*) + 1) // 2 AS BIGINT) AS height,
+        |  CAST(((COUNT(*) + 1) // 2) * 2 AS BIGINT) AS n_pixels,
+        |  CAST(SUM(r) AS BIGINT) AS sum_r,
+        |  CAST(SUM(g) AS BIGINT) AS sum_g,
+        |  CAST(SUM(b) AS BIGINT) AS sum_b
+        |FROM p GROUP BY lang""".stripMargin,
 
     // Channel sums from the RAW integers — the Spark side reproduces
     // them THROUGH the BMP encode→decode round trip (operands are
