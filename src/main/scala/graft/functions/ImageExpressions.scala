@@ -398,6 +398,273 @@ object PngPixelStats {
   }
 }
 
+/** REAL GIF pixel decoding: GIF's "codec" is LZW — a pure dictionary
+  * decoder needing no library at all — plus a palette lookup. With
+  * [[BmpPixelStats]] (raw), [[PngPixelStats]] (zlib) and this (LZW),
+  * every mainstream still-image container except entropy-coded JPEG
+  * decodes for real in this library.
+  *
+  * Strictness (the encoder twin's envelope, like PNG's color-type-2
+  * rule): GIF87a/89a, global color table required, a single
+  * non-interlaced image with no local color table; extension blocks
+  * are skipped (89a graphics-control etc.). Any structural defect —
+  * bad signature, truncated sub-block, LZW code past the dictionary,
+  * index outside the palette, wrong decoded pixel count — returns
+  * NULL. Emits the same channel-sum struct as the BMP/PNG twins.
+  */
+case class GifPixelStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BmpPixelStats.schema
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "gif_pixel_stats"
+
+  override def nullSafeEval(payload: Any): Any =
+    GifPixelStats.compute(payload.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      s"""
+         |${ev.value} = graft.functions.GifPixelStats$$.MODULE$$.compute($b);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): GifPixelStats =
+    copy(child = newChild)
+}
+
+object GifPixelStats {
+
+  /** Refuse rasters past 64 Mi pixels (the PNG guard's LZW twin). */
+  val MaxPixels: Long = 1L << 26
+
+  private def leU16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  /** Strict decode; see the class doc for the acceptance contract. */
+  def compute(b: Array[Byte]): InternalRow = {
+    if (b.length < 13) return null
+    val sig = new String(b, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return null
+    val sw = leU16(b, 6)
+    val sh = leU16(b, 8)
+    val packed = b(10) & 0xff
+    if ((packed & 0x80) == 0) return null // global color table required
+    val gctSize = 1 << ((packed & 0x07) + 1)
+    var pos = 13
+    if (pos + gctSize * 3 > b.length) return null
+    val palOff = pos
+    pos += gctSize * 3
+    // skip extension blocks (0x21 label, sub-blocks until 0)
+    while (pos < b.length && (b(pos) & 0xff) == 0x21) {
+      pos += 2
+      while (pos < b.length && (b(pos) & 0xff) != 0) {
+        pos += 1 + (b(pos) & 0xff)
+        if (pos > b.length) return null
+      }
+      if (pos >= b.length) return null
+      pos += 1
+    }
+    if (pos >= b.length || (b(pos) & 0xff) != 0x2c) return null
+    if (pos + 10 > b.length) return null
+    val iw = leU16(b, pos + 5)
+    val ih = leU16(b, pos + 7)
+    val ipacked = b(pos + 9) & 0xff
+    if ((ipacked & 0x80) != 0) return null // local color table: out of envelope
+    if ((ipacked & 0x40) != 0) return null // interlaced: out of envelope
+    if (iw <= 0 || ih <= 0 || iw != sw || ih != sh) return null
+    val nPix = iw.toLong * ih
+    if (nPix > MaxPixels) return null
+    pos += 10
+    if (pos >= b.length) return null
+    val minCode = b(pos) & 0xff
+    if (minCode < 2 || minCode > 8) return null
+    pos += 1
+    // concatenate data sub-blocks
+    val data = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done) {
+      if (pos >= b.length) return null
+      val len = b(pos) & 0xff
+      pos += 1
+      if (len == 0) done = true
+      else {
+        if (pos + len > b.length) return null
+        data.write(b, pos, len)
+        pos += len
+      }
+    }
+    if (pos >= b.length || (b(pos) & 0xff) != 0x3b) return null
+    // LZW decode
+    val z = data.toByteArray
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Int](4096)
+    val stack = new Array[Int](4097)
+    var nextCode = eoi + 1
+    var codeSize = minCode + 1
+    var prev = -1
+    var bitPos = 0
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var out = 0L
+    def firstOf(code: Int): Int = {
+      var c = code
+      while (c >= clear) c = prefix(c)
+      c
+    }
+    def emit(idx: Int): Boolean = {
+      if (idx >= gctSize) return false
+      val o = palOff + idx * 3
+      sumR += b(o) & 0xff; sumG += b(o + 1) & 0xff; sumB += b(o + 2) & 0xff
+      out += 1
+      true
+    }
+    def emitSeq(code: Int): Boolean = {
+      var c = code
+      var sp = 0
+      while (c >= clear) {
+        if (sp >= stack.length) return false
+        stack(sp) = suffix(c); sp += 1; c = prefix(c)
+      }
+      if (!emit(c)) return false
+      while (sp > 0) { sp -= 1; if (!emit(stack(sp))) return false }
+      true
+    }
+    var eoiSeen = false
+    while (!eoiSeen) {
+      if (bitPos + codeSize > z.length * 8) return null
+      var code = 0
+      var i = 0
+      while (i < codeSize) {
+        val bp = bitPos + i
+        if ((z(bp >> 3) & (1 << (bp & 7))) != 0) code |= 1 << i
+        i += 1
+      }
+      bitPos += codeSize
+      if (code == clear) {
+        nextCode = eoi + 1; codeSize = minCode + 1; prev = -1
+      } else if (code == eoi) {
+        eoiSeen = true
+      } else if (prev == -1) {
+        if (code >= clear || !emit(code)) return null
+        prev = code
+      } else {
+        var firstByte = 0
+        if (code < nextCode) {
+          firstByte = firstOf(code)
+          if (!emitSeq(code)) return null
+        } else if (code == nextCode && nextCode < 4096) {
+          firstByte = firstOf(prev)
+          if (!emitSeq(prev) || !emit(firstByte)) return null
+        } else return null
+        if (nextCode < 4096) {
+          prefix(nextCode) = prev; suffix(nextCode) = firstByte
+          nextCode += 1
+          if (nextCode == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      }
+      if (out > nPix) return null
+    }
+    if (out != nPix) return null
+    InternalRow(iw.toLong, ih.toLong, nPix, sumR, sumG, sumB)
+  }
+
+  /** Column-level entry point. */
+  def gifPixelStats(payload: Column): Column =
+    ColumnBridge.column(GifPixelStats(ColumnBridge.expression(payload)))
+
+  /** Fixture-side GIF assembly (the ingest twin of [[compute]]): a
+    * REAL GIF87a with the given palette and a genuinely LZW-COMPRESSED
+    * index stream (hash-map dictionary, variable code width, clear on
+    * dictionary overflow) split into ≤255-byte sub-blocks — round
+    * trips exercise real dictionary chains, not just literals.
+    */
+  def gifBytes(width: Int, height: Int, palette: Array[(Int, Int, Int)],
+               indices: Array[Int]): Array[Byte] = {
+    require(indices.length == width * height, "indices must fill the raster")
+    require(palette.length >= 4 && palette.length <= 256 &&
+      Integer.bitCount(palette.length) == 1, "palette size must be 2^k, 4-256")
+    require(indices.forall(i => i >= 0 && i < palette.length))
+    val minCode = math.max(2,
+      32 - Integer.numberOfLeadingZeros(palette.length - 1))
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val bits = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var accBits = 0
+    var codeSize = minCode + 1
+    def put(code: Int): Unit = {
+      acc |= code.toLong << accBits
+      accBits += codeSize
+      while (accBits >= 8) {
+        bits.write((acc & 0xff).toInt); acc >>= 8; accBits -= 8
+      }
+    }
+    // LongMap, not java.util.HashMap[Long, Int]: a miss there unboxes
+    // null to 0, silently aliasing palette index 0
+    val dict = scala.collection.mutable.LongMap.empty[Int]
+    var nextCode = eoi + 1
+    put(clear)
+    var cur = indices(0)
+    var i = 1
+    while (i < indices.length) {
+      val b = indices(i)
+      val key = (cur.toLong << 12) | b
+      val hit = dict.getOrElse(key, -1)
+      if (hit >= 0) cur = hit
+      else {
+        put(cur)
+        if (nextCode < 4096) {
+          dict.put(key, nextCode)
+          // GIF encoders bump the width when the NEXT code to assign
+          // would not fit the current width
+          if (nextCode == (1 << codeSize) && codeSize < 12) codeSize += 1
+          nextCode += 1
+        } else {
+          put(clear)
+          dict.clear(); nextCode = eoi + 1; codeSize = minCode + 1
+        }
+        cur = b
+      }
+      i += 1
+    }
+    put(cur)
+    // mirror the decoder's entry-add for this FINAL data code: the
+    // decoder assigns one more dictionary slot after reading it, and
+    // if that lands exactly on 2^codeSize it reads EOI one bit wider —
+    // without this the all-same-pixel (KwKwK) stream desyncs at EOI
+    if (nextCode < 4096 && nextCode == (1 << codeSize) && codeSize < 12)
+      codeSize += 1
+    put(eoi)
+    if (accBits > 0) bits.write((acc & 0xff).toInt)
+    val z = bits.toByteArray
+    val outBuf = new java.io.ByteArrayOutputStream()
+    outBuf.write("GIF87a".getBytes("US-ASCII"))
+    def u16(v: Int): Unit = { outBuf.write(v & 0xff); outBuf.write((v >> 8) & 0xff) }
+    u16(width); u16(height)
+    outBuf.write(0x80 | (minCode - 1)) // GCT present, size 2^minCode
+    outBuf.write(0); outBuf.write(0)
+    palette.foreach { case (r, g, bl) =>
+      outBuf.write(r); outBuf.write(g); outBuf.write(bl)
+    }
+    outBuf.write(0x2c); u16(0); u16(0); u16(width); u16(height); outBuf.write(0)
+    outBuf.write(minCode)
+    var off = 0
+    while (off < z.length) {
+      val n = math.min(255, z.length - off)
+      outBuf.write(n); outBuf.write(z, off, n)
+      off += n
+    }
+    outBuf.write(0)
+    outBuf.write(0x3b)
+    outBuf.toByteArray
+  }
+}
+
 /** Magic-byte MIME sniffing — classify an opaque binary payload by its
   * leading bytes (the crawl-curation primitive that routes blobs to
   * the right decode path BEFORE any codec runs; classification never

@@ -345,6 +345,39 @@ object MiscQueries {
           col("st.sum_b").as("sum_b"))
     }),
 
+    // E5 pixel decode, LZW format: a real GIF87a per language — 64-color
+    // deterministic palette, genuinely LZW-compressed index stream —
+    // decoded back by the native GifPixelStats expression (sub-block
+    // walk + variable-width dictionary decode + palette lookup). The
+    // oracle recomputes the palette arithmetic from raw integers: the
+    // hash gate proves LZW compress→decompress is the identity. Odd
+    // counts pad palette index 0 = (0,0,0): sums unchanged.
+    "q_gif_pixels" -> ((s, d) => {
+      import s.implicits._
+      val px = Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          pmod(col("doc_id") * 11 + col("n_chars"), lit(64L)).as("idx"))
+        .groupBy(col("lang"))
+        .agg(sort_array(collect_list(
+          struct(col("doc_id"), col("idx")))).as("arr"))
+      val gif = px.as[(String, Seq[(Long, Long)])]
+        .map { case (lang, rows) =>
+          val palette = (0 until 64).map(i =>
+            if (i == 0) (0, 0, 0)
+            else ((i * 37) % 256, (i * 91) % 256, (i * 13 + 7) % 256)).toArray
+          val base = rows.map(_._2.toInt).toArray
+          val idx = if (base.length % 2 == 1) base :+ 0 else base
+          (lang, graft.functions.GifPixelStats.gifBytes(2, idx.length / 2,
+            palette, idx))
+        }.toDF("lang", "payload")
+      gif.select(col("lang"),
+          graft.functions.GifPixelStats.gifPixelStats(col("payload")).as("st"))
+        .select(col("lang"), col("st.width").as("width"),
+          col("st.height").as("height"), col("st.n_pixels").as("n_pixels"),
+          col("st.sum_r").as("sum_r"), col("st.sum_g").as("sum_g"),
+          col("st.sum_b").as("sum_b"))
+    }),
+
     // E5 pixel decode, COMPRESSED format: a real 2-wide RGB PNG per
     // language — zlib-deflated IDAT (split across two chunks),
     // scanline filters cycling all five predictors — decoded back by
@@ -780,6 +813,28 @@ object MiscQueries {
       """SELECT lang, COUNT(DISTINCT text) AS exact_texts,
         |  TRUE AS within_5pct
         |FROM documents GROUP BY lang""".stripMargin,
+
+    // Palette arithmetic from the RAW integers — the Spark side
+    // reproduces it THROUGH the GIF LZW round trip. Index 0 is black,
+    // so the odd-count pad never shifts sums.
+    "q_gif_pixels" ->
+      """WITH p AS (
+        |  SELECT lang, (doc_id * 11 + n_chars) % 64 AS idx
+        |  FROM documents
+        |), c AS (
+        |  SELECT lang,
+        |    CASE WHEN idx = 0 THEN 0 ELSE (idx * 37) % 256 END AS r,
+        |    CASE WHEN idx = 0 THEN 0 ELSE (idx * 91) % 256 END AS g,
+        |    CASE WHEN idx = 0 THEN 0 ELSE (idx * 13 + 7) % 256 END AS b
+        |  FROM p
+        |)
+        |SELECT lang, CAST(2 AS BIGINT) AS width,
+        |  CAST((COUNT(*) + 1) // 2 AS BIGINT) AS height,
+        |  CAST(((COUNT(*) + 1) // 2) * 2 AS BIGINT) AS n_pixels,
+        |  CAST(SUM(r) AS BIGINT) AS sum_r,
+        |  CAST(SUM(g) AS BIGINT) AS sum_g,
+        |  CAST(SUM(b) AS BIGINT) AS sum_b
+        |FROM c GROUP BY lang""".stripMargin,
 
     // Channel sums from the RAW integers — the Spark side reproduces
     // them THROUGH the full PNG deflate→inflate→unfilter round trip.
