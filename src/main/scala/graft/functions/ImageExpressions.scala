@@ -400,9 +400,9 @@ object PngPixelStats {
 
 /** REAL GIF pixel decoding: GIF's "codec" is LZW — a pure dictionary
   * decoder needing no library at all — plus a palette lookup. With
-  * [[BmpPixelStats]] (raw), [[PngPixelStats]] (zlib) and this (LZW),
-  * every mainstream still-image container except entropy-coded JPEG
-  * decodes for real in this library.
+  * [[BmpPixelStats]] (raw), [[PngPixelStats]] (zlib), this (LZW) and
+  * [[JpegPixelStats]] (the JDK's own baseline-JPEG codec), every
+  * mainstream still-image container decodes for real in this library.
   *
   * Strictness (the encoder twin's envelope, like PNG's color-type-2
   * rule): GIF87a/89a, global color table required, a single
@@ -662,6 +662,107 @@ object GifPixelStats {
     outBuf.write(0)
     outBuf.write(0x3b)
     outBuf.toByteArray
+  }
+}
+
+/** REAL JPEG pixel decoding — the last E5 format off the header tier.
+  * The JDK itself ships a baseline-JPEG codec (`javax.imageio`, part
+  * of java.desktop, headless-safe), so "no codecs in this container"
+  * was never quite true for JPEG either; this expression wraps that
+  * decoder behind the same channel-sum struct as the BMP/PNG/GIF
+  * twins. A leading FFD8 magic check short-circuits non-JPEG payloads
+  * before ImageIO ever allocates; any decode failure returns NULL.
+  *
+  * The ORACLE CONTRACT differs from the lossless twins, necessarily:
+  * JPEG is lossy, so decoded sums cannot hash-match raw integers.
+  * `q_jpeg_pixels` therefore ships exact RAW sums plus a
+  * tolerance-banded verdict (|decoded mean − raw mean| ≤ tol per
+  * channel) that the oracle asserts TRUE — the q_hll_rollup
+  * convention for engine-specific numerics. Unlike the hand-rolled
+  * decoders this calls a stateful library per row (no codegen
+  * arithmetic to fuse), which is exactly the `mapInPandas`-style
+  * plumbing the E5 mandate asks to be real even where the codec is a
+  * black box.
+  */
+case class JpegPixelStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BmpPixelStats.schema
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "jpeg_pixel_stats"
+
+  override def nullSafeEval(payload: Any): Any =
+    JpegPixelStats.compute(payload.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      s"""
+         |${ev.value} = graft.functions.JpegPixelStats$$.MODULE$$.compute($b);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): JpegPixelStats =
+    copy(child = newChild)
+}
+
+object JpegPixelStats {
+
+  /** Refuse rasters past 64 Mi pixels before buffering them. */
+  val MaxPixels: Long = 1L << 26
+
+  def compute(b: Array[Byte]): InternalRow = {
+    if (b.length < 3 || b(0) != 0xFF.toByte || b(1) != 0xD8.toByte ||
+      b(2) != 0xFF.toByte) return null
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null) return null
+      val w = img.getWidth
+      val h = img.getHeight
+      if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return null
+      var sumR = 0L; var sumG = 0L; var sumB = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sumR += (rgb >> 16) & 0xff
+          sumG += (rgb >> 8) & 0xff
+          sumB += rgb & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      InternalRow(w.toLong, h.toLong, w.toLong * h, sumR, sumG, sumB)
+    } catch {
+      case _: java.io.IOException => null
+      case _: RuntimeException => null
+    }
+  }
+
+  /** Column-level entry point. */
+  def jpegPixelStats(payload: Column): Column =
+    ColumnBridge.column(JpegPixelStats(ColumnBridge.expression(payload)))
+
+  /** Fixture-side JPEG assembly: the JDK encoder at its default
+    * quality. LOSSY — round trips approximate, which is the whole
+    * point of the verdict-gated oracle contract.
+    */
+  def jpegBytes(width: Int, height: Int,
+                pixels: Array[(Int, Int, Int)]): Array[Byte] = {
+    require(pixels.length == width * height, "pixels must fill the raster")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < pixels.length) {
+      val (r, g, b) = pixels(i)
+      img.setRGB(i % width, i / width, (r << 16) | (g << 8) | b)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
   }
 }
 

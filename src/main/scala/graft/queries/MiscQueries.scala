@@ -345,6 +345,48 @@ object MiscQueries {
           col("st.sum_b").as("sum_b"))
     }),
 
+    // E5 pixel decode, ENTROPY-CODED format: a real baseline JPEG per
+    // language (the JDK's own javax.imageio codec, headless), decoded
+    // back by the native JpegPixelStats expression. JPEG is LOSSY, so
+    // the gate is the q_hll_rollup convention: exact RAW channel sums
+    // ride the compare, and the decoded sums assert a per-channel
+    // mean-error tolerance verdict the oracle pins TRUE — proving the
+    // full encode→decode path runs and lands within the codec's error
+    // envelope (measured ≤ ~2/255 mean; the band is 16).
+    "q_jpeg_pixels" -> ((s, d) => {
+      import s.implicits._
+      val px = Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          pmod(col("doc_id") * 3, lit(256L)).as("r"),
+          pmod(col("n_chars") * 5, lit(256L)).as("g"),
+          pmod(col("doc_id") + col("n_chars"), lit(256L)).as("b"))
+        .groupBy(col("lang"))
+        .agg(sort_array(collect_list(
+          struct(col("doc_id"), col("r"), col("g"), col("b")))).as("arr"))
+      val jpg = px.as[(String, Seq[(Long, Long, Long, Long)])]
+        .map { case (lang, rows) =>
+          val base = rows.map(t => (t._2.toInt, t._3.toInt, t._4.toInt)).toArray
+          val pixels = if (base.length % 2 == 1) base :+ ((0, 0, 0)) else base
+          (lang,
+            graft.functions.JpegPixelStats.jpegBytes(2, pixels.length / 2,
+              pixels),
+            pixels.map(_._1.toLong).sum, pixels.map(_._2.toLong).sum,
+            pixels.map(_._3.toLong).sum)
+        }.toDF("lang", "payload", "raw_r", "raw_g", "raw_b")
+      jpg.select(col("lang"), col("raw_r"), col("raw_g"), col("raw_b"),
+          graft.functions.JpegPixelStats.jpegPixelStats(col("payload")).as("st"))
+        .select(col("lang"), col("st.width").as("width"),
+          col("st.height").as("height"), col("st.n_pixels").as("n_pixels"),
+          col("raw_r").as("sum_r_raw"), col("raw_g").as("sum_g_raw"),
+          col("raw_b").as("sum_b_raw"),
+          (abs(col("st.sum_r") - col("raw_r")) <= col("st.n_pixels") * 16)
+            .as("r_within_tol"),
+          (abs(col("st.sum_g") - col("raw_g")) <= col("st.n_pixels") * 16)
+            .as("g_within_tol"),
+          (abs(col("st.sum_b") - col("raw_b")) <= col("st.n_pixels") * 16)
+            .as("b_within_tol"))
+    }),
+
     // E5 pixel decode, LZW format: a real GIF87a per language — 64-color
     // deterministic palette, genuinely LZW-compressed index stream —
     // decoded back by the native GifPixelStats expression (sub-block
@@ -813,6 +855,23 @@ object MiscQueries {
       """SELECT lang, COUNT(DISTINCT text) AS exact_texts,
         |  TRUE AS within_5pct
         |FROM documents GROUP BY lang""".stripMargin,
+
+    // Raw sums exactly; the lossy decode's accuracy lands as pinned
+    // TRUE verdicts (the engine-specific-numerics convention).
+    "q_jpeg_pixels" ->
+      """WITH p AS (
+        |  SELECT lang, (doc_id * 3) % 256 AS r, (n_chars * 5) % 256 AS g,
+        |    (doc_id + n_chars) % 256 AS b
+        |  FROM documents
+        |)
+        |SELECT lang, CAST(2 AS BIGINT) AS width,
+        |  CAST((COUNT(*) + 1) // 2 AS BIGINT) AS height,
+        |  CAST(((COUNT(*) + 1) // 2) * 2 AS BIGINT) AS n_pixels,
+        |  CAST(SUM(r) AS BIGINT) AS sum_r_raw,
+        |  CAST(SUM(g) AS BIGINT) AS sum_g_raw,
+        |  CAST(SUM(b) AS BIGINT) AS sum_b_raw,
+        |  TRUE AS r_within_tol, TRUE AS g_within_tol, TRUE AS b_within_tol
+        |FROM p GROUP BY lang""".stripMargin,
 
     // Palette arithmetic from the RAW integers — the Spark side
     // reproduces it THROUGH the GIF LZW round trip. Index 0 is black,
