@@ -7,16 +7,18 @@ import org.apache.spark.sql.functions._
   * `binary` payloads with typed metadata, processed by per-partition
   * batch operators.
   *
-  * The COMPRESSED-format decode step is STUBBED (deterministic fake —
-  * no image/audio codecs ship in this container), but header-level
-  * metadata extraction is REAL: PNG/WAV fields as pure byte-slice
-  * expressions ([[pngMeta]]/[[wavMeta]], no UDF, codegen'd) and a JPEG
-  * SOF marker walk ([[imageDimensions]]) — and the codec-free formats
-  * decode for REAL: PCM16 WAV samples ([[graft.functions.PcmStats]])
-  * and uncompressed 24-bit BMP pixels
-  * ([[graft.functions.BmpPixelStats]]), each a single codegen'd
-  * chunk-walk + per-element loop, gated end-to-end by the
-  * q_wav_pcm / q_bmp_pixels encode→decode round-trip oracles.
+  * Header-level metadata extraction is REAL (PNG/WAV byte-slice
+  * expressions [[pngMeta]]/[[wavMeta]], the JPEG SOF marker walk
+  * [[imageDimensions]]) — and as of round 8 so is PIXEL/SAMPLE decode
+  * for every fixture format: PCM16 WAV ([[graft.functions.PcmStats]]),
+  * 24-bit BMP ([[graft.functions.BmpPixelStats]]), PNG via JDK zlib
+  * ([[graft.functions.PngPixelStats]]), GIF via a hand-rolled LZW
+  * ([[graft.functions.GifPixelStats]]) and baseline JPEG via the JDK's
+  * own imageio codec ([[graft.functions.JpegPixelStats]]), each gated
+  * end-to-end by an encode→decode oracle (exact for the lossless four,
+  * tolerance-verdict for lossy JPEG). The generic `decodeFeatures`
+  * deterministic-fake path below remains only as the stand-in shape
+  * for codecs that DON'T ship here (video/audio beyond PCM).
   * Everything Spark-side is real
   * and tested: the schema shape, binary columns, partitioning,
   * batch-iterator operator signature (`mapPartitions`, the Scala
