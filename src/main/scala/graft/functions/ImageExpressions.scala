@@ -269,8 +269,11 @@ object PngPixelStats {
       }
       pos = dataOff + ilen + 4
     }
+    // bound each dim BEFORE the product: 32-bit dims near 2^32 would
+    // wrap height·(3·width+1) past Long and skip the byte bound below
+    if (width > MaxRawBytes || height > MaxRawBytes) return null
     val stride = width * 3
-    val rawLen = height * (stride + 1)
+    val rawLen = height * (stride + 1) // ≤ 3·2^52 + 2^26: no overflow
     if (rawLen > MaxRawBytes) return null
     val raw = new Array[Byte](rawLen.toInt)
     val inf = new java.util.zip.Inflater()
@@ -279,7 +282,11 @@ object PngPixelStats {
       var got = 0
       while (got < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, got, raw.length - got)
-        if (n == 0 && inf.needsInput()) return null // truncated stream
+        // all input was provided up front, so ANY zero-progress state
+        // (truncated stream, or the FDICT preset-dictionary flag that
+        // stalls Inflater awaiting setDictionary) is terminal — without
+        // this the FDICT case loops forever
+        if (n == 0) return null
         got += n
       }
       if (got != raw.length) return null
@@ -586,6 +593,10 @@ object GifPixelStats {
   def gifBytes(width: Int, height: Int, palette: Array[(Int, Int, Int)],
                indices: Array[Int]): Array[Byte] = {
     require(indices.length == width * height, "indices must fill the raster")
+    // the container stores dims as u16 — silently wrapping mod 65536
+    // would surface far away as the decoder's out != nPix null
+    require(width > 0 && width <= 0xFFFF && height > 0 && height <= 0xFFFF,
+      "GIF dims must fit u16")
     require(palette.length >= 4 && palette.length <= 256 &&
       Integer.bitCount(palette.length) == 1, "palette size must be 2^k, 4-256")
     require(indices.forall(i => i >= 0 && i < palette.length))
@@ -716,25 +727,41 @@ object JpegPixelStats {
     if (b.length < 3 || b(0) != 0xFF.toByte || b(1) != 0xD8.toByte ||
       b(2) != 0xFF.toByte) return null
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
-      if (img == null) return null
-      val w = img.getWidth
-      val h = img.getHeight
-      if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return null
-      var sumR = 0L; var sumG = 0L; var sumB = 0L
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          sumR += (rgb >> 16) & 0xff
-          sumG += (rgb >> 8) & 0xff
-          sumB += rgb & 0xff
-          x += 1
+      // dims from the STREAM HEADER before any raster is allocated —
+      // ImageIO.read would decode (and OOM on) an adversarial
+      // 65500×65500 declaration before a post-hoc check could run
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(b))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); return null }
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val w = reader.getWidth(0)
+        val h = reader.getHeight(0)
+        if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return null
+        val img = reader.read(0)
+        var sumR = 0L; var sumG = 0L; var sumB = 0L
+        val rowBuf = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          // one bulk row fetch, not w ColorModel calls
+          img.getRGB(0, y, w, 1, rowBuf, 0, w)
+          var x = 0
+          while (x < w) {
+            val rgb = rowBuf(x)
+            sumR += (rgb >> 16) & 0xff
+            sumG += (rgb >> 8) & 0xff
+            sumB += rgb & 0xff
+            x += 1
+          }
+          y += 1
         }
-        y += 1
+        InternalRow(w.toLong, h.toLong, w.toLong * h, sumR, sumG, sumB)
+      } finally {
+        reader.dispose()
+        iis.close()
       }
-      InternalRow(w.toLong, h.toLong, w.toLong * h, sumR, sumG, sumB)
     } catch {
       case _: java.io.IOException => null
       case _: RuntimeException => null
@@ -752,6 +779,8 @@ object JpegPixelStats {
   def jpegBytes(width: Int, height: Int,
                 pixels: Array[(Int, Int, Int)]): Array[Byte] = {
     require(pixels.length == width * height, "pixels must fill the raster")
+    require(width > 0 && width <= 0xFFFF && height > 0 && height <= 0xFFFF,
+      "JPEG dims must fit u16")
     val img = new java.awt.image.BufferedImage(width, height,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     var i = 0

@@ -140,8 +140,11 @@ object AsOfJoin {
     */
   def asOfNearest(probes: DataFrame, states: DataFrame, keys: Seq[String],
                   tsCol: String, payloadCols: Seq[String]): DataFrame = {
-    require(!probes.columns.contains("_sts"),
-      "asOfNearest reserves the column name _sts")
+    val reserved = Seq("_sts", "_b_ts", "_f_ts", "asof_delta_us") ++
+      payloadCols.flatMap(c => Seq(s"_b_$c", s"_f_$c"))
+    val clash = probes.columns.toSet intersect reserved.toSet
+    require(clash.isEmpty,
+      s"asOfNearest reserves column names ${clash.mkString(", ")}")
     val st = states.withColumn("_sts", col(tsCol))
     val pay = payloadCols :+ "_sts"
     val back = asOfExec(probes, st, keys, tsCol, pay)
