@@ -90,6 +90,12 @@ object GraftExtensions {
     entry("pcm_stats", classOf[PcmStats], 1)(c => PcmStats(c(0))),
     entry("bmp_pixel_stats", classOf[BmpPixelStats], 1)(c =>
       BmpPixelStats(c(0))),
+    entry("png_pixel_stats", classOf[PngPixelStats], 1)(c =>
+      PngPixelStats(c(0))),
+    entry("gif_pixel_stats", classOf[GifPixelStats], 1)(c =>
+      GifPixelStats(c(0))),
+    entry("jpeg_pixel_stats", classOf[JpegPixelStats], 1)(c =>
+      JpegPixelStats(c(0))),
     entry("magic_kind", classOf[MagicKind], 1)(c => MagicKind(c(0))),
     entry("kmv_sketch", classOf[KmvSketchAgg], 2)(c =>
       KmvSketchAgg(c(0), litInt(c(1), "kmv_sketch", "k"))),

@@ -129,6 +129,21 @@ class LakeAndExtensionsSpec extends SparkSpec {
     Seq(Tuple1(wav)).toDF("p").createOrReplaceTempView("wavs")
     assert(spark.sql("SELECT pcm_stats(p).sum_abs AS s FROM wavs")
       .head().getLong(0) == 6L)
+    val px4 = Array((1, 2, 3), (4, 5, 6), (7, 8, 9), (10, 11, 12))
+    Seq(Tuple1(graft.functions.PngPixelStats.pngBytes(2, 2, px4)))
+      .toDF("p").createOrReplaceTempView("pngs")
+    assert(spark.sql("SELECT png_pixel_stats(p).sum_r AS s FROM pngs")
+      .head().getLong(0) == 22L)
+    Seq(Tuple1(graft.functions.GifPixelStats.gifBytes(2, 2,
+        Array((0, 0, 0), (9, 8, 7), (1, 1, 1), (2, 2, 2)),
+        Array(1, 1, 2, 3))))
+      .toDF("p").createOrReplaceTempView("gifs")
+    assert(spark.sql("SELECT gif_pixel_stats(p).sum_r AS s FROM gifs")
+      .head().getLong(0) == 9L + 9L + 1L + 2L)
+    Seq(Tuple1(graft.functions.JpegPixelStats.jpegBytes(2, 2, px4)))
+      .toDF("p").createOrReplaceTempView("jpgs")
+    assert(spark.sql("SELECT jpeg_pixel_stats(p).n_pixels AS n FROM jpgs")
+      .head().getLong(0) == 4L)
     // AGGREGATE registration: the analyzer must wrap the bare
     // AggregateFunction exactly as for built-ins
     assert(spark.sql(
