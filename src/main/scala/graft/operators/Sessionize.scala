@@ -192,4 +192,41 @@ object Sessionize {
       .select(col(keyCol), col("session_start"), col("n_events"),
         col("n_kept"), col("n_dropped"), col("assembled"))
   }
+
+  /** DEBOUNCE (alert rate-limiting): keep an event only if it is more
+    * than `cooldownUs` after the last KEPT event of its key — the
+    * anchor-advances-on-keep semantics that suppresses alert storms.
+    * NOT gap-sessionization: a burst of events 1s apart keeps one
+    * event per cooldown window, whereas a session would extend
+    * indefinitely and keep only its first.
+    *
+    * Sequential by definition (each keep decision depends on the
+    * previous KEEP, not the previous row), so lag()/windows cannot
+    * express it; instead the per-key scan runs as ONE codegen'd
+    * `aggregate()` fold over the sorted (epoch, tie) array — declarative,
+    * no typed-API detour, engine-exact integer comparisons. Per-key
+    * event counts bound the array (the q_chat_assembly argument); the
+    * shuffle is the single groupBy(key).
+    *
+    * Output: (keyCol, e_us, tie) of kept events. The initial anchor is
+    * −2⁶² so the first event always keeps without `e − last` overflow.
+    */
+  def debounce(df: DataFrame, keyCol: String, epochCol: String,
+               tieCol: String, cooldownUs: Long): DataFrame = {
+    require(cooldownUs >= 0)
+    val packed = df.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(
+        col(epochCol).cast("long").as("e"),
+        col(tieCol).cast("long").as("tie")))).as("arr"))
+    packed.select(col(keyCol), explode(expr(
+        s"""aggregate(arr,
+           |  named_struct('last', -4611686018427387904L,
+           |    'kept', CAST(array() AS ARRAY<STRUCT<e: BIGINT, tie: BIGINT>>)),
+           |  (acc, x) -> IF(x.e - acc.last > ${cooldownUs}L,
+           |    named_struct('last', x.e, 'kept', array_append(acc.kept, x)),
+           |    acc),
+           |  acc -> acc.kept)""".stripMargin)).as("__kept"))
+      .select(col(keyCol), col("__kept.e").as("e_us"),
+        col("__kept.tie").as(tieCol))
+  }
 }

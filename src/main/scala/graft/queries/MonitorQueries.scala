@@ -91,6 +91,20 @@ object MonitorQueries {
         .select(col("server_id"), col("window_start"),
           col("from_value").as("from_alert"), col("to_value").as("to_alert"))),
 
+    // Alert DEBOUNCE (rate-limiting): keep an event only when more
+    // than 12h past the last KEPT event of its user — the storm
+    // suppressor a paging pipeline puts after alert generation. The
+    // anchor advances on KEEP, so this is sequential semantics no
+    // lag()/session window expresses; the oracle replays it as a
+    // recursive CTE, the operator as one codegen'd aggregate() fold
+    // per key (Sessionize.debounce).
+    "q_debounce" -> ((s, d) =>
+      graft.operators.Sessionize.debounce(
+        Tables.events(s, d).select(col("user_id"),
+          expr("unix_micros(ts)").as("e_us"), col("event_id")),
+        keyCol = "user_id", epochCol = "e_us", tieCol = "event_id",
+        cooldownUs = 43200000000L)),
+
     // job2 shape: sliding-window max (A3) + its CASE chain. max over
     // doubles is exact, no decimal detour needed.
     "q_monitor_max" -> ((s, d) => {
@@ -217,6 +231,27 @@ object MonitorQueries {
 
   val oracles: Map[String, String] = Map(
     "q_monitor_pipeline" -> monitorPipelineSql,
+
+    // The keep decision depends on the previous KEEP: a recursive CTE
+    // walks each user's rows in (ts, event_id) order carrying the
+    // last-kept anchor.
+    "q_debounce" ->
+      """WITH RECURSIVE o AS (
+        |  SELECT user_id, epoch_us(ts) AS e, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events
+        |), w AS (
+        |  SELECT user_id, rn, e, event_id, e AS last_kept, TRUE AS kept
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.user_id, o.rn, o.e, o.event_id,
+        |    CASE WHEN o.e - w.last_kept > 43200000000
+        |         THEN o.e ELSE w.last_kept END,
+        |    o.e - w.last_kept > 43200000000
+        |  FROM w JOIN o ON o.user_id = w.user_id AND o.rn = w.rn + 1
+        |)
+        |SELECT user_id, e AS e_us, event_id FROM w WHERE kept""".stripMargin,
 
     "q_alert_transitions" ->
       s"""WITH mp AS ($monitorPipelineSql),

@@ -415,6 +415,95 @@ object TwsOps {
     }
   }
 
+  /** One kept event of the streaming debounce. */
+  case class DebounceOut(key: String, e_us: Long, tie: Long)
+
+  /** STREAMING debounce — the in-flight twin of
+    * [[graft.operators.Sessionize.debounce]]: an event is kept iff it
+    * falls more than `cooldownUs` after the last KEPT event of its
+    * key, decided only once the WATERMARK passes its event time (all
+    * on-time earlier events have then arrived, so the keep decision is
+    * final — the anchor-advances-on-keep chain is order-sensitive and
+    * must never run on a gap that a straggler could still fill).
+    * Output over the closed region is row-identical to the batch
+    * operator; rows at or past the watermark are simply not decided
+    * yet, and late rows drop at the engine as for every watermarked
+    * stateful op.
+    *
+    * State: pending on-time events (bounded by arrival rate ×
+    * watermark delay) + ONE last-kept anchor per key. Timers follow
+    * the register-at-min / re-arm-unconditionally discipline.
+    */
+  def debounceTws(df: DataFrame, keyCol: String, tsCol: String,
+                  tieCol: String, cooldownUs: Long,
+                  watermark: String): Dataset[DebounceOut] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast("string").as("k"), col(tsCol).as("ts"),
+        col(tieCol).cast("long").as("tie"))
+      .as[(String, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new DebounceTwsProcessor(cooldownUs),
+        TimeMode.EventTime, OutputMode.Append)
+  }
+
+  private final class DebounceTwsProcessor(cooldownUs: Long)
+      extends StatefulProcessor[String,
+        (String, java.sql.Timestamp, Long), DebounceOut] {
+    import org.apache.spark.sql.streaming.ListState
+    @transient private var pending: ListState[(Long, Long)] = _
+    @transient private var lastKept: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      pending = getHandle.getListState[(Long, Long)]("pending",
+        Encoders.product[(Long, Long)], TTLConfig.NONE)
+      lastKept = getHandle.getValueState[Long]("lastKept",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, java.sql.Timestamp, Long)],
+        tv: TimerValues): Iterator[DebounceOut] = {
+      var minUs = Long.MaxValue
+      rows.foreach { case (_, ts, tie) =>
+        val us = graft.core.TimeCodec.micros(ts)
+        pending.appendValue((us, tie))
+        if (us < minUs) minUs = us
+      }
+      if (minUs != Long.MaxValue) getHandle.registerTimer(minUs / 1000 + 1)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: String, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[DebounceOut] = {
+      val wmMs = tv.getCurrentWatermarkInMs()
+      val all = pending.get().toArray[(Long, Long)]
+      val (ripe, still) = all.partition(_._1 / 1000 < wmMs)
+      if (ripe.nonEmpty) {
+        pending.clear()
+        if (still.nonEmpty) pending.put(still)
+      }
+      // ALWAYS re-arm for remaining buffered work (the asOfTws lesson)
+      if (still.nonEmpty)
+        getHandle.registerTimer(still.map(_._1).min / 1000 + 1)
+      if (ripe.isEmpty) return Iterator.empty
+      java.util.Arrays.sort(ripe, Ordering.by((t: (Long, Long)) => t))
+      // -2^62 initial anchor: the batch operator's first-always-keeps
+      var last = if (lastKept.exists()) lastKept.get()
+        else -4611686018427387904L
+      val out = Array.newBuilder[DebounceOut]
+      ripe.foreach { case (us, tie) =>
+        if (us - last > cooldownUs) {
+          out += DebounceOut(key, us, tie)
+          last = us
+        }
+      }
+      lastKept.update(last)
+      out.result().iterator
+    }
+  }
+
   private final class SessionTwsProcessor(gapUs: Long)
       extends StatefulProcessor[Long, (Long, java.sql.Timestamp), SessOut] {
     @transient private var st: ValueState[SessState] = _
