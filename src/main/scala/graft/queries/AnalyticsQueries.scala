@@ -199,6 +199,33 @@ object AnalyticsQueries {
     // window task over the corpus. Rank values are boundary-independent
     // (sketch error only moves bucket sizes), so the oracle is a plain
     // global row_number. See Ranking.globalRank.
+    // HIERARCHICAL subtree rollup (the BOM-explosion / org-rollup
+    // primitive): users form a binary-heap tree (parent = id div 2,
+    // root 1), and every user's event count rolls up into ALL its
+    // ancestors. No iteration and no recursion on the Spark side: a
+    // bounded-depth hierarchy admits the materialized-ancestor-path
+    // form — each row explodes into its ≤⌈log₂ max_id⌉ ancestors via
+    // shiftright, then ONE groupBy(ancestor) — the standard trick that
+    // turns tree rollups into a single shuffle at any scale. Output
+    // per node: own events, subtree events, subtree node count.
+    "q_subtree_rollup" -> ((s, d) => {
+      val own = Tables.events(s, d).filter(col("user_id") >= 1)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_own"))
+      val contrib = own
+        .select(col("user_id"), col("n_own"),
+          explode(expr(
+            "transform(sequence(0, 40), k -> shiftright(user_id, k))"))
+            .as("anc"))
+        .filter(col("anc") >= 1)
+      contrib.groupBy(col("anc").as("user_id"))
+        .agg(sum(col("n_own")).as("n_subtree"),
+          count(lit(1)).as("n_subtree_nodes"),
+          max(when(col("anc") === col("user_id"), col("n_own")))
+            .as("n_own"))
+        .select(col("user_id"), coalesce(col("n_own"), lit(0L)).as("n_own"),
+          col("n_subtree"), col("n_subtree_nodes"))
+    }),
+
     "q_global_rank" -> ((s, d) =>
       graft.operators.Ranking.globalRank(
         Tables.events(s, d)
@@ -366,6 +393,24 @@ object AnalyticsQueries {
         |SELECT event_type, event_id, e, qv, n_1h FROM r
         |WHERE (n_1h * qv - s_1h) * (n_1h * qv - s_1h)
         |      > 4 * (n_1h * v_1h - s_1h * s_1h)""".stripMargin,
+
+    // Same ancestor-path explode: every node's count lands on each
+    // of its shiftright ancestors, one GROUP BY.
+    "q_subtree_rollup" ->
+      """WITH own AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_own
+        |  FROM events WHERE user_id >= 1 GROUP BY user_id
+        |), c AS (
+        |  SELECT own.user_id AS uid, own.n_own, (own.user_id >> t.k) AS anc
+        |  FROM own, generate_series(0, 40) AS t(k)
+        |  WHERE (own.user_id >> t.k) >= 1
+        |)
+        |SELECT anc AS user_id,
+        |  CAST(COALESCE(MAX(CASE WHEN anc = uid THEN n_own END), 0)
+        |    AS BIGINT) AS n_own,
+        |  CAST(SUM(n_own) AS BIGINT) AS n_subtree,
+        |  CAST(COUNT(*) AS BIGINT) AS n_subtree_nodes
+        |FROM c GROUP BY anc""".stripMargin,
 
     "q_global_rank" ->
       """SELECT event_id, event_type, value,

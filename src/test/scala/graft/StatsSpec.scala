@@ -160,6 +160,26 @@ class StatsSpec extends SparkSpec {
     assert(r2(Seq(0L, 1L, 0L, 1L)) == (1000000L, -1L))
   }
 
+  test("q_subtree_rollup: root aggregates everything, leaves equal own") {
+    val rows = graft.queries.AnalyticsQueries.queries("q_subtree_rollup")(
+      spark, sf0001).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_own"), r.getAs[Long]("n_subtree"),
+          r.getAs[Long]("n_subtree_nodes"))).toMap
+    val totalEvents = spark.read.parquet(s"$sf0001/events.parquet")
+      .filter(col("user_id") >= 1).count()
+    // root (user 1) sees every event exactly once
+    assert(rows(1L)._2 == totalEvents)
+    // subtree is always >= own, and strictly decomposes: node's subtree
+    // = own + left child's subtree + right child's subtree (0 if absent)
+    rows.foreach { case (id, (own, sub, _)) =>
+      assert(sub >= own)
+      val l = rows.get(2 * id).map(_._2).getOrElse(0L)
+      val r = rows.get(2 * id + 1).map(_._2).getOrElse(0L)
+      assert(sub == own + l + r, s"node $id")
+    }
+  }
+
   test("q_ols_trend on sf0.001: every type has a slope, spans > 1 day") {
     val df = StatsQueries.queries("q_ols_trend")(spark, sf0001)
     val rows = df.collect()
