@@ -305,6 +305,25 @@ object StreamBench {
           .writeStream.format("noop").outputMode("append")
           .option("checkpointLocation", s"$dir/ckpt").start()
         (q, users, t0)
+      } else if (mode == "debounce") {
+        // streaming alert rate-limiting (TwsOps.debounceTws on
+        // RocksDB): per-user keep-anchor suppression at a 15s cooldown
+        // over the jittered 10s-cadence journey stream — prices the
+        // pending-list + single-anchor topology under heavy drop rates.
+        val users = math.max(1000, rows / 100)
+        writeJourneyEvents(users)
+        graft.streaming.TwsOps.useRocksDb(spark)
+        val t0 = System.nanoTime()
+        val obs = journeyReader().select(col("user_id"),
+          timestamp_seconds(
+            floor(col("tu") / users) * 10 + pmod(col("tu") * 7, lit(25)))
+            .as("ts"),
+          col("tu").as("tie"))
+        val q = graft.streaming.TwsOps.debounceTws(obs, "user_id", "ts",
+            "tie", cooldownUs = 15000000L, watermark = "30 seconds")
+          .writeStream.format("noop").outputMode("append")
+          .option("checkpointLocation", s"$dir/ckpt").start()
+        (q, users, t0)
       } else if (mode == "interp") {
         // streaming gap-repair (TwsOps.interpTws on RocksDB): per-user
         // irregular observations resampled onto a 10s grid with linear
@@ -465,7 +484,8 @@ object StreamBench {
       if (mode == "funnel" || mode == "latency" || mode == "bloom" ||
         mode == "session" || mode == "dedup" || mode == "lsh" ||
         mode == "logit" || mode == "drift" || mode == "kmv" ||
-        mode == "tws" || mode == "twssession" || mode == "interp") rows.toLong
+        mode == "tws" || mode == "twssession" || mode == "interp" ||
+        mode == "debounce") rows.toLong
       else if (mode == "asof") rows.toLong + rows / 10
       else rows.toLong * 4
     val windows = progress.map(_.stateOperators.headOption.map(_.numRowsTotal).getOrElse(0L)).maxOption.getOrElse(0L)
