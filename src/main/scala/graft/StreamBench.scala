@@ -95,6 +95,12 @@ object StreamBench {
       if (filesPerTrigger != "0") reader.option("maxFilesPerTrigger", filesPerTrigger)
       reader.csv(s"$dir/in")
     }
+    // 10s cadence + ±jitter inside the 30s watermark window, shared by
+    // every journey-event-time mode (asof/session/interp/debounce) —
+    // one definition so a jitter change can't silently make one mode's
+    // rows late
+    def jitterTs(c: org.apache.spark.sql.Column, users: Long, m: Int) =
+      timestamp_seconds(floor(c / users) * 10 + pmod(c * m, lit(25)))
     // synthetic document text for the bloom mode: 8 deterministic
     // pseudo-words from co-prime residues — unique per k, repeatable
     def docText(k: org.apache.spark.sql.Column) =
@@ -288,10 +294,8 @@ object StreamBench {
           .repartition(4).write.option("header", "true").csv(s"$dir/in2")
         graft.streaming.TwsOps.useRocksDb(spark)
         val t0 = System.nanoTime()
-        def jitterTs(c: org.apache.spark.sql.Column, m: Int) =
-          timestamp_seconds(floor(c / users) * 10 + pmod(c * m, lit(25)))
         val probes = journeyReader().select(col("user_id"),
-          jitterTs(col("tu"), 7).as("ts"), col("tu").cast("double").as("v"))
+          jitterTs(col("tu"), users, 7).as("ts"), col("tu").cast("double").as("v"))
         val stateReader = {
           val r = spark.readStream.schema("user_id LONG, tu LONG")
             .option("header", "true")
@@ -299,7 +303,7 @@ object StreamBench {
           r.csv(s"$dir/in2")
         }
         val states = stateReader.select(col("user_id"),
-          jitterTs(col("tu"), 11).as("ts"), col("tu").cast("double").as("v"))
+          jitterTs(col("tu"), users, 11).as("ts"), col("tu").cast("double").as("v"))
         val q = graft.streaming.TwsOps.asOfTws(probes, states, "user_id",
             "ts", "v", "v", "30 seconds")
           .writeStream.format("noop").outputMode("append")
@@ -315,10 +319,7 @@ object StreamBench {
         graft.streaming.TwsOps.useRocksDb(spark)
         val t0 = System.nanoTime()
         val obs = journeyReader().select(col("user_id"),
-          timestamp_seconds(
-            floor(col("tu") / users) * 10 + pmod(col("tu") * 7, lit(25)))
-            .as("ts"),
-          col("tu").as("tie"))
+          jitterTs(col("tu"), users, 7).as("ts"), col("tu").as("tie"))
         val q = graft.streaming.TwsOps.debounceTws(obs, "user_id", "ts",
             "tie", cooldownUs = 15000000L, watermark = "30 seconds")
           .writeStream.format("noop").outputMode("append")
@@ -335,9 +336,7 @@ object StreamBench {
         graft.streaming.TwsOps.useRocksDb(spark)
         val t0 = System.nanoTime()
         val obs = journeyReader().select(col("user_id"),
-          timestamp_seconds(
-            floor(col("tu") / users) * 10 + pmod(col("tu") * 7, lit(25)))
-            .as("ts"),
+          jitterTs(col("tu"), users, 7).as("ts"),
           col("tu").as("tie"), pmod(col("tu"), lit(1000)).cast("double").as("v"))
         val q = graft.streaming.TwsOps.interpTws(obs, "user_id", "ts",
             "tie", "v", bucketSeconds = 10L, watermark = "30 seconds")
@@ -356,10 +355,7 @@ object StreamBench {
         writeJourneyEvents(users)
         val t0 = System.nanoTime()
         val ev = journeyReader()
-          .select(col("user_id"),
-            timestamp_seconds(
-              floor(col("tu") / users) * 10 + pmod(col("tu") * 7, lit(25)))
-              .as("ts"),
+          .select(col("user_id"), jitterTs(col("tu"), users, 7).as("ts"),
             col("event_type"))
         val q = graft.operators.Sessionize.sessionsStream(ev, "user_id", "ts",
             "15 seconds", "30 seconds", Seq(count(lit(1)).as("n_events")))
@@ -377,10 +373,7 @@ object StreamBench {
         graft.streaming.TwsOps.useRocksDb(spark)
         val t0 = System.nanoTime()
         val ev = journeyReader()
-          .select(col("user_id"),
-            timestamp_seconds(
-              floor(col("tu") / users) * 10 + pmod(col("tu") * 7, lit(25)))
-              .as("ts"))
+          .select(col("user_id"), jitterTs(col("tu"), users, 7).as("ts"))
         val q = graft.streaming.TwsOps.sessionsTws(ev, "user_id", "ts",
             gapUs = 15L * 1000000, watermark = "30 seconds")
           .writeStream.format("noop").outputMode("append")

@@ -199,6 +199,12 @@ object AnalyticsQueries {
     // window task over the corpus. Rank values are boundary-independent
     // (sketch error only moves bucket sizes), so the oracle is a plain
     // global row_number. See Ranking.globalRank.
+    "q_global_rank" -> ((s, d) =>
+      graft.operators.Ranking.globalRank(
+        Tables.events(s, d)
+          .select(col("event_id"), col("event_type"), col("value")),
+        "value", Seq("event_id"))),
+
     // HIERARCHICAL subtree rollup (the BOM-explosion / org-rollup
     // primitive): users form a binary-heap tree (parent = id div 2,
     // root 1), and every user's event count rolls up into ALL its
@@ -206,15 +212,18 @@ object AnalyticsQueries {
     // bounded-depth hierarchy admits the materialized-ancestor-path
     // form — each row explodes into its ≤⌈log₂ max_id⌉ ancestors via
     // shiftright, then ONE groupBy(ancestor) — the standard trick that
-    // turns tree rollups into a single shuffle at any scale. Output
-    // per node: own events, subtree events, subtree node count.
+    // turns tree rollups into a single shuffle at any scale. The walk
+    // spans k = 0..62: every POSITIVE int64 id reaches the root, so
+    // there is no silent depth cap (ancestors shorter than 63 levels
+    // just shift to 0 and drop at the ≥ 1 filter). Output per node:
+    // own events, subtree events, subtree node count.
     "q_subtree_rollup" -> ((s, d) => {
       val own = Tables.events(s, d).filter(col("user_id") >= 1)
         .groupBy(col("user_id")).agg(count(lit(1)).as("n_own"))
       val contrib = own
         .select(col("user_id"), col("n_own"),
           explode(expr(
-            "transform(sequence(0, 40), k -> shiftright(user_id, k))"))
+            "transform(sequence(0, 62), k -> shiftright(user_id, k))"))
             .as("anc"))
         .filter(col("anc") >= 1)
       contrib.groupBy(col("anc").as("user_id"))
@@ -225,12 +234,6 @@ object AnalyticsQueries {
         .select(col("user_id"), coalesce(col("n_own"), lit(0L)).as("n_own"),
           col("n_subtree"), col("n_subtree_nodes"))
     }),
-
-    "q_global_rank" -> ((s, d) =>
-      graft.operators.Ranking.globalRank(
-        Tables.events(s, d)
-          .select(col("event_id"), col("event_type"), col("value")),
-        "value", Seq("event_id"))),
 
     "q_percentile_rank" -> ((s, d) =>
       rankOrdered(Tables.events(s, d)
@@ -402,7 +405,7 @@ object AnalyticsQueries {
         |  FROM events WHERE user_id >= 1 GROUP BY user_id
         |), c AS (
         |  SELECT own.user_id AS uid, own.n_own, (own.user_id >> t.k) AS anc
-        |  FROM own, generate_series(0, 40) AS t(k)
+        |  FROM own, generate_series(0, 62) AS t(k)
         |  WHERE (own.user_id >> t.k) >= 1
         |)
         |SELECT anc AS user_id,
