@@ -448,34 +448,34 @@ object Dedup {
     * except the candidate join's Σ df_prefix² blow-up bound, which the
     * rarest-first prefix makes small by construction; a corpus whose
     * PREFIX shingles are still hot (boilerplate-only docs) surfaces as
-    * a skewed join stage and wants the same hot-bucket cap as LSH.
+    * a skewed join stage — `maxPrefixDf` is that hot-bucket cap: prefix
+    * entries whose global document frequency exceeds it are dropped
+    * from the candidate index, bounding any one shingle's join
+    * contribution at maxPrefixDf². The cap trades the zero-false-
+    * negative guarantee for skew safety, so cap events MUST be
+    * observable: [[prefixJoinCapAudit]] reports, per document, how many
+    * prefix entries the cap removed and whether the whole prefix is
+    * gone (`fully_capped` — the doc is invisible to the candidate join
+    * and ANY pair involving it can be missed). The guarantee survives
+    * exactly for pairs where both docs have n_capped = 0; run the audit
+    * whenever maxPrefixDf < Long.MaxValue and treat nonzero
+    * fully_capped counts as a recall incident, not noise.
     * The shingle-set frame feeds 4 consumers → persisted, released
     * after the first consuming action.
     */
   def prefixJaccardJoin(df: DataFrame, textCol: String, idCol: String,
-                        shingleSize: Int = 12, tNum: Int = 8, tDen: Int = 10): DataFrame = {
+                        shingleSize: Int = 12, tNum: Int = 8, tDen: Int = 10,
+                        maxPrefixDf: Long = Long.MaxValue): DataFrame = {
     require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
     val sh = charShingles(df, textCol, idCol, shingleSize).persist()
-    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("dfr"))
-    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("dfr"), col("shingle"))
-    val wN = Window.partitionBy(col(idCol))
-    // persist the prefix: the candidate self-join reads it on BOTH
-    // sides, and nothing guarantees exchange reuse across a self-join's
-    // two subtrees — unpersisted, the shingle⋈dfreq shuffle + per-doc
-    // window ran twice (measured 11.2 → 7.7 s at sf0.1). It is the
-    // ~20%-rarest slice of the shingle stream, far smaller than sh.
-    // spreadByKey, not a bare window input: the join output is
-    // byte-small, so AQE would coalesce the window's doc-partition
-    // exchange onto a couple of cores and serialize the per-doc sort;
-    // the explicit-count repartition pins full parallelism AND is the
-    // exact distribution the window needs (no second exchange).
-    val prefix = spreadByKey(sh.join(dfreq, Seq("shingle")), col(idCol))
-      .withColumn("r", row_number().over(wDoc))
-      .withColumn("n", count(lit(1)).over(wN))
-      .filter(col("r") <= col("n") - expr(s"(n * $tNum + ${tDen - 1}) div $tDen") + 1)
-      .select(col(idCol), col("shingle"), col("n"))
+    val prefix = prefixFrame(sh, idCol, tNum, tDen)
+      .select(col(idCol), col("shingle"), col("n"), col("dfr"))
       .persist()
-    val cand = prefix.as("x").join(prefix.as("y"),
+    // rarest-first ordering puts hot shingles at the END of a prefix,
+    // so the cap only ever truncates the boilerplate-heavy tail; a
+    // fully-capped prefix means even the doc's RAREST shingles are hot.
+    val live = prefix.filter(col("dfr") <= maxPrefixDf)
+    val cand = live.as("x").join(live.as("y"),
         col("x.shingle") === col("y.shingle") &&
           col(s"x.$idCol") < col(s"y.$idCol") &&
           least(col("x.n"), col("y.n")) * tDen >=
@@ -503,6 +503,56 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a"), col("n_b"),
         (col("n_inter") / (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
     graft.core.CacheScope.releaseAfterUse(out, sh, prefix)
+  }
+
+  /** The rarest-first prefix index shared by [[prefixJaccardJoin]] and
+    * [[prefixJoinCapAudit]]: per (doc, shingle) prefix entries carrying
+    * the doc's set size `n` and the shingle's global document frequency
+    * `dfr`. Persist discipline is the caller's.
+    *
+    * spreadByKey, not a bare window input: the join output is
+    * byte-small, so AQE would coalesce the window's doc-partition
+    * exchange onto a couple of cores and serialize the per-doc sort;
+    * the explicit-count repartition pins full parallelism AND is the
+    * exact distribution the window needs (no second exchange).
+    */
+  private def prefixFrame(sh: DataFrame, idCol: String,
+                          tNum: Int, tDen: Int): DataFrame = {
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("dfr"))
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("dfr"), col("shingle"))
+    val wN = Window.partitionBy(col(idCol))
+    // persist (by the caller) matters: the candidate self-join reads the
+    // prefix on BOTH sides, and nothing guarantees exchange reuse across
+    // a self-join's two subtrees — unpersisted, the shingle⋈dfreq
+    // shuffle + per-doc window ran twice (measured 11.2 → 7.7 s at
+    // sf0.1). It is the ~20%-rarest slice of the shingle stream, far
+    // smaller than sh.
+    spreadByKey(sh.join(dfreq, Seq("shingle")), col(idCol))
+      .withColumn("r", row_number().over(wDoc))
+      .withColumn("n", count(lit(1)).over(wN))
+      .filter(col("r") <= col("n") - expr(s"(n * $tNum + ${tDen - 1}) div $tDen") + 1)
+  }
+
+  /** Dropped-recall accounting for [[prefixJaccardJoin]]'s hot-prefix
+    * cap: one row per document with `n_prefix` (prefix length before
+    * the cap), `n_capped` (prefix entries whose shingle df exceeds
+    * maxPrefixDf — removed from the candidate index), and
+    * `fully_capped` (the ENTIRE prefix was hot: the document cannot
+    * appear in any candidate pair, so every pair involving it is
+    * potentially lost). Pairs where both sides report n_capped = 0
+    * retain the exact zero-false-negative guarantee; anything else is
+    * the explicitly-accounted recall cost of skew safety.
+    */
+  def prefixJoinCapAudit(df: DataFrame, textCol: String, idCol: String,
+                         shingleSize: Int = 12, tNum: Int = 8, tDen: Int = 10,
+                         maxPrefixDf: Long = Long.MaxValue): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
+    val sh = charShingles(df, textCol, idCol, shingleSize)
+    prefixFrame(sh, idCol, tNum, tDen)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_prefix"),
+        sum(when(col("dfr") > maxPrefixDf, 1L).otherwise(0L)).as("n_capped"))
+      .withColumn("fully_capped", col("n_capped") === col("n_prefix"))
   }
 
   /** Chaining audit of CC-based near-dup clusters — the known failure

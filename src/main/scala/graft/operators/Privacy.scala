@@ -70,7 +70,12 @@ object Privacy {
   /** DP per-group sums of a CLIPPED, micro-quantized value:
     * contributions clamp to [clipLo, clipHi] in integer micro-units
     * (the clip bounds the sensitivity; quantization keeps the release
-    * integer-exact), noise scales by the sensitivity (clipHi − clipLo).
+    * integer-exact), noise scales by the add/remove-one-record
+    * sensitivity max(|clipLo|, |clipHi|, clipHi − clipLo): because NULL
+    * rows contribute 0, the per-record contribution set is
+    * {0} ∪ [clipLo, clipHi], so when the clip range does not straddle 0
+    * (e.g. [50, 100]) removing one record can move the sum by
+    * max(|clipLo|, |clipHi|) — more than the range width.
     * NULL values contribute 0 — NOT the clip ceiling (least/greatest
     * skip NULLs on every engine, so an unguarded clamp would turn each
     * NULL row into a phantom clipHi contribution).
@@ -79,6 +84,8 @@ object Privacy {
   def dpSumQuantized(df: DataFrame, groupCols: Seq[String], valueCol: String,
                      clipLo: Long, clipHi: Long, scale: Long,
                      salt: String): DataFrame = {
+    val sensitivity = math.max(math.max(math.abs(clipLo), math.abs(clipHi)),
+      clipHi - clipLo)
     val q = when(col(valueCol).isNull, lit(0L))
       .otherwise(greatest(lit(clipLo), least(lit(clipHi),
         floor(col(valueCol) * scale).cast(LongType))))
@@ -86,7 +93,7 @@ object Privacy {
       .agg(sum(q).as("_s"))
       .withColumn("noisy_sum_q",
         (col("_s") + binomialNoise(salt, groupCols.map(col)) *
-          lit(clipHi - clipLo)).cast(LongType))
+          lit(sensitivity)).cast(LongType))
       .select(groupCols.map(col) :+ col("noisy_sum_q"): _*)
   }
 }

@@ -179,6 +179,13 @@ case class AsOfJoinExec(
         case IntegerType | DateType => row.getInt(0).toLong
         case _ => row.getLong(0)
       }
+      // later >= earlier is guaranteed by the ordering checks at both
+      // call sites, but LongType time columns admit values near
+      // Long.Min/Max whose raw difference wraps negative; an overflowing
+      // delta exceeds any representable tolerance, so it is out.
+      def withinTol(later: Long, earlier: Long): Boolean =
+        try Math.subtractExact(later, earlier) <= tolVal
+        catch { case _: ArithmeticException => false }
       // Backward state: latest right row consumed whose (key, time) was
       // <= some probe's (key, time); stays valid across probes of the
       // same key because probe times are non-decreasing within a key.
@@ -239,13 +246,13 @@ case class AsOfJoinExec(
                 if (!rk.anyNull && keyOrd.compare(rk, lk) == 0) {
                   val rt = rTimeProj(r)
                   if (!rt.isNullAt(0) && timeOrd.compare(rt, lt) >= 0 &&
-                      (!needTol || timeLong(rt) - timeLong(lt) <= tolVal))
+                      (!needTol || withinTol(timeLong(rt), timeLong(lt))))
                     emit(l, r)
                   else nonMatch(l)
                 } else nonMatch(l)
               } else nonMatch(l)
             } else if (candidateKey != null && keyOrd.compare(candidateKey, lk) == 0 &&
-                (!needTol || timeLong(lt) - candidateTime <= tolVal)) {
+                (!needTol || withinTol(timeLong(lt), candidateTime))) {
               emit(l, candidate)
             } else nonMatch(l)
           }

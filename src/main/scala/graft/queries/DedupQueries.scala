@@ -63,6 +63,17 @@ object DedupQueries {
       Dedup.prefixJaccardJoin(Tables.documents(s, d), "text", "doc_id",
         shingleSize = 12, tNum = 8, tDen = 10)),
 
+    // Recall accounting for the prefix join's hot-bucket cap: per-doc
+    // prefix length, cap events at maxPrefixDf = 1 (any shingle shared
+    // by >= 2 docs is "hot" — the fixture's duplicated docs trip it),
+    // and the fully_capped verdict naming docs the capped candidate
+    // index can no longer see. The cap trades provable recall for skew
+    // safety; this query is the observability side of that trade.
+    "q_prefix_cap_audit" -> ((s, d) =>
+      Dedup.prefixJoinCapAudit(Tables.documents(s, d), "text", "doc_id",
+          shingleSize = 12, tNum = 8, tDen = 10, maxPrefixDf = 1L)
+        .filter(col("n_capped") > 0)),
+
     // Similarity-coefficient suite over the exact (prefix-filtered)
     // pair set at a looser 0.7 cut: Jaccard, Dice and overlap
     // (containment-of-the-smaller) from the same (n_inter, n_a, n_b)
@@ -355,8 +366,8 @@ object DedupQueries {
         .groupBy(col("pct"))
         .agg(count(lit(1)).as("n_docs"), sum(col("nsh")).as("n_occurrences"))
         .join(vocab, Seq("pct"))
-        .select(col("pct"), col("n_docs"), col("n_occurrences"),
-          col("distinct_shingles"))
+        .select(col("pct").cast("long").as("pct"), col("n_docs"),
+          col("n_occurrences"), col("distinct_shingles"))
       graft.core.CacheScope.releaseAfterUse(result, sh)
     }),
 
@@ -597,7 +608,7 @@ object DedupQueries {
          |a AS (SELECT pct, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |        CAST(SUM(nsh) AS BIGINT) AS n_occurrences
          |      FROM o JOIN p ON doc_id < cut GROUP BY pct)
-         |SELECT CAST(a.pct AS INT) AS pct, n_docs, n_occurrences,
+         |SELECT CAST(a.pct AS BIGINT) AS pct, n_docs, n_occurrences,
          |  distinct_shingles
          |FROM a JOIN v ON a.pct = v.pct""".stripMargin,
 
@@ -918,6 +929,29 @@ object DedupQueries {
         |JOIN sz sx ON sx.doc_id = p.id_a
         |JOIN sz sy ON sy.doc_id = p.id_b
         |WHERE p.n_inter * 10 >= (sx.n + sy.n - p.n_inter) * 8""".stripMargin,
+
+    // Replays the rarest-first prefix selection (row_number over
+    // (df, shingle) — a total order per doc since shingles are
+    // distinct, so the prefix SET is engine-deterministic) and counts
+    // the entries a df-cap of 1 would drop from the candidate index.
+    "q_prefix_cap_audit" ->
+      """WITH t AS (SELECT doc_id, lower(trim(text)) AS t FROM documents
+        |           WHERE length(trim(text)) >= 12),
+        |gs AS (SELECT doc_id, t, unnest(generate_series(1, length(t)-11)) AS g FROM t),
+        |sh AS (SELECT DISTINCT doc_id, substr(t, g, 12) AS shingle FROM gs),
+        |df AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS dfr FROM sh GROUP BY shingle),
+        |o AS (SELECT sh.doc_id, df.dfr,
+        |        ROW_NUMBER() OVER (PARTITION BY sh.doc_id
+        |          ORDER BY df.dfr, sh.shingle) AS r,
+        |        COUNT(*) OVER (PARTITION BY sh.doc_id) AS n
+        |      FROM sh JOIN df USING (shingle)),
+        |p AS (SELECT doc_id, dfr FROM o
+        |      WHERE r <= n - ((n * 8 + 9) // 10) + 1)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_prefix,
+        |  CAST(SUM(CASE WHEN dfr > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_capped,
+        |  COUNT(*) = SUM(CASE WHEN dfr > 1 THEN 1 ELSE 0 END) AS fully_capped
+        |FROM p GROUP BY doc_id
+        |HAVING SUM(CASE WHEN dfr > 1 THEN 1 ELSE 0 END) > 0""".stripMargin,
 
     "q_simhash_pairs" ->
       s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),

@@ -135,7 +135,8 @@ object MiscQueries {
     // by exact BigDecimal rounding, and they can differ by 1 ulp).
     "q_embedding_centroid" -> ((s, d) =>
       Tables.embeddings(s, d)
-        .select(col("label"), posexplode(col("embedding").cast("array<double>")))
+        .select(col("label").cast("long").as("label"),
+          posexplode(col("embedding").cast("array<double>")))
         .groupBy(col("label"), col("pos").cast("long").as("pos"))
         .agg((sum(floor(col("col") * 1000000).cast("long")).cast("double")
           / (count(lit(1)) * lit(1000000.0))).as("centroid"))),
@@ -845,7 +846,7 @@ object MiscQueries {
         |    SUM(n_chars) OVER (ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_sum
         |  FROM documents)
-        |SELECT (running_sum - n_chars) // 16384 AS shard,
+        |SELECT CAST((running_sum - n_chars) // 16384 AS BIGINT) AS shard,
         |  COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS shard_bytes,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
@@ -1108,7 +1109,8 @@ object MiscQueries {
         |FROM events""".stripMargin,
 
     "q_embedding_centroid" ->
-      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      """WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |x AS (SELECT label, v, unnest(generate_series(1, 64)) AS i FROM e)
         |SELECT label, CAST(i - 1 AS BIGINT) AS pos,
         |  CAST(SUM(CAST(floor(v[i] * 1000000) AS BIGINT)) AS DOUBLE)

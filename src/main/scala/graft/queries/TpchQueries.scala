@@ -55,8 +55,8 @@ object TpchQueries {
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp") &&
           col("l_quantity") >= 45)
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-          col("l_extendedprice"), col("l_shipdate"))
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_shipdate"))
     }),
 
     // TPC-H Q3 shape: broadcast dim join ×2 + agg + top-k. Sort is
@@ -239,7 +239,7 @@ object TpchQueries {
         .agg(count(lit(1)).as("n_supp"))
       cust.join(supp, col("ck") === col("sk"), "full_outer")
         .select(
-          coalesce(col("ck"), col("sk")).as("nationkey"),
+          coalesce(col("ck"), col("sk")).cast("long").as("nationkey"),
           coalesce(col("n_cust"), lit(0L)).as("n_cust"),
           coalesce(col("n_supp"), lit(0L)).as("n_supp"),
           when(col("ck").isNotNull && col("sk").isNotNull, "both")
@@ -383,7 +383,8 @@ object TpchQueries {
          |  AND l_quantity < 24""".stripMargin,
 
     "q_filter_project" ->
-      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  l_quantity, l_extendedprice, l_shipdate
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_quantity >= 45""".stripMargin,
 
@@ -544,7 +545,7 @@ object TpchQueries {
         |           FROM customer GROUP BY c_nationkey),
         |s AS (SELECT s_nationkey AS sk, COUNT(*) AS n_supp
         |      FROM supplier GROUP BY s_nationkey)
-        |SELECT coalesce(ck, sk) AS nationkey,
+        |SELECT CAST(coalesce(ck, sk) AS BIGINT) AS nationkey,
         |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp,
         |  CASE WHEN ck IS NOT NULL AND sk IS NOT NULL THEN 'both'
         |       WHEN ck IS NOT NULL THEN 'customers_only'

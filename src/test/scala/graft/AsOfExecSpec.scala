@@ -210,6 +210,37 @@ class AsOfExecSpec extends SparkSpec {
     assert(fwd(2L).isEmpty)
   }
 
+  test("tolerance near Long extremes: overflowing delta is out-of-tolerance, not wrapped") {
+    // LongType is a tolerable time type; a probe at Long.MaxValue against
+    // state near Long.MinValue makes the raw delta wrap negative — the
+    // unguarded subtraction would accept a match that is ~2^64 apart.
+    val probes = Seq((1L, Long.MaxValue, "u1"))
+      .toDF("event_id", "t", "user_id")
+    val states = Seq(("u1", Long.MinValue + 5L, 9.0))
+      .toDF("user_id", "t", "sval")
+    val back = AsOfJoin.asOfExec(probes, states, Seq("user_id"), "t",
+        Seq("sval"), tolerance = Some(100L))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(back(1L).isEmpty)
+
+    // Forward mirror: probe near MinValue, state at MaxValue.
+    val fwdProbes = Seq((1L, Long.MinValue + 5L, "u1"))
+      .toDF("event_id", "t", "user_id")
+    val fwdStates = Seq(("u1", Long.MaxValue, 9.0))
+      .toDF("user_id", "t", "sval")
+    val fwd = AsOfJoin.asOfExec(fwdProbes, fwdStates, Seq("user_id"), "t",
+        Seq("sval"), forward = true, tolerance = Some(100L))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(fwd(1L).isEmpty)
+
+    // Sanity: in-tolerance matches at the extremes still land.
+    val near = Seq(("u1", Long.MaxValue - 50L, 7.0)).toDF("user_id", "t", "sval")
+    val ok = AsOfJoin.asOfExec(probes, near, Seq("user_id"), "t",
+        Seq("sval"), tolerance = Some(100L))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(ok(1L).contains(7.0))
+  }
+
   test("asof_join SQL table function ≡ the DataFrame asOfExec path") {
     val probes = Seq(
       (1L, ts(50), "u1", 0.5), (2L, ts(100), "u1", 0.6),

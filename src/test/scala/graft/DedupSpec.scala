@@ -437,6 +437,42 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty, "fixture must actually contain near-dups")
   }
 
+  test("prefixJaccardJoin hot-prefix cap: boilerplate pairs drop with accounting, clean pairs keep the guarantee") {
+    // Constructed hot-prefix corpus: 6 identical boilerplate docs whose
+    // EVERY shingle has df = 6 (even the rarest — the fully-capped
+    // case), plus 2 near-dup docs over a disjoint alphabet (all
+    // shingle df <= 2). shingleSize 5, threshold 0.7.
+    val boiler = (10L to 15L).map(i => (i, "abcdeabcde"))
+    val d = (boiler ++ Seq((1L, "vwxyzvwxy"), (2L, "vwxyzvwx")))
+      .toDF("doc_id", "text")
+    def pairs(maxDf: Long) =
+      Dedup.prefixJaccardJoin(d, "text", "doc_id", 5, 7, 10, maxDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(Long.MaxValue)
+    val capped = pairs(5L)
+    // uncapped: all 15 boilerplate pairs + the (1,2) near-dup
+    assert(uncapped.size == 16 && uncapped.contains((1L, 2L)))
+    // capped at 5: boilerplate (df 6) vanishes; the clean pair survives
+    assert(capped == Set((1L, 2L)))
+    assert(capped.subsetOf(uncapped))
+
+    val audit = Dedup.prefixJoinCapAudit(d, "text", "doc_id", 5, 7, 10, 5L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    (10L to 15L).foreach { i =>
+      val (nPrefix, nCapped, full) = audit(i)
+      assert(full && nCapped == nPrefix && nCapped > 0,
+        s"boilerplate doc $i must be reported fully capped")
+    }
+    Seq(1L, 2L).foreach { i =>
+      assert(audit(i)._2 == 0L, s"clean doc $i must report zero cap events")
+    }
+    // the zero-FN guarantee survives for pairs whose BOTH ends are clean
+    val clean = audit.filter(_._2._2 == 0L).keySet
+    val guaranteed = uncapped.filter(p => clean(p._1) && clean(p._2))
+    assert(guaranteed.subsetOf(capped))
+  }
+
   test("prefixJaccardJoin boundary: J exactly at threshold is kept") {
     // sets of 5-gram shingles engineered so J = 4/5 = 0.8 exactly:
     // a 9-char string has 5 5-grams; dropping the last char leaves 4

@@ -60,4 +60,25 @@ class PrivacySpec extends SparkSpec {
       .as[(String, Long)].head()._2
     assert(b - a == 10000L) // clipped to exactly the sensitivity bound
   }
+
+  test("dpSum sensitivity with a non-straddling clip range is max(|lo|,|hi|), not the width") {
+    // With NULLs contributing 0, the per-record contribution set for
+    // clip [50, 100] is {0} ∪ [50, 100]: removing one record can move
+    // the sum by up to 100, so noise must scale by 100 — every residual
+    // (release − true clipped sum) is a multiple of 100, and across salt
+    // rotations at least one draw is odd (i.e. NOT a multiple of the
+    // width-scaled 50 alone).
+    val data = Seq(("en", 60.0), ("en", 70.0), ("de", 80.0))
+      .toDF("lang", "v")
+    val truth = data.groupBy("lang")
+      .agg(sum(greatest(lit(50L), least(lit(100L),
+        floor(col("v")).cast("long")))).as("t"))
+    val residuals = (1 to 8).flatMap { i =>
+      Privacy.dpSumQuantized(data, Seq("lang"), "v", 50L, 100L, 1L, s"s$i")
+        .join(truth, Seq("lang"))
+        .select((col("noisy_sum_q") - col("t")).as("r")).as[Long].collect()
+    }
+    assert(residuals.forall(_ % 100L == 0L))
+    assert(residuals.exists(r => (r / 100L) % 2L != 0L))
+  }
 }
