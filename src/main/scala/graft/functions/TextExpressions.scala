@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** h = fold(h·31 + code(c)) mod 1e9+7 over a string's characters — the
@@ -350,4 +350,56 @@ object ZeroModWindows {
   /** Column-level entry point. */
   def zeroModWindows(t: Column, k: Int, p: Int): Column =
     ColumnBridge.column(ZeroModWindows(ColumnBridge.expression(t), k, p))
+}
+
+/** Unicode NFC normalization (UAX #15 canonical composition) as a
+  * native scalar expression — the text-cleaning step every tokenizer
+  * pipeline needs before dedup/hash keys: the SAME visible text can
+  * arrive precomposed (é = U+00E9) or decomposed (e + U+0301), and
+  * every hash-keyed operator in this library (exact dedup, MinHash,
+  * fingerprints, line dedup) treats those as different documents unless
+  * the corpus is normalized first.
+  *
+  * Spark has no normalization built-in, so this is preference-order (b)
+  * — a codegen'd UnaryExpression over the JDK's `java.text.Normalizer`
+  * (Unicode-conformant NFC, same UAX #15 algorithm DuckDB's
+  * `nfc_normalize` implements, which is what makes the oracle an
+  * independent cross-engine check). The `isNormalized` fast path makes
+  * the overwhelmingly-ASCII common case a zero-allocation scan: NFC
+  * quick-check on ASCII never rebuilds the string, so at 100 TB the
+  * cost is one pass over the bytes for all but the rows that actually
+  * need composing.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def prettyName: String = "nfc_norm"
+
+  override def nullSafeEval(t: Any): Any =
+    NfcNormalize.compute(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NfcNormalize$$.MODULE$$.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+
+  /** Quick-check first (true for all-ASCII and already-composed text —
+    * no allocation); rebuild only when composition actually applies.
+    */
+  def compute(t: UTF8String): UTF8String = {
+    val s = t.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) t
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  /** Column-level entry point. */
+  def nfcNorm(t: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(t)))
 }

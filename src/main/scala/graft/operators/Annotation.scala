@@ -86,6 +86,66 @@ object Annotation {
         (col("n_items") * col("n_items") - col("pe_num")).as("kappa_den"))
   }
 
+  /** Krippendorff's α (nominal metric, any number of raters, variable
+    * ratings-per-item) — the agreement coefficient that generalizes
+    * [[cohenKappa]] past two raters and tolerates missing ratings:
+    *
+    *   α = 1 − D_o/D_e,
+    *   D_o = (1/n) Σ_i D_i/(m_i−1),  D_i = m_i² − Σ_c n_ic²,
+    *   D_e = (n² − Σ_c n_c²) / (n(n−1))
+    *
+    * with n = Σ m_i pairable ratings (items with m_i ≥ 2; singletons
+    * carry no pairs, and items beyond maxRaters would break the lcm
+    * bound — both are dropped and counted in `n_items_dropped`).
+    * The per-item denominators (m_i − 1) would force rational
+    * arithmetic — the exact-integer trick is the bounded-rater lcm:
+    * with m_i ≤ maxRaters, L = lcm(1…maxRaters−1) clears every
+    * denominator, so do_scaled = Σ_i (L/(m_i−1))·D_i is an integer and
+    *
+    *   α = [L·de_num − do_scaled·(n−1)] / [L·de_num],
+    *   de_num = n² − Σ_c n_c²
+    *
+    * emitted as the EXACT (alpha_num, alpha_den) pair, never divided
+    * (α is legitimately negative; negative integer-division truncation
+    * is engine-specific — the κ precedent). int64-safe to n ≈ 10⁶
+    * ratings at maxRaters ≤ 8 (L = 420; L·de_num ≤ 4·10¹⁴·420); widen
+    * the two products to DECIMAL(38,0) past that.
+    *
+    * Scale: one (item, label) count, one |items|-keyed aggregate, one
+    * |vocabulary|-sized marginal — nothing pairwise, nothing driver-side.
+    */
+  def krippendorffAlpha(ratings: DataFrame, itemCol: String,
+                        labelCol: String, maxRaters: Int = 8): DataFrame = {
+    require(maxRaters >= 2 && maxRaters <= 16, "lcm grows fast; keep <= 16")
+    val L = (1 until maxRaters).foldLeft(1L)((a, b) =>
+      a / BigInt(a).gcd(BigInt(b)).toLong * b)
+    val cnt = ratings.groupBy(col(itemCol), col(labelCol))
+      .agg(count(lit(1)).as("nic"))
+    val items = cnt.groupBy(col(itemCol))
+      .agg(sum(col("nic")).as("m"), sum(col("nic") * col("nic")).as("s2"))
+    val kept = items.filter(col("m") >= 2 && col("m") <= maxRaters)
+    val totals = kept.agg(
+      count(lit(1)).as("n_items"),
+      coalesce(sum(col("m")), lit(0L)).as("n_values"),
+      // div, not / — the slash on longs is Spark's DOUBLE division;
+      // L div (m−1) is exact by construction of the lcm
+      coalesce(sum((col("m") * col("m") - col("s2")) *
+        expr(s"$L div (m - 1)")), lit(0L)).as("do_scaled"))
+    val dropped = items.filter(col("m") < 2 || col("m") > maxRaters)
+      .agg(count(lit(1)).as("n_items_dropped"))
+    // marginals over PAIRABLE items only
+    val marg = cnt.join(kept.select(col(itemCol)), Seq(itemCol))
+      .groupBy(col(labelCol)).agg(sum(col("nic")).as("nc"))
+      .agg(coalesce(sum(col("nc") * col("nc")), lit(0L)).as("sc2"))
+    totals.crossJoin(broadcast(dropped)).crossJoin(broadcast(marg))
+      .select(col("n_items"), col("n_items_dropped"), col("n_values"),
+        col("do_scaled"),
+        (col("n_values") * col("n_values") - col("sc2")).as("de_num"))
+      .withColumn("alpha_num",
+        lit(L) * col("de_num") - col("do_scaled") * (col("n_values") - 1))
+      .withColumn("alpha_den", lit(L) * col("de_num"))
+  }
+
   /** Streaming consensus over an unbounded vote stream. Structured
     * Streaming forbids chained aggregations, so the stateful layer is
     * the SINGLE (item, label) count in complete mode — state bounded by

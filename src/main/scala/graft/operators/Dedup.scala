@@ -1318,4 +1318,132 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"),
         min(col("pos_a")).as("first_a"), min(col("pos_b")).as("first_b"))
   }
+
+  /** WEIGHTED (generalized) Jaccard over token-frequency vectors:
+    * J_w(A,B) = Σ_t min(tf_A, tf_B) / Σ_t max(tf_A, tf_B) — the
+    * multiplicity-aware refinement of set Jaccard that separates "same
+    * vocabulary, same proportions" (true near-dup) from "same
+    * vocabulary, wildly different emphasis" (topic siblings), which
+    * set similarity cannot tell apart. Σ max is derived, never
+    * joined: Σ max = tot_A + tot_B − Σ min.
+    *
+    * Candidate generation is a token-keyed self-join over tokens with
+    * document frequency ≤ maxDf (the hot-bucket cap — stopwords would
+    * otherwise quadratically dominate; a pair sharing ONLY capped
+    * tokens is not found, the same observable trade as
+    * prefixJaccardJoin's cap). Σ min in the verify stage runs over ALL
+    * common tokens of each candidate pair — the cap prunes candidates,
+    * never the arithmetic. Threshold tNum/tDen applies to J_w via the
+    * integer cross-multiply; jw_permille is the one reported division.
+    *
+    * Scale: tf and df aggregates are token-keyed exchanges linear in
+    * corpus tokens; the candidate join is Σ_{df≤maxDf} df² ≤ maxDf·Σdf;
+    * verify shuffles |cand| + |tf| rows.
+    */
+  def weightedJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                           maxDf: Long = 100L, tNum: Int = 1,
+                           tDen: Int = 2): DataFrame = {
+    val tf = spreadByKey(df, col(idCol))
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+      .persist()
+    val tot = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("tot"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("dfr"))
+    val live = tf.join(dfreq.filter(col("dfr") <= maxDf), Seq("tok"))
+    val cand = live.select(col("tok"), col(idCol).as("id_a"))
+      .join(live.select(col("tok"), col(idCol).as("id_b")), Seq("tok"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val common = cand
+      .join(tf.select(col(idCol).as("id_a"), col("tok"), col("tf").as("tfa")),
+        Seq("id_a"))
+      .join(tf.select(col(idCol).as("id_b"), col("tok"), col("tf").as("tfb")),
+        Seq("id_b", "tok"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(least(col("tfa"), col("tfb"))).as("smin"))
+    val out = common
+      .join(tot.select(col(idCol).as("id_a"), col("tot").as("tot_a")), Seq("id_a"))
+      .join(tot.select(col(idCol).as("id_b"), col("tot").as("tot_b")), Seq("id_b"))
+      .filter(col("smin") * tDen >=
+        (col("tot_a") + col("tot_b") - col("smin")) * tNum)
+      .select(col("id_a"), col("id_b"), col("smin"), col("tot_a"), col("tot_b"),
+        expr("smin * 1000 div (tot_a + tot_b - smin)").as("jw_permille"))
+    graft.core.CacheScope.releaseAfterUse(out, tf)
+  }
+
+  /** INCREMENTAL connected components: fold a new batch of near-dup
+    * pairs into an existing (id, component) labeling without
+    * recomputing the old batch's pair discovery. The old labeling is
+    * itself a star-shaped edge set (every member already points at its
+    * representative), so re-running label propagation over
+    * old-labels ∪ new-pairs converges in O(new diameter) rounds — the
+    * old components collapse in round one through their hub edges.
+    * Result is IDENTICAL to running CC over the union of both batches'
+    * pairs (same least-id representatives; asserted oracle-side by
+    * q_cc_incremental's recursive-CTE over the full pair set, and in
+    * DedupSpec on constructed cross-batch merges).
+    *
+    * This is the 100 TB ingest shape: pair discovery (LSH/prefix join)
+    * runs ONLY on new × (new ∪ corpus) — the expensive part stays
+    * incremental — while the closure reuses yesterday's labels as
+    * shortcut edges instead of yesterday's raw pairs.
+    */
+  def incrementalComponents(oldLabels: DataFrame, newPairs: DataFrame,
+                            idCol: String, maxIter: Int = 20): DataFrame = {
+    val oldEdges = oldLabels
+      .select(col(idCol).as("id_a"), col("component").as("id_b"))
+      .filter(col("id_a") =!= col("id_b")) // self-loops add nothing
+    connectedComponents(
+      oldEdges.unionByName(newPairs.select(col("id_a"), col("id_b"))),
+      idCol, maxIter)
+  }
+
+  /** Hamming near-duplicate pairs over a 64-bit fingerprint (e.g.
+    * [[graft.functions.ImageDHash]] or SimHash) held as two
+    * unsigned-32-bit halves: band the 64 bits into four 16-bit keys,
+    * equi-join on (band index, band value), verify candidates with the
+    * exact popcount distance. The pigeonhole theorem makes this join
+    * EXACT, not approximate: a pair within Hamming distance d ≤ 3
+    * differs in at most 3 of the 4 bands, so at least one band matches
+    * and the pair is guaranteed into the candidate set — zero false
+    * negatives by construction (the `require` pins the contract; wider
+    * radii need more bands, not a silent recall loss).
+    *
+    * Scale: |bands| = 4n rows through one 16-bit-keyed exchange; a
+    * band value shared by k fingerprints contributes k² candidates —
+    * the familiar hot-bucket shape, bounded in practice because a
+    * 16-bit band has 65,536 values and near-constant fingerprint bits
+    * concentrate only when the corpus really does contain mass
+    * duplicates (which is the signal, not noise). Verify is a
+    * projection per candidate (two XOR+popcounts).
+    */
+  def hammingNearDuplicates(df: DataFrame, idCol: String, hiCol: String,
+                            loCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4-band pigeonhole is exact only for maxHamming <= 3")
+    val h = df.select(col(idCol), col(hiCol).cast("long").as("h_hi"),
+      col(loCol).cast("long").as("h_lo"))
+    val bands = h.select(col(idCol), col("h_hi"), col("h_lo"),
+      posexplode(array(
+        col("h_lo").bitwiseAND(lit(0xffffL)), shiftright(col("h_lo"), 16),
+        col("h_hi").bitwiseAND(lit(0xffffL)), shiftright(col("h_hi"), 16)))
+        .as(Seq("band_idx", "band_val")))
+    val cand = bands
+      .select(col("band_idx"), col("band_val"), col(idCol).as("id_a"),
+        col("h_hi").as("hi_a"), col("h_lo").as("lo_a"))
+      .join(bands.select(col("band_idx"), col("band_val"),
+        col(idCol).as("id_b"), col("h_hi").as("hi_b"),
+        col("h_lo").as("lo_b")), Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("hi_a"), col("lo_a"),
+        col("hi_b"), col("lo_b"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
 }

@@ -119,4 +119,49 @@ object Mixture {
       .select(col(domainCol), col("alloc"), col("n_kept"),
         col("kept_toks"), col("realized_bp"))
   }
+
+  /** Temperature-sampled mixture allocation at α = 1/2 (the mC4/XLM-R
+    * upsampling rule p_i ∝ n_i^α that boosts low-resource domains):
+    * weights w_i = ⌊√n_i⌋ as EXACT integer square roots — the double
+    * `sqrt` can land a whole integer off at perfect-square boundaries
+    * for large n, so the floor is followed by a one-step correction
+    * (s² > n → s−1; (s+1)² ≤ n → s+1) both engines compute identically
+    * — then a largest-remainder apportionment of `budget`:
+    * quota_i = ⌊B·w_i / W⌋ and the Σ remainder-ranked domains
+    * (rem desc, domain asc) each take one extra unit, so
+    * Σ alloc == budget exactly (asserted in MixtureSpec). Zero-weight
+    * domains (n = 0) are excluded from the apportionment.
+    *
+    * Contrast with [[waterfill]]: waterfill CAPS repetition under a
+    * budget surplus; temperature allocation RESHAPES shares (flattens
+    * the head, lifts the tail) regardless of caps. Production mixes
+    * typically run temperature first, then waterfill the result.
+    *
+    * Scale: same shape as waterfill — all |rows|-sized work is the
+    * upstream count; every window here runs over |domains| rows.
+    */
+  def temperatureAllocation(perDomain: DataFrame, domainCol: String,
+                            nCol: String, budget: Long): DataFrame = {
+    val s0 = floor(sqrt(col(nCol).cast("double"))).cast("long")
+    val isqrt = when(s0 * s0 > col(nCol), s0 - 1)
+      .when((s0 + 1) * (s0 + 1) <= col(nCol), s0 + 1)
+      .otherwise(s0)
+    val wAll = Window.partitionBy()
+    val base = perDomain
+      .withColumn("w", isqrt)
+      .filter(col("w") > 0)
+      .withColumn("wsum", sum(col("w")).over(wAll))
+      // B·w fits DECIMAL(38,0) at any realistic (budget, corpus); the
+      // div/% pair is the exact quotient/remainder both engines share
+      .withColumn("quota", expr(s"CAST(w AS DECIMAL(38,0)) * $budget div wsum"))
+      .withColumn("rem",
+        expr(s"CAST(CAST(w AS DECIMAL(38,0)) * $budget % wsum AS BIGINT)"))
+    base
+      .withColumn("leftover", lit(budget) - sum(col("quota")).over(wAll))
+      .withColumn("rr", row_number().over(
+        Window.orderBy(desc("rem"), asc(domainCol))).cast("long"))
+      .withColumn("alloc",
+        col("quota") + when(col("rr") <= col("leftover"), 1L).otherwise(0L))
+      .select(col(domainCol), col(nCol), col("w"), col("alloc"))
+  }
 }

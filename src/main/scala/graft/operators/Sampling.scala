@@ -147,4 +147,29 @@ object Sampling {
       .agg(max(col("n_docs")).as("n_docs"),
         count(when(col("keep"), 1)).as("n_kept"))
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment (Thaler &
+    * Ravishankar '96): shard(id) = argmax over s ∈ [0, nShards) of
+    * md5(id ":" s) — the stable sharding rule whose defining property
+    * is MINIMAL MOVEMENT: growing nShards → nShards+1 reassigns only
+    * the keys whose new shard IS the added one (expected 1/(n+1) of
+    * them), where mod-hashing reshuffles (n−1)/n of the corpus. The
+    * scoring is a per-row projection (no shuffle, no lookup table);
+    * md5 keeps the argmax engine-portable, and a 128-bit collision is
+    * the only possible tie, so the s-ascending tiebreak never fires in
+    * practice but keeps the expression total.
+    *
+    * Scale: O(nShards) hashes per row, all inside one codegen'd
+    * projection — for shard counts in the thousands, precompute
+    * nothing; the whole point is that assignment is a pure function of
+    * (id, nShards).
+    */
+  def rendezvousShard(id: Column, nShards: Int): Column = {
+    require(nShards > 0, "nShards must be positive")
+    val scored = transform(sequence(lit(0), lit(nShards - 1)),
+      s => struct(
+        md5(concat(id.cast("string"), lit(":"), s.cast("string"))).as("h"),
+        s.as("s")))
+    array_max(scored).getField("s").cast("long")
+  }
 }

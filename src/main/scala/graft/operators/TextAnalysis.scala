@@ -904,4 +904,118 @@ object TextAnalysis {
       .withColumn("df", sum(col("block_df")).over(perTok))
       .withColumn("tf_total", sum(col("block_tf")).over(perTok))
   }
+
+  /** C4-style heuristic document filters (Raffel et al. JMLR'20 §2.2,
+    * doc-granular): boolean verdicts for five cheap high-yield rules —
+    * `flag_short` (< minWords words), `flag_noterm` (no terminal
+    * `.!?"`), `flag_brace` (curly braces: code/template leakage),
+    * `flag_lorem` ("lorem ipsum" placeholder), `flag_wordlen` (mean
+    * word length outside [3, 10], the gibberish/markup band, tested as
+    * the cross-multiplied 3·n ≤ chars ≤ 10·n — no division). `keep` is
+    * the conjunction. Every signal is integer/string arithmetic over
+    * the shared whitespace tokenizer, so verdicts are hash-exact
+    * cross-engine; the operator is one shuffle-free projection that
+    * preserves its input columns (filters compose downstream).
+    */
+  def c4Flags(df: DataFrame, textCol: String,
+              minWords: Long = 5L): DataFrame = {
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"), t => t =!= "")
+    val lastCh = substring(trim(col(textCol)), -1, 1)
+    df.withColumn("n_words", size(toks).cast("long"))
+      // total token chars via join-and-measure: a list_reduce fold
+      // errors on empty lists in DuckDB, array_join('') is total on
+      // both engines
+      .withColumn("n_word_chars", length(array_join(toks, "")).cast("long"))
+      .withColumn("flag_short", col("n_words") < minWords)
+      .withColumn("flag_noterm", !lastCh.isin(".", "!", "?", "\""))
+      .withColumn("flag_brace",
+        col(textCol).contains("{") || col(textCol).contains("}"))
+      .withColumn("flag_lorem", lower(col(textCol)).contains("lorem ipsum"))
+      .withColumn("flag_wordlen",
+        col("n_word_chars") < col("n_words") * 3 ||
+          col("n_word_chars") > col("n_words") * 10)
+      .withColumn("keep",
+        !col("flag_short") && !col("flag_noterm") && !col("flag_brace") &&
+          !col("flag_lorem") && !col("flag_wordlen"))
+  }
+
+  /** Greenlist-watermark detection (Kirchenbauer et al. ICML'23): a
+    * soft-watermarked LM biases each token toward a "green" half of the
+    * vocabulary seeded by the previous token, so watermarked text shows
+    * a green fraction significantly above 1/2 while natural text sits
+    * at the null. Detection is a one-sided binomial z-test per document
+    * over consecutive token pairs: green(prev, cur) =
+    * parity(first md5 hex digit of "prev|cur") — hex digits split 8/8
+    * by ASCII-code parity, so the null is exactly p = 1/2 — with
+    * z ≥ 2 decided integer-exactly as green_excess = 2·g − n ≥ 0 AND
+    * green_excess² ≥ 4·n (z = (2g−n)/√n; squaring dodges the
+    * irrational √n cross-engine), gated on n ≥ minPairs so tiny
+    * documents can't alert off a handful of coin flips.
+    *
+    * Shuffle-free: pairs come from zipping the token array with its
+    * own tail inside one projection (`zip_with` pads the shorter side
+    * with null — the null-partnered last element is filtered in the
+    * fold), so the detector runs at scan speed; at 100 TB it composes
+    * with any filter pushdown like every other projection here.
+    */
+  def watermarkStats(df: DataFrame, textCol: String,
+                     minPairs: Long = 16L): DataFrame = {
+    val tk = filter(toks(col(textCol)), t => t =!= "")
+    val greens = zip_with(tk, slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
+      (p, c) => when(c.isNull, lit(null).cast("long")).otherwise(
+        (ascii(substring(md5(concat(p, lit("|"), c)), 1, 1)) % 2 === 0)
+          .cast("long")))
+    df.withColumn("n_pairs",
+        size(filter(greens, g => g.isNotNull)).cast("long"))
+      .withColumn("n_green",
+        aggregate(greens, lit(0L), (acc, g) => acc + coalesce(g, lit(0L))))
+      .withColumn("green_excess", lit(2L) * col("n_green") - col("n_pairs"))
+      .withColumn("watermark_hit",
+        col("n_pairs") >= minPairs && col("green_excess") >= 0 &&
+          col("green_excess") * col("green_excess") >= lit(4L) * col("n_pairs"))
+  }
+
+  /** CCNet-style line-level dedup (Wenzek et al. LREC'20 §3.1): lines
+    * repeated across many documents are boilerplate (headers, nav bars,
+    * cookie banners) — drop every line whose corpus document frequency
+    * exceeds maxLineDf and reassemble the survivors in document order.
+    * A TRANSFORMATION (materializes the filtered text), not a metric:
+    * the output is the cleaned corpus plus per-document accounting.
+    *
+    * The fixture corpus is single-line, so the line splitter here is a
+    * deterministic chunker (lineTokens words per line); a real corpus
+    * passes newline-split lines through the same df-filter-reassemble
+    * pipeline unchanged.
+    *
+    * Scale: one line-keyed exchange for the df count (distinct doc per
+    * line — boilerplate lines are exactly the hot keys, but the
+    * aggregate is a count: partial aggregation absorbs the skew
+    * map-side), one join back, one groupBy(id) to reassemble. Line
+    * strings can be hashed to 128-bit keys before the exchange at real
+    * scale; the fixture keeps raw strings so the oracle can replay it.
+    */
+  def lineDedup(df: DataFrame, textCol: String, idCol: String,
+                lineTokens: Int = 10, maxLineDf: Long = 2L): DataFrame = {
+    val tk = filter(toks(col(textCol)), t => t =!= "")
+    val nLines = floor((size(tk) + lineTokens - 1) / lineTokens).cast("long")
+    val linesArr = when(size(tk) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0L), nLines - 1),
+        i => array_join(slice(tk, (i * lineTokens + 1).cast("int"),
+          lit(lineTokens)), " ")))
+    val lines = df
+      .select(col(idCol), posexplode_outer(linesArr).as(Seq("line_idx", "line")))
+    val dfreq = lines.filter(col("line").isNotNull)
+      .groupBy(col("line"))
+      .agg(countDistinct(col(idCol)).as("line_df"))
+    lines.join(dfreq, Seq("line"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(col("line").isNotNull, 1L).otherwise(0L)).as("n_lines"),
+        sum(when(col("line").isNotNull && col("line_df") <= maxLineDf, 1L)
+          .otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("line_df") <= maxLineDf,
+            struct(col("line_idx"), col("line"))))),
+          s => s.getField("line")), " ").as("kept_text"))
+  }
 }

@@ -97,6 +97,8 @@ object GraftExtensions {
     entry("jpeg_pixel_stats", classOf[JpegPixelStats], 1)(c =>
       JpegPixelStats(c(0))),
     entry("magic_kind", classOf[MagicKind], 1)(c => MagicKind(c(0))),
+    entry("image_dhash", classOf[ImageDHash], 1)(c => ImageDHash(c(0))),
+    entry("nfc_norm", classOf[NfcNormalize], 1)(c => NfcNormalize(c(0))),
     entry("kmv_sketch", classOf[KmvSketchAgg], 2)(c =>
       KmvSketchAgg(c(0), litInt(c(1), "kmv_sketch", "k"))),
     entry("kmv_union_agg", classOf[KmvUnionAgg], 2)(c =>

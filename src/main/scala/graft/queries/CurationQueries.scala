@@ -58,6 +58,18 @@ object CurationQueries {
       Annotation.cohenKappa(pairs, "label_a", "label_b")
     }),
 
+    // Krippendorff's α over the same annotation log read as a
+    // MULTI-rater campaign (item = event_id div 8 → up to 8 ratings
+    // per item, variable at the tail): the agreement coefficient κ
+    // cannot express. Exact integers via the bounded-rater lcm
+    // (L = 420 clears every per-item (m−1) denominator); α emitted as
+    // the never-divided num/den pair, same convention as q_kappa.
+    "q_kripp_alpha" -> ((s, d) =>
+      Annotation.krippendorffAlpha(
+        Tables.events(s, d)
+          .select(expr("event_id div 8").as("item_id"), col("event_type")),
+        "item_id", "event_type", maxRaters = 8)),
+
     // Budgeted domain-mixture waterfill: per-source char counts, a
     // 3-epoch repetition cap, and a budget of 1.5× the corpus — small
     // sources cap out, the rest split the remainder to the token
@@ -67,6 +79,16 @@ object CurationQueries {
         Tables.documents(s, d).groupBy(col("source"))
           .agg(sum(col("n_chars")).as("toks")),
         "source", "toks", repCap = 3, budgetNum = 3, budgetDen = 2)),
+
+    // Temperature-sampled mixture at α = 1/2: exact integer-√ weights +
+    // largest-remainder apportionment of a 1M-token budget over
+    // per-source doc counts — the low-resource upsampling rule next to
+    // q_mix_budget's repetition-capped waterfill. Σ alloc == budget.
+    "q_temperature_mix" -> ((s, d) =>
+      Mixture.temperatureAllocation(
+        Tables.documents(s, d).groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs")),
+        "source", "n_docs", budget = 1000000L)),
 
     // Close the mixture loop: apply the waterfill plan as a per-source
     // integer hash cut and audit realized vs planned token mass.
@@ -318,10 +340,64 @@ object CurationQueries {
         |  n_items * n_items - pe_num AS kappa_den
         |FROM t CROSS JOIN pe""".stripMargin,
 
+    "q_kripp_alpha" ->
+      """WITH r AS (SELECT event_id // 8 AS item_id, event_type FROM events),
+        |cnt AS (SELECT item_id, event_type, CAST(COUNT(*) AS BIGINT) AS nic
+        |        FROM r GROUP BY item_id, event_type),
+        |items AS (SELECT item_id, CAST(SUM(nic) AS BIGINT) AS m,
+        |            CAST(SUM(nic * nic) AS BIGINT) AS s2
+        |          FROM cnt GROUP BY item_id),
+        |kept AS (SELECT * FROM items WHERE m >= 2 AND m <= 8),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+        |          CAST(COALESCE(SUM(m), 0) AS BIGINT) AS n_values,
+        |          CAST(COALESCE(SUM((m * m - s2) * (420 // (m - 1))), 0)
+        |            AS BIGINT) AS do_scaled
+        |        FROM kept),
+        |drp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items_dropped
+        |        FROM items WHERE m < 2 OR m > 8),
+        |marg AS (SELECT CAST(COALESCE(SUM(nc * nc), 0) AS BIGINT) AS sc2
+        |         FROM (SELECT c.event_type, CAST(SUM(c.nic) AS BIGINT) AS nc
+        |               FROM cnt c JOIN kept k USING (item_id)
+        |               GROUP BY c.event_type))
+        |SELECT n_items, n_items_dropped, n_values, do_scaled,
+        |  n_values * n_values - sc2 AS de_num,
+        |  420 * (n_values * n_values - sc2) - do_scaled * (n_values - 1)
+        |    AS alpha_num,
+        |  420 * (n_values * n_values - sc2) AS alpha_den
+        |FROM tot CROSS JOIN drp CROSS JOIN marg""".stripMargin,
+
     // Step-for-step mirror of Mixture.waterfill (same rank order, same
     // prefix frame, same CASE guards); every column CAST BIGINT because
     // DuckDB widens SUM to HUGEINT.
     "q_mix_budget" -> mixPlanSql,
+
+    // Integer-√ weights with the one-step correction, HUGEINT quotient/
+    // remainder (≡ Spark's DECIMAL(38,0) div/%), largest-remainder
+    // ranked (rem desc, source asc).
+    "q_temperature_mix" ->
+      """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |           FROM documents GROUP BY source),
+        |w0 AS (SELECT source, n_docs,
+        |         CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS s0
+        |       FROM c),
+        |w1 AS (SELECT source, n_docs,
+        |         CASE WHEN s0 * s0 > n_docs THEN s0 - 1
+        |              WHEN (s0 + 1) * (s0 + 1) <= n_docs THEN s0 + 1
+        |              ELSE s0 END AS w
+        |       FROM w0),
+        |w2 AS (SELECT * FROM w1 WHERE w > 0),
+        |t AS (SELECT *, SUM(w) OVER () AS wsum FROM w2),
+        |q AS (SELECT source, n_docs, w,
+        |        CAST(CAST(w AS HUGEINT) * 1000000 // wsum AS BIGINT) AS quota,
+        |        CAST(CAST(w AS HUGEINT) * 1000000 % wsum AS BIGINT) AS rem
+        |      FROM t),
+        |l AS (SELECT *, 1000000 - SUM(quota) OVER () AS leftover,
+        |        row_number() OVER (ORDER BY rem DESC, source ASC) AS rr
+        |      FROM q)
+        |SELECT source, n_docs, w,
+        |  CAST(quota + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc
+        |FROM l""".stripMargin,
 
     // Plan applied as the per-source integer hash cut (printf('%04x')
     // == Spark's format_string — both C-style lowercase), fully-capped

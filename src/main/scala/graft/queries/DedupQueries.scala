@@ -111,6 +111,65 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_id"))
     }),
 
+    // WEIGHTED (generalized) Jaccard at 0.5: multiplicity-aware
+    // near-dup detection — Σ min(tf)/Σ max(tf) separates true
+    // near-dups from topic siblings that share a vocabulary at
+    // different proportions. Candidates via the df ≤ 100 token join
+    // (stopword cap), verify over ALL common tokens.
+    "q_weighted_jaccard" -> ((s, d) =>
+      Dedup.weightedJaccardPairs(Tables.documents(s, d), "text", "doc_id",
+        maxDf = 100L, tNum = 1, tDen = 2)),
+
+    // PERCEPTUAL image dedup: 9×8 grayscale BMPs built per document
+    // (4-member classes around doc_id/4, each member perturbing one
+    // deterministic cell), dHashed through the REAL encode→decode→hash
+    // path by the native expression, then paired by the EXACT 4-band
+    // Hamming join (pigeonhole: distance ≤ 3 ⇒ some 16-bit band
+    // matches). The oracle replays the hash from the raw pixel
+    // FORMULAS — a hash match proves decode∘encode is the identity
+    // all the way through the gradient bits.
+    "q_phash_dedup" -> ((s, d) => {
+      import s.implicits._
+      val imgs = Tables.documents(s, d).select(col("doc_id"))
+        .as[Long]
+        .map { id =>
+          val base = id / 4
+          val m = (id % 4).toInt
+          val px = Array.tabulate(72) { p =>
+            val r = p / 9
+            val c = p % 9
+            val g0 = ((base * 31 + r * 13 + c * 29) % 256).toInt
+            val g = if (p == (m * 17) % 72) ((g0 + m * 40) % 256) else g0
+            (g, g, g) // gray pixel: ITU-R 601 luma of (g,g,g) is g
+          }
+          (id, graft.functions.BmpPixelStats.bmpBytes(9, 8, px))
+        }.toDF("doc_id", "payload")
+      val hashed = imgs.select(col("doc_id"),
+          graft.functions.ImageDHash.imageDHash(col("payload")).as("h"))
+        .select(col("doc_id"), col("h.hash_hi").as("hash_hi"),
+          col("h.hash_lo").as("hash_lo"))
+      Dedup.hammingNearDuplicates(hashed, "doc_id", "hash_hi", "hash_lo",
+        maxHamming = 3)
+    }),
+
+    // INCREMENTAL closure: the LSH pair set split into two hash
+    // batches; batch A is closed into components, then batch B's pairs
+    // fold into those LABELS (not A's raw pairs) via
+    // incrementalComponents. The oracle is the recursive CTE over the
+    // FULL pair set — a hash match PROVES incremental ≡ from-scratch.
+    "q_cc_incremental" -> ((s, d) => {
+      val pairs = Dedup.minhashNearDuplicates(Tables.documents(s, d), "text",
+        "doc_id", shingleSize = 3, bands = 8, rowsPerBand = 2,
+        threshold = 0.5).persist()
+      val oldBatch = pairs.filter((col("id_a") + col("id_b")) % 2 === 0)
+      val newBatch = pairs.filter((col("id_a") + col("id_b")) % 2 === 1)
+      val oldLabels = Dedup.connectedComponents(oldBatch, "doc_id")
+      val out = Dedup.incrementalComponents(oldLabels, newBatch, "doc_id")
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_id"))
+      graft.core.CacheScope.releaseAfterUse(out, pairs)
+    }),
+
     // Chaining audit: exact Jaccard of EVERY member pair inside each
     // CC cluster (zero-overlap pairs included — they ARE the chained
     // evidence), min + verdict per cluster. The measurement that
@@ -640,6 +699,87 @@ object DedupQueries {
          |comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
          |SELECT component, COUNT(*) AS n_members, MAX(node) AS max_id
          |FROM comp GROUP BY component""".stripMargin,
+
+    // dHash replayed from the raw pixel FORMULAS (never touching the
+    // BMP bytes the Spark side encodes and decodes), same 4-band
+    // candidate join, exact popcount verify. Shifts stay < 2^32 so
+    // every value is BIGINT-portable.
+    "q_phash_dedup" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, r.r, c.c,
+        |    ((d.doc_id // 4) * 31 + r.r * 13 + c.c * 29) % 256 AS g0,
+        |    CASE WHEN r.r * 9 + c.c = ((d.doc_id % 4) * 17) % 72
+        |         THEN (d.doc_id % 4) * 40 ELSE 0 END AS dp
+        |  FROM documents d, range(8) r(r), range(9) c(c)),
+        |g AS (SELECT doc_id, r, c, (g0 + dp) % 256 AS gray FROM px),
+        |b AS (SELECT a.doc_id, a.r * 8 + a.c AS idx,
+        |        CASE WHEN a.gray < n.gray THEN 1 ELSE 0 END AS bit
+        |      FROM g a JOIN g n ON n.doc_id = a.doc_id AND n.r = a.r
+        |        AND n.c = a.c + 1
+        |      WHERE a.c < 8),
+        |h AS (SELECT doc_id,
+        |        CAST(COALESCE(SUM(CASE WHEN idx >= 32
+        |          THEN bit * (1::BIGINT << CAST(idx - 32 AS INT))
+        |          ELSE 0 END), 0) AS BIGINT) AS hash_hi,
+        |        CAST(COALESCE(SUM(CASE WHEN idx < 32
+        |          THEN bit * (1::BIGINT << CAST(idx AS INT))
+        |          ELSE 0 END), 0) AS BIGINT) AS hash_lo
+        |      FROM b GROUP BY doc_id),
+        |bd AS (SELECT doc_id, hash_hi, hash_lo,
+        |         unnest([hash_lo & 65535, hash_lo >> 16,
+        |                 hash_hi & 65535, hash_hi >> 16]) AS band_val,
+        |         unnest([0, 1, 2, 3]) AS band_idx
+        |       FROM h),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM bd a JOIN bd b ON b.band_idx = a.band_idx
+        |           AND b.band_val = a.band_val AND a.doc_id < b.doc_id)
+        |SELECT c.id_a, c.id_b,
+        |  CAST(bit_count(xor(x.hash_hi, y.hash_hi))
+        |     + bit_count(xor(x.hash_lo, y.hash_lo)) AS BIGINT) AS hamming
+        |FROM cand c JOIN h x ON x.doc_id = c.id_a
+        |            JOIN h y ON y.doc_id = c.id_b
+        |WHERE bit_count(xor(x.hash_hi, y.hash_hi))
+        |    + bit_count(xor(x.hash_lo, y.hash_lo)) <= 3""".stripMargin,
+
+    // Same closure over the FULL pair set: agreement proves the
+    // incremental (labels ∪ new pairs) path loses/merges nothing.
+    "q_cc_incremental" ->
+      s"""WITH RECURSIVE $minhashPairsSql,
+         |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |      UNION SELECT id_b, id_a FROM pairs),
+         |reach(node, lbl) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node
+         |),
+         |comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
+         |SELECT component, COUNT(*) AS n_members, MAX(node) AS max_id
+         |FROM comp GROUP BY component""".stripMargin,
+
+    "q_weighted_jaccard" ->
+      s"""WITH tk0 AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |tk AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM tk0 WHERE tok <> '' GROUP BY doc_id, tok),
+         |tot AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tot
+         |        FROM tk GROUP BY doc_id),
+         |dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS dfr
+         |        FROM tk GROUP BY tok),
+         |live AS (SELECT tk.doc_id, tk.tok FROM tk
+         |         JOIN dfq ON dfq.tok = tk.tok WHERE dfq.dfr <= 100),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM live a JOIN live b
+         |           ON a.tok = b.tok AND a.doc_id < b.doc_id),
+         |cm AS (SELECT c.id_a, c.id_b,
+         |         CAST(SUM(LEAST(x.tf, y.tf)) AS BIGINT) AS smin
+         |       FROM cand c JOIN tk x ON x.doc_id = c.id_a
+         |                   JOIN tk y ON y.doc_id = c.id_b AND y.tok = x.tok
+         |       GROUP BY c.id_a, c.id_b)
+         |SELECT cm.id_a, cm.id_b, cm.smin, ta.tot AS tot_a, tb.tot AS tot_b,
+         |  CAST(cm.smin * 1000 // (ta.tot + tb.tot - cm.smin) AS BIGINT)
+         |    AS jw_permille
+         |FROM cm JOIN tot ta ON ta.doc_id = cm.id_a
+         |        JOIN tot tb ON tb.doc_id = cm.id_b
+         |WHERE cm.smin * 2 >= (ta.tot + tb.tot - cm.smin) * 1""".stripMargin,
 
     // Mirrors chainAudit: same recursive closure, then ALL member
     // pairs per component (left-join the shingle intersection so

@@ -141,6 +141,21 @@ object MiscQueries {
         .agg((sum(floor(col("col") * 1000000).cast("long")).cast("double")
           / (count(lit(1)) * lit(1000000.0))).as("centroid"))),
 
+    // Rendezvous (HRW) shard map over 8 shards: per-shard doc count,
+    // byte mass, and id span. The stable-layout companion to
+    // q_shard_plan's running-sum packer: the packer optimizes shard
+    // SIZE but renumbers everything on any upstream change; rendezvous
+    // trades balance-by-construction (hash-uniform, audited here) for
+    // minimal movement when the shard count changes (SamplingSkewSpec
+    // pins the movement property).
+    "q_rendezvous" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("shard",
+          graft.operators.Sampling.rendezvousShard(col("doc_id"), 8))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("shard_chars"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))),
+
     // Deterministic train/val split: tag + per-split accounting. The
     // oracle reproduces the md5-prefix cut exactly (90/10 split).
     "q_hash_split" -> ((s, d) =>
@@ -1116,6 +1131,24 @@ object MiscQueries {
         |  CAST(SUM(CAST(floor(v[i] * 1000000) AS BIGINT)) AS DOUBLE)
         |    / (COUNT(*) * 1000000.0) AS centroid
         |FROM x GROUP BY label, i""".stripMargin,
+
+    // argmax via (hash desc, shard asc) row_number — the relational
+    // twin of Spark's array_max over (h, s) structs.
+    "q_rendezvous" ->
+      """WITH s AS (SELECT doc_id, n_chars,
+        |    unnest(generate_series(0, 7)) AS sh
+        |  FROM documents),
+        |h AS (SELECT doc_id, n_chars, sh,
+        |    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(sh AS VARCHAR)) AS hx
+        |  FROM s),
+        |r AS (SELECT doc_id, n_chars, sh,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY hx DESC, sh ASC) AS rn
+        |  FROM h)
+        |SELECT CAST(sh AS BIGINT) AS shard, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS shard_chars,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM r WHERE rn = 1 GROUP BY sh""".stripMargin,
 
     "q_hash_split" ->
       """WITH s AS (

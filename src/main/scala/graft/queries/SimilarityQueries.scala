@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.operators.Similarity
@@ -332,6 +334,120 @@ object SimilarityQueries {
         .filter(col("rank") <= 10)
         .select(col("query_id"), col("cand_id"), col("rrf_micros"),
           col("n_lists"), col("rank"))
+    }),
+
+    // IR evaluation suite over the brute top-10 run, graded by label
+    // agreement (label = relevance judgment): per query — MRR
+    // (1e6 div first-relevant rank), recall@10 against ALL corpus
+    // relevants, and harmonic-discount DCG/NDCG (gain 1e6 div (rank+1)
+    // — the log2 discount is irrational, so the catalog ships the
+    // rank-exact harmonic variant both engines compute identically in
+    // integers). The metrics layer every retrieval/embedding change
+    // should gate on before swapping an index.
+    //
+    // Scale: rides the retrieval run (whatever index produced it) +
+    // one label join; the ideal-DCG expansion is ≤10 rows per query.
+    "q_retrieval_metrics" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val lab = emb.select(col("vec_id"), col("label").cast("long").as("lab"))
+      val top = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 10)
+      val graded = top
+        .join(lab.select(col("vec_id").as("query_id"), col("lab").as("qlab")),
+          Seq("query_id"))
+        .join(lab.select(col("vec_id").as("cand_id"), col("lab").as("clab")),
+          Seq("cand_id"))
+        .withColumn("rel", (col("qlab") === col("clab")).cast("long"))
+      val perQ = graded.groupBy(col("query_id")).agg(
+        sum(col("rel")).as("hits10"),
+        min(when(col("rel") === 1, col("rank"))).as("frank"),
+        sum(when(col("rel") === 1, expr("1000000 div (rank + 1)"))
+          .otherwise(lit(0L))).as("dcg_micro"))
+      val classSizes = lab.groupBy(col("lab")).agg(count(lit(1)).as("ncls"))
+      val nrel = lab.filter(col("vec_id") < 10).join(classSizes, Seq("lab"))
+        .select(col("vec_id").as("query_id"), (col("ncls") - 1).as("n_rel"))
+      // ideal ranking places all relevants first; n_rel = 0 queries drop
+      // (NDCG undefined — and an unguarded sequence(1, 0) is the
+      // DESCENDING [1,0] in Spark vs empty in DuckDB)
+      val idcg = nrel.filter(col("n_rel") >= 1)
+        .select(col("query_id"), col("n_rel"),
+          explode(sequence(lit(1L), least(col("n_rel"), lit(10L)))).as("r"))
+        .groupBy(col("query_id"), col("n_rel"))
+        .agg(sum(expr("1000000 div (r + 1)")).as("idcg_micro"))
+      perQ.join(idcg, Seq("query_id"))
+        .select(col("query_id"), col("n_rel"), col("hits10"),
+          coalesce(expr("1000000 div frank"), lit(0)).cast("long").as("mrr_micro"),
+          expr("hits10 * 1000000 div n_rel").as("recall10_ppm"),
+          col("dcg_micro"),
+          expr("dcg_micro * 1000000 div idcg_micro").as("ndcg_ppm"))
+    }),
+
+    // Multi-vector late-interaction retrieval (ColBERT-style MaxSim,
+    // Khattab & Zaharia SIGIR'20): the query is a SET of token vectors
+    // (vec_id < 8), each "document" is a label group's vector set;
+    // score = Σ_q max_v ⟨q, v⟩ in the catalog's floor(x·1000) integer
+    // units so the ranking is hash-exact cross-engine. Plan: broadcast
+    // the bounded query set, ONE scan of the corpus, (doc, qtok) max
+    // then doc sum — never materializing per-pair state beyond the
+    // partial aggregates; the final rank window is |labels|-bounded.
+    "q_maxsim" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      def iv(c: Column) = transform(c.cast("array<double>"),
+        x => floor(x * 1000).cast("long"))
+      val docs = emb.select(col("label").cast("long").as("doc"),
+        iv(col("embedding")).as("dv"))
+      val qs = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qtok"), iv(col("embedding")).as("qv"))
+      val dotInt = aggregate(zip_with(col("qv"), col("dv"),
+        (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+      val best = docs.crossJoin(broadcast(qs))
+        .select(col("doc"), col("qtok"), dotInt.as("dp"))
+        .groupBy(col("doc"), col("qtok")).agg(max(col("dp")).as("best"))
+      best.groupBy(col("doc"))
+        .agg(sum(col("best")).as("maxsim_units"), count(lit(1)).as("n_qtoks"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("maxsim_units"), asc("doc"))).cast("long"))
+    }),
+
+    // Benchmark decontamination, SEMANTIC tier: the n-gram overlap
+    // check (q_contamination) misses paraphrases; this one screens the
+    // corpus against a held-out benchmark sample (vec_id % 97 = 0) by
+    // embedding cosine ≥ 0.8. The threshold never touches floating
+    // point: cos ≥ 4/5 ⟺ dp > 0 ∧ 25·dp² ≥ 16·|a|²·|b|² over
+    // floor(x·1000) integer vectors (all products ≤ ~1e17, int64-safe);
+    // the reported best cos² rides the DECIMAL(38,0)/HUGEINT
+    // cross-multiply. Per benchmark row: hit count + best cos²-bp.
+    //
+    // Scale: benchmark side is the broadcast-bounded sample; one corpus
+    // scan. At 100 TB the corpus side swaps to the sign-LSH screen
+    // (q_embedding_neardup_ann's plan) with this exact verify unchanged.
+    "q_semantic_contamination" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      def iv(c: Column) = transform(c.cast("array<double>"),
+        x => floor(x * 1000).cast("long"))
+      def dotI(a: String, b: String) = aggregate(
+        zip_with(col(a), col(b), (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+      val bench = emb.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("bench_id"), iv(col("embedding")).as("bv"))
+        .withColumn("bn", dotI("bv", "bv"))
+      val corpus = emb.filter(col("vec_id") % 97 =!= 0)
+        .select(col("vec_id").as("cand_id"), iv(col("embedding")).as("cv"))
+        .withColumn("cn", dotI("cv", "cv"))
+      corpus.crossJoin(broadcast(bench))
+        .select(col("bench_id"), col("cand_id"),
+          dotI("bv", "cv").as("dp"), col("bn"), col("cn"))
+        .withColumn("hit",
+          (col("dp") > 0 && col("dp") * col("dp") * 25 >= col("bn") * col("cn") * 16)
+            .cast("long"))
+        // dp <= 0 pairs report 0: a signed square would feed negatives
+        // into div, whose truncation direction is engine-specific
+        .withColumn("cos2_bp",
+          when(col("dp") <= 0 || col("bn") === 0 || col("cn") === 0, lit(0L))
+            .otherwise(expr(
+              """CAST(CAST(dp AS DECIMAL(38,0)) * dp * 10000 div
+                |  (CAST(bn AS DECIMAL(38,0)) * cn) AS BIGINT)""".stripMargin)))
+        .groupBy(col("bench_id"))
+        .agg(count(lit(1)).as("n_scanned"), sum(col("hit")).as("n_hits"),
+          max(col("cos2_bp")).as("best_cos2_bp"))
     })
   )
 
@@ -371,6 +487,87 @@ object SimilarityQueries {
       | CASE WHEN v[4] > 0 THEN 8 ELSE 0 END)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    // q_knn_brute's CTE + label grading; the ideal-DCG expansion is a
+    // correlated generate_series over min(n_rel, 10).
+    "q_retrieval_metrics" ->
+      s"""WITH e AS ($vecsSql),
+         |p AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, $cosineSql AS sim
+         |      FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |r AS (SELECT query_id, cand_id,
+         |        row_number() OVER (PARTITION BY query_id
+         |                           ORDER BY sim DESC, cand_id ASC) AS rank
+         |      FROM p),
+         |t AS (SELECT query_id, cand_id, rank FROM r WHERE rank <= 10),
+         |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS lab FROM embeddings),
+         |g AS (SELECT t.query_id, t.rank,
+         |        CASE WHEN ql.lab = cl.lab THEN 1 ELSE 0 END AS rel
+         |      FROM t JOIN lab ql ON ql.vec_id = t.query_id
+         |             JOIN lab cl ON cl.vec_id = t.cand_id),
+         |pq AS (SELECT query_id, CAST(SUM(rel) AS BIGINT) AS hits10,
+         |         MIN(CASE WHEN rel = 1 THEN rank END) AS frank,
+         |         CAST(SUM(CASE WHEN rel = 1 THEN 1000000 // (rank + 1)
+         |                       ELSE 0 END) AS BIGINT) AS dcg_micro
+         |       FROM g GROUP BY query_id),
+         |cs AS (SELECT lab, COUNT(*) AS ncls FROM lab GROUP BY lab),
+         |nr AS (SELECT l.vec_id AS query_id, CAST(cs.ncls - 1 AS BIGINT) AS n_rel
+         |       FROM lab l JOIN cs USING (lab) WHERE l.vec_id < 10),
+         |ig AS (SELECT query_id, n_rel,
+         |         unnest(generate_series(1, least(n_rel, 10))) AS rr
+         |       FROM nr WHERE n_rel >= 1),
+         |idcg AS (SELECT query_id, n_rel,
+         |           CAST(SUM(1000000 // (rr + 1)) AS BIGINT) AS idcg_micro
+         |         FROM ig GROUP BY query_id, n_rel)
+         |SELECT pq.query_id, idcg.n_rel, pq.hits10,
+         |  CAST(COALESCE(1000000 // frank, 0) AS BIGINT) AS mrr_micro,
+         |  CAST(pq.hits10 * 1000000 // idcg.n_rel AS BIGINT) AS recall10_ppm,
+         |  pq.dcg_micro,
+         |  CAST(pq.dcg_micro * 1000000 // idcg.idcg_micro AS BIGINT) AS ndcg_ppm
+         |FROM pq JOIN idcg ON pq.query_id = idcg.query_id""".stripMargin,
+
+    "q_maxsim" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS doc,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * 1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qtok, v AS qv FROM e WHERE vec_id < 8),
+        |p AS (SELECT e.doc, q.qtok,
+        |        list_reduce(list_transform(generate_series(1, 64),
+        |          i -> q.qv[i] * e.v[i]), (x, y) -> x + y) AS dp
+        |      FROM e CROSS JOIN q),
+        |b AS (SELECT doc, qtok, MAX(dp) AS best FROM p GROUP BY doc, qtok),
+        |s AS (SELECT doc, CAST(SUM(best) AS BIGINT) AS maxsim_units,
+        |        CAST(COUNT(*) AS BIGINT) AS n_qtoks
+        |      FROM b GROUP BY doc)
+        |SELECT doc, maxsim_units, n_qtoks,
+        |  CAST(row_number() OVER (ORDER BY maxsim_units DESC, doc ASC) AS BIGINT)
+        |    AS rank
+        |FROM s""".stripMargin,
+
+    "q_semantic_contamination" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * 1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        list_reduce(list_transform(generate_series(1, 64),
+        |          i -> v[i] * v[i]), (x, y) -> x + y) AS nn
+        |      FROM e),
+        |bench AS (SELECT vec_id AS bench_id, v AS bv, nn AS bn FROM n
+        |          WHERE vec_id % 97 = 0),
+        |corpus AS (SELECT vec_id AS cand_id, v AS cv, nn AS cn FROM n
+        |           WHERE vec_id % 97 <> 0),
+        |p AS (SELECT bench_id, cand_id, bn, cn,
+        |        list_reduce(list_transform(generate_series(1, 64),
+        |          i -> bv[i] * cv[i]), (x, y) -> x + y) AS dp
+        |      FROM corpus CROSS JOIN bench)
+        |SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS n_scanned,
+        |  CAST(SUM(CASE WHEN dp > 0 AND dp * dp * 25 >= bn * cn * 16
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |  CAST(MAX(CASE WHEN dp <= 0 OR bn = 0 OR cn = 0 THEN 0
+        |           ELSE CAST(dp AS HUGEINT) * dp * 10000 //
+        |             (CAST(bn AS HUGEINT) * cn) END) AS BIGINT) AS best_cos2_bp
+        |FROM p GROUP BY bench_id""".stripMargin,
 
     // The power-iteration CTE again, plus the relational projection
     // (lambdas cannot capture the correlated v, so the dot product is

@@ -14,6 +14,54 @@ object TextQueries {
 
   val queries: Map[String, Q] = Map(
 
+    // Greenlist-watermark detection (Kirchenbauer et al. ICML'23): a
+    // one-sided binomial z-test per document over consecutive-token
+    // pairs, green = md5 parity (null exactly 1/2), z >= 2 decided
+    // integer-exactly as (2g-n) >= 0 AND (2g-n)^2 >= 4n, gated on
+    // n >= 16 pairs. Natural corpus text sits at the null — the hits
+    // column exercises the decision arithmetic, not a planted signal.
+    "q_watermark_detect" -> ((s, d) =>
+      TextAnalysis.watermarkStats(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("lang"), col("n_pairs"), col("n_green"),
+          col("green_excess"), col("watermark_hit"))),
+
+    // CCNet-style line-level dedup (Wenzek et al. LREC'20): drop every
+    // line with corpus df > 2, reassemble survivors in document order.
+    // The single-line fixture corpus is chunked into 3-token "lines";
+    // the tiny vocabulary makes trigram lines genuinely collide across
+    // documents, so both branches (kept and dropped) carry real mass.
+    "q_line_dedup" -> ((s, d) =>
+      TextAnalysis.lineDedup(Tables.documents(s, d), "text", "doc_id",
+        lineTokens = 3, maxLineDf = 2L)),
+
+    // Unicode NFC normalization via the native expression: decomposed
+    // combining sequences built deterministically per doc (base letter
+    // + combining mark chosen by doc_id; mark 5 = none, base 'q' +
+    // tilde composes to nothing) — the normalized STRING itself is
+    // hash-compared against DuckDB's nfc_normalize, so the check is
+    // two independent UAX #15 implementations agreeing codepoint for
+    // codepoint. Lengths count codepoints on both engines.
+    "q_nfc_clean" -> ((s, d) => {
+      val doc = Tables.documents(s, d)
+      val base = element_at(
+        array(lit("e"), lit("a"), lit("n"), lit("q"), lit("o"), lit("u")),
+        (pmod(col("doc_id"), lit(6)) + 1).cast("int"))
+      val mark = element_at(
+        array(lit("\u0301"), lit("\u0300"), lit("\u0303"), lit("\u0308"),
+          lit("")), // acute, grave, tilde, diaeresis, none
+        (pmod(col("doc_id"), lit(5)) + 1).cast("int"))
+      doc.select(col("doc_id"),
+          concat(substring(col("text"), 1, 8), lit(" "), base, mark,
+            base).as("raw"))
+        .select(col("doc_id"), col("raw"),
+          graft.functions.NfcNormalize.nfcNorm(col("raw")).as("norm"))
+        .select(col("doc_id"),
+          length(col("raw")).cast("long").as("raw_len"),
+          col("norm"),
+          length(col("norm")).cast("long").as("norm_len"),
+          (col("norm") =!= col("raw")).as("composed"))
+    }),
+
     // Record linkage, stage 1 (blocking + scoring): fuzzy part-name
     // pairs within each brand block at Jaro-Winkler >= 0.88. The
     // native expression is bit-identical to DuckDB's
@@ -231,6 +279,22 @@ object TextQueries {
     // one shuffle-free projection over three native expressions.
     "q_quality_ensemble" -> ((s, d) =>
       TextAnalysis.qualityEnsemble(Tables.documents(s, d), "text", "doc_id")),
+
+    // C4-rule filter report: the five Raffel-et-al heuristics as
+    // per-language violation counts + keep rate (bp). The per-doc
+    // verdicts are TextAnalysis.c4Flags' shuffle-free projection; this
+    // rollup is one exchange on lang.
+    "q_c4_filters" -> ((s, d) =>
+      TextAnalysis.c4Flags(Tables.documents(s, d), "text")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("flag_short").cast("long")).as("n_short"),
+          sum(col("flag_noterm").cast("long")).as("n_noterm"),
+          sum(col("flag_brace").cast("long")).as("n_brace"),
+          sum(col("flag_lorem").cast("long")).as("n_lorem"),
+          sum(col("flag_wordlen").cast("long")).as("n_badlen"),
+          sum(col("keep").cast("long")).as("n_keep"))
+        .withColumn("keep_bp", expr("n_keep * 10000 div n_docs"))),
 
     // Held-out cross-entropy: the bigram LM trained on the 90% hash
     // split scores the 10% held-out split, per language — the
@@ -506,6 +570,77 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
 
+    // Pair stream replayed via lag() over token position; SUM casts
+    // keep everything BIGINT (never HUGEINT). LEFT JOIN keeps any
+    // zero-token document with n_pairs = 0, mirroring the Spark
+    // projection's total semantics.
+    "q_watermark_detect" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |    list_filter($toksSql, x -> x <> '') AS tk FROM documents),
+         |p AS (SELECT doc_id, unnest(tk) AS tok,
+         |        generate_subscripts(tk, 1) AS pos FROM t),
+         |g AS (SELECT doc_id,
+         |        CASE WHEN lag(tok) OVER w IS NULL THEN NULL
+         |             WHEN ascii(substr(md5(lag(tok) OVER w || '|' || tok),
+         |                    1, 1)) % 2 = 0 THEN 1
+         |             ELSE 0 END AS grn
+         |      FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |a AS (SELECT doc_id, CAST(COUNT(grn) AS BIGINT) AS n_pairs,
+         |        CAST(COALESCE(SUM(grn), 0) AS BIGINT) AS n_green
+         |      FROM g GROUP BY doc_id)
+         |SELECT t.doc_id, t.lang,
+         |  COALESCE(a.n_pairs, 0) AS n_pairs,
+         |  COALESCE(a.n_green, 0) AS n_green,
+         |  2 * COALESCE(a.n_green, 0) - COALESCE(a.n_pairs, 0)
+         |    AS green_excess,
+         |  COALESCE(a.n_pairs, 0) >= 16
+         |    AND 2 * a.n_green - a.n_pairs >= 0
+         |    AND (2 * a.n_green - a.n_pairs) * (2 * a.n_green - a.n_pairs)
+         |          >= 4 * a.n_pairs AS watermark_hit
+         |FROM t LEFT JOIN a ON a.doc_id = t.doc_id""".stripMargin,
+
+    // 3-token chunk lines, corpus df per line, df <= 2 kept, survivors
+    // reassembled in line order. string_agg(ORDER BY line_idx) FILTER
+    // mirrors the sorted-struct collect_list exactly.
+    "q_line_dedup" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    list_filter($toksSql, x -> x <> '') AS tk FROM documents),
+         |u AS (SELECT doc_id, tk,
+         |        unnest(range((len(tk) + 2) // 3)) AS i FROM t),
+         |l AS (SELECT doc_id, i AS line_idx,
+         |        array_to_string(list_slice(tk, i * 3 + 1, i * 3 + 3), ' ')
+         |          AS line
+         |      FROM u),
+         |f AS (SELECT line, CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+         |        AS line_df FROM l GROUP BY line),
+         |a AS (SELECT l.doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         |        CAST(COALESCE(SUM(CASE WHEN f.line_df <= 2 THEN 1 ELSE 0
+         |          END), 0) AS BIGINT) AS n_kept,
+         |        COALESCE(string_agg(l.line, ' ' ORDER BY l.line_idx)
+         |          FILTER (WHERE f.line_df <= 2), '') AS kept_text
+         |      FROM l JOIN f ON f.line = l.line GROUP BY l.doc_id)
+         |SELECT t.doc_id, COALESCE(a.n_lines, 0) AS n_lines,
+         |  COALESCE(a.n_kept, 0) AS n_kept,
+         |  COALESCE(a.kept_text, '') AS kept_text
+         |FROM t LEFT JOIN a ON a.doc_id = t.doc_id""".stripMargin,
+
+    // Two independent UAX #15 NFC implementations (JDK Normalizer vs
+    // DuckDB/utf8proc) hash-compared on the normalized string itself;
+    // lengths are codepoint counts on both engines.
+    "q_nfc_clean" ->
+      """WITH r AS (SELECT doc_id,
+        |    substr(text, 1, 8) || ' ' ||
+        |    ['e','a','n','q','o','u'][CAST(doc_id % 6 AS INT) + 1] ||
+        |    [chr(769), chr(768), chr(771), chr(776), '']
+        |      [CAST(doc_id % 5 AS INT) + 1] ||
+        |    ['e','a','n','q','o','u'][CAST(doc_id % 6 AS INT) + 1] AS raw
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(raw) AS BIGINT) AS raw_len,
+        |  nfc_normalize(raw) AS norm,
+        |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS norm_len,
+        |  nfc_normalize(raw) <> raw AS composed
+        |FROM r""".stripMargin,
+
     "q_jaro_linkage" ->
       """SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
         |  jaro_winkler_similarity(a.p_name, b.p_name) AS sim
@@ -632,6 +767,37 @@ object TextQueries {
          |FROM j GROUP BY doc_id
          |ORDER BY score_micros DESC, doc_id ASC LIMIT 20""".stripMargin
     },
+
+    "q_c4_filters" ->
+      s"""WITH t AS (
+         |  SELECT lang, text,
+         |    list_filter($toksSql, x -> x <> '') AS tk
+         |  FROM documents),
+         |f AS (
+         |  SELECT lang,
+         |    CAST(len(tk) AS BIGINT) AS n_words,
+         |    CAST(length(array_to_string(tk, '')) AS BIGINT) AS nwc,
+         |    right(trim(text), 1) IN ('.', '!', '?', '"') AS ends_term,
+         |    position('{' IN text) > 0 OR position('}' IN text) > 0 AS has_brace,
+         |    position('lorem ipsum' IN lower(text)) > 0 AS has_lorem
+         |  FROM t),
+         |v AS (
+         |  SELECT lang,
+         |    n_words < 5 AS fs, NOT ends_term AS fn,
+         |    has_brace AS fb, has_lorem AS fl,
+         |    (nwc < n_words * 3 OR nwc > n_words * 10) AS fw
+         |  FROM f)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN fs THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+         |  CAST(SUM(CASE WHEN fn THEN 1 ELSE 0 END) AS BIGINT) AS n_noterm,
+         |  CAST(SUM(CASE WHEN fb THEN 1 ELSE 0 END) AS BIGINT) AS n_brace,
+         |  CAST(SUM(CASE WHEN fl THEN 1 ELSE 0 END) AS BIGINT) AS n_lorem,
+         |  CAST(SUM(CASE WHEN fw THEN 1 ELSE 0 END) AS BIGINT) AS n_badlen,
+         |  CAST(SUM(CASE WHEN NOT fs AND NOT fn AND NOT fb AND NOT fl AND NOT fw
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |  CAST(SUM(CASE WHEN NOT fs AND NOT fn AND NOT fb AND NOT fl AND NOT fw
+         |           THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS keep_bp
+         |FROM v GROUP BY lang""".stripMargin,
 
     // Mirrors qualityEnsemble: the q_gopher_rep CTEs (den/top2/dup5),
     // the q_char_entropy CTEs (diversity bits), token count, then the

@@ -71,4 +71,32 @@ class AnnotationSpec extends SparkSpec {
     val wBeta = (1L * (38L + 256) * 1000000L) / (20L * (15L + 256))
     assert(out(12L)._2 === 4L * wBeta)
   }
+
+  test("krippendorffAlpha: hand-computed α on perfect / mixed / systematic / zero cases") {
+    def alpha(rows: Seq[(Long, String)]) =
+      Annotation.krippendorffAlpha(rows.toDF("item_id", "label"),
+        "item_id", "label").collect().head
+
+    // perfect agreement → α = 1
+    val p = alpha(Seq((1L, "x"), (1L, "x"), (2L, "y"), (2L, "y")))
+    assert(p.getAs[Long]("alpha_num") == p.getAs[Long]("alpha_den"))
+
+    // textbook mixed case {xx, xy, yy}: Do = 1/3, De = 3/5 → α = 4/9
+    val m = alpha(Seq((1L, "x"), (1L, "x"), (2L, "x"), (2L, "y"),
+      (3L, "y"), (3L, "y")))
+    assert(m.getAs[Long]("alpha_num") * 9 == m.getAs[Long]("alpha_den") * 4)
+
+    // systematic disagreement over I=5 items → α = −(I−1)/I = −4/5
+    val s = alpha((1L to 5L).flatMap(i => Seq((i, "x"), (i, "y"))))
+    assert(s.getAs[Long]("alpha_num") * 5 == s.getAs[Long]("alpha_den") * -4)
+
+    // single item [x,x,y] (variable m, odd denominator): Do = De → α = 0;
+    // the singleton and the >maxRaters item are dropped AND counted
+    val v = alpha(Seq((1L, "x"), (1L, "x"), (1L, "y"), (2L, "x")) ++
+      (1L to 9L).map(_ => (3L, "x")))
+    assert(v.getAs[Long]("alpha_num") == 0L && v.getAs[Long]("alpha_den") > 0L)
+    assert(v.getAs[Long]("n_items_dropped") == 2L)
+    assert(v.getAs[Long]("n_values") == 3L)
+    assert(v.getAs[Long]("do_scaled") == 840L)
+  }
 }

@@ -473,6 +473,48 @@ class DedupSpec extends SparkSpec {
     assert(guaranteed.subsetOf(capped))
   }
 
+  test("weightedJaccard separates proportions set-Jaccard cannot; cap drops stopword-only pairs") {
+    val d = Seq(
+      (1L, "alpha alpha alpha beta"),   // same SET as 2, different tf
+      (2L, "alpha beta beta beta"),
+      (3L, "alpha alpha alpha beta"),   // exact dup of 1
+      (4L, "gamma delta epsilon zeta")  // unrelated
+    ).toDF("doc_id", "text")
+    // loose threshold surfaces the skewed pair with its true jw
+    val loose = Dedup.weightedJaccardPairs(d, "text", "doc_id", 100L, 1, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(5)).toMap
+    assert(loose((1L, 3L)) == 1000L, "exact dup scores 1000 permille")
+    // {alpha³β} vs {αβ³}: smin = 2, tots 4+4 → jw = 2/6 = 333‰ —
+    // the SET Jaccard of this pair is 1.0; weighted sees the skew
+    assert(loose((1L, 2L)) == 333L)
+    assert(!loose.contains((1L, 4L)))
+    // at 0.5 the proportion-skewed pair is correctly rejected
+    val tight = Dedup.weightedJaccardPairs(d, "text", "doc_id", 100L, 1, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight == Set((1L, 3L)))
+    // cap: pairs sharing ONLY a hot token (df > maxDf) are not found
+    val hot = Seq((1L, "the unique1"), (2L, "the unique2"), (3L, "the unique3"))
+      .toDF("doc_id", "text")
+    assert(Dedup.weightedJaccardPairs(hot, "text", "doc_id", 2L, 1, 10)
+      .count() == 0L)
+  }
+
+  test("incrementalComponents: cross-batch chain merge ≡ from-scratch closure") {
+    // old batch closes {1,2} and {10,11}; new batch bridges 2-3 (grows
+    // an old component), adds {20,21} (brand new), leaves {10,11} alone
+    val oldPairs = Seq((1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    val newPairs = Seq((2L, 3L), (20L, 21L)).toDF("id_a", "id_b")
+    val oldLabels = Dedup.connectedComponents(oldPairs, "doc_id")
+    val inc = Dedup.incrementalComponents(oldLabels, newPairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.connectedComponents(
+        oldPairs.unionByName(newPairs), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full)
+    assert(inc(3L) == 1L, "new pair must chain through the OLD label to 1")
+    assert(inc(11L) == 10L && inc(20L) == 20L && inc(21L) == 20L)
+  }
+
   test("prefixJaccardJoin boundary: J exactly at threshold is kept") {
     // sets of 5-gram shingles engineered so J = 4/5 = 0.8 exactly:
     // a 9-char string has 5 5-grams; dropping the last char leaves 4

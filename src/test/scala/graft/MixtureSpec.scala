@@ -95,4 +95,37 @@ class MixtureSpec extends SparkSpec {
     val again = Mixture.waterfill(per, "source", "toks", 3, 3, 2)
     assert(out.collect().toSet === again.collect().toSet)
   }
+
+  test("temperature allocation: Σ alloc == budget; tail lifted vs proportional") {
+    val per = Seq(("head", 1000000L), ("mid", 10000L), ("tail", 100L))
+      .toDF("source", "n")
+    val out = Mixture.temperatureAllocation(per, "source", "n", 100000L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("alloc")).toMap
+    assert(out.values.sum == 100000L)
+    // proportional shares: head 99%, tail ~0.01%; √-weights 1000/100/10
+    // give tail 10/1110 ≈ 0.9% — two orders of magnitude lift
+    assert(out("tail") * 1010100L > 100000L * 100L,
+      "tail share must beat its proportional share")
+    assert(out("head") < 95000L, "head share must be flattened")
+  }
+
+  test("temperature allocation: isqrt is exact at perfect-square boundaries") {
+    // n = k² and k²−1 around a large k where double sqrt rounding can
+    // land on k exactly for k²−1
+    val k = 94906266L // floor(sqrt(2^53)) + rounding-hazard zone
+    val per = Seq(("a", k * k), ("b", k * k - 1), ("c", 1L))
+      .toDF("source", "n")
+    val w = Mixture.temperatureAllocation(per, "source", "n", 1000L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("w")).toMap
+    assert(w("a") == k)
+    assert(w("b") == k - 1, "isqrt(k²−1) must be k−1, not the rounded k")
+    assert(w("c") == 1L)
+  }
+
+  test("temperature allocation: zero-count domains are excluded, not errors") {
+    val per = Seq(("a", 100L), ("z", 0L)).toDF("source", "n")
+    val rows = Mixture.temperatureAllocation(per, "source", "n", 10L).collect()
+    assert(rows.map(_.getString(0)).toSet == Set("a"))
+    assert(rows.head.getAs[Long]("alloc") == 10L)
+  }
 }

@@ -116,4 +116,26 @@ class SamplingSkewSpec extends SparkSpec {
     // the smallest stratum's threshold is "10000" > every "0xxxx" key
     assert(got("small") == ((12L, 12L)), "rate-1.0 stratum keeps everything")
   }
+
+  test("rendezvous sharding: minimal movement when the shard count grows") {
+    val ids = (1L to 2000L).toDF("id")
+    def assign(n: Int) = ids
+      .select(col("id"), Sampling.rendezvousShard(col("id"), n).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val at8 = assign(8)
+    val at9 = assign(9)
+    assert(at8.values.toSet.subsetOf((0L to 7L).toSet))
+    // THE rendezvous property: every key that moved, moved TO the new
+    // shard — nothing reshuffles among the old ones (mod-hash moves ~8/9)
+    val moved = at8.keys.filter(k => at8(k) != at9(k)).toSeq
+    assert(moved.nonEmpty && moved.forall(k => at9(k) == 8L))
+    // expected 1/9 of keys move; allow a generous band around it
+    assert(moved.size > 2000 / 20 && moved.size < 2000 / 4,
+      s"${moved.size} moved of 2000 — far from the 1/9 expectation")
+    // hash-uniform balance: no shard under 1/3 or over 3x of fair share
+    val byShard = at8.values.groupBy(identity).view.mapValues(_.size)
+    assert(byShard.values.forall(n => n > 250 / 3 && n < 750))
+    // determinism + partition independence
+    assert(assign(8) == at8)
+  }
 }

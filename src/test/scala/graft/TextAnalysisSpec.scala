@@ -362,4 +362,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r3.getAs[Long]("top2_chars") == 0L)
     assert(r3.getAs[Long]("dup5_chars") == 0L)
   }
+
+  test("c4Flags: each rule trips on its own fixture; clean doc keeps") {
+    val docs = Seq(
+      (1L, "this sentence looks perfectly ordinary and it ends properly."),
+      (2L, "too short."),                                   // < 5 words
+      (3L, "five ordinary words lacking terminal punctuation here"),
+      (4L, "some template leakage here with {placeholder} braces inside."),
+      (5L, "please replace this Lorem Ipsum filler before shipping today."),
+      (6L, "aa bb cc dd ee ff gg hh ii jj."),               // mean len < 3
+      (7L, "")                                              // empty
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.c4Flags(docs, "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(out(2L).getAs[Boolean]("flag_short") && !out(2L).getAs[Boolean]("keep"))
+    assert(out(3L).getAs[Boolean]("flag_noterm") && !out(3L).getAs[Boolean]("keep"))
+    assert(out(4L).getAs[Boolean]("flag_brace") && !out(4L).getAs[Boolean]("keep"))
+    assert(out(5L).getAs[Boolean]("flag_lorem") && !out(5L).getAs[Boolean]("keep"))
+    assert(out(6L).getAs[Boolean]("flag_wordlen") && !out(6L).getAs[Boolean]("keep"))
+    // empty doc: 0 words → short + noterm, never a fold error
+    assert(out(7L).getAs[Long]("n_words") == 0L)
+    assert(out(7L).getAs[Boolean]("flag_short"))
+    assert(out(7L).getAs[Boolean]("flag_noterm"))
+  }
 }
