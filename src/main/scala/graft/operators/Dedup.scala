@@ -547,12 +547,16 @@ object Dedup {
                          shingleSize: Int = 12, tNum: Int = 8, tDen: Int = 10,
                          maxPrefixDf: Long = Long.MaxValue): DataFrame = {
     require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
-    val sh = charShingles(df, textCol, idCol, shingleSize)
-    prefixFrame(sh, idCol, tNum, tDen)
+    // prefixFrame reads the shingle stream twice (df-count aggregation +
+    // the join back) — persist it, mirroring prefixJaccardJoin, so the
+    // shingle explosion isn't recomputed
+    val sh = charShingles(df, textCol, idCol, shingleSize).persist()
+    val out = prefixFrame(sh, idCol, tNum, tDen)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_prefix"),
         sum(when(col("dfr") > maxPrefixDf, 1L).otherwise(0L)).as("n_capped"))
       .withColumn("fully_capped", col("n_capped") === col("n_prefix"))
+    graft.core.CacheScope.releaseAfterUse(out, sh)
   }
 
   /** Chaining audit of CC-based near-dup clusters — the known failure

@@ -166,10 +166,14 @@ object Sampling {
     */
   def rendezvousShard(id: Column, nShards: Int): Column = {
     require(nShards > 0, "nShards must be positive")
+    // the struct carries NEGATED s so array_max's lexicographic order
+    // resolves an (md5-collision-only) hash tie to the SMALLEST shard —
+    // matching the documented s-ascending tiebreak and the oracle's
+    // ORDER BY hx DESC, sh ASC
     val scored = transform(sequence(lit(0), lit(nShards - 1)),
       s => struct(
         md5(concat(id.cast("string"), lit(":"), s.cast("string"))).as("h"),
-        s.as("s")))
-    array_max(scored).getField("s").cast("long")
+        (-s).as("ns")))
+    (-array_max(scored).getField("ns")).cast("long")
   }
 }
