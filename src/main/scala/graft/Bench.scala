@@ -12,12 +12,15 @@ import org.apache.spark.sql.functions._
   * real work. One small warmup query heats the JVM/codegen paths so the
   * first measured query isn't charged for session startup.
   *
-  * Methodology: every query runs SPARK_GRAFT_BENCH_N times (default 2
-  * since the 228-query catalog outgrew the ~10-min wall budget at n=3;
-  * with two sorted passes the "median" index picks the LARGER one, so
-  * the n=2 convention is conservative — never optimistic) and the
-  * reported number is the per-query median — single runs on a shared
-  * sandbox are noise. The cache (including checkpoint straggler
+  * Methodology: every query runs SPARK_GRAFT_BENCH_N times (default 3)
+  * and the reported number is the per-query MEDIAN — single runs on a
+  * shared sandbox are noise. (The r9 budget blowout that briefly forced
+  * n=2 was the 100-entry codegen-class cache thrashing at catalog
+  * width — every pass recompiled every heavy plan; fixed at the session
+  * level, see GraftSession's codegen.cache.maxEntries note. n=2 remains
+  * the documented fallback: with two sorted passes the "median" index
+  * picks the LARGER one, conservative — never optimistic.)
+  * The cache (including checkpoint straggler
   * blocks) is swept after EVERY query so one query's resident state can
   * neither warm nor pressure any other measurement.
   *
@@ -28,7 +31,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "2").toInt
+    val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
     // knob rationale: core/GraftSession.scala (shared with Verify/Explain)
     val spark = graft.core.GraftSession.local(cpus, "graft-bench")
     spark.sparkContext.setLogLevel("WARN")

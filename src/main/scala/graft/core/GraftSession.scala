@@ -22,6 +22,15 @@ object GraftSession {
     *    collect_set/TypedImperative profiles degrade to sort-based
     *    aggregation at the default 128 keys/partition on any real
     *    corpus slice — state here is ~KB per key, so raise it;
+    *  - `codegen.cache.maxEntries = 10000` (static conf): the default
+    *    100-entry generated-class cache thrashes once a session runs
+    *    more than a handful of distinct wide plans, so heavyweight
+    *    codegen (e.g. the 16-column MinHash band projection) recompiles
+    *    on every re-execution — measured as q_dedup_weights paying a
+    *    recurring ~4.5 s janino compile per bench pass at the 228-query
+    *    catalog. Any long-lived cluster session (notebook, Thrift
+    *    server, streaming driver) wants the same headroom; entries are
+    *    class bytecode, driver-side only, ~KB each;
     *  - UTC session timezone: every timestamp oracle assumes it;
     *  - UI off: headless harness.
     */
@@ -34,6 +43,7 @@ object GraftSession {
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "16384")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
