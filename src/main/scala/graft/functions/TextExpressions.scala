@@ -403,3 +403,97 @@ object NfcNormalize {
   def nfcNorm(t: Column): Column =
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(t)))
 }
+
+/** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+  * SIGMOD'03 — the MOSS algorithm): over the text's k-char window
+  * hashes, slide a window of `w` consecutive positions and select the
+  * RIGHTMOST minimal hash in each; the distinct selected (position,
+  * hash) pairs are the document's fingerprints. Unlike the 0-mod-p
+  * selection of [[ZeroModWindows]] (expected density 1/p but
+  * unbounded gaps), winnowing GUARANTEES both a density bound
+  * (2/(w+1) expected) and the matching theorem: any shared substring
+  * of length ≥ w + k − 1 contributes at least one IDENTICAL
+  * fingerprint to both documents — the recall contract a dedup
+  * pipeline can state without probabilistic hedging.
+  *
+  * The hash is deliberately MOD-FREE so an oracle can replay it in
+  * plain integer SQL: h(i) = Σ_{j<k} cp(i+j)·31^(k−1−j), computed
+  * rolled in O(1)/position. With k ≤ 8 and codepoints ≤ 0x10FFFF the
+  * sum is < 3.2·10¹⁶ — int64-exact on every engine (hence the k ≤ 8
+  * guard). Selection is the classic monotone-deque sliding minimum
+  * (`>=` pops make ties resolve to the rightmost), O(n) total, one
+  * allocation for the selected pairs only — texts shorter than
+  * w + k − 1 chars have no full window and fingerprint to the empty
+  * array. Preference-order (b): the compositional form would pay an
+  * O(n·w) HOF scan plus per-position struct allocation before any
+  * selection.
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("pos", IntegerType, nullable = false),
+      StructField("h", LongType, nullable = false))), containsNull = false)
+
+  override def prettyName: String = "winnow_fingerprints"
+
+  override def nullSafeEval(t: Any): Any =
+    WinnowFingerprints.compute(t.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.WinnowFingerprints$$.MODULE$$.compute($c, $k, $w)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WinnowFingerprints = copy(child = newChild)
+}
+
+object WinnowFingerprints {
+
+  /** 1-based positions; empty array when no full window exists. */
+  def compute(t: UTF8String, k: Int, w: Int): ArrayData = {
+    require(k >= 1 && k <= 8, "k-gram hash is int64-exact only for k <= 8")
+    require(w >= 1, "window must be positive")
+    val cps = t.toString.codePoints().toArray
+    val p = cps.length - (k - 1)
+    if (p < w) return new GenericArrayData(Array.empty[Any])
+    val h = new Array[Long](p)
+    var topPow = 1L
+    var j = 0
+    while (j < k - 1) { topPow *= 31L; j += 1 }
+    var acc = 0L
+    j = 0
+    while (j < k) { acc = acc * 31L + cps(j); j += 1 }
+    h(0) = acc
+    var i = 1
+    while (i < p) {
+      acc = (acc - cps(i - 1) * topPow) * 31L + cps(i + k - 1)
+      h(i) = acc
+      i += 1
+    }
+    val deque = new java.util.ArrayDeque[Integer]()
+    val buf = new scala.collection.mutable.ArrayBuffer[Any]
+    var lastSel = -1
+    i = 0
+    while (i < p) {
+      while (!deque.isEmpty && h(deque.peekLast) >= h(i)) deque.pollLast()
+      deque.addLast(i)
+      val wstart = i - w + 1
+      if (wstart >= 0) {
+        while (deque.peekFirst < wstart) deque.pollFirst()
+        val sel = deque.peekFirst
+        if (sel != lastSel) {
+          buf += InternalRow(sel + 1, h(sel))
+          lastSel = sel
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(buf.toArray)
+  }
+
+  /** Column-level entry point. */
+  def winnowFingerprints(t: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(t), k, w))
+}

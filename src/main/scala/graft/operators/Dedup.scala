@@ -1450,4 +1450,40 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** Winnowing-fingerprint duplicate pairs (Schleimer et al. SIGMOD'03
+    * — see [[graft.functions.WinnowFingerprints]] for the selection
+    * rule and its guarantee): documents sharing ≥ minShared winnowed
+    * k-gram hashes, with the shared-fingerprint count as the match
+    * strength. The matching theorem makes the recall statement exact:
+    * any copied substring of length ≥ w + k − 1 chars yields at least
+    * one shared fingerprint, so minShared = 1 catches every copy that
+    * long (the query uses a higher bar only to rank).
+    *
+    * Scale shape: selection happens INSIDE the per-row expression
+    * (density ≈ 2/(w+1)), so only selected fingerprints are exploded —
+    * never the full k-gram stream. The candidate join is equi on the
+    * hash with the same df-cap discipline as [[exactSubstringPairs]]:
+    * a fingerprint shared by > maxDf documents is boilerplate and is
+    * dropped before the pair join, bounding any hash's contribution at
+    * maxDf² pairs.
+    */
+  def winnowDuplicates(df: DataFrame, textCol: String, idCol: String,
+                       k: Int = 8, w: Int = 4, maxDf: Long = 20L,
+                       minShared: Long = 2L): DataFrame = {
+    val fps = df.select(col(idCol),
+        explode(graft.functions.WinnowFingerprints
+          .winnowFingerprints(col(textCol), k, w)).as("fp"))
+      .select(col(idCol), col("fp.h").as("h"))
+      .distinct()
+    val freq = fps.groupBy(col("h")).agg(count(lit(1)).as("hdf"))
+      .filter(col("hdf") <= maxDf)
+    val keyed = fps.join(freq, Seq("h")).select(col("h"), col(idCol))
+    keyed.select(col("h"), col(idCol).as("id_a"))
+      .join(keyed.select(col("h"), col(idCol).as("id_b")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -1018,4 +1018,118 @@ object TextAnalysis {
             struct(col("line_idx"), col("line"))))),
           s => s.getField("line")), " ").as("kept_text"))
   }
+
+  /** The eight Gopher "stop words" (Rae et al. 2021 §A1.1.2) whose
+    * presence marks natural-language prose.
+    */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-rule quality filters (Rae et al. 2021, "Scaling Language
+    * Models: ..." §A1.1.2) — the OTHER standard heuristic battery next
+    * to [[c4Flags]], aimed at gibberish/markup rather than formatting:
+    *
+    *  - `flag_nwords`: word count outside [minWords, maxWords];
+    *  - `flag_wordlen`: mean word length outside [3, 10] chars, tested
+    *    cross-multiplied (3·n ≤ chars ≤ 10·n — no division);
+    *  - `flag_symbol`: symbol-to-word ratio > 0.1, where symbols are
+    *    `#` characters and `...` runs (counted by replace-and-measure,
+    *    identical semantics cross-engine), tested as 10·n_sym > n_words;
+    *  - `flag_alpha`: less than 80% of words contain an alphabetic
+    *    character (5·n_alpha_words < 4·n_words);
+    *  - `flag_stop`: fewer than 2 distinct Gopher stopwords present.
+    *
+    * `keep` is the conjunction of none-flagged. One shuffle-free
+    * projection over the shared whitespace tokenizer — integer/string
+    * arithmetic only, hash-exact cross-engine, scan speed at 100 TB and
+    * composable with any downstream filter pushdown.
+    */
+  def gopherQuality(df: DataFrame, textCol: String,
+                    minWords: Long = 50L,
+                    maxWords: Long = 100000L): DataFrame = {
+    val tk = filter(toks(col(textCol)), t => t =!= "")
+    val nHash = length(col(textCol)) -
+      length(regexp_replace(col(textCol), "#", ""))
+    val nEllipsis = (length(col(textCol)) -
+      length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / 3
+    df.withColumn("n_words", size(tk).cast("long"))
+      .withColumn("n_word_chars",
+        length(array_join(tk, "")).cast("long"))
+      .withColumn("n_symbols", (nHash + nEllipsis).cast("long"))
+      .withColumn("n_alpha_words",
+        size(filter(tk, t => t.rlike("[a-z]"))).cast("long"))
+      .withColumn("n_stopwords",
+        size(array_intersect(tk,
+          array(gopherStopwords.map(lit): _*))).cast("long"))
+      .withColumn("flag_nwords",
+        col("n_words") < minWords || col("n_words") > maxWords)
+      .withColumn("flag_wordlen",
+        col("n_word_chars") < col("n_words") * 3 ||
+          col("n_word_chars") > col("n_words") * 10)
+      .withColumn("flag_symbol", col("n_symbols") * 10 > col("n_words"))
+      .withColumn("flag_alpha",
+        col("n_alpha_words") * 5 < col("n_words") * 4)
+      .withColumn("flag_stop", col("n_stopwords") < 2)
+      .withColumn("keep",
+        !col("flag_nwords") && !col("flag_wordlen") && !col("flag_symbol") &&
+          !col("flag_alpha") && !col("flag_stop"))
+  }
+
+  /** T5-style span corruption (Raffel et al. JMLR'20 §3.1.4) as a
+    * DETERMINISTIC, replayable transform: tokens are grouped into
+    * fixed-length spans of `spanTokens`; span s of document d is masked
+    * iff (d + s) mod everyK == 0 (the seedless stand-in for the i.i.d.
+    * 15% draw — same expected density at everyK ≈ 1/rate, and exactly
+    * reproducible on any engine, which a training pipeline needs when
+    * inputs and targets are materialized in separate passes). The
+    * corrupted text replaces each masked span with an incrementing
+    * `<extra_id_N>` sentinel; the target sequence is the sentinels with
+    * their original spans, T5's exact convention.
+    *
+    * Sentinel numbering never folds sequentially: the index of span s
+    * is the CLOSED-FORM count of masked spans before it
+    * (#{x < s : (d + x) ≡ 0 mod k} = max(0, ⌊(s − 1 − r₀)/k⌋ + 1) with
+    * r₀ = (k − d mod k) mod k), so the whole transform is one
+    * shuffle-free projection — scan speed at 100 TB, no window, no
+    * explode.
+    */
+  def spanCorrupt(df: DataFrame, textCol: String, idCol: String,
+                  spanTokens: Int = 3, everyK: Int = 4): DataFrame = {
+    require(spanTokens > 0 && everyK > 0, "spanTokens and everyK positive")
+    val tk = filter(toks(col(textCol)), t => t =!= "")
+    val id = col(idCol)
+    val nSpans = ceil(size(tk).cast("long") / lit(spanTokens.toDouble))
+      .cast("long")
+    // first masked span index r0 = (k - d mod k) mod k
+    val r0 = (lit(everyK) - pmod(id, lit(everyK))) % everyK
+    def maskedBefore(s: Column): Column =
+      greatest(lit(0L), floor((s - 1 - r0) / everyK).cast("long") + 1)
+    // sequence(0, -1) would generate a DESCENDING range, so the empty
+    // document must short-circuit to an empty span list
+    val spanIdx = when(nSpans === 0, array().cast("array<bigint>"))
+      .otherwise(sequence(lit(0L), nSpans - 1))
+    val spans = transform(spanIdx, s => struct(
+      ((id + s) % everyK === 0).as("masked"),
+      maskedBefore(s).as("sent_idx"),
+      array_join(slice(tk, (s * spanTokens + 1).cast("int"),
+        lit(spanTokens)), " ").as("body")))
+    val corrupted = array_join(transform(spans, sp =>
+      when(sp.getField("masked"),
+        concat(lit("<extra_id_"), sp.getField("sent_idx"), lit(">")))
+        .otherwise(sp.getField("body"))), " ")
+    val targets = array_join(transform(
+      filter(spans, sp => sp.getField("masked")), sp =>
+        concat(lit("<extra_id_"), sp.getField("sent_idx"), lit("> "),
+          sp.getField("body"))), " ")
+    val maskedTokens = aggregate(spans, lit(0L), (acc, sp) =>
+      acc + when(sp.getField("masked"),
+        size(split(sp.getField("body"), " ")).cast("long")).otherwise(0L))
+    df.select(id, size(tk).cast("long").as("n_tokens"),
+      nSpans.as("n_spans"),
+      aggregate(spans, lit(0L), (acc, sp) =>
+        acc + sp.getField("masked").cast("long")).as("n_masked_spans"),
+      when(size(tk) === 0, lit(0L)).otherwise(maskedTokens)
+        .as("n_masked_tokens"),
+      corrupted.as("corrupted"), targets.as("targets"))
+  }
 }

@@ -369,6 +369,16 @@ object DedupQueries {
       Dedup.exactSubstringPairs(Tables.documents(s, d), "text", "doc_id",
         k = 40, p = 8, maxDf = 50)),
 
+    // Winnowing-fingerprint duplicate pairs (Schleimer et al.
+    // SIGMOD'03): rightmost-min selection over 8-char window hashes in
+    // windows of 4 — the GUARANTEED-gap alternative to q_substring_dup's
+    // 0-mod-p thinning (any shared substring ≥ 11 chars yields a shared
+    // fingerprint). Selection happens inside the native expression, so
+    // only the ~2/(w+1) density survives to the exchange.
+    "q_winnow_dup" -> ((s, d) =>
+      Dedup.winnowDuplicates(Tables.documents(s, d), "text", "doc_id",
+        k = 8, w = 4, maxDf = 20L, minShared = 2L)),
+
     // Soft dedup: keep every document, weight it by 1/|near-dup cluster|
     // in exact integer ppm — the reweight-instead-of-drop alternative a
     // training pipeline uses when duplicates carry signal. Same
@@ -609,6 +619,42 @@ object DedupQueries {
          |FROM keep a JOIN keep b USING (w)
          |WHERE a.doc_id < b.doc_id
          |GROUP BY a.doc_id, b.doc_id""".stripMargin,
+
+    // Replays the winnowing selection arithmetically: the mod-free
+    // k=8 hash as one 8-term polynomial (int64-safe by the k <= 8
+    // bound), the rightmost-min-per-window rule as a windowed MIN over
+    // the HUGEINT encoding h·2²¹ + (2²¹−1−pos) — minimizing h then
+    // maximizing pos — over frame [i, i+3], full windows only.
+    "q_winnow_dup" ->
+      raw"""WITH d AS (
+         |  SELECT doc_id, text, length(text) - 7 AS p
+         |  FROM documents WHERE length(text) >= 11),
+         |h AS (
+         |  SELECT doc_id, p, i,
+         |    CAST(unicode(substr(text, CAST(i AS INT), 1)) AS BIGINT) * 27512614111
+         |    + CAST(unicode(substr(text, CAST(i + 1 AS INT), 1)) AS BIGINT) * 887503681
+         |    + CAST(unicode(substr(text, CAST(i + 2 AS INT), 1)) AS BIGINT) * 28629151
+         |    + CAST(unicode(substr(text, CAST(i + 3 AS INT), 1)) AS BIGINT) * 923521
+         |    + CAST(unicode(substr(text, CAST(i + 4 AS INT), 1)) AS BIGINT) * 29791
+         |    + CAST(unicode(substr(text, CAST(i + 5 AS INT), 1)) AS BIGINT) * 961
+         |    + CAST(unicode(substr(text, CAST(i + 6 AS INT), 1)) AS BIGINT) * 31
+         |    + CAST(unicode(substr(text, CAST(i + 7 AS INT), 1)) AS BIGINT) AS hv
+         |  FROM d CROSS JOIN UNNEST(generate_series(1, p)) AS u(i)),
+         |sel AS (
+         |  SELECT doc_id, p, i,
+         |    MIN(CAST(hv AS HUGEINT) * 2097152 + (2097151 - i))
+         |      OVER (PARTITION BY doc_id ORDER BY i
+         |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS key
+         |  FROM h),
+         |fp AS (
+         |  SELECT DISTINCT doc_id, CAST(key // 2097152 AS BIGINT) AS hsel
+         |  FROM sel WHERE i <= p - 3),
+         |fr AS (SELECT hsel FROM fp GROUP BY hsel HAVING COUNT(*) <= 20),
+         |k2 AS (SELECT fp.doc_id, fp.hsel FROM fp JOIN fr USING (hsel))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  COUNT(*) AS n_shared
+         |FROM k2 a JOIN k2 b ON a.hsel = b.hsel AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
 
     // Same reach/comp closure as q_dedup_clusters; docs outside every
     // pair default to cluster_size 1 via the left joins.

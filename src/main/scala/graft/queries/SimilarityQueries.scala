@@ -408,6 +408,15 @@ object SimilarityQueries {
           Window.orderBy(desc("maxsim_units"), asc("doc"))).cast("long"))
     }),
 
+    // MMR diversification re-rank (λ = 1/2): one corpus scan for the
+    // top-20 candidate window, then the exact-integer greedy trace for
+    // k = 5 picks — see Similarity.mmrRerank for the boundedness and
+    // exactness contracts. The oracle replays the greedy as five
+    // nested argmax CTEs (no recursion, fully deterministic).
+    "q_mmr_rerank" -> ((s, d) =>
+      Similarity.mmrRerank(Tables.embeddings(s, d), queryId = 5L,
+        candK = 20, k = 5)),
+
     // Benchmark decontamination, SEMANTIC tier: the n-gram overlap
     // check (q_contamination) misses paraphrases; this one screens the
     // corpus against a held-out benchmark sample (vec_id % 97 = 0) by
@@ -486,7 +495,54 @@ object SimilarityQueries {
       | CASE WHEN v[3] > 0 THEN 4 ELSE 0 END +
       | CASE WHEN v[4] > 0 THEN 8 ELSE 0 END)""".stripMargin
 
+  /** The MMR greedy trace replayed as five nested argmax CTEs: step n
+    * scores every unpicked candidate by rel − max(dp to the picked
+    * set) and takes the (score desc, id asc) head — no recursion, so
+    * the oracle is an independent deterministic replay of the exact
+    * integer greedy, not a reimplementation of the operator's loop.
+    */
+  private val mmrOracleSql: String = {
+    def dotSql(a: String, b: String) =
+      s"""list_reduce(list_transform(generate_series(1, 64),
+         |      i -> $a.v[i] * $b.v[i]), (x, y) -> x + y)""".stripMargin
+    val head =
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> CAST(floor(x * 1000) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |q AS (SELECT v FROM e WHERE vec_id = 5),
+         |rel AS (SELECT e.vec_id AS id, e.v,
+         |    ${dotSql("e", "q")} AS rel
+         |  FROM e, q WHERE e.vec_id <> 5
+         |  ORDER BY rel DESC, id ASC LIMIT 20),
+         |pd AS (SELECT a.id AS ia, b.id AS ib,
+         |    ${dotSql("a", "b")} AS dp
+         |  FROM rel a CROSS JOIN rel b WHERE a.id <> b.id),
+         |s1 AS (SELECT 1 AS rank, id, rel, 0 AS pen
+         |  FROM rel ORDER BY rel DESC, id ASC LIMIT 1),
+         |p1 AS (SELECT id FROM s1)""".stripMargin
+    val steps = (2 to 5).map { n =>
+      s""",
+         |s$n AS (SELECT * FROM (
+         |    SELECT $n AS rank, r.id, r.rel,
+         |      (SELECT MAX(dp) FROM pd
+         |       WHERE pd.ia = r.id AND pd.ib IN (SELECT id FROM p${n - 1}))
+         |        AS pen
+         |    FROM rel r WHERE r.id NOT IN (SELECT id FROM p${n - 1}))
+         |  ORDER BY (rel - pen) DESC, id ASC LIMIT 1),
+         |p$n AS (SELECT id FROM p${n - 1} UNION ALL SELECT id FROM s$n)"""
+        .stripMargin
+    }.mkString
+    val union = (1 to 5).map(n => s"SELECT * FROM s$n").mkString(" UNION ALL ")
+    s"""$head$steps
+       |SELECT CAST(rank AS BIGINT) AS rank, CAST(id AS BIGINT) AS vec_id,
+       |  CAST(rel AS BIGINT) AS rel_units, CAST(pen AS BIGINT) AS penalty_units,
+       |  CAST(rel - pen AS BIGINT) AS score2_units
+       |FROM ($union)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_mmr_rerank" -> mmrOracleSql,
 
     // q_knn_brute's CTE + label grading; the ideal-DCG expansion is a
     // correlated generate_series over min(n_rel, 10).

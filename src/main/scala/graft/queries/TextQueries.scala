@@ -296,6 +296,35 @@ object TextQueries {
           sum(col("keep").cast("long")).as("n_keep"))
         .withColumn("keep_bp", expr("n_keep * 10000 div n_docs"))),
 
+    // Gopher-rule quality battery (Rae et al. §A1.1.2) rolled up per
+    // source — the second standard heuristic suite next to C4, aimed
+    // at gibberish/markup (symbol ratio, alpha-word fraction, stopword
+    // presence) rather than formatting. One shuffle-free projection +
+    // one source-keyed aggregate.
+    "q_gopher_quality" -> ((s, d) =>
+      TextAnalysis.gopherQuality(Tables.documents(s, d), "text")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("flag_nwords").cast("long")).as("n_bad_nwords"),
+          sum(col("flag_wordlen").cast("long")).as("n_bad_wordlen"),
+          sum(col("flag_symbol").cast("long")).as("n_bad_symbol"),
+          sum(col("flag_alpha").cast("long")).as("n_bad_alpha"),
+          sum(col("flag_stop").cast("long")).as("n_bad_stop"),
+          sum(col("keep").cast("long")).as("n_keep"))
+        .withColumn("keep_bp", expr("n_keep * 10000 div n_docs"))),
+
+    // T5-style span corruption as a deterministic, replayable
+    // transform: spans of 3 tokens, span s of doc d masked iff
+    // (d + s) mod 4 == 0, sentinel numbering in closed form (no fold,
+    // no window) — the corpus-wide augmentation pass materialized with
+    // md5 fingerprints standing in for the full strings.
+    "q_span_corrupt" -> ((s, d) =>
+      TextAnalysis.spanCorrupt(Tables.documents(s, d), "text", "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+          col("n_masked_spans"), col("n_masked_tokens"),
+          md5(col("corrupted")).as("corrupted_fp"),
+          md5(col("targets")).as("targets_fp"))),
+
     // Held-out cross-entropy: the bigram LM trained on the 90% hash
     // split scores the 10% held-out split, per language — the
     // fit-vs-memorize audit behind perplexity filtering. OOV words/
@@ -798,6 +827,77 @@ object TextQueries {
          |  CAST(SUM(CASE WHEN NOT fs AND NOT fn AND NOT fb AND NOT fl AND NOT fw
          |           THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS keep_bp
          |FROM v GROUP BY lang""".stripMargin,
+
+    "q_gopher_quality" ->
+      s"""WITH t AS (
+         |  SELECT source, text,
+         |    list_filter($toksSql, x -> x <> '') AS tk
+         |  FROM documents),
+         |f AS (
+         |  SELECT source,
+         |    CAST(len(tk) AS BIGINT) AS nw,
+         |    CAST(length(array_to_string(tk, '')) AS BIGINT) AS nwc,
+         |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+         |      + CAST((length(text) - length(replace(text, '...', ''))) // 3
+         |          AS BIGINT) AS nsym,
+         |    CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))
+         |      AS BIGINT) AS nalpha,
+         |    CAST(len(list_intersect(tk, ['the','be','to','of','and','that',
+         |      'have','with'])) AS BIGINT) AS nstop
+         |  FROM t),
+         |v AS (
+         |  SELECT source,
+         |    (nw < 50 OR nw > 100000) AS f1,
+         |    (nwc < nw * 3 OR nwc > nw * 10) AS f2,
+         |    (nsym * 10 > nw) AS f3,
+         |    (nalpha * 5 < nw * 4) AS f4,
+         |    (nstop < 2) AS f5
+         |  FROM f)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_nwords,
+         |  CAST(SUM(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_wordlen,
+         |  CAST(SUM(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_symbol,
+         |  CAST(SUM(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_alpha,
+         |  CAST(SUM(CASE WHEN f5 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_stop,
+         |  CAST(SUM(CASE WHEN NOT f1 AND NOT f2 AND NOT f3 AND NOT f4 AND NOT f5
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |  CAST(SUM(CASE WHEN NOT f1 AND NOT f2 AND NOT f3 AND NOT f4 AND NOT f5
+         |           THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS keep_bp
+         |FROM v GROUP BY source""".stripMargin,
+
+    "q_span_corrupt" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter($toksSql, x -> x <> '') AS tk
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, tk,
+         |    CAST(ceil(len(tk) / 3.0) AS BIGINT) AS nspans,
+         |    (4 - doc_id % 4) % 4 AS r0
+         |  FROM t),
+         |sp AS (
+         |  SELECT doc_id, tk, nspans,
+         |    [{'masked': (doc_id + x) % 4 = 0,
+         |      'sent_idx': greatest(0,
+         |        CAST(floor((x - 1 - r0) / 4.0) AS BIGINT) + 1),
+         |      'body': array_to_string(tk[(x*3+1):(x*3+3)], ' ')}
+         |     FOR x IN range(0, nspans)] AS spans
+         |  FROM s)
+         |SELECT doc_id,
+         |  CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  nspans AS n_spans,
+         |  CAST(len(list_filter(spans, p -> p.masked)) AS BIGINT)
+         |    AS n_masked_spans,
+         |  CAST(coalesce(list_sum([CAST(len(string_split(p.body, ' ')) AS BIGINT)
+         |    FOR p IN list_filter(spans, p -> p.masked)]), 0) AS BIGINT)
+         |    AS n_masked_tokens,
+         |  md5(array_to_string([CASE WHEN p.masked
+         |      THEN '<extra_id_' || CAST(p.sent_idx AS VARCHAR) || '>'
+         |      ELSE p.body END FOR p IN spans], ' ')) AS corrupted_fp,
+         |  md5(array_to_string(['<extra_id_' || CAST(p.sent_idx AS VARCHAR)
+         |      || '> ' || p.body
+         |    FOR p IN list_filter(spans, p -> p.masked)], ' ')) AS targets_fp
+         |FROM sp""".stripMargin,
 
     // Mirrors qualityEnsemble: the q_gopher_rep CTEs (den/top2/dup5),
     // the q_char_entropy CTEs (diversity bits), token count, then the
