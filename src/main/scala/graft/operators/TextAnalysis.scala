@@ -1132,4 +1132,85 @@ object TextAnalysis {
         .as("n_masked_tokens"),
       corrupted.as("corrupted"), targets.as("targets"))
   }
+
+  /** Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
+    * Training of Language Models to Fill in the Middle") in PSM order:
+    * the document splits deterministically at the ⌊n/3⌋ and ⌊2n/3⌋
+    * token boundaries into prefix / middle / suffix, and the training
+    * string is rendered `<PRE> prefix <SUF> suffix <MID> middle` — the
+    * middle moves to the end so an autoregressive model learns infill
+    * from plain left-to-right loss. Deterministic thirds stand in for
+    * the paper's uniform split draw for the same reason as
+    * [[spanCorrupt]]'s modular mask: inputs and targets materialized in
+    * separate passes must agree byte-for-byte on any engine.
+    *
+    * Pure shuffle-free projection (slice + array_join); empty segments
+    * render as empty strings between single-space joins, a fixed
+    * convention both engines produce identically.
+    */
+  def fimTransform(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tk = filter(toks(col(textCol)), t => t =!= "")
+    val n = size(tk).cast("long")
+    val cut1 = (n / 3).cast("long") // floor: long div
+    val cut2 = (n * 2 / 3).cast("long")
+    def seg(from: Column, len: Column) =
+      array_join(slice(tk, (from + 1).cast("int"),
+        greatest(len, lit(0L)).cast("int")), " ")
+    val prefix = seg(lit(0L), cut1)
+    val middle = seg(cut1, cut2 - cut1)
+    val suffix = seg(cut2, n - cut2)
+    df.select(col(idCol), n.as("n_tokens"),
+      cut1.as("n_prefix"), (cut2 - cut1).as("n_middle"),
+      (n - cut2).as("n_suffix"),
+      concat_ws(" ", lit("<PRE>"), prefix, lit("<SUF>"), suffix,
+        lit("<MID>"), middle).as("psm"))
+  }
+
+  /** Selective-LM token selection (RHO-1 flavor — Lin et al. 2024,
+    * "Not All Tokens Are What You Need"): score each token occurrence
+    * by whether its IN-DOMAIN unigram probability exceeds its global
+    * corpus probability, and keep the domain-distinctive ones — the
+    * doc-level [[https://arxiv.org/abs/2302.03169 DSIR]] idea pushed to
+    * token granularity. The comparison
+    * p_src(t) > p_glob(t) ⟺ c_src(t)·N_glob > c_glob(t)·N_src is
+    * decided entirely in count space — cross-multiplied in
+    * DECIMAL(38,0) so it stays EXACT at 100 TB count magnitudes
+    * (c·N products overflow int64 once corpora pass ~10¹⁸ token-pairs;
+    * decimal costs one widened comparison per distinct (source, token),
+    * not per occurrence).
+    *
+    * Scale shape: two token-keyed partial aggregations (per-source and
+    * global counts; skew on stopword tokens absorbed map-side), one
+    * equi join of the two count tables on the token, and a source-level
+    * rollup weighted by the per-(source, token) occurrence count — the
+    * per-token verdict never touches the raw occurrence stream twice.
+    */
+  def tokenSelect(df: DataFrame, textCol: String,
+                  sourceCol: String): DataFrame = {
+    val occ = df.select(col(sourceCol).as("src"),
+        explode(filter(toks(col(textCol)), t => t =!= "")).as("tok"))
+    val srcTok = occ.groupBy(col("src"), col("tok"))
+      .agg(count(lit(1)).as("c_src"))
+    val srcTotal = srcTok.groupBy(col("src"))
+      .agg(sum(col("c_src")).as("n_src"))
+    val globTok = srcTok.groupBy(col("tok"))
+      .agg(sum(col("c_src")).as("c_glob"))
+    val nGlob = srcTotal.agg(sum(col("n_src")).as("n_glob"))
+      .withColumn("one", lit(1))
+    srcTok
+      .join(srcTotal, Seq("src"))
+      .join(globTok, Seq("tok"))
+      .withColumn("one", lit(1))
+      .join(broadcast(nGlob), Seq("one"))
+      .withColumn("selected",
+        col("c_src").cast("decimal(38,0)") * col("n_glob") >
+          col("c_glob").cast("decimal(38,0)") * col("n_src"))
+      .groupBy(col("src"))
+      .agg(max(col("n_src")).as("n_token_occurrences"),
+        sum(when(col("selected"), col("c_src")).otherwise(0L))
+          .as("n_selected"))
+      .withColumnRenamed("src", "source")
+      .withColumn("sel_ppm",
+        expr("n_selected * 1000000 div n_token_occurrences"))
+  }
 }

@@ -417,6 +417,13 @@ object SimilarityQueries {
       Similarity.mmrRerank(Tables.embeddings(s, d), queryId = 5L,
         candK = 20, k = 5)),
 
+    // k-NN density outliers (LOF-style k-distance ratio) over the
+    // vec_id % 37 query sample: exact integer squared-L2 everywhere,
+    // num/den emitted undivided plus a DECIMAL-divided bp score. Two
+    // broadcast corpus scans, no corpus×corpus product.
+    "q_knn_density" -> ((s, d) =>
+      Similarity.knnDensity(Tables.embeddings(s, d), sampleMod = 37L, k = 5)),
+
     // Benchmark decontamination, SEMANTIC tier: the n-gram overlap
     // check (q_contamination) misses paraphrases; this one screens the
     // corpus against a held-out benchmark sample (vec_id % 97 = 0) by
@@ -543,6 +550,43 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "q_mmr_rerank" -> mmrOracleSql,
+
+    "q_knn_density" ->
+      """WITH e AS (SELECT vec_id AS id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * 1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT id AS qid, v AS qv FROM e WHERE id % 37 = 0),
+        |d1 AS (SELECT q.qid, e.id AS cid,
+        |    list_reduce(list_transform(generate_series(1, 64),
+        |      i -> (q.qv[i] - e.v[i]) * (q.qv[i] - e.v[i])),
+        |      (x, y) -> x + y) AS dist2
+        |  FROM e CROSS JOIN q WHERE e.id <> q.qid),
+        |r1 AS (SELECT qid, cid, dist2,
+        |    row_number() OVER (PARTITION BY qid ORDER BY dist2, cid) AS rn
+        |  FROM d1),
+        |nn AS (SELECT qid, cid, dist2, rn FROM r1 WHERE rn <= 5),
+        |dkq AS (SELECT qid, dist2 AS dk2 FROM nn WHERE rn = 5),
+        |nbv AS (SELECT DISTINCT nn.cid AS nqid, e.v AS nv
+        |  FROM nn JOIN e ON e.id = nn.cid),
+        |d2 AS (SELECT nbv.nqid, e.id AS cid2,
+        |    list_reduce(list_transform(generate_series(1, 64),
+        |      i -> (nbv.nv[i] - e.v[i]) * (nbv.nv[i] - e.v[i])),
+        |      (x, y) -> x + y) AS dist2
+        |  FROM e CROSS JOIN nbv WHERE e.id <> nbv.nqid),
+        |r2 AS (SELECT nqid, dist2,
+        |    row_number() OVER (PARTITION BY nqid ORDER BY dist2, cid2) AS rn
+        |  FROM d2),
+        |dknb AS (SELECT nqid, dist2 AS nb_dk2 FROM r2 WHERE rn = 5)
+        |SELECT nn.qid AS vec_id, dkq.dk2,
+        |  CAST(dkq.dk2 * 5 AS BIGINT) AS num,
+        |  CAST(SUM(dknb.nb_dk2) AS BIGINT) AS den,
+        |  CAST(CAST(dkq.dk2 AS HUGEINT) * 5 * 10000 // SUM(dknb.nb_dk2)
+        |    AS BIGINT) AS score_bp
+        |FROM nn
+        |JOIN dknb ON nn.cid = dknb.nqid
+        |JOIN dkq ON nn.qid = dkq.qid
+        |GROUP BY nn.qid, dkq.dk2""".stripMargin,
 
     // q_knn_brute's CTE + label grading; the ideal-DCG expansion is a
     // correlated generate_series over min(n_rel, 10).

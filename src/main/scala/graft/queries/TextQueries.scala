@@ -325,6 +325,22 @@ object TextQueries {
           md5(col("corrupted")).as("corrupted_fp"),
           md5(col("targets")).as("targets_fp"))),
 
+    // Fill-in-the-middle (PSM order): deterministic thirds split,
+    // middle rendered last — the infill-training sibling of
+    // q_span_corrupt. Pure projection; the psm string is
+    // md5-fingerprinted in the dump.
+    "q_fim_transform" -> ((s, d) =>
+      TextAnalysis.fimTransform(Tables.documents(s, d), "text", "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("n_prefix"),
+          col("n_middle"), col("n_suffix"), md5(col("psm")).as("psm_fp"))),
+
+    // Selective-LM token selection: per-source share of token
+    // occurrences whose in-domain unigram probability beats the global
+    // one, decided entirely in exact count space (DECIMAL / HUGEINT
+    // cross-multiply — no probability is ever materialized).
+    "q_token_select" -> ((s, d) =>
+      TextAnalysis.tokenSelect(Tables.documents(s, d), "text", "source")),
+
     // Held-out cross-entropy: the bigram LM trained on the 90% hash
     // split scores the 10% held-out split, per language — the
     // fit-vs-memorize audit behind perplexity filtering. OOV words/
@@ -898,6 +914,47 @@ object TextQueries {
          |      || '> ' || p.body
          |    FOR p IN list_filter(spans, p -> p.masked)], ' ')) AS targets_fp
          |FROM sp""".stripMargin,
+
+    "q_fim_transform" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter($toksSql, x -> x <> '') AS tk
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, tk,
+         |    CAST(len(tk) AS BIGINT) AS n,
+         |    CAST(len(tk) // 3 AS BIGINT) AS c1,
+         |    CAST(len(tk) * 2 // 3 AS BIGINT) AS c2
+         |  FROM t)
+         |SELECT doc_id, n AS n_tokens, c1 AS n_prefix,
+         |  (c2 - c1) AS n_middle, (n - c2) AS n_suffix,
+         |  md5(concat_ws(' ', '<PRE>',
+         |    array_to_string(tk[1:c1], ' '), '<SUF>',
+         |    array_to_string(tk[(c2+1):n], ' '), '<MID>',
+         |    array_to_string(tk[(c1+1):c2], ' '))) AS psm_fp
+         |FROM f""".stripMargin,
+
+    "q_token_select" ->
+      s"""WITH occ AS (
+         |  SELECT source AS src,
+         |    unnest(list_filter($toksSql, x -> x <> '')) AS tok
+         |  FROM documents),
+         |st AS (SELECT src, tok, COUNT(*) AS c_src FROM occ GROUP BY 1, 2),
+         |tot AS (SELECT src, SUM(c_src) AS n_src FROM st GROUP BY 1),
+         |gt AS (SELECT tok, SUM(c_src) AS c_glob FROM st GROUP BY 1),
+         |ng AS (SELECT SUM(n_src) AS n_glob FROM tot),
+         |sel AS (
+         |  SELECT st.src, st.c_src,
+         |    CAST(st.c_src AS HUGEINT) * ng.n_glob >
+         |      CAST(gt.c_glob AS HUGEINT) * tot.n_src AS selected
+         |  FROM st JOIN tot USING (src) JOIN gt USING (tok) CROSS JOIN ng)
+         |SELECT sel.src AS source,
+         |  CAST(MAX(tot.n_src) AS BIGINT) AS n_token_occurrences,
+         |  CAST(SUM(CASE WHEN selected THEN c_src ELSE 0 END) AS BIGINT)
+         |    AS n_selected,
+         |  CAST(SUM(CASE WHEN selected THEN c_src ELSE 0 END) * 1000000
+         |    // MAX(tot.n_src) AS BIGINT) AS sel_ppm
+         |FROM sel JOIN tot USING (src) GROUP BY 1""".stripMargin,
 
     // Mirrors qualityEnsemble: the q_gopher_rep CTEs (den/top2/dup5),
     // the q_char_entropy CTEs (diversity bits), token count, then the
