@@ -174,4 +174,56 @@ object Annotation {
         onBatch(consensusFromCounts(counts.toDF(), itemCol), batchId)
       }
       .start()
+
+  /** Unbiased pass@k estimator (Chen et al. 2021, "Evaluating Large
+    * Language Models Trained on Code", eq. 1): with n sampled
+    * generations per task of which c pass, the probability that at
+    * least one of k drawn samples passes is
+    * pass@k = 1 - C(n-c, k)/C(n, k) — the numerically-stable product
+    * form prod_{i=0..k-1} (n-c-i)/(n-i), kept EXACT here as an integer
+    * numerator/denominator pair (never a float): with the per-task
+    * sample cap maxN <= 32 and k <= 10 both products stay under
+    * ~1.1e15 (int64-safe), and the parts-per-million score divides in
+    * DECIMAL(38,0) (DuckDB: HUGEINT) since (den-num)*1e6 crosses 1e18.
+    *
+    * The estimator averages over tasks (the paper's protocol); the
+    * mean is emitted exactly as sum_ppm div n_tasks alongside the
+    * undivided sum. First maxN samples per task in sample-id order —
+    * the deterministic stand-in for the paper's "draw n samples".
+    *
+    * Scale shape: one (task)-keyed window for the sample cap, one
+    * task-keyed aggregation, then a k-sized explode of the TASK table
+    * (tasks x |ks| rows, never samples x ks) and the final |ks|-row
+    * rollup. The combinatorial products run once per task per k via a
+    * sequence() fold over k terms, not a factorial table.
+    */
+  def passAtK(samples: DataFrame, taskCol: String, sampleIdCol: String,
+              correctCol: String, ks: Seq[Int], maxN: Int = 32): DataFrame = {
+    require(maxN >= 1 && maxN <= 32, "sample cap must be in [1, 32] for int64-exact products")
+    require(ks.nonEmpty && ks.forall(k => k >= 1 && k <= 10), "each k must be in [1, 10]")
+    import org.apache.spark.sql.expressions.Window
+    val capped = samples
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(taskCol)).orderBy(col(sampleIdCol))))
+      .filter(col("rn") <= maxN)
+    val perTask = capped.groupBy(col(taskCol).as("task"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(correctCol), 1L).otherwise(0L)).as("c"))
+    val kArr = array(ks.map(k => lit(k.toLong)): _*)
+    perTask
+      .select(col("task"), col("n"), col("c"), explode(kArr).as("k"))
+      .filter(col("k") <= col("n"))
+      .withColumn("num", when(col("n") - col("c") < col("k"), lit(0L))
+        .otherwise(expr(
+          "aggregate(sequence(0L, k - 1L), 1L, (acc, i) -> acc * (n - c - i))")))
+      .withColumn("den", expr(
+        "aggregate(sequence(0L, k - 1L), 1L, (acc, i) -> acc * (n - i))"))
+      .withColumn("pass_ppm", expr(
+        "CAST(CAST(den - num AS DECIMAL(38,0)) * 1000000 div den AS BIGINT)"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_tasks"),
+        sum(col("pass_ppm")).as("sum_ppm"))
+      .withColumn("mean_pass_ppm", expr("sum_ppm div n_tasks"))
+      .orderBy(col("k"))
+  }
 }

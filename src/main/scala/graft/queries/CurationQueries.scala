@@ -19,7 +19,47 @@ object CurationQueries {
   private val strata = Seq("en" -> 0.5, "zh" -> 0.25)
   private val defaultFraction = 0.1
 
+  /** Blocklist for q_blocklist. Every phrase is BORDER-FREE (no proper
+    * prefix equals a suffix), so occurrences cannot overlap and the
+    * oracle's non-overlapping replace-count is exactly the automaton's
+    * all-occurrences count; the overlapping general case is pinned by
+    * BlocklistSpec instead. "drop table" is the deliberate zero-hit
+    * phrase.
+    */
+  private val blockPhrases =
+    Seq("slow join", "big data", "spark stream", "merge line", "drop table")
+
   val queries: Map[String, Q] = Map(
+    // Content-policy screen: one Aho-Corasick pass counts every
+    // blocklist phrase per document (k phrases, ONE text scan — the
+    // 100 TB shape), rolled up per (source, phrase). posexplode keeps
+    // phrase identity by index into the same literal array.
+    "q_blocklist" -> ((s, d) => {
+      val hits = Tables.documents(s, d)
+        .select(col("source"),
+          posexplode(graft.functions.AhoCorasick.blocklistHits(
+            lower(col("text")), blockPhrases)).as(Seq("pid", "cnt")))
+      hits
+        .withColumn("phrase",
+          element_at(array(blockPhrases.map(lit): _*), col("pid") + 1))
+        .groupBy(col("source"), col("phrase"))
+        .agg(count(lit(1)).as("docs_screened"),
+          sum(when(col("cnt") > 0, 1L).otherwise(0L)).as("docs_hit"),
+          sum(col("cnt")).as("total_hits"))
+    }),
+
+    // Unbiased pass@k over a deterministic verdict: task = doc_id mod
+    // 50, first 32 samples per task in doc_id order, "passes" =
+    // n_chars divisible by 3 (the engine-portable stand-in for a unit
+    // test verdict). Exact integer combinatorics — see
+    // Annotation.passAtK.
+    "q_pass_at_k" -> ((s, d) =>
+      Annotation.passAtK(
+        Tables.documents(s, d)
+          .select(expr("doc_id % 50").as("task_id"), col("doc_id"),
+            (col("n_chars") % 3 === 0).as("ok")),
+        "task_id", "doc_id", "ok", ks = Seq(1, 5, 10), maxN = 32)),
+
     // Top-3 TF-IDF terms per document (rational idf — see operator doc).
     "q_tfidf" -> ((s, d) =>
       TextAnalysis.tfIdfTopK(Tables.documents(s, d), "text", "doc_id", 3)),
@@ -289,6 +329,55 @@ object CurationQueries {
         |FROM a""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Border-free phrases make the replace-trick count exact (no
+    // overlapping occurrences possible) — see blockPhrases.
+    "q_blocklist" ->
+      """WITH p AS (
+        |  SELECT * FROM (VALUES ('slow join'), ('big data'),
+        |    ('spark stream'), ('merge line'), ('drop table')) AS t(phrase)
+        |), occ AS (
+        |  SELECT d.source, p.phrase,
+        |    (len(lower(d.text)) - len(replace(lower(d.text), p.phrase, '')))
+        |      // len(p.phrase) AS cnt
+        |  FROM documents d CROSS JOIN p
+        |)
+        |SELECT source, phrase,
+        |  CAST(COUNT(*) AS BIGINT) AS docs_screened,
+        |  CAST(SUM(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_hit,
+        |  CAST(SUM(cnt) AS BIGINT) AS total_hits
+        |FROM occ GROUP BY 1, 2""".stripMargin,
+
+    "q_pass_at_k" ->
+      """WITH capped AS (
+        |  SELECT doc_id % 50 AS task_id, n_chars % 3 = 0 AS ok,
+        |    row_number() OVER (PARTITION BY doc_id % 50 ORDER BY doc_id) AS rn
+        |  FROM documents
+        |), t AS (
+        |  SELECT task_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM capped WHERE rn <= 32 GROUP BY 1
+        |), e AS (
+        |  SELECT task_id, n, c, k.k
+        |  FROM t CROSS JOIN (VALUES (1), (5), (10)) AS k(k)
+        |  WHERE k.k <= n
+        |), s AS (
+        |  SELECT k, n, c,
+        |    CASE WHEN n - c < k THEN 0 ELSE list_reduce(
+        |      list_transform(generate_series(0, k - 1), i -> n - c - i),
+        |      (acc, x) -> acc * x) END AS num,
+        |    list_reduce(
+        |      list_transform(generate_series(0, k - 1), i -> n - i),
+        |      (acc, x) -> acc * x) AS den
+        |  FROM e
+        |)
+        |SELECT CAST(k AS BIGINT) AS k,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tasks,
+        |  CAST(SUM(CAST(den - num AS HUGEINT) * 1000000 // den) AS BIGINT)
+        |    AS sum_ppm,
+        |  CAST(SUM(CAST(den - num AS HUGEINT) * 1000000 // den)
+        |    // COUNT(*) AS BIGINT) AS mean_pass_ppm
+        |FROM s GROUP BY 1""".stripMargin,
+
     "q_label_vote" ->
       """WITH c AS (
         |  SELECT event_id % 3000 AS item_id, event_type AS label,

@@ -559,4 +559,72 @@ object TwsOps {
         Iterator.single(SessOut(key, s.startUs, s.lastUs, s.n))
       } else Iterator.empty
   }
+
+  /** Per-key token-bucket rate limiter in EVENT time — the ingest
+    * throttle a crawling/API-fed pipeline places per domain or per
+    * tenant: each key holds a bucket of `capacity` tokens refilling at
+    * `ratePerSec` tokens per event-time second; each event spends one
+    * token or is marked throttled. Emits every event with its verdict
+    * (`allowed`) and the bucket level after it — an audit stream, not
+    * a silent drop.
+    *
+    * EXACT integer arithmetic: the bucket is kept in micro-tokens
+    * (1 token = 1e6 utok), and a refill over dUs microseconds at
+    * `ratePerSec` tokens/s is dUs * ratePerSec utok EXACTLY - no
+    * division, no float, so the verdict sequence is engine- and
+    * replay-deterministic. Within a micro-batch a key's rows are
+    * sorted by timestamp; across batches the per-key input must be
+    * event-time ordered (the ingest-log contract — enforced upstream
+    * by the source's per-partition ordering at scale).
+    *
+    * Scale: state is TWO longs per ACTIVE key in RocksDB; the verdict
+    * is O(1) per event. Keys shard across executors on the groupBy
+    * exchange — a hot tenant costs its own event count, nothing
+    * cross-key.
+    */
+  def tokenBucketTws(df: DataFrame, keyCol: String, tsCol: String,
+      capacity: Long, ratePerSec: Long): DataFrame = {
+    require(capacity >= 1 && ratePerSec >= 1,
+      "capacity and refill rate must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("k"),
+        col(tsCol).cast("long").as("ts_us"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new TokenBucketProcessor(capacity, ratePerSec),
+        TimeMode.None, OutputMode.Append)
+      .toDF(keyCol, "ts_us", "allowed", "tokens_after_utok")
+  }
+
+  private final class TokenBucketProcessor(capacity: Long, ratePerSec: Long)
+      extends StatefulProcessor[String, (String, Long),
+        (String, Long, Boolean, Long)] {
+    private val capUtok = Math.multiplyExact(capacity, 1000000L)
+    @transient private var bucket: ValueState[(Long, Long)] = _ // (utok, lastUs)
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      bucket = getHandle.getValueState[(Long, Long)]("bucket",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long)],
+        tv: TimerValues): Iterator[(String, Long, Boolean, Long)] = {
+      var (utok, lastUs) =
+        if (bucket.exists()) bucket.get() else (capUtok, Long.MinValue)
+      val out = rows.toArray.sortBy(_._2).map { case (_, ts) =>
+        if (lastUs != Long.MinValue && ts > lastUs) {
+          val refill = Math.multiplyExact(ts - lastUs, ratePerSec)
+          utok = math.min(capUtok, utok + refill)
+        }
+        lastUs = math.max(lastUs, ts)
+        val ok = utok >= 1000000L
+        if (ok) utok -= 1000000L
+        (key, ts, ok, utok)
+      }
+      bucket.update((utok, lastUs))
+      out.iterator
+    }
+  }
 }
