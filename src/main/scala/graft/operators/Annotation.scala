@@ -226,4 +226,34 @@ object Annotation {
       .withColumn("mean_pass_ppm", expr("sum_ppm div n_tasks"))
       .orderBy(col("k"))
   }
+
+  /** DPO preference-pair construction (Rafailov et al. 2023 — the
+    * data-prep step, not the loss): per prompt, pair the highest-
+    * reward response (chosen) with the lowest (rejected). Ties on
+    * reward break to the SMALLER response id on both sides, so the
+    * pairing is fully deterministic; prompts whose responses all share
+    * one reward produce NO pair (margin would be 0 — nothing to
+    * prefer), and single-response prompts are skipped.
+    *
+    * One prompt-keyed aggregation: chosen and rejected ride two
+    * struct-ordered min/max aggregates (lexicographic (reward, -id) /
+    * (reward, id)), so the exchange carries one candidate pair per
+    * prompt per map task — never the response list. Margin is the
+    * exact reward difference.
+    */
+  def dpoPairs(responses: DataFrame, promptCol: String, idCol: String,
+               rewardCol: String): DataFrame =
+    responses
+      .select(col(promptCol).as("prompt"), col(idCol).cast("long").as("rid"),
+        col(rewardCol).cast("long").as("reward"))
+      .groupBy(col("prompt"))
+      .agg(count(lit(1)).as("n_responses"),
+        max(struct(col("reward"), (-col("rid")).as("nid"))).as("mx"),
+        min(struct(col("reward"), col("rid"))).as("mn"))
+      .filter(col("n_responses") >= 2 &&
+        col("mx.reward") > col("mn.reward"))
+      .select(col("prompt"), col("n_responses"),
+        (-col("mx.nid")).as("chosen_id"), col("mx.reward").as("chosen_reward"),
+        col("mn.rid").as("rejected_id"), col("mn.reward").as("rejected_reward"),
+        (col("mx.reward") - col("mn.reward")).as("margin"))
 }

@@ -1075,6 +1075,50 @@ object TextAnalysis {
           !col("flag_alpha") && !col("flag_stop"))
   }
 
+
+  /** Filter-chain attrition funnel: given an ORDERED list of boolean
+    * flag columns (each true = "this rule rejects the doc"), attribute
+    * every rejected document to the FIRST rule that fired and report
+    * per-stage drops plus the surviving count after each stage — the
+    * per-stage accounting a curation pipeline publishes so a rule that
+    * silently eats half the corpus is visible (the same discipline the
+    * cap-audit queries apply to dedup).
+    *
+    * First-fail attribution means stage counts are DISJOINT and sum
+    * (with survivors) to the corpus total — an invariant the spec
+    * asserts and the oracle replays. One projection computes the
+    * first-failing index per doc (array_position over the flag array),
+    * one K-bucket aggregation counts it, and the K-row stage table
+    * does the cumulative arithmetic — the corpus is scanned once, and
+    * the shuffle carries K+1 counter rows, nothing doc-sized.
+    */
+  def filterFunnel(df: DataFrame, flagCols: Seq[String]): DataFrame = {
+    require(flagCols.nonEmpty, "need at least one flag column")
+    val firstFail = array_position(
+      array(flagCols.map(col): _*), true).cast("long")
+    val byFail = df.select(firstFail.as("first_fail"))
+      .groupBy(col("first_fail"))
+      .agg(count(lit(1)).as("n"))
+    val stages = byFail.sparkSession.range(1, flagCols.size + 1L)
+      .toDF("stage")
+      .withColumn("flag",
+        element_at(array(flagCols.map(lit): _*), col("stage").cast("int")))
+    val total = byFail.agg(sum(col("n")).as("n_total")).withColumn("one", lit(1))
+    import org.apache.spark.sql.expressions.Window
+    stages
+      .join(byFail, col("stage") === col("first_fail"), "left")
+      .withColumn("n_dropped", coalesce(col("n"), lit(0L)))
+      .withColumn("n_dropped_cum",
+        sum(col("n_dropped")).over(
+          Window.orderBy(col("stage"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("one", lit(1))
+      .join(broadcast(total), Seq("one"))
+      .select(col("stage"), col("flag"), col("n_dropped"),
+        col("n_dropped_cum"),
+        (col("n_total") - col("n_dropped_cum")).as("n_survivors"))
+  }
+
   /** T5-style span corruption (Raffel et al. JMLR'20 §3.1.4) as a
     * DETERMINISTIC, replayable transform: tokens are grouped into
     * fixed-length spans of `spanTokens`; span s of document d is masked

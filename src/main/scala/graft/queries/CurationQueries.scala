@@ -48,6 +48,18 @@ object CurationQueries {
           sum(col("cnt")).as("total_hits"))
     }),
 
+    // DPO preference-pair construction: prompt = doc_id mod 40,
+    // reward = n_chars — per prompt pair the max-reward response with
+    // the min-reward one (ties to the smaller doc_id), skipping
+    // prompts with no strict preference. One prompt-keyed aggregation
+    // carrying two struct-ordered extremes.
+    "q_dpo_pairs" -> ((s, d) =>
+      Annotation.dpoPairs(
+        Tables.documents(s, d)
+          .select(expr("doc_id % 40").as("prompt_id"), col("doc_id"),
+            col("n_chars")),
+        "prompt_id", "doc_id", "n_chars")),
+
     // Unbiased pass@k over a deterministic verdict: task = doc_id mod
     // 50, first 32 samples per task in doc_id order, "passes" =
     // n_chars divisible by 3 (the engine-portable stand-in for a unit
@@ -346,6 +358,34 @@ object CurationQueries {
         |  CAST(SUM(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_hit,
         |  CAST(SUM(cnt) AS BIGINT) AS total_hits
         |FROM occ GROUP BY 1, 2""".stripMargin,
+
+    "q_dpo_pairs" ->
+      """WITH r AS (
+        |  SELECT doc_id % 40 AS prompt, doc_id AS rid, n_chars AS reward
+        |  FROM documents
+        |), w AS (
+        |  SELECT prompt, rid, reward,
+        |    row_number() OVER (PARTITION BY prompt
+        |      ORDER BY reward DESC, rid ASC) AS rc,
+        |    row_number() OVER (PARTITION BY prompt
+        |      ORDER BY reward ASC, rid ASC) AS rr,
+        |    COUNT(*) OVER (PARTITION BY prompt) AS n
+        |  FROM r
+        |), c AS (
+        |  SELECT prompt, n, rid AS chosen_id, reward AS chosen_reward
+        |  FROM w WHERE rc = 1
+        |), j AS (
+        |  SELECT prompt, rid AS rejected_id, reward AS rejected_reward
+        |  FROM w WHERE rr = 1
+        |)
+        |SELECT c.prompt, CAST(c.n AS BIGINT) AS n_responses,
+        |  CAST(chosen_id AS BIGINT) AS chosen_id,
+        |  CAST(chosen_reward AS BIGINT) AS chosen_reward,
+        |  CAST(rejected_id AS BIGINT) AS rejected_id,
+        |  CAST(rejected_reward AS BIGINT) AS rejected_reward,
+        |  CAST(chosen_reward - rejected_reward AS BIGINT) AS margin
+        |FROM c JOIN j USING (prompt)
+        |WHERE c.n >= 2 AND chosen_reward > rejected_reward""".stripMargin,
 
     "q_pass_at_k" ->
       """WITH capped AS (

@@ -313,6 +313,16 @@ object TextQueries {
           sum(col("keep").cast("long")).as("n_keep"))
         .withColumn("keep_bp", expr("n_keep * 10000 div n_docs"))),
 
+    // Filter-chain attrition funnel over the five Gopher rules in
+    // order: every rejected doc attributed to the FIRST rule that
+    // fired (stage counts disjoint, sum + survivors == corpus), with
+    // cumulative drops and the post-stage surviving count per row.
+    "q_filter_funnel" -> ((s, d) =>
+      TextAnalysis.filterFunnel(
+        TextAnalysis.gopherQuality(Tables.documents(s, d), "text"),
+        Seq("flag_nwords", "flag_wordlen", "flag_symbol", "flag_alpha",
+          "flag_stop"))),
+
     // T5-style span corruption as a deterministic, replayable
     // transform: spans of 3 tokens, span s of doc d masked iff
     // (d + s) mod 4 == 0, sentinel numbering in closed form (no fold,
@@ -880,6 +890,48 @@ object TextQueries {
          |  CAST(SUM(CASE WHEN NOT f1 AND NOT f2 AND NOT f3 AND NOT f4 AND NOT f5
          |           THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS keep_bp
          |FROM v GROUP BY source""".stripMargin,
+
+    // The q_gopher_quality flag CTEs, re-read as a first-fail funnel.
+    "q_filter_funnel" ->
+      s"""WITH t AS (
+         |  SELECT text, list_filter($toksSql, x -> x <> '') AS tk
+         |  FROM documents),
+         |f AS (
+         |  SELECT
+         |    CAST(len(tk) AS BIGINT) AS nw,
+         |    CAST(length(array_to_string(tk, '')) AS BIGINT) AS nwc,
+         |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+         |      + CAST((length(text) - length(replace(text, '...', ''))) // 3
+         |          AS BIGINT) AS nsym,
+         |    CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))
+         |      AS BIGINT) AS nalpha,
+         |    CAST(len(list_intersect(tk, ['the','be','to','of','and','that',
+         |      'have','with'])) AS BIGINT) AS nstop
+         |  FROM t),
+         |ff AS (
+         |  SELECT CASE
+         |    WHEN nw < 50 OR nw > 100000 THEN 1
+         |    WHEN nwc < nw * 3 OR nwc > nw * 10 THEN 2
+         |    WHEN nsym * 10 > nw THEN 3
+         |    WHEN nalpha * 5 < nw * 4 THEN 4
+         |    WHEN nstop < 2 THEN 5
+         |    ELSE 0 END AS first_fail
+         |  FROM f),
+         |g AS (SELECT first_fail, COUNT(*) AS n FROM ff GROUP BY 1),
+         |tot AS (SELECT SUM(n) AS n_total FROM g),
+         |st AS (SELECT * FROM (VALUES (1, 'flag_nwords'),
+         |  (2, 'flag_wordlen'), (3, 'flag_symbol'), (4, 'flag_alpha'),
+         |  (5, 'flag_stop')) AS s(stage, flag)),
+         |j AS (
+         |  SELECT st.stage, st.flag, COALESCE(g.n, 0) AS n_dropped
+         |  FROM st LEFT JOIN g ON g.first_fail = st.stage)
+         |SELECT CAST(stage AS BIGINT) AS stage, flag,
+         |  CAST(n_dropped AS BIGINT) AS n_dropped,
+         |  CAST(SUM(n_dropped) OVER (ORDER BY stage) AS BIGINT)
+         |    AS n_dropped_cum,
+         |  CAST((SELECT n_total FROM tot)
+         |    - SUM(n_dropped) OVER (ORDER BY stage) AS BIGINT) AS n_survivors
+         |FROM j""".stripMargin,
 
     "q_span_corrupt" ->
       s"""WITH t AS (
