@@ -202,4 +202,29 @@ object Profiling {
         expr("__risk_rows * 10000 div __total_rows"))
       .drop("__risk_rows", "__total_rows")
   }
+
+  /** Zero-cost pipeline telemetry via `Dataset.observe` (Catalyst's
+    * CollectMetrics node): attach named counters — row count plus one
+    * flagged-count per screen rule — to a flowing DataFrame, so a
+    * curation job reports "scanned N, rule X flagged M" from the SAME
+    * pass that does the work. The alternative (a separate aggregation
+    * per report) re-scans the corpus once per number; observe rides
+    * the existing scan for free, which at 100 TB is the difference
+    * between telemetry and a second job. Works on batch (read the
+    * [[org.apache.spark.sql.Observation]] after any action) and
+    * streaming (per-batch via the progress listener).
+    *
+    * Returns the instrumented frame plus the Observation handle; the
+    * frame's rows are untouched (CollectMetrics is a pass-through).
+    */
+  def observedScreen(df: DataFrame, flagCols: Seq[String],
+                     name: String = "screen")
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    require(flagCols.nonEmpty, "need at least one flag column")
+    val obs = org.apache.spark.sql.Observation(name)
+    val metrics = count(lit(1)).as("n_rows") +:
+      flagCols.map(f =>
+        sum(col(f).cast("long")).as(s"n_flagged_$f"))
+    (df.observe(obs, metrics.head, metrics.tail: _*), obs)
+  }
 }

@@ -1076,6 +1076,38 @@ object TextAnalysis {
   }
 
 
+
+  /** Unicode-confusables skeleton (UTS #39 flavor, curated subset):
+    * fold characters that RENDER like ASCII letters back to the ASCII
+    * letter — Cyrillic and Greek homoglyphs plus the full fullwidth
+    * Latin/digit blocks — so that visually-identical strings get
+    * identical skeletons. The dedup-evasion counter: a spam/SEO corpus
+    * swaps Latin 'o' for Cyrillic \u043e and sails past every exact-
+    * and shingle-based dedup tier while reading identically to a
+    * human; hashing the skeleton catches it.
+    *
+    * Implemented as ONE built-in `translate` (codegen'd, single pass,
+    * 1:1 char map — preference-order (a)); the pair table is exposed
+    * as [[confusableFrom]]/[[confusableTo]] so the oracle runs the
+    * SAME table through DuckDB's translate. The curated subset covers
+    * the high-frequency homoglyph classes, not all of confusables.txt
+    * — the operator's contract is the fold table itself.
+    */
+  val confusablePairs: Seq[(Char, Char)] =
+    Seq('\u0430' -> 'a', '\u0435' -> 'e', '\u043e' -> 'o',
+      '\u0440' -> 'p', '\u0441' -> 'c', '\u0443' -> 'y',
+      '\u0445' -> 'x', '\u0456' -> 'i', '\u0458' -> 'j',
+      '\u0455' -> 's', '\u0501' -> 'd', '\u04bb' -> 'h',
+      '\u03bf' -> 'o', '\u03b1' -> 'a', '\u03bd' -> 'v') ++
+      (0 until 26).map(i => (('\uff41' + i).toChar, ('a' + i).toChar)) ++
+      (0 until 10).map(i => (('\uff10' + i).toChar, ('0' + i).toChar))
+
+  val confusableFrom: String = confusablePairs.map(_._1).mkString
+  val confusableTo: String = confusablePairs.map(_._2).mkString
+
+  def confusableSkeleton(c: Column): Column =
+    translate(c, confusableFrom, confusableTo)
+
   /** Filter-chain attrition funnel: given an ORDERED list of boolean
     * flag columns (each true = "this rule rejects the doc"), attribute
     * every rejected document to the FIRST rule that fired and report

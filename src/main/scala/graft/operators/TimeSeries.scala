@@ -156,4 +156,40 @@ object TimeSeries {
       col(epochCol).as("valid_from"),
       lead(col(epochCol), 1).over(wChanged).as("valid_to"))
   }
+
+  /** One-sided CUSUM control chart (Page 1954) over an ordered,
+    * integer-quantized series — the sequential drift detector that
+    * generalizes the reference pipeline's static threshold alerts
+    * (spark_job1's CASE bands fire on a single reading; CUSUM fires on
+    * a sustained small shift long before any one reading crosses a
+    * band). S_i = max(0, S_{i-1} + (x_i - k)) with an alert when
+    * S_i >= h.
+    *
+    * The recurrence looks inherently sequential, but has the exact
+    * closed form S_i = P_i - min(0, min_{j<=i} P_j) with
+    * P_i = prefix-sum of (x - k) — so it runs as TWO window
+    * cumulatives (sum + running min) over the same (key, order) frame:
+    * one exchange, no per-key fold, no UDF. All arithmetic is int64 on
+    * the quantized inputs, so alert sequences are engine-exact.
+    *
+    * Returns the per-point frame (key, order, cusum, alert) —
+    * composable; callers roll up first-crossing/alert counts.
+    *
+    * Scale: one key-ordered exchange, window state O(1) per row (sum
+    * and min are running aggregates, not buffered frames). Per-key
+    * history length is the only growth axis — the same posture as
+    * every other window op here.
+    */
+  def cusumAlerts(df: DataFrame, keyCol: String, orderCol: String,
+                  valueCol: String, driftK: Long, threshH: Long): DataFrame = {
+    require(threshH > 0, "alert threshold must be positive")
+    val wCum = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("psum", sum(col(valueCol) - driftK).over(wCum))
+      .withColumn("cusum",
+        col("psum") - least(lit(0L), min(col("psum")).over(wCum)))
+      .withColumn("alert", col("cusum") >= threshH)
+      .select(col(keyCol), col(orderCol), col(valueCol), col("cusum"),
+        col("alert"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.Ranking
+import graft.operators.{Ranking, TimeSeries}
 
 /** Statistical-modeling primitives over the fact tables, all
   * integer-exact so the DuckDB oracle matches bit-for-bit: a
@@ -161,6 +161,30 @@ object StatsQueries {
     // running sum is a per-type ordered window over ≤31 daily rows,
     // the argmax a max(struct) with earlier-day tie-break — shuffles
     // are the daily reduction plus one |types|-row aggregate.
+    // One-sided CUSUM control chart over the per-type daily-mean
+    // deviations (allowance 2.0, threshold 10.0 in value units x 1e6)
+    // - the sequential alert that fires on a sustained small shift;
+    // the generalization of the reference's static threshold bands.
+    // The operator runs the max(0, S + dev - k) recurrence as its
+    // exact prefix-sum/prefix-min closed form (see
+    // TimeSeries.cusumAlerts).
+    "q_cusum" -> ((s, d) => {
+      val dv = dailyMeans(s, d)
+      val w = Window.partitionBy(col("event_type"))
+      val dev = dv
+        .withColumn("n_days", count(lit(1)).over(w))
+        .withColumn("sy", sum(col("vq")).over(w))
+        .withColumn("dev", col("vq") - expr(signDiv("sy", "n_days")))
+      TimeSeries.cusumAlerts(dev, "event_type", "day", "dev",
+          driftK = 2000000L, threshH = 10000000L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          max(col("cusum")).as("max_cusum"),
+          sum(when(col("alert"), 1L).otherwise(0L)).as("n_alert_days"),
+          coalesce(min(when(col("alert"), col("day"))), lit(-1L))
+            .as("first_alert_day"))
+    }),
+
     "q_changepoint" -> ((s, d) => {
       val dv = dailyMeans(s, d)
       val w = Window.partitionBy(col("event_type"))
@@ -236,6 +260,36 @@ object StatsQueries {
          |  MAX(CASE WHEN rn = ${sqlRankIdx(50)} THEN value END) AS p50,
          |  MAX(CASE WHEN rn = ${sqlRankIdx(90)} THEN value END) AS p90
          |FROM r GROUP BY event_type""".stripMargin
+    },
+
+    "q_cusum" -> {
+      val mean = sqlSignDiv("sy", "n_days")
+      s"""WITH $sqlDailyMeans, m AS (
+         |  SELECT event_type, day, vq,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS n_days,
+         |    SUM(vq) OVER (PARTITION BY event_type) AS sy
+         |  FROM dv
+         |), dev AS (
+         |  SELECT event_type, day, n_days, vq - ($mean) - 2000000 AS d
+         |  FROM m
+         |), p AS (
+         |  SELECT event_type, day, n_days,
+         |    SUM(d) OVER (PARTITION BY event_type ORDER BY day
+         |                 ROWS UNBOUNDED PRECEDING) AS psum
+         |  FROM dev
+         |), cu AS (
+         |  SELECT event_type, day, n_days,
+         |    psum - least(0, MIN(psum) OVER (PARTITION BY event_type
+         |      ORDER BY day ROWS UNBOUNDED PRECEDING)) AS cusum
+         |  FROM p
+         |)
+         |SELECT event_type, CAST(MAX(n_days) AS BIGINT) AS n_days,
+         |  CAST(MAX(cusum) AS BIGINT) AS max_cusum,
+         |  CAST(SUM(CASE WHEN cusum >= 10000000 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_alert_days,
+         |  CAST(COALESCE(MIN(CASE WHEN cusum >= 10000000 THEN day END), -1)
+         |    AS BIGINT) AS first_alert_day
+         |FROM cu GROUP BY event_type""".stripMargin
     },
 
     "q_changepoint" -> {

@@ -313,6 +313,21 @@ object TextQueries {
           sum(col("keep").cast("long")).as("n_keep"))
         .withColumn("keep_bp", expr("n_keep * 10000 div n_docs"))),
 
+    // Unicode-confusables skeleton fold: homoglyph-spoofed documents
+    // (Cyrillic/Greek lookalikes, fullwidth forms) collapse onto the
+    // ASCII skeleton, so distinct-text vs distinct-skeleton counts
+    // expose dedup evasion. One translate() projection.
+    "q_confusable_skeleton" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), col("text"),
+          TextAnalysis.confusableSkeleton(col("text")).as("skel"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("skel") =!= col("text"), 1L).otherwise(0L))
+            .as("n_folded"),
+          countDistinct(col("text")).as("n_distinct_text"),
+          countDistinct(col("skel")).as("n_distinct_skeleton"))),
+
     // Filter-chain attrition funnel over the five Gopher rules in
     // order: every rejected doc attributed to the FIRST rule that
     // fired (stage counts disjoint, sum + survivors == corpus), with
@@ -890,6 +905,21 @@ object TextQueries {
          |  CAST(SUM(CASE WHEN NOT f1 AND NOT f2 AND NOT f3 AND NOT f4 AND NOT f5
          |           THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS keep_bp
          |FROM v GROUP BY source""".stripMargin,
+
+    // Same fold table as the operator (interpolated from
+    // TextAnalysis.confusableFrom/To) through DuckDB's translate.
+    "q_confusable_skeleton" -> {
+      val cf = graft.operators.TextAnalysis.confusableFrom
+      val ct = graft.operators.TextAnalysis.confusableTo
+      s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN translate(text, '$$cf', '$$ct') <> text
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_folded,
+         |  CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_text,
+         |  CAST(COUNT(DISTINCT translate(text, '$$cf', '$$ct')) AS BIGINT)
+         |    AS n_distinct_skeleton
+         |FROM documents GROUP BY 1""".stripMargin
+        .replace("$cf", cf).replace("$ct", ct)
+    },
 
     // The q_gopher_quality flag CTEs, re-read as a first-fail funnel.
     "q_filter_funnel" ->
