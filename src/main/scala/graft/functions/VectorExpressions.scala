@@ -123,10 +123,76 @@ case class LongDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+
+/** Squared-L2 sibling of [[LongDotProduct]]: sum (x-y)^2 over two
+  * array<bigint> columns as one codegen'd primitive loop. Same
+  * semantics as the HOF `aggregate(zip_with(a, b, (x,y) ->
+  * (x-y)*(x-y)), 0L, (acc,v) -> acc+v)` — NULL on length mismatch —
+  * minus the zipped-array allocation and interpreted lambda per pair,
+  * which dominate [[graft.operators.Similarity.knnDensity]]'s
+  * corpus x sample distance passes (one eval per PAIR). Callers
+  * quantize so (x-y)^2 sums stay far inside int64.
+  */
+case class LongSqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "vec_sqdist_long"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData].toLongArray()
+    val ys = b.asInstanceOf[ArrayData].toLongArray()
+    if (xs.length != ys.length) return null
+    var acc = 0L
+    var i = 0
+    while (i < xs.length) {
+      val d = xs(i) - ys(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val xs = ctx.freshName("xs")
+      val ys = ctx.freshName("ys")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |long[] $xs = $a.toLongArray();
+         |long[] $ys = $b.toLongArray();
+         |if ($xs.length != $ys.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $xs.length; $i++) {
+         |    long $d = $xs[$i] - $ys[$i];
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column-level wrapper: dot product of two array<double> columns. */
   def vec_dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a),
+      ColumnBridge.expression(b)))
+
+  /** Column-level wrapper: squared L2 over two array<bigint> columns. */
+  def vec_sqdist_long(a: Column, b: Column): Column =
+    ColumnBridge.column(LongSqDist(ColumnBridge.expression(a),
       ColumnBridge.expression(b)))
 
   /** Column-level wrapper: dot product of two array<bigint> columns. */
