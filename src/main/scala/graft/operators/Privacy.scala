@@ -96,4 +96,50 @@ object Privacy {
           lit(sensitivity)).cast(LongType))
       .select(groupCols.map(col) :+ col("noisy_sum_q"): _*)
   }
+
+  /** Right-to-be-forgotten erasure cascade: given ONE tombstone set of
+    * record ids, apply the SAME anti-join to every derived table that
+    * carries the id (raw docs, embeddings, any index/feature table)
+    * and publish the per-table accounting — total, erased, kept — so
+    * an auditor can see the cascade reached every surface. A GDPR/CCPA
+    * deletion that removes the document but leaves its embedding in
+    * the ANN index hasn't deleted anything; the single-tombstone-frame
+    * contract is the point.
+    *
+    * `tables` is (name, frame, idColumn) — heterogeneous schemas
+    * welcome; only the id column is touched. Returns the accounting
+    * frame; [[erase]] returns the cascaded (kept-rows) frame for one
+    * table so callers materialize the cleaned corpus with the same
+    * anti-join the accounting counted.
+    *
+    * Scale: the tombstone set broadcasts (deletion batches are small
+    * against a 100 TB corpus — and if one ever isn't, Spark falls back
+    * to a shuffled anti-join on its own); each table is scanned ONCE,
+    * counting kept and erased in the same aggregate rather than
+    * anti-joining twice.
+    */
+  def erasureCascade(tables: Seq[(String, DataFrame, String)],
+                     tombstones: DataFrame, tombIdCol: String): DataFrame = {
+    require(tables.nonEmpty, "need at least one table to cascade over")
+    val tomb = broadcast(
+      tombstones.select(col(tombIdCol).cast("long").as("tomb_id")).distinct())
+    tables.map { case (name, df, idCol) =>
+      df.select(col(idCol).cast("long").as("rid"))
+        .join(tomb, col("rid") === col("tomb_id"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("tomb_id").isNotNull, 1L).otherwise(0L)).as("n_erased"))
+        .select(lit(name).as("table_name"), col("n_rows"),
+          col("n_erased"), (col("n_rows") - col("n_erased")).as("n_kept"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** The cascade applied: kept rows of one table under the same
+    * tombstone frame (broadcast left-anti join).
+    */
+  def erase(df: DataFrame, idCol: String, tombstones: DataFrame,
+            tombIdCol: String): DataFrame =
+    df.join(
+      broadcast(tombstones.select(col(tombIdCol).cast("long").as("tomb_id"))
+        .distinct()),
+      col(idCol).cast("long") === col("tomb_id"), "left_anti")
 }

@@ -52,6 +52,19 @@ object ProfilingQueries {
           "len_band" -> expr("n_chars div 100")),
         k = 5)),
 
+    // Right-to-be-forgotten erasure cascade: one tombstone set
+    // (doc_id % 101 == 0) anti-joined through BOTH id-carrying tables
+    // (documents + their embeddings) with per-table accounting — the
+    // audit that proves the deletion reached every derived surface.
+    "q_erasure_cascade" -> ((s, d) => {
+      val tomb = Tables.documents(s, d)
+        .filter(expr("doc_id % 101 = 0")).select(col("doc_id"))
+      graft.operators.Privacy.erasureCascade(
+        Seq(("documents", Tables.documents(s, d), "doc_id"),
+          ("embeddings", Tables.embeddings(s, d), "vec_id")),
+        tomb, "doc_id")
+    }),
+
     // DP release of per-(lang, source) corpus counts — integer-exact
     // binomial noise seeded per group (see operators.Privacy), so the
     // published values reproduce bit-for-bit on any engine and across
@@ -358,6 +371,24 @@ object ProfilingQueries {
     // popcount - 30. concat_ws on BOTH engines (not '||'): Spark's
     // concat_ws skips NULL group keys while '||' would NULL the whole
     // seed — the seed strings must agree byte-for-byte.
+    "q_erasure_cascade" ->
+      """WITH t AS (SELECT doc_id FROM documents WHERE doc_id % 101 = 0)
+        |SELECT 'documents' AS table_name,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN t.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_erased,
+        |  CAST(COUNT(*) - SUM(CASE WHEN t.doc_id IS NOT NULL THEN 1 ELSE 0
+        |    END) AS BIGINT) AS n_kept
+        |FROM documents d LEFT JOIN t ON d.doc_id = t.doc_id
+        |UNION ALL
+        |SELECT 'embeddings',
+        |  CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN t.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  CAST(COUNT(*) - SUM(CASE WHEN t.doc_id IS NOT NULL THEN 1 ELSE 0
+        |    END) AS BIGINT)
+        |FROM embeddings e LEFT JOIN t ON e.vec_id = t.doc_id""".stripMargin,
+
     "q_dp_counts" ->
       """SELECT lang, source,
         |  CAST(COUNT(*) +

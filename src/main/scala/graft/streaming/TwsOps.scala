@@ -627,4 +627,59 @@ object TwsOps {
       out.iterator
     }
   }
+
+  /** Streaming twin of [[graft.operators.TimeSeries.cusumAlerts]]: the
+    * per-key one-sided CUSUM S = max(0, S + (x - k)) maintained
+    * incrementally — which is the real-time shape of the reference
+    * pipeline's alerting job (spark_job1's static CASE bands, upgraded
+    * to sustained-shift detection in the stream itself).
+    *
+    * State is TWO longs per key — the running prefix sum P and its
+    * running minimum — because the batch operator's closed form
+    * S_i = P_i - min(0, min_{j<=i} P_j) updates in O(1): P += d;
+    * runMin = min(runMin, P); S = P - min(0, runMin). CusumStreamSpec
+    * holds this twin output-identical to the batch window form across
+    * micro-batch splits. Same ordering contract as [[tokenBucketTws]]:
+    * rows sort by timestamp within a batch, cross-batch input must be
+    * per-key event-time ordered.
+    */
+  def cusumTws(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, driftK: Long, threshH: Long): DataFrame = {
+    require(threshH > 0, "alert threshold must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("k"),
+        col(tsCol).cast("long").as("ts"),
+        col(valueCol).cast("long").as("x"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new CusumProcessor(driftK, threshH),
+        TimeMode.None, OutputMode.Append)
+      .toDF(keyCol, tsCol, "cusum", "alert")
+  }
+
+  private final class CusumProcessor(driftK: Long, threshH: Long)
+      extends StatefulProcessor[String, (String, Long, Long),
+        (String, Long, Long, Boolean)] {
+    @transient private var st: ValueState[(Long, Long)] = _ // (psum, runMin)
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("cusum",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long, Long)],
+        tv: TimerValues): Iterator[(String, Long, Long, Boolean)] = {
+      var (psum, runMin) = if (st.exists()) st.get() else (0L, 0L)
+      val out = rows.toArray.sortBy(_._2).map { case (_, ts, x) =>
+        psum = Math.addExact(psum, x - driftK)
+        runMin = math.min(runMin, psum)
+        val s = psum - math.min(0L, runMin)
+        (key, ts, s, s >= threshH)
+      }
+      st.update((psum, runMin))
+      out.iterator
+    }
+  }
 }
