@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, StringType}
 import graft.functions._
 
 /** Catalyst extension wiring: registers the library's ENTIRE native
@@ -99,6 +99,26 @@ object GraftExtensions {
     entry("magic_kind", classOf[MagicKind], 1)(c => MagicKind(c(0))),
     entry("image_dhash", classOf[ImageDHash], 1)(c => ImageDHash(c(0))),
     entry("nfc_norm", classOf[NfcNormalize], 1)(c => NfcNormalize(c(0))),
+    entry("vec_sqdist_long", classOf[LongSqDist], 2)(c =>
+      LongSqDist(c(0), c(1))),
+    entry("winnow_fingerprints", classOf[WinnowFingerprints], 3)(c =>
+      WinnowFingerprints(c(0), litInt(c(1), "winnow_fingerprints", "k"),
+        litInt(c(2), "winnow_fingerprints", "w"))),
+    // variadic: blocklist_hits(text, 'phrase1', 'phrase2', ...)
+    (FunctionIdentifier("blocklist_hits"),
+      new ExpressionInfo(classOf[BlocklistHits].getCanonicalName,
+        "blocklist_hits"),
+      (children: Seq[Expression]) => {
+        require(children.length >= 2,
+          "blocklist_hits takes the text column plus at least one phrase")
+        val phrases = children.tail.map {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+            s.toString
+          case other => throw new IllegalArgumentException(
+            s"blocklist_hits: phrases must be STRING literals, got $other")
+        }
+        BlocklistHits(children.head, phrases)
+      }),
     entry("kmv_sketch", classOf[KmvSketchAgg], 2)(c =>
       KmvSketchAgg(c(0), litInt(c(1), "kmv_sketch", "k"))),
     entry("kmv_union_agg", classOf[KmvUnionAgg], 2)(c =>

@@ -155,6 +155,18 @@ class LakeAndExtensionsSpec extends SparkSpec {
         .collect()
     }
     assert(err.getMessage.contains("INTEGER literal"))
+    // round-10 additions
+    assert(spark.sql("SELECT vec_sqdist_long(array(1L, 5L), array(4L, 1L)) AS d")
+      .head().getLong(0) == 25L)
+    assert(spark.sql("SELECT size(winnow_fingerprints('abcdefgh', 3, 2)) AS n")
+      .head().getInt(0) > 0)
+    // variadic phrase list: text + N string literals
+    assert(spark.sql("SELECT blocklist_hits('ushers', 'he', 'she', 'hers') AS h")
+      .head().getSeq[Long](0) == Seq(1L, 1L, 1L))
+    val perr = intercept[Exception] {
+      spark.sql("SELECT blocklist_hits('x', upper('a')) AS h").collect()
+    }
+    assert(perr.getMessage.contains("STRING literals"))
   }
 
   test("ORC and JSON-lines round-trips preserve values and schema") {
