@@ -682,4 +682,58 @@ object TwsOps {
       out.iterator
     }
   }
+
+  /** In-stream right-to-be-forgotten screen — the streaming face of
+    * [[graft.operators.Privacy.erasureCascade]]: deletion requests
+    * arrive as their own stream, and every document whose id has a
+    * standing tombstone is suppressed from the output from that point
+    * on. Within a micro-batch the tombstone wins (requests process
+    * before documents), so a same-batch race never leaks a record the
+    * request already covered; across batches the suppression is
+    * permanent — forget requests do not expire, hence no TTL.
+    *
+    * State: ONE boolean per TOMBSTONED id (documents never write
+    * state), in RocksDB — state size is the deletion ledger, not the
+    * corpus. The union of the two streams shuffles once on the id.
+    */
+  def erasureScreenTws(docs: DataFrame, docIdCol: String,
+      payloadCol: String, tombstones: DataFrame,
+      tombIdCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d = docs.select(col(docIdCol).cast("long").as("id"),
+      lit(1).as("kind"), col(payloadCol).cast("string").as("payload"))
+    val t = tombstones.select(col(tombIdCol).cast("long").as("id"),
+      lit(0).as("kind"), lit(null).cast("string").as("payload"))
+    t.unionByName(d)
+      .as[(Long, Int, String)]
+      .groupByKey(_._1)
+      .transformWithState(new ErasureScreenProcessor,
+        TimeMode.None, OutputMode.Append)
+      .toDF(docIdCol, payloadCol)
+  }
+
+  private final class ErasureScreenProcessor
+      extends StatefulProcessor[Long, (Long, Int, String), (Long, String)] {
+    @transient private var tombstoned: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      tombstoned = getHandle.getValueState[Boolean]("tombstoned",
+        Encoders.scalaBoolean, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Int, String)],
+        tv: TimerValues): Iterator[(Long, String)] = {
+      // tombstones (kind 0) apply before documents (kind 1)
+      val sorted = rows.toArray.sortBy(_._2)
+      var dead = tombstoned.exists() && tombstoned.get()
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      sorted.foreach { case (id, kind, payload) =>
+        if (kind == 0) {
+          if (!dead) { tombstoned.update(true); dead = true }
+        } else if (!dead) out += ((id, payload))
+      }
+      out.iterator
+    }
+  }
 }
