@@ -1077,6 +1077,62 @@ object TextAnalysis {
 
 
 
+
+  /** Greedy (temperature-0) decoding from the corpus bigram LM — the
+    * deterministic core of synthetic-data generation: from each seed
+    * token, repeatedly follow the argmax next-token (ties -> highest
+    * count, then lexicographically smallest token) for up to `steps`
+    * transitions; a seed whose current token was never observed as a
+    * bigram head freezes (dead end) and keeps its shorter sequence.
+    * Greedy walks may cycle — that is the correct, replayable argmax
+    * behavior, and exactly what an oracle can recompute.
+    *
+    * Scale shape: ONE corpus pass builds the (head, best-next) table —
+    * the argmax rides the bounded-heap [[graft.functions.TopKStruct]]
+    * (k = 1, count desc then token asc), so the head-keyed exchange
+    * carries one candidate per head per map task. The table is
+    * persisted once and the |seeds|-sized frontier joins it `steps`
+    * times — generation cost is frontier x steps, independent of the
+    * corpus after the single scan.
+    */
+  def bigramGenerate(df: DataFrame, textCol: String, seeds: Seq[String],
+                     steps: Int): DataFrame = {
+    require(seeds.nonEmpty && steps >= 1 && steps <= 32,
+      "need seeds and 1 <= steps <= 32")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tk = filter(toks(col(textCol)), t => t =!= "")
+    val prs = df.select(explode(zip_with(tk,
+        slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .filter(col("p.w2").isNotNull)
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    val nxt = prs.groupBy(col("w1"))
+      .agg(graft.functions.TopKStruct.topK(
+        struct(col("cnt"), col("w2")), 1, true, false).as("top"))
+      .select(col("w1").as("cur"),
+        element_at(col("top"), 1).getField("w2").as("next"))
+      .persist()
+    var frontier = seeds.toDF("seed").select(col("seed"),
+      col("seed").as("cur"), col("seed").as("sent"),
+      lit(0L).as("n_steps"), lit(false).as("dead"))
+    (1 to steps).foreach { _ =>
+      frontier = frontier.join(nxt, Seq("cur"), "left")
+        .select(col("seed"),
+          when(col("dead") || col("next").isNull, col("cur"))
+            .otherwise(col("next")).as("cur"),
+          when(col("dead") || col("next").isNull, col("sent"))
+            .otherwise(concat_ws(" ", col("sent"), col("next"))).as("sent"),
+          when(col("dead") || col("next").isNull, col("n_steps"))
+            .otherwise(col("n_steps") + 1).as("n_steps"),
+          (col("dead") || col("next").isNull).as("dead"))
+    }
+    val out = frontier.select(col("seed"), col("n_steps"),
+      col("sent").as("generated"))
+    graft.core.CacheScope.releaseAfterUse(out, nxt)
+  }
+
   /** Unicode-confusables skeleton (UTS #39 flavor, curated subset):
     * fold characters that RENDER like ASCII letters back to the ASCII
     * letter — Cyrillic and Greek homoglyphs plus the full fullwidth

@@ -313,6 +313,14 @@ object TextQueries {
           sum(col("keep").cast("long")).as("n_keep"))
         .withColumn("keep_bp", expr("n_keep * 10000 div n_docs"))),
 
+    // Greedy bigram-LM decoding from four seeds (one absent from the
+    // vocabulary - the frozen dead end): the deterministic synthetic-
+    // data core, replayed by a recursive-CTE oracle. One corpus pass
+    // for the argmax table, then |seeds| x 10 bounded joins.
+    "q_bigram_generate" -> ((s, d) =>
+      TextAnalysis.bigramGenerate(Tables.documents(s, d), "text",
+        Seq("data", "spark", "merge", "zzzunseen"), steps = 10)),
+
     // Unicode-confusables skeleton fold: homoglyph-spoofed documents
     // (Cyrillic/Greek lookalikes, fullwidth forms) collapse onto the
     // ASCII skeleton, so distinct-text vs distinct-skeleton counts
@@ -905,6 +913,32 @@ object TextQueries {
          |  CAST(SUM(CASE WHEN NOT f1 AND NOT f2 AND NOT f3 AND NOT f4 AND NOT f5
          |           THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS keep_bp
          |FROM v GROUP BY source""".stripMargin,
+
+    "q_bigram_generate" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT list_filter($toksSql, x -> x <> '') AS tk FROM documents),
+         |pr AS (
+         |  SELECT p.w1, p.w2, COUNT(*) AS cnt FROM (
+         |    SELECT unnest([{'w1': tk[i], 'w2': tk[i+1]}
+         |      FOR i IN range(1, len(tk))], recursive := true)
+         |    FROM t) p
+         |  GROUP BY 1, 2),
+         |nxt AS (
+         |  SELECT w1, w2 AS next FROM (
+         |    SELECT w1, w2, row_number() OVER (PARTITION BY w1
+         |      ORDER BY cnt DESC, w2 ASC) AS rk FROM pr)
+         |  WHERE rk = 1),
+         |seeds(seed) AS (VALUES ('data'), ('spark'), ('merge'),
+         |  ('zzzunseen')),
+         |walk(seed, n, cur, sent) AS (
+         |  SELECT seed, 0, seed, seed FROM seeds
+         |  UNION ALL
+         |  SELECT w.seed, w.n + 1, x.next, w.sent || ' ' || x.next
+         |  FROM walk w JOIN nxt x ON x.w1 = w.cur
+         |  WHERE w.n < 10)
+         |SELECT seed, CAST(MAX(n) AS BIGINT) AS n_steps,
+         |  arg_max(sent, n) AS generated
+         |FROM walk GROUP BY seed""".stripMargin,
 
     // Same fold table as the operator (interpolated from
     // TextAnalysis.confusableFrom/To) through DuckDB's translate.
