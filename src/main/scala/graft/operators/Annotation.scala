@@ -256,4 +256,38 @@ object Annotation {
         (-col("mx.nid")).as("chosen_id"), col("mx.reward").as("chosen_reward"),
         col("mn.rid").as("rejected_id"), col("mn.reward").as("rejected_reward"),
         (col("mx.reward") - col("mn.reward")).as("margin"))
+
+  /** Group-relative advantage (the GRPO data-prep step, Shao et al.
+    * 2024 §4.1): per prompt group of sampled responses, each response's
+    * advantage is its reward centered on the group mean — the
+    * baseline-free policy-gradient signal. Emitted EXACTLY as the
+    * undivided pair (adv_num = n·r − Σr, n): the mean division would be
+    * inexact, and the trainer divides once at consumption. The group's
+    * variance rides along the same way (var_num = n·Σr² − (Σr)² in
+    * DECIMAL(38,0) — at 100 TB group sizes, n·Σr² exceeds int64 long
+    * before it exceeds 38 digits), so a z-normalizing consumer
+    * (advantage whitening) has both moments without a second pass.
+    * Single-response groups emit adv_num = 0 and var_num = 0 — a lone
+    * sample carries no relative signal, which is the GRPO semantics.
+    *
+    * Plan: one window over the group key — a single exchange, three
+    * partial-aggregated moments (n, Σr, Σr²) broadcast back onto the
+    * rows by the window, no join, no second scan.
+    */
+  def grpoAdvantage(responses: DataFrame, promptCol: String, idCol: String,
+                    rewardCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("prompt"))
+    responses
+      .select(col(promptCol).as("prompt"), col(idCol).cast("long").as("rid"),
+        col(rewardCol).cast("long").as("reward"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sum_r", sum(col("reward")).over(w))
+      .withColumn("sum_r2",
+        sum(col("reward").cast("decimal(38,0)") * col("reward")).over(w))
+      .select(col("prompt"), col("rid"), col("reward"), col("n"),
+        (col("n") * col("reward") - col("sum_r")).as("adv_num"),
+        (col("n").cast("decimal(38,0)") * col("sum_r2") -
+          col("sum_r").cast("decimal(38,0)") * col("sum_r"))
+          .cast("decimal(38,0)").as("var_num"))
+  }
 }

@@ -1353,4 +1353,74 @@ object TextAnalysis {
       .withColumn("sel_ppm",
         expr("n_selected * 1000000 div n_token_occurrences"))
   }
+
+  /** Regex classes for the invisible-character audit, shared verbatim
+    * with the DuckDB oracle (`\x{...}` escapes parse identically in
+    * java.util.regex and RE2).
+    *
+    *  - `invisible`: zero-width space / non-joiner / joiner, BOM-as-ZWNBSP,
+    *    soft hyphen — the payload channel of text steganography and
+    *    dedup-evasion (two visually identical docs with different bytes).
+    *  - `bidi`: the directional embedding/override/isolate controls of
+    *    UAX #9 plus the LRM/RLM/ALM marks — the "Trojan Source"
+    *    (Boucher & Anderson, USENIX Sec'22) reordering vector: rendered
+    *    text reads differently than the codepoint stream a model trains on.
+    *  - `ctrl`: C0 controls except \t \n \r, plus DEL — never legitimate
+    *    in prose; classic CSV/terminal-injection residue.
+    */
+  val invisibleClass = "[\\x{200B}-\\x{200D}\\x{FEFF}\\x{00AD}]"
+  val bidiClass = "[\\x{202A}-\\x{202E}\\x{2066}-\\x{2069}\\x{200E}\\x{200F}\\x{061C}]"
+  val ctrlClass = "[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{007F}]"
+
+  /** Invisible/bidi/control-character audit: per-document counts of the
+    * three classes above, a `clean` verdict, and the text with all of
+    * them stripped. A 100 TB crawl WILL contain these — injected
+    * (prompt-injection smuggling, homoglyph-adjacent dedup evasion) or
+    * accidental (Word soft hyphens, BOM mid-file after bad concat) —
+    * and they poison tokenizers (one rogue ZWSP splits a common word
+    * into rare pieces) and bidi-reorder rendered training text, so the
+    * screen runs at ingest next to [[gopherQuality]].
+    *
+    * Pure per-row projection — three `regexp_extract_all` counts and
+    * one `regexp_replace`, zero exchanges, scan-speed at any scale.
+    */
+  def invisibleScan(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val all = s"$invisibleClass|$bidiClass|$ctrlClass"
+    df.select(col(idCol),
+      size(regexp_extract_all(col(textCol), lit(invisibleClass), lit(0)))
+        .cast("long").as("n_invisible"),
+      size(regexp_extract_all(col(textCol), lit(bidiClass), lit(0)))
+        .cast("long").as("n_bidi"),
+      size(regexp_extract_all(col(textCol), lit(ctrlClass), lit(0)))
+        .cast("long").as("n_ctrl"),
+      regexp_replace(col(textCol), all, "").as("cleaned"))
+      .withColumn("clean",
+        col("n_invisible") + col("n_bidi") + col("n_ctrl") === 0L)
+  }
+
+  /** Distinct-n generation diversity per corpus slice (the distinct-1/
+    * distinct-2 metric of Li et al. NAACL'16, the standard self-BLEU
+    * proxy): over all word n-grams produced by a source, the fraction
+    * that are distinct. A collapsing generator (or a boilerplate-ridden
+    * crawl source) re-emits the same n-grams — distinct_bp falls —
+    * while diverse text keeps it high. Unlike [[Dedup.dupNgramCoverage]]
+    * (per-DOC coverage by corpus-repeated grams) and
+    * [[Dedup.ngramNovelty]] (per-doc first-seen ordering), this is the
+    * slice-level ratio the generation-eval literature reports.
+    *
+    * Plan: gram explode → (source, gram) partial-aggregated count (the
+    * hot-gram skew is absorbed map-side) → source rollup. Two
+    * corpus-linear exchanges, the second on |sources| keys; no joins,
+    * no count_distinct (its single-pass form would carry every gram to
+    * one reducer per source). Exact integers, one final div.
+    */
+  def distinctNgrams(df: DataFrame, textCol: String, sourceCol: String,
+                     n: Int): DataFrame =
+    Dedup.rawWordShingles(df, textCol, sourceCol, n)
+      .groupBy(col(sourceCol), col("shingle"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(sourceCol))
+      .agg(sum(col("cnt")).as("n_grams"),
+        count(lit(1)).as("n_distinct"))
+      .withColumn("distinct_bp", expr("n_distinct * 10000 div n_grams"))
 }

@@ -60,6 +60,18 @@ object CurationQueries {
             col("n_chars")),
         "prompt_id", "doc_id", "n_chars")),
 
+    // Group-relative advantage (GRPO data prep): the same prompt
+    // grouping as q_dpo_pairs, but EVERY response gets a signal —
+    // reward centered on the group mean, emitted as the exact
+    // undivided (n·r − Σr, n) pair with the group variance numerator
+    // riding along in DECIMAL(38,0). One window exchange, no join.
+    "q_grpo_advantage" -> ((s, d) =>
+      Annotation.grpoAdvantage(
+        Tables.documents(s, d)
+          .select(expr("doc_id % 40").as("prompt_id"), col("doc_id"),
+            col("n_chars")),
+        "prompt_id", "doc_id", "n_chars")),
+
     // Unbiased pass@k over a deterministic verdict: task = doc_id mod
     // 50, first 32 samples per task in doc_id order, "passes" =
     // n_chars divisible by 3 (the engine-portable stand-in for a unit
@@ -386,6 +398,26 @@ object CurationQueries {
         |  CAST(chosen_reward - rejected_reward AS BIGINT) AS margin
         |FROM c JOIN j USING (prompt)
         |WHERE c.n >= 2 AND chosen_reward > rejected_reward""".stripMargin,
+
+    // Moments replayed as HUGEINT window sums (Σr² × n exceeds BIGINT
+    // long before it exceeds 38 digits), final casts to the Spark
+    // types (BIGINT advantage, DECIMAL(38,0) variance numerator).
+    "q_grpo_advantage" ->
+      """WITH r AS (
+        |  SELECT doc_id % 40 AS prompt, doc_id AS rid, n_chars AS reward
+        |  FROM documents
+        |), w AS (
+        |  SELECT prompt, rid, reward,
+        |    COUNT(*) OVER (PARTITION BY prompt) AS n_h,
+        |    SUM(CAST(reward AS HUGEINT)) OVER (PARTITION BY prompt) AS sum_r,
+        |    SUM(CAST(reward AS HUGEINT) * reward)
+        |      OVER (PARTITION BY prompt) AS sum_r2
+        |  FROM r
+        |)
+        |SELECT prompt, rid, reward, CAST(n_h AS BIGINT) AS n,
+        |  CAST(n_h * reward - sum_r AS BIGINT) AS adv_num,
+        |  CAST(n_h * sum_r2 - sum_r * sum_r AS DECIMAL(38,0)) AS var_num
+        |FROM w""".stripMargin,
 
     "q_pass_at_k" ->
       """WITH capped AS (

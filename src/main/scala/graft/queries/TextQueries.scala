@@ -14,6 +14,41 @@ object TextQueries {
 
   val queries: Map[String, Q] = Map(
 
+    // Invisible/bidi/control-character audit over an adversarially
+    // PLANTED corpus: the query itself injects the payload (doc_id
+    // mod 4 picks bidi-override pair / zero-width pair / C0 control /
+    // untouched) so every class and the clean path carry oracle-checked
+    // mass, and the md5 of the stripped text must equal md5 of the
+    // ORIGINAL — strip∘inject is proven to be the identity, the same
+    // trick as the decode∘encode image gates.
+    "q_invisible_scan" -> ((s, d) => {
+      val m4 = pmod(col("doc_id"), lit(4))
+      val planted =
+        when(m4 === 0, // RLO override + LRI isolate after char 10
+          concat(substring(col("text"), 1, 10), lit("\u202E\u2066"),
+            expr("substring(text, 11)")))
+        .when(m4 === 1, // ZWSP mid-word + trailing soft hyphen
+          concat(substring(col("text"), 1, 7), lit("\u200B"),
+            expr("substring(text, 8)"), lit("\u00AD")))
+        .when(m4 === 2, // leading C0 control (SOH)
+          concat(lit("\u0001"), col("text")))
+        .otherwise(col("text")) // untouched - the clean path
+      TextAnalysis.invisibleScan(
+          Tables.documents(s, d).select(col("doc_id"), col("text"),
+            planted.as("planted")),
+          "planted", "doc_id")
+        .withColumn("fp", md5(col("cleaned")))
+        .drop("cleaned")
+    }),
+
+    // Distinct-bigram generation diversity per source (Li et al.
+    // NAACL'16 distinct-n): slice-level distinct/total n-gram ratio —
+    // the self-BLEU proxy a generation pipeline tracks per model or
+    // per crawl source. Two corpus-linear exchanges, no count_distinct.
+    "q_distinct_ngrams" -> ((s, d) =>
+      TextAnalysis.distinctNgrams(Tables.documents(s, d), "text",
+        "source", n = 2)),
+
     // Greenlist-watermark detection (Kirchenbauer et al. ICML'23): a
     // one-sided binomial z-test per document over consecutive-token
     // pairs, green = md5 parity (null exactly 1/2), z >= 2 decided
@@ -473,6 +508,13 @@ object TextQueries {
 
   private val toksSql = """string_split_regex(lower(trim(text)), '\s+')"""
 
+  // The audit's character classes, shared verbatim with the Spark side
+  // (one definition in TextAnalysis — the contract is that RE2 and
+  // java.util.regex parse \x{...} classes identically).
+  private val invClass = TextAnalysis.invisibleClass
+  private val bidClass = TextAnalysis.bidiClass
+  private val ctlClass = TextAnalysis.ctrlClass
+
   private def markerFilter(markers: Seq[String]): String = {
     val cond = markers.map(m => s"t = '$m'").mkString(" OR ")
     s"len(list_filter($toksSql, t -> $cond))"
@@ -647,6 +689,53 @@ object TextQueries {
        |FROM s GROUP BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    // Injection replayed with chr() codepoints, counts with the SAME
+    // \x{...} character classes (java.util.regex and RE2 parse them
+    // identically), strip with the 'g' flag (DuckDB regexp_replace is
+    // first-match by default; Spark's is global). fp over the stripped
+    // text must equal md5(text) — strip∘inject is the identity.
+    "q_invisible_scan" ->
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    CASE CAST(doc_id % 4 AS INTEGER)
+         |      WHEN 0 THEN substr(text, 1, 10) || chr(8238) || chr(8294)
+         |                    || substr(text, 11)
+         |      WHEN 1 THEN substr(text, 1, 7) || chr(8203)
+         |                    || substr(text, 8) || chr(173)
+         |      WHEN 2 THEN chr(1) || text
+         |      ELSE text END AS planted
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(planted, '$invClass')) AS BIGINT)
+         |      AS n_invisible,
+         |    CAST(len(regexp_extract_all(planted, '$bidClass')) AS BIGINT)
+         |      AS n_bidi,
+         |    CAST(len(regexp_extract_all(planted, '$ctlClass')) AS BIGINT)
+         |      AS n_ctrl,
+         |    md5(regexp_replace(planted,
+         |      '$invClass|$bidClass|$ctlClass', '', 'g')) AS fp
+         |  FROM p)
+         |SELECT doc_id, n_invisible, n_bidi, n_ctrl,
+         |  (n_invisible + n_bidi + n_ctrl = 0) AS clean, fp
+         |FROM c""".stripMargin,
+
+    // Bigram stream replayed per source; distinct/total from one
+    // (source, shingle) grouping — COUNT(*) of groups is the distinct
+    // count, SUM(cnt) the total, exactly the two-level Spark plan.
+    "q_distinct_ngrams" ->
+      s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
+         |g AS (SELECT source, toks[i] || ' ' || toks[i + 1] AS shingle
+         |      FROM (SELECT source, toks,
+         |              unnest(generate_series(1, len(toks) - 1)) AS i
+         |            FROM t WHERE len(toks) >= 2)),
+         |c AS (SELECT source, shingle, COUNT(*) AS cnt
+         |      FROM g GROUP BY source, shingle)
+         |SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+         |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         |  CAST(COUNT(*) * 10000 // SUM(cnt) AS BIGINT) AS distinct_bp
+         |FROM c GROUP BY source""".stripMargin,
 
     // Pair stream replayed via lag() over token position; SUM casts
     // keep everything BIGINT (never HUGEINT). LEFT JOIN keeps any

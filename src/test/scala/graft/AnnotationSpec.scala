@@ -99,4 +99,31 @@ class AnnotationSpec extends SparkSpec {
     assert(v.getAs[Long]("n_values") == 3L)
     assert(v.getAs[Long]("do_scaled") == 840L)
   }
+
+  test("grpoAdvantage: hand-computed moments, zero-sum and singleton") {
+    import graft.operators.Annotation
+    val rows = Seq(
+      ("p1", 1L, 10L), ("p1", 2L, 20L), ("p1", 3L, 60L), // Σ=90, Σr²=4100
+      ("p2", 4L, 7L)) // singleton — no relative signal
+      .toDF("prompt", "rid", "reward")
+    val out = Annotation.grpoAdvantage(rows, "prompt", "rid", "reward")
+      .collect().map(r => r.getAs[Long]("rid") -> r).toMap
+
+    // adv_num = n·r − Σr: 3·10−90 = −60, 3·20−90 = −30, 3·60−90 = 90
+    assert(out(1L).getAs[Long]("adv_num") == -60L)
+    assert(out(2L).getAs[Long]("adv_num") == -30L)
+    assert(out(3L).getAs[Long]("adv_num") == 90L)
+    // the invariant GRPO relies on: group advantages sum to zero
+    assert(Seq(1L, 2L, 3L).map(out(_).getAs[Long]("adv_num")).sum == 0L)
+    // var_num = n·Σr² − (Σr)² = 3·4100 − 8100 = 4200, same on every row
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(out(id).getAs[java.math.BigDecimal]("var_num")
+        .longValueExact() == 4200L)
+      assert(out(id).getAs[Long]("n") == 3L)
+    }
+    // singleton: adv 0 (1·7−7), var 0 (1·49−49) — a lone sample is flat
+    assert(out(4L).getAs[Long]("adv_num") == 0L)
+    assert(out(4L).getAs[java.math.BigDecimal]("var_num")
+      .longValueExact() == 0L)
+  }
 }

@@ -386,4 +386,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(7L).getAs[Boolean]("flag_short"))
     assert(out(7L).getAs[Boolean]("flag_noterm"))
   }
+
+  test("distinctNgrams: hand-counted per-source bigram diversity") {
+    val docs = Seq(
+      ("A", "a b a b"), // bigrams: "a b","b a","a b" → 3 total, 2 distinct
+      ("A", "x y"),     // +1 total, +1 distinct → A: 4 / 3
+      ("B", "w w w"),   // "w w","w w" → 2 total, 1 distinct
+      ("B", "z"))       // 1 token → no bigrams, contributes nothing
+      .toDF("source", "text")
+    val out = TextAnalysis.distinctNgrams(docs, "text", "source", n = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("A").getAs[Long]("n_grams") == 4L)
+    assert(out("A").getAs[Long]("n_distinct") == 3L)
+    assert(out("A").getAs[Long]("distinct_bp") == 7500L)
+    assert(out("B").getAs[Long]("n_grams") == 2L)
+    assert(out("B").getAs[Long]("n_distinct") == 1L)
+    assert(out("B").getAs[Long]("distinct_bp") == 5000L)
+    assert(out.size == 2) // the bigram-less doc created no source row
+  }
 }
