@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
@@ -622,4 +622,95 @@ object AhoCorasick {
   /** Column-level entry point. */
   def blocklistHits(t: Column, phrases: Seq[String]): Column =
     ColumnBridge.column(BlocklistHits(ColumnBridge.expression(t), phrases))
+}
+
+/** Greedy extractive-fragment statistics (Grusky et al. NAACL'18, the
+  * Newsroom coverage/density measure): scan the summary left to right;
+  * at each position take the LONGEST contiguous token run that appears
+  * anywhere in the article, advance past it (or one token on a miss).
+  * Returns `array<bigint> [matched_tokens, Σ len², n_fragments,
+  * n_summary]` — coverage = matched/n, density = Σlen²/n, both left
+  * undivided for the caller (engine-exact integers).
+  *
+  * Why a native expression (preference order (b)): the greedy
+  * recurrence is inherently sequential per row — no `aggregate`/
+  * `transform` composition expresses "advance i by the match length
+  * just found" without materializing an O(|S|·|A|) match table per
+  * row, and HOFs are CodegenFallback anyway. Here it is one bounded
+  * two-level loop per row inside whole-stage codegen (the kernel is a
+  * plan-shipped singleton, one virtual call per row). Callers bound
+  * both sides (slice() before the call) so the worst case is a
+  * constant; at 100 TB the cost model is scan-speed × that constant,
+  * zero exchanges.
+  *
+  * NULL contract: null on either null input (BinaryExpression default);
+  * empty summary → [0, 0, 0, 0].
+  */
+case class ExtractiveFragments(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "extractive_fragments"
+
+  override def nullSafeEval(a: Any, s: Any): Any =
+    EfKernel.compute(a.asInstanceOf[ArrayData], s.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("efk", EfKernel, "graft.functions.EfKernel$")
+    defineCodeGen(ctx, ev, (a, s) => s"$k.compute($a, $s)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** The greedy-matching kernel of [[ExtractiveFragments]] — a
+  * serializable singleton so `addReferenceObj` ships it into generated
+  * code and streaming tasks alike.
+  */
+object EfKernel extends Serializable {
+  def compute(artD: ArrayData, summD: ArrayData): ArrayData = {
+    val na = artD.numElements()
+    val ns = summD.numElements()
+    val art = new Array[UTF8String](na)
+    val summ = new Array[UTF8String](ns)
+    var j = 0
+    while (j < na) { art(j) = artD.getUTF8String(j); j += 1 }
+    j = 0
+    while (j < ns) { summ(j) = summD.getUTF8String(j); j += 1 }
+
+    var i = 0
+    var matched = 0L
+    var sq = 0L
+    var frags = 0L
+    while (i < ns) {
+      var best = 0
+      var a = 0
+      while (a < na) {
+        // only walk a run if its head matches (the O(1) reject path)
+        if (summ(i).equals(art(a))) {
+          var l = 1
+          while (i + l < ns && a + l < na && summ(i + l).equals(art(a + l))) l += 1
+          if (l > best) best = l
+        }
+        a += 1
+      }
+      if (best > 0) {
+        matched += best
+        sq += best.toLong * best
+        frags += 1L
+        i += best
+      } else i += 1
+    }
+    new GenericArrayData(Array[Any](matched, sq, frags, ns.toLong))
+  }
+
+  /** Column-level entry point: article tokens, summary tokens. */
+  def extractiveFragments(article: Column, summary: Column): Column =
+    ColumnBridge.column(ExtractiveFragments(ColumnBridge.expression(article),
+      ColumnBridge.expression(summary)))
 }

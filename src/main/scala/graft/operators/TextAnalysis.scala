@@ -1423,4 +1423,86 @@ object TextAnalysis {
       .agg(sum(col("cnt")).as("n_grams"),
         count(lit(1)).as("n_distinct"))
       .withColumn("distinct_bp", expr("n_distinct * 10000 div n_grams"))
+
+  /** Extractive-fragment coverage & density (Grusky et al. NAACL'18 —
+    * the Newsroom extractiveness measure) of each document's TAIL
+    * against its HEAD: summary = last `summaryTokens` tokens, article =
+    * everything before. High coverage = the tail restates the head
+    * verbatim (template/boilerplate docs); low = abstractive tails.
+    * On a real (article, summary) pair table, point both columns at the
+    * pair. Docs under 2·summaryTokens tokens drop (no meaningful split).
+    *
+    * Both sides are bounded by construction (summary = fixed k, article
+    * ≤ doc), the greedy run is the native [[graft.functions
+    * .ExtractiveFragments]] kernel inside whole-stage codegen, and the
+    * whole operator is one projection — zero exchanges at any scale.
+    * coverage_bp divides once at the end; density_num (Σ len²) stays
+    * undivided.
+    */
+  def extractiveCoverage(df: DataFrame, textCol: String, idCol: String,
+                         summaryTokens: Int = 16): DataFrame = {
+    require(summaryTokens > 0, "summaryTokens must be positive")
+    val tk = filter(toks(col(textCol)), t => t =!= "")
+    df.select(col(idCol), tk.as("tk"))
+      .filter(size(col("tk")) >= 2 * summaryTokens)
+      .select(col(idCol),
+        graft.functions.EfKernel.extractiveFragments(
+          slice(col("tk"), lit(1), size(col("tk")) - summaryTokens),
+          slice(col("tk"), size(col("tk")) - (summaryTokens - 1),
+            lit(summaryTokens))).as("ef"))
+      .select(col(idCol),
+        element_at(col("ef"), 1).as("matched_tokens"),
+        element_at(col("ef"), 2).as("density_num"),
+        element_at(col("ef"), 3).as("n_fragments"),
+        element_at(col("ef"), 4).as("n_summary"))
+      .withColumn("coverage_bp", expr("matched_tokens * 10000 div n_summary"))
+  }
+
+  /** Chat-template rendering + loss-mask arithmetic — the SFT data-prep
+    * step: tokens chunk into fixed-size turns, roles alternate
+    * user/assistant, the rendered training string is
+    * `<|user|>…<|end|><|assistant|>…<|end|>…`, and the mask columns
+    * carry EXACT character offsets of supervised (assistant) content —
+    * what a trainer needs to zero the loss on prompt tokens. `valid`
+    * is the structural gate (≥ 2 turns AND ends with an assistant
+    * turn); invalid conversations keep their stats so curation can
+    * count what it drops.
+    *
+    * Pure per-row projection (HOF chunking + one fold for the mask
+    * sum) — zero exchanges, scan-speed at 100 TB. Offsets count
+    * codepoints, same as DuckDB length(); tags are ASCII so the two
+    * never diverge.
+    */
+  def chatRender(df: DataFrame, textCol: String, idCol: String,
+                 turnTokens: Int = 6): DataFrame = {
+    require(turnTokens > 0, "turnTokens must be positive")
+    val tagU = "<|user|>" // 8 chars
+    val tagA = "<|assistant|>" // 13 chars
+    val tagE = "<|end|>" // 7 chars
+    val tk = filter(toks(col(textCol)), t => t =!= "")
+    val nTurns = ceil(size(col("tk")).cast("double") / turnTokens).cast("int")
+    df.select(col(idCol), tk.as("tk"))
+      .withColumn("chunks",
+        when(size(col("tk")) > 0,
+          transform(sequence(lit(0), nTurns - 1),
+            i => concat_ws(" ",
+              slice(col("tk"), i * turnTokens + 1, lit(turnTokens)))))
+          .otherwise(array().cast("array<string>")))
+      .select(col(idCol),
+        size(col("chunks")).cast("long").as("n_turns"),
+        array_join(transform(col("chunks"), (c, i) =>
+          concat(when(i % 2 === 0, tagU).otherwise(tagA), c, lit(tagE))),
+          "").as("rendered"),
+        aggregate(
+          transform(col("chunks"), (c, i) =>
+            when(i % 2 === 1, length(c).cast("long")).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x).as("mask_total"),
+        when(size(col("chunks")) >= 2,
+          lit(8L + 7L + 13L) + length(element_at(col("chunks"), 1)))
+          .otherwise(-1L).as("mask_first"))
+      .withColumn("valid", col("n_turns") >= 2 && col("n_turns") % 2 === 0)
+      .withColumn("rendered_len", length(col("rendered")).cast("long"))
+      .withColumn("fp", md5(col("rendered")))
+      .drop("rendered")
+  }
 }

@@ -49,6 +49,23 @@ object TextQueries {
       TextAnalysis.distinctNgrams(Tables.documents(s, d), "text",
         "source", n = 2)),
 
+    // Chat-template render + loss-mask offsets (SFT data prep): 6-token
+    // turns, alternating roles, rendered string fingerprinted and the
+    // assistant-content mask arithmetic (total chars + first offset)
+    // emitted exactly. Pure projection; the oracle replays the render
+    // character-for-character.
+    "q_chat_render" -> ((s, d) =>
+      TextAnalysis.chatRender(Tables.documents(s, d), "text", "doc_id",
+        turnTokens = 6)),
+
+    // Extractive-fragment coverage/density (Grusky et al. NAACL'18) of
+    // each doc's 16-token tail against its head — the greedy
+    // longest-fragment walk as a native codegen'd kernel; the oracle
+    // replays the walk with a recursive CTE over nested list lambdas.
+    "q_extractive_coverage" -> ((s, d) =>
+      TextAnalysis.extractiveCoverage(Tables.documents(s, d), "text",
+        "doc_id", summaryTokens = 16)),
+
     // Greenlist-watermark detection (Kirchenbauer et al. ICML'23): a
     // one-sided binomial z-test per document over consecutive-token
     // pairs, green = md5 parity (null exactly 1/2), z >= 2 decided
@@ -720,6 +737,77 @@ object TextQueries {
          |SELECT doc_id, n_invisible, n_bidi, n_ctrl,
          |  (n_invisible + n_bidi + n_ctrl = 0) AS clean, fp
          |FROM c""".stripMargin,
+
+    // The render replayed chunk-for-chunk: same 6-token slicing, same
+    // tag strings, same 28-char offset constant (8+7+13). list_sum of
+    // an empty list is NULL in DuckDB (Spark's aggregate over an empty
+    // array is the seed) — hence the COALESCEs.
+    "q_chat_render" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS tk
+         |  FROM documents),
+         |c AS (SELECT doc_id,
+         |        CASE WHEN len(tk) > 0
+         |          THEN list_transform(range((len(tk) + 5) // 6), i ->
+         |                 array_to_string(tk[i*6+1 : i*6+6], ' '))
+         |          ELSE CAST([] AS VARCHAR[]) END AS chunks
+         |      FROM t),
+         |r AS (SELECT doc_id,
+         |        CAST(len(chunks) AS BIGINT) AS n_turns,
+         |        COALESCE(array_to_string(list_transform(range(len(chunks)),
+         |          i -> (CASE WHEN i % 2 = 0 THEN '<|user|>'
+         |                     ELSE '<|assistant|>' END)
+         |            || chunks[i + 1] || '<|end|>'), ''), '') AS rendered,
+         |        CAST(COALESCE(list_sum(list_transform(range(len(chunks)),
+         |          i -> CASE WHEN i % 2 = 1 THEN length(chunks[i + 1])
+         |               ELSE 0 END)), 0) AS BIGINT) AS mask_total,
+         |        CAST(CASE WHEN len(chunks) >= 2
+         |          THEN 28 + length(chunks[1]) ELSE -1 END AS BIGINT)
+         |          AS mask_first
+         |      FROM c)
+         |SELECT doc_id, n_turns, mask_total, mask_first,
+         |  (n_turns >= 2 AND n_turns % 2 = 0) AS valid,
+         |  CAST(length(rendered) AS BIGINT) AS rendered_len,
+         |  md5(rendered) AS fp
+         |FROM r""".stripMargin,
+
+    // The greedy walk replayed as a recursive CTE: per step, `best` is
+    // the longest common run at summary position i over every article
+    // anchor (nested list lambdas; NULLIF because list_position
+    // returns 0, not NULL, on a miss), then i advances by best (or 1).
+    // Terminal rows (i past the summary) carry the totals.
+    "q_extractive_coverage" ->
+      s"""WITH RECURSIVE
+         |t AS (SELECT doc_id, list_filter($toksSql, x -> x <> '') AS tk
+         |      FROM documents),
+         |p AS (SELECT doc_id, tk[1:len(tk)-16] AS art,
+         |        tk[len(tk)-15:len(tk)] AS summ
+         |      FROM t WHERE len(tk) >= 32),
+         |g AS (
+         |  SELECT doc_id, art, summ, 1 AS i, CAST(0 AS BIGINT) AS matched,
+         |         CAST(0 AS BIGINT) AS sq, CAST(0 AS BIGINT) AS frags
+         |  FROM p
+         |  UNION ALL
+         |  SELECT doc_id, art, summ,
+         |    i + CASE WHEN best > 0 THEN best ELSE 1 END,
+         |    matched + best, sq + best * best,
+         |    frags + CASE WHEN best > 0 THEN 1 ELSE 0 END
+         |  FROM (
+         |    SELECT g.*, COALESCE(list_max(list_transform(
+         |      range(1, len(art) + 1), a ->
+         |      CASE WHEN art[a] = summ[i] THEN
+         |        COALESCE(
+         |          NULLIF(list_position(list_transform(
+         |            range(least(len(summ) - i, len(art) - a) + 1),
+         |            k -> summ[i + k] = art[a + k]), false), 0) - 1,
+         |          least(len(summ) - i, len(art) - a) + 1)
+         |      ELSE 0 END)), 0) AS best
+         |    FROM g WHERE i <= len(summ)) s
+         |)
+         |SELECT doc_id, matched AS matched_tokens, sq AS density_num,
+         |  frags AS n_fragments, CAST(16 AS BIGINT) AS n_summary,
+         |  matched * 10000 // 16 AS coverage_bp
+         |FROM g WHERE i > len(summ)""".stripMargin,
 
     // Bigram stream replayed per source; distinct/total from one
     // (source, shingle) grouping — COUNT(*) of groups is the distinct
