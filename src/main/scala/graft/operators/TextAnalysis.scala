@@ -1424,6 +1424,29 @@ object TextAnalysis {
         count(lit(1)).as("n_distinct"))
       .withColumn("distinct_bp", expr("n_distinct * 10000 div n_grams"))
 
+  /** Luhn-validated payment-card detection — the checksum upgrade of
+    * [[redactPii]]'s bare digit-run counter: a 13–19 digit run is only
+    * a REAL card-number hit if it passes the Luhn mod-10 check (ISO/IEC
+    * 7812), which cuts the false-positive rate on IDs/timestamps/hashes
+    * by ~10× (a random digit run passes with p = 1/10). The compliance
+    * screen a 100 TB crawl runs before publishing: emits candidate and
+    * validated counts plus the per-doc verdict, so curation can route
+    * `has_valid_pii` docs to quarantine and measure the FP gap.
+    *
+    * Pure per-row projection — one regexp extraction + a bounded
+    * filter over the (few) candidates using Spark's codegen'd
+    * `luhn_check`; zero exchanges, scan-speed at any scale.
+    */
+  def luhnScan(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+        regexp_extract_all(col(textCol), lit("[0-9]{13,19}"), lit(0))
+          .as("cands"))
+      .select(col(idCol),
+        size(col("cands")).cast("long").as("n_candidates"),
+        expr("CAST(size(filter(cands, c -> luhn_check(c))) AS BIGINT)")
+          .as("n_luhn_valid"))
+      .withColumn("has_valid_pii", col("n_luhn_valid") > 0)
+
   /** Extractive-fragment coverage & density (Grusky et al. NAACL'18 —
     * the Newsroom extractiveness measure) of each document's TAIL
     * against its HEAD: summary = last `summaryTokens` tokens, article =

@@ -49,6 +49,24 @@ object TextQueries {
       TextAnalysis.distinctNgrams(Tables.documents(s, d), "text",
         "source", n = 2)),
 
+    // Luhn-validated card-number screen over a PLANTED corpus (same
+    // inject-then-prove pattern as q_invisible_scan): doc_id mod 3
+    // appends a valid+invalid pair / an invalid only / nothing, so the
+    // checksum split (not just the regex) carries oracle-checked mass.
+    "q_luhn_scan" -> ((s, d) => {
+      val m3 = pmod(col("doc_id"), lit(3))
+      val planted =
+        when(m3 === 0, // one Luhn-valid card + one checksum-broken run
+          concat(col("text"), lit(" 4111111111111111 1234567890123456")))
+        .when(m3 === 1, // checksum-broken only
+          concat(col("text"), lit(" 4111111111111112")))
+        .otherwise(col("text")) // untouched — the clean path
+      TextAnalysis.luhnScan(
+        Tables.documents(s, d).select(col("doc_id"),
+          planted.as("planted")),
+        "planted", "doc_id")
+    }),
+
     // Chat-template render + loss-mask offsets (SFT data prep): 6-token
     // turns, alternating roles, rendered string fingerprinted and the
     // assistant-content mask arithmetic (total chars + first offset)
@@ -737,6 +755,38 @@ object TextQueries {
          |SELECT doc_id, n_invisible, n_bidi, n_ctrl,
          |  (n_invisible + n_bidi + n_ctrl = 0) AS clean, fp
          |FROM c""".stripMargin,
+
+    // Injection replayed, then the Luhn mod-10 check itself replayed
+    // digit-by-digit with list lambdas (right-to-left, every second
+    // digit doubled with the 9-subtraction) — two independent Luhn
+    // implementations agreeing on every candidate.
+    "q_luhn_scan" ->
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    CASE CAST(doc_id % 3 AS INTEGER)
+         |      WHEN 0 THEN text || ' 4111111111111111 1234567890123456'
+         |      WHEN 1 THEN text || ' 4111111111111112'
+         |      ELSE text END AS planted
+         |  FROM documents),
+         |c AS (SELECT doc_id,
+         |        regexp_extract_all(planted, '[0-9]{13,19}') AS cands
+         |      FROM p),
+         |v AS (SELECT doc_id,
+         |        CAST(len(cands) AS BIGINT) AS n_candidates,
+         |        CAST(len(list_filter(cands, c ->
+         |          list_sum(list_transform(range(len(c)), j ->
+         |            CASE WHEN j % 2 = 0
+         |              THEN CAST(substr(c, len(c) - j, 1) AS INTEGER)
+         |              ELSE CASE
+         |                WHEN 2 * CAST(substr(c, len(c) - j, 1) AS INTEGER) > 9
+         |                THEN 2 * CAST(substr(c, len(c) - j, 1) AS INTEGER) - 9
+         |                ELSE 2 * CAST(substr(c, len(c) - j, 1) AS INTEGER)
+         |              END
+         |            END)) % 10 = 0)) AS BIGINT) AS n_luhn_valid
+         |      FROM c)
+         |SELECT doc_id, n_candidates, n_luhn_valid,
+         |  (n_luhn_valid > 0) AS has_valid_pii
+         |FROM v""".stripMargin,
 
     // The render replayed chunk-for-chunk: same 6-token slicing, same
     // tag strings, same 28-char offset constant (8+7+13). list_sum of
