@@ -274,6 +274,45 @@ object Annotation {
     * partial-aggregated moments (n, Σr, Σr²) broadcast back onto the
     * rows by the window, no join, no second scan.
     */
+  /** Exact ROC-AUC per group via the Mann-Whitney U statistic — the
+    * quality-classifier evaluation step (does the score actually rank
+    * positives above negatives?). AUC = (Σ_{pos,neg} [s⁺>s⁻] +
+    * ½[s⁺=s⁻]) / (n⁺·n⁻), i.e. rank statistics with MIDRANKS on ties —
+    * emitted as the exact undivided pair (auc_num = 2·U, auc_den =
+    * 2·n⁺·n⁻) in DECIMAL(38,0): at 100 TB group sizes n⁺·n⁻ leaves
+    * int64 around n ≈ 3·10⁹ rows, and ½-midranks stay integral under
+    * the ×2 scaling.
+    *
+    * Plan shape — never a global sort: rows pre-aggregate to one
+    * (group, score) row with pos/neg counts (corpus-linear, map-side
+    * combined; a hot score costs its row count once), then the
+    * pairwise sum collapses to Σ_scores n⁺(s)·(2·cumNeg(<s) + n⁻(s))
+    * via ONE cumulative window over the group's DISTINCT scores —
+    * |scores| rows per group, not |rows|. Groups with one class emit
+    * auc_den = 0 (AUC undefined; the consumer skips, nothing divides).
+    */
+  def aucStats(df: DataFrame, groupCol: String, scoreCol: String,
+               labelCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(col(groupCol).as("grp"), col(scoreCol).cast("long").as("s"),
+        col(labelCol).cast("boolean").as("pos"))
+      .groupBy(col("grp"), col("s"))
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("nn"))
+      .withColumn("cum_below", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .groupBy(col("grp"))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("np").cast("decimal(38,0)") *
+          (lit(2L) * col("cum_below") + col("nn")))
+          .cast("decimal(38,0)").as("auc_num"))
+      .withColumn("auc_den",
+        (lit(2L) * col("n_pos").cast("decimal(38,0)") * col("n_neg"))
+          .cast("decimal(38,0)"))
+      .withColumnRenamed("grp", groupCol)
+  }
+
   def grpoAdvantage(responses: DataFrame, promptCol: String, idCol: String,
                     rewardCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("prompt"))

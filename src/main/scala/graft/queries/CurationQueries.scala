@@ -60,6 +60,20 @@ object CurationQueries {
             col("n_chars")),
         "prompt_id", "doc_id", "n_chars")),
 
+    // Exact per-source ROC-AUC of a length "classifier" predicting
+    // English (Mann-Whitney U with midranks): does n_chars rank en
+    // docs above the rest? Emitted as the undivided (2U, 2·n⁺·n⁻)
+    // pair; ties are abundant at ~300 distinct lengths, so the
+    // midrank branch carries real mass. Pre-aggregated by (source,
+    // score) — the cumulative window runs over distinct scores, never
+    // rows.
+    "q_auc" -> ((s, d) =>
+      Annotation.aucStats(
+        Tables.documents(s, d)
+          .select(col("source"), col("n_chars"),
+            (col("lang") === "en").as("is_en")),
+        "source", "n_chars", "is_en")),
+
     // Group-relative advantage (GRPO data prep): the same prompt
     // grouping as q_dpo_pairs, but EVERY response gets a signal —
     // reward centered on the group mean, emitted as the exact
@@ -398,6 +412,33 @@ object CurationQueries {
         |  CAST(chosen_reward - rejected_reward AS BIGINT) AS margin
         |FROM c JOIN j USING (prompt)
         |WHERE c.n >= 2 AND chosen_reward > rejected_reward""".stripMargin,
+
+    // The pairwise count collapsed the same way: per-(source, score)
+    // class counts, one cumulative-negatives window over distinct
+    // scores, Σ np·(2·cumBelow + nn). HUGEINT internally, DECIMAL(38)
+    // out.
+    "q_auc" ->
+      """WITH r AS (
+        |  SELECT source, n_chars AS s, (lang = 'en') AS pos FROM documents
+        |), g AS (
+        |  SELECT source, s,
+        |    SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+        |    SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS nn
+        |  FROM r GROUP BY source, s
+        |), c AS (
+        |  SELECT source, s, np, nn,
+        |    COALESCE(SUM(nn) OVER (PARTITION BY source ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM g
+        |)
+        |SELECT source,
+        |  CAST(SUM(np) AS BIGINT) AS n_pos,
+        |  CAST(SUM(nn) AS BIGINT) AS n_neg,
+        |  CAST(SUM(CAST(np AS HUGEINT) * (2 * cb + nn)) AS DECIMAL(38,0))
+        |    AS auc_num,
+        |  CAST(2 * SUM(CAST(np AS HUGEINT)) * SUM(nn) AS DECIMAL(38,0))
+        |    AS auc_den
+        |FROM c GROUP BY source""".stripMargin,
 
     // Moments replayed as HUGEINT window sums (Σr² × n exceeds BIGINT
     // long before it exceeds 38 digits), final casts to the Spark

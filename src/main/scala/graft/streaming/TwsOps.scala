@@ -736,4 +736,87 @@ object TwsOps {
       out.iterator
     }
   }
+
+  /** Streaming heavy hitters per key — SpaceSaving (Metwally et al.
+    * ICDT'05) over `transformWithState` MapState: k counters per key,
+    * O(k) memory FOREVER regardless of stream length, with the classic
+    * guarantees (any item with true frequency > n/k is tracked; an
+    * estimate overcounts its item by at most its recorded error, which
+    * is at most n/k). The per-key top-tokens / top-URLs / top-agents
+    * monitor a 100 TB ingest runs where exact counting would need
+    * unbounded state — the bounded-error complement of [[ttlDedup]]'s
+    * bounded-horizon exactness and the streaming face of the batch
+    * TopKStruct exact top-k.
+    *
+    * Per row (event-time order within a batch, the [[cusumTws]]
+    * contract): tracked items increment; an untracked item with a free
+    * slot starts at (1, 0); otherwise it REPLACES the minimum-count
+    * item m as (count(m)+1, error = count(m)). The eviction victim is
+    * chosen deterministically (min count, then lexicographic item) so
+    * replay and state-store iteration order never change the trace.
+    * Emits the decision trace — (key, ts, item, est, err, evicted) —
+    * so the spec can replay it row for row.
+    *
+    * State: ONE MapState (item → (count, error)) per key — the state
+    * primitive ValueState cannot express without rewriting the whole
+    * summary per row; point-updates touch only the changed item's
+    * column-family entry in RocksDB.
+    */
+  def spaceSavingTws(df: DataFrame, keyCol: String, tsCol: String,
+      itemCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("k"),
+        col(tsCol).cast("long").as("ts"),
+        col(itemCol).cast("string").as("item"))
+      .as[(String, Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new SpaceSavingProcessor(k),
+        TimeMode.None, OutputMode.Append)
+      .toDF(keyCol, tsCol, itemCol, "est", "err", "evicted")
+  }
+
+  private final class SpaceSavingProcessor(k: Int)
+      extends StatefulProcessor[String, (String, Long, String),
+        (String, Long, String, Long, Long, String)] {
+    import org.apache.spark.sql.streaming.MapState
+    @transient private var counters: MapState[String, (Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counters = getHandle.getMapState[String, (Long, Long)]("ss",
+        Encoders.STRING,
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long, String)],
+        tv: TimerValues): Iterator[(String, Long, String, Long, Long, String)] = {
+      // work on a local snapshot; point-write only the touched entries
+      val m = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      counters.iterator().foreach { case (it, ce) => m.put(it, ce) }
+      val out =
+        scala.collection.mutable.ArrayBuffer
+          .empty[(String, Long, String, Long, Long, String)]
+      rows.toArray.sortBy(_._2).foreach { case (_, ts, item) =>
+        m.get(item) match {
+          case Some((c, e)) =>
+            val nc = (Math.addExact(c, 1L), e)
+            m.put(item, nc); counters.updateValue(item, nc)
+            out += ((key, ts, item, nc._1, e, null))
+          case None if m.size < k =>
+            m.put(item, (1L, 0L)); counters.updateValue(item, (1L, 0L))
+            out += ((key, ts, item, 1L, 0L, null))
+          case None =>
+            // deterministic victim: min count, ties to smallest item
+            val (vic, (vc, _)) = m.minBy { case (it, (c, _)) => (c, it) }
+            m.remove(vic); counters.removeKey(vic)
+            val nc = (Math.addExact(vc, 1L), vc)
+            m.put(item, nc); counters.updateValue(item, nc)
+            out += ((key, ts, item, nc._1, nc._2, vic))
+        }
+      }
+      out.iterator
+    }
+  }
 }

@@ -126,4 +126,30 @@ class AnnotationSpec extends SparkSpec {
     assert(out(4L).getAs[java.math.BigDecimal]("var_num")
       .longValueExact() == 0L)
   }
+
+  test("aucStats: midrank tie, perfect, reversed, one-class groups") {
+    import graft.operators.Annotation
+    val rows = Seq(
+      // "t": pos scores {3, 2}, neg {1, 2} → one tied pair counts ½:
+      // U = 3.5 → (auc_num, auc_den) = (7, 8)
+      ("t", 3L, true), ("t", 2L, true), ("t", 1L, false), ("t", 2L, false),
+      // "p": perfect separation → AUC 1 (8 / 8)
+      ("p", 10L, true), ("p", 9L, true), ("p", 1L, false), ("p", 2L, false),
+      // "r": reversed ranking → AUC 0
+      ("r", 1L, true), ("r", 5L, false),
+      // "o": one class only → den 0, nothing divides
+      ("o", 4L, true), ("o", 5L, true))
+      .toDF("grp", "score", "label")
+    val out = Annotation.aucStats(rows, "grp", "score", "label")
+      .collect().map(r => r.getString(0) -> r).toMap
+    def nd(g: String) = (out(g).getAs[java.math.BigDecimal]("auc_num")
+      .longValueExact(), out(g).getAs[java.math.BigDecimal]("auc_den")
+      .longValueExact())
+    assert(nd("t") == (7L, 8L))
+    assert(nd("p") == (8L, 8L))
+    assert(nd("r") == (0L, 2L))
+    assert(nd("o") == (0L, 0L))
+    assert(out("t").getAs[Long]("n_pos") == 2L)
+    assert(out("t").getAs[Long]("n_neg") == 2L)
+  }
 }
