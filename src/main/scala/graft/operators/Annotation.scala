@@ -274,6 +274,43 @@ object Annotation {
     * partial-aggregated moments (n, Σr, Σr²) broadcast back onto the
     * rows by the window, no join, no second scan.
     */
+  /** Exact expected-calibration-error bins (Naeini et al. AAAI'15 /
+    * Guo et al. ICML'17) — the classifier-calibration audit: bucket
+    * predictions by confidence (basis points, 0..10000) into `nBins`
+    * equal-width bins; per bin, the calibration gap is |accuracy −
+    * mean confidence|, and ECE is the n-weighted gap sum. Both are
+    * EXACT integers under one common scaling: gap_num_b =
+    * |10000·n_correct_b − Σconf_b| (denominator 10000·n_b cancels into
+    * the weighting), so ece_num = Σ_b gap_num_b over ece_den = 10000·n
+    * — never a float, never a rounding-order hazard.
+    *
+    * Output: one row per (group, bin) carrying the bin stats plus the
+    * group's (ece_num, ece_den) repeated — the reliability-diagram
+    * table and the headline number from one pass. Plan: one exchange
+    * on (group, bin) (map-side combined), then a group-keyed window
+    * over ≤ nBins rows per group. Empty bins emit nothing (they
+    * contribute 0 to ECE by definition).
+    */
+  def calibrationBins(df: DataFrame, groupCol: String, confBpCol: String,
+                      labelCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+    df.select(col(groupCol).as("grp"),
+        col(confBpCol).cast("long").as("conf_bp"),
+        col(labelCol).cast("boolean").as("ok"))
+      .withColumn("bin",
+        least(expr(s"conf_bp * $nBins div 10000"), lit(nBins - 1L)))
+      .groupBy(col("grp"), col("bin"))
+      .agg(count(lit(1)).as("n_bin"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_correct"),
+        sum(col("conf_bp")).as("sum_conf_bp"))
+      .withColumn("gap_num",
+        abs(lit(10000L) * col("n_correct") - col("sum_conf_bp")))
+      .withColumn("ece_num", sum(col("gap_num")).over(w))
+      .withColumn("ece_den", lit(10000L) * sum(col("n_bin")).over(w))
+      .withColumnRenamed("grp", groupCol)
+  }
+
   /** Exact ROC-AUC per group via the Mann-Whitney U statistic — the
     * quality-classifier evaluation step (does the score actually rank
     * positives above negatives?). AUC = (Σ_{pos,neg} [s⁺>s⁻] +

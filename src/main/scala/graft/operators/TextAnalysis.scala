@@ -1424,6 +1424,44 @@ object TextAnalysis {
         count(lit(1)).as("n_distinct"))
       .withColumn("distinct_bp", expr("n_distinct * 10000 div n_grams"))
 
+  /** Regex battery for the prompt-injection screen, shared verbatim
+    * with the DuckDB oracle (RE2 and java.util.regex agree on these
+    * constructs — alternation, `(?m)` line anchors, bounded classes).
+    */
+  val overridePattern: String =
+    "(ignore previous instructions|disregard all prior instructions|you are now the system)"
+  val roleSpoofPattern: String = "(?m)^[ \\t]*(system|assistant)[ \\t]*:"
+  val b64BlobPattern: String = "[A-Za-z0-9+/]{48,}={0,2}"
+
+  /** Prompt-injection screen — the training-data poisoning audit a
+    * 100 TB crawl runs before an instruction-tuning mix: counts of
+    * (a) canonical override phrases ("ignore previous instructions" …),
+    * (b) role-spoof line prefixes (`system:` / `assistant:` at line
+    * start — text masquerading as chat structure so it lands in the
+    * unmasked span), and (c) long base64 blobs (the classic payload
+    * smuggling channel past text filters). Any hit marks the document
+    * `suspicious` for quarantine; counts stay per-class so curation
+    * can measure which vector dominates a source.
+    *
+    * Pure per-row projection over the lowercased text — three
+    * codegen'd regex counts, zero exchanges, scan-speed at any scale.
+    * The phrase list is deliberately tiny and exact-match: the
+    * high-recall sibling is [[graft.functions.AhoCorasick]]'s
+    * blocklist (thousands of phrases, one text pass); this battery is
+    * the STRUCTURAL screen (anchors, payload shapes) regexes express
+    * and phrase automata cannot.
+    */
+  def injectionScreen(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+        size(regexp_extract_all(lower(col(textCol)), lit(overridePattern),
+          lit(0))).cast("long").as("n_override"),
+        size(regexp_extract_all(lower(col(textCol)), lit(roleSpoofPattern),
+          lit(0))).cast("long").as("n_role_spoof"),
+        size(regexp_extract_all(col(textCol), lit(b64BlobPattern),
+          lit(0))).cast("long").as("n_b64_blobs"))
+      .withColumn("suspicious",
+        col("n_override") + col("n_role_spoof") + col("n_b64_blobs") > 0L)
+
   /** Luhn-validated payment-card detection — the checksum upgrade of
     * [[redactPii]]'s bare digit-run counter: a 13–19 digit run is only
     * a REAL card-number hit if it passes the Luhn mod-10 check (ISO/IEC

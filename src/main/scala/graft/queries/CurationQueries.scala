@@ -60,6 +60,18 @@ object CurationQueries {
             col("n_chars")),
         "prompt_id", "doc_id", "n_chars")),
 
+    // Exact ECE reliability bins per source: confidence and verdict
+    // are deterministic modular fixtures (engine-portable integer
+    // arithmetic, no hash-hex conversion divergence); the gap algebra
+    // |10000·n_correct − Σconf| / (10000·n) is what's being proven.
+    "q_ece" -> ((s, d) =>
+      Annotation.calibrationBins(
+        Tables.documents(s, d)
+          .select(col("source"),
+            expr("(doc_id % 10001) * 6271 % 10001").as("conf_bp"),
+            expr("((doc_id * 7919) % 97) % 2 = 0").as("ok")),
+        "source", "conf_bp", "ok", nBins = 10)),
+
     // Exact per-source ROC-AUC of a length "classifier" predicting
     // English (Mann-Whitney U with midranks): does n_chars rank en
     // docs above the rest? Emitted as the undivided (2U, 2·n⁺·n⁻)
@@ -412,6 +424,30 @@ object CurationQueries {
         |  CAST(chosen_reward - rejected_reward AS BIGINT) AS margin
         |FROM c JOIN j USING (prompt)
         |WHERE c.n >= 2 AND chosen_reward > rejected_reward""".stripMargin,
+
+    // Same modular fixtures, same one-scaling gap algebra; HUGEINT
+    // sums cast back at every emission point.
+    "q_ece" ->
+      """WITH r AS (
+        |  SELECT source, (doc_id % 10001) * 6271 % 10001 AS conf_bp,
+        |    ((doc_id * 7919) % 97) % 2 = 0 AS ok
+        |  FROM documents
+        |), g AS (
+        |  SELECT source, LEAST(conf_bp * 10 // 10000, 9) AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS n_bin,
+        |    CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |    CAST(SUM(conf_bp) AS BIGINT) AS sum_conf_bp
+        |  FROM r GROUP BY source, LEAST(conf_bp * 10 // 10000, 9)
+        |), w AS (
+        |  SELECT source, bin, n_bin, n_correct, sum_conf_bp,
+        |    abs(10000 * n_correct - sum_conf_bp) AS gap_num
+        |  FROM g
+        |)
+        |SELECT source, bin, n_bin, n_correct, sum_conf_bp, gap_num,
+        |  CAST(SUM(gap_num) OVER (PARTITION BY source) AS BIGINT) AS ece_num,
+        |  CAST(10000 * SUM(n_bin) OVER (PARTITION BY source) AS BIGINT)
+        |    AS ece_den
+        |FROM w""".stripMargin,
 
     // The pairwise count collapsed the same way: per-(source, score)
     // class counts, one cumulative-negatives window over distinct

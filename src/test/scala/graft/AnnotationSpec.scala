@@ -152,4 +152,30 @@ class AnnotationSpec extends SparkSpec {
     assert(out("t").getAs[Long]("n_pos") == 2L)
     assert(out("t").getAs[Long]("n_neg") == 2L)
   }
+
+  test("calibrationBins: hand gaps, top-edge bin clamp, calibrated zero") {
+    import graft.operators.Annotation
+    val rows = Seq(
+      ("g", 500L, true), ("g", 999L, false), // bin 0: gap |10000-1499|
+      ("g", 9999L, true), ("g", 10000L, true), // bin 9 (10000 clamps down)
+      ("c", 5000L, true), ("c", 5000L, false)) // perfectly calibrated bin
+      .toDF("grp", "conf_bp", "ok")
+    val out = Annotation.calibrationBins(rows, "grp", "conf_bp", "ok")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    val b0 = out(("g", 0L))
+    assert(b0.getAs[Long]("n_bin") == 2L)
+    assert(b0.getAs[Long]("n_correct") == 1L)
+    assert(b0.getAs[Long]("sum_conf_bp") == 1499L)
+    assert(b0.getAs[Long]("gap_num") == 8501L)
+    val b9 = out(("g", 9L))
+    assert(b9.getAs[Long]("n_bin") == 2L) // 10000 bp joined bin 9
+    assert(b9.getAs[Long]("gap_num") == 1L)
+    assert(b0.getAs[Long]("ece_num") == 8502L)
+    assert(b0.getAs[Long]("ece_den") == 40000L)
+    // a bin whose accuracy equals its mean confidence contributes 0
+    val c5 = out(("c", 5L))
+    assert(c5.getAs[Long]("gap_num") == 0L)
+    assert(c5.getAs[Long]("ece_num") == 0L)
+    assert(out.size == 3) // empty bins emit nothing
+  }
 }
