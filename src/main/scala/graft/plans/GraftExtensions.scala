@@ -101,6 +101,8 @@ object GraftExtensions {
     entry("nfc_norm", classOf[NfcNormalize], 1)(c => NfcNormalize(c(0))),
     entry("vec_sqdist_long", classOf[LongSqDist], 2)(c =>
       LongSqDist(c(0), c(1))),
+    entry("extractive_fragments", classOf[ExtractiveFragments], 2)(c =>
+      ExtractiveFragments(c(0), c(1))),
     entry("winnow_fingerprints", classOf[WinnowFingerprints], 3)(c =>
       WinnowFingerprints(c(0), litInt(c(1), "winnow_fingerprints", "k"),
         litInt(c(2), "winnow_fingerprints", "w"))),

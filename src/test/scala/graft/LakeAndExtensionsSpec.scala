@@ -120,6 +120,9 @@ class LakeAndExtensionsSpec extends SparkSpec {
     // scalar natives
     assert(spark.sql("SELECT char_entropy_stats('aab').n_chars AS n")
       .head().getLong(0) == 3L)
+    assert(spark.sql(
+      "SELECT extractive_fragments(array('a','b','c'), array('b','c','x')) AS f")
+      .head().getSeq[Long](0) == Seq(2L, 4L, 1L, 3L))
     assert(spark.sql("SELECT ngram_rep_profile('a b a b').den AS den")
       .head().getLong(0) == 7L)
     assert(spark.sql("SELECT size(zero_mod_windows('abcabcabc', 3, 1)) AS n")

@@ -224,4 +224,55 @@ class PropertiesSpec extends SparkSpec {
       else assert(joined(id) == logit, s"doc $id")
     }
   }
+
+  test("EfKernel agrees with an indexOfSlice greedy on random token streams") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    // independent reimplementation: longest match at i found by
+    // shrinking-window indexOfSlice instead of per-anchor prefix walks
+    def naive(art: Vector[String], summ: Vector[String]): (Long, Long, Long) = {
+      var i = 0; var m = 0L; var sq = 0L; var f = 0L
+      while (i < summ.length) {
+        var l = math.min(summ.length - i, art.length)
+        while (l > 0 && art.indexOfSlice(summ.slice(i, i + l)) < 0) l -= 1
+        if (l > 0) { m += l; sq += l.toLong * l; f += 1; i += l }
+        else i += 1
+      }
+      (m, sq, f)
+    }
+    def kernel(art: Vector[String], summ: Vector[String]): Seq[Long] = {
+      def ad(v: Vector[String]) =
+        new GenericArrayData(v.map(UTF8String.fromString).toArray[Any])
+      graft.functions.EfKernel.compute(ad(art), ad(summ))
+        .toLongArray().toSeq
+    }
+    val toks = Gen.listOf(Gen.oneOf("a", "b", "c", "d")).map(_.toVector)
+    val cases = sample(Gen.listOfN(200, Gen.zip(toks, toks)))
+    cases.foreach { case (art, summ) =>
+      val Seq(m, sq, f, ns) = kernel(art, summ)
+      val (nm, nsq, nf) = naive(art, summ)
+      assert((m, sq, f) == ((nm, nsq, nf)), s"art=$art summ=$summ")
+      assert(ns == summ.length.toLong)
+      assert(m <= ns && f <= m && sq <= m * m)
+      assert((m == 0L) == (f == 0L))
+    }
+  }
+
+  test("luhnScan validity agrees with an independent digit fold") {
+    val digits = Gen.chooseNum(13, 19).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 9)).map(_.mkString))
+    val runs = sample(Gen.listOfN(60, digits))
+    def fold(s: String): Boolean =
+      s.reverse.zipWithIndex.map { case (ch, k) =>
+        val d = ch - '0'
+        if (k % 2 == 0) d else { val x = 2 * d; if (x > 9) x - 9 else x }
+      }.sum % 10 == 0
+    val out = graft.operators.TextAnalysis.luhnScan(
+        runs.zipWithIndex.map { case (s, i) => (i.toLong, s"pay $s now") }
+          .toDF("doc_id", "text"), "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_luhn_valid")).toMap
+    runs.zipWithIndex.foreach { case (s, i) =>
+      assert(out(i.toLong) == (if (fold(s)) 1L else 0L), s"run $s")
+    }
+  }
 }
