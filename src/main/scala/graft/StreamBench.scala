@@ -279,6 +279,33 @@ object StreamBench {
           .writeStream.format("noop").outputMode("complete")
           .option("checkpointLocation", s"$dir/ckpt").start()
         (q, groups, t0)
+      } else if (mode == "heavyhitter") {
+        // SpaceSaving heavy-hitter screen (TwsOps.spaceSavingTws) on
+        // RocksDB MapState: k = 32 counters per key over a skewed item
+        // mix (a third of rows hit 4 hot items, the rest spread over
+        // rows/4 fillers) so the increment, fill AND evict paths all
+        // carry real mass. TimeMode.None quiesces, so the standard
+        // processAllAvailable drain applies.
+        val groups = 16
+        val fillers = math.max(1000, rows / 4)
+        spark.range(rows)
+          .select((col("id") % groups).cast("string").as("key"),
+            col("id").as("t"),
+            when(col("id") % 3 === 0,
+              concat(lit("hot"), (col("id") % 4).cast("string")))
+              .otherwise(concat(lit("f"),
+                (col("id") % fillers).cast("string"))).as("item"))
+          .repartition(8).write.option("header", "true").csv(s"$dir/in")
+        graft.streaming.TwsOps.useRocksDb(spark)
+        val t0 = System.nanoTime()
+        val reader = spark.readStream.schema("key STRING, t LONG, item STRING")
+          .option("header", "true")
+        if (filesPerTrigger != "0") reader.option("maxFilesPerTrigger", filesPerTrigger)
+        val q = graft.streaming.TwsOps.spaceSavingTws(reader.csv(s"$dir/in"),
+            "key", "t", "item", k = 32)
+          .writeStream.format("noop").outputMode("append")
+          .option("checkpointLocation", s"$dir/ckpt").start()
+        (q, groups, t0)
       } else if (mode == "asof") {
         // streaming as-of enrichment (TwsOps.asOfTws on RocksDB):
         // probes = the journey-event stream; states = a 10x-sparser
@@ -478,7 +505,7 @@ object StreamBench {
         mode == "session" || mode == "dedup" || mode == "lsh" ||
         mode == "logit" || mode == "drift" || mode == "kmv" ||
         mode == "tws" || mode == "twssession" || mode == "interp" ||
-        mode == "debounce") rows.toLong
+        mode == "debounce" || mode == "heavyhitter") rows.toLong
       else if (mode == "asof") rows.toLong + rows / 10
       else rows.toLong * 4
     val windows = progress.map(_.stateOperators.headOption.map(_.numRowsTotal).getOrElse(0L)).maxOption.getOrElse(0L)
