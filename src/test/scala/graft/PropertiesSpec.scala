@@ -258,6 +258,58 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("aucStats midrank symmetry: AUC(s) + AUC(−s) = 1 exactly") {
+    // with midranks, P(s⁺>s⁻) + P(s⁺<s⁻) + P(=) = 1 and each side gets
+    // half the ties, so num(s) + num(−s) == den — an exactness theorem
+    // the ½-tie handling must satisfy on ANY data
+    val rows = sample(Gen.listOfN(300,
+      Gen.zip(Gen.oneOf("g1", "g2", "g3"), Gen.chooseNum(0L, 20L),
+        Gen.oneOf(true, false))))
+    val df = rows.toDF("grp", "score", "label")
+    val neg = df.selectExpr("grp", "-score AS score", "label")
+    def nums(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Annotation.aucStats(d, "grp", "score", "label")
+        .collect().map(r => r.getString(0) ->
+          (r.getAs[java.math.BigDecimal]("auc_num").longValueExact(),
+            r.getAs[java.math.BigDecimal]("auc_den").longValueExact())).toMap
+    val fwd = nums(df)
+    val rev = nums(neg)
+    fwd.foreach { case (g, (n1, d1)) =>
+      val (n2, d2) = rev(g)
+      assert(d1 == d2, g)
+      assert(n1 + n2 == d1, s"$g: $n1 + $n2 != $d1")
+      assert(n1 >= 0 && n1 <= d1 || d1 == 0, g)
+    }
+  }
+
+  test("chatRender length accounting balances on random documents") {
+    val docs = sample(Gen.listOfN(120,
+      Gen.listOf(Gen.oneOf("alpha", "b", "gamma7", "dd")).map(_.mkString(" "))))
+    val t = 4
+    val out = graft.operators.TextAnalysis.chatRender(
+        docs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+          .toDF("doc_id", "text"), "text", "doc_id", turnTokens = t)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    docs.zipWithIndex.foreach { case (text, i) =>
+      val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val chunks = toks.grouped(t).map(_.mkString(" ")).toSeq
+      val r = out(i.toLong)
+      val n = chunks.size
+      assert(r.getAs[Long]("n_turns") == n.toLong, s"doc $i")
+      val content = chunks.map(_.length.toLong).sum
+      val nUser = (n + 1) / 2
+      val nAsst = n / 2
+      // rendered_len = content + user tags + assistant tags + end tags
+      assert(r.getAs[Long]("rendered_len") ==
+        content + 8L * nUser + 13L * nAsst + 7L * n, s"doc $i")
+      // the loss mask is exactly the assistant content
+      val asst = chunks.zipWithIndex.collect {
+        case (c, j) if j % 2 == 1 => c.length.toLong }.sum
+      assert(r.getAs[Long]("mask_total") == asst, s"doc $i")
+      assert(r.getAs[Boolean]("valid") == (n >= 2 && n % 2 == 0), s"doc $i")
+    }
+  }
+
   test("luhnScan validity agrees with an independent digit fold") {
     val digits = Gen.chooseNum(13, 19).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(0, 9)).map(_.mkString))
