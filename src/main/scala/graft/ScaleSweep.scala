@@ -70,6 +70,27 @@ object ScaleSweep {
         .as("text"))
   }
 
+  /** ~48-token documents for the extractive sweep: four 12-token
+    * stanzas from the same Heaps-growing vocabulary as [[corpus]],
+    * with the FIRST stanza repeated as the last — so each doc's
+    * 16-token tail (the "summary") genuinely restates part of its head
+    * and the greedy walk finds long fragments, not just length-1 hits.
+    */
+  def longCorpus(spark: org.apache.spark.sql.SparkSession,
+                 docs: Long): DataFrame = {
+    val k = pmod(col("id") * 31, lit(math.max(1L, docs / 2)))
+    val m = math.max(997L, docs)
+    def stanza(a: Long, b: Long, c: Long, d: Long, e: Long, f: Long) =
+      concat_ws(" ", lit("lorem"), pmod(k * a, lit(m)), lit("ipsum"),
+        pmod(k * b, lit(m - 6)), lit("dolor"), pmod(k * c, lit(m - 14)),
+        lit("sit"), pmod(k * d, lit(m - 20)), lit("amet"),
+        pmod(k * e, lit(m - 26)), lit("sed"), pmod(k * f, lit(m - 30)))
+    val head = stanza(7, 13, 29, 37, 41, 43)
+    spark.range(docs).select(col("id").as("doc_id"),
+      concat_ws(" ", head, stanza(11, 17, 23, 47, 53, 59),
+        stanza(61, 67, 71, 73, 79, 83), head).as("text"))
+  }
+
   /** Synthetic point-in-time workload for the as-of sweep: probes at
     * ~1ms cadence, states 10× sparser over the same span, |keys| scaled
     * so per-key volume stays fixed (the monitor sweep's rule). Zero
@@ -90,7 +111,8 @@ object ScaleSweep {
     (probes, states)
   }
 
-  private val Modes = Set("monitor", "dedup", "asof", "prefixjoin")
+  private val Modes = Set("monitor", "dedup", "asof", "prefixjoin",
+    "extractive")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.filter(Modes).getOrElse("monitor")
@@ -100,6 +122,7 @@ object ScaleSweep {
       else if (mode == "dedup") Seq(50000L, 500000L, 5000000L)
       else if (mode == "prefixjoin") Seq(20000L, 200000L, 2000000L)
       else if (mode == "asof") Seq(100000L, 1000000L, 10000000L)
+      else if (mode == "extractive") Seq(200000L, 2000000L, 20000000L)
       else Seq(60000L, 600000L, 6000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.core.GraftSession.local(cpus, "graft-scalesweep")
@@ -155,6 +178,26 @@ object ScaleSweep {
         val lshSec = (System.nanoTime() - t1) / 1e9
         graft.core.CacheScope.releaseStragglers(spark)
         println(s"""{"metric":"prefixjoin_sweep","docs":$docs,"exact_pairs":$exactPairs,"exact_sec":${math.round(exactSec * 1000) / 1000.0},"lsh_pairs":$lshPairs,"lsh_sec":${math.round(lshSec * 1000) / 1000.0}}""")
+      }
+    } else if (mode == "extractive") {
+      // the native greedy fragment kernel priced at corpus scale:
+      // projection-only (zero exchanges), so the curve must be ~linear
+      // in docs at fixed doc length — the per-doc constant is the
+      // bounded 16-step × |article|-anchor walk inside whole-stage
+      // codegen. Superlinear growth here would mean the kernel (or its
+      // row pipeline) secretly allocates per row.
+      import graft.operators.TextAnalysis
+      TextAnalysis.extractiveCoverage(longCorpus(spark, 10000),
+          "text", "doc_id")
+        .write.format("noop").mode("overwrite").save() // warmup
+      points.foreach { docs =>
+        val t0 = System.nanoTime()
+        TextAnalysis.extractiveCoverage(longCorpus(spark, docs),
+            "text", "doc_id")
+          .write.format("noop").mode("overwrite").save()
+        val secs = (System.nanoTime() - t0) / 1e9
+        graft.core.CacheScope.releaseStragglers(spark)
+        println(s"""{"metric":"extractive_sweep","docs":$docs,"wall_sec":${math.round(secs * 1000) / 1000.0},"docs_per_sec":${(docs / secs).round}}""")
       }
     } else if (mode == "dedup") {
       // MinHash+LSH near-dup (the flagship corpus operator): banded
