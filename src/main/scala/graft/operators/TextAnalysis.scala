@@ -1504,12 +1504,17 @@ object TextAnalysis {
                          summaryTokens: Int = 16): DataFrame = {
     require(summaryTokens > 0, "summaryTokens must be positive")
     val tk = filter(toks(col(textCol)), t => t =!= "")
+    // greatest()-clamped slice args — same ansi-mode totality defense
+    // as [[rougeOverlap]] (a downstream Generate would let the
+    // optimizer evaluate these on rows the length gate rejects)
     df.select(col(idCol), tk.as("tk"))
       .filter(size(col("tk")) >= 2 * summaryTokens)
       .select(col(idCol),
         graft.functions.EfKernel.extractiveFragments(
-          slice(col("tk"), lit(1), size(col("tk")) - summaryTokens),
-          slice(col("tk"), size(col("tk")) - (summaryTokens - 1),
+          slice(col("tk"), lit(1),
+            greatest(size(col("tk")) - summaryTokens, lit(0))),
+          slice(col("tk"),
+            greatest(size(col("tk")) - (summaryTokens - 1), lit(1)),
             lit(summaryTokens))).as("ef"))
       .select(col(idCol),
         element_at(col("ef"), 1).as("matched_tokens"),
@@ -1517,6 +1522,67 @@ object TextAnalysis {
         element_at(col("ef"), 3).as("n_fragments"),
         element_at(col("ef"), 4).as("n_summary"))
       .withColumn("coverage_bp", expr("matched_tokens * 10000 div n_summary"))
+  }
+
+  /** ROUGE-N overlap statistics (Lin, ACL'04 workshop) — the standard
+    * summarization-eval metric as exact integers: clipped n-gram
+    * overlap Σ_g min(count_cand(g), count_ref(g)) with both
+    * denominators (reference grams → recall, candidate grams →
+    * precision) emitted undivided, one output row per (doc, n) for
+    * n = 1, 2. Same tail-vs-head split as [[extractiveCoverage]]
+    * (candidate = last `summaryTokens` tokens, reference = the rest);
+    * point the two sides at a real (reference, candidate) pair table
+    * in production. The two measure different things: ROUGE counts
+    * WHAT vocabulary/bigrams transfer (order-free, clipped), the
+    * extractive fragments measure HOW verbatim the transfer is
+    * (contiguous runs).
+    *
+    * Plan: explode both sides' grams with a side tag → ONE
+    * (doc, n, gram)-keyed partial-aggregated exchange (hot grams
+    * combine map-side) → doc rollup. Corpus-linear; bp ratios divide
+    * once at the end (denominators are ≥ summaryTokens−1 > 0 by the
+    * length gate).
+    */
+  def rougeOverlap(df: DataFrame, textCol: String, idCol: String,
+                   summaryTokens: Int = 16): DataFrame = {
+    require(summaryTokens >= 2, "summaryTokens must be at least 2")
+    val tk = filter(toks(col(textCol)), t => t =!= "")
+    // the slice arguments are greatest()-clamped to stay TOTAL even on
+    // rows the length filter rejects: the optimizer's
+    // InferFiltersFromGenerate derives `size(ref) > 0` from the explode
+    // below and lands it in the SAME post-scan Filter as the length
+    // gate, where conjunct order is unspecified — an unclamped
+    // ansi-mode slice then throws on a short doc the gate was about to
+    // drop. Clamped, the inferred conjunct just evaluates an empty
+    // slice and rejects the row, which is the gate's verdict anyway.
+    val base = df.select(col(idCol), tk.as("tk"))
+      .filter(size(col("tk")) >= 2 * summaryTokens)
+      .select(col(idCol),
+        slice(col("tk"), lit(1),
+          greatest(size(col("tk")) - summaryTokens, lit(0))).as("ref"),
+        slice(col("tk"),
+          greatest(size(col("tk")) - (summaryTokens - 1), lit(1)),
+          lit(summaryTokens)).as("cand"))
+    def bigrams(c: Column): Column =
+      transform(sequence(lit(1), size(c) - 1),
+        i => concat(element_at(c, i), lit(" "), element_at(c, i + 1)))
+    val sides = Seq(
+      (col("ref"), 1, false), (col("cand"), 1, true),
+      (bigrams(col("ref")), 2, false), (bigrams(col("cand")), 2, true))
+    sides.map { case (gramsCol, n, isCand) =>
+      base.select(col(idCol), lit(n.toLong).as("n"),
+        explode(gramsCol).as("gram"),
+        lit(if (isCand) 1L else 0L).as("is_cand"))
+    }.reduce(_ unionByName _)
+      .groupBy(col(idCol), col("n"), col("gram"))
+      .agg(sum(col("is_cand")).as("cc"),
+        sum(lit(1L) - col("is_cand")).as("cr"))
+      .groupBy(col(idCol), col("n"))
+      .agg(sum(least(col("cc"), col("cr"))).as("overlap"),
+        sum(col("cc")).as("cand_grams"),
+        sum(col("cr")).as("ref_grams"))
+      .withColumn("rouge_recall_bp", expr("overlap * 10000 div ref_grams"))
+      .withColumn("rouge_prec_bp", expr("overlap * 10000 div cand_grams"))
   }
 
   /** Chat-template rendering + loss-mask arithmetic — the SFT data-prep

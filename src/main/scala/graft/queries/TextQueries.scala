@@ -104,6 +104,13 @@ object TextQueries {
       TextAnalysis.extractiveCoverage(Tables.documents(s, d), "text",
         "doc_id", summaryTokens = 16)),
 
+    // ROUGE-1/2 of the same tail-vs-head split: clipped n-gram overlap
+    // with recall AND precision denominators undivided — the order-free
+    // complement of q_extractive_coverage's contiguous-run measure.
+    "q_rouge" -> ((s, d) =>
+      TextAnalysis.rougeOverlap(Tables.documents(s, d), "text",
+        "doc_id", summaryTokens = 16)),
+
     // Greenlist-watermark detection (Kirchenbauer et al. ICML'23): a
     // one-sided binomial z-test per document over consecutive-token
     // pairs, green = md5 parity (null exactly 1/2), z >= 2 decided
@@ -864,6 +871,39 @@ object TextQueries {
          |  CAST(length(rendered) AS BIGINT) AS rendered_len,
          |  md5(rendered) AS fp
          |FROM r""".stripMargin,
+
+    // Both sides' gram streams unnested with a side tag, the clip is
+    // LEAST over the per-(doc, n, gram) pair counts — exactly the
+    // Spark two-level aggregate.
+    "q_rouge" ->
+      s"""WITH t AS (SELECT doc_id, list_filter($toksSql, x -> x <> '') AS tk
+         |           FROM documents),
+         |p AS (SELECT doc_id, tk[1:len(tk)-16] AS ref,
+         |        tk[len(tk)-15:len(tk)] AS cand
+         |      FROM t WHERE len(tk) >= 32),
+         |g AS (
+         |  SELECT doc_id, n, unnest(gs) AS gram, is_cand FROM (
+         |    SELECT doc_id, 1 AS n, ref AS gs, 0 AS is_cand FROM p
+         |    UNION ALL SELECT doc_id, 1, cand, 1 FROM p
+         |    UNION ALL SELECT doc_id, 2,
+         |      list_transform(range(1, len(ref)), i ->
+         |        ref[i] || ' ' || ref[i + 1]), 0 FROM p
+         |    UNION ALL SELECT doc_id, 2,
+         |      list_transform(range(1, len(cand)), i ->
+         |        cand[i] || ' ' || cand[i + 1]), 1 FROM p)),
+         |c AS (SELECT doc_id, n, gram,
+         |        SUM(CASE WHEN is_cand = 1 THEN 1 ELSE 0 END) AS cc,
+         |        SUM(CASE WHEN is_cand = 0 THEN 1 ELSE 0 END) AS cr
+         |      FROM g GROUP BY doc_id, n, gram)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n,
+         |  CAST(SUM(LEAST(cc, cr)) AS BIGINT) AS overlap,
+         |  CAST(SUM(cc) AS BIGINT) AS cand_grams,
+         |  CAST(SUM(cr) AS BIGINT) AS ref_grams,
+         |  CAST(SUM(LEAST(cc, cr)) * 10000 // SUM(cr) AS BIGINT)
+         |    AS rouge_recall_bp,
+         |  CAST(SUM(LEAST(cc, cr)) * 10000 // SUM(cc) AS BIGINT)
+         |    AS rouge_prec_bp
+         |FROM c GROUP BY doc_id, n""".stripMargin,
 
     // The greedy walk replayed as a recursive CTE: per step, `best` is
     // the longest common run at summary position i over every article
