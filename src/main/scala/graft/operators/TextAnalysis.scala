@@ -1537,11 +1537,16 @@ object TextAnalysis {
     * extractive fragments measure HOW verbatim the transfer is
     * (contiguous runs).
     *
-    * Plan: explode both sides' grams with a side tag → ONE
-    * (doc, n, gram)-keyed partial-aggregated exchange (hot grams
-    * combine map-side) → doc rollup. Corpus-linear; bp ratios divide
-    * once at the end (denominators are ≥ summaryTokens−1 > 0 by the
-    * length gate).
+    * Plan: ONE scan — the four gram streams (ref/cand × 1/2-gram) are
+    * tagged structs flattened into a single array and exploded once →
+    * one (doc, n, gram)-keyed partial-aggregated exchange (hot grams
+    * combine map-side) → doc rollup. The union-of-four-selects
+    * alternative re-scans the source four times: at the 30 MB fixture
+    * the two forms tie (~1.4 s — the HOF struct tagging costs what the
+    * re-scans cost), but at 100 TB the scan IS the workload and 4× it
+    * is the whole budget, so the single-scan shape wins where it
+    * matters. Corpus-linear; bp ratios divide once at the end
+    * (denominators are ≥ summaryTokens−1 > 0 by the length gate).
     */
   def rougeOverlap(df: DataFrame, textCol: String, idCol: String,
                    summaryTokens: Int = 16): DataFrame = {
@@ -1566,14 +1571,15 @@ object TextAnalysis {
     def bigrams(c: Column): Column =
       transform(sequence(lit(1), size(c) - 1),
         i => concat(element_at(c, i), lit(" "), element_at(c, i + 1)))
-    val sides = Seq(
-      (col("ref"), 1, false), (col("cand"), 1, true),
-      (bigrams(col("ref")), 2, false), (bigrams(col("cand")), 2, true))
-    sides.map { case (gramsCol, n, isCand) =>
-      base.select(col(idCol), lit(n.toLong).as("n"),
-        explode(gramsCol).as("gram"),
-        lit(if (isCand) 1L else 0L).as("is_cand"))
-    }.reduce(_ unionByName _)
+    def tag(gramsCol: Column, n: Long, isCand: Long): Column =
+      transform(gramsCol, g => struct(lit(n).as("n"), g.as("gram"),
+        lit(isCand).as("is_cand")))
+    base.select(col(idCol), explode(flatten(array(
+        tag(col("ref"), 1L, 0L), tag(col("cand"), 1L, 1L),
+        tag(bigrams(col("ref")), 2L, 0L),
+        tag(bigrams(col("cand")), 2L, 1L)))).as("t"))
+      .select(col(idCol), col("t.n").as("n"), col("t.gram").as("gram"),
+        col("t.is_cand").as("is_cand"))
       .groupBy(col(idCol), col("n"), col("gram"))
       .agg(sum(col("is_cand")).as("cc"),
         sum(lit(1L) - col("is_cand")).as("cr"))
