@@ -262,10 +262,11 @@ object Annotation {
     * advantage is its reward centered on the group mean — the
     * baseline-free policy-gradient signal. Emitted EXACTLY as the
     * undivided pair (adv_num = n·r − Σr, n): the mean division would be
-    * inexact, and the trainer divides once at consumption. The group's
-    * variance rides along the same way (var_num = n·Σr² − (Σr)² in
-    * DECIMAL(38,0) — at 100 TB group sizes, n·Σr² exceeds int64 long
-    * before it exceeds 38 digits), so a z-normalizing consumer
+    * inexact, and the trainer divides once at consumption. ALL the
+    * moment arithmetic rides DECIMAL(38,0) — at 100 TB group sizes
+    * n·r, Σr and n·Σr² all leave int64 in the same magnitude class,
+    * and the repo's ansi mode would throw on the first wrap — so a
+    * z-normalizing consumer
     * (advantage whitening) has both moments without a second pass.
     * Single-response groups emit adv_num = 0 and var_num = 0 — a lone
     * sample carries no relative signal, which is the GRPO semantics.
@@ -330,6 +331,22 @@ object Annotation {
     */
   def aucStats(df: DataFrame, groupCol: String, scoreCol: String,
                labelCol: String): DataFrame = {
+    // guard the silent failure mode: a float probability column cast
+    // to long collapses every score to 0 and "reports" AUC = 1/2 —
+    // quantize first (floor(p·k) — ranks are scale-invariant, so any k
+    // preserving the order gives the identical AUC)
+    df.schema.find(_.name == scoreCol).foreach { f =>
+      import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
+      val fractional = f.dataType match {
+        case DoubleType | FloatType => true
+        case d: DecimalType => d.scale > 0
+        case _ => false
+      }
+      require(!fractional,
+        s"aucStats: $scoreCol is ${f.dataType.simpleString} — a long cast " +
+          "would truncate probabilities to 0 (AUC = 1/2 for any input); " +
+          "quantize to integers first, e.g. floor(p * 1000000)")
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("grp")).orderBy(col("s"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -357,13 +374,14 @@ object Annotation {
       .select(col(promptCol).as("prompt"), col(idCol).cast("long").as("rid"),
         col(rewardCol).cast("long").as("reward"))
       .withColumn("n", count(lit(1)).over(w))
-      .withColumn("sum_r", sum(col("reward")).over(w))
+      .withColumn("sum_r",
+        sum(col("reward").cast("decimal(38,0)")).over(w).cast("decimal(38,0)"))
       .withColumn("sum_r2",
         sum(col("reward").cast("decimal(38,0)") * col("reward")).over(w))
       .select(col("prompt"), col("rid"), col("reward"), col("n"),
-        (col("n") * col("reward") - col("sum_r")).as("adv_num"),
+        (col("n").cast("decimal(38,0)") * col("reward") - col("sum_r"))
+          .cast("decimal(38,0)").as("adv_num"),
         (col("n").cast("decimal(38,0)") * col("sum_r2") -
-          col("sum_r").cast("decimal(38,0)") * col("sum_r"))
-          .cast("decimal(38,0)").as("var_num"))
+          col("sum_r") * col("sum_r")).cast("decimal(38,0)").as("var_num"))
   }
 }

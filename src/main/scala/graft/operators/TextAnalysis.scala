@@ -1415,14 +1415,27 @@ object TextAnalysis {
     * one reducer per source). Exact integers, one final div.
     */
   def distinctNgrams(df: DataFrame, textCol: String, sourceCol: String,
-                     n: Int): DataFrame =
-    Dedup.rawWordShingles(df, textCol, sourceCol, n)
+                     n: Int): DataFrame = {
+    // the gram stream is built inline rather than via
+    // Dedup.rawWordShingles: that helper leads with spreadByKey(idCol),
+    // and keyed on a LOW-CARDINALITY source label it would shuffle the
+    // full document text onto |sources| partitions and serialize the
+    // tokenize+explode stage — here the only exchange is the
+    // (source, shingle) aggregate below, map-side combined
+    val grams = (0 until n).map(j => element_at(col("toks"), col("g") + j))
+    df.select(col(sourceCol), Dedup.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col(sourceCol),
+        explode(sequence(lit(1), size(col("toks")) - (n - 1))).as("g"),
+        col("toks"))
+      .select(col(sourceCol), concat_ws(" ", grams: _*).as("shingle"))
       .groupBy(col(sourceCol), col("shingle"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col(sourceCol))
       .agg(sum(col("cnt")).as("n_grams"),
         count(lit(1)).as("n_distinct"))
       .withColumn("distinct_bp", expr("n_distinct * 10000 div n_grams"))
+  }
 
   /** Regex battery for the prompt-injection screen, shared verbatim
     * with the DuckDB oracle (RE2 and java.util.regex agree on these
@@ -1568,9 +1581,15 @@ object TextAnalysis {
         slice(col("tk"),
           greatest(size(col("tk")) - (summaryTokens - 1), lit(1)),
           lit(summaryTokens)).as("cand"))
+    // total on ANY input, including the empty clamped ref slice: an
+    // unguarded sequence(1, size−1) on an empty array yields [1, 0, −1]
+    // and element_at throws — the same evaluated-on-rejected-rows
+    // hazard as the slice clamps above, one level up
     def bigrams(c: Column): Column =
-      transform(sequence(lit(1), size(c) - 1),
-        i => concat(element_at(c, i), lit(" "), element_at(c, i + 1)))
+      when(size(c) >= 2,
+        transform(sequence(lit(1), size(c) - 1),
+          i => concat(element_at(c, i), lit(" "), element_at(c, i + 1))))
+        .otherwise(array().cast("array<string>"))
     def tag(gramsCol: Column, n: Long, isCand: Long): Column =
       transform(gramsCol, g => struct(lit(n).as("n"), g.as("gram"),
         lit(isCand).as("is_cand")))

@@ -492,7 +492,7 @@ object CurationQueries {
         |  FROM r
         |)
         |SELECT prompt, rid, reward, CAST(n_h AS BIGINT) AS n,
-        |  CAST(n_h * reward - sum_r AS BIGINT) AS adv_num,
+        |  CAST(n_h * reward - sum_r AS DECIMAL(38,0)) AS adv_num,
         |  CAST(n_h * sum_r2 - sum_r * sum_r AS DECIMAL(38,0)) AS var_num
         |FROM w""".stripMargin,
 

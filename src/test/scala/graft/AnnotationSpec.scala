@@ -109,12 +109,14 @@ class AnnotationSpec extends SparkSpec {
     val out = Annotation.grpoAdvantage(rows, "prompt", "rid", "reward")
       .collect().map(r => r.getAs[Long]("rid") -> r).toMap
 
+    def adv(id: Long): Long =
+      out(id).getAs[java.math.BigDecimal]("adv_num").longValueExact()
     // adv_num = n·r − Σr: 3·10−90 = −60, 3·20−90 = −30, 3·60−90 = 90
-    assert(out(1L).getAs[Long]("adv_num") == -60L)
-    assert(out(2L).getAs[Long]("adv_num") == -30L)
-    assert(out(3L).getAs[Long]("adv_num") == 90L)
+    assert(adv(1L) == -60L)
+    assert(adv(2L) == -30L)
+    assert(adv(3L) == 90L)
     // the invariant GRPO relies on: group advantages sum to zero
-    assert(Seq(1L, 2L, 3L).map(out(_).getAs[Long]("adv_num")).sum == 0L)
+    assert(Seq(1L, 2L, 3L).map(adv).sum == 0L)
     // var_num = n·Σr² − (Σr)² = 3·4100 − 8100 = 4200, same on every row
     Seq(1L, 2L, 3L).foreach { id =>
       assert(out(id).getAs[java.math.BigDecimal]("var_num")
@@ -122,7 +124,7 @@ class AnnotationSpec extends SparkSpec {
       assert(out(id).getAs[Long]("n") == 3L)
     }
     // singleton: adv 0 (1·7−7), var 0 (1·49−49) — a lone sample is flat
-    assert(out(4L).getAs[Long]("adv_num") == 0L)
+    assert(adv(4L) == 0L)
     assert(out(4L).getAs[java.math.BigDecimal]("var_num")
       .longValueExact() == 0L)
   }
@@ -151,6 +153,15 @@ class AnnotationSpec extends SparkSpec {
     assert(nd("o") == (0L, 0L))
     assert(out("t").getAs[Long]("n_pos") == 2L)
     assert(out("t").getAs[Long]("n_neg") == 2L)
+  }
+
+  test("aucStats rejects fractional score columns (silent-0.5 guard)") {
+    import graft.operators.Annotation
+    intercept[IllegalArgumentException] {
+      Annotation.aucStats(
+        Seq(("g", 0.7, true), ("g", 0.3, false)).toDF("grp", "score", "label"),
+        "grp", "score", "label")
+    }
   }
 
   test("calibrationBins: hand gaps, top-edge bin clamp, calibrated zero") {
