@@ -6,8 +6,16 @@ registers /root/testdata/<sf>/ parquet files as DuckDB views named by
 table basename, runs each oracle, and compares result sets:
 columns sorted by name, rows sorted, exact value equality.
 
-Usage: python3 scripts/oracle_check.py <sfDir> <verifyOutDir>
+Usage: python3 scripts/oracle_check.py <sfDir> <verifyOutDir> [--pandas-hash]
+
+--pandas-hash additionally replays the r10 driver-gate hypothesis: the
+Spark parquet read back through pandas/pyarrow (exact Decimal objects)
+vs the DuckDB oracle through .df() (DECIMAL flattened to float64), each
+column-name-sorted, row-sorted, every cell stringified, sha256-hashed.
+A query that passes the value compare but fails this hash has a
+representation-unstable output type (the q_auc/q_grpo_advantage class).
 """
+import hashlib
 import json
 import math
 import sys
@@ -34,8 +42,31 @@ def norm(v):
     return v
 
 
+def pandas_hash_mismatch(con, sql, qdir):
+    """True iff the pandas-path hashes differ (driver-gate mimic)."""
+    import pandas as pd
+
+    def h(df):
+        df = df[sorted(df.columns)]
+        cells = sorted(tuple(str(v) for v in row)
+                       for row in df.itertuples(index=False, name=None))
+        dig = hashlib.sha256()
+        for row in cells:
+            for c in row:
+                dig.update(c.encode())
+                dig.update(b"\x1f")
+            dig.update(b"\x1e")
+        return dig.hexdigest()
+
+    got = pd.concat([pd.read_parquet(p) for p in sorted(qdir.glob("*.parquet"))],
+                    ignore_index=True)
+    exp = con.sql(sql).df()
+    return h(got) != h(exp)
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    typed = "--pandas-hash" in sys.argv[3:]
     con = duckdb.connect()
     for p in Path(sf_dir).glob("*.parquet"):
         con.sql(f"CREATE VIEW {p.stem} AS SELECT * FROM '{p}'")
@@ -66,6 +97,10 @@ def main():
             print(f"FAIL {name}: {len(grows)} vs {len(erows)} rows, "
                   f"{len(diff)} differing; first: "
                   f"{diff[0] if diff else (grows[-1], erows[-1] if erows else None)}")
+        elif typed and pandas_hash_mismatch(con, sql, qdir):
+            print(f"FAIL {name}: values match but pandas-path hash differs "
+                  "(representation-unstable output type)")
+            n_fail += 1
         else:
             print(f"PASS {name}: {len(grows)} rows")
             n_pass += 1

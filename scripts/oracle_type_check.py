@@ -12,24 +12,29 @@ HUGEINT (window SUM / // on BIGINT), INTEGER/SMALLINT (un-widened
 literals), TIMESTAMP WITH TIME ZONE (timezone-dependent hashing) are all
 rejected — cast at the oracle's output edge instead.
 
+Round-10 postmortem tightened the set further: DECIMAL(p,s) is NOT
+portable either. duckdb's .df() flattens DECIMAL to float64 ("-5" →
+"-5.0", 21-digit values → 1.23e+20) while Spark parquet decimal128
+round-trips as exact Decimal objects — the r10 driver flagged the only
+two queries with decimal OUTPUT columns (q_auc, q_grpo_advantage) as
+hash-mismatched despite value-exact results. Unbounded exact integers
+must leave as canonical decimal VARCHAR in BOTH engines.
+
 Usage: python3 scripts/oracle_type_check.py <sfDir> <verifyOutDir>
   <verifyOutDir> only needs oracle_sql.json (a graft.Verify dump dir).
 Exit 0 = all portable; 1 = violations listed.
 """
 import json
-import re
 import sys
 from pathlib import Path
 
 import duckdb
 
 PORTABLE = {"BIGINT", "DOUBLE", "VARCHAR", "BOOLEAN", "TIMESTAMP"}
-DECIMAL_RE = re.compile(r"^DECIMAL\(\d+,\d+\)$")
 
 
 def portable(duck_type: str) -> bool:
-    t = duck_type.strip().upper()
-    return t in PORTABLE or bool(DECIMAL_RE.match(t))
+    return duck_type.strip().upper() in PORTABLE
 
 
 def main():

@@ -257,24 +257,6 @@ object Annotation {
         col("mn.rid").as("rejected_id"), col("mn.reward").as("rejected_reward"),
         (col("mx.reward") - col("mn.reward")).as("margin"))
 
-  /** Group-relative advantage (the GRPO data-prep step, Shao et al.
-    * 2024 §4.1): per prompt group of sampled responses, each response's
-    * advantage is its reward centered on the group mean — the
-    * baseline-free policy-gradient signal. Emitted EXACTLY as the
-    * undivided pair (adv_num = n·r − Σr, n): the mean division would be
-    * inexact, and the trainer divides once at consumption. ALL the
-    * moment arithmetic rides DECIMAL(38,0) — at 100 TB group sizes
-    * n·r, Σr and n·Σr² all leave int64 in the same magnitude class,
-    * and the repo's ansi mode would throw on the first wrap — so a
-    * z-normalizing consumer
-    * (advantage whitening) has both moments without a second pass.
-    * Single-response groups emit adv_num = 0 and var_num = 0 — a lone
-    * sample carries no relative signal, which is the GRPO semantics.
-    *
-    * Plan: one window over the group key — a single exchange, three
-    * partial-aggregated moments (n, Σr, Σr²) broadcast back onto the
-    * rows by the window, no join, no second scan.
-    */
   /** Exact expected-calibration-error bins (Naeini et al. AAAI'15 /
     * Guo et al. ICML'17) — the classifier-calibration audit: bucket
     * predictions by confidence (basis points, 0..10000) into `nBins`
@@ -328,6 +310,14 @@ object Annotation {
     * via ONE cumulative window over the group's DISTINCT scores —
     * |scores| rows per group, not |rows|. Groups with one class emit
     * auc_den = 0 (AUC undefined; the consumer skips, nothing divides).
+    *
+    * The pair is EMITTED AS CANONICAL DECIMAL STRINGS ("123", "-5",
+    * "0" — no exponent, no trailing zeros): the value class is exact
+    * unbounded integers, and a string is the one representation every
+    * downstream reader (Arrow decimal128, pandas — which flattens
+    * DECIMAL to lossy float64 — JSON, cross-engine hashes) round-trips
+    * without canonicalization drift. Consumers needing arithmetic cast
+    * back to DECIMAL(38,0) losslessly.
     */
   def aucStats(df: DataFrame, groupCol: String, scoreCol: String,
                labelCol: String): DataFrame = {
@@ -360,13 +350,33 @@ object Annotation {
       .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
         sum(col("np").cast("decimal(38,0)") *
           (lit(2L) * col("cum_below") + col("nn")))
-          .cast("decimal(38,0)").as("auc_num"))
+          .cast("decimal(38,0)").cast("string").as("auc_num"))
       .withColumn("auc_den",
         (lit(2L) * col("n_pos").cast("decimal(38,0)") * col("n_neg"))
-          .cast("decimal(38,0)"))
+          .cast("decimal(38,0)").cast("string"))
       .withColumnRenamed("grp", groupCol)
   }
 
+  /** Group-relative advantage (the GRPO data-prep step, Shao et al.
+    * 2024 §4.1): per prompt group of sampled responses, each response's
+    * advantage is its reward centered on the group mean — the
+    * baseline-free policy-gradient signal. Emitted EXACTLY as the
+    * undivided pair (adv_num = n·r − Σr, n): the mean division would be
+    * inexact, and the trainer divides once at consumption. ALL the
+    * moment arithmetic rides DECIMAL(38,0) — at 100 TB group sizes
+    * n·r, Σr and n·Σr² all leave int64 in the same magnitude class,
+    * and the repo's ansi mode would throw on the first wrap — so a
+    * z-normalizing consumer (advantage whitening) has both moments
+    * without a second pass. Single-response groups emit adv_num = 0
+    * and var_num = 0 — a lone sample carries no relative signal, which
+    * is the GRPO semantics. As in [[aucStats]], the two unbounded
+    * moments leave the operator as canonical decimal strings — exact
+    * and canonicalization-proof through pandas/Arrow/JSON readers.
+    *
+    * Plan: one window over the group key — a single exchange, three
+    * partial-aggregated moments (n, Σr, Σr²) broadcast back onto the
+    * rows by the window, no join, no second scan.
+    */
   def grpoAdvantage(responses: DataFrame, promptCol: String, idCol: String,
                     rewardCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("prompt"))
@@ -380,8 +390,9 @@ object Annotation {
         sum(col("reward").cast("decimal(38,0)") * col("reward")).over(w))
       .select(col("prompt"), col("rid"), col("reward"), col("n"),
         (col("n").cast("decimal(38,0)") * col("reward") - col("sum_r"))
-          .cast("decimal(38,0)").as("adv_num"),
+          .cast("decimal(38,0)").cast("string").as("adv_num"),
         (col("n").cast("decimal(38,0)") * col("sum_r2") -
-          col("sum_r") * col("sum_r")).cast("decimal(38,0)").as("var_num"))
+          col("sum_r") * col("sum_r")).cast("decimal(38,0)")
+          .cast("string").as("var_num"))
   }
 }

@@ -90,7 +90,9 @@ object CurationQueries {
     // grouping as q_dpo_pairs, but EVERY response gets a signal —
     // reward centered on the group mean, emitted as the exact
     // undivided (n·r − Σr, n) pair with the group variance numerator
-    // riding along in DECIMAL(38,0). One window exchange, no join.
+    // riding along — DECIMAL(38,0) math, canonical-decimal-string out
+    // (pandas flattens DECIMAL results to float64, so a decimal OUTPUT
+    // column is a cross-engine hash hazard). One window exchange.
     "q_grpo_advantage" -> ((s, d) =>
       Annotation.grpoAdvantage(
         Tables.documents(s, d)
@@ -451,8 +453,9 @@ object CurationQueries {
 
     // The pairwise count collapsed the same way: per-(source, score)
     // class counts, one cumulative-negatives window over distinct
-    // scores, Σ np·(2·cumBelow + nn). HUGEINT internally, DECIMAL(38)
-    // out.
+    // scores, Σ np·(2·cumBelow + nn). HUGEINT internally; the two
+    // unbounded moments leave as canonical decimal VARCHAR (matching
+    // the Spark side's string emission — see Annotation.aucStats).
     "q_auc" ->
       """WITH r AS (
         |  SELECT source, n_chars AS s, (lang = 'en') AS pos FROM documents
@@ -470,15 +473,16 @@ object CurationQueries {
         |SELECT source,
         |  CAST(SUM(np) AS BIGINT) AS n_pos,
         |  CAST(SUM(nn) AS BIGINT) AS n_neg,
-        |  CAST(SUM(CAST(np AS HUGEINT) * (2 * cb + nn)) AS DECIMAL(38,0))
-        |    AS auc_num,
-        |  CAST(2 * SUM(CAST(np AS HUGEINT)) * SUM(nn) AS DECIMAL(38,0))
-        |    AS auc_den
+        |  CAST(CAST(SUM(CAST(np AS HUGEINT) * (2 * cb + nn))
+        |    AS DECIMAL(38,0)) AS VARCHAR) AS auc_num,
+        |  CAST(CAST(2 * SUM(CAST(np AS HUGEINT)) * SUM(nn) AS DECIMAL(38,0))
+        |    AS VARCHAR) AS auc_den
         |FROM c GROUP BY source""".stripMargin,
 
     // Moments replayed as HUGEINT window sums (Σr² × n exceeds BIGINT
     // long before it exceeds 38 digits), final casts to the Spark
-    // types (BIGINT advantage, DECIMAL(38,0) variance numerator).
+    // types (BIGINT n; adv/var numerators as canonical decimal
+    // VARCHAR — see Annotation.grpoAdvantage).
     "q_grpo_advantage" ->
       """WITH r AS (
         |  SELECT doc_id % 40 AS prompt, doc_id AS rid, n_chars AS reward
@@ -492,8 +496,10 @@ object CurationQueries {
         |  FROM r
         |)
         |SELECT prompt, rid, reward, CAST(n_h AS BIGINT) AS n,
-        |  CAST(n_h * reward - sum_r AS DECIMAL(38,0)) AS adv_num,
-        |  CAST(n_h * sum_r2 - sum_r * sum_r AS DECIMAL(38,0)) AS var_num
+        |  CAST(CAST(n_h * reward - sum_r AS DECIMAL(38,0)) AS VARCHAR)
+        |    AS adv_num,
+        |  CAST(CAST(n_h * sum_r2 - sum_r * sum_r AS DECIMAL(38,0)) AS VARCHAR)
+        |    AS var_num
         |FROM w""".stripMargin,
 
     "q_pass_at_k" ->

@@ -110,7 +110,7 @@ class AnnotationSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("rid") -> r).toMap
 
     def adv(id: Long): Long =
-      out(id).getAs[java.math.BigDecimal]("adv_num").longValueExact()
+      out(id).getAs[String]("adv_num").toLong
     // adv_num = n·r − Σr: 3·10−90 = −60, 3·20−90 = −30, 3·60−90 = 90
     assert(adv(1L) == -60L)
     assert(adv(2L) == -30L)
@@ -119,14 +119,22 @@ class AnnotationSpec extends SparkSpec {
     assert(Seq(1L, 2L, 3L).map(adv).sum == 0L)
     // var_num = n·Σr² − (Σr)² = 3·4100 − 8100 = 4200, same on every row
     Seq(1L, 2L, 3L).foreach { id =>
-      assert(out(id).getAs[java.math.BigDecimal]("var_num")
-        .longValueExact() == 4200L)
+      assert(out(id).getAs[String]("var_num") == "4200")
       assert(out(id).getAs[Long]("n") == 3L)
     }
     // singleton: adv 0 (1·7−7), var 0 (1·49−49) — a lone sample is flat
     assert(adv(4L) == 0L)
-    assert(out(4L).getAs[java.math.BigDecimal]("var_num")
-      .longValueExact() == 0L)
+    assert(out(4L).getAs[String]("var_num") == "0")
+    // canonical decimal-string contract: plain integer repr, no
+    // exponent, no decimal point, "-" only as sign (the reason the
+    // moments leave as strings at all — see Annotation scaladoc)
+    out.values.foreach { r =>
+      Seq("adv_num", "var_num").foreach { c =>
+        val sRepr = r.getAs[String](c)
+        assert(sRepr.matches("-?(0|[1-9][0-9]*)"), s"$c = $sRepr")
+        assert(sRepr == BigInt(sRepr).toString, s"$c = $sRepr")
+      }
+    }
   }
 
   test("aucStats: midrank tie, perfect, reversed, one-class groups") {
@@ -144,9 +152,8 @@ class AnnotationSpec extends SparkSpec {
       .toDF("grp", "score", "label")
     val out = Annotation.aucStats(rows, "grp", "score", "label")
       .collect().map(r => r.getString(0) -> r).toMap
-    def nd(g: String) = (out(g).getAs[java.math.BigDecimal]("auc_num")
-      .longValueExact(), out(g).getAs[java.math.BigDecimal]("auc_den")
-      .longValueExact())
+    def nd(g: String) = (out(g).getAs[String]("auc_num").toLong,
+      out(g).getAs[String]("auc_den").toLong)
     assert(nd("t") == (7L, 8L))
     assert(nd("p") == (8L, 8L))
     assert(nd("r") == (0L, 2L))

@@ -270,8 +270,8 @@ class PropertiesSpec extends SparkSpec {
     def nums(d: org.apache.spark.sql.DataFrame) =
       graft.operators.Annotation.aucStats(d, "grp", "score", "label")
         .collect().map(r => r.getString(0) ->
-          (r.getAs[java.math.BigDecimal]("auc_num").longValueExact(),
-            r.getAs[java.math.BigDecimal]("auc_den").longValueExact())).toMap
+          (r.getAs[String]("auc_num").toLong,
+            r.getAs[String]("auc_den").toLong)).toMap
     val fwd = nums(df)
     val rev = nums(neg)
     fwd.foreach { case (g, (n1, d1)) =>
