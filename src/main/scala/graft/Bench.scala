@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions._
   * n=2 was the 100-entry codegen-class cache thrashing at catalog
   * width — every pass recompiled every heavy plan; fixed at the session
   * level, see GraftSession's codegen.cache.maxEntries note. n=2 remains
-  * the documented fallback: with two sorted passes the "median" index
-  * picks the LARGER one, conservative — never optimistic.)
+  * the documented fallback: with two sorted passes each PER-QUERY
+  * SECONDS "median" picks the LARGER pass — conservative for a timing.
+  * The streaming ROWS/SEC median inverts that rule and picks the LOWER
+  * run on even counts; each metric's tie-break leans pessimistic.)
   * The cache (including checkpoint straggler
   * blocks) is swept after EVERY query so one query's resident state can
   * neither warm nor pressure any other measurement.
@@ -101,10 +103,12 @@ object Bench {
       else streamThroughput(spark)
     // run-ORDERED list published (a cold-first-run / warm-cache trend must
     // stay distinguishable from random spread); sorted copy only feeds the
-    // median/spread math
+    // median/spread math. Even-run-count tie-break picks the LOWER rps —
+    // for a throughput metric the conservative pick is the slower run
+    // (the per-query seconds median above correctly picks the larger).
     val ordered = streamRuns.map(_.rps).filter(_ >= 0)
     val okRuns = ordered.sorted
-    val streamRps = if (okRuns.isEmpty) -1L else okRuns(okRuns.size / 2)
+    val streamRps = if (okRuns.isEmpty) -1L else okRuns((okRuns.size - 1) / 2)
     // spread = (max-min)/median in percent — the headline's own error bar,
     // so a round-over-round delta can be read against within-round noise
     val streamSpreadPct =
@@ -169,6 +173,40 @@ object Bench {
     */
   private final case class StreamRun(rps: Long, detailJson: String)
 
+  /** Per-run stage-level accounting (the r10 verdict demand): the
+    * trigger-phase breakdown names addBatch as the slow PHASE but not
+    * the slow STAGE or cause (JIT? GC? one skewed scan?). This listener
+    * aggregates executorRunTime/jvmGCTime per completed stage during a
+    * run; the top task-time stages + run GC total ride the detail JSON,
+    * so a 3× addBatch collapse (r10 run 2) is attributable from the
+    * BENCH artifact alone. Listener delivery is async — the short drain
+    * sleep after q.stop() catches the tail in practice; a late stage at
+    * worst drops out of a diagnostic, never out of the headline.
+    */
+  private final class StageAccounting extends org.apache.spark.scheduler.SparkListener {
+    private val rows =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Long)]
+    override def onStageCompleted(
+        e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val si = e.stageInfo
+      val tm = si.taskMetrics
+      if (tm != null) rows.synchronized {
+        rows += ((si.stageId,
+          si.name.takeWhile(_ != '\n').take(48)
+            .map(c => if (c == '"' || c == '\\') '\'' else c),
+          tm.executorRunTime, tm.jvmGCTime))
+      }
+    }
+    def json: String = rows.synchronized {
+      val taskMs = rows.map(_._3).sum
+      val gcMs = rows.map(_._4).sum
+      val top = rows.sortBy(-_._3).take(3).map { case (id, nm, t, g) =>
+        s"""{"stage":$id,"task_ms":$t,"gc_ms":$g,"name":"$nm"}"""
+      }.mkString("[", ",", "]")
+      s""""stages_n":${rows.size},"task_ms":$taskMs,"gc_ms":$gcMs,"top_stages":$top"""
+    }
+  }
+
   private def streamThroughput(spark: SparkSession): Seq[StreamRun] = {
     val rows = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "4608000").toInt
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_STREAM_N", "3").toInt
@@ -180,42 +218,66 @@ object Bench {
       // wraps midnight (see StreamBench.writeSyntheticDay)
       StreamBench.writeSyntheticDay(spark, dir, rows)
 
+      def onePass(run: Int): (Double, String, Long) = {
+        val dataset = spark.readStream.schema(graft.core.Schemas.dataset)
+          .option("header", "true").csv(s"$dir/in")
+        val cfg = PipelineConfig.default
+        val wire = StreamingPipeline.producerWire(dataset)
+        // single-scan fan-in demux: the union-of-landedTable form scans
+        // the source once PER family (measured 1.25× slower end-to-end)
+        val landed = StreamingPipeline.landedFamilies(wire,
+            Seq(cfg.cpuTopic -> "cpu", cfg.memTopic -> "mem"))
+          .withColumn("ts", graft.operators.RefOps.anchorTimeOfDay(col("ts")))
+        val acct = new StageAccounting
+        spark.sparkContext.addSparkListener(acct)
+        val t0 = System.nanoTime()
+        val q = StreamingPipeline.streamingJob1SingleSource(landed)
+          .writeStream.format("noop").outputMode("append")
+          .option("checkpointLocation", s"$dir/ckpt$run").start()
+        q.processAllAvailable()
+        val secs = (System.nanoTime() - t0) / 1e9
+        val progs = q.recentProgress
+        q.stop()
+        Thread.sleep(200) // drain the async listener bus tail
+        spark.sparkContext.removeSparkListener(acct)
+        // sum each durationMs phase across triggers; a run's wall is
+        // dominated by whichever phase grew, and only addBatch is the
+        // data path — everything else is fixed/coordination cost
+        val phases = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        var rowsIn = 0L
+        progs.foreach { p =>
+          rowsIn += p.numInputRows
+          p.durationMs.forEach((k, v) =>
+            phases.update(k, phases.getOrElse(k, 0L) + v.longValue()))
+        }
+        val phaseJson = phases.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+        val detail =
+          s""""secs":${math.round(secs * 100) / 100.0},"batches":${progs.length},"input_rows":$rowsIn,"phases_ms":$phaseJson,${acct.json}"""
+        (secs, detail, rowsIn)
+      }
+
+      // Unreported warm-up pass over the SAME input (own checkpoint):
+      // compiles every generated class, fills the state-store/shuffle
+      // code paths and lets C2 finish before the clock matters — the
+      // r10 record had one measured run collapse 3.4× on addBatch
+      // alone, consistent with JIT/GC cold paths landing inside a
+      // measured window. GC runs before every measured pass so a full
+      // collection triggered by 253 queries × 3 passes of garbage
+      // can't land mid-measurement either.
+      try onePass(0)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] stream warmup failed: ${e.getMessage}")
+      }
+
       (1 to nRuns).map { run =>
         try {
-          val t0 = System.nanoTime()
-          val dataset = spark.readStream.schema(graft.core.Schemas.dataset)
-            .option("header", "true").csv(s"$dir/in")
-          val cfg = PipelineConfig.default
-          val wire = StreamingPipeline.producerWire(dataset)
-          // single-scan fan-in demux: the union-of-landedTable form scans
-          // the source once PER family (measured 1.25× slower end-to-end)
-          val landed = StreamingPipeline.landedFamilies(wire,
-              Seq(cfg.cpuTopic -> "cpu", cfg.memTopic -> "mem"))
-            .withColumn("ts", graft.operators.RefOps.anchorTimeOfDay(col("ts")))
-          val q = StreamingPipeline.streamingJob1SingleSource(landed)
-            .writeStream.format("noop").outputMode("append")
-            .option("checkpointLocation", s"$dir/ckpt$run").start()
-          q.processAllAvailable()
-          val secs = (System.nanoTime() - t0) / 1e9
-          val progs = q.recentProgress
-          q.stop()
-          // sum each durationMs phase across triggers; a run's wall is
-          // dominated by whichever phase grew, and only addBatch is the
-          // data path — everything else is fixed/coordination cost
-          val phases = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-          var rowsIn = 0L
-          progs.foreach { p =>
-            rowsIn += p.numInputRows
-            p.durationMs.forEach((k, v) =>
-              phases.update(k, phases.getOrElse(k, 0L) + v.longValue()))
-          }
-          val phaseJson = phases.toSeq.sortBy(_._1)
-            .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+          System.gc()
+          val (secs, detail, _) = onePass(run)
           val rps = (rows / secs).round
-          val detail =
-            s"""{"run":$run,"rps":$rps,"secs":${math.round(secs * 100) / 100.0},"batches":${progs.length},"input_rows":$rowsIn,"phases_ms":$phaseJson}"""
-          System.err.println(s"[bench] stream $detail")
-          StreamRun(rps, detail)
+          val line = s"""{"run":$run,"rps":$rps,$detail}"""
+          System.err.println(s"[bench] stream $line")
+          StreamRun(rps, line)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] stream run $run failed: ${e.getMessage}")
           StreamRun(-1L, s"""{"run":$run,"rps":-1}""")
