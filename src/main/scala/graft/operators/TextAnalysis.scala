@@ -1047,7 +1047,11 @@ object TextAnalysis {
     *    `#` characters and `...` runs (counted by replace-and-measure,
     *    identical semantics cross-engine), tested as 10·n_sym > n_words;
     *  - `flag_alpha`: less than 80% of words contain an alphabetic
-    *    character (5·n_alpha_words < 4·n_words);
+    *    character (5·n_alpha_words < 4·n_words). "Alphabetic" is the
+    *    UNICODE letter class `\p{L}` — Rae et al.'s rule is script-
+    *    agnostic, and a Latin-only [a-z] would flag every zh/ja/ar
+    *    document wholesale (Java regex and the oracle's RE2 agree on
+    *    `\p{L}` for every script in the fixtures);
     *  - `flag_stop`: fewer than 2 distinct Gopher stopwords present.
     *
     * `keep` is the conjunction of none-flagged. One shuffle-free
@@ -1068,7 +1072,7 @@ object TextAnalysis {
         length(array_join(tk, "")).cast("long"))
       .withColumn("n_symbols", (nHash + nEllipsis).cast("long"))
       .withColumn("n_alpha_words",
-        size(filter(tk, t => t.rlike("[a-z]"))).cast("long"))
+        size(filter(tk, t => t.rlike("\\p{L}"))).cast("long"))
       .withColumn("n_stopwords",
         size(array_intersect(tk,
           array(gopherStopwords.map(lit): _*))).cast("long"))
@@ -1495,13 +1499,21 @@ object TextAnalysis {
     * validated counts plus the per-doc verdict, so curation can route
     * `has_valid_pii` docs to quarantine and measure the FP gap.
     *
+    * Candidates are MAXIMAL digit runs length-filtered to 13–19: a
+    * bare `[0-9]{13,19}` scan would bite the first 19 digits out of a
+    * 20+-digit run (timestamp, hash, ID) as a truncated "candidate"
+    * that passes Luhn by chance — and RE2 (the oracle engine's regex)
+    * has no lookarounds to boundary-guard with, so the run+length form
+    * is the portable digit-boundary semantics in both engines.
+    *
     * Pure per-row projection — one regexp extraction + a bounded
     * filter over the (few) candidates using Spark's codegen'd
     * `luhn_check`; zero exchanges, scan-speed at any scale.
     */
   def luhnScan(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(col(idCol),
-        regexp_extract_all(col(textCol), lit("[0-9]{13,19}"), lit(0))
+        filter(regexp_extract_all(col(textCol), lit("[0-9]+"), lit(0)),
+          c => length(c) >= 13 && length(c) <= 19)
           .as("cands"))
       .select(col(idCol),
         size(col("cands")).cast("long").as("n_candidates"),

@@ -810,7 +810,10 @@ object TextQueries {
     // Injection replayed, then the Luhn mod-10 check itself replayed
     // digit-by-digit with list lambdas (right-to-left, every second
     // digit doubled with the 9-subtraction) — two independent Luhn
-    // implementations agreeing on every candidate.
+    // implementations agreeing on every candidate. Candidates are
+    // maximal digit runs length-filtered to 13–19 (RE2 has no
+    // lookarounds; see TextAnalysis.luhnScan for the boundary
+    // argument).
     "q_luhn_scan" ->
       s"""WITH p AS (
          |  SELECT doc_id,
@@ -820,7 +823,8 @@ object TextQueries {
          |      ELSE text END AS planted
          |  FROM documents),
          |c AS (SELECT doc_id,
-         |        regexp_extract_all(planted, '[0-9]{13,19}') AS cands
+         |        list_filter(regexp_extract_all(planted, '[0-9]+'),
+         |          c -> len(c) BETWEEN 13 AND 19) AS cands
          |      FROM p),
          |v AS (SELECT doc_id,
          |        CAST(len(cands) AS BIGINT) AS n_candidates,
@@ -1200,7 +1204,7 @@ object TextQueries {
          |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
          |      + CAST((length(text) - length(replace(text, '...', ''))) // 3
          |          AS BIGINT) AS nsym,
-         |    CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))
+         |    CAST(len(list_filter(tk, x -> regexp_matches(x, '\\p{L}')))
          |      AS BIGINT) AS nalpha,
          |    CAST(len(list_intersect(tk, ['the','be','to','of','and','that',
          |      'have','with'])) AS BIGINT) AS nstop
@@ -1278,7 +1282,7 @@ object TextQueries {
          |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
          |      + CAST((length(text) - length(replace(text, '...', ''))) // 3
          |          AS BIGINT) AS nsym,
-         |    CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))
+         |    CAST(len(list_filter(tk, x -> regexp_matches(x, '\\p{L}')))
          |      AS BIGINT) AS nalpha,
          |    CAST(len(list_intersect(tk, ['the','be','to','of','and','that',
          |      'have','with'])) AS BIGINT) AS nstop

@@ -616,7 +616,12 @@ object TwsOps {
       val out = rows.toArray.sortBy(_._2).map { case (_, ts) =>
         if (lastUs != Long.MinValue && ts > lastUs) {
           val refill = Math.multiplyExact(ts - lastUs, ratePerSec)
-          utok = math.min(capUtok, utok + refill)
+          // clamp BEFORE adding: multiplyExact guards the product, but
+          // utok + refill itself can wrap negative for an extreme
+          // event-time gap × rate, and min() would then keep the
+          // negative bucket — throttling every later event until it
+          // refills past zero
+          utok = if (refill >= capUtok - utok) capUtok else utok + refill
         }
         lastUs = math.max(lastUs, ts)
         val ok = utok >= 1000000L

@@ -4,8 +4,9 @@ import org.apache.spark.sql.Row
 import graft.operators.TextAnalysis
 
 /** Luhn-validated card detection (TextAnalysis.luhnScan): checksum
-  * split on classic test numbers, the 13–19 length gate, greedy
-  * extraction of over-long runs, and the doubling edge (9·2 → 9).
+  * split on classic test numbers, the 13–19 length gate, digit-run
+  * boundary semantics (over-long runs are NOT candidates), and the
+  * doubling edge (9·2 → 9).
   */
 class LuhnScanSpec extends SparkSpec {
   import spark.implicits._
@@ -31,9 +32,18 @@ class LuhnScanSpec extends SparkSpec {
     assert(scan("x 1234567890123 y").getAs[Long]("n_candidates") == 1L)
   }
 
-  test("a 20+ digit run yields one greedy 19-digit candidate") {
+  test("a 20+ digit run is NOT a candidate (maximal-run boundaries)") {
+    // a bare {13,19} regex would bite the first 19 digits out of this
+    // 23-digit ID as a truncated "card" that can pass Luhn by chance;
+    // maximal-run extraction + length filter rejects the whole run
     val r = scan("id 12345678901234567890123 end")
-    assert(r.getAs[Long]("n_candidates") == 1L)
+    assert(r.getAs[Long]("n_candidates") == 0L)
+    assert(!r.getAs[Boolean]("has_valid_pii"))
+    // adjacency with non-digit separators still splits into runs: a
+    // 16-digit card flanked by a 20-digit ID stays detectable
+    val r2 = scan("id 12345678901234567890 card 4111111111111111")
+    assert(r2.getAs[Long]("n_candidates") == 1L)
+    assert(r2.getAs[Long]("n_luhn_valid") == 1L)
   }
 
   test("doubling edge: nines double to nine (18 - 9), checksum exact") {

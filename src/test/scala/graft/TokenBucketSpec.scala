@@ -83,6 +83,31 @@ class TokenBucketSpec extends SparkSpec {
     assert(out.map(_._4).min == 0L)
   }
 
+  test("extreme gap × rate refill clamps to cap instead of wrapping") {
+    // refill = 1e9 us × 9223372036/s ≈ 9.2233720e18: the PRODUCT fits
+    // a long (multiplyExact passes) but utok + refill wraps negative,
+    // and min() would then keep the negative bucket — throttling every
+    // later event. The clamp must land exactly at full-minus-one-spend.
+    val out = withRocksDb {
+      val src = MemoryStream[(String, Long)](spark)
+      val q = TwsOps.tokenBucketTws(src.toDS().toDF("k", "ts"), "k", "ts",
+          capacity = 2000L, ratePerSec = 9223372036L)
+        .writeStream.format("memory").queryName("tb_wrap")
+        .outputMode("append").start()
+      try {
+        src.addData(("w", 0L), ("w", 1000000000L))
+        q.processAllAvailable()
+        spark.table("tb_wrap")
+          .as[(String, Long, Boolean, Long)]
+          .collect().toSeq.sortBy(_._2)
+      } finally q.stop()
+    }
+    val capUtok = 2000L * 1000000L
+    assert(out == Seq(
+      ("w", 0L, true, capUtok - 1000000L),
+      ("w", 1000000000L, true, capUtok - 1000000L)))
+  }
+
   test("guards: positive capacity and rate") {
     val df = Seq(("a", 0L)).toDF("k", "ts")
     intercept[IllegalArgumentException] {
