@@ -1375,7 +1375,16 @@ object TextAnalysis {
     *
     *  - `invisible`: zero-width space / non-joiner / joiner, BOM-as-ZWNBSP,
     *    soft hyphen — the payload channel of text steganography and
-    *    dedup-evasion (two visually identical docs with different bytes).
+    *    dedup-evasion (two visually identical docs with different bytes) —
+    *    plus the word joiner and invisible math operators (U+2060–2064),
+    *    the Mongolian vowel separator (U+180E), and the ASTRAL Unicode
+    *    TAG block (U+E0000–E007F): tag characters mirror ASCII one-to-one
+    *    while rendering as nothing, which makes them the documented
+    *    ASCII-smuggling channel for prompt injection — they ride UTF-16
+    *    surrogate pairs, so any BMP-only class silently passes them
+    *    (AdversarialScreenSpec holds the smuggling case). Variation
+    *    selectors are deliberately NOT flagged: U+FE0F is legitimate
+    *    emoji presentation at crawl scale.
     *  - `bidi`: the directional embedding/override/isolate controls of
     *    UAX #9 plus the LRM/RLM/ALM marks — the "Trojan Source"
     *    (Boucher & Anderson, USENIX Sec'22) reordering vector: rendered
@@ -1383,7 +1392,9 @@ object TextAnalysis {
     *  - `ctrl`: C0 controls except \t \n \r, plus DEL — never legitimate
     *    in prose; classic CSV/terminal-injection residue.
     */
-  val invisibleClass = "[\\x{200B}-\\x{200D}\\x{FEFF}\\x{00AD}]"
+  val invisibleClass =
+    "[\\x{200B}-\\x{200D}\\x{FEFF}\\x{00AD}" +
+      "\\x{2060}-\\x{2064}\\x{180E}\\x{E0000}-\\x{E007F}]"
   val bidiClass = "[\\x{202A}-\\x{202E}\\x{2066}-\\x{2069}\\x{200E}\\x{200F}\\x{061C}]"
   val ctrlClass = "[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{007F}]"
 

@@ -1,0 +1,129 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.TwsOps
+
+/** Fault-tolerance tier for the TWS state operators: a query is
+  * STOPPED mid-stream and a NEW query instance is started on the same
+  * checkpoint — the state (token buckets, SpaceSaving counters, the
+  * erasure ledger) must come back from the RocksDB checkpoint, not
+  * from recomputation, and the output must equal the uninterrupted
+  * run's exactly (the batch-split specs only prove invariance WITHIN
+  * one query instance; this proves the restore path). The restarted
+  * runs go through the parquet FILE sink — the sink whose commit log
+  * carries Structured Streaming's exactly-once contract — so the
+  * equality check also proves no duplicated or lost batches across
+  * the restart boundary. One case kills with an ADDED-but-uncommitted
+  * batch: the restarted query must pick it up from the checkpointed
+  * offset and process it against restored state.
+  */
+class CheckpointRestartSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withRocksDb[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    TwsOps.useRocksDb(spark)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Run `plan` to a parquet sink with a kill/restart boundary between
+    * the two feed phases. `commitBeforeKill = false` adds phase-2 data
+    * BEFORE stopping query 1 without letting it process — the restart
+    * must then consume it from the checkpointed offset.
+    */
+  private def runWithRestart(plan: DataFrame, tag: String,
+      feed1: () => Unit, feed2: () => Unit,
+      commitBeforeKill: Boolean = true): Seq[org.apache.spark.sql.Row] = {
+    val base = Files.createTempDirectory(s"ckptrestart_$tag")
+    val out = s"$base/out"
+    def start() = plan.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").start()
+    val q1 = start()
+    feed1()
+    q1.processAllAvailable()
+    if (!commitBeforeKill) feed2()
+    q1.stop()
+    if (commitBeforeKill) feed2()
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    spark.read.parquet(out).collect().toSeq
+  }
+
+  test("token bucket state survives a checkpoint restart") {
+    val trace = Seq(
+      ("a", 0L), ("a", 200000L), ("a", 400000L), ("a", 2400000L),
+      ("a", 2500000L))
+    // uninterrupted expectation from TokenBucketSpec's hand replay
+    val expected = Seq(
+      ("a", 0L, true, 1000000L), ("a", 200000L, true, 200000L),
+      ("a", 400000L, false, 400000L), ("a", 2400000L, true, 1000000L),
+      ("a", 2500000L, true, 100000L))
+    val out = withRocksDb {
+      val src = MemoryStream[(String, Long)](spark)
+      runWithRestart(
+        TwsOps.tokenBucketTws(src.toDS().toDF("k", "ts"), "k", "ts", 2L, 1L),
+        "tb",
+        () => src.addData(trace.take(3): _*),
+        () => src.addData(trace.drop(3): _*))
+    }
+    // row 4 (refill clamps at cap, spend) is only correct if the
+    // restarted bucket restored (utok=400000, lastUs=400000) — a
+    // fresh bucket would start full and emit a different tokens_after
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getBoolean(2),
+      r.getLong(3))).sortBy(_._2) == expected)
+  }
+
+  test("SpaceSaving counters survive a restart with an uncommitted batch") {
+    val rows = Seq(
+      ("g", 1L, "a"), ("g", 2L, "a"), ("g", 3L, "b"),
+      ("g", 4L, "c"), ("g", 5L, "c"), ("g", 6L, "a"))
+    // uninterrupted expectation from SpaceSavingStreamSpec's replay:
+    // the phase-2 rows are correct ONLY against the restored counter
+    // map {a:(2,0), b:(1,0)} — c must evict b inheriting error 1
+    val expected = Seq(
+      ("g", 1L, "a", 1L, 0L, null), ("g", 2L, "a", 2L, 0L, null),
+      ("g", 3L, "b", 1L, 0L, null), ("g", 4L, "c", 2L, 1L, "b"),
+      ("g", 5L, "c", 3L, 1L, null), ("g", 6L, "a", 3L, 0L, null))
+    val out = withRocksDb {
+      val src = MemoryStream[(String, Long, String)](spark)
+      runWithRestart(
+        TwsOps.spaceSavingTws(src.toDS().toDF("key", "t", "item"),
+          "key", "t", "item", 2),
+        "ss",
+        () => src.addData(rows.take(3): _*),
+        () => src.addData(rows.drop(3): _*),
+        commitBeforeKill = false)
+    }
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getString(2),
+      r.getLong(3), r.getLong(4), r.getString(5))).sortBy(_._2) == expected)
+  }
+
+  test("the erasure ledger survives a restart: post-restart arrivals drop") {
+    val out = withRocksDb {
+      val docs = MemoryStream[(Long, String)](spark)
+      val tombs = MemoryStream[Long](spark)
+      runWithRestart(
+        TwsOps.erasureScreenTws(
+          docs.toDS().toDF("doc_id", "payload"), "doc_id", "payload",
+          tombs.toDS().toDF("id"), "id"),
+        "er",
+        () => { docs.addData(1L -> "v1", 2L -> "v2"); tombs.addData(1L) },
+        () => docs.addData(1L -> "leak?", 2L -> "v2-again", 3L -> "v3"))
+    }
+    // doc 1's same-batch race already resolves to the tombstone
+    // (ErasureStreamSpec), so only v2 lands pre-kill; the post-restart
+    // re-arrival of doc 1 must hit the RESTORED ledger, and the
+    // pre-kill batch must not be duplicated by the second query
+    assert(out.map(r => (r.getLong(0), r.getString(1))).sorted == Seq(
+      2L -> "v2", 2L -> "v2-again", 3L -> "v3"))
+  }
+}
