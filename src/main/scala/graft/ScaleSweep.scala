@@ -111,8 +111,42 @@ object ScaleSweep {
     (probes, states)
   }
 
+  /** Four-line documents for the line-dedup sweep: line 0 is a GLOBAL
+    * boilerplate line (df = |docs| — the cookie-banner hot key whose
+    * skew the partial aggregation must absorb map-side), lines 1–3 from
+    * the same Heaps-growing vocabulary as [[corpus]] (df ≈ 2 via the
+    * 2-ids-per-text mapping — real kept-line mass at every scale).
+    */
+  def lineCorpus(spark: org.apache.spark.sql.SparkSession,
+                 docs: Long): DataFrame = {
+    val k = pmod(col("id") * 31, lit(math.max(1L, docs / 2)))
+    val m = math.max(997L, docs)
+    def stanza(a: Long, b: Long, c: Long, d: Long, e: Long, f: Long) =
+      concat_ws(" ", lit("lorem"), pmod(k * a, lit(m)), lit("ipsum"),
+        pmod(k * b, lit(m - 6)), lit("dolor"), pmod(k * c, lit(m - 14)),
+        lit("sit"), pmod(k * d, lit(m - 20)), lit("amet"),
+        pmod(k * e, lit(m - 26)), lit("sed"), pmod(k * f, lit(m - 30)))
+    val boiler = concat_ws(" ", (1 to 12).map(i => lit(s"boiler$i")): _*)
+    spark.range(docs).select(col("id").as("doc_id"),
+      concat_ws(" ", boiler, stanza(11, 17, 23, 47, 53, 59),
+        stanza(61, 67, 71, 73, 79, 83), stanza(7, 13, 29, 37, 41, 43))
+        .as("text"))
+  }
+
+  /** Chain-of-4 edge set for the incremental-CC sweep, split the way
+    * q_cc_incremental splits its LSH pairs: fixed component diameter
+    * (so the round count is constant and the sweep prices PER-ROUND
+    * shuffle volume), batch A = even-sourced edges, batch B the rest.
+    */
+  def ccEdges(spark: org.apache.spark.sql.SparkSession,
+              n: Long): (DataFrame, DataFrame) = {
+    val e = spark.range(n).filter(col("id") % 4 =!= 3)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    (e.filter(col("id_a") % 2 === 0), e.filter(col("id_a") % 2 === 1))
+  }
+
   private val Modes = Set("monitor", "dedup", "asof", "prefixjoin",
-    "extractive")
+    "extractive", "linededup", "ccinc")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.filter(Modes).getOrElse("monitor")
@@ -123,6 +157,8 @@ object ScaleSweep {
       else if (mode == "prefixjoin") Seq(20000L, 200000L, 2000000L)
       else if (mode == "asof") Seq(100000L, 1000000L, 10000000L)
       else if (mode == "extractive") Seq(200000L, 2000000L, 20000000L)
+      else if (mode == "linededup") Seq(200000L, 2000000L)
+      else if (mode == "ccinc") Seq(300000L, 3000000L)
       else Seq(60000L, 600000L, 6000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.core.GraftSession.local(cpus, "graft-scalesweep")
@@ -215,6 +251,51 @@ object ScaleSweep {
         val secs = (System.nanoTime() - t0) / 1e9
         graft.core.CacheScope.releaseStragglers(spark)
         println(s"""{"metric":"lsh_dedup_sweep","docs":$docs,"wall_sec":${math.round(secs * 1000) / 1000.0},"docs_per_sec":${(docs / secs).round}}""")
+      }
+    } else if (mode == "linededup") {
+      // CCNet line dedup (the r10 verdict's first asymptotic suspect:
+      // a line-keyed exchange + join-back + per-doc reassembly). The
+      // structural claim the curve must prove: the df aggregate is a
+      // COUNT, so the global boilerplate line (df = |docs|) is absorbed
+      // by map-side partial aggregation and the wall stays ~linear in
+      // docs — superlinear growth would mean the hot line's rows are
+      // actually crossing the exchange.
+      import graft.operators.TextAnalysis
+      TextAnalysis.lineDedup(lineCorpus(spark, 10000), "text", "doc_id",
+          lineTokens = 12, maxLineDf = 2L)
+        .write.format("noop").mode("overwrite").save() // warmup
+      points.foreach { docs =>
+        val t0 = System.nanoTime()
+        TextAnalysis.lineDedup(lineCorpus(spark, docs), "text", "doc_id",
+            lineTokens = 12, maxLineDf = 2L)
+          .write.format("noop").mode("overwrite").save()
+        val secs = (System.nanoTime() - t0) / 1e9
+        graft.core.CacheScope.releaseStragglers(spark)
+        println(s"""{"metric":"linededup_sweep","docs":$docs,"wall_sec":${math.round(secs * 1000) / 1000.0},"docs_per_sec":${(docs / secs).round}}""")
+      }
+    } else if (mode == "ccinc") {
+      // Incremental connected components (the second suspect: iterated
+      // label propagation). Component diameter is FIXED by the
+      // workload, so rounds are constant and the curve prices per-round
+      // shuffle volume — label propagation is Θ(|edges|) per round,
+      // and the measured multiplier must track the edge count.
+      import graft.operators.Dedup
+      locally {
+        val (wa, wb) = ccEdges(spark, 10000)
+        Dedup.incrementalComponents(
+            Dedup.connectedComponents(wa, "doc_id"), wb, "doc_id")
+          .write.format("noop").mode("overwrite").save() // warmup
+        graft.core.CacheScope.releaseStragglers(spark)
+      }
+      points.foreach { n =>
+        val (a, b) = ccEdges(spark, n)
+        val t0 = System.nanoTime()
+        Dedup.incrementalComponents(
+            Dedup.connectedComponents(a, "doc_id"), b, "doc_id")
+          .write.format("noop").mode("overwrite").save()
+        val secs = (System.nanoTime() - t0) / 1e9
+        graft.core.CacheScope.releaseStragglers(spark)
+        println(s"""{"metric":"ccinc_sweep","nodes":$n,"wall_sec":${math.round(secs * 1000) / 1000.0},"nodes_per_sec":${(n / secs).round}}""")
       }
     } else {
       // one warmup so point 1 isn't charged for JVM/codegen startup
