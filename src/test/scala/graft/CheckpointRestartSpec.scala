@@ -107,6 +107,31 @@ class CheckpointRestartSpec extends SparkSpec {
       r.getLong(3), r.getLong(4), r.getString(5))).sortBy(_._2) == expected)
   }
 
+  test("CUSUM prefix state survives a restart (running sum AND min)") {
+    // drift k=2, threshold h=4; values chosen so the post-restart rows
+    // depend on BOTH state longs: psum dips negative pre-kill (runMin
+    // = -3 after x=1,0), so a restart that lost runMin (or reset psum)
+    // would mis-place the alert at ts=4
+    val rows = Seq(
+      ("m", 1L, 1L), ("m", 2L, 0L), ("m", 3L, 7L), ("m", 4L, 6L))
+    // replay: d = x-2 → psum: -1,-3,2,6; runMin: -1,-3,-3,-3;
+    // S = psum - min(0, runMin): 0, 0, 5, 9; alerts at S >= 4
+    val expected = Seq(
+      ("m", 1L, 0L, false), ("m", 2L, 0L, false),
+      ("m", 3L, 5L, true), ("m", 4L, 9L, true))
+    val out = withRocksDb {
+      val src = MemoryStream[(String, Long, Long)](spark)
+      runWithRestart(
+        TwsOps.cusumTws(src.toDS().toDF("key", "t", "x"), "key", "t", "x",
+          driftK = 2L, threshH = 4L),
+        "cusum",
+        () => src.addData(rows.take(2): _*),
+        () => src.addData(rows.drop(2): _*))
+    }
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getBoolean(3))).sortBy(_._2) == expected)
+  }
+
   test("the erasure ledger survives a restart: post-restart arrivals drop") {
     val out = withRocksDb {
       val docs = MemoryStream[(Long, String)](spark)
@@ -116,13 +141,16 @@ class CheckpointRestartSpec extends SparkSpec {
           docs.toDS().toDF("doc_id", "payload"), "doc_id", "payload",
           tombs.toDS().toDF("id"), "id"),
         "er",
-        () => { docs.addData(1L -> "v1", 2L -> "v2"); tombs.addData(1L) },
+        // phase 1 keeps the tombstone and the docs on DISJOINT ids:
+        // the two MemoryStreams feed a running query, so same-phase
+        // batch assignment is racy (the same-batch race semantics are
+        // ErasureStreamSpec's job) — this expectation must hold under
+        // any interleaving
+        () => { tombs.addData(1L); docs.addData(2L -> "v2") },
         () => docs.addData(1L -> "leak?", 2L -> "v2-again", 3L -> "v3"))
     }
-    // doc 1's same-batch race already resolves to the tombstone
-    // (ErasureStreamSpec), so only v2 lands pre-kill; the post-restart
-    // re-arrival of doc 1 must hit the RESTORED ledger, and the
-    // pre-kill batch must not be duplicated by the second query
+    // the post-restart arrival of doc 1 must hit the RESTORED ledger,
+    // and the pre-kill batch must not be duplicated by the second query
     assert(out.map(r => (r.getLong(0), r.getString(1))).sorted == Seq(
       2L -> "v2", 2L -> "v2-again", 3L -> "v3"))
   }
