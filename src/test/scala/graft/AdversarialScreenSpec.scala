@@ -80,6 +80,24 @@ class AdversarialScreenSpec extends SparkSpec {
     assert(n.head.getAs[Long]("n") == 1L)
   }
 
+  test("homoglyph evasion through the blocklist needs the skeleton fold") {
+    // "secret sauce" with Cyrillic е/с/а swapped in — reads identically,
+    // shares zero codepoints with the pattern at the swapped positions,
+    // and NFC does NOT fold homoglyphs (they are distinct letters, not
+    // decompositions) — only confusableSkeleton restores the match
+    val phrases = Seq("secret sauce")
+    val evasive = "the s\u0435cr\u0435t s\u0430u\u0441e recipe"
+    def hits(c: org.apache.spark.sql.Column) =
+      AhoCorasick.blocklistHits(lower(c), phrases)
+    val df = Seq((1L, evasive)).toDF("doc_id", "text")
+    assert(df.select(element_at(hits(col("text")), 1)).head.getLong(0) == 0L)
+    assert(df.select(element_at(
+      hits(NfcNormalize.nfcNorm(col("text"))), 1)).head.getLong(0) == 0L)
+    val n = df.select(element_at(
+      hits(TextAnalysis.confusableSkeleton(col("text"))), 1).as("n"))
+    assert(n.head.getAs[Long]("n") == 1L)
+  }
+
   test("stacked evasion falls to the full pipeline in strip→NFC order") {
     // both vectors at once: NFD phrase + ZWSP splits + a bidi mark
     val phrases = Seq("caf\u00E9 exploit")
