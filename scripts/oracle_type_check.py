@@ -6,7 +6,7 @@ compare because DuckDB's window `SUM(BIGINT)` is HUGEINT and `//` keeps
 it — the VALUES matched but the driver's type-sensitive hasher did not.
 This sweep prevents the class: DESCRIBE every `oracle_sql.json` entry in
 DuckDB and fail on any output column whose DuckDB type is outside the
-portable set {BIGINT, DOUBLE, VARCHAR, BOOLEAN, TIMESTAMP, DECIMAL(p,s)}.
+portable set {BIGINT, DOUBLE, VARCHAR, BOOLEAN, TIMESTAMP}.
 
 HUGEINT (window SUM / // on BIGINT), INTEGER/SMALLINT (un-widened
 literals), TIMESTAMP WITH TIME ZONE (timezone-dependent hashing) are all

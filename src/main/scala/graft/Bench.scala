@@ -230,16 +230,23 @@ object Bench {
           .withColumn("ts", graft.operators.RefOps.anchorTimeOfDay(col("ts")))
         val acct = new StageAccounting
         spark.sparkContext.addSparkListener(acct)
-        val t0 = System.nanoTime()
-        val q = StreamingPipeline.streamingJob1SingleSource(landed)
-          .writeStream.format("noop").outputMode("append")
-          .option("checkpointLocation", s"$dir/ckpt$run").start()
-        q.processAllAvailable()
-        val secs = (System.nanoTime() - t0) / 1e9
-        val progs = q.recentProgress
-        q.stop()
-        Thread.sleep(200) // drain the async listener bus tail
-        spark.sparkContext.removeSparkListener(acct)
+        // finally-protected: a throwing run must not leak the listener
+        // (it would keep accumulating every later run's stages) or a
+        // still-running query into the next measured pass
+        val (secs, progs) =
+          try {
+            val t0 = System.nanoTime()
+            val q = StreamingPipeline.streamingJob1SingleSource(landed)
+              .writeStream.format("noop").outputMode("append")
+              .option("checkpointLocation", s"$dir/ckpt$run").start()
+            try {
+              q.processAllAvailable()
+              ((System.nanoTime() - t0) / 1e9, q.recentProgress)
+            } finally q.stop()
+          } finally {
+            Thread.sleep(200) // drain the async listener bus tail
+            spark.sparkContext.removeSparkListener(acct)
+          }
         // sum each durationMs phase across triggers; a run's wall is
         // dominated by whichever phase grew, and only addBatch is the
         // data path — everything else is fixed/coordination cost

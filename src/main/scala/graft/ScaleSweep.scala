@@ -256,10 +256,14 @@ object ScaleSweep {
       // CCNet line dedup (the r10 verdict's first asymptotic suspect:
       // a line-keyed exchange + join-back + per-doc reassembly). The
       // structural claim the curve must prove: the df aggregate is a
-      // COUNT, so the global boilerplate line (df = |docs|) is absorbed
-      // by map-side partial aggregation and the wall stays ~linear in
-      // docs — superlinear growth would mean the hot line's rows are
-      // actually crossing the exchange.
+      // two-level countDistinct — the dedup level keys on (line, doc),
+      // so the global boilerplate line's |docs| rows spread across the
+      // compound key, and the per-partition partial count collapses
+      // them to one row per partition before the |lines|-keyed
+      // exchange. The hot key's remaining concentration point is the
+      // df join-back on `line` (broadcast at this dfreq size; AQE
+      // skew-split at real scale) — superlinear growth would mean one
+      // of those mechanisms is not engaging.
       import graft.operators.TextAnalysis
       TextAnalysis.lineDedup(lineCorpus(spark, 10000), "text", "doc_id",
           lineTokens = 12, maxLineDf = 2L)

@@ -615,13 +615,18 @@ object TwsOps {
         if (bucket.exists()) bucket.get() else (capUtok, Long.MinValue)
       val out = rows.toArray.sortBy(_._2).map { case (_, ts) =>
         if (lastUs != Long.MinValue && ts > lastUs) {
-          val refill = Math.multiplyExact(ts - lastUs, ratePerSec)
-          // clamp BEFORE adding: multiplyExact guards the product, but
-          // utok + refill itself can wrap negative for an extreme
-          // event-time gap × rate, and min() would then keep the
-          // negative bucket — throttling every later event until it
-          // refills past zero
-          utok = if (refill >= capUtok - utok) capUtok else utok + refill
+          // overflow-free refill: gap × rate can exceed Long.MaxValue
+          // for an extreme event-time gap (a thrown multiplyExact here
+          // would kill the whole query on one late/poisoned event, and
+          // an unchecked product wraps utok negative — permanently
+          // throttling the key). gap > headroom/rate ⟺ gap·rate >
+          // headroom (integer-division inequality), so the clamp
+          // decision needs no product at all; the else-branch product
+          // is then ≤ headroom ≤ capUtok and safe.
+          val gap = ts - lastUs
+          utok =
+            if (gap > (capUtok - utok) / ratePerSec) capUtok
+            else utok + gap * ratePerSec
         }
         lastUs = math.max(lastUs, ts)
         val ok = utok >= 1000000L

@@ -13,17 +13,6 @@ import graft.streaming.TwsOps
 class AsOfTwsSpec extends SparkSpec {
   import spark.implicits._
 
-  private def withRocksDb[A](body: => A): A = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    TwsOps.useRocksDb(spark)
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
-
   private val B = 1000L // epoch anchor seconds (see SessionTimeoutStreamSpec)
 
   /** Drain until the memory sink stops growing: the timer-only batch

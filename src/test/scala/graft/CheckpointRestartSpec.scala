@@ -22,17 +22,6 @@ import graft.streaming.TwsOps
 class CheckpointRestartSpec extends SparkSpec {
   import spark.implicits._
 
-  private def withRocksDb[A](body: => A): A = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    TwsOps.useRocksDb(spark)
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
-
   /** Run `plan` to a parquet sink with a kill/restart boundary between
     * the two feed phases. `commitBeforeKill = false` adds phase-2 data
     * BEFORE stopping query 1 without letting it process — the restart

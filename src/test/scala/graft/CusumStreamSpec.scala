@@ -13,17 +13,6 @@ import graft.streaming.TwsOps
 class CusumStreamSpec extends SparkSpec {
   import spark.implicits._
 
-  private def withRocksDb[A](body: => A): A = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    TwsOps.useRocksDb(spark)
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
-
   // two keys: a sustained shift on "a" (alerts), noise around zero on "b"
   private val rows = Seq(
     ("a", 1L, 9L), ("a", 2L, 0L), ("a", 3L, 0L), ("a", 4L, 9L), ("a", 5L, 9L),

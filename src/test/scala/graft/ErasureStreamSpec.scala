@@ -11,17 +11,6 @@ import graft.streaming.TwsOps
 class ErasureStreamSpec extends SparkSpec {
   import spark.implicits._
 
-  private def withRocksDb[A](body: => A): A = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    TwsOps.useRocksDb(spark)
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
-
   /** Each step is (docs, tombstones) added as one micro-batch. */
   private def run(steps: Seq[(Seq[(Long, String)], Seq[Long])],
                   name: String): Seq[(Long, String)] =

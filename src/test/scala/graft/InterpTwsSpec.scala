@@ -13,17 +13,6 @@ import graft.streaming.TwsOps
 class InterpTwsSpec extends SparkSpec {
   import spark.implicits._
 
-  private def withRocksDb[A](body: => A): A = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    TwsOps.useRocksDb(spark)
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
-
   private def settle(q: org.apache.spark.sql.streaming.StreamingQuery,
                      table: String, atLeast: Long): Unit = {
     val deadline = System.currentTimeMillis + 30000

@@ -11,17 +11,6 @@ import graft.streaming.TwsOps
 class SpaceSavingStreamSpec extends SparkSpec {
   import spark.implicits._
 
-  private def withRocksDb[A](body: => A): A = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    TwsOps.useRocksDb(spark)
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
-
   private def run(batches: Seq[Seq[(String, Long, String)]], k: Int,
                   name: String): Seq[(String, Long, String, Long, Long, String)] =
     withRocksDb {

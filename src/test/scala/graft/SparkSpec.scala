@@ -16,4 +16,21 @@ trait SparkSpec extends AnyFunSuite {
     .getOrCreate()
 
   def sf0001 = "/root/testdata/sf0.001"
+
+  /** Run `body` with the RocksDB state-store provider (the TWS
+    * operators require it), restoring the previous provider after —
+    * shared here because eight streaming suites need the identical
+    * save/set/restore and a drifted copy would silently run its suite
+    * on the wrong state store.
+    */
+  def withRocksDb[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    graft.streaming.TwsOps.useRocksDb(spark)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

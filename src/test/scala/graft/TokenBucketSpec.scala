@@ -12,17 +12,6 @@ import graft.streaming.TwsOps
 class TokenBucketSpec extends SparkSpec {
   import spark.implicits._
 
-  private def withRocksDb[A](body: => A): A = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    TwsOps.useRocksDb(spark)
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
-
   /** Run batches through the limiter (capacity 2, 1 token/s) and
     * collect (key, ts_us, allowed, tokens_after_utok) ordered by ts.
     */
@@ -95,7 +84,11 @@ class TokenBucketSpec extends SparkSpec {
         .writeStream.format("memory").queryName("tb_wrap")
         .outputMode("append").start()
       try {
-        src.addData(("w", 0L), ("w", 1000000000L))
+        // gap 2: 1e9 us × rate ≈ 9.2e18 — the PRODUCT fits a long but
+        // the sum would wrap; gap 3: 2e9 us × rate ≈ 1.8e19 — the
+        // product ITSELF overflows (a multiplyExact here would throw
+        // and kill the query on one extreme-gap event)
+        src.addData(("w", 0L), ("w", 1000000000L), ("w", 3000000000L))
         q.processAllAvailable()
         spark.table("tb_wrap")
           .as[(String, Long, Boolean, Long)]
@@ -105,7 +98,8 @@ class TokenBucketSpec extends SparkSpec {
     val capUtok = 2000L * 1000000L
     assert(out == Seq(
       ("w", 0L, true, capUtok - 1000000L),
-      ("w", 1000000000L, true, capUtok - 1000000L)))
+      ("w", 1000000000L, true, capUtok - 1000000L),
+      ("w", 3000000000L, true, capUtok - 1000000L)))
   }
 
   test("guards: positive capacity and rate") {

@@ -22,17 +22,6 @@ import graft.streaming.TwsOps
 class TwsOpsSpec extends SparkSpec {
   import spark.implicits._
 
-  private def withRocksDb[A](body: => A): A = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    TwsOps.useRocksDb(spark)
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
-
   /** Start the continuous ttlDedup service over `src` appending to
     * `dir/out` with its durable checkpoint at `dir/ckpt`.
     */
