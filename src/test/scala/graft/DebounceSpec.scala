@@ -48,10 +48,7 @@ class DebounceSpec extends SparkSpec {
   }
 
   test("stream ≡ batch over the closed region, out-of-order arrival") {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prevConf = spark.conf.getOption(key)
-    TwsOps.useRocksDb(spark)
-    try {
+    withRocksDb {
       val src = MemoryStream[(String, Long, Long)](spark)
       val obs = src.toDF().toDF("k", "sec", "tie")
         .select(col("k"), expr("timestamp_seconds(sec)").as("ts"), col("tie"))
@@ -89,9 +86,6 @@ class DebounceSpec extends SparkSpec {
         assert(all == Seq(us(B), us(B + 8), us(B + 100), us(B + 110)),
           s"got $all")
       } finally q.stop()
-    } finally prevConf match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
     }
   }
 }
