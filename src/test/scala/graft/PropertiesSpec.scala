@@ -310,6 +310,50 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("invisibleScan strip ∘ inject ≡ id on random payloads incl. astral") {
+    // inject a random mix of all three audited classes (BMP zero-width/
+    // bidi/control AND astral TAG codepoints) at random positions into
+    // clean ASCII text: the scan must count exactly what was injected,
+    // per class, and `cleaned` must reproduce the original — the
+    // generative twin of q_invisible_scan's planted-payload oracle
+    val invis = Seq(0x200B, 0x200C, 0x200D, 0xFEFF, 0xAD, 0x2060, 0x2063,
+      0x180E, 0xE0001, 0xE0041, 0xE007F)
+    val bidi = Seq(0x202A, 0x202E, 0x2066, 0x2069, 0x200E, 0x200F, 0x61C)
+    val ctrl = Seq(0x00, 0x08, 0x0B, 0x1F, 0x7F)
+    val word = Gen.listOfN(6, Gen.alphaLowerChar).map(_.mkString)
+    val payload = Gen.listOfN(8,
+      Gen.zip(Gen.oneOf(Seq(0, 1, 2)), Gen.chooseNum(0, 6)))
+    val cases = sample(Gen.listOfN(40, Gen.zip(
+      Gen.listOfN(7, word), payload)))
+    val rows = cases.zipWithIndex.map { case ((words, inj), i) =>
+      val clean = words.mkString(" ")
+      var n = Array(0L, 0L, 0L)
+      val sb = new StringBuilder
+      val slots = inj.groupBy(_._2) // word index -> injections after it
+      words.zipWithIndex.foreach { case (w, wi) =>
+        if (wi > 0) sb.append(' ')
+        sb.append(w)
+        slots.getOrElse(wi, Nil).foreach { case (cls, _) =>
+          val pool = Seq(invis, bidi, ctrl)(cls)
+          sb.appendAll(Character.toChars(pool((wi + cls * 3) % pool.size)))
+          n(cls) += 1
+        }
+      }
+      (i.toLong, sb.toString, clean, n(0), n(1), n(2))
+    }
+    val out = graft.operators.TextAnalysis.invisibleScan(
+        rows.map(r => (r._1, r._2)).toDF("doc_id", "text"), "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    rows.foreach { case (id, _, clean, ni, nb, nc) =>
+      val r = out(id)
+      assert(r.getAs[Long]("n_invisible") == ni, s"doc $id invisible")
+      assert(r.getAs[Long]("n_bidi") == nb, s"doc $id bidi")
+      assert(r.getAs[Long]("n_ctrl") == nc, s"doc $id ctrl")
+      assert(r.getAs[String]("cleaned") == clean, s"doc $id cleaned")
+      assert(r.getAs[Boolean]("clean") == (ni + nb + nc == 0L), s"doc $id")
+    }
+  }
+
   test("luhnScan validity agrees with an independent digit fold") {
     val digits = Gen.chooseNum(13, 19).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(0, 9)).map(_.mkString))
