@@ -59,11 +59,11 @@ class AdversarialScreenSpec extends SparkSpec {
       AhoCorasick.blocklistHits(lower(c), phrases)
     val df = Seq((1L, evasive)).toDF("doc_id", "text")
     // raw: the automaton sees the zero-width chars and misses
-    assert(df.select(element_at(hits(col("text")), 1)).head.getLong(0) == 0L)
+    assert(df.select(element_at(hits(col("text")), 1)).head().getLong(0) == 0L)
     // composed: invisibleScan's cleaned column upstream restores the hit
     val piped = TextAnalysis.invisibleScan(df, "text", "doc_id")
       .select(element_at(hits(col("cleaned")), 1).as("n"))
-    assert(piped.head.getAs[Long]("n") == 1L)
+    assert(piped.head().getAs[Long]("n") == 1L)
   }
 
   test("NFC-variant phrases through the blocklist need NfcNormalize") {
@@ -73,11 +73,11 @@ class AdversarialScreenSpec extends SparkSpec {
       AhoCorasick.blocklistHits(lower(c), phrases)
     val df = Seq((1L, evasive)).toDF("doc_id", "text")
     // raw: NFD codepoints never match the NFC pattern
-    assert(df.select(element_at(hits(col("text")), 1)).head.getLong(0) == 0L)
+    assert(df.select(element_at(hits(col("text")), 1)).head().getLong(0) == 0L)
     // composed: normalize first, then match
     val n = df.select(
       element_at(hits(NfcNormalize.nfcNorm(col("text"))), 1).as("n"))
-    assert(n.head.getAs[Long]("n") == 1L)
+    assert(n.head().getAs[Long]("n") == 1L)
   }
 
   test("homoglyph evasion through the blocklist needs the skeleton fold") {
@@ -90,12 +90,12 @@ class AdversarialScreenSpec extends SparkSpec {
     def hits(c: org.apache.spark.sql.Column) =
       AhoCorasick.blocklistHits(lower(c), phrases)
     val df = Seq((1L, evasive)).toDF("doc_id", "text")
-    assert(df.select(element_at(hits(col("text")), 1)).head.getLong(0) == 0L)
+    assert(df.select(element_at(hits(col("text")), 1)).head().getLong(0) == 0L)
     assert(df.select(element_at(
-      hits(NfcNormalize.nfcNorm(col("text"))), 1)).head.getLong(0) == 0L)
+      hits(NfcNormalize.nfcNorm(col("text"))), 1)).head().getLong(0) == 0L)
     val n = df.select(element_at(
       hits(TextAnalysis.confusableSkeleton(col("text"))), 1).as("n"))
-    assert(n.head.getAs[Long]("n") == 1L)
+    assert(n.head().getAs[Long]("n") == 1L)
   }
 
   test("stacked evasion falls to the full pipeline in strip→NFC order") {
@@ -106,6 +106,6 @@ class AdversarialScreenSpec extends SparkSpec {
     val piped = TextAnalysis.invisibleScan(df, "text", "doc_id")
       .select(element_at(AhoCorasick.blocklistHits(
         NfcNormalize.nfcNorm(lower(col("cleaned"))), phrases), 1).as("n"))
-    assert(piped.head.getAs[Long]("n") == 1L)
+    assert(piped.head().getAs[Long]("n") == 1L)
   }
 }
