@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, expr}
 import graft.streaming.TwsOps
 
 /** Fault-tolerance tier for the TWS state operators: a query is
@@ -119,6 +120,35 @@ class CheckpointRestartSpec extends SparkSpec {
     }
     assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
       r.getBoolean(3))).sortBy(_._2) == expected)
+  }
+
+  test("sessionizer state AND its timer registry survive a restart") {
+    // key 1: opened pre-kill, EXTENDED post-restart — correct (start,
+    // end, n) requires the restored session state; key 2: opened
+    // pre-kill and never touched again — its close can only come from
+    // the TIMER REGISTERED BEFORE THE KILL firing after the restart,
+    // which isolates timer-registry restore from state restore
+    val B = 1000L
+    val out = withRocksDb {
+      val src = MemoryStream[(Long, Long)](spark)
+      runWithRestart(
+        TwsOps.sessionsTws(
+          src.toDS().toDF("user_id", "sec")
+            .select(col("user_id"),
+              expr("timestamp_seconds(sec)").as("ts")),
+          "user_id", "ts", gapUs = 60L * 1000000,
+          watermark = "10 seconds").toDF(),
+        "sess",
+        () => src.addData((1L, B), (1L, B + 30), (2L, B)),
+        () => { src.addData((1L, B + 50))          // extend key 1
+                src.addData((99L, B + 10000)) })   // watermark push
+    }
+    val got = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSet
+    val want = Set(
+      (1L, B * 1000000, (B + 50) * 1000000, 3L), // restored + extended
+      (2L, B * 1000000, B * 1000000, 1L))        // closed by restored timer
+    assert(got.intersect(want) == want, s"got $got")
   }
 
   test("the erasure ledger survives a restart: post-restart arrivals drop") {
