@@ -183,25 +183,31 @@ object Bench {
     * sleep after q.stop() catches the tail in practice; a late stage at
     * worst drops out of a diagnostic, never out of the headline.
     */
+  private final case class StageRow(id: Int, tasks: Int, taskMs: Long,
+      gcMs: Long, inputMb: Long, shuffleReadMb: Long, shuffleWriteMb: Long)
+
   private final class StageAccounting extends org.apache.spark.scheduler.SparkListener {
-    private val rows =
-      scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Long)]
+    private val rows = scala.collection.mutable.ArrayBuffer.empty[StageRow]
     override def onStageCompleted(
         e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
       val si = e.stageInfo
       val tm = si.taskMetrics
       if (tm != null) rows.synchronized {
-        rows += ((si.stageId,
-          si.name.takeWhile(_ != '\n').take(48)
-            .map(c => if (c == '"' || c == '\\') '\'' else c),
-          tm.executorRunTime, tm.jvmGCTime))
+        rows += StageRow(si.stageId, si.numTasks,
+          tm.executorRunTime, tm.jvmGCTime,
+          tm.inputMetrics.bytesRead >> 20,
+          tm.shuffleReadMetrics.totalBytesRead >> 20,
+          tm.shuffleWriteMetrics.bytesWritten >> 20)
       }
     }
     def json: String = rows.synchronized {
-      val taskMs = rows.map(_._3).sum
-      val gcMs = rows.map(_._4).sum
-      val top = rows.sortBy(-_._3).take(3).map { case (id, nm, t, g) =>
-        s"""{"stage":$id,"task_ms":$t,"gc_ms":$g,"name":"$nm"}"""
+      val taskMs = rows.map(_.taskMs).sum
+      val gcMs = rows.map(_.gcMs).sum
+      // volumes instead of names: streaming stages all share one
+      // action call site, so input/shuffle MB is what actually tells
+      // the scan stage from the aggregation stages in the artifact
+      val top = rows.sortBy(-_.taskMs).take(3).map { r =>
+        s"""{"stage":${r.id},"tasks":${r.tasks},"task_ms":${r.taskMs},"gc_ms":${r.gcMs},"input_mb":${r.inputMb},"shuffle_read_mb":${r.shuffleReadMb},"shuffle_write_mb":${r.shuffleWriteMb}}"""
       }.mkString("[", ",", "]")
       s""""stages_n":${rows.size},"task_ms":$taskMs,"gc_ms":$gcMs,"top_stages":$top"""
     }
