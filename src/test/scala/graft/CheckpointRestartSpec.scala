@@ -145,10 +145,15 @@ class CheckpointRestartSpec extends SparkSpec {
     }
     val got = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
       r.getLong(3))).toSet
+    // EXACT equality, matching the other restart cases: key 99's own
+    // session can never close (its timer exceeds the final watermark),
+    // so any extra row means a replayed pre-kill batch or a stale
+    // pre-extension timer leaking a premature close
     val want = Set(
       (1L, B * 1000000, (B + 50) * 1000000, 3L), // restored + extended
       (2L, B * 1000000, B * 1000000, 1L))        // closed by restored timer
-    assert(got.intersect(want) == want, s"got $got")
+    assert(got == want, s"got $got")
+    assert(out.size == 2, s"duplicate emission: $out")
   }
 
   test("the erasure ledger survives a restart: post-restart arrivals drop") {

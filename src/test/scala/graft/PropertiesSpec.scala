@@ -321,8 +321,12 @@ class PropertiesSpec extends SparkSpec {
     val bidi = Seq(0x202A, 0x202E, 0x2066, 0x2069, 0x200E, 0x200F, 0x61C)
     val ctrl = Seq(0x00, 0x08, 0x0B, 0x1F, 0x7F)
     val word = Gen.listOfN(6, Gen.alphaLowerChar).map(_.mkString)
-    val payload = Gen.listOfN(8,
-      Gen.zip(Gen.oneOf(Seq(0, 1, 2)), Gen.chooseNum(0, 6)))
+    // 0..8 injections (0 exercises the clean=true branch); each carries
+    // its own pool index so EVERY pool entry — including the astral TAG
+    // codepoints at the tail of `invis` — is reachable
+    val payload = Gen.chooseNum(0, 8).flatMap(k => Gen.listOfN(k,
+      Gen.zip(Gen.oneOf(Seq(0, 1, 2)), Gen.chooseNum(0, 6),
+        Gen.chooseNum(0, 10))))
     val cases = sample(Gen.listOfN(40, Gen.zip(
       Gen.listOfN(7, word), payload)))
     val rows = cases.zipWithIndex.map { case ((words, inj), i) =>
@@ -333,14 +337,18 @@ class PropertiesSpec extends SparkSpec {
       words.zipWithIndex.foreach { case (w, wi) =>
         if (wi > 0) sb.append(' ')
         sb.append(w)
-        slots.getOrElse(wi, Nil).foreach { case (cls, _) =>
+        slots.getOrElse(wi, Nil).foreach { case (cls, _, pi) =>
           val pool = Seq(invis, bidi, ctrl)(cls)
-          sb.appendAll(Character.toChars(pool((wi + cls * 3) % pool.size)))
+          sb.appendAll(Character.toChars(pool(pi % pool.size)))
           n(cls) += 1
         }
       }
       (i.toLong, sb.toString, clean, n(0), n(1), n(2))
     }
+    // generator sanity: the astral entries and the clean branch must
+    // actually occur in the sampled cases, or the property is hollow
+    assert(rows.exists(_._2.exists(Character.isSurrogate)), "no astral case")
+    assert(rows.exists(r => r._4 + r._5 + r._6 == 0L), "no clean case")
     val out = graft.operators.TextAnalysis.invisibleScan(
         rows.map(r => (r._1, r._2)).toDF("doc_id", "text"), "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r).toMap
