@@ -58,9 +58,17 @@ def pandas_hash_mismatch(con, sql, qdir):
             dig.update(b"\x1e")
         return dig.hexdigest()
 
-    got = pd.concat([pd.read_parquet(p) for p in sorted(qdir.glob("*.parquet"))],
-                    ignore_index=True)
     exp = con.sql(sql).df()
+    parts = sorted(qdir.glob("*.parquet"))
+    if parts:
+        got = pd.concat([pd.read_parquet(p) for p in parts],
+                        ignore_index=True)
+    else:
+        # zero-row Spark result writes no part files; pd.concat([]) would
+        # raise and masquerade as a hash FAIL even though the value
+        # compare passed — hash an empty frame with the oracle's columns
+        # instead (both sides then hash the empty cell set)
+        got = pd.DataFrame(columns=exp.columns)
     return h(got) != h(exp)
 
 

@@ -15,9 +15,11 @@ import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
   * payload never leaves the row, no UDF serialization, and the loop
   * compiles into the enclosing WholeStageCodegen projection.
   *
-  * Compressed formats (MP3/AAC/Opus, JPEG pixels) stay stubbed —
+  * Compressed AUDIO formats (MP3/AAC/Opus) stay at the metadata tier —
   * those genuinely need codecs this container does not ship; PCM does
-  * not, which is why this one is implemented for real.
+  * not, which is why this one is implemented for real. (The image side
+  * has no such remainder: BMP/PNG/GIF/JPEG pixels all decode for real —
+  * see [[ImageExpressions]].)
   *
   * Emits `struct(sample_rate, n_samples, peak_abs, sum_abs, energy)` —
   * exact integer stats over ALL channels' interleaved samples — or

@@ -12,9 +12,11 @@ import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
   * twin of [[PcmStats]] — full header validation plus the padded-row
   * pixel loop as ONE codegen'd expression, so pixel statistics run at
   * scan speed with the payload never leaving the row. PNG pixels are
-  * decoded too ([[PngPixelStats]] — zlib ships with the JDK); only
-  * entropy-coded formats (JPEG DCT, GIF LZW) remain at the
-  * header-metadata tier ([[graft.operators.Multimodal]]).
+  * decoded too ([[PngPixelStats]] — zlib ships with the JDK), GIF via
+  * its self-contained LZW ([[GifPixelStats]]), and JPEG via the JDK's
+  * own baseline codec ([[JpegPixelStats]]) — every E5 image format
+  * decodes for REAL; the header-metadata tier
+  * ([[graft.operators.Multimodal]]) remains as the cheap screen.
   *
   * Emits `struct(width, height, n_pixels, sum_r, sum_g, sum_b)` —
   * exact integer channel sums (the inputs to mean-brightness /
@@ -162,9 +164,9 @@ object BmpPixelStats {
   * lacks: chunk walk with CRC32 verification, concatenated-IDAT
   * inflate, and None/Sub/Up/Average/Paeth unfiltering, emitting the
   * same exact channel-sum struct as [[BmpPixelStats]]. This upgrades
-  * the E5 multimodal tier from "PNG header metadata" to "PNG pixels",
-  * leaving only entropy-coded formats (JPEG/GIF-LZW) at the header
-  * tier.
+  * the E5 multimodal tier from "PNG header metadata" to "PNG pixels".
+  * (GIF-LZW and JPEG pixels followed — [[GifPixelStats]] /
+  * [[JpegPixelStats]] — so no format is left at the header-only tier.)
   *
   * Strictness: 8-bit RGB (color type 2), non-interlaced only; any
   * malformed structure — bad signature, chunk CRC mismatch, truncated

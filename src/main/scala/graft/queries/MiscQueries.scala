@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.operators.Multimodal
 
-/** Multimodal-column plumbing (E5, stubbed decode — the Spark-side
-  * schema/partitioning/chunking is real) and JSON property extraction
-  * over `events.props`.
+/** Multimodal-column plumbing (E5 — decode is REAL since r7/r8:
+  * PNG/GIF/JPEG/BMP/PCM16 bytes are parsed by the native expressions in
+  * `graft.functions.ImageExpressions`/`AudioExpressions`, each pinned by
+  * a hash-gated oracle query) and JSON property extraction over
+  * `events.props`.
   */
 object MiscQueries {
 

@@ -16,33 +16,54 @@ import graft.streaming.TwsOps
   * runs go through the parquet FILE sink — the sink whose commit log
   * carries Structured Streaming's exactly-once contract — so the
   * equality check also proves no duplicated or lost batches across
-  * the restart boundary. One case kills with an ADDED-but-uncommitted
-  * batch: the restarted query must pick it up from the checkpointed
-  * offset and process it against restored state.
+  * the restart boundary. One case (SpaceSaving) runs the first query
+  * under Trigger.AvailableNow so its commit log provably ends at the
+  * phase-1 offsets: the phase-2 batch is then DETERMINISTICALLY
+  * unprocessed at the kill, and the restart must consume it from the
+  * checkpointed offset against restored state.
   */
 class CheckpointRestartSpec extends SparkSpec {
   import spark.implicits._
 
   /** Run `plan` to a parquet sink with a kill/restart boundary between
-    * the two feed phases. `commitBeforeKill = false` adds phase-2 data
-    * BEFORE stopping query 1 without letting it process — the restart
-    * must then consume it from the checkpointed offset.
+    * the two feed phases. `commitBeforeKill = false` runs query 1 under
+    * `Trigger.AvailableNow` over phase 1 ONLY: AvailableNow pins its end
+    * offset at query start, so run 1's commit log PROVABLY ends at the
+    * phase-1 offsets and phase 2 (added after run 1 self-terminates) can
+    * only ever be consumed by the restart, from the checkpointed offset
+    * against restored state. (The earlier shape added phase 2 while
+    * query 1 was still micro-batching, which left "did run 1 commit it?"
+    * to a race — the assertion held either way, but the added-batch
+    * restore path was only probabilistically exercised.) AvailableNow is
+    * safe here because the false-branch processors are timer-free — a
+    * watermark-timer case would need the default trigger's no-data
+    * batches to flush.
     */
   private def runWithRestart(plan: DataFrame, tag: String,
       feed1: () => Unit, feed2: () => Unit,
       commitBeforeKill: Boolean = true): Seq[org.apache.spark.sql.Row] = {
     val base = Files.createTempDirectory(s"ckptrestart_$tag")
     val out = s"$base/out"
-    def start() = plan.writeStream.format("parquet")
-      .option("path", out).option("checkpointLocation", s"$base/ckpt")
-      .outputMode("append").start()
-    val q1 = start()
-    feed1()
-    q1.processAllAvailable()
-    if (!commitBeforeKill) feed2()
-    q1.stop()
-    if (commitBeforeKill) feed2()
-    val q2 = start()
+    def start(availableNow: Boolean) = {
+      val w = plan.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+      (if (availableNow)
+        w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      else w).start()
+    }
+    if (commitBeforeKill) {
+      val q1 = start(availableNow = false)
+      feed1()
+      q1.processAllAvailable()
+      q1.stop()
+    } else {
+      feed1() // before start: AvailableNow only sees data present at start
+      val q1 = start(availableNow = true)
+      q1.awaitTermination() // self-stops once the pinned offsets commit
+    }
+    feed2()
+    val q2 = start(availableNow = false)
     q2.processAllAvailable()
     q2.stop()
     spark.read.parquet(out).collect().toSeq
