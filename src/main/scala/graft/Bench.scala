@@ -292,7 +292,7 @@ object Bench {
     * reaches it without shipping code in Spark's package; the fixed
     * sleep remains only as the fallback if the internals move.
     */
-  private def drainListenerBus(spark: SparkSession): Unit =
+  private[graft] def drainListenerBus(spark: SparkSession): Unit =
     try {
       val sc = spark.sparkContext
       val bus = sc.getClass.getMethod("listenerBus").invoke(sc)

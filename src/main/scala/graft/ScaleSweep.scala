@@ -146,7 +146,7 @@ object ScaleSweep {
   }
 
   private val Modes = Set("monitor", "dedup", "asof", "prefixjoin",
-    "extractive", "linededup", "ccinc")
+    "extractive", "linededup", "ccinc", "ccstar")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.filter(Modes).getOrElse("monitor")
@@ -158,7 +158,7 @@ object ScaleSweep {
       else if (mode == "asof") Seq(100000L, 1000000L, 10000000L)
       else if (mode == "extractive") Seq(200000L, 2000000L, 20000000L)
       else if (mode == "linededup") Seq(200000L, 2000000L)
-      else if (mode == "ccinc") Seq(300000L, 3000000L)
+      else if (mode == "ccinc" || mode == "ccstar") Seq(300000L, 3000000L)
       else Seq(60000L, 600000L, 6000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.core.GraftSession.local(cpus, "graft-scalesweep")
@@ -253,6 +253,24 @@ object ScaleSweep {
         println(s"""{"metric":"lsh_dedup_sweep","docs":$docs,"wall_sec":${math.round(secs * 1000) / 1000.0},"docs_per_sec":${(docs / secs).round}}""")
       }
     } else if (mode == "linededup") {
+      // spill accounting: the 100× point's last-decade multiplier ran
+      // ~16% super-linear on a single JVM (r12), and the suspect is the
+      // SMJ of 4·|docs| line rows against the ~1.5·|docs|-row dfreq
+      // side outgrowing the one-box execution-memory share — a cluster
+      // keeps the per-executor share constant as width grows, so a
+      // spill receipt here separates "plan defect" from "one-box
+      // memory artifact" in the sweep output itself
+      val spillMb = new java.util.concurrent.atomic.AtomicLong
+      val acct = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val tm = e.stageInfo.taskMetrics
+          if (tm != null) spillMb.addAndGet(
+            (tm.memoryBytesSpilled + tm.diskBytesSpilled) >> 20)
+          ()
+        }
+      }
+      spark.sparkContext.addSparkListener(acct)
       // CCNet line dedup (the r10 verdict's first asymptotic suspect:
       // a line-keyed exchange + join-back + per-doc reassembly). The
       // structural claim the curve must prove: the df aggregate is a
@@ -269,13 +287,40 @@ object ScaleSweep {
           lineTokens = 12, maxLineDf = 2L)
         .write.format("noop").mode("overwrite").save() // warmup
       points.foreach { docs =>
+        Bench.drainListenerBus(spark)
+        val spill0 = spillMb.get
         val t0 = System.nanoTime()
         TextAnalysis.lineDedup(lineCorpus(spark, docs), "text", "doc_id",
             lineTokens = 12, maxLineDf = 2L)
           .write.format("noop").mode("overwrite").save()
         val secs = (System.nanoTime() - t0) / 1e9
         graft.core.CacheScope.releaseStragglers(spark)
-        println(s"""{"metric":"linededup_sweep","docs":$docs,"wall_sec":${math.round(secs * 1000) / 1000.0},"docs_per_sec":${(docs / secs).round}}""")
+        Bench.drainListenerBus(spark)
+        println(s"""{"metric":"linededup_sweep","docs":$docs,"wall_sec":${math.round(secs * 1000) / 1000.0},"docs_per_sec":${(docs / secs).round},"spill_mb":${spillMb.get - spill0}}""")
+      }
+      spark.sparkContext.removeSparkListener(acct)
+    } else if (mode == "ccstar") {
+      // Star-contraction connected components (q_er_clusters' CC core —
+      // a DIFFERENT algorithm than ccinc's label propagation: O(log d)
+      // star rounds with alternating conditional hooking). The chain-of-4
+      // workload fixes component diameter, so the round count is constant
+      // and the curve prices per-round shuffle volume — same reading rule
+      // as ccinc, but over the star operator's hook/contract joins.
+      import graft.operators.Dedup
+      locally {
+        val (wa, wb) = ccEdges(spark, 10000)
+        Dedup.connectedComponentsStar(wa.union(wb), "doc_id")
+          .write.format("noop").mode("overwrite").save() // warmup
+        graft.core.CacheScope.releaseStragglers(spark)
+      }
+      points.foreach { n =>
+        val (a, b) = ccEdges(spark, n)
+        val t0 = System.nanoTime()
+        Dedup.connectedComponentsStar(a.union(b), "doc_id")
+          .write.format("noop").mode("overwrite").save()
+        val secs = (System.nanoTime() - t0) / 1e9
+        graft.core.CacheScope.releaseStragglers(spark)
+        println(s"""{"metric":"ccstar_sweep","nodes":$n,"wall_sec":${math.round(secs * 1000) / 1000.0},"nodes_per_sec":${(n / secs).round}}""")
       }
     } else if (mode == "ccinc") {
       // Incremental connected components (the second suspect: iterated
