@@ -88,10 +88,18 @@ def main():
             n_fail += 1
             continue
         try:
-            got = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
-            gcols, grows = canon(got.fetchall(), got.columns)
             exp = con.sql(sql)
             ecols, erows = canon(exp.fetchall(), exp.columns)
+            if sorted(qdir.glob("*.parquet")):
+                got = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
+                gcols, grows = canon(got.fetchall(), got.columns)
+            else:
+                # zero-row Spark results can land with no part files at
+                # all; DuckDB's glob then throws, which would read as a
+                # query failure. An empty dir IS a result: zero rows
+                # (column names unknowable without parts — compare as
+                # the oracle's own columns so only the row sets decide).
+                gcols, grows = ecols, []
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
@@ -102,9 +110,11 @@ def main():
         elif grows != erows:
             n_fail += 1
             diff = [(a, b) for a, b in zip(grows, erows) if a != b]
+            tail = (grows[-1] if grows else None,
+                    erows[-1] if erows else None)
             print(f"FAIL {name}: {len(grows)} vs {len(erows)} rows, "
                   f"{len(diff)} differing; first: "
-                  f"{diff[0] if diff else (grows[-1], erows[-1] if erows else None)}")
+                  f"{diff[0] if diff else tail}")
         else:
             # NOTE: this re-runs the oracle SQL through .df() on purpose —
             # the point is duckdb's own pandas conversion (DECIMAL →
