@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions._
   * its wall/task_ms/gc_ms in `pass_detail`: the invariants are fixed
   * by (code, data, plan), so a wall delta between passes — or between
   * a driver run and a builder run of the same HEAD — with matching
-  * invariants is provably contention, readable from the artifact alone. (The r9 budget blowout that briefly forced
+  * invariants is provably contention, readable from the artifact
+  * alone. (The r9 budget blowout that briefly forced
   * n=2 was the 100-entry codegen-class cache thrashing at catalog
   * width — every pass recompiled every heavy plan; fixed at the session
   * level, see GraftSession's codegen.cache.maxEntries note. n=2 remains
@@ -234,16 +235,21 @@ object Bench {
       gcMs: Long, inputRows: Long, inputMb: Long, shuffleReadMb: Long,
       shuffleWriteMb: Long)
 
-  /** Run-level totals of the listener's stage rows. Everything except
-    * task_ms/gc_ms is PLAN-INVARIANT — input rows/MB, shuffle MB and
-    * task count are fixed by (code, data, plan), so two runs of the
-    * same HEAD must agree on them regardless of sandbox load; a
-    * wall-clock delta with identical invariants is provably contention
-    * (or JIT/GC — which gc_ms then names), never a plan change. That
-    * makes a driver-vs-builder or run-vs-run delta adjudicable from
-    * the BENCH artifact alone (the r11 verdict's headline ask: its
-    * 136% stream spread and 148.9-vs-135.0 s totals were only
-    * attributable to contention via out-of-band builder runs).
+  /** Run-level totals of the listener's stage rows. input_rows and
+    * input_mb are HARD plan invariants — fixed by (code, data, plan),
+    * so two runs of the same HEAD must agree on them regardless of
+    * sandbox load; tasks jitters only with AQE coalescing (measured
+    * ±0.4% across full-catalog passes) and shuffle MB can wobble tens
+    * of percent pass-to-pass (AQE runtime join/coalesce choices plus
+    * block-eviction recompute in the iterative localCheckpoint-family
+    * queries — r12 passes read 756/589/756 MB on identical code).
+    * Reading rule: a wall-clock delta with matching input/task
+    * invariants is contention or JIT/GC (which task_ms/gc_ms then
+    * name), never a plan change — which makes a driver-vs-builder or
+    * run-vs-run delta adjudicable from the BENCH artifact alone (the
+    * r11 verdict's headline ask: its 136% stream spread and
+    * 148.9-vs-135.0 s totals were only attributable to contention via
+    * out-of-band builder runs).
     */
   private final case class RunTotals(tasks: Long, taskMs: Long, gcMs: Long,
       inputRows: Long, inputMb: Long, shuffleReadMb: Long,
