@@ -1,0 +1,177 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.TaskContext
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskStart}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.AuditSink
+
+/** Duplicate-ATTEMPT twin of [[TaskRetrySpec]]: that spec proves a
+  * failed attempt's partials die; this proves the harder half of
+  * AuditSink's "failed-task/speculative-duplicate story" — TWO LIVE
+  * ATTEMPTS of the same partition racing to commit, with Spark's
+  * OutputCommitCoordinator (on for DSv2 batch writes —
+  * `Write.useCommitCoordinator` defaults true) granting exactly one
+  * and the loser's [[graft.sources.AuditDataWriter]] dying in abort().
+  *
+  * How the duplicate is manufactured, deterministically:
+  * true speculation cannot run here — TaskSetManager refuses to place
+  * a speculative copy on a host that already has a live attempt, and
+  * every executor of a one-box cluster reports the same host (a
+  * speculation-conf draft of this spec measured exactly zero duplicate
+  * attempts ever launching; `local[*]` is worse still — the
+  * speculation scheduler thread only starts when `!isLocal`). The
+  * OTHER producer of duplicate attempts has no host exclusion: a
+  * FetchFailed resubmits the result stage while the old taskset's
+  * still-running tasks become ZOMBIES that keep executing. So: in
+  * stage attempt 0, partition 0 sleeps 1 s and throws a synthetic
+  * [[FetchFailedException]] against the repartition shuffle (id 0 —
+  * this write is the context's first shuffle); partition 1 sleeps 5 s
+  * in EVERY attempt. The resubmitted attempt re-runs all unfinished
+  * partitions ~1.3 s in, so its partition-1 copy overlaps the zombie's
+  * by ~3.5 s — two live attempts of partition 1, no races left to
+  * timing luck at these margins. The zombie finishes first, asks the
+  * coordinator, commits; the copy is denied/killed and aborts.
+  *
+  * Runs on `local-cluster[2,1,1024]` — real separate executor JVMs, so
+  * the commit messages, the injected failure, and the zombie overlap
+  * all cross actual process boundaries (no shared statics: the
+  * injection is keyed on (partitionId, stageAttemptNumber) from
+  * TaskContext alone). The listener asserts the duplicate REALLY ran
+  * (two TaskStarts for one (stageId, partition index)), so a pass can
+  * never mean "the race silently never happened". Channel totals must
+  * equal an un-injected run's exactly: a double commit would double
+  * partition 1's rows and skew both checksums.
+  *
+  * Session note: own session like TaskRetrySpec (stop active, build,
+  * stop in afterAll — suites run sequentially in the forked JVM). The
+  * executor JVMs are built from `spark.test.home` (/opt/spark) and
+  * need the driver's classpath (for the test closure) plus its JDK-17
+  * --add-opens flags, forwarded from the driver's own runtime below.
+  */
+class DuplicateAttemptSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(_.stop())
+    // LocalSparkCluster resolves the executor launch environment from
+    // spark.test.home (or SPARK_HOME, which sbt does not set)
+    sys.props("spark.test.home") = "/opt/spark"
+    val rt = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments
+    val opens = new scala.collection.mutable.ArrayBuffer[String]
+    var i = 0
+    while (i < rt.size()) {
+      val a = rt.get(i)
+      if (a == "--add-opens" || a == "--add-exports") {
+        opens += s"$a=${rt.get(i + 1)}"; i += 2
+      } else {
+        if (a.startsWith("--add-opens") || a.startsWith("--add-exports"))
+          opens += a
+        i += 1
+      }
+    }
+    SparkSession.builder()
+      .master("local-cluster[2,1,1024]")
+      .appName("graft-duplicate-attempt")
+      .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+      // bin/spark-class normally exports this via load-spark-env.sh;
+      // the Worker builds the executor command directly, and without it
+      // the launcher falls back to source-tree probing ("Cannot find
+      // any build directories")
+      .config("spark.executorEnv.SPARK_SCALA_VERSION", "2.13")
+      .config("spark.executor.extraJavaOptions", opens.mkString(" "))
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  override def afterAll(): Unit = {
+    spark.stop()
+    super.afterAll()
+  }
+
+  test("AuditSink commits exactly once when zombie and resubmitted attempts race") {
+    import spark.implicits._
+
+    val duplicateAttempts = new AtomicInteger(0)
+    val seen = scala.collection.mutable.Set.empty[(Int, Int)]
+    val listener = new SparkListener {
+      override def onTaskStart(e: SparkListenerTaskStart): Unit =
+        seen.synchronized {
+          if (!seen.add((e.stageId, e.taskInfo.index)))
+            duplicateAttempts.incrementAndGet()
+          ()
+        }
+    }
+
+    AuditSink.clear("dup_race")
+    AuditSink.clear("dup_clean")
+    try {
+      // THE RACE WRITE — must be this context's first shuffle so the
+      // injected FetchFailed's shuffleId 0 names the repartition below
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        spark.range(0, 4000, 1, 4).as[Long].toDF("v")
+          .repartition(4) // user-pinned width: AQE keeps all 4 partitions
+          .as[Long]
+          .mapPartitions { it =>
+            val ctx = TaskContext.get()
+            if (ctx.partitionId() == 0 && ctx.stageAttemptNumber() == 0) {
+              // let partition 1's zombie get deep into its sleep first
+              Thread.sleep(1000)
+              // FetchFailedException is private[spark] in the Scala
+              // signature (public in bytecode) — build it reflectively.
+              // Its constructor marks TaskContext.fetchFailed, which is
+              // what makes the TaskRunner report FetchFailed rather
+              // than a plain exception; null bmAddress = "location
+              // unknown", so the scheduler resubmits the result stage
+              // without unregistering the (healthy) map outputs.
+              val cls = Class.forName(
+                "org.apache.spark.shuffle.FetchFailedException")
+              throw cls.getConstructors
+                .find(_.getParameterCount == 7).get
+                .newInstance(null, Int.box(0), Long.box(0L), Int.box(0),
+                  Int.box(0),
+                  "injected fetch failure (duplicate-attempt race)", null)
+                .asInstanceOf[Throwable]
+            }
+            if (ctx.partitionId() == 1) Thread.sleep(5000)
+            it
+          }
+          .toDF("v")
+          .write.format("auditsink").mode("append")
+          .option("channel", "dup_race").save()
+      } finally {
+        Bench.drainListenerBus(spark)
+        spark.sparkContext.removeSparkListener(listener)
+      }
+      // two TaskStarts for one (stageId, partition index) = the zombie
+      // and the resubmitted copy really did run concurrently-or-after;
+      // without this a pass could mean the resubmit never re-ran p1
+      assert(duplicateAttempts.get() >= 1,
+        "no duplicate attempt ran — resubmit race never happened")
+
+      spark.range(0, 4000, 1, 4).as[Long].toDF("v")
+        .write.format("auditsink").mode("append")
+        .option("channel", "dup_clean").save()
+
+      val race = AuditSink.stats("dup_race")
+      val clean = AuditSink.stats("dup_clean")
+      // order/partitioning-independent checksums: same 0..3999 multiset
+      // must fold to identical (rows, sum, xor) — a duplicate commit of
+      // partition 1 would show up in all three
+      assert(race == clean)
+      assert(race._1 == 4000L)
+      assert(AuditSink.epochs("dup_race").size == 1)
+    } finally {
+      AuditSink.clear("dup_race")
+      AuditSink.clear("dup_clean")
+    }
+  }
+}
