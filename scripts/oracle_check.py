@@ -63,12 +63,17 @@ def pandas_hash_mismatch(con, sql, qdir):
     if parts:
         got = pd.concat([pd.read_parquet(p) for p in parts],
                         ignore_index=True)
-    else:
-        # zero-row Spark result writes no part files; pd.concat([]) would
-        # raise and masquerade as a hash FAIL even though the value
-        # compare passed — hash an empty frame with the oracle's columns
-        # instead (both sides then hash the empty cell set)
+    elif (qdir / "_SUCCESS").exists():
+        # a COMMITTED zero-row Spark result writes no part files;
+        # pd.concat([]) would raise and masquerade as a hash FAIL even
+        # though the value compare passed — hash an empty frame with the
+        # oracle's columns instead (both sides then hash the empty cell
+        # set). Without the _SUCCESS marker an empty dir means the write
+        # job died mid-flight, which must stay a loud failure.
         got = pd.DataFrame(columns=exp.columns)
+    else:
+        raise RuntimeError("no part files and no _SUCCESS marker — "
+                           "uncommitted Spark output")
     return h(got) != h(exp)
 
 
@@ -93,13 +98,18 @@ def main():
             if sorted(qdir.glob("*.parquet")):
                 got = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
                 gcols, grows = canon(got.fetchall(), got.columns)
-            else:
-                # zero-row Spark results can land with no part files at
-                # all; DuckDB's glob then throws, which would read as a
-                # query failure. An empty dir IS a result: zero rows
-                # (column names unknowable without parts — compare as
-                # the oracle's own columns so only the row sets decide).
+            elif (qdir / "_SUCCESS").exists():
+                # a COMMITTED zero-row Spark result can land with no
+                # part files at all; DuckDB's glob then throws, which
+                # would read as a query failure. A committed empty dir
+                # IS a result: zero rows (column names unknowable
+                # without parts — compare as the oracle's own columns
+                # so only the row sets decide). No _SUCCESS = the write
+                # died mid-flight → falls through to the loud FAIL.
                 gcols, grows = ecols, []
+            else:
+                raise RuntimeError("no part files and no _SUCCESS "
+                                   "marker — uncommitted Spark output")
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1

@@ -204,19 +204,18 @@ object Bench {
     * linearly in volume — see writeSyntheticDay's no-midnight-wrap
     * contract). SPARK_GRAFT_STREAM_ROWS overrides.
     */
-  /** One streaming-bench run: headline rows/sec plus a JSON detail
-    * record carrying the per-run [[org.apache.spark.sql.streaming.StreamingQueryProgress]]
-    * phase totals (addBatch / getBatch / latestOffset / queryPlanning /
+  /** One streaming-bench run: headline rows/sec, the normalized
+    * rows-per-task-ms (DATASET rows — the headline's own numerator —
+    * ÷ summed executorRunTime: the contention-normalized throughput
+    * the r11 verdict asked for, since wall absorbs scheduler gaps and
+    * oversubscription stalls that task run time largely does not), and
+    * a JSON detail record carrying the per-run
+    * [[org.apache.spark.sql.streaming.StreamingQueryProgress]] phase
+    * totals (addBatch / getBatch / latestOffset / queryPlanning /
     * walCommit / commitOffsets, summed over triggers) so a slow run
     * NAMES its slow phase — the r9 headline was bimodal (105k/112k/525k
     * rows/s, 373% spread) and indistinguishable between sandbox
     * interference and a real data-path stall without this breakdown.
-    */
-  /** One streaming-bench run: headline rows/sec, the normalized
-    * rows-per-task-ms (dataset rows ÷ summed executorRunTime — the
-    * contention-normalized throughput the r11 verdict asked for: wall
-    * absorbs scheduler gaps and oversubscription stalls that task run
-    * time largely does not), and a JSON detail record.
     */
   private final case class StreamRun(rps: Long, rowsPerTaskMs: Double,
       detailJson: String)
@@ -227,9 +226,10 @@ object Bench {
     * aggregates executorRunTime/jvmGCTime per completed stage during a
     * run; the top task-time stages + run GC total ride the detail JSON,
     * so a 3× addBatch collapse (r10 run 2) is attributable from the
-    * BENCH artifact alone. Listener delivery is async — the short drain
-    * sleep after q.stop() catches the tail in practice; a late stage at
-    * worst drops out of a diagnostic, never out of the headline.
+    * BENCH artifact alone. Listener delivery is async —
+    * [[drainListenerBus]] empties the bus before every snapshot; if its
+    * reflective path ever breaks, a late stage at worst drops out of a
+    * diagnostic, never out of the headline.
     */
   private final case class StageRow(id: Int, tasks: Int, taskMs: Long,
       gcMs: Long, inputRows: Long, inputMb: Long, shuffleReadMb: Long,
@@ -366,18 +366,24 @@ object Bench {
         val phaseJson = phases.toSeq.sortBy(_._1)
           .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
         val t = acct.totals
-        // normalized throughput: DATASET rows (the headline's unit, from
-        // query progress) over total task run time — stage-level
-        // input_rows would count the CSV wire rows instead and the two
-        // units must not mix in one ratio
+        // normalized throughput: DATASET rows — the HEADLINE's own
+        // numerator (`rows`, the generated volume) — over total task
+        // run time, so rps and rows_per_task_ms share one unit and
+        // their ratio is pure time accounting. numInputRows/stage
+        // input_rows are NOT that unit: the topology scans the source
+        // once per landed family, so both read 2× the dataset rows
+        // (r12 artifact: 9,216,000 source rows for the 4,608,000-row
+        // day) — using them here would silently rescale the normalized
+        // metric if the family count ever changed while the headline
+        // stayed fixed.
         val rowsPerTaskMs =
-          if (t.taskMs > 0) round2(rowsIn.toDouble / t.taskMs) else -1.0
-        // dataset_rows = query-progress numInputRows (the headline's
-        // unit); t.json's input_rows is the stage-level scan record
-        // count — same data here, but the two counters come from
-        // different subsystems and cross-check each other
+          if (t.taskMs > 0) round2(rows.toDouble / t.taskMs) else -1.0
+        // source_rows = query-progress numInputRows (source-scan rows,
+        // ≈ families × dataset rows); t.json's input_rows is the
+        // stage-level scan record count — same unit, different
+        // subsystem, so the two cross-check each other
         val detail =
-          s""""secs":${round2(secs)},"batches":${progs.length},"dataset_rows":$rowsIn,"phases_ms":$phaseJson,${t.json},"rows_per_task_ms":$rowsPerTaskMs,${acct.stagesJson}"""
+          s""""secs":${round2(secs)},"batches":${progs.length},"source_rows":$rowsIn,"phases_ms":$phaseJson,${t.json},"rows_per_task_ms":$rowsPerTaskMs,${acct.stagesJson}"""
         (secs, detail, rowsIn, rowsPerTaskMs)
       }
 

@@ -16,31 +16,42 @@ import graft.streaming.TwsOps
   * runs go through the parquet FILE sink — the sink whose commit log
   * carries Structured Streaming's exactly-once contract — so the
   * equality check also proves no duplicated or lost batches across
-  * the restart boundary. One case (SpaceSaving) runs the first query
-  * under Trigger.AvailableNow so its commit log provably ends at the
-  * phase-1 offsets: the phase-2 batch is then DETERMINISTICALLY
-  * unprocessed at the kill, and the restart must consume it from the
-  * checkpointed offset against restored state.
+  * the restart boundary. One case (SpaceSaving) exercises the
+  * PLANNED-BUT-UNCOMMITTED batch path deterministically: query 1 runs
+  * under Trigger.AvailableNow (commit log provably ends at phase 1),
+  * then a batch-1 entry covering phase 2 is forged into the offsets
+  * WAL — the exact on-disk state of a crash between offset-log and
+  * commit-log writes — and the restart must re-execute that batch as
+  * planned against restored state, exactly once.
   */
 class CheckpointRestartSpec extends SparkSpec {
   import spark.implicits._
 
   /** Run `plan` to a parquet sink with a kill/restart boundary between
-    * the two feed phases. `commitBeforeKill = false` runs query 1 under
-    * `Trigger.AvailableNow` over phase 1 ONLY: AvailableNow pins its end
-    * offset at query start, so run 1's commit log PROVABLY ends at the
-    * phase-1 offsets and phase 2 (added after run 1 self-terminates) can
-    * only ever be consumed by the restart, from the checkpointed offset
-    * against restored state. (The earlier shape added phase 2 while
-    * query 1 was still micro-batching, which left "did run 1 commit it?"
-    * to a race — the assertion held either way, but the added-batch
-    * restore path was only probabilistically exercised.) AvailableNow is
-    * safe here because the false-branch processors are timer-free — a
-    * watermark-timer case would need the default trigger's no-data
-    * batches to flush.
+    * the two feed phases.
+    *
+    * `commitBeforeKill = false` exercises the PLANNED-BUT-UNCOMMITTED
+    * batch recovery path, deterministically: query 1 runs under
+    * `Trigger.AvailableNow` over phase 1 only (AvailableNow pins its
+    * end offset at start, so run 1's commit log PROVABLY ends at the
+    * phase-1 offsets), then phase 2 is added and a batch-1 entry is
+    * FORGED into the offsets WAL — batch 0's file with the source
+    * offset advanced to phase 2's end, exactly the on-disk state a
+    * query killed between its offset-log write and its commit-log
+    * write leaves behind. The restart must honor the recovery
+    * contract: re-execute batch 1 AS PLANNED from the logged offsets,
+    * against restored state, landing each row exactly once. (The
+    * original shape added phase 2 while query 1 was still
+    * micro-batching — racy, usually committed before the kill; the
+    * first r12 rewrite made it deterministic but degenerate, phase 2
+    * arriving only after the kill like the `true` branch — this forge
+    * is both deterministic AND the genuinely distinct WAL-replay
+    * path.) AvailableNow is safe here because the false-branch
+    * processors are timer-free — a watermark-timer case would need the
+    * default trigger's no-data batches to flush.
     */
   private def runWithRestart(plan: DataFrame, tag: String,
-      feed1: () => Unit, feed2: () => Unit,
+      feed1: () => Unit, feed2: () => Any,
       commitBeforeKill: Boolean = true): Seq[org.apache.spark.sql.Row] = {
     val base = Files.createTempDirectory(s"ckptrestart_$tag")
     val out = s"$base/out"
@@ -57,12 +68,26 @@ class CheckpointRestartSpec extends SparkSpec {
       feed1()
       q1.processAllAvailable()
       q1.stop()
+      feed2()
     } else {
       feed1() // before start: AvailableNow only sees data present at start
       val q1 = start(availableNow = true)
       q1.awaitTermination() // self-stops once the pinned offsets commit
+      // MemoryStream.addData returns the new end offset; its json is
+      // what the engine itself would have logged (reflective call —
+      // the streaming Offset classes are private[sql])
+      val end = feed2()
+      val endJson =
+        end.getClass.getMethod("json").invoke(end).asInstanceOf[String]
+      // forge offsets/1 = offsets/0 (v1 header + metadata line intact)
+      // with the single source-offset line advanced over phase 2: the
+      // planned-but-uncommitted batch
+      val offsets = base.resolve("ckpt").resolve("offsets")
+      val b0 = new String(Files.readAllBytes(offsets.resolve("0")), "UTF-8")
+      val forged = (b0.split("\n").toSeq.dropRight(1) :+ endJson)
+        .mkString("\n")
+      Files.write(offsets.resolve("1"), forged.getBytes("UTF-8"))
     }
-    feed2()
     val q2 = start(availableNow = false)
     q2.processAllAvailable()
     q2.stop()

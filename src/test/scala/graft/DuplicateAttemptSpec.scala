@@ -1,9 +1,7 @@
 package graft
 
-import java.util.concurrent.atomic.AtomicInteger
-
 import org.apache.spark.TaskContext
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskStart}
+import org.apache.spark.scheduler.SparkListener
 import org.apache.spark.sql.SparkSession
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
@@ -41,9 +39,11 @@ import graft.sources.AuditSink
   * the commit messages, the injected failure, and the zombie overlap
   * all cross actual process boundaries (no shared statics: the
   * injection is keyed on (partitionId, stageAttemptNumber) from
-  * TaskContext alone). The listener asserts the duplicate REALLY ran
-  * (two TaskStarts for one (stageId, partition index)), so a pass can
-  * never mean "the race silently never happened". Channel totals must
+  * TaskContext alone). The listener logs every task's run interval and
+  * the spec asserts two attempts of the straggler partition genuinely
+  * OVERLAPPED in time, so a pass can never mean "the race silently
+  * never happened" (counting mere re-runs would be vacuous — the
+  * resubmit always re-runs the failed partition). Channel totals must
   * equal an un-injected run's exactly: a double commit would double
   * partition 1's rows and skew both checksums.
   *
@@ -99,13 +99,30 @@ class DuplicateAttemptSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("AuditSink commits exactly once when zombie and resubmitted attempts race") {
     import spark.implicits._
 
-    val duplicateAttempts = new AtomicInteger(0)
-    val seen = scala.collection.mutable.Set.empty[(Int, Int)]
+    // interval log per (stage, partition index): the tripwire below
+    // must prove the RACE, not merely a re-run — a first draft counted
+    // a second TaskStart of ANY partition, which the resubmit satisfies
+    // unconditionally by re-running the FAILED partition 0, making the
+    // assert vacuous. What the commit-coordinator claim needs is two
+    // attempts of the STRAGGLER partition whose run intervals OVERLAP.
+    // Starts come from onTaskStart and ends from onTaskEnd because the
+    // LOSER's end event ("TaskKilled: Stage cancelled") is posted by an
+    // executor RPC that can land after the job — and the listener —
+    // are gone; an attempt with no recorded end was still running at
+    // drain time, which for the overlap test is an open interval.
+    val starts = scala.collection.mutable
+      .ArrayBuffer.empty[(Int, Int, Long, Long)] // stage, index, taskId, t0
+    val ends = scala.collection.mutable.Map.empty[Long, Long] // taskId -> t1
     val listener = new SparkListener {
-      override def onTaskStart(e: SparkListenerTaskStart): Unit =
-        seen.synchronized {
-          if (!seen.add((e.stageId, e.taskInfo.index)))
-            duplicateAttempts.incrementAndGet()
+      override def onTaskStart(e: org.apache.spark.scheduler.SparkListenerTaskStart): Unit =
+        starts.synchronized {
+          starts += ((e.stageId, e.taskInfo.index, e.taskInfo.taskId,
+            e.taskInfo.launchTime))
+          ()
+        }
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        starts.synchronized {
+          ends(e.taskInfo.taskId) = e.taskInfo.finishTime
           ()
         }
     }
@@ -151,11 +168,24 @@ class DuplicateAttemptSpec extends AnyFunSuite with BeforeAndAfterAll {
         Bench.drainListenerBus(spark)
         spark.sparkContext.removeSparkListener(listener)
       }
-      // two TaskStarts for one (stageId, partition index) = the zombie
-      // and the resubmitted copy really did run concurrently-or-after;
-      // without this a pass could mean the resubmit never re-ran p1
-      assert(duplicateAttempts.get() >= 1,
-        "no duplicate attempt ran — resubmit race never happened")
+      // the race proof: some stage must have run TWO attempts of one
+      // PARTITION-1 task with overlapping [launch, finish] intervals —
+      // the zombie still sleeping while the resubmitted copy runs. Only
+      // the write stage re-runs partition 1 (the map outputs survive the
+      // null-bmAddress FetchFailed), and with a 1 s failure against a
+      // 5 s straggler the overlap margin is ~3.5 s.
+      val overlapped = starts.synchronized {
+        starts.filter(_._2 == 1).groupBy(_._1).values.exists { as =>
+          as.size >= 2 && as.combinations(2).exists { pair =>
+            val Seq((_, _, id1, s1), (_, _, id2, s2)) = pair.toSeq
+            val f1 = ends.getOrElse(id1, Long.MaxValue) // open = running
+            val f2 = ends.getOrElse(id2, Long.MaxValue)
+            math.max(s1, s2) < math.min(f1, f2)
+          }
+        }
+      }
+      assert(overlapped,
+        "no overlapping duplicate attempts of partition 1 — the commit race never happened")
 
       spark.range(0, 4000, 1, 4).as[Long].toDF("v")
         .write.format("auditsink").mode("append")
