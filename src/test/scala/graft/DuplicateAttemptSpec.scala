@@ -204,4 +204,84 @@ class DuplicateAttemptSpec extends AnyFunSuite with BeforeAndAfterAll {
       AuditSink.clear("dup_clean")
     }
   }
+
+  test("AuditSink commits exactly once when an executor JVM dies mid-write") {
+    import spark.implicits._
+
+    // EXECUTOR LOSS is a distinct failure class from TaskRetrySpec's
+    // thrown exception: the writer process disappears mid-write, so its
+    // DataWriter never even runs abort() — the exactly-once claim rests
+    // purely on "partials only reach the driver through a task commit
+    // message", which a dead JVM by definition never sent. This is the
+    // failure a 1000-executor cluster takes daily (preemption, OOM
+    // kill, hardware), exercised here for REAL: the straggler's
+    // executor is killed via SparkContext.killExecutors while the task
+    // sleeps inside it, and the retry lands on the surviving executor.
+    @volatile var stragglerExec: String = null
+    val removals = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onTaskStart(e: org.apache.spark.scheduler.SparkListenerTaskStart): Unit =
+        if (e.taskInfo.index == 1 && stragglerExec == null)
+          stragglerExec = e.taskInfo.executorId
+      override def onExecutorRemoved(
+          e: org.apache.spark.scheduler.SparkListenerExecutorRemoved): Unit = {
+        removals.incrementAndGet(); ()
+      }
+    }
+
+    def write(channel: String, straggle: Boolean): Unit =
+      spark.range(0, 4000, 1, 4).as[Long]
+        .mapPartitions { it =>
+          // sleeps in EVERY attempt (bounded): the retry just sleeps
+          // again on whichever executor survives
+          if (straggle && TaskContext.get().partitionId() == 1)
+            Thread.sleep(4000)
+          it
+        }
+        .toDF("v")
+        .write.format("auditsink").mode("append")
+        .option("channel", channel).save()
+
+    AuditSink.clear("loss_race")
+    AuditSink.clear("loss_clean")
+    try {
+      spark.sparkContext.addSparkListener(listener)
+      val killer = new Thread(() => {
+        val deadline = System.currentTimeMillis + 30000
+        while (stragglerExec == null && System.currentTimeMillis < deadline)
+          Thread.sleep(50)
+        if (stragglerExec != null) {
+          Thread.sleep(500) // the task is now deep inside its 4 s sleep
+          // driver-requested kill: the executor JVM exits with the
+          // straggler's partials on its heap; standalone lowers the
+          // executor target, so the retry must fit on the survivor
+          spark.sparkContext.killExecutors(Seq(stragglerExec))
+          ()
+        }
+      })
+      killer.setDaemon(true)
+      try {
+        killer.start()
+        write("loss_race", straggle = true)
+        killer.join(5000)
+      } finally {
+        Bench.drainListenerBus(spark)
+        spark.sparkContext.removeSparkListener(listener)
+      }
+      assert(stragglerExec != null, "straggler task never started")
+      assert(removals.get() >= 1,
+        "no executor was removed — the kill never landed")
+
+      write("loss_clean", straggle = false)
+
+      val race = AuditSink.stats("loss_race")
+      val clean = AuditSink.stats("loss_clean")
+      assert(race == clean)
+      assert(race._1 == 4000L)
+      assert(AuditSink.epochs("loss_race").size == 1)
+    } finally {
+      AuditSink.clear("loss_race")
+      AuditSink.clear("loss_clean")
+    }
+  }
 }
