@@ -198,8 +198,9 @@ object Bench {
     * <1s of data — so sandbox contention swung the headline ±40%
     * round-over-round (90k → 65k → 54k rows/s on identical code). At
     * 4.6M rows addBatch (the data path) is ~91% of wall and the
-    * sustained rate is ~290k dataset rows/s (~1.2M wire msgs/s), so a
-    * ±2s contention swing moves the number ~12%, not 40%. SCALE.md
+    * sustained rate was ~290k dataset rows/s when the volume was
+    * chosen (r8; the r12 pipeline sustains 740-840k), so a ±2s
+    * contention swing moves the number ~12%, not 40%. SCALE.md
     * §Streaming carries the measured volume curve (window state scales
     * linearly in volume — see writeSyntheticDay's no-midnight-wrap
     * contract). SPARK_GRAFT_STREAM_ROWS overrides.
