@@ -96,6 +96,22 @@ class DuplicateAttemptSpec extends AnyFunSuite with BeforeAndAfterAll {
     super.afterAll()
   }
 
+  /** Restore the standalone app's executor target to `n` and wait for
+    * registration — killExecutors LOWERS the target, so each kill-based
+    * test leaves the cluster one executor short for the next. The
+    * statusTracker count includes the driver entry, hence n + 1.
+    */
+  private def ensureExecutors(n: Int): Unit = {
+    val sc = spark.sparkContext
+    sc.requestTotalExecutors(n, 0, Map.empty)
+    val deadline = System.currentTimeMillis + 60000
+    while (sc.statusTracker.getExecutorInfos.length < n + 1 &&
+        System.currentTimeMillis < deadline)
+      Thread.sleep(200)
+    assert(sc.statusTracker.getExecutorInfos.length >= n + 1,
+      s"cluster never reached $n executors")
+  }
+
   test("AuditSink commits exactly once when zombie and resubmitted attempts race") {
     import spark.implicits._
 
@@ -245,6 +261,7 @@ class DuplicateAttemptSpec extends AnyFunSuite with BeforeAndAfterAll {
     AuditSink.clear("loss_race")
     AuditSink.clear("loss_clean")
     try {
+      ensureExecutors(2) // kill-based tests each leave the target lowered
       spark.sparkContext.addSparkListener(listener)
       val killer = new Thread(() => {
         val deadline = System.currentTimeMillis + 30000
@@ -282,6 +299,86 @@ class DuplicateAttemptSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally {
       AuditSink.clear("loss_race")
       AuditSink.clear("loss_clean")
+    }
+  }
+
+  test("RocksDB state fails over to the surviving executor mid-run") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+
+    // WITHIN-RUN state-store failover — the dimension neither
+    // CheckpointRestartSpec (new query instance on an old checkpoint)
+    // nor the kill test above (stateless batch write) covers: a
+    // stateful STREAMING query loses an executor between micro-batches
+    // and the next batch must reload that executor's RocksDB state
+    // partitions from the checkpoint on the survivor. Deterministic by
+    // construction: the kill happens after phase 1 is fully committed
+    // and is confirmed (executor removed) before phase 2 is fed, so no
+    // timing is left to luck — phase 2 simply finds half its state
+    // partitions homeless. Token-bucket trace and hand replay are
+    // CheckpointRestartSpec's: row 4 (refill clamps at cap, spend) is
+    // only correct if the bucket state (utok=400000, lastUs=400000)
+    // came back — a fresh bucket would start full and emit a different
+    // tokens_after.
+    val trace = Seq(
+      ("a", 0L), ("a", 200000L), ("a", 400000L), ("a", 2400000L),
+      ("a", 2500000L))
+    val expected = Seq(
+      ("a", 0L, true, 1000000L), ("a", 200000L, true, 200000L),
+      ("a", 400000L, false, 400000L), ("a", 2400000L, true, 1000000L),
+      ("a", 2500000L, true, 100000L))
+
+    ensureExecutors(2)
+    val removals = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onExecutorRemoved(
+          e: org.apache.spark.scheduler.SparkListenerExecutorRemoved): Unit = {
+        removals.incrementAndGet(); ()
+      }
+    }
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    graft.streaming.TwsOps.useRocksDb(spark)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val src = MemoryStream[(String, Long)](spark)
+      val ckpt = java.nio.file.Files.createTempDirectory("failover")
+      val q = graft.streaming.TwsOps
+        .tokenBucketTws(src.toDS().toDF("k", "ts"), "k", "ts", 2L, 1L)
+        .writeStream.format("memory").queryName("tb_failover")
+        .option("checkpointLocation", s"$ckpt/ckpt")
+        .outputMode("append").start()
+      try {
+        src.addData(trace.take(3): _*)
+        q.processAllAvailable() // phase 1 committed on BOTH executors
+
+        // SparkContext.getExecutorIds is private[spark] in the Scala
+        // signature (public in bytecode) — reach it reflectively
+        val sc = spark.sparkContext
+        val ids = sc.getClass.getMethod("getExecutorIds").invoke(sc)
+          .asInstanceOf[Seq[String]].filterNot(_ == "driver")
+        assert(ids.nonEmpty, "no executors registered")
+        sc.killExecutors(Seq(ids.head))
+        val deadline = System.currentTimeMillis + 30000
+        while (removals.get() < 1 && System.currentTimeMillis < deadline)
+          Thread.sleep(100)
+        assert(removals.get() >= 1, "executor kill never landed")
+
+        src.addData(trace.drop(3): _*)
+        q.processAllAvailable() // phase 2: state reloads on the survivor
+      } finally q.stop()
+
+      val out = spark.table("tb_failover").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2),
+          r.getLong(3))).toSeq.sortBy(_._2)
+      assert(out == expected)
+    } finally {
+      Bench.drainListenerBus(spark)
+      spark.sparkContext.removeSparkListener(listener)
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }
   }
 }
