@@ -133,6 +133,29 @@ object ScaleSweep {
         .as("text"))
   }
 
+  /** Deterministic pseudo-embeddings for the similarity sweep: dim
+    * values are per-dimension affine residues of the id (coprime
+    * modulus per dimension, so dimensions decorrelate by CRT and
+    * sign-LSH buckets stay balanced), scaled into [-1, 1). Generated
+    * from `range` — zero I/O, so the sweep prices the OPERATORS; the
+    * fixture table's dim (64) is a constant factor on every point and
+    * cannot bend the curve, so dim 16 keeps the points cheap without
+    * changing the exponent the sweep exists to measure.
+    */
+  def embCorpus(spark: org.apache.spark.sql.SparkSession, n: Long,
+                dim: Int = 16, idOffset: Long = 0L): DataFrame = {
+    val primes = Seq(1009L, 1013L, 1019L, 1021L, 1031L, 1033L, 1039L,
+      1049L, 1051L, 1061L, 1063L, 1069L, 1087L, 1091L, 1093L, 1097L)
+    val mods = Seq(997L, 991L, 983L, 977L, 971L, 967L, 953L, 947L,
+      941L, 937L, 929L, 919L, 911L, 907L, 887L, 883L)
+    require(dim <= primes.size, s"embCorpus supports dim <= ${primes.size}")
+    spark.range(n).select((col("id") + idOffset).as("vec_id"))
+      .select(col("vec_id"), array((0 until dim).map { j =>
+        pmod(col("vec_id") * primes(j), lit(mods(j))).cast("double") *
+          lit(2.0 / mods(j)) - 1.0
+      }: _*).as("embedding"))
+  }
+
   /** Chain-of-4 edge set for the incremental-CC sweep, split the way
     * q_cc_incremental splits its LSH pairs: fixed component diameter
     * (so the round count is constant and the sweep prices PER-ROUND
@@ -146,7 +169,7 @@ object ScaleSweep {
   }
 
   private val Modes = Set("monitor", "dedup", "asof", "prefixjoin",
-    "extractive", "linededup", "ccinc", "ccstar")
+    "extractive", "linededup", "ccinc", "ccstar", "simsearch")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.filter(Modes).getOrElse("monitor")
@@ -159,6 +182,7 @@ object ScaleSweep {
       else if (mode == "extractive") Seq(200000L, 2000000L, 20000000L)
       else if (mode == "linededup") Seq(200000L, 2000000L)
       else if (mode == "ccinc" || mode == "ccstar") Seq(300000L, 3000000L)
+      else if (mode == "simsearch") Seq(100000L, 1000000L, 10000000L)
       else Seq(60000L, 600000L, 6000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.core.GraftSession.local(cpus, "graft-scalesweep")
@@ -299,6 +323,64 @@ object ScaleSweep {
         println(s"""{"metric":"linededup_sweep","docs":$docs,"wall_sec":${math.round(secs * 1000) / 1000.0},"docs_per_sec":${(docs / secs).round},"spill_mb":${spillMb.get - spill0}}""")
       }
       spark.sparkContext.removeSparkListener(acct)
+    } else if (mode == "simsearch") {
+      // E3 priced at corpus scale (the one family whose SCALE.md claims
+      // were argued, not measured): exact brute-force top-k (heap form —
+      // 64 queries × N corpus is the few-heavy-groups regime), sign-LSH
+      // bucketed top-k, and IVF top-k over the same generated corpus.
+      // Parameter discipline mirrors the 100 TB posture documented in
+      // SCALE.md §Similarity: PLANES GROW WITH THE CORPUS (log2, fixed
+      // ~4k expected bucket occupancy → LSH stays ~linear: scan + a
+      // constant per-query candidate set), and NLIST GROWS AS √N/16
+      // (the standard IVF sizing; its N·nlist assignment term is
+      // DESIGNED ~N^1.5 — a one-off build cost amortized across query
+      // batches in production — while the probe-side search stays
+      // bounded per query). The sweep's job is to catch exponents
+      // BEYOND design. recall@10 vs the exact baseline rides each
+      // point: scaling that holds wall but sheds recall is a failure
+      // this JSON must surface (outputs are 64×10 rows — the collects
+      // are driver-bounded by construction).
+      import graft.operators.Similarity
+      val k = 10
+      val queries = embCorpus(spark, 64, idOffset = 1000000007L)
+      def timedIds(df: => DataFrame): (Double, Map[Long, Set[Long]]) = {
+        val t0 = System.nanoTime()
+        val rows = df.select(col("query_id").cast("long"),
+          col("cand_id").cast("long")).collect()
+        val secs = (System.nanoTime() - t0) / 1e9
+        graft.core.CacheScope.releaseStragglers(spark)
+        (secs, rows.groupBy(_.getLong(0))
+          .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet })
+      }
+      def recall(approx: Map[Long, Set[Long]],
+                 exact: Map[Long, Set[Long]]): Double = {
+        val hit = exact.map { case (q, e) =>
+          (approx.getOrElse(q, Set.empty) & e).size }.sum
+        math.round(hit * 1000.0 / exact.values.map(_.size).sum) / 1000.0
+      }
+      locally { // warmup all four plans
+        val w = embCorpus(spark, 20000)
+        timedIds(Similarity.bruteForceTopKHeap(w, queries, k))
+        timedIds(Similarity.bucketedTopK(w, queries, k, planes = 3))
+        timedIds(Similarity.bucketedTopK(w, queries, k, planes = 3,
+          multiProbe = true))
+        timedIds(Similarity.ivfTopK(w, queries, k, nlist = 16, nprobe = 2))
+      }
+      points.foreach { n =>
+        val planes = math.max(4,
+          math.ceil(math.log(n / 4096.0) / math.log(2)).toInt)
+        val nlist = math.max(16, math.round(math.sqrt(n.toDouble) / 16).toInt)
+        val corpus = embCorpus(spark, n)
+        val (bruteSec, exact) =
+          timedIds(Similarity.bruteForceTopKHeap(corpus, queries, k))
+        val (lshSec, lsh) =
+          timedIds(Similarity.bucketedTopK(corpus, queries, k, planes))
+        val (mpSec, mp) = timedIds(
+          Similarity.bucketedTopK(corpus, queries, k, planes, multiProbe = true))
+        val (ivfSec, ivf) =
+          timedIds(Similarity.ivfTopK(corpus, queries, k, nlist, nprobe = 2))
+        println(s"""{"metric":"simsearch_sweep","corpus":$n,"k":$k,"brute_sec":${math.round(bruteSec * 1000) / 1000.0},"planes":$planes,"lsh_sec":${math.round(lshSec * 1000) / 1000.0},"lsh_recall":${recall(lsh, exact)},"lshmp_sec":${math.round(mpSec * 1000) / 1000.0},"lshmp_recall":${recall(mp, exact)},"nlist":$nlist,"ivf_sec":${math.round(ivfSec * 1000) / 1000.0},"ivf_recall":${recall(ivf, exact)}}""")
+      }
     } else if (mode == "ccstar") {
       // Star-contraction connected components (q_er_clusters' CC core —
       // a DIFFERENT algorithm than ccinc's label propagation: O(log d)

@@ -134,6 +134,21 @@ object SimilarityQueries {
           col("rank").cast("long").as("rank"))
     }),
 
+    // Multi-probe twin of q_knn_bucketed: each query also probes its 3
+    // Hamming-1 buckets (the probe set approxNearestNeighbor uses). The
+    // r12 simsearch sweep measured WHY this is the scale path: under
+    // planes-grow-with-the-corpus, single-probe recall@10 decays
+    // (0.38 → 0.28 across 100× corpus) while the probe set growing with
+    // planes holds it. The oracle mirrors the probe list exactly, so
+    // the gate stays hash-strict despite the operator being approximate.
+    "q_knn_bucketed_mp" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bucketedTopK(emb, emb.filter(col("vec_id") < 10), 10,
+          planes = 3, multiProbe = true)
+        .select(col("query_id"), col("cand_id"), col("sim"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     // Embedding near-dup primitive: nearest neighbor for every vector in
     // the bounded audit subset — exact, via the grid-blocked equi-join
     // (no broadcast, no BNLJ). Full-corpus NN is q_embedding_ann below.
@@ -1002,6 +1017,24 @@ object SimilarityQueries {
          |    $cosineSql AS sim
          |  FROM e q JOIN e c
          |    ON q.vec_id < 10 AND c.bucket = q.bucket AND c.vec_id <> q.vec_id
+         |), r AS (
+         |  SELECT query_id, cand_id, sim,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rank
+         |  FROM p
+         |)
+         |SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 10""".stripMargin,
+
+    "q_knn_bucketed_mp" ->
+      s"""WITH e AS (SELECT vec_id, v, $bucketSql AS bucket FROM ($vecsSql)),
+         |pr AS (SELECT vec_id, v,
+         |         unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+         |                 xor(bucket, 4)]) AS bucket
+         |       FROM e WHERE vec_id < 10),
+         |p AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    $cosineSql AS sim
+         |  FROM pr q JOIN e c
+         |    ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
          |), r AS (
          |  SELECT query_id, cand_id, sim,
          |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rank

@@ -314,8 +314,16 @@ class DuplicateAttemptSpec extends AnyFunSuite with BeforeAndAfterAll {
     // partitions from the checkpoint on the survivor. Deterministic by
     // construction: the kill happens after phase 1 is fully committed
     // and is confirmed (executor removed) before phase 2 is fed, so no
-    // timing is left to luck — phase 2 simply finds half its state
-    // partitions homeless. Token-bucket trace and hand replay are
+    // timing is left to luck. Which executor dies is NOT arbitrary:
+    // key "a"'s bucket lives in exactly one of the 4 state partitions
+    // (pmod(murmur3, 4) — computed below with the engine's own hash()),
+    // and the StateStoreCoordinator's locality keeps that partition on
+    // whichever executor first loaded it — so killing ids.head would
+    // leave a ~50% chance the survivor already held the state and the
+    // reload path silently went unexercised. The listener records who
+    // ran that partition's task in the (4-task) stateful stage and the
+    // kill targets HIM, making "phase 2 must reload from checkpoint"
+    // structural. Token-bucket trace and hand replay are
     // CheckpointRestartSpec's: row 4 (refill clamps at cap, spend) is
     // only correct if the bucket state (utok=400000, lastUs=400000)
     // came back — a fresh bucket would start full and emit a different
@@ -329,8 +337,36 @@ class DuplicateAttemptSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("a", 2500000L, true, 100000L))
 
     ensureExecutors(2)
+    // key "a"'s state-partition index, from the ENGINE's hash: stateful
+    // operators shuffle on HashPartitioning(groupKey, n) = pmod(murmur3
+    // seed-42, n), which is exactly SQL hash() — no hardcoded constant
+    // to rot if the hash ever changes
+    val statePart = spark.range(1)
+      .select(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(
+          org.apache.spark.sql.functions.lit("a")),
+        org.apache.spark.sql.functions.lit(4)))
+      .head().getInt(0)
     val removals = new java.util.concurrent.atomic.AtomicInteger(0)
+    // stage → task count (from submission), so the stateful stage is
+    // recognizable among the batch's stages: it is the one carrying all
+    // spark.sql.shuffle.partitions=4 tasks (the MemoryStream scan side
+    // has the source's own, smaller, partitioning). Last write wins:
+    // within a batch the stateful stage starts only after its map
+    // stage finished, and across batches locality keeps the partition
+    // put — the final holder is the one whose death forces a reload.
+    @volatile var stateHostExec: String = null
+    val stageTasks = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
     val listener = new SparkListener {
+      override def onStageSubmitted(
+          e: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
+        stageTasks.put(e.stageInfo.stageId, e.stageInfo.numTasks); ()
+      }
+      override def onTaskStart(
+          e: org.apache.spark.scheduler.SparkListenerTaskStart): Unit =
+        if (stageTasks.getOrDefault(e.stageId, -1) == 4 &&
+            e.taskInfo.index == statePart)
+          stateHostExec = e.taskInfo.executorId
       override def onExecutorRemoved(
           e: org.apache.spark.scheduler.SparkListenerExecutorRemoved): Unit = {
         removals.incrementAndGet(); ()
@@ -352,13 +388,11 @@ class DuplicateAttemptSpec extends AnyFunSuite with BeforeAndAfterAll {
         src.addData(trace.take(3): _*)
         q.processAllAvailable() // phase 1 committed on BOTH executors
 
-        // SparkContext.getExecutorIds is private[spark] in the Scala
-        // signature (public in bytecode) — reach it reflectively
-        val sc = spark.sparkContext
-        val ids = sc.getClass.getMethod("getExecutorIds").invoke(sc)
-          .asInstanceOf[Seq[String]].filterNot(_ == "driver")
-        assert(ids.nonEmpty, "no executors registered")
-        sc.killExecutors(Seq(ids.head))
+        Bench.drainListenerBus(spark) // the stateful stage's task starts
+        assert(stateHostExec != null,
+          "never observed the state partition's task — stage shape changed?")
+        val killed = stateHostExec
+        spark.sparkContext.killExecutors(Seq(killed))
         val deadline = System.currentTimeMillis + 30000
         while (removals.get() < 1 && System.currentTimeMillis < deadline)
           Thread.sleep(100)
@@ -366,6 +400,12 @@ class DuplicateAttemptSpec extends AnyFunSuite with BeforeAndAfterAll {
 
         src.addData(trace.drop(3): _*)
         q.processAllAvailable() // phase 2: state reloads on the survivor
+        Bench.drainListenerBus(spark)
+        // non-vacuity receipt: phase 2's copy of the state partition ran
+        // somewhere OTHER than the executor that held it — the reload
+        // really was a reload, not the old resident store
+        assert(stateHostExec != killed,
+          "state partition task never moved off the killed executor")
       } finally q.stop()
 
       val out = spark.table("tb_failover").collect()

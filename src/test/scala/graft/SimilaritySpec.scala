@@ -85,6 +85,54 @@ class SimilaritySpec extends SparkSpec {
     assert(run(4) == run(7)) // blocking is an execution detail, not semantics
   }
 
+  test("bucketedTopK multiProbe: sims exact, candidate set a superset of single-probe") {
+    val corpus = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 17 + j * 3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") < 6)
+    val brute = Similarity.bruteForceTopK(corpus, q, 60)
+      .select("query_id", "cand_id", "sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def hits(multiProbe: Boolean) =
+      Similarity.bucketedTopK(corpus, q, 60, planes = 4, multiProbe = multiProbe)
+        .select("query_id", "cand_id", "sim")
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val single = hits(multiProbe = false)
+    val multi = hits(multiProbe = true)
+    // every sim (both modes) is the exact brute-force cosine — the
+    // probe expansion must not touch the similarity arithmetic
+    (single ++ multi).foreach { case (pair, sim) => assert(brute(pair) == sim) }
+    // no (query, cand) pair arrives twice despite planes+1 probes
+    assert(multi.map(_._1).distinct.length == multi.length)
+    // Hamming-1 probing can only ADD candidates (k=60 disables the cap)
+    val singleSet = single.map(_._1).toSet
+    val multiSet = multi.map(_._1).toSet
+    assert(singleSet.subsetOf(multiSet))
+    // and on this corpus it genuinely does add some — non-vacuity
+    assert(multiSet.size > singleSet.size)
+  }
+
+  test("bruteForceTopKHeap matches the window form row-for-row (fixture embeddings)") {
+    // same cosine fold, same (sim DESC, cand_id ASC) tie-break — the
+    // two forms must be bit-identical on real fixture vectors, rank
+    // included, so callers can pick by group-cardinality regime alone
+    val emb = graft.core.Tables.embeddings(spark, sf0001)
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id", "sim", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val win = rows(Similarity.bruteForceTopK(emb, q, 7))
+    val heapDf = Similarity.bruteForceTopKHeap(emb, q, 7)
+    assert(rows(heapDf) == win)
+    assert(win.size == q.count() * 7)
+    // mechanism pin: the heap form must plan as ObjectHashAggregate
+    // (map-side ≤k rows per query before the exchange) with NO window
+    // sort anywhere — that plan shape is its entire reason to exist
+    val plan = heapDf.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(400))
+    assert(!plan.contains("Window"), plan.take(400))
+  }
+
   test("ivfTopK: sims are exact cosines and results subset brute force") {
     val corpus = (0L until 40L).map { i =>
       (i, Array.tabulate(8)(j => math.cos(i * 13 + j * 5).toFloat))
