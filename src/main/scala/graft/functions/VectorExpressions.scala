@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
@@ -184,6 +184,198 @@ case class LongSqDist(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Nearest-centroid assignment as ONE per-row expression — the IVF /
+  * coarse-quantizer inner loop (`argmax_i dot(v, c_i) / (|v|·|c_i|)`,
+  * ties to the lowest centroid id) over a centroid array carried as a
+  * scalar-broadcast column.
+  *
+  * Why this exists when `crossJoin(broadcast(cents)) → max(struct)`
+  * computes the same thing: that composition MATERIALIZES |corpus|×
+  * nlist joined rows and funnels them through an aggregate exchange
+  * just to keep one row per vector, then needs a corpus-keyed
+  * self-join to refetch the vector it threw away — at the r12
+  * simsearch sweep's 10M×198 point that is 2B intermediate rows for
+  * 10M results. This expression walks the (id-ascending) centroid
+  * array inside whole-stage codegen: zero extra rows, zero exchanges,
+  * the vector column never leaves the row.
+  *
+  * Parity contract with the join+aggregate form (gated by q_knn_ivf's
+  * oracle): `cents` must be sorted ascending by id (sort_array on the
+  * collected struct does this); each score is computed with the
+  * identical IEEE op order `dot / (cnorm * centnorm)` with dot the
+  * same index-order fold as [[DotProduct]]; comparisons use
+  * Double.compare — Spark's total order for doubles (NaN greatest,
+  * -0 < 0) — with strict `>`, so on exact ties the FIRST (lowest-id)
+  * centroid wins, exactly max(struct(csim, -id)). A centroid whose
+  * vector length mismatches is skipped (the join form's NULL csim
+  * likewise never wins a max against any non-null struct); if every
+  * centroid is skipped or the array is empty the result is NULL.
+  */
+case class NearestCentroid(vec: Expression, cnorm: Expression,
+    cents: Expression) extends TernaryExpression {
+
+  override def first: Expression = vec
+  override def second: Expression = cnorm
+  override def third: Expression = cents
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "nearest_centroid"
+
+  override def nullSafeEval(v: Any, n: Any, cs: Any): Any = {
+    val xs = v.asInstanceOf[ArrayData].toDoubleArray()
+    val norm = n.asInstanceOf[Double]
+    val arr = cs.asInstanceOf[ArrayData]
+    var bestId = 0L
+    var best = 0.0
+    var found = false
+    var i = 0
+    while (i < arr.numElements()) {
+      val c = arr.getStruct(i, 3)
+      val cv = c.getArray(1)
+      if (cv.numElements() == xs.length) {
+        var acc = 0.0
+        var j = 0
+        while (j < xs.length) { acc += xs(j) * cv.getDouble(j); j += 1 }
+        val s = acc / (norm * c.getDouble(2))
+        if (!found || java.lang.Double.compare(s, best) > 0) {
+          found = true; best = s; bestId = c.getLong(0)
+        }
+      }
+      i += 1
+    }
+    if (found) bestId else null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, n, cs) => {
+      val xs = ctx.freshName("xs")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val cv = ctx.freshName("cv")
+      val acc = ctx.freshName("acc")
+      val s = ctx.freshName("s")
+      val best = ctx.freshName("best")
+      val bestId = ctx.freshName("bestId")
+      val found = ctx.freshName("found")
+      s"""
+         |double[] $xs = $v.toDoubleArray();
+         |double $best = 0.0;
+         |long $bestId = 0L;
+         |boolean $found = false;
+         |for (int $i = 0; $i < $cs.numElements(); $i++) {
+         |  org.apache.spark.sql.catalyst.InternalRow $c = $cs.getStruct($i, 3);
+         |  org.apache.spark.sql.catalyst.util.ArrayData $cv = $c.getArray(1);
+         |  if ($cv.numElements() == $xs.length) {
+         |    double $acc = 0.0;
+         |    for (int $j = 0; $j < $xs.length; $j++) {
+         |      $acc += $xs[$j] * $cv.getDouble($j);
+         |    }
+         |    double $s = $acc / ($n * $c.getDouble(2));
+         |    if (!$found || java.lang.Double.compare($s, $best) > 0) {
+         |      $found = true; $best = $s; $bestId = $c.getLong(0);
+         |    }
+         |  }
+         |}
+         |if ($found) { ${ev.value} = $bestId; } else { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(vec = newFirst, cnorm = newSecond, cents = newThird)
+}
+
+/** Integer twin of [[NearestCentroid]] for the quantized k-means
+  * assignment ([[graft.operators.Similarity.cellAssignments]]):
+  * `argmin_i (nc_i − 2·dot(q, qc_i))` over array<bigint> vectors —
+  * the squared-L2 order with the constant |q|² term dropped — ties to
+  * the lowest cell id. All-integer arithmetic, so parity with the
+  * crossJoin → min(struct(dist, cid)) composition is exact by
+  * construction (no IEEE ordering subtleties); `cells` must be sorted
+  * ascending by cid and strict `<` keeps the first (lowest) cid on
+  * ties, exactly min(struct). Mismatched-length cells are skipped;
+  * empty/all-skipped yields NULL. Same motivation as the double form:
+  * the composition materializes |corpus|×cells rows plus an argmin
+  * exchange; this is a projection.
+  */
+case class NearestCellLong(vec: Expression, cells: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = vec
+  override def right: Expression = cells
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "nearest_cell_long"
+
+  override def nullSafeEval(v: Any, cs: Any): Any = {
+    val xs = v.asInstanceOf[ArrayData].toLongArray()
+    val arr = cs.asInstanceOf[ArrayData]
+    var bestId = 0L
+    var best = 0L
+    var found = false
+    var i = 0
+    while (i < arr.numElements()) {
+      val c = arr.getStruct(i, 3)
+      val cv = c.getArray(1)
+      if (cv.numElements() == xs.length) {
+        var acc = 0L
+        var j = 0
+        while (j < xs.length) { acc += xs(j) * cv.getLong(j); j += 1 }
+        val d = c.getLong(2) - 2L * acc
+        if (!found || d < best) { found = true; best = d; bestId = c.getLong(0) }
+      }
+      i += 1
+    }
+    if (found) bestId else null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cs) => {
+      val xs = ctx.freshName("xs")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val cv = ctx.freshName("cv")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val best = ctx.freshName("best")
+      val bestId = ctx.freshName("bestId")
+      val found = ctx.freshName("found")
+      s"""
+         |long[] $xs = $v.toLongArray();
+         |long $best = 0L;
+         |long $bestId = 0L;
+         |boolean $found = false;
+         |for (int $i = 0; $i < $cs.numElements(); $i++) {
+         |  org.apache.spark.sql.catalyst.InternalRow $c = $cs.getStruct($i, 3);
+         |  org.apache.spark.sql.catalyst.util.ArrayData $cv = $c.getArray(1);
+         |  if ($cv.numElements() == $xs.length) {
+         |    long $acc = 0L;
+         |    for (int $j = 0; $j < $xs.length; $j++) {
+         |      $acc += $xs[$j] * $cv.getLong($j);
+         |    }
+         |    long $d = $c.getLong(2) - 2L * $acc;
+         |    if (!$found || $d < $best) {
+         |      $found = true; $best = $d; $bestId = $c.getLong(0);
+         |    }
+         |  }
+         |}
+         |if ($found) { ${ev.value} = $bestId; } else { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(vec = newLeft, cells = newRight)
+}
+
 object VectorFunctions {
   /** Column-level wrapper: dot product of two array<double> columns. */
   def vec_dot(a: Column, b: Column): Column =
@@ -199,4 +391,19 @@ object VectorFunctions {
   def vec_dot_long(a: Column, b: Column): Column =
     ColumnBridge.column(LongDotProduct(ColumnBridge.expression(a),
       ColumnBridge.expression(b)))
+
+  /** Column-level wrapper: nearest-centroid id for an array<double>
+    * vector against an id-ASCENDING array<struct<id,v,norm>> column.
+    */
+  def nearest_centroid(vec: Column, cnorm: Column, cents: Column): Column =
+    ColumnBridge.column(NearestCentroid(ColumnBridge.expression(vec),
+      ColumnBridge.expression(cnorm), ColumnBridge.expression(cents)))
+
+  /** Column-level wrapper: nearest-cell id (integer squared-L2 order)
+    * for an array<bigint> vector against a cid-ASCENDING
+    * array<struct<cid,qc,nc>> column.
+    */
+  def nearest_cell_long(vec: Column, cells: Column): Column =
+    ColumnBridge.column(NearestCellLong(ColumnBridge.expression(vec),
+      ColumnBridge.expression(cells)))
 }

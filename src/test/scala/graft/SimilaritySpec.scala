@@ -133,6 +133,77 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("Window"), plan.take(400))
   }
 
+  test("nearest_centroid matches the join+max-struct assignment on fixture embeddings") {
+    import graft.functions.VectorFunctions.{nearest_centroid, vec_dot}
+    val emb = graft.core.Tables.embeddings(spark, sf0001)
+    val c = emb.select(col("vec_id").as("cand_id"),
+        Similarity.toDoubleVec(col("embedding")).as("cv"))
+      .withColumn("cnorm", Similarity.norm("cv"))
+    val cents = emb.orderBy(col("vec_id")).limit(8)
+      .select(col("vec_id").as("centroid_id"),
+        Similarity.toDoubleVec(col("embedding")).as("centv"))
+      .withColumn("centnorm", Similarity.norm("centv"))
+    // the composition ivfTopK used before r12: explode × aggregate × join
+    val viaJoin = c.crossJoin(broadcast(cents))
+      .select(col("cand_id"), col("centroid_id"),
+        (vec_dot(col("cv"), col("centv"))
+          / (col("cnorm") * col("centnorm"))).as("csim"))
+      .groupBy(col("cand_id"))
+      .agg(max(struct(col("csim"), (-col("centroid_id")).as("inv"))).as("best"))
+      .select(col("cand_id"), (-col("best.inv")).as("centroid_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val centsArr = cents.agg(sort_array(collect_list(
+      struct(col("centroid_id"), col("centv"), col("centnorm")))).as("cents"))
+    val viaExpr = c.crossJoin(broadcast(centsArr))
+      .select(col("cand_id"),
+        nearest_centroid(col("cv"), col("cnorm"), col("cents")).as("centroid_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr.size == 500)
+    assert(viaExpr == viaJoin)
+  }
+
+  test("nearest_centroid: exact ties to lowest id; mismatched lengths skipped; empty is NULL") {
+    import graft.functions.VectorFunctions.nearest_centroid
+    import spark.implicits._
+    def centsCol(cs: Seq[(Long, Seq[Double])]) =
+      sort_array(array(cs.map { case (id, v) =>
+        struct(lit(id).as("centroid_id"),
+          array(v.map(lit): _*).cast("array<double>").as("centv"),
+          sqrt(lit(v.map(x => x * x).sum)).as("centnorm"))
+      }: _*))
+    val q = Seq((0L, Seq(1.0, 1.0))).toDF("id", "v")
+      .select(col("id"), col("v").cast("array<double>").as("v"))
+      .withColumn("n", sqrt(lit(2.0)))
+    // centroids 5=(1,0) and 9=(0,1) are EXACT cosine ties for (1,1):
+    // dot 1, norm 1 each — the lower id must win, as max(struct) would
+    val tie = q.select(nearest_centroid(col("v"), col("n"),
+      centsCol(Seq(9L -> Seq(0.0, 1.0), 5L -> Seq(1.0, 0.0)))).as("c"))
+      .head().getLong(0)
+    assert(tie == 5L)
+    // a better-matching centroid with the WRONG dimensionality never wins
+    val skip = q.select(nearest_centroid(col("v"), col("n"),
+      centsCol(Seq(1L -> Seq(1.0, 1.0, 0.0), 7L -> Seq(1.0, 0.0)))).as("c"))
+      .head().getLong(0)
+    assert(skip == 7L)
+    // all-mismatched (or empty) array yields NULL, not a fabricated id
+    val allSkipped = q.select(nearest_centroid(col("v"), col("n"),
+      centsCol(Seq(1L -> Seq(1.0, 1.0, 0.0)))).as("c")).head()
+    assert(allSkipped.isNullAt(0))
+  }
+
+  test("cellAssignments: exact integer ties to the lowest cell id (expression path)") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)), // seed cell 0
+      (1L, Array(0.0f, 1.0f)), // seed cell 1
+      (5L, Array(1.0f, 1.0f))) // exactly equidistant from both seeds
+      .toDF("vec_id", "embedding")
+    val m = Similarity.cellAssignments(df, 2, "vec_id", "embedding", 1000)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(0L) == 0L && m(1L) == 1L)
+    // quantized dists are EXACT equal longs — min(struct) tie rule: cid 0
+    assert(m(5L) == 0L)
+  }
+
   test("ivfTopK: sims are exact cosines and results subset brute force") {
     val corpus = (0L until 40L).map { i =>
       (i, Array.tabulate(8)(j => math.cos(i * 13 + j * 5).toFloat))
