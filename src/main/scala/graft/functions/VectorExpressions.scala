@@ -3,9 +3,9 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native dot product over two array<double> columns.
   *
@@ -376,6 +376,121 @@ case class NearestCellLong(vec: Expression, cells: Expression)
     copy(vec = newLeft, cells = newRight)
 }
 
+/** Product-quantization encode as ONE per-row expression: split the
+  * array<bigint> vector into `m` contiguous subvectors of
+  * `size div m` elements (trailing remainder ignored — the slice
+  * composition's `size(qe) div m` contract) and emit, per subspace,
+  * the id of the centroid minimizing exact integer squared-L2 over
+  * that subspace, ties to the lowest cid (`cents` sorted ascending,
+  * strict `<` — the min(struct(dist, cid)) rule). Output
+  * array<bigint> of length m, position = subspace.
+  *
+  * Replaces the `crossJoin(broadcast(cents)) → explode(m subspaces) →
+  * min(struct) per (id, s)` composition, which materialized
+  * |corpus|×nCent×m rows plus an aggregate exchange (4096× at a
+  * production m=16/nCent=256) to produce m codes per vector. Integer
+  * arithmetic end to end, so parity with the composition is exact.
+  * Centroids whose length mismatches the vector are skipped; if none
+  * qualify the result is NULL (the composition's null-distance
+  * behavior there is a same-table impossibility either way).
+  */
+case class PqEncode(vec: Expression, cents: Expression, m: Int)
+    extends BinaryExpression {
+
+  require(m > 0, s"pq_encode needs m > 0, got $m")
+
+  override def left: Expression = vec
+  override def right: Expression = cents
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "pq_encode"
+
+  override def nullSafeEval(v: Any, cs: Any): Any = {
+    val xs = v.asInstanceOf[ArrayData].toLongArray()
+    val arr = cs.asInstanceOf[ArrayData]
+    val sub = xs.length / m
+    val codes = new Array[Long](m)
+    var s = 0
+    while (s < m) {
+      var best = 0L
+      var bestId = 0L
+      var found = false
+      var i = 0
+      while (i < arr.numElements()) {
+        val c = arr.getStruct(i, 2)
+        val cv = c.getArray(1)
+        if (cv.numElements() == xs.length) {
+          var d = 0L
+          var j = s * sub
+          val end = j + sub
+          while (j < end) {
+            val diff = xs(j) - cv.getLong(j); d += diff * diff; j += 1
+          }
+          if (!found || d < best) { found = true; best = d; bestId = c.getLong(0) }
+        }
+        i += 1
+      }
+      if (!found) return null
+      codes(s) = bestId
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cs) => {
+      val xs = ctx.freshName("xs")
+      val sub = ctx.freshName("sub")
+      val codes = ctx.freshName("codes")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val end = ctx.freshName("end")
+      val c = ctx.freshName("c")
+      val cv = ctx.freshName("cv")
+      val d = ctx.freshName("d")
+      val diff = ctx.freshName("diff")
+      val best = ctx.freshName("best")
+      val bestId = ctx.freshName("bestId")
+      val found = ctx.freshName("found")
+      s"""
+         |long[] $xs = $v.toLongArray();
+         |int $sub = $xs.length / $m;
+         |long[] $codes = new long[$m];
+         |for (int $s = 0; $s < $m && !${ev.isNull}; $s++) {
+         |  long $best = 0L;
+         |  long $bestId = 0L;
+         |  boolean $found = false;
+         |  for (int $i = 0; $i < $cs.numElements(); $i++) {
+         |    org.apache.spark.sql.catalyst.InternalRow $c = $cs.getStruct($i, 2);
+         |    org.apache.spark.sql.catalyst.util.ArrayData $cv = $c.getArray(1);
+         |    if ($cv.numElements() == $xs.length) {
+         |      long $d = 0L;
+         |      int $end = $s * $sub + $sub;
+         |      for (int $j = $s * $sub; $j < $end; $j++) {
+         |        long $diff = $xs[$j] - $cv.getLong($j); $d += $diff * $diff;
+         |      }
+         |      if (!$found || $d < $best) {
+         |        $found = true; $best = $d; $bestId = $c.getLong(0);
+         |      }
+         |    }
+         |  }
+         |  if ($found) { $codes[$s] = $bestId; } else { ${ev.isNull} = true; }
+         |}
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(vec = newLeft, cents = newRight)
+}
+
 object VectorFunctions {
   /** Column-level wrapper: dot product of two array<double> columns. */
   def vec_dot(a: Column, b: Column): Column =
@@ -406,4 +521,12 @@ object VectorFunctions {
   def nearest_cell_long(vec: Column, cells: Column): Column =
     ColumnBridge.column(NearestCellLong(ColumnBridge.expression(vec),
       ColumnBridge.expression(cells)))
+
+  /** Column-level wrapper: PQ codes (array<bigint>, one code per
+    * subspace) for an array<bigint> vector against a cid-ASCENDING
+    * array<struct<cid,qc>> codebook column.
+    */
+  def pq_encode(vec: Column, cents: Column, m: Int): Column =
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(vec),
+      ColumnBridge.expression(cents), m))
 }
