@@ -394,7 +394,7 @@ object Bench {
       // r10 record had one measured run collapse 3.4× on addBatch
       // alone, consistent with JIT/GC cold paths landing inside a
       // measured window. GC runs before every measured pass so a full
-      // collection triggered by 253 queries × 3 passes of garbage
+      // collection triggered by 254 queries × 3 passes of garbage
       // can't land mid-measurement either.
       try onePass(0)
       catch { case e: Throwable =>

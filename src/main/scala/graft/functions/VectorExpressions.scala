@@ -234,8 +234,12 @@ case class NearestCentroid(vec: Expression, cnorm: Expression,
     var i = 0
     while (i < arr.numElements()) {
       val c = arr.getStruct(i, 3)
-      val cv = c.getArray(1)
-      if (cv.numElements() == xs.length) {
+      // null-field guard: a null vector/norm inside a collected struct
+      // must be SKIPPED (the composition's null score never wins a
+      // max/min), not NPE on numElements()
+      val cv = if (c.isNullAt(1)) null else c.getArray(1)
+      if (cv != null && !c.isNullAt(0) && !c.isNullAt(2) &&
+          cv.numElements() == xs.length) {
         var acc = 0.0
         var j = 0
         while (j < xs.length) { acc += xs(j) * cv.getDouble(j); j += 1 }
@@ -268,8 +272,10 @@ case class NearestCentroid(vec: Expression, cnorm: Expression,
          |boolean $found = false;
          |for (int $i = 0; $i < $cs.numElements(); $i++) {
          |  org.apache.spark.sql.catalyst.InternalRow $c = $cs.getStruct($i, 3);
-         |  org.apache.spark.sql.catalyst.util.ArrayData $cv = $c.getArray(1);
-         |  if ($cv.numElements() == $xs.length) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $cv =
+         |    $c.isNullAt(1) ? null : $c.getArray(1);
+         |  if ($cv != null && !$c.isNullAt(0) && !$c.isNullAt(2)
+         |      && $cv.numElements() == $xs.length) {
          |    double $acc = 0.0;
          |    for (int $j = 0; $j < $xs.length; $j++) {
          |      $acc += $xs[$j] * $cv.getDouble($j);
@@ -323,8 +329,12 @@ case class NearestCellLong(vec: Expression, cells: Expression)
     var i = 0
     while (i < arr.numElements()) {
       val c = arr.getStruct(i, 3)
-      val cv = c.getArray(1)
-      if (cv.numElements() == xs.length) {
+      // null-field guard: a null vector/norm inside a collected struct
+      // must be SKIPPED (the composition's null score never wins a
+      // max/min), not NPE on numElements()
+      val cv = if (c.isNullAt(1)) null else c.getArray(1)
+      if (cv != null && !c.isNullAt(0) && !c.isNullAt(2) &&
+          cv.numElements() == xs.length) {
         var acc = 0L
         var j = 0
         while (j < xs.length) { acc += xs(j) * cv.getLong(j); j += 1 }
@@ -355,8 +365,10 @@ case class NearestCellLong(vec: Expression, cells: Expression)
          |boolean $found = false;
          |for (int $i = 0; $i < $cs.numElements(); $i++) {
          |  org.apache.spark.sql.catalyst.InternalRow $c = $cs.getStruct($i, 3);
-         |  org.apache.spark.sql.catalyst.util.ArrayData $cv = $c.getArray(1);
-         |  if ($cv.numElements() == $xs.length) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $cv =
+         |    $c.isNullAt(1) ? null : $c.getArray(1);
+         |  if ($cv != null && !$c.isNullAt(0) && !$c.isNullAt(2)
+         |      && $cv.numElements() == $xs.length) {
          |    long $acc = 0L;
          |    for (int $j = 0; $j < $xs.length; $j++) {
          |      $acc += $xs[$j] * $cv.getLong($j);
@@ -421,8 +433,8 @@ case class PqEncode(vec: Expression, cents: Expression, m: Int)
       var i = 0
       while (i < arr.numElements()) {
         val c = arr.getStruct(i, 2)
-        val cv = c.getArray(1)
-        if (cv.numElements() == xs.length) {
+        val cv = if (c.isNullAt(1)) null else c.getArray(1)
+        if (cv != null && !c.isNullAt(0) && cv.numElements() == xs.length) {
           var d = 0L
           var j = s * sub
           val end = j + sub
@@ -466,8 +478,9 @@ case class PqEncode(vec: Expression, cents: Expression, m: Int)
          |  boolean $found = false;
          |  for (int $i = 0; $i < $cs.numElements(); $i++) {
          |    org.apache.spark.sql.catalyst.InternalRow $c = $cs.getStruct($i, 2);
-         |    org.apache.spark.sql.catalyst.util.ArrayData $cv = $c.getArray(1);
-         |    if ($cv.numElements() == $xs.length) {
+         |    org.apache.spark.sql.catalyst.util.ArrayData $cv =
+         |      $c.isNullAt(1) ? null : $c.getArray(1);
+         |    if ($cv != null && !$c.isNullAt(0) && $cv.numElements() == $xs.length) {
          |      long $d = 0L;
          |      int $end = $s * $sub + $sub;
          |      for (int $j = $s * $sub; $j < $end; $j++) {

@@ -189,6 +189,17 @@ class SimilaritySpec extends SparkSpec {
     val allSkipped = q.select(nearest_centroid(col("v"), col("n"),
       centsCol(Seq(1L -> Seq(1.0, 1.0, 0.0)))).as("c")).head()
     assert(allSkipped.isNullAt(0))
+    // a null vector INSIDE a collected centroid struct is skipped (the
+    // composition's null score never wins a max), never an NPE
+    val withNull = q.select(nearest_centroid(col("v"), col("n"),
+      array(
+        struct(lit(2L).as("centroid_id"),
+          lit(null).cast("array<double>").as("centv"), lit(1.0).as("centnorm")),
+        struct(lit(7L).as("centroid_id"),
+          array(lit(1.0), lit(0.0)).cast("array<double>").as("centv"),
+          lit(1.0).as("centnorm")))).as("c"))
+      .head().getLong(0)
+    assert(withNull == 7L)
   }
 
   test("cellAssignments: exact integer ties to the lowest cell id (expression path)") {
