@@ -202,6 +202,36 @@ class SimilaritySpec extends SparkSpec {
     assert(withNull == 7L)
   }
 
+  test("centroid expressions: interpreted eval agrees with codegen (all three)") {
+    // wholeStage=false alone still codegens projections; factoryMode
+    // NO_CODEGEN is what actually routes through nullSafeEval — without
+    // this the interpreted paths of NearestCentroid/NearestCellLong/
+    // PqEncode are dead code in the suite
+    val emb = graft.core.Tables.embeddings(spark, sf0001)
+    def all(): (Map[Long, Long], Map[Long, Long], Map[Long, Seq[Long]]) = {
+      val ivf = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 6), 3,
+          nlist = 8, nprobe = 2)
+        .collect().map(r => (r.getLong(0) * 10000 + r.getLong(1)) -> r.getLong(1)).toMap
+      val cells = Similarity.cellAssignments(emb, 8, "vec_id", "embedding", 1000)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val pq = Similarity.pqCodes(emb, m = 4, nCent = 8)
+        .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getLong)).toMap
+      (ivf, cells, pq)
+    }
+    val viaCodegen = all()
+    val viaInterp = {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      try all()
+      finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+    }
+    assert(viaCodegen == viaInterp)
+    assert(viaCodegen._2.size == 500 && viaCodegen._3.size == 500)
+  }
+
   test("cellAssignments: exact integer ties to the lowest cell id (expression path)") {
     val df = Seq(
       (0L, Array(1.0f, 0.0f)), // seed cell 0
