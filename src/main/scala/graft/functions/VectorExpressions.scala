@@ -233,11 +233,11 @@ case class NearestCentroid(vec: Expression, cnorm: Expression,
     var found = false
     var i = 0
     while (i < arr.numElements()) {
-      val c = arr.getStruct(i, 3)
+      val c = if (arr.isNullAt(i)) null else arr.getStruct(i, 3)
       // null-field guard: a null vector/norm inside a collected struct
       // must be SKIPPED (the composition's null score never wins a
       // max/min), not NPE on numElements()
-      val cv = if (c.isNullAt(1)) null else c.getArray(1)
+      val cv = if (c == null || c.isNullAt(1)) null else c.getArray(1)
       if (cv != null && !c.isNullAt(0) && !c.isNullAt(2) &&
           cv.numElements() == xs.length) {
         var acc = 0.0
@@ -271,9 +271,10 @@ case class NearestCentroid(vec: Expression, cnorm: Expression,
          |long $bestId = 0L;
          |boolean $found = false;
          |for (int $i = 0; $i < $cs.numElements(); $i++) {
-         |  org.apache.spark.sql.catalyst.InternalRow $c = $cs.getStruct($i, 3);
+         |  org.apache.spark.sql.catalyst.InternalRow $c =
+         |    $cs.isNullAt($i) ? null : $cs.getStruct($i, 3);
          |  org.apache.spark.sql.catalyst.util.ArrayData $cv =
-         |    $c.isNullAt(1) ? null : $c.getArray(1);
+         |    ($c == null || $c.isNullAt(1)) ? null : $c.getArray(1);
          |  if ($cv != null && !$c.isNullAt(0) && !$c.isNullAt(2)
          |      && $cv.numElements() == $xs.length) {
          |    double $acc = 0.0;
@@ -328,11 +329,11 @@ case class NearestCellLong(vec: Expression, cells: Expression)
     var found = false
     var i = 0
     while (i < arr.numElements()) {
-      val c = arr.getStruct(i, 3)
+      val c = if (arr.isNullAt(i)) null else arr.getStruct(i, 3)
       // null-field guard: a null vector/norm inside a collected struct
       // must be SKIPPED (the composition's null score never wins a
       // max/min), not NPE on numElements()
-      val cv = if (c.isNullAt(1)) null else c.getArray(1)
+      val cv = if (c == null || c.isNullAt(1)) null else c.getArray(1)
       if (cv != null && !c.isNullAt(0) && !c.isNullAt(2) &&
           cv.numElements() == xs.length) {
         var acc = 0L
@@ -364,9 +365,10 @@ case class NearestCellLong(vec: Expression, cells: Expression)
          |long $bestId = 0L;
          |boolean $found = false;
          |for (int $i = 0; $i < $cs.numElements(); $i++) {
-         |  org.apache.spark.sql.catalyst.InternalRow $c = $cs.getStruct($i, 3);
+         |  org.apache.spark.sql.catalyst.InternalRow $c =
+         |    $cs.isNullAt($i) ? null : $cs.getStruct($i, 3);
          |  org.apache.spark.sql.catalyst.util.ArrayData $cv =
-         |    $c.isNullAt(1) ? null : $c.getArray(1);
+         |    ($c == null || $c.isNullAt(1)) ? null : $c.getArray(1);
          |  if ($cv != null && !$c.isNullAt(0) && !$c.isNullAt(2)
          |      && $cv.numElements() == $xs.length) {
          |    long $acc = 0L;
@@ -432,8 +434,8 @@ case class PqEncode(vec: Expression, cents: Expression, m: Int)
       var found = false
       var i = 0
       while (i < arr.numElements()) {
-        val c = arr.getStruct(i, 2)
-        val cv = if (c.isNullAt(1)) null else c.getArray(1)
+        val c = if (arr.isNullAt(i)) null else arr.getStruct(i, 2)
+        val cv = if (c == null || c.isNullAt(1)) null else c.getArray(1)
         if (cv != null && !c.isNullAt(0) && cv.numElements() == xs.length) {
           var d = 0L
           var j = s * sub
@@ -477,9 +479,10 @@ case class PqEncode(vec: Expression, cents: Expression, m: Int)
          |  long $bestId = 0L;
          |  boolean $found = false;
          |  for (int $i = 0; $i < $cs.numElements(); $i++) {
-         |    org.apache.spark.sql.catalyst.InternalRow $c = $cs.getStruct($i, 2);
+         |    org.apache.spark.sql.catalyst.InternalRow $c =
+         |      $cs.isNullAt($i) ? null : $cs.getStruct($i, 2);
          |    org.apache.spark.sql.catalyst.util.ArrayData $cv =
-         |      $c.isNullAt(1) ? null : $c.getArray(1);
+         |      ($c == null || $c.isNullAt(1)) ? null : $c.getArray(1);
          |    if ($cv != null && !$c.isNullAt(0) && $cv.numElements() == $xs.length) {
          |      long $d = 0L;
          |      int $end = $s * $sub + $sub;

@@ -200,6 +200,16 @@ class SimilaritySpec extends SparkSpec {
           lit(1.0).as("centnorm")))).as("c"))
       .head().getLong(0)
     assert(withNull == 7L)
+    // ...and so is a null struct ELEMENT in the array
+    val withNullElem = q.select(nearest_centroid(col("v"), col("n"),
+      array(
+        lit(null).cast(
+          "struct<centroid_id:bigint,centv:array<double>,centnorm:double>"),
+        struct(lit(7L).as("centroid_id"),
+          array(lit(1.0), lit(0.0)).cast("array<double>").as("centv"),
+          lit(1.0).as("centnorm")))).as("c"))
+      .head().getLong(0)
+    assert(withNullElem == 7L)
   }
 
   test("centroid expressions: interpreted eval agrees with codegen (all three)") {
