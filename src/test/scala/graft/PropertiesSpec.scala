@@ -379,4 +379,78 @@ class PropertiesSpec extends SparkSpec {
       assert(out(i.toLong) == (if (fold(s)) 1L else 0L), s"run $s")
     }
   }
+
+  test("nearest_centroid equals a driver-side replay on generated vectors (ties included)") {
+    import graft.functions.VectorFunctions.nearest_centroid
+    // small integer coordinates over few dims force plenty of EXACT
+    // cosine ties, so the lowest-id rule is genuinely exercised — the
+    // replay below uses the identical fold/divide order and
+    // Double.compare, per the expression's parity contract
+    val dim = 3
+    val vecs = sample(Gen.listOfN(300,
+      Gen.listOfN(dim, Gen.chooseNum(-2, 2).map(_.toDouble))))
+      .filter(_.exists(_ != 0.0))
+    val cents = vecs.take(12).zipWithIndex.map { case (v, i) => (i * 3L + 1, v) }
+    val rows = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    def nrm(a: Seq[Double]) = math.sqrt(dot(a, a))
+    val expect = rows.map { case (id, v) =>
+      var bestId = 0L; var best = 0.0; var found = false
+      cents.foreach { case (cid, cv) =>
+        val s = dot(v, cv) / (nrm(v) * nrm(cv))
+        if (!found || java.lang.Double.compare(s, best) > 0) {
+          found = true; best = s; bestId = cid
+        }
+      }
+      id -> bestId
+    }.toMap
+    val df = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n", sqrt(graft.functions.VectorFunctions.vec_dot(col("v"), col("v"))))
+    val centsArr = sort_array(array(cents.map { case (cid, cv) =>
+      struct(lit(cid).as("centroid_id"),
+        array(cv.map(lit): _*).cast("array<double>").as("centv"),
+        lit(nrm(cv)).as("centnorm"))
+    }: _*))
+    val got = df.select(col("vec_id"),
+        nearest_centroid(col("v"), col("n"), centsArr).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    // the tie rule actually fired somewhere (anti-vacuity): with ±2
+    // integer grids over 3 dims, collinear vectors guarantee exact ties
+    val tieCount = rows.count { case (_, v) =>
+      cents.count { case (_, cv) =>
+        java.lang.Double.compare(dot(v, cv) / (nrm(v) * nrm(cv)),
+          cents.map { case (_, c2) => dot(v, c2) / (nrm(v) * nrm(c2)) }.max) == 0
+      } > 1
+    }
+    assert(tieCount > 0, "generator produced no exact ties — weaken the grid")
+  }
+
+  test("pq_encode equals a driver-side subspace argmin on generated long vectors") {
+    import graft.functions.VectorFunctions.pq_encode
+    val dim = 8; val m = 4
+    val vecs = sample(Gen.listOfN(250,
+      Gen.listOfN(dim, Gen.chooseNum(-5L, 5L))))
+    val cents = vecs.take(6).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val sub = dim / m
+    val expect = vecs.zipWithIndex.map { case (v, i) =>
+      i.toLong -> (0 until m).map { s =>
+        cents.map { case (cid, cv) =>
+          val d = (s * sub until s * sub + sub)
+            .foldLeft(0L) { (acc, j) => val df0 = v(j) - cv(j); acc + df0 * df0 }
+          (d, cid)
+        }.min._2 // (dist, cid) lexicographic min = strict-< lowest-cid rule
+      }.toSeq
+    }.toMap
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "qe")
+    val centsArr = sort_array(array(cents.map { case (cid, cv) =>
+      struct(lit(cid).as("cid"), array(cv.map(lit): _*).as("qc"))
+    }: _*))
+    val got = df.select(col("vec_id"), pq_encode(col("qe"), centsArr, m).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(got == expect)
+  }
 }
