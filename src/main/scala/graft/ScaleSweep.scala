@@ -176,7 +176,12 @@ object ScaleSweep {
     val rest = if (args.headOption.exists(Modes)) args.drop(1) else args
     val points =
       if (rest.nonEmpty) rest.toSeq.map(_.toLong)
-      else if (mode == "dedup") Seq(50000L, 500000L, 5000000L)
+      // the 2M step is NOT decoration: the 5M point measured 62 s when
+      // entered straight from 500k (r12, load ~3) and 25.4 s with the
+      // 2M step in between — the big point otherwise pays JIT/memory-
+      // manager ramp that the curve would misread as operator cost.
+      // These four points are also the on-record SCALE.md progression.
+      else if (mode == "dedup") Seq(50000L, 500000L, 2000000L, 5000000L)
       else if (mode == "prefixjoin") Seq(20000L, 200000L, 2000000L)
       else if (mode == "asof") Seq(100000L, 1000000L, 10000000L)
       else if (mode == "extractive") Seq(200000L, 2000000L, 20000000L)
