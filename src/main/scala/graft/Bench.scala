@@ -95,8 +95,16 @@ object Bench {
       val t = acct.totals
       val rowsPerTaskMs =
         if (t.taskMs > 0) round2(t.inputRows.toDouble / t.taskMs) else -1.0
+      // CPU-normalized twin (r12 verdict #1): task WALL time inflates
+      // under CPU oversubscription (a descheduled task still burns
+      // executorRunTime), so rows_per_task_ms spread 184% on the
+      // contended driver box. executorCpuTime counts only ns actually
+      // ON-CPU in the task thread — work the plan truly required — so
+      // rows per CPU-second is the contention-immune throughput.
+      val rowsPerCpuSec =
+        if (t.cpuMs > 0) (t.inputRows * 1000.0 / t.cpuMs).round else -1L
       passDetails +=
-        s"""{"pass":$passNo,"wall_sec":${round2(wall)},${t.json},"rows_per_task_ms":$rowsPerTaskMs}"""
+        s"""{"pass":$passNo,"wall_sec":${round2(wall)},${t.json},"rows_per_task_ms":$rowsPerTaskMs,"rows_per_cpu_sec":$rowsPerCpuSec}"""
       // cache-hygiene tripwire: materialize() sweeps stragglers after
       // every query, so anything still pinned here survived an explicit
       // unpersist — a genuine leak (and it would distort every later
@@ -155,10 +163,23 @@ object Bench {
       if (normSorted.isEmpty || streamNorm <= 0) -1L
       else math.round((normSorted.last - normSorted.head) * 100 / streamNorm)
     val streamNormJson = normOrdered.mkString("[", ",", "]")
+    // CPU-normalized headline (r12 verdict #1): rows_per_task_ms still
+    // spread 184% on the contended driver box because task WALL time
+    // itself inflates when 32 task threads share fewer real CPUs.
+    // executorCpuTime does not (descheduled time accrues no CPU ns), so
+    // dataset rows per CPU-second is the environment-independent number.
+    val cpuOrdered = streamRuns.map(_.rowsPerCpuSec).filter(_ >= 0)
+    val cpuSorted = cpuOrdered.sorted
+    val streamCpuNorm =
+      if (cpuSorted.isEmpty) -1L else cpuSorted((cpuSorted.size - 1) / 2)
+    val streamCpuSpreadPct =
+      if (cpuSorted.isEmpty || streamCpuNorm <= 0) -1L
+      else (cpuSorted.last - cpuSorted.head) * 100 / streamCpuNorm
+    val streamCpuJson = cpuOrdered.mkString("[", ",", "]")
     val streamDetail = streamRuns.map(_.detailJson).mkString("[", ",", "]")
     val passJson = passDetails.mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"queries":$qs,"pass_detail":$passJson,"stream_rows_per_sec":$streamRps,"stream_rps_runs":$streamJson,"stream_rps_spread_pct":$streamSpreadPct,"stream_rows_per_task_ms":$streamNorm,"stream_rows_per_task_ms_runs":$streamNormJson,"stream_norm_spread_pct":$streamNormSpreadPct,"stream_run_detail":$streamDetail,"leaked_rdds":$leakedRdds,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"queries":$qs,"pass_detail":$passJson,"stream_rows_per_sec":$streamRps,"stream_rps_runs":$streamJson,"stream_rps_spread_pct":$streamSpreadPct,"stream_rows_per_task_ms":$streamNorm,"stream_rows_per_task_ms_runs":$streamNormJson,"stream_norm_spread_pct":$streamNormSpreadPct,"stream_rows_per_cpu_sec":$streamCpuNorm,"stream_rows_per_cpu_sec_runs":$streamCpuJson,"stream_cpu_spread_pct":$streamCpuSpreadPct,"stream_run_detail":$streamDetail,"leaked_rdds":$leakedRdds,"sf":"$sfDir"}"""
     println(fullLine)
     // The per-query line above is ~3KB and the harness captures a bounded
     // stdout tail, which can truncate its head — so the full map is ALSO
@@ -174,7 +195,7 @@ object Bench {
       }
     // Repeat the headline numbers as a short (<200 byte) FINAL line so the
     // last line is always a complete JSON object whatever the tail size.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"queries_n":${results.size},"stream_rows_per_sec":$streamRps,"stream_rps_spread_pct":$streamSpreadPct,"stream_rows_per_task_ms":$streamNorm,"stream_norm_spread_pct":$streamNormSpreadPct,"leaked_rdds":$leakedRdds}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"queries_n":${results.size},"stream_rows_per_sec":$streamRps,"stream_rps_spread_pct":$streamSpreadPct,"stream_rows_per_task_ms":$streamNorm,"stream_norm_spread_pct":$streamNormSpreadPct,"stream_rows_per_cpu_sec":$streamCpuNorm,"stream_cpu_spread_pct":$streamCpuSpreadPct,"leaked_rdds":$leakedRdds}""")
     spark.stop()
     // hard tripwire AFTER the artifacts exist: leaked blocks mean the
     // numbers above are suspect — fail the run so it can't pass silently
@@ -219,7 +240,7 @@ object Bench {
     * interference and a real data-path stall without this breakdown.
     */
   private final case class StreamRun(rps: Long, rowsPerTaskMs: Double,
-      detailJson: String)
+      rowsPerCpuSec: Long, detailJson: String)
 
   /** Per-run stage-level accounting (the r10 verdict demand): the
     * trigger-phase breakdown names addBatch as the slow PHASE but not
@@ -233,8 +254,8 @@ object Bench {
     * diagnostic, never out of the headline.
     */
   private final case class StageRow(id: Int, tasks: Int, taskMs: Long,
-      gcMs: Long, inputRows: Long, inputMb: Long, shuffleReadMb: Long,
-      shuffleWriteMb: Long)
+      cpuMs: Long, gcMs: Long, inputRows: Long, inputMb: Long,
+      shuffleReadMb: Long, shuffleWriteMb: Long)
 
   /** Run-level totals of the listener's stage rows. input_rows and
     * input_mb are HARD plan invariants — fixed by (code, data, plan),
@@ -252,11 +273,11 @@ object Bench {
     * 148.9-vs-135.0 s totals were only attributable to contention via
     * out-of-band builder runs).
     */
-  private final case class RunTotals(tasks: Long, taskMs: Long, gcMs: Long,
-      inputRows: Long, inputMb: Long, shuffleReadMb: Long,
+  private final case class RunTotals(tasks: Long, taskMs: Long, cpuMs: Long,
+      gcMs: Long, inputRows: Long, inputMb: Long, shuffleReadMb: Long,
       shuffleWriteMb: Long) {
     def json: String =
-      s""""tasks":$tasks,"task_ms":$taskMs,"gc_ms":$gcMs,"input_rows":$inputRows,"input_mb":$inputMb,"shuffle_read_mb":$shuffleReadMb,"shuffle_write_mb":$shuffleWriteMb"""
+      s""""tasks":$tasks,"task_ms":$taskMs,"cpu_ms":$cpuMs,"gc_ms":$gcMs,"input_rows":$inputRows,"input_mb":$inputMb,"shuffle_read_mb":$shuffleReadMb,"shuffle_write_mb":$shuffleWriteMb"""
   }
 
   private final class StageAccounting extends org.apache.spark.scheduler.SparkListener {
@@ -266,8 +287,10 @@ object Bench {
       val si = e.stageInfo
       val tm = si.taskMetrics
       if (tm != null) rows.synchronized {
+        // executorCpuTime is NANOSECONDS (executorRunTime/jvmGCTime are
+        // ms) — normalized to ms here so the artifact carries one unit
         rows += StageRow(si.stageId, si.numTasks,
-          tm.executorRunTime, tm.jvmGCTime,
+          tm.executorRunTime, tm.executorCpuTime / 1000000, tm.jvmGCTime,
           tm.inputMetrics.recordsRead,
           tm.inputMetrics.bytesRead >> 20,
           tm.shuffleReadMetrics.totalBytesRead >> 20,
@@ -276,16 +299,16 @@ object Bench {
     }
     def totals: RunTotals = rows.synchronized {
       RunTotals(rows.map(_.tasks.toLong).sum, rows.map(_.taskMs).sum,
-        rows.map(_.gcMs).sum, rows.map(_.inputRows).sum,
-        rows.map(_.inputMb).sum, rows.map(_.shuffleReadMb).sum,
-        rows.map(_.shuffleWriteMb).sum)
+        rows.map(_.cpuMs).sum, rows.map(_.gcMs).sum,
+        rows.map(_.inputRows).sum, rows.map(_.inputMb).sum,
+        rows.map(_.shuffleReadMb).sum, rows.map(_.shuffleWriteMb).sum)
     }
     def stagesJson: String = rows.synchronized {
       // volumes instead of names: streaming stages all share one
       // action call site, so input/shuffle MB is what actually tells
       // the scan stage from the aggregation stages in the artifact
       val top = rows.sortBy(-_.taskMs).take(3).map { r =>
-        s"""{"stage":${r.id},"tasks":${r.tasks},"task_ms":${r.taskMs},"gc_ms":${r.gcMs},"input_mb":${r.inputMb},"shuffle_read_mb":${r.shuffleReadMb},"shuffle_write_mb":${r.shuffleWriteMb}}"""
+        s"""{"stage":${r.id},"tasks":${r.tasks},"task_ms":${r.taskMs},"cpu_ms":${r.cpuMs},"gc_ms":${r.gcMs},"input_mb":${r.inputMb},"shuffle_read_mb":${r.shuffleReadMb},"shuffle_write_mb":${r.shuffleWriteMb}}"""
       }.mkString("[", ",", "]")
       s""""stages_n":${rows.size},"top_stages":$top"""
     }
@@ -325,7 +348,7 @@ object Bench {
       // wraps midnight (see StreamBench.writeSyntheticDay)
       StreamBench.writeSyntheticDay(spark, dir, rows)
 
-      def onePass(run: Int): (Double, String, Long, Double) = {
+      def onePass(run: Int): (Double, String, Long, Double, Long) = {
         val dataset = spark.readStream.schema(graft.core.Schemas.dataset)
           .option("header", "true").csv(s"$dir/in")
         val cfg = PipelineConfig.default
@@ -379,13 +402,24 @@ object Bench {
         // stayed fixed.
         val rowsPerTaskMs =
           if (t.taskMs > 0) round2(rows.toDouble / t.taskMs) else -1.0
+        // dataset rows per CPU-second: same numerator as the headline
+        // and rows_per_task_ms, denominator = summed executorCpuTime.
+        // Task WALL time (executorRunTime) inflates under CPU
+        // oversubscription — a descheduled task thread still accrues
+        // wall — which is why rows_per_task_ms spread 184% on the
+        // contended driver box (r12). CPU ns accrue only while the
+        // task thread is actually on a core, so this quotient is fixed
+        // by (code, data, plan) like the input/task invariants — the
+        // contention-immune headline the r12 verdict asked for.
+        val rowsPerCpuSec =
+          if (t.cpuMs > 0) (rows * 1000.0 / t.cpuMs).round else -1L
         // source_rows = query-progress numInputRows (source-scan rows,
         // ≈ families × dataset rows); t.json's input_rows is the
         // stage-level scan record count — same unit, different
         // subsystem, so the two cross-check each other
         val detail =
-          s""""secs":${round2(secs)},"batches":${progs.length},"source_rows":$rowsIn,"phases_ms":$phaseJson,${t.json},"rows_per_task_ms":$rowsPerTaskMs,${acct.stagesJson}"""
-        (secs, detail, rowsIn, rowsPerTaskMs)
+          s""""secs":${round2(secs)},"batches":${progs.length},"source_rows":$rowsIn,"phases_ms":$phaseJson,${t.json},"rows_per_task_ms":$rowsPerTaskMs,"rows_per_cpu_sec":$rowsPerCpuSec,${acct.stagesJson}"""
+        (secs, detail, rowsIn, rowsPerTaskMs, rowsPerCpuSec)
       }
 
       // Unreported warm-up pass over the SAME input (own checkpoint):
@@ -404,19 +438,19 @@ object Bench {
       (1 to nRuns).map { run =>
         try {
           System.gc()
-          val (secs, detail, _, norm) = onePass(run)
+          val (secs, detail, _, norm, cpuNorm) = onePass(run)
           val rps = (rows / secs).round
           val line = s"""{"run":$run,"rps":$rps,$detail}"""
           System.err.println(s"[bench] stream $line")
-          StreamRun(rps, norm, line)
+          StreamRun(rps, norm, cpuNorm, line)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] stream run $run failed: ${e.getMessage}")
-          StreamRun(-1L, -1.0, s"""{"run":$run,"rps":-1}""")
+          StreamRun(-1L, -1.0, -1L, s"""{"run":$run,"rps":-1}""")
         }
       }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] stream throughput failed: ${e.getMessage}")
-      Seq(StreamRun(-1L, -1.0, """{"rps":-1}"""))
+      Seq(StreamRun(-1L, -1.0, -1L, """{"rps":-1}"""))
     }
   }
 }

@@ -142,17 +142,51 @@ object ScaleSweep {
     * cannot bend the curve, so dim 16 keeps the points cheap without
     * changing the exponent the sweep exists to measure.
     */
+  private val EmbPrimes = Seq(1009L, 1013L, 1019L, 1021L, 1031L, 1033L,
+    1039L, 1049L, 1051L, 1061L, 1063L, 1069L, 1087L, 1091L, 1093L, 1097L)
+  private val EmbMods = Seq(997L, 991L, 983L, 977L, 971L, 967L, 953L,
+    947L, 941L, 937L, 929L, 919L, 911L, 907L, 887L, 883L)
+  // a second coprime set for the per-member jitter, disjoint from
+  // EmbPrimes so member offsets decorrelate from center coordinates
+  private val JitterPrimes = Seq(733L, 739L, 743L, 751L, 757L, 761L,
+    769L, 773L, 787L, 797L, 809L, 811L, 821L, 823L, 827L, 829L)
+
   def embCorpus(spark: org.apache.spark.sql.SparkSession, n: Long,
                 dim: Int = 16, idOffset: Long = 0L): DataFrame = {
-    val primes = Seq(1009L, 1013L, 1019L, 1021L, 1031L, 1033L, 1039L,
-      1049L, 1051L, 1061L, 1063L, 1069L, 1087L, 1091L, 1093L, 1097L)
-    val mods = Seq(997L, 991L, 983L, 977L, 971L, 967L, 953L, 947L,
-      941L, 937L, 929L, 919L, 911L, 907L, 887L, 883L)
-    require(dim <= primes.size, s"embCorpus supports dim <= ${primes.size}")
+    require(dim <= EmbPrimes.size, s"embCorpus supports dim <= ${EmbPrimes.size}")
     spark.range(n).select((col("id") + idOffset).as("vec_id"))
       .select(col("vec_id"), array((0 until dim).map { j =>
-        pmod(col("vec_id") * primes(j), lit(mods(j))).cast("double") *
-          lit(2.0 / mods(j)) - 1.0
+        pmod(col("vec_id") * EmbPrimes(j), lit(EmbMods(j))).cast("double") *
+          lit(2.0 / EmbMods(j)) - 1.0
+      }: _*).as("embedding"))
+  }
+
+  /** Clustered twin of [[embCorpus]] (r12 verdict #3): `centers`
+    * planted cluster centers whose coordinates come from the SAME
+    * coprime-residue arithmetic (on the center id = vec_id mod
+    * centers), each member scattered in a tight ±0.1 per-coordinate
+    * ball around its center by a second, disjoint residue set. The
+    * uniform fixture is deliberately recall-ADVERSARIAL (neighbors sit
+    * near bucket boundaries everywhere); this one is the realistic
+    * ceiling — real embedding corpora are clustered, and LSH/IVF
+    * recall claims should be read against both. Query vectors from the
+    * same generator at an id offset land in planted clusters too
+    * (center id is mod-arithmetic on the offset id), i.e. held-out
+    * cluster members — the realistic query model.
+    */
+  def embClustered(spark: org.apache.spark.sql.SparkSession, n: Long,
+                   centers: Long, dim: Int = 16,
+                   idOffset: Long = 0L): DataFrame = {
+    require(dim <= EmbPrimes.size,
+      s"embClustered supports dim <= ${EmbPrimes.size}")
+    require(centers > 0, "centers must be positive")
+    spark.range(n).select((col("id") + idOffset).as("vec_id"))
+      .select(col("vec_id"), pmod(col("vec_id"), lit(centers)).as("cid"))
+      .select(col("vec_id"), array((0 until dim).map { j =>
+        (pmod(col("cid") * EmbPrimes(j), lit(EmbMods(j))).cast("double") *
+          lit(2.0 / EmbMods(j)) - 1.0) +
+        (pmod(col("vec_id") * JitterPrimes(j), lit(EmbMods(j))).cast("double") *
+          lit(0.2 / EmbMods(j)) - 0.1)
       }: _*).as("embedding"))
   }
 
@@ -347,15 +381,21 @@ object ScaleSweep {
       // are driver-bounded by construction).
       import graft.operators.Similarity
       val k = 10
-      val queries = embCorpus(spark, 64, idOffset = 1000000007L)
-      def timedIds(df: => DataFrame): (Double, Map[Long, Set[Long]]) = {
+      val dim = 16
+      def r3(x: Double) = math.round(x * 1000) / 1000.0
+      def ids(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
+        rows.groupBy(_.getLong(0))
+          .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      def collectIds(df: DataFrame): (Double, Map[Long, Set[Long]]) = {
         val t0 = System.nanoTime()
         val rows = df.select(col("query_id").cast("long"),
           col("cand_id").cast("long")).collect()
-        val secs = (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, ids(rows))
+      }
+      def timedIds(df: => DataFrame): (Double, Map[Long, Set[Long]]) = {
+        val r = collectIds(df)
         graft.core.CacheScope.releaseStragglers(spark)
-        (secs, rows.groupBy(_.getLong(0))
-          .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet })
+        r
       }
       def recall(approx: Map[Long, Set[Long]],
                  exact: Map[Long, Set[Long]]): Double = {
@@ -363,28 +403,79 @@ object ScaleSweep {
           (approx.getOrElse(q, Set.empty) & e).size }.sum
         math.round(hit * 1000.0 / exact.values.map(_.size).sum) / 1000.0
       }
-      locally { // warmup all four plans
+      // IVF priced as BUILD (centroid select + inverted-list assignment,
+      // materialized into the cache — the one-off N·nlist index cost a
+      // production run amortizes across query batches) vs PROBE (the
+      // per-batch cost over the built lists). The r12 sweep folded both
+      // into ivf_sec, leaving the amortization claim prose-only; these
+      // two columns make it a number. No releaseStragglers between the
+      // phases — it would evict the index the probe is being priced on.
+      def ivfSplit(corpus: DataFrame, nlist: Int)
+          : (Double, DataFrame => DataFrame) = {
+        val t0 = System.nanoTime()
+        val cents = Similarity.ivfCentroids(corpus, nlist).persist()
+        cents.count()
+        val listed = Similarity.ivfAssign(corpus, cents).persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        listed.write.format("noop").mode("overwrite").save()
+        val buildSec = (System.nanoTime() - t0) / 1e9
+        (buildSec,
+          (qs: DataFrame) => Similarity.ivfProbe(listed, cents, qs, k, nprobe = 2))
+      }
+      // fixture pair (r12 verdict #3): "uniform" is the deliberately
+      // recall-ADVERSARIAL floor — i.i.d.-like coordinates put every
+      // true neighbor near the bucket boundaries, so its absolute
+      // recall is a stress number, not a quality claim. "clustered"
+      // plants centers via the same coprime-residue arithmetic and
+      // scatters members in a tight ±0.1 ball around them — the
+      // realistic ceiling where the buckets align with true structure.
+      val fixtures: Seq[(String, Long => DataFrame)] = Seq(
+        "uniform" -> ((m: Long) => embCorpus(spark, m, dim)),
+        "clustered" -> ((m: Long) => embClustered(spark, m,
+          centers = math.min(65536L, math.max(64L, m / 4096)), dim)))
+      def queriesFor(fixture: String, n: Long): DataFrame =
+        if (fixture == "uniform") embCorpus(spark, 64, dim,
+          idOffset = 1000000007L)
+        else embClustered(spark, 64,
+          centers = math.min(65536L, math.max(64L, n / 4096)), dim,
+          idOffset = 1000000007L)
+      locally { // warmup all plans, both composed and split-IVF forms
         val w = embCorpus(spark, 20000)
+        val queries = queriesFor("uniform", 20000)
         timedIds(Similarity.bruteForceTopKHeap(w, queries, k))
         timedIds(Similarity.bucketedTopK(w, queries, k, planes = 3))
         timedIds(Similarity.bucketedTopK(w, queries, k, planes = 3,
           multiProbe = true))
-        timedIds(Similarity.ivfTopK(w, queries, k, nlist = 16, nprobe = 2))
+        val (_, probe) = ivfSplit(w, 16)
+        timedIds(probe(queries))
+        timedIds(Similarity.bruteForceTopKHeap(
+          embClustered(spark, 20000, 64, dim), queries, k))
       }
-      points.foreach { n =>
-        val planes = math.max(4,
-          math.ceil(math.log(n / 4096.0) / math.log(2)).toInt)
-        val nlist = math.max(16, math.round(math.sqrt(n.toDouble) / 16).toInt)
-        val corpus = embCorpus(spark, n)
-        val (bruteSec, exact) =
-          timedIds(Similarity.bruteForceTopKHeap(corpus, queries, k))
-        val (lshSec, lsh) =
-          timedIds(Similarity.bucketedTopK(corpus, queries, k, planes))
-        val (mpSec, mp) = timedIds(
-          Similarity.bucketedTopK(corpus, queries, k, planes, multiProbe = true))
-        val (ivfSec, ivf) =
-          timedIds(Similarity.ivfTopK(corpus, queries, k, nlist, nprobe = 2))
-        println(s"""{"metric":"simsearch_sweep","corpus":$n,"k":$k,"brute_sec":${math.round(bruteSec * 1000) / 1000.0},"planes":$planes,"lsh_sec":${math.round(lshSec * 1000) / 1000.0},"lsh_recall":${recall(lsh, exact)},"lshmp_sec":${math.round(mpSec * 1000) / 1000.0},"lshmp_recall":${recall(mp, exact)},"nlist":$nlist,"ivf_sec":${math.round(ivfSec * 1000) / 1000.0},"ivf_recall":${recall(ivf, exact)}}""")
+      fixtures.foreach { case (fixture, mkCorpus) =>
+        points.foreach { n =>
+          // signBucket reads one coordinate per plane, so planes is
+          // HARD-capped at the corpus dim (16 here): past ~268M rows
+          // the log2 sizing would exceed it and element_at(dim+1)
+          // returns NULL, silently emptying every bucket (recall 0
+          // instead of a loud failure). At the cap, expected bucket
+          // occupancy grows past 4096 with n — the honest behavior
+          // for a fixed-dim corpus.
+          val planes = math.min(dim, math.max(4,
+            math.ceil(math.log(n / 4096.0) / math.log(2)).toInt))
+          val nlist = math.max(16, math.round(math.sqrt(n.toDouble) / 16).toInt)
+          val corpus = mkCorpus(n)
+          val queries = queriesFor(fixture, n)
+          val (bruteSec, exact) =
+            timedIds(Similarity.bruteForceTopKHeap(corpus, queries, k))
+          val (lshSec, lsh) =
+            timedIds(Similarity.bucketedTopK(corpus, queries, k, planes))
+          val (mpSec, mp) = timedIds(
+            Similarity.bucketedTopK(corpus, queries, k, planes, multiProbe = true))
+          val (buildSec, probe) = ivfSplit(corpus, nlist)
+          val (probeSec, ivf) = collectIds(probe(queries))
+          graft.core.CacheScope.releaseStragglers(spark)
+          println(s"""{"metric":"simsearch_sweep","fixture":"$fixture","corpus":$n,"k":$k,"brute_sec":${r3(bruteSec)},"planes":$planes,"lsh_sec":${r3(lshSec)},"lsh_recall":${recall(lsh, exact)},"lshmp_sec":${r3(mpSec)},"lshmp_recall":${recall(mp, exact)},"nlist":$nlist,"ivf_build_sec":${r3(buildSec)},"ivf_probe_sec":${r3(probeSec)},"ivf_sec":${r3(buildSec + probeSec)},"ivf_recall":${recall(ivf, exact)}}""")
+        }
       }
     } else if (mode == "ccstar") {
       // Star-contraction connected components (q_er_clusters' CC core —

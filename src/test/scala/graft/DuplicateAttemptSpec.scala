@@ -348,23 +348,30 @@ class DuplicateAttemptSpec extends AnyFunSuite with BeforeAndAfterAll {
         org.apache.spark.sql.functions.lit(4)))
       .head().getInt(0)
     val removals = new java.util.concurrent.atomic.AtomicInteger(0)
-    // stage → task count (from submission), so the stateful stage is
-    // recognizable among the batch's stages: it is the one carrying all
-    // spark.sql.shuffle.partitions=4 tasks (the MemoryStream scan side
-    // has the source's own, smaller, partitioning). Last write wins:
-    // within a batch the stateful stage starts only after its map
-    // stage finished, and across batches locality keeps the partition
-    // put — the final holder is the one whose death forces a reload.
+    // the stateful stage is recognized STRUCTURALLY: it is the stage
+    // whose RDD lineage contains the StateStoreRDD (the RDD that
+    // mapPartitionsWithStateStore wraps every stateful operator in —
+    // unnamed RDDs report their class name in RDDInfo). The first
+    // version matched on numTasks == 4, which any other 4-task stage in
+    // the batch (a scan side, another exchange) could collide with,
+    // silently latching the wrong executor and re-introducing the ~50%
+    // kill-the-wrong-host vacuity this detector exists to remove.
+    // Last write wins: within a batch the stateful stage starts only
+    // after its map stage finished, and across batches locality keeps
+    // the partition put — the final holder is the one whose death
+    // forces a reload.
     @volatile var stateHostExec: String = null
-    val stageTasks = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+    val statefulStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     val listener = new SparkListener {
       override def onStageSubmitted(
           e: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
-        stageTasks.put(e.stageInfo.stageId, e.stageInfo.numTasks); ()
+        if (e.stageInfo.rddInfos.exists(_.name.contains("StateStoreRDD")))
+          statefulStages.add(e.stageInfo.stageId)
+        ()
       }
       override def onTaskStart(
           e: org.apache.spark.scheduler.SparkListenerTaskStart): Unit =
-        if (stageTasks.getOrDefault(e.stageId, -1) == 4 &&
+        if (statefulStages.contains(e.stageId) &&
             e.taskInfo.index == statePart)
           stateHostExec = e.taskInfo.executorId
       override def onExecutorRemoved(

@@ -133,6 +133,24 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("Window"), plan.take(400))
   }
 
+  test("bruteForceTopKHeap: a NULL-sim candidate is excluded, never ranked first") {
+    // a null embedding yields a NULL cosine; the heap's struct
+    // comparator would have put it FIRST under desc (the window form
+    // puts nulls last) — the isNotNull filter pins the contract: the
+    // degenerate candidate simply never appears, and the non-null
+    // ranking is the window form's exactly
+    val dirty = vecs.union(Seq((9L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding"))
+    val q = vecs.filter(col("vec_id") === 0)
+    val heap = Similarity.bruteForceTopKHeap(dirty, q, 4)
+      .orderBy("rank").collect()
+    assert(!heap.exists(_.getAs[Long]("cand_id") == 9L))
+    assert(heap.map(_.getAs[Long]("cand_id")).toSeq == Seq(1L, 3L, 2L))
+    // the window form ranks the null LAST — both agree it is not rank 1
+    val win = Similarity.bruteForceTopK(dirty, q, 4).orderBy("rank").collect()
+    assert(win.map(_.getAs[Long]("cand_id")).toSeq == Seq(1L, 3L, 2L, 9L))
+  }
+
   test("nearest_centroid matches the join+max-struct assignment on fixture embeddings") {
     import graft.functions.VectorFunctions.{nearest_centroid, vec_dot}
     val emb = graft.core.Tables.embeddings(spark, sf0001)
