@@ -344,14 +344,32 @@ object Dedup {
   /** Exact Jaccard on candidate pairs from profile hash sets: two id
     * equi-joins fetch the per-doc sets, array_intersect counts the
     * overlap — no shingle-level shuffle at all.
+    *
+    * `broadcastCandidates = true` pins BOTH id-joins to build on the
+    * candidate-derived side (the pair list, then pair+set_a). Leave it
+    * false unless the caller can BOUND the candidate volume: with it
+    * true an unbounded pair list becomes an unbounded broadcast. When
+    * the bound holds (cap-audited LSH candidates — see
+    * [[lshCandidatePairs]]'s maxBucketSize accounting), the hint
+    * removes a measured nondeterminism rather than adding risk: both
+    * joins sit exactly at AQE's borderline at bench scale, and whether
+    * the runtime BHJ conversion lands depends on stage-completion
+    * order — the r13 isolated re-timing of q_ngram_jaccard caught
+    * passes on identical code at 0 MB shuffle / ~5 s CPU vs 18 MB
+    * shuffle / ~21 s CPU (the profile side's shingle-set arrays being
+    * exchanged AND sorted under the losing SMJ plan). The flip, not
+    * contention, was the r12 driver artifact's 0.45 → 1.48 s
+    * "regression on untouched code".
     */
   def jaccardFromProfiles(profiles: DataFrame, candidates: DataFrame,
-                          idCol: String): DataFrame = {
+                          idCol: String,
+                          broadcastCandidates: Boolean = false): DataFrame = {
     val a = profiles.select(col(idCol).as("id_a"),
       col("sh_set").as("set_a"), col("n").as("n_a"))
     val b = profiles.select(col(idCol).as("id_b"),
       col("sh_set").as("set_b"), col("n").as("n_b"))
-    candidates.join(a, Seq("id_a")).join(b, Seq("id_b"))
+    def hinted(df: DataFrame) = if (broadcastCandidates) broadcast(df) else df
+    hinted(hinted(candidates).join(a, Seq("id_a"))).join(b, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("set_a"), col("set_b"))).cast("long").as("n_inter"),
         col("n_a"), col("n_b"))

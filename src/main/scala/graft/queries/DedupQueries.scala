@@ -47,8 +47,15 @@ object DedupQueries {
         Tables.documents(s, d), "text", "doc_id", 12,
         bands = 8, rowsPerBand = 2).persist()
       val cands = Dedup.profileCandidatePairs(profiles, "doc_id")
+      // broadcastCandidates: the pair list is bounded by duplicate
+      // structure (banding keeps baseline collisions near zero — the
+      // 12-gram/8×2 sizing above), so pinning the joins' build side
+      // removes the measured AQE borderline flip (r13: 0 vs 18 MB
+      // shuffle, 4× CPU, pass-to-pass on identical code) instead of
+      // gambling on stage-completion order each run
       graft.core.CacheScope.releaseAfterUse(
-        Dedup.jaccardFromProfiles(profiles, cands, "doc_id")
+        Dedup.jaccardFromProfiles(profiles, cands, "doc_id",
+          broadcastCandidates = true)
           .filter(col("jaccard") >= 0.8),
         profiles)
     }),
