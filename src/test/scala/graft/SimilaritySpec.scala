@@ -289,6 +289,28 @@ class SimilaritySpec extends SparkSpec {
     ivf.foreach { case (pair, sim) => assert(brute(pair) == sim) }
   }
 
+  test("split IVF (centroids/assign/probe) matches composed ivfTopK row-for-row") {
+    // the r13 split exposes build (ivfCentroids + ivfAssign — the
+    // one-off N·nlist index cost) and probe as separate public steps so
+    // the ScaleSweep can price amortization; the composition must stay
+    // bit-identical to ivfTopK, ranks included — including with the
+    // index MATERIALIZED (persisted) between the phases, the production
+    // shape
+    val emb = graft.core.Tables.embeddings(spark, sf0001)
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id", "sim", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val composed = rows(Similarity.ivfTopK(emb, q, 5, nlist = 8, nprobe = 2))
+    val cents = Similarity.ivfCentroids(emb, 8).persist()
+    val listed = Similarity.ivfAssign(emb, cents).persist()
+    try {
+      listed.count() // build materialized before any probe runs
+      assert(rows(Similarity.ivfProbe(listed, cents, q, 5, nprobe = 2)) == composed)
+      assert(composed.nonEmpty)
+    } finally { listed.unpersist(); cents.unpersist(); () }
+  }
+
   test("cosineNearDuplicates: identical pair found once, orthogonal pair absent") {
     val pairs = Similarity.cosineNearDuplicates(vecs, threshold = 0.9, grid = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
