@@ -408,9 +408,16 @@ object Bench {
         // oversubscription — a descheduled task thread still accrues
         // wall — which is why rows_per_task_ms spread 184% on the
         // contended driver box (r12). CPU ns accrue only while the
-        // task thread is actually on a core, so this quotient is fixed
-        // by (code, data, plan) like the input/task invariants — the
-        // contention-immune headline the r12 verdict asked for.
+        // task thread is actually on a core, so this is the most
+        // environment-independent quotient available — but NOT a hard
+        // invariant: the r13 controlled experiment (24 external
+        // spinners vs idle, SCALE.md §Round-13 CPU normalization)
+        // measured per-row CPU COST itself shifting with effective
+        // parallelism — total cpu_ms DROPPED ~20% under load (less
+        // cross-thread cache/spin overhead at lower concurrency) while
+        // wall tripled. Reading rule: a 2-3× wall swing with this
+        // metric inside its ~±30% band is contention; this metric
+        // moving outside its band is a real efficiency change.
         val rowsPerCpuSec =
           if (t.cpuMs > 0) (rows * 1000.0 / t.cpuMs).round else -1L
         // source_rows = query-progress numInputRows (source-scan rows,
