@@ -233,6 +233,23 @@ object SimilarityQueries {
           col("rank").cast("long").as("rank"))
     }),
 
+    // IVF with SAMPLED-K-MEANS-TRAINED centroids (r12 verdict #4's
+    // training variant): 4 lists trained on the vec_id%2==0
+    // half-sample via one exact-integer Lloyd pass, then the same
+    // assign/probe pipeline as q_knn_ivf. The scale posture: training
+    // cost rides the SAMPLE (pick sampleMod so it's ~10⁵-10⁶ vectors at
+    // 100 TB), the full corpus pays only the codegen'd assignment
+    // projection — same oracle scaffolding as q_knn_ivf with a trained
+    // cent CTE.
+    "q_knn_ivf_trained" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.ivfKmeansCentroids(emb, nlist = 4, sampleMod = 2)
+      Similarity.ivfProbe(Similarity.ivfAssign(emb, cents), cents,
+        emb.filter(col("vec_id") < 10), 10, nprobe = 2)
+        .select(col("query_id"), col("cand_id"), col("sim"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     // Product-quantization codes: 4 subspaces × 8 rank-seeded centroids,
     // argmin in exact floor(x·1000) integer arithmetic — hash-strict vs
     // the oracle despite being a compression step.
@@ -1166,6 +1183,64 @@ object SimilarityQueries {
            |    (sqrt(${fold(s"$x.v[i] * $x.v[i]")}) * sqrt(${fold(s"$y.v[i] * $y.v[i]")}))""".stripMargin
       s"""WITH e AS ($vecsSql),
          |cent AS (SELECT vec_id AS centroid_id, v FROM e WHERE vec_id < 8),
+         |ac AS (
+         |  SELECT x.vec_id AS vid, y.centroid_id,
+         |    ${cosBetween("x", "y")} AS csim
+         |  FROM e x CROSS JOIN cent y
+         |),
+         |ar AS (
+         |  SELECT vid, centroid_id,
+         |    row_number() OVER (PARTITION BY vid ORDER BY csim DESC, centroid_id ASC) AS rn
+         |  FROM ac
+         |),
+         |assign AS (SELECT vid AS cand_id, centroid_id FROM ar WHERE rn = 1),
+         |probes AS (SELECT vid AS query_id, centroid_id FROM ar WHERE rn <= 2 AND vid < 10),
+         |p AS (
+         |  SELECT pr.query_id, a.cand_id, ${cosineSql} AS sim
+         |  FROM probes pr
+         |  JOIN assign a ON a.centroid_id = pr.centroid_id AND a.cand_id <> pr.query_id
+         |  JOIN e q ON q.vec_id = pr.query_id
+         |  JOIN e c ON c.vec_id = a.cand_id
+         |),
+         |r AS (
+         |  SELECT query_id, cand_id, sim,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rank
+         |  FROM p
+         |)
+         |SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 10""".stripMargin
+    },
+
+    // q_knn_ivf's scaffolding with a TRAINED cent CTE: half-sample,
+    // rank-select seeds, one exact-integer Lloyd assignment
+    // (floor(x·1000) BIGINT squared-L2, argmin ties to lowest seed id),
+    // centroid_j = CAST(SUM(qv) AS DOUBLE)/(COUNT·1000) — the same
+    // exact-int IEEE division Spark performs, so the trained centroid
+    // DOUBLES are bit-equal cross-engine and everything downstream
+    // (cosine assignment, probes, ranks) replays exactly.
+    "q_knn_ivf_trained" -> {
+      def cosBetween(x: String, y: String) =
+        s"""${fold(s"$x.v[i] * $y.v[i]")} /
+           |    (sqrt(${fold(s"$x.v[i] * $x.v[i]")}) * sqrt(${fold(s"$y.v[i] * $y.v[i]")}))""".stripMargin
+      s"""WITH e AS ($vecsSql),
+         |samp AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+         |tq AS (SELECT vec_id, i - 1 AS pos,
+         |         CAST(floor(v[i] * 1000) AS BIGINT) AS qv
+         |       FROM (SELECT vec_id, v, unnest(generate_series(1, 64)) AS i
+         |             FROM samp)),
+         |seed_ids AS (SELECT vec_id AS cid FROM samp ORDER BY vec_id LIMIT 4),
+         |cq AS (SELECT s.cid, t.pos, t.qv AS qc FROM seed_ids s
+         |       JOIN tq t ON t.vec_id = s.cid),
+         |a1 AS (SELECT t.vec_id, cc.cid,
+         |         SUM((t.qv - cc.qc) * (t.qv - cc.qc)) AS dist
+         |       FROM tq t JOIN cq cc USING (pos) GROUP BY t.vec_id, cc.cid),
+         |r1 AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |         ORDER BY dist ASC, cid ASC) AS rn FROM a1),
+         |asg1 AS (SELECT vec_id, cid FROM r1 WHERE rn = 1),
+         |cm AS (SELECT a.cid, t.pos,
+         |         CAST(SUM(t.qv) AS DOUBLE) / (COUNT(*) * 1000) AS cv
+         |       FROM tq t JOIN asg1 a USING (vec_id) GROUP BY a.cid, t.pos),
+         |cent AS (SELECT cid AS centroid_id, list(cv ORDER BY pos) AS v
+         |         FROM cm GROUP BY cid),
          |ac AS (
          |  SELECT x.vec_id AS vid, y.centroid_id,
          |    ${cosBetween("x", "y")} AS csim

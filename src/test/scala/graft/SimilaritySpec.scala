@@ -289,6 +289,37 @@ class SimilaritySpec extends SparkSpec {
     ivf.foreach { case (pair, sim) => assert(brute(pair) == sim) }
   }
 
+  test("ivfKmeansCentroids: trained centroids equal the driver-side Lloyd replay exactly") {
+    // the oracle-determinism claim in one assertion: sample → seeds →
+    // integer-L2 argmin (ties to lowest seed id) → mean as
+    // exact-int/exact-int IEEE division, replayed in plain Scala on
+    // the collected fixture — centv doubles must be BIT-equal
+    val emb = graft.core.Tables.embeddings(spark, sf0001)
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val samp = rows.filter(_._1 % 2 == 0)
+    val qv = samp.map { case (id, v) =>
+      id -> v.map(x => math.floor(x * 1000).toLong) }.toMap
+    val seeds = samp.map(_._1).sorted.take(4)
+    val assign = qv.map { case (id, q) =>
+      id -> seeds.map(c =>
+        (q.zip(qv(c)).map { case (a, b) => (a - b) * (a - b) }.sum, c)).min._2
+    }
+    val want = seeds.flatMap { c =>
+      val members = qv.collect { case (id, v) if assign(id) == c => v }.toSeq
+      if (members.isEmpty) None
+      else Some(c -> Array.tabulate(members.head.length)(j =>
+        members.map(_(j)).sum.toDouble / (members.size * 1000L)))
+    }.toMap
+    val got = Similarity.ivfKmeansCentroids(emb, nlist = 4, sampleMod = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (cid, v) =>
+      assert(v.sameElements(want(cid)), s"centroid $cid diverged") }
+    // and ≥2 clusters actually formed (non-vacuous training)
+    assert(got.size >= 2)
+  }
+
   test("split IVF (centroids/assign/probe) matches composed ivfTopK row-for-row") {
     // the r13 split exposes build (ivfCentroids + ivfAssign — the
     // one-off N·nlist index cost) and probe as separate public steps so
