@@ -410,10 +410,16 @@ object ScaleSweep {
       // into ivf_sec, leaving the amortization claim prose-only; these
       // two columns make it a number. No releaseStragglers between the
       // phases — it would evict the index the probe is being priced on.
-      def ivfSplit(corpus: DataFrame, nlist: Int)
+      def ivfSplit(corpus: DataFrame, nlist: Int, trained: Boolean = false)
           : (Double, DataFrame => DataFrame) = {
         val t0 = System.nanoTime()
-        val cents = Similarity.ivfCentroids(corpus, nlist).persist()
+        // trained twin: centroids from the sampled one-pass Lloyd
+        // (sample ~ n/64 — the mini-batch discipline), so its build
+        // column prices training + assignment vs rank-select's
+        // assignment-only, on the same index/probe pipeline
+        val cents = (if (trained)
+            Similarity.ivfKmeansCentroids(corpus, nlist, sampleMod = 64)
+          else Similarity.ivfCentroids(corpus, nlist)).persist()
         cents.count()
         val listed = Similarity.ivfAssign(corpus, cents).persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -448,6 +454,8 @@ object ScaleSweep {
           multiProbe = true))
         val (_, probe) = ivfSplit(w, 16)
         timedIds(probe(queries))
+        val (_, tprobe) = ivfSplit(w, 16, trained = true)
+        timedIds(tprobe(queries))
         timedIds(Similarity.bruteForceTopKHeap(
           embClustered(spark, 20000, 64, dim), queries, k))
       }
@@ -474,7 +482,10 @@ object ScaleSweep {
           val (buildSec, probe) = ivfSplit(corpus, nlist)
           val (probeSec, ivf) = collectIds(probe(queries))
           graft.core.CacheScope.releaseStragglers(spark)
-          println(s"""{"metric":"simsearch_sweep","fixture":"$fixture","corpus":$n,"k":$k,"brute_sec":${r3(bruteSec)},"planes":$planes,"lsh_sec":${r3(lshSec)},"lsh_recall":${recall(lsh, exact)},"lshmp_sec":${r3(mpSec)},"lshmp_recall":${recall(mp, exact)},"nlist":$nlist,"ivf_build_sec":${r3(buildSec)},"ivf_probe_sec":${r3(probeSec)},"ivf_sec":${r3(buildSec + probeSec)},"ivf_recall":${recall(ivf, exact)}}""")
+          val (tBuildSec, tProbe) = ivfSplit(corpus, nlist, trained = true)
+          val (tProbeSec, tIvf) = collectIds(tProbe(queries))
+          graft.core.CacheScope.releaseStragglers(spark)
+          println(s"""{"metric":"simsearch_sweep","fixture":"$fixture","corpus":$n,"k":$k,"brute_sec":${r3(bruteSec)},"planes":$planes,"lsh_sec":${r3(lshSec)},"lsh_recall":${recall(lsh, exact)},"lshmp_sec":${r3(mpSec)},"lshmp_recall":${recall(mp, exact)},"nlist":$nlist,"ivf_build_sec":${r3(buildSec)},"ivf_probe_sec":${r3(probeSec)},"ivf_sec":${r3(buildSec + probeSec)},"ivf_recall":${recall(ivf, exact)},"ivft_build_sec":${r3(tBuildSec)},"ivft_probe_sec":${r3(tProbeSec)},"ivft_recall":${recall(tIvf, exact)}}""")
         }
       }
     } else if (mode == "ccstar") {

@@ -250,6 +250,26 @@ object SimilarityQueries {
           col("rank").cast("long").as("rank"))
     }),
 
+    // Inverted-list occupancy audit for both coarse quantizers: at
+    // scale the PROBE cost bound (~nprobe·N/nlist per query) holds
+    // only if lists stay balanced, so list sizes are a first-class
+    // auditable output, not a side effect. "rank" = the lowest-id
+    // rank-select centroids q_knn_ivf uses; "trained" = the sampled
+    // one-pass-Lloyd centroids q_knn_ivf_trained uses.
+    "q_ivf_balance" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      def occ(cents: org.apache.spark.sql.DataFrame, variant: String) =
+        Similarity.ivfAssign(emb, cents)
+          .groupBy(col("centroid_id"))
+          .agg(count(lit(1)).as("n_members"))
+          .select(lit(variant).as("variant"), col("centroid_id"),
+            col("n_members"))
+      occ(Similarity.ivfCentroids(emb, 4), "rank")
+        .unionAll(occ(
+          Similarity.ivfKmeansCentroids(emb, nlist = 4, sampleMod = 2),
+          "trained"))
+    }),
+
     // Product-quantization codes: 4 subspaces × 8 rank-seeded centroids,
     // argmin in exact floor(x·1000) integer arithmetic — hash-strict vs
     // the oracle despite being a compression step.
@@ -1266,6 +1286,51 @@ object SimilarityQueries {
          |  FROM p
          |)
          |SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 10""".stripMargin
+    },
+
+    // Both quantizers' assignment CTEs (rank-select mirrors q_knn_ivf,
+    // trained mirrors q_knn_ivf_trained), grouped to list occupancy.
+    "q_ivf_balance" -> {
+      def cosBetween(x: String, y: String) =
+        s"""${fold(s"$x.v[i] * $y.v[i]")} /
+           |    (sqrt(${fold(s"$x.v[i] * $x.v[i]")}) * sqrt(${fold(s"$y.v[i] * $y.v[i]")}))""".stripMargin
+      s"""WITH e AS ($vecsSql),
+         |centr AS (SELECT vec_id AS centroid_id, v FROM e
+         |          ORDER BY vec_id LIMIT 4),
+         |samp AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+         |tq AS (SELECT vec_id, i - 1 AS pos,
+         |         CAST(floor(v[i] * 1000) AS BIGINT) AS qv
+         |       FROM (SELECT vec_id, v, unnest(generate_series(1, 64)) AS i
+         |             FROM samp)),
+         |seed_ids AS (SELECT vec_id AS cid FROM samp ORDER BY vec_id LIMIT 4),
+         |cq AS (SELECT s.cid, t.pos, t.qv AS qc FROM seed_ids s
+         |       JOIN tq t ON t.vec_id = s.cid),
+         |a1 AS (SELECT t.vec_id, cc.cid,
+         |         SUM((t.qv - cc.qc) * (t.qv - cc.qc)) AS dist
+         |       FROM tq t JOIN cq cc USING (pos) GROUP BY t.vec_id, cc.cid),
+         |r1 AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |         ORDER BY dist ASC, cid ASC) AS rn FROM a1),
+         |asg1 AS (SELECT vec_id, cid FROM r1 WHERE rn = 1),
+         |cm AS (SELECT a.cid, t.pos,
+         |         CAST(SUM(t.qv) AS DOUBLE) / (COUNT(*) * 1000) AS cv
+         |       FROM tq t JOIN asg1 a USING (vec_id) GROUP BY a.cid, t.pos),
+         |centt AS (SELECT cid AS centroid_id, list(cv ORDER BY pos) AS v
+         |          FROM cm GROUP BY cid),
+         |acr AS (SELECT x.vec_id AS vid, y.centroid_id,
+         |          ${cosBetween("x", "y")} AS csim
+         |        FROM e x CROSS JOIN centr y),
+         |arr AS (SELECT vid, centroid_id, row_number() OVER (PARTITION BY vid
+         |          ORDER BY csim DESC, centroid_id ASC) AS rn FROM acr),
+         |act AS (SELECT x.vec_id AS vid, y.centroid_id,
+         |          ${cosBetween("x", "y")} AS csim
+         |        FROM e x CROSS JOIN centt y),
+         |art AS (SELECT vid, centroid_id, row_number() OVER (PARTITION BY vid
+         |          ORDER BY csim DESC, centroid_id ASC) AS rn FROM act)
+         |SELECT 'rank' AS variant, centroid_id, COUNT(*) AS n_members
+         |FROM arr WHERE rn = 1 GROUP BY centroid_id
+         |UNION ALL
+         |SELECT 'trained' AS variant, centroid_id, COUNT(*) AS n_members
+         |FROM art WHERE rn = 1 GROUP BY centroid_id""".stripMargin
     },
 
     // Mirrors Similarity.pqSearch stage-for-stage: identical encode as
