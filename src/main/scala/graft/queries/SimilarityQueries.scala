@@ -134,6 +134,19 @@ object SimilarityQueries {
           col("rank").cast("long").as("rank"))
     }),
 
+    // Skew guard rail for data-dependent buckets (the E2 cap
+    // discipline on the search side): candidates bounded at the 40
+    // lowest-id rows per bucket, so a cluster-concentrated bucket can
+    // never explode the equi-join — deterministic drops, measured
+    // motivation in SCALE.md §Round-13 (clustered LSH walls).
+    "q_knn_bucketed_capped" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bucketedTopK(emb, emb.filter(col("vec_id") < 10), 10,
+        planes = 3, maxBucketCandidates = Some(40))
+        .select(col("query_id"), col("cand_id"), col("sim"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     // Multi-probe twin of q_knn_bucketed: each query also probes its 3
     // Hamming-1 buckets (the probe set approxNearestNeighbor uses). The
     // r12 simsearch sweep measured WHY this is the scale path: under
@@ -1053,6 +1066,28 @@ object SimilarityQueries {
          |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
          |    $cosineSql AS sim
          |  FROM e q JOIN e c
+         |    ON q.vec_id < 10 AND c.bucket = q.bucket AND c.vec_id <> q.vec_id
+         |), r AS (
+         |  SELECT query_id, cand_id, sim,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rank
+         |  FROM p
+         |)
+         |SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 10""".stripMargin,
+
+    // q_knn_bucketed with the candidate side capped at the 40
+    // lowest-id rows per bucket (row_number over bucket — the exact
+    // deterministic keep rule the operator uses); queries stay uncapped.
+    "q_knn_bucketed_capped" ->
+      s"""WITH e AS (SELECT vec_id, v, $bucketSql AS bucket FROM ($vecsSql)),
+         |capped AS (
+         |  SELECT vec_id, v, bucket FROM (
+         |    SELECT vec_id, v, bucket,
+         |      row_number() OVER (PARTITION BY bucket ORDER BY vec_id ASC) AS bn
+         |    FROM e) WHERE bn <= 40),
+         |p AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    $cosineSql AS sim
+         |  FROM e q JOIN capped c
          |    ON q.vec_id < 10 AND c.bucket = q.bucket AND c.vec_id <> q.vec_id
          |), r AS (
          |  SELECT query_id, cand_id, sim,
