@@ -108,6 +108,27 @@ object StreamBench {
         pmod(k * 13, lit(991)), lit("dolor"), pmod(k * 29, lit(983)),
         lit("sit"), pmod(k * 37, lit(977)))
 
+    // per-stage (submissionMs, taskMs, cpuMs) — Bench's CPU-normalized
+    // throughput discipline (r13) on this harness too. Registered
+    // before the mode branches, which all GENERATE input before taking
+    // t0: generation stages are excluded at summing time by their
+    // submission timestamp (< the measurement's wall-clock t0), so
+    // cpu_ms prices only the streaming run itself.
+    val stageAcct =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    val acctListener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val tm = e.stageInfo.taskMetrics
+        if (tm != null) {
+          stageAcct.add((e.stageInfo.submissionTime.getOrElse(Long.MaxValue),
+            tm.executorRunTime, tm.executorCpuTime / 1000000))
+          ()
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(acctListener)
+
     val (q, keys, t0) =
       if (mode == "bloom") {
         // stateless screen topology: stream-static bloom probes + the
@@ -509,7 +530,20 @@ object StreamBench {
       else if (mode == "asof") rows.toLong + rows / 10
       else rows.toLong * 4
     val windows = progress.map(_.stateOperators.headOption.map(_.numRowsTotal).getOrElse(0L)).maxOption.getOrElse(0L)
-    println(s"""{"metric":"stream_rows_per_sec","mode":"$mode","value":${(rows / secs).round},"unit":"rows/sec","dataset_rows":$rows,"keys":$keys,"wire_messages":$messages,"state_rows":$windows,"wall_sec":${math.round(secs * 100) / 100.0}}""")
+    // stages submitted before the measurement's t0 (wall-clock
+    // reconstruction of the branch's nanoTime mark) are the input
+    // GENERATION — excluded, so cpu_ms covers the run only
+    Bench.drainListenerBus(spark)
+    spark.sparkContext.removeSparkListener(acctListener)
+    val wallT0 =
+      System.currentTimeMillis - ((System.nanoTime() - t0) / 1000000)
+    var taskMs = 0L
+    var cpuMs = 0L
+    stageAcct.forEach { case (sub, t, c) =>
+      if (sub >= wallT0 - 50) { taskMs += t; cpuMs += c }
+    }
+    val rowsPerCpuSec = if (cpuMs > 0) (rows * 1000.0 / cpuMs).round else -1L
+    println(s"""{"metric":"stream_rows_per_sec","mode":"$mode","value":${(rows / secs).round},"unit":"rows/sec","dataset_rows":$rows,"keys":$keys,"wire_messages":$messages,"state_rows":$windows,"wall_sec":${math.round(secs * 100) / 100.0},"task_ms":$taskMs,"cpu_ms":$cpuMs,"rows_per_cpu_sec":$rowsPerCpuSec}""")
     // Where the wall time goes, summed over micro-batches (milliseconds):
     // addBatch = run the batch's job (scan+parse+agg+state), walCommit +
     // commitOffsets = checkpoint fsyncs, queryPlanning = incremental
