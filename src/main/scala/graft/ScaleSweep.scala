@@ -463,11 +463,14 @@ object ScaleSweep {
         points.foreach { n =>
           // signBucket reads one coordinate per plane, so planes is
           // HARD-capped at the corpus dim (16 here): past ~268M rows
-          // the log2 sizing would exceed it and element_at(dim+1)
-          // returns NULL, silently emptying every bucket (recall 0
-          // instead of a loud failure). At the cap, expected bucket
-          // occupancy grows past 4096 with n — the honest behavior
-          // for a fixed-dim corpus.
+          // the log2 sizing would exceed it, and under ANSI mode
+          // (Spark 4 default — this session) element_at(dim+1) THROWS
+          // INVALID_ARRAY_INDEX, killing the sweep at that point
+          // (ScaleSweepFixtureSpec pins the throw; the NULL-and-
+          // silently-empty-buckets failure is the legacy non-ANSI
+          // mode only). At the cap, expected bucket occupancy grows
+          // past 4096 with n — the honest behavior for a fixed-dim
+          // corpus.
           val planes = math.min(dim, math.max(4,
             math.ceil(math.log(n / 4096.0) / math.log(2)).toInt))
           val nlist = math.max(16, math.round(math.sqrt(n.toDouble) / 16).toInt)

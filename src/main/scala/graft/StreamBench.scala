@@ -112,7 +112,7 @@ object StreamBench {
     // throughput discipline (r13) on this harness too. Registered
     // before the mode branches, which all GENERATE input before taking
     // t0: generation stages are excluded at summing time by their
-    // submission timestamp (< the measurement's wall-clock t0), so
+    // submission timestamp (< the measurement's wall-clock mark), so
     // cpu_ms prices only the streaming run itself.
     val stageAcct =
       new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
@@ -129,6 +129,19 @@ object StreamBench {
     }
     spark.sparkContext.addSparkListener(acctListener)
 
+    // Wall-clock twin of each branch's nanoTime t0, captured at the SAME
+    // instant (r13 ADVICE: the former reconstruction — currentTimeMillis
+    // minus the elapsed nanos, with a fixed 50 ms fudge — could count a
+    // generation stage submitted just before t0 into the run's cpu_ms on
+    // a fast box). Generation writes are blocking actions completed
+    // before markStart() runs, so their stages are always SUBMITTED
+    // before this mark; no fudge needed.
+    var wallMark = Long.MaxValue
+    def markStart(): Long = {
+      wallMark = System.currentTimeMillis
+      System.nanoTime()
+    }
+
     val (q, keys, t0) =
       if (mode == "bloom") {
         // stateless screen topology: stream-static bloom probes + the
@@ -142,7 +155,7 @@ object StreamBench {
           .repartition(8).write.option("header", "true").csv(s"$dir/in")
         val corpus = spark.range(corpusN)
           .select(col("id").as("doc_id"), docText(col("id")).as("text"))
-        val t0 = System.nanoTime()
+        val t0 = markStart()
         val reader = spark.readStream.schema("doc_id LONG, text STRING")
           .option("header", "true")
         if (filesPerTrigger != "0") reader.option("maxFilesPerTrigger", filesPerTrigger)
@@ -160,7 +173,7 @@ object StreamBench {
         spark.range(rows)
           .select(col("id").as("doc_id"), docText(col("id")).as("text"))
           .repartition(8).write.option("header", "true").csv(s"$dir/in")
-        val t0 = System.nanoTime()
+        val t0 = markStart()
         val reader = spark.readStream.schema("doc_id LONG, text STRING")
           .option("header", "true")
         if (filesPerTrigger != "0") reader.option("maxFilesPerTrigger", filesPerTrigger)
@@ -182,7 +195,7 @@ object StreamBench {
             .select(col("server_id"),
               floor(col("cpu_pct") * 100).cast("long").as("qv")),
           "server_id", "qv", binWidth = 1000L, maxBin = 9)
-        val t0 = System.nanoTime()
+        val t0 = markStart()
         val reader = spark.readStream.schema(graft.core.Schemas.dataset)
           .option("header", "true")
         if (filesPerTrigger != "0") reader.option("maxFilesPerTrigger", filesPerTrigger)
@@ -202,7 +215,7 @@ object StreamBench {
         // windowed aggregation, no wire demux)
         val users = math.max(1000, rows / 100)
         writeJourneyEvents(users)
-        val t0 = System.nanoTime()
+        val t0 = markStart()
         val ds = journeyReader().as[graft.operators.Behavior.FunnelEvent]
         val q = graft.operators.Behavior
           .funnelStream(ds, Seq("view", "click", "purchase"))
@@ -222,7 +235,7 @@ object StreamBench {
           .repartition(8).write.option("header", "true").csv(s"$dir/in")
         val corpus = spark.range(corpusN)
           .select(col("id").as("doc_id"), docText(col("id")).as("text"))
-        val t0 = System.nanoTime()
+        val t0 = markStart()
         val reader = spark.readStream.schema("doc_id LONG, text STRING")
           .option("header", "true")
         if (filesPerTrigger != "0") reader.option("maxFilesPerTrigger", filesPerTrigger)
@@ -244,7 +257,7 @@ object StreamBench {
             timestamp_seconds(floor((col("id") % distinctMsgs) / 100))
               .as("ts"))
           .repartition(8).write.option("header", "true").csv(s"$dir/in")
-        val t0 = System.nanoTime()
+        val t0 = markStart()
         val reader = spark.readStream.schema("msg_id LONG, ts TIMESTAMP")
           .option("header", "true")
         if (filesPerTrigger != "0") reader.option("maxFilesPerTrigger", filesPerTrigger)
@@ -268,7 +281,7 @@ object StreamBench {
             col("id").cast("string").as("payload"))
           .repartition(8).write.option("header", "true").csv(s"$dir/in")
         graft.streaming.TwsOps.useRocksDb(spark)
-        val t0 = System.nanoTime()
+        val t0 = markStart()
         val reader = spark.readStream.schema("msg_id STRING, payload STRING")
           .option("header", "true")
         if (filesPerTrigger != "0") reader.option("maxFilesPerTrigger", filesPerTrigger)
@@ -291,7 +304,7 @@ object StreamBench {
           .select((col("id") % groups).as("g"),
             (col("id") % distinctVals).as("v"))
           .repartition(8).write.option("header", "true").csv(s"$dir/in")
-        val t0 = System.nanoTime()
+        val t0 = markStart()
         val reader = spark.readStream.schema("g LONG, v LONG")
           .option("header", "true")
         if (filesPerTrigger != "0") reader.option("maxFilesPerTrigger", filesPerTrigger)
@@ -318,7 +331,7 @@ object StreamBench {
                 (col("id") % fillers).cast("string"))).as("item"))
           .repartition(8).write.option("header", "true").csv(s"$dir/in")
         graft.streaming.TwsOps.useRocksDb(spark)
-        val t0 = System.nanoTime()
+        val t0 = markStart()
         val reader = spark.readStream.schema("key STRING, t LONG, item STRING")
           .option("header", "true")
         if (filesPerTrigger != "0") reader.option("maxFilesPerTrigger", filesPerTrigger)
@@ -341,7 +354,7 @@ object StreamBench {
             (col("id") * 10).cast("long").as("tu"))
           .repartition(4).write.option("header", "true").csv(s"$dir/in2")
         graft.streaming.TwsOps.useRocksDb(spark)
-        val t0 = System.nanoTime()
+        val t0 = markStart()
         val probes = journeyReader().select(col("user_id"),
           jitterTs(col("tu"), users, 7).as("ts"), col("tu").cast("double").as("v"))
         val stateReader = {
@@ -365,7 +378,7 @@ object StreamBench {
         val users = math.max(1000, rows / 100)
         writeJourneyEvents(users)
         graft.streaming.TwsOps.useRocksDb(spark)
-        val t0 = System.nanoTime()
+        val t0 = markStart()
         val obs = journeyReader().select(col("user_id"),
           jitterTs(col("tu"), users, 7).as("ts"), col("tu").as("tie"))
         val q = graft.streaming.TwsOps.debounceTws(obs, "user_id", "ts",
@@ -382,7 +395,7 @@ object StreamBench {
         val users = math.max(1000, rows / 100)
         writeJourneyEvents(users)
         graft.streaming.TwsOps.useRocksDb(spark)
-        val t0 = System.nanoTime()
+        val t0 = markStart()
         val obs = journeyReader().select(col("user_id"),
           jitterTs(col("tu"), users, 7).as("ts"),
           col("tu").as("tie"), pmod(col("tu"), lit(1000)).cast("double").as("v"))
@@ -401,7 +414,7 @@ object StreamBench {
         // all-singletons).
         val users = math.max(1000, rows / 100)
         writeJourneyEvents(users)
-        val t0 = System.nanoTime()
+        val t0 = markStart()
         val ev = journeyReader()
           .select(col("user_id"), jitterTs(col("tu"), users, 7).as("ts"),
             col("event_type"))
@@ -419,7 +432,7 @@ object StreamBench {
         val users = math.max(1000, rows / 100)
         writeJourneyEvents(users)
         graft.streaming.TwsOps.useRocksDb(spark)
-        val t0 = System.nanoTime()
+        val t0 = markStart()
         val ev = journeyReader()
           .select(col("user_id"), jitterTs(col("tu"), users, 7).as("ts"))
         val q = graft.streaming.TwsOps.sessionsTws(ev, "user_id", "ts",
@@ -436,7 +449,7 @@ object StreamBench {
         // journey rows + O(conversions per open window) latencies)
         val users = math.max(1000, rows / 100)
         writeJourneyEvents(users)
-        val t0 = System.nanoTime()
+        val t0 = markStart()
         val ds = journeyReader()
           .withColumn("tu", col("tu") * 1000)
           .as[graft.operators.Behavior.FunnelEvent]
@@ -451,7 +464,7 @@ object StreamBench {
         // reference-shaped dataset (5s cadence; fleet size scales with
         // volume so the time-of-day wire never wraps midnight)
         val servers = writeSyntheticDay(spark, dir, rows)
-        val t0 = System.nanoTime()
+        val t0 = markStart()
         val reader = spark.readStream.schema(graft.core.Schemas.dataset)
           .option("header", "true")
         if (filesPerTrigger != "0") reader.option("maxFilesPerTrigger", filesPerTrigger)
@@ -530,17 +543,15 @@ object StreamBench {
       else if (mode == "asof") rows.toLong + rows / 10
       else rows.toLong * 4
     val windows = progress.map(_.stateOperators.headOption.map(_.numRowsTotal).getOrElse(0L)).maxOption.getOrElse(0L)
-    // stages submitted before the measurement's t0 (wall-clock
-    // reconstruction of the branch's nanoTime mark) are the input
-    // GENERATION — excluded, so cpu_ms covers the run only
+    // stages submitted before the measurement's wall-clock mark (taken
+    // at the same instant as the branch's nanoTime t0 — markStart) are
+    // the input GENERATION — excluded, so cpu_ms covers the run only
     Bench.drainListenerBus(spark)
     spark.sparkContext.removeSparkListener(acctListener)
-    val wallT0 =
-      System.currentTimeMillis - ((System.nanoTime() - t0) / 1000000)
     var taskMs = 0L
     var cpuMs = 0L
     stageAcct.forEach { case (sub, t, c) =>
-      if (sub >= wallT0 - 50) { taskMs += t; cpuMs += c }
+      if (sub >= wallMark) { taskMs += t; cpuMs += c }
     }
     val rowsPerCpuSec = if (cpuMs > 0) (rows * 1000.0 / cpuMs).round else -1L
     println(s"""{"metric":"stream_rows_per_sec","mode":"$mode","value":${(rows / secs).round},"unit":"rows/sec","dataset_rows":$rows,"keys":$keys,"wire_messages":$messages,"state_rows":$windows,"wall_sec":${math.round(secs * 100) / 100.0},"task_ms":$taskMs,"cpu_ms":$cpuMs,"rows_per_cpu_sec":$rowsPerCpuSec}""")

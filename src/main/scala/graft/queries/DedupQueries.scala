@@ -52,7 +52,16 @@ object DedupQueries {
       // 12-gram/8×2 sizing above), so pinning the joins' build side
       // removes the measured AQE borderline flip (r13: 0 vs 18 MB
       // shuffle, 4× CPU, pass-to-pass on identical code) instead of
-      // gambling on stage-completion order each run
+      // gambling on stage-completion order each run.
+      // FAILURE MODE if the bound is ever wrong (r13 ADVICE): the
+      // second pin broadcasts candidates ALREADY JOINED with set_a —
+      // pair rows carrying full shingle-set arrays — so a corpus whose
+      // banding degenerates (tiny shared vocabulary, see the sizing
+      // note above) surfaces as a broadcast-size/OOM error on THIS
+      // query's second join, not anywhere near jaccardFromProfiles.
+      // A count()-based runtime guard would add a full extra job to
+      // the hot path per run; the bound is instead auditable offline
+      // via q_lsh_bucket_audit (bucket sizes) and q_minhash_error.
       graft.core.CacheScope.releaseAfterUse(
         Dedup.jaccardFromProfiles(profiles, cands, "doc_id",
           broadcastCandidates = true)
