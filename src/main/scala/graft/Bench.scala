@@ -12,9 +12,12 @@ import org.apache.spark.sql.functions._
   * real work. One small warmup query heats the JVM/codegen paths so the
   * first measured query isn't charged for session startup.
   *
-  * Methodology: every query runs SPARK_GRAFT_BENCH_N times (default 3)
-  * and the reported number is the per-query MEDIAN — single runs on a
-  * shared sandbox are noise. Each pass ALSO publishes plan-invariant
+  * Methodology: one UNTIMED full-catalog warm-up pass (r14 —
+  * published as pass 0 in pass_detail, excluded from all medians; the
+  * r13 driver's timed passes ran 250/197/153 s on bit-equal
+  * invariants, pure JIT/cache ramp), then every query runs
+  * SPARK_GRAFT_BENCH_N times (default 3) and the reported number is
+  * the per-query MEDIAN — single runs on a shared sandbox are noise. Each pass ALSO publishes plan-invariant
   * totals (input rows/MB, shuffle read/write MB, task count) next to
   * its wall/task_ms/gc_ms in `pass_detail`: the invariants are fixed
   * by (code, data, plan), so a wall delta between passes — or between
@@ -76,6 +79,22 @@ object Bench {
       else SparkEntry.queries.keys.toSeq.sorted
     var leakedRdds = 0
     val passDetails = scala.collection.mutable.ArrayBuffer.empty[String]
+    // Full-catalog WARM-UP pass, untimed (r13 verdict #2): the r13
+    // driver passes ran 250.5/197.9/153.4 s on bit-equal plan
+    // invariants — a pure JIT/cache ramp — so the per-query
+    // median-of-3 carried pass-1 cold time and the headline read ~15%
+    // above the warm band. One unreported pass compiles every plan's
+    // generated classes and fills the code/page caches, making pass 1
+    // of the TIMED passes a warm-capability number. Its wall is
+    // published in pass_detail (pass 0, "warmup":true) so the ramp
+    // stays visible in the artifact; it feeds no median.
+    // SPARK_GRAFT_BENCH_WARMUP=0 skips it (dev loop / budget fallback).
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt > 0) {
+      val t0 = System.nanoTime()
+      names.foreach(materialize)
+      passDetails += s"""{"pass":0,"warmup":true,"wall_sec":${round2((System.nanoTime() - t0) / 1e9)}}"""
+      System.gc()
+    }
     val passes = (1 to n).map { passNo =>
       // per-pass stage accounting: the invariant counters (input
       // rows/MB, shuffle MB, tasks) must agree across passes — they are
@@ -176,10 +195,52 @@ object Bench {
       if (cpuSorted.isEmpty || streamCpuNorm <= 0) -1L
       else (cpuSorted.last - cpuSorted.head) * 100 / streamCpuNorm
     val streamCpuJson = cpuOrdered.mkString("[", ",", "]")
+    // ROBUST stream headline (r13 verdict #1): the r13 driver artifact
+    // had 3 of 5 runs agreeing at 29-35k rows/CPU-sec while 2 burned
+    // 4-9× the CPU on bit-equal plans — memory-system contention
+    // inflates on-CPU cycles beyond the ±30% band the 24-spinner
+    // experiment measured, so no per-task counter can normalize an
+    // outlier run away. Instead the headline is computed over the
+    // largest mutually-consistent run CLUSTER, grown by rule: sort
+    // successful runs by cpu_ms ascending and admit each next run while
+    // its cpu_ms ≤ 2× the current cluster median (cpu_ms is the
+    // plan-work proxy — it cannot legitimately double on identical
+    // invariants; the measured contention band is ±30%). Excluded runs
+    // are LISTED in the artifact (run id + cpu_ms + rps), never
+    // silently dropped, and the rule itself rides the JSON.
+    val consistent = streamRuns.filter(r => r.rps >= 0 && r.cpuMs > 0)
+      .sortBy(_.cpuMs)
+      .foldLeft(Vector.empty[StreamRun]) { (acc, r) =>
+        if (acc.isEmpty) acc :+ r
+        else {
+          val med = acc.map(_.cpuMs).apply((acc.size - 1) / 2) // acc is cpu-ascending
+          if (r.cpuMs <= 2 * med) acc :+ r else acc
+        }
+      }
+    val excluded = streamRuns.filter(r => r.rps >= 0 && r.cpuMs > 0 &&
+      !consistent.exists(_.run == r.run))
+    def robustMedian(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      if (s.isEmpty) -1L else s((s.size - 1) / 2)
+    }
+    def robustSpread(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      val m = robustMedian(s)
+      if (s.isEmpty || m <= 0) -1L else (s.last - s.head) * 100 / m
+    }
+    val robustRps = robustMedian(consistent.map(_.rps))
+    val robustRpsSpread = robustSpread(consistent.map(_.rps))
+    val robustCpu = robustMedian(consistent.map(_.rowsPerCpuSec))
+    val robustCpuSpread = robustSpread(consistent.map(_.rowsPerCpuSec))
+    val excludedJson = excluded.map(r =>
+        s"""{"run":${r.run},"cpu_ms":${r.cpuMs},"rps":${r.rps},"rows_per_cpu_sec":${r.rowsPerCpuSec}}""")
+      .mkString("[", ",", "]")
+    val exclusionRule =
+      "cpu_ms > 2x cluster median, cluster grown ascending from the min-cpu_ms run"
     val streamDetail = streamRuns.map(_.detailJson).mkString("[", ",", "]")
     val passJson = passDetails.mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"queries":$qs,"pass_detail":$passJson,"stream_rows_per_sec":$streamRps,"stream_rps_runs":$streamJson,"stream_rps_spread_pct":$streamSpreadPct,"stream_rows_per_task_ms":$streamNorm,"stream_rows_per_task_ms_runs":$streamNormJson,"stream_norm_spread_pct":$streamNormSpreadPct,"stream_rows_per_cpu_sec":$streamCpuNorm,"stream_rows_per_cpu_sec_runs":$streamCpuJson,"stream_cpu_spread_pct":$streamCpuSpreadPct,"stream_run_detail":$streamDetail,"leaked_rdds":$leakedRdds,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"queries":$qs,"pass_detail":$passJson,"stream_rows_per_sec":$streamRps,"stream_rps_runs":$streamJson,"stream_rps_spread_pct":$streamSpreadPct,"stream_rows_per_task_ms":$streamNorm,"stream_rows_per_task_ms_runs":$streamNormJson,"stream_norm_spread_pct":$streamNormSpreadPct,"stream_rows_per_cpu_sec":$streamCpuNorm,"stream_rows_per_cpu_sec_runs":$streamCpuJson,"stream_cpu_spread_pct":$streamCpuSpreadPct,"stream_rps_robust":$robustRps,"stream_robust_rps_spread_pct":$robustRpsSpread,"stream_rows_per_cpu_sec_robust":$robustCpu,"stream_robust_cpu_spread_pct":$robustCpuSpread,"stream_excluded_runs":$excludedJson,"stream_exclusion_rule":"$exclusionRule","stream_run_detail":$streamDetail,"leaked_rdds":$leakedRdds,"sf":"$sfDir"}"""
     println(fullLine)
     // The per-query line above is ~3KB and the harness captures a bounded
     // stdout tail, which can truncate its head — so the full map is ALSO
@@ -195,7 +256,7 @@ object Bench {
       }
     // Repeat the headline numbers as a short (<200 byte) FINAL line so the
     // last line is always a complete JSON object whatever the tail size.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"queries_n":${results.size},"stream_rows_per_sec":$streamRps,"stream_rps_spread_pct":$streamSpreadPct,"stream_rows_per_task_ms":$streamNorm,"stream_norm_spread_pct":$streamNormSpreadPct,"stream_rows_per_cpu_sec":$streamCpuNorm,"stream_cpu_spread_pct":$streamCpuSpreadPct,"leaked_rdds":$leakedRdds}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"queries_n":${results.size},"stream_rows_per_sec":$streamRps,"stream_rps_spread_pct":$streamSpreadPct,"stream_rows_per_cpu_sec":$streamCpuNorm,"stream_cpu_spread_pct":$streamCpuSpreadPct,"stream_rps_robust":$robustRps,"stream_rows_per_cpu_sec_robust":$robustCpu,"stream_robust_cpu_spread_pct":$robustCpuSpread,"excluded_n":${excluded.size},"leaked_rdds":$leakedRdds}""")
     spark.stop()
     // hard tripwire AFTER the artifacts exist: leaked blocks mean the
     // numbers above are suspect — fail the run so it can't pass silently
@@ -239,8 +300,9 @@ object Bench {
     * rows/s, 373% spread) and indistinguishable between sandbox
     * interference and a real data-path stall without this breakdown.
     */
-  private final case class StreamRun(rps: Long, rowsPerTaskMs: Double,
-      rowsPerCpuSec: Long, detailJson: String)
+  private final case class StreamRun(run: Int, rps: Long,
+      rowsPerTaskMs: Double, rowsPerCpuSec: Long, cpuMs: Long,
+      detailJson: String)
 
   /** Per-run stage-level accounting (the r10 verdict demand): the
     * trigger-phase breakdown names addBatch as the slow PHASE but not
@@ -348,7 +410,22 @@ object Bench {
       // wraps midnight (see StreamBench.writeSyntheticDay)
       StreamBench.writeSyntheticDay(spark, dir, rows)
 
-      def onePass(run: Int): (Double, String, Long, Double, Long) = {
+      def onePass(run: Int): (Double, String, Long, Double, Long, Long) = {
+        // box-load telemetry bracketing the run (r13 verdict #1): the
+        // two r13 outlier runs burned 4-9× the CPU on identical plans —
+        // memory-system contention inflates on-CPU cycles themselves —
+        // and nothing in the artifact showed the box was busy. os_load_avg
+        // is the 1-min runnable-thread average at run END;
+        // jvm_cpu_share is THIS JVM's process-CPU seconds over
+        // wall × cores — a calm box shows share ≈ load/cores ≈ the
+        // run's own parallelism, a contended box shows load ≫ share.
+        val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        def procCpuNs: Long = osBean match {
+          case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+          case _ => -1L
+        }
+        val procCpu0 = procCpuNs
+        val wall0 = System.nanoTime()
         val dataset = spark.readStream.schema(graft.core.Schemas.dataset)
           .option("header", "true").csv(s"$dir/in")
         val cfg = PipelineConfig.default
@@ -420,13 +497,21 @@ object Bench {
         // moving outside its band is a real efficiency change.
         val rowsPerCpuSec =
           if (t.cpuMs > 0) (rows * 1000.0 / t.cpuMs).round else -1L
+        val osLoad = round2(osBean.getSystemLoadAverage)
+        val procCpu1 = procCpuNs
+        val jvmShare =
+          if (procCpu0 >= 0 && procCpu1 >= procCpu0)
+            round2((procCpu1 - procCpu0).toDouble /
+              ((System.nanoTime() - wall0).toDouble *
+                Runtime.getRuntime.availableProcessors))
+          else -1.0
         // source_rows = query-progress numInputRows (source-scan rows,
         // ≈ families × dataset rows); t.json's input_rows is the
         // stage-level scan record count — same unit, different
         // subsystem, so the two cross-check each other
         val detail =
-          s""""secs":${round2(secs)},"batches":${progs.length},"source_rows":$rowsIn,"phases_ms":$phaseJson,${t.json},"rows_per_task_ms":$rowsPerTaskMs,"rows_per_cpu_sec":$rowsPerCpuSec,${acct.stagesJson}"""
-        (secs, detail, rowsIn, rowsPerTaskMs, rowsPerCpuSec)
+          s""""secs":${round2(secs)},"batches":${progs.length},"source_rows":$rowsIn,"phases_ms":$phaseJson,${t.json},"rows_per_task_ms":$rowsPerTaskMs,"rows_per_cpu_sec":$rowsPerCpuSec,"os_load_avg":$osLoad,"jvm_cpu_share":${round2(jvmShare)},${acct.stagesJson}"""
+        (secs, detail, rowsIn, rowsPerTaskMs, rowsPerCpuSec, t.cpuMs)
       }
 
       // Unreported warm-up pass over the SAME input (own checkpoint):
@@ -445,19 +530,19 @@ object Bench {
       (1 to nRuns).map { run =>
         try {
           System.gc()
-          val (secs, detail, _, norm, cpuNorm) = onePass(run)
+          val (secs, detail, _, norm, cpuNorm, cpuMs) = onePass(run)
           val rps = (rows / secs).round
           val line = s"""{"run":$run,"rps":$rps,$detail}"""
           System.err.println(s"[bench] stream $line")
-          StreamRun(rps, norm, cpuNorm, line)
+          StreamRun(run, rps, norm, cpuNorm, cpuMs, line)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] stream run $run failed: ${e.getMessage}")
-          StreamRun(-1L, -1.0, -1L, s"""{"run":$run,"rps":-1}""")
+          StreamRun(run, -1L, -1.0, -1L, -1L, s"""{"run":$run,"rps":-1}""")
         }
       }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] stream throughput failed: ${e.getMessage}")
-      Seq(StreamRun(-1L, -1.0, -1L, """{"rps":-1}"""))
+      Seq(StreamRun(0, -1L, -1.0, -1L, -1L, """{"rps":-1}"""))
     }
   }
 }
