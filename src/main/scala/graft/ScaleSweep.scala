@@ -151,14 +151,25 @@ object ScaleSweep {
   private val JitterPrimes = Seq(733L, 739L, 743L, 751L, 757L, 761L,
     769L, 773L, 787L, 797L, 809L, 811L, 821L, 823L, 827L, 829L)
 
+  /** The per-dimension residue arithmetic of [[embCorpus]] as a column
+    * builder over an arbitrary id column — shared with StreamBench's
+    * `ann` mode so the streamed query vectors and the generated corpus
+    * come from the SAME deterministic generator (a query id equals its
+    * corpus twin's vector exactly).
+    */
+  def embColumn(id: org.apache.spark.sql.Column, dim: Int = 16)
+      : org.apache.spark.sql.Column = {
+    require(dim <= EmbPrimes.size, s"embColumn supports dim <= ${EmbPrimes.size}")
+    array((0 until dim).map { j =>
+      pmod(id * EmbPrimes(j), lit(EmbMods(j))).cast("double") *
+        lit(2.0 / EmbMods(j)) - 1.0
+    }: _*)
+  }
+
   def embCorpus(spark: org.apache.spark.sql.SparkSession, n: Long,
                 dim: Int = 16, idOffset: Long = 0L): DataFrame = {
-    require(dim <= EmbPrimes.size, s"embCorpus supports dim <= ${EmbPrimes.size}")
     spark.range(n).select((col("id") + idOffset).as("vec_id"))
-      .select(col("vec_id"), array((0 until dim).map { j =>
-        pmod(col("vec_id") * EmbPrimes(j), lit(EmbMods(j))).cast("double") *
-          lit(2.0 / EmbMods(j)) - 1.0
-      }: _*).as("embedding"))
+      .select(col("vec_id"), embColumn(col("vec_id"), dim).as("embedding"))
   }
 
   /** Clustered twin of [[embCorpus]] (r12 verdict #3): `centers`

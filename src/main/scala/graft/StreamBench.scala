@@ -460,6 +460,47 @@ object StreamBench {
           .writeStream.format("noop").outputMode("append")
           .option("checkpointLocation", s"$dir/ckpt").start()
         (q, users, t0)
+      } else if (mode == "ann") {
+        // streaming ANN probe topology (E3's streaming twin): a stream
+        // of query vectors probes a PERSISTED IVF index — built ONCE
+        // before t0 (ivfCentroids + ivfAssign + ivfListGroups,
+        // materialized into the cache; the amortization posture: the
+        // build is excluded from the run the way a production index
+        // build is excluded from serving cost). The probe itself is
+        // entirely STATELESS (per-query top-k computed in-row — see
+        // Similarity.ivfProbeStream; AnnStreamSpec pins stream ≡ batch
+        // ivfProbe), so the measured number is pure per-row probe
+        // work: ~nprobe·N/nlist cosine folds per query. Corpus = the
+        // stream volume (same-order corpus and query batch); the query
+        // stream carries only vec_ids on the wire — the embedding is
+        // recomputed from the SAME deterministic generator on read, so
+        // the per-row decode cost rides the measurement honestly.
+        val corpusN = math.max(1000, rows)
+        val nlist = math.max(16,
+          math.round(math.sqrt(corpusN.toDouble) / 16).toInt)
+        spark.range(rows)
+          .select((col("id") + 1000000007L).as("vec_id"))
+          .repartition(8).write.option("header", "true").csv(s"$dir/in")
+        val corpus = graft.ScaleSweep.embCorpus(spark, corpusN)
+        val cents = graft.operators.Similarity.ivfCentroids(corpus, nlist)
+          .persist()
+        cents.count()
+        val groups = graft.operators.Similarity.ivfListGroups(
+            graft.operators.Similarity.ivfAssign(corpus, cents))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        groups.count()
+        val t0 = markStart()
+        val reader = spark.readStream.schema("vec_id LONG")
+          .option("header", "true")
+        if (filesPerTrigger != "0") reader.option("maxFilesPerTrigger", filesPerTrigger)
+        val qs = reader.csv(s"$dir/in")
+          .select(col("vec_id"),
+            graft.ScaleSweep.embColumn(col("vec_id")).as("embedding"))
+        val q = graft.operators.Similarity.ivfProbeStream(groups, cents, qs,
+            k = 10, nprobe = 2)
+          .writeStream.format("noop").outputMode("append")
+          .option("checkpointLocation", s"$dir/ckpt").start()
+        (q, nlist, t0)
       } else {
         // reference-shaped dataset (5s cadence; fleet size scales with
         // volume so the time-of-day wire never wraps midnight)
@@ -539,7 +580,7 @@ object StreamBench {
         mode == "session" || mode == "dedup" || mode == "lsh" ||
         mode == "logit" || mode == "drift" || mode == "kmv" ||
         mode == "tws" || mode == "twssession" || mode == "interp" ||
-        mode == "debounce" || mode == "heavyhitter") rows.toLong
+        mode == "debounce" || mode == "heavyhitter" || mode == "ann") rows.toLong
       else if (mode == "asof") rows.toLong + rows / 10
       else rows.toLong * 4
     val windows = progress.map(_.stateOperators.headOption.map(_.numRowsTotal).getOrElse(0L)).maxOption.getOrElse(0L)

@@ -31,6 +31,40 @@ final class TopKBuffer(val k: Int, val ord: Ordering[InternalRow]) {
   }
 }
 
+/** Shared lexicographic struct-row ordering: field i compared by its
+  * type's interpreted ordering, descending iff `desc(i)` (missing
+  * entries mean ascending), nulls LAST under ascending — the contract
+  * both [[TopKStruct]] (aggregate) and [[StructArrayTopK]] (scalar)
+  * rank by, factored so the two forms cannot drift.
+  */
+private[functions] object StructRowOrdering {
+  def apply(structType: StructType, desc: Seq[Boolean]): Ordering[InternalRow] = {
+    val fieldOrds: Array[Ordering[Any]] =
+      structType.fields.map(f => TypeUtils.getInterpretedOrdering(f.dataType))
+    val descAt: Array[Boolean] =
+      Array.tabulate(structType.length)(i => desc.lift(i).getOrElse(false))
+    new Ordering[InternalRow] {
+      override def compare(a: InternalRow, b: InternalRow): Int = {
+        var i = 0
+        while (i < structType.length) {
+          val dt = structType(i).dataType
+          val av = a.get(i, dt)
+          val bv = b.get(i, dt)
+          val c =
+            if (av == null && bv == null) 0
+            else if (av == null) 1
+            else if (bv == null) -1
+            else fieldOrds(i).compare(av, bv)
+          val oriented = if (descAt(i)) -c else c
+          if (oriented != 0) return oriented
+          i += 1
+        }
+        0
+      }
+    }
+  }
+}
+
 /** Top-k rows per group as a single bounded-state aggregate.
   *
   * `child` is a struct whose fields are compared lexicographically with
@@ -68,31 +102,8 @@ case class TopKStruct(
 
   private lazy val structType = child.dataType.asInstanceOf[StructType]
 
-  private lazy val fieldOrds: Array[Ordering[Any]] =
-    structType.fields.map(f => TypeUtils.getInterpretedOrdering(f.dataType))
-
-  private lazy val descAt: Array[Boolean] =
-    Array.tabulate(structType.length)(i => desc.lift(i).getOrElse(false))
-
-  private lazy val rowOrd: Ordering[InternalRow] = new Ordering[InternalRow] {
-    override def compare(a: InternalRow, b: InternalRow): Int = {
-      var i = 0
-      while (i < structType.length) {
-        val dt = structType(i).dataType
-        val av = a.get(i, dt)
-        val bv = b.get(i, dt)
-        val c =
-          if (av == null && bv == null) 0
-          else if (av == null) 1
-          else if (bv == null) -1
-          else fieldOrds(i).compare(av, bv)
-        val oriented = if (descAt(i)) -c else c
-        if (oriented != 0) return oriented
-        i += 1
-      }
-      0
-    }
-  }
+  private lazy val rowOrd: Ordering[InternalRow] =
+    StructRowOrdering(structType, desc)
 
   override def dataType: DataType = ArrayType(structType, containsNull = false)
 
@@ -174,4 +185,60 @@ object TopKStruct {
     ColumnBridge.column(
       TopKStruct(ColumnBridge.expression(structCol), k, desc.toSeq)
         .toAggregateExpression())
+
+  /** `array_topk_struct(arr, k, desc...)` as a scalar Column — see
+    * [[StructArrayTopK]].
+    */
+  def arrayTopK(arr: Column, k: Int, desc: Boolean*): Column =
+    ColumnBridge.column(
+      StructArrayTopK(ColumnBridge.expression(arr), k, desc.toSeq))
+}
+
+/** Bounded-heap top-k over an ARRAY of structs — the SCALAR twin of
+  * [[TopKStruct]] for the in-row probe shape
+  * (`Similarity.ivfProbeStream`, where a streaming plan must do its
+  * per-query ranking inside one row to stay stateless): returns the k
+  * first-ordered elements of `child` under [[StructRowOrdering]]
+  * (field i descending iff `desc(i)`), SORTED, so array position IS
+  * rank. O(L·log k) primitive compares over a k-bounded heap — the
+  * `array_sort(…, comparator-lambda)` composition this replaces is
+  * O(L·log L) INTERPRETED comparator evals (a when-chain expression
+  * tree evaluated per comparison), measured at 262 query-rows/s on the
+  * ann stream topology at ~2.5k candidates/query before the swap.
+  * Ordering parity: doubles rank NaN greatest (so desc puts NaN first,
+  * exactly like a `desc("sim")` window sort — the lambda comparator
+  * form silently MISORDERED NaN because `>`/`<` are false on NaN).
+  * NULL array elements are skipped; a NULL array yields NULL.
+  */
+case class StructArrayTopK(child: Expression, k: Int, desc: Seq[Boolean])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(k > 0, s"top-k needs k > 0, got $k")
+
+  private lazy val elemType = child.dataType.asInstanceOf[ArrayType]
+    .elementType.asInstanceOf[StructType]
+
+  private lazy val rowOrd: Ordering[InternalRow] =
+    StructRowOrdering(elemType, desc)
+
+  override def dataType: DataType = ArrayType(elemType, containsNull = false)
+
+  override def prettyName: String = "array_topk_struct"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val buf = new TopKBuffer(k, rowOrd)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i))
+        buf.add(arr.getStruct(i, elemType.length).copy())
+      i += 1
+    }
+    new GenericArrayData(buf.sortedRows.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StructArrayTopK =
+    copy(child = newChild)
 }

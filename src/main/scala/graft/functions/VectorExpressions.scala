@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
 
 /** Native dot product over two array<double> columns.
   *
@@ -507,11 +507,162 @@ case class PqEncode(vec: Expression, cents: Expression, m: Int)
     copy(vec = newLeft, cents = newRight)
 }
 
+/** Fused cosine top-k over an inverted-list row — the hot kernel of
+  * `Similarity.ivfProbeStream`: for one query (qv, qnorm, selfId)
+  * against one list (array<struct<cand_id, cv, cnorm>>), score every
+  * candidate `dot(qv, cv) / (qnorm · cnorm)` and keep the k best by
+  * (sim desc, cand_id asc) in a primitive bounded heap, emitted SORTED
+  * as array<struct<sim, cand_id>>.
+  *
+  * Why fused: the composition — transform(list, struct(vec_dot/…)) →
+  * filter(self, null) → StructArrayTopK — is semantically identical
+  * but pays the HOF machinery per CANDIDATE (lambda binding, struct
+  * allocation, two intermediate arrays per row); measured on the ann
+  * stream topology at ~2.5k candidates/query: 262 rows/s as
+  * array_sort-with-comparator, 1,842 rows/s as heap-over-HOF, and the
+  * fused kernel removes the remaining per-candidate allocations. Same
+  * preference-order (b) argument as [[DotProduct]]/[[NearestCentroid]].
+  *
+  * Parity contract (pinned by AnnStreamSpec against the batch window
+  * form): sim is the identical IEEE sequence (sequential-fold dot,
+  * then one divide by the qnorm·cnorm product); doubles order by
+  * java.lang.Double.compare (NaN greatest → first under desc, exactly
+  * like a desc("sim") window sort); candidates with a null/mismatched
+  * cv, null cand_id/cnorm, or cand_id = selfId are skipped (the
+  * documented heap-form NULL exclusion). A null list yields NULL (the
+  * probe-slot left-join miss), which callers drop before merging.
+  * cand_id compares via its type's interpreted ordering, so any
+  * orderable id type works.
+  */
+case class CosineTopK(qv: Expression, qnorm: Expression, selfId: Expression,
+    list: Expression, k: Int)
+  extends QuaternaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(k > 0, s"top-k needs k > 0, got $k")
+
+  override def first: Expression = qv
+  override def second: Expression = qnorm
+  override def third: Expression = selfId
+  override def fourth: Expression = list
+
+  private lazy val idType: DataType = list.dataType.asInstanceOf[ArrayType]
+    .elementType.asInstanceOf[StructType].fields(0).dataType
+
+  private lazy val idOrd: Ordering[Any] =
+    org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(idType)
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("sim", DoubleType, nullable = false),
+      StructField("cand_id", idType, nullable = false))),
+    containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "cosine_topk"
+
+  // rank order: negative when (sa, ia) ranks BEFORE (sb, ib)
+  private def rankCmp(sa: Double, ia: Any, sb: Double, ib: Any): Int = {
+    val c = -java.lang.Double.compare(sa, sb)
+    if (c != 0) c else idOrd.compare(ia, ib)
+  }
+
+  override protected def nullSafeEval(v: Any, n: Any, self: Any, l: Any): Any = {
+    val xs = v.asInstanceOf[ArrayData].toDoubleArray()
+    val qn = n.asInstanceOf[Double]
+    val arr = l.asInstanceOf[ArrayData]
+    // max-heap on rankCmp (root = currently-WORST survivor), primitive
+    // parallel arrays — no per-candidate allocation on the reject path
+    val sims = new Array[Double](k)
+    val ids = new Array[Any](k)
+    var size = 0
+    def siftUp(start: Int): Unit = {
+      var i = start
+      while (i > 0 && rankCmp(sims(i), ids(i), sims((i - 1) / 2), ids((i - 1) / 2)) > 0) {
+        val p = (i - 1) / 2
+        val ts = sims(i); val ti = ids(i)
+        sims(i) = sims(p); ids(i) = ids(p)
+        sims(p) = ts; ids(p) = ti
+        i = p
+      }
+    }
+    def siftDown(): Unit = {
+      var i = 0
+      var done = false
+      while (!done) {
+        val lc = 2 * i + 1
+        val rc = lc + 1
+        var m = i
+        if (lc < size && rankCmp(sims(lc), ids(lc), sims(m), ids(m)) > 0) m = lc
+        if (rc < size && rankCmp(sims(rc), ids(rc), sims(m), ids(m)) > 0) m = rc
+        if (m == i) done = true
+        else {
+          val ts = sims(i); val ti = ids(i)
+          sims(i) = sims(m); ids(i) = ids(m)
+          sims(m) = ts; ids(m) = ti
+          i = m
+        }
+      }
+    }
+    val total = arr.numElements()
+    var i = 0
+    while (i < total) {
+      val c = if (arr.isNullAt(i)) null else arr.getStruct(i, 3)
+      val cv = if (c == null || c.isNullAt(1)) null else c.getArray(1)
+      if (cv != null && !c.isNullAt(0) && !c.isNullAt(2) &&
+          cv.numElements() == xs.length) {
+        val cid = c.get(0, idType)
+        if (idOrd.compare(cid, self) != 0) {
+          var acc = 0.0
+          var j = 0
+          while (j < xs.length) { acc += xs(j) * cv.getDouble(j); j += 1 }
+          val s = acc / (qn * c.getDouble(2))
+          if (size < k) {
+            sims(size) = s; ids(size) = cid
+            size += 1
+            siftUp(size - 1)
+          } else if (rankCmp(s, cid, sims(0), ids(0)) < 0) {
+            sims(0) = s; ids(0) = cid
+            siftDown()
+          }
+        }
+      }
+      i += 1
+    }
+    // pop worst-first into the output tail → array lands rank-ascending
+    val out = new Array[Any](size)
+    var p = size - 1
+    while (p >= 0) {
+      out(p) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](sims(0), ids(0)))
+      size -= 1
+      sims(0) = sims(size); ids(0) = ids(size)
+      siftDown()
+      p -= 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression,
+      newFourth: Expression): Expression =
+    copy(qv = newFirst, qnorm = newSecond, selfId = newThird, list = newFourth)
+}
+
 object VectorFunctions {
   /** Column-level wrapper: dot product of two array<double> columns. */
   def vec_dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a),
       ColumnBridge.expression(b)))
+
+  /** Column-level wrapper: fused cosine top-k of one query against one
+    * inverted-list row (array<struct<cand_id, cv, cnorm>>).
+    */
+  def cosine_topk(qv: Column, qnorm: Column, selfId: Column, list: Column,
+      k: Int): Column =
+    ColumnBridge.column(CosineTopK(ColumnBridge.expression(qv),
+      ColumnBridge.expression(qnorm), ColumnBridge.expression(selfId),
+      ColumnBridge.expression(list), k))
 
   /** Column-level wrapper: squared L2 over two array<bigint> columns. */
   def vec_sqdist_long(a: Column, b: Column): Column =

@@ -147,6 +147,26 @@ object SimilarityQueries {
           col("rank").cast("long").as("rank"))
     }),
 
+    // Per-bucket occupancy audit — the LSH twin of q_ivf_balance (r13
+    // verdict #3: "per-bucket occupancy is what the clustered-skew
+    // claim rides on, make it a number"): for the 3-plane sign-LSH
+    // table, members per bucket uncapped vs rows kept by the
+    // 40-lowest-id cap. The probe cost bound Σ min(|bucket|, cap)
+    // holds only if this table says so; at scale this is the audit a
+    // materialized capped index ships with (ScaleSweep's lsh-indexed
+    // occ_max/occ_p99 columns are the same numbers at 100k-10M).
+    "q_lsh_occupancy" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val full = Similarity.lshBucketTable(emb, planes = 3)
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_members"))
+      val capped = Similarity.lshBucketTable(emb, planes = 3,
+          maxBucketCandidates = Some(40))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_kept"))
+      full.join(capped, Seq("bucket"))
+        .select(col("bucket").cast("long").as("bucket"),
+          col("n_members"), col("n_kept"))
+    }),
+
     // Multi-probe twin of q_knn_bucketed: each query also probes its 3
     // Hamming-1 buckets (the probe set approxNearestNeighbor uses). The
     // r12 simsearch sweep measured WHY this is the scale path: under
@@ -1095,6 +1115,15 @@ object SimilarityQueries {
          |  FROM p
          |)
          |SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 10""".stripMargin,
+
+    // The cap keeps EXACTLY the min(|bucket|, 40) lowest-id rows, so
+    // the kept count is derivable as LEAST in the oracle — the gate
+    // proves the operator's keep rule, not just recounts it.
+    "q_lsh_occupancy" ->
+      s"""WITH e AS (SELECT vec_id, $bucketSql AS bucket FROM ($vecsSql))
+         |SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_members,
+         |  CAST(LEAST(COUNT(*), 40) AS BIGINT) AS n_kept
+         |FROM e GROUP BY bucket""".stripMargin,
 
     "q_knn_bucketed_mp" ->
       s"""WITH e AS (SELECT vec_id, v, $bucketSql AS bucket FROM ($vecsSql)),
