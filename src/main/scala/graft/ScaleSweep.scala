@@ -542,7 +542,32 @@ object ScaleSweep {
           val (tTrainSec, tAssignSec, tProbe) = ivfSplit(corpus, nlist, trained = true)
           val (tProbeSec, tIvf) = collectIds(tProbe(queries))
           graft.core.CacheScope.releaseStragglers(spark)
-          println(s"""{"metric":"simsearch_sweep","fixture":"$fixture","corpus":$n,"k":$k,"brute_sec":${r3(bruteSec)},"planes":$planes,"lsh_sec":${r3(lshSec)},"lsh_recall":${recall(lsh, exact)},"lshmp_sec":${r3(mpSec)},"lshmp_recall":${recall(mp, exact)},"lshcap_sec":${r3(capSec)},"lshcap_recall":${recall(capIds, exact)},"occ_max":$occMax,"occ_p99":$occP99,"lshidx_build_sec":${r3(lshIdxBuildSec)},"lshidx_probe_sec":${r3(lshIdxProbeSec)},"lshidx_recall":${recall(lshIdxIds, exact)},"nlist":$nlist,"ivf_train_sec":${r3(buildSec)},"ivf_assign_sec":${r3(assignSec)},"ivf_build_sec":${r3(buildSec + assignSec)},"ivf_probe_sec":${r3(probeSec)},"ivf_sec":${r3(buildSec + assignSec + probeSec)},"ivf_recall":${recall(ivf, exact)},"ivft_train_sec":${r3(tTrainSec)},"ivft_assign_sec":${r3(tAssignSec)},"ivft_build_sec":${r3(tTrainSec + tAssignSec)},"ivft_probe_sec":${r3(tProbeSec)},"ivft_recall":${recall(tIvf, exact)}}""")
+          // IVF-PQ (r14): the compressed-index tier — coarse argmax +
+          // PQ encode fused into ONE zero-shuffle build projection,
+          // probes scan ~nprobe/nlist of the CODE rows (m ints/vector,
+          // never the raw vectors) through the per-query integer LUT.
+          // Codebook 64 rank-select codewords over m=4 subspaces of the
+          // 16-dim fixture; recall is the lossy-scorer price the column
+          // exists to show next to ivf_recall's exact-scorer number.
+          val pqM = 4
+          val pqNC = 64
+          val tpq0 = System.nanoTime()
+          val pqCoarse = Similarity.ivfCentroids(corpus, nlist).persist()
+          pqCoarse.count()
+          val (pqIndex0, pqCb0) =
+            Similarity.ivfPqBuild(corpus, pqCoarse, m = pqM, nCent = pqNC)
+          val pqCb = pqCb0.persist()
+          pqCb.count()
+          val pqIndex = pqIndex0.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          pqIndex.write.format("noop").mode("overwrite").save()
+          val ivfpqBuildSec = (System.nanoTime() - tpq0) / 1e9
+          val (ivfpqProbeSec, pqIds) = collectIds(
+            Similarity.ivfPqProbe(pqIndex, pqCoarse, pqCb, queries, k,
+                nprobe = 2, m = pqM)
+              .select(col("query_id"), col("neighbor_id").as("cand_id")))
+          graft.core.CacheScope.releaseStragglers(spark)
+          println(s"""{"metric":"simsearch_sweep","fixture":"$fixture","corpus":$n,"k":$k,"brute_sec":${r3(bruteSec)},"planes":$planes,"lsh_sec":${r3(lshSec)},"lsh_recall":${recall(lsh, exact)},"lshmp_sec":${r3(mpSec)},"lshmp_recall":${recall(mp, exact)},"lshcap_sec":${r3(capSec)},"lshcap_recall":${recall(capIds, exact)},"occ_max":$occMax,"occ_p99":$occP99,"lshidx_build_sec":${r3(lshIdxBuildSec)},"lshidx_probe_sec":${r3(lshIdxProbeSec)},"lshidx_recall":${recall(lshIdxIds, exact)},"nlist":$nlist,"ivf_train_sec":${r3(buildSec)},"ivf_assign_sec":${r3(assignSec)},"ivf_build_sec":${r3(buildSec + assignSec)},"ivf_probe_sec":${r3(probeSec)},"ivf_sec":${r3(buildSec + assignSec + probeSec)},"ivf_recall":${recall(ivf, exact)},"ivft_train_sec":${r3(tTrainSec)},"ivft_assign_sec":${r3(tAssignSec)},"ivft_build_sec":${r3(tTrainSec + tAssignSec)},"ivft_probe_sec":${r3(tProbeSec)},"ivft_recall":${recall(tIvf, exact)},"ivfpq_build_sec":${r3(ivfpqBuildSec)},"ivfpq_probe_sec":${r3(ivfpqProbeSec)},"ivfpq_recall":${recall(pqIds, exact)}}""")
         }
       }
     } else if (mode == "ccstar") {

@@ -343,6 +343,17 @@ object SimilarityQueries {
       Similarity.pqSearch(Tables.embeddings(s, d),
         col("vec_id") % 25 === 0, k = 5, m = 4, nCent = 8)),
 
+    // IVF-PQ composed search (the IVFADC layout): coarse-quantizer list
+    // restriction (q_knn_ivf's assignment, nprobe=2 of 8 lists) with
+    // PQ-ADC scoring inside the probed lists (q_pq_search's codes/LUT)
+    // — raw vectors touched at build only, probe scans ~nprobe/nlist of
+    // the code rows. Same query sample as q_pq_search so the two
+    // catalogs price the list restriction directly.
+    "q_knn_ivfpq" -> ((s, d) =>
+      Similarity.ivfPqSearch(Tables.embeddings(s, d),
+        col("vec_id") % 25 === 0, k = 5, nlist = 8, nprobe = 2,
+        m = 4, nCent = 8)),
+
     // Recall@10 of the sign-LSH bucketed screen vs brute-force ground
     // truth on the standard query sample — the audit that justifies
     // (or indicts) q_knn_bucketed's plane count. Exact integer permille.
@@ -1442,6 +1453,75 @@ object SimilarityQueries {
         |)
         |SELECT query_id, vec_id AS neighbor_id, adc_dist, rank
         |FROM r WHERE rank <= 5""".stripMargin,
+
+    // q_knn_ivf's coarse assign/probes CTEs composed with q_pq_search's
+    // codes/lut, ADC restricted to candidates whose list is among the
+    // query's nprobe=2 probed lists — the IVFADC replay, stage-for-stage.
+    "q_knn_ivfpq" -> {
+      def cosBetween(x: String, y: String) =
+        s"""${fold(s"$x.v[i] * $y.v[i]")} /
+           |    (sqrt(${fold(s"$x.v[i] * $x.v[i]")}) * sqrt(${fold(s"$y.v[i] * $y.v[i]")}))""".stripMargin
+      s"""WITH e AS ($vecsSql),
+         |cent AS (SELECT vec_id AS centroid_id, v FROM e
+         |         ORDER BY vec_id LIMIT 8),
+         |ac AS (
+         |  SELECT x.vec_id AS vid, y.centroid_id,
+         |    ${cosBetween("x", "y")} AS csim
+         |  FROM e x CROSS JOIN cent y
+         |),
+         |ar AS (
+         |  SELECT vid, centroid_id,
+         |    row_number() OVER (PARTITION BY vid ORDER BY csim DESC, centroid_id ASC) AS rn
+         |  FROM ac
+         |),
+         |assign AS (SELECT vid, centroid_id FROM ar WHERE rn = 1),
+         |probes AS (SELECT vid AS query_id, centroid_id FROM ar
+         |           WHERE rn <= 2 AND vid % 25 = 0),
+         |q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS qe
+         |  FROM embeddings
+         |), cents AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qe AS qc
+         |  FROM q ORDER BY vec_id LIMIT 8
+         |), ex AS (
+         |  SELECT vec_id, cid, qe, qc,
+         |    unnest(generate_series(1, len(qe))) AS i
+         |  FROM q CROSS JOIN cents
+         |), d AS (
+         |  SELECT vec_id, cid, (i - 1) // (len(qe) // 4) AS s,
+         |    (qe[i] - qc[i]) * (qe[i] - qc[i]) AS d2
+         |  FROM ex
+         |), ds AS (
+         |  SELECT vec_id, cid, s, SUM(d2) AS dist
+         |  FROM d GROUP BY vec_id, cid, s
+         |), codes AS (
+         |  SELECT vec_id, s, cid AS code FROM (
+         |    SELECT vec_id, s, cid,
+         |      row_number() OVER (PARTITION BY vec_id, s
+         |                         ORDER BY dist ASC, cid ASC) AS rn
+         |    FROM ds) WHERE rn = 1
+         |), lut AS (
+         |  SELECT vec_id AS query_id, cid, s, CAST(SUM(d2) AS BIGINT) AS lv
+         |  FROM d WHERE vec_id % 25 = 0 GROUP BY vec_id, cid, s
+         |), adc AS (
+         |  SELECT l.query_id, c.vec_id, CAST(SUM(l.lv) AS BIGINT) AS adc_dist
+         |  FROM codes c
+         |  JOIN assign a ON a.vid = c.vec_id
+         |  JOIN probes pr ON pr.centroid_id = a.centroid_id
+         |  JOIN lut l ON l.query_id = pr.query_id
+         |             AND l.s = c.s AND l.cid = c.code
+         |  WHERE c.vec_id <> l.query_id
+         |  GROUP BY l.query_id, c.vec_id
+         |), r AS (
+         |  SELECT query_id, vec_id, adc_dist,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY adc_dist ASC, vec_id ASC) AS rank
+         |  FROM adc
+         |)
+         |SELECT query_id, vec_id AS neighbor_id, adc_dist, rank
+         |FROM r WHERE rank <= 5""".stripMargin
+    },
 
     // Mirrors sparseNeighbors: same shingles, same integer rational
     // idf (tf·N·100 // df), same fixed-association cosine; top-3 via
