@@ -566,8 +566,33 @@ object ScaleSweep {
             Similarity.ivfPqProbe(pqIndex, pqCoarse, pqCb, queries, k,
                 nprobe = 2, m = pqM)
               .select(col("query_id"), col("neighbor_id").as("cand_id")))
+          pqIndex.unpersist(); pqCb.unpersist()
           graft.core.CacheScope.releaseStragglers(spark)
-          println(s"""{"metric":"simsearch_sweep","fixture":"$fixture","corpus":$n,"k":$k,"brute_sec":${r3(bruteSec)},"planes":$planes,"lsh_sec":${r3(lshSec)},"lsh_recall":${recall(lsh, exact)},"lshmp_sec":${r3(mpSec)},"lshmp_recall":${recall(mp, exact)},"lshcap_sec":${r3(capSec)},"lshcap_recall":${recall(capIds, exact)},"occ_max":$occMax,"occ_p99":$occP99,"lshidx_build_sec":${r3(lshIdxBuildSec)},"lshidx_probe_sec":${r3(lshIdxProbeSec)},"lshidx_recall":${recall(lshIdxIds, exact)},"nlist":$nlist,"ivf_train_sec":${r3(buildSec)},"ivf_assign_sec":${r3(assignSec)},"ivf_build_sec":${r3(buildSec + assignSec)},"ivf_probe_sec":${r3(probeSec)},"ivf_sec":${r3(buildSec + assignSec + probeSec)},"ivf_recall":${recall(ivf, exact)},"ivft_train_sec":${r3(tTrainSec)},"ivft_assign_sec":${r3(tAssignSec)},"ivft_build_sec":${r3(tTrainSec + tAssignSec)},"ivft_probe_sec":${r3(tProbeSec)},"ivft_recall":${recall(tIvf, exact)},"ivfpq_build_sec":${r3(ivfpqBuildSec)},"ivfpq_probe_sec":${r3(ivfpqProbeSec)},"ivfpq_recall":${recall(pqIds, exact)}}""")
+          // trained-codebook twin (the ivft discipline applied to PQ):
+          // rank-select codewords are blind to layout — on the
+          // clustered fixture the nCent lowest-id vectors cover only
+          // the low-id clusters and ADC recall collapses; one sampled
+          // per-subspace Lloyd pass is the fix, and its cost is the
+          // train column, decoupled from corpus size by sampleMod.
+          val tcb0 = System.nanoTime()
+          val tCb = Similarity.pqKmeansCodebook(corpus, m = pqM,
+            nCent = pqNC, sampleMod = 64).persist()
+          tCb.count()
+          val ivfpqtTrainSec = (System.nanoTime() - tcb0) / 1e9
+          val tib0 = System.nanoTime()
+          val (tIndex0, _) = Similarity.ivfPqBuild(corpus, pqCoarse,
+            m = pqM, nCent = pqNC, codebook = Some(tCb))
+          val tIndex = tIndex0.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          tIndex.write.format("noop").mode("overwrite").save()
+          val ivfpqtBuildSec = (System.nanoTime() - tib0) / 1e9
+          val (ivfpqtProbeSec, tPqIds) = collectIds(
+            Similarity.ivfPqProbe(tIndex, pqCoarse, tCb, queries, k,
+                nprobe = 2, m = pqM)
+              .select(col("query_id"), col("neighbor_id").as("cand_id")))
+          pqCoarse.unpersist(); tIndex.unpersist(); tCb.unpersist()
+          graft.core.CacheScope.releaseStragglers(spark)
+          println(s"""{"metric":"simsearch_sweep","fixture":"$fixture","corpus":$n,"k":$k,"brute_sec":${r3(bruteSec)},"planes":$planes,"lsh_sec":${r3(lshSec)},"lsh_recall":${recall(lsh, exact)},"lshmp_sec":${r3(mpSec)},"lshmp_recall":${recall(mp, exact)},"lshcap_sec":${r3(capSec)},"lshcap_recall":${recall(capIds, exact)},"occ_max":$occMax,"occ_p99":$occP99,"lshidx_build_sec":${r3(lshIdxBuildSec)},"lshidx_probe_sec":${r3(lshIdxProbeSec)},"lshidx_recall":${recall(lshIdxIds, exact)},"nlist":$nlist,"ivf_train_sec":${r3(buildSec)},"ivf_assign_sec":${r3(assignSec)},"ivf_build_sec":${r3(buildSec + assignSec)},"ivf_probe_sec":${r3(probeSec)},"ivf_sec":${r3(buildSec + assignSec + probeSec)},"ivf_recall":${recall(ivf, exact)},"ivft_train_sec":${r3(tTrainSec)},"ivft_assign_sec":${r3(tAssignSec)},"ivft_build_sec":${r3(tTrainSec + tAssignSec)},"ivft_probe_sec":${r3(tProbeSec)},"ivft_recall":${recall(tIvf, exact)},"ivfpq_build_sec":${r3(ivfpqBuildSec)},"ivfpq_probe_sec":${r3(ivfpqProbeSec)},"ivfpq_recall":${recall(pqIds, exact)},"ivfpqt_train_sec":${r3(ivfpqtTrainSec)},"ivfpqt_build_sec":${r3(ivfpqtBuildSec)},"ivfpqt_probe_sec":${r3(ivfpqtProbeSec)},"ivfpqt_recall":${recall(tPqIds, exact)}}""")
         }
       }
     } else if (mode == "ccstar") {

@@ -1455,7 +1455,9 @@ object SimilarityQueries {
         |FROM r WHERE rank <= 5""".stripMargin,
 
     // q_knn_ivf's coarse assign/probes CTEs composed with q_pq_search's
-    // codes/lut, ADC restricted to candidates whose list is among the
+    // codes CTE, scored by COSINE-ADC (subspace inner-product +
+    // codeword-norm LUTs; sim = Σip / (√qn2·√Σcn2) — integer sums, one
+    // IEEE division) restricted to candidates whose list is among the
     // query's nprobe=2 probed lists — the IVFADC replay, stage-for-stage.
     "q_knn_ivfpq" -> {
       def cosBetween(x: String, y: String) =
@@ -1490,7 +1492,9 @@ object SimilarityQueries {
          |  FROM q CROSS JOIN cents
          |), d AS (
          |  SELECT vec_id, cid, (i - 1) // (len(qe) // 4) AS s,
-         |    (qe[i] - qc[i]) * (qe[i] - qc[i]) AS d2
+         |    (qe[i] - qc[i]) * (qe[i] - qc[i]) AS d2,
+         |    qe[i] * qc[i] AS ipc,
+         |    qc[i] * qc[i] AS c2
          |  FROM ex
          |), ds AS (
          |  SELECT vec_id, cid, s, SUM(d2) AS dist
@@ -1502,10 +1506,18 @@ object SimilarityQueries {
          |                         ORDER BY dist ASC, cid ASC) AS rn
          |    FROM ds) WHERE rn = 1
          |), lut AS (
-         |  SELECT vec_id AS query_id, cid, s, CAST(SUM(d2) AS BIGINT) AS lv
+         |  SELECT vec_id AS query_id, cid, s,
+         |    CAST(SUM(ipc) AS BIGINT) AS ip, CAST(SUM(c2) AS BIGINT) AS cn2
          |  FROM d WHERE vec_id % 25 = 0 GROUP BY vec_id, cid, s
+         |), qn AS (
+         |  SELECT vec_id AS query_id,
+         |    CAST(list_reduce(list_transform(qe, x -> x * x), (a, b) -> a + b)
+         |      AS BIGINT) AS qn2
+         |  FROM q WHERE vec_id % 25 = 0
          |), adc AS (
-         |  SELECT l.query_id, c.vec_id, CAST(SUM(l.lv) AS BIGINT) AS adc_dist
+         |  SELECT l.query_id, c.vec_id,
+         |    CAST(SUM(l.ip) AS BIGINT) AS ipsum,
+         |    CAST(SUM(l.cn2) AS BIGINT) AS rn2
          |  FROM codes c
          |  JOIN assign a ON a.vid = c.vec_id
          |  JOIN probes pr ON pr.centroid_id = a.centroid_id
@@ -1513,13 +1525,19 @@ object SimilarityQueries {
          |             AND l.s = c.s AND l.cid = c.code
          |  WHERE c.vec_id <> l.query_id
          |  GROUP BY l.query_id, c.vec_id
+         |), scored AS (
+         |  SELECT a.query_id, a.vec_id,
+         |    CAST(a.ipsum AS DOUBLE) /
+         |      (sqrt(CAST(n.qn2 AS DOUBLE)) * sqrt(CAST(a.rn2 AS DOUBLE)))
+         |      AS adc_sim
+         |  FROM adc a JOIN qn n ON n.query_id = a.query_id
          |), r AS (
-         |  SELECT query_id, vec_id, adc_dist,
+         |  SELECT query_id, vec_id, adc_sim,
          |    row_number() OVER (PARTITION BY query_id
-         |                       ORDER BY adc_dist ASC, vec_id ASC) AS rank
-         |  FROM adc
+         |                       ORDER BY adc_sim DESC, vec_id ASC) AS rank
+         |  FROM scored
          |)
-         |SELECT query_id, vec_id AS neighbor_id, adc_dist, rank
+         |SELECT query_id, vec_id AS neighbor_id, adc_sim, rank
          |FROM r WHERE rank <= 5""".stripMargin
     },
 

@@ -3,17 +3,20 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.operators.Similarity
 
-/** IVF-PQ composed search (Similarity.ivfPqSearch — the IVFADC layout):
-  * the list restriction must be EXACTLY a candidate filter over the
-  * plain PQ-ADC ranking. Pinned invariants:
-  *   - nprobe = nlist (probe every list) reproduces pqSearch row-for-row
-  *     — same codes, same LUT, same tie rule, so the composed operator
-  *     degenerates to the flat ADC scan when nothing is pruned;
-  *   - with nprobe < nlist every returned (query, neighbor) pair's ADC
-  *     distance agrees with the flat ranking's distance for that pair
-  *     (the restriction changes WHICH candidates are scored, never the
-  *     score), and every neighbor's list is among the query's probed
-  *     lists;
+/** IVF-PQ composed search (Similarity.ivfPqSearch — the IVFADC layout,
+  * cosine-ADC scored): the list restriction must be EXACTLY a candidate
+  * filter over the flat cosine-ADC ranking. Pinned invariants:
+  *   - nlist = 1 (one list, probe it) and nprobe = nlist (probe every
+  *     list) are both the unpruned scan, so they must agree
+  *     row-for-row — the degenerate forms bracket the pruned one;
+  *   - with nprobe < nlist every returned (query, neighbor) pair's
+  *     adc_sim agrees bit-for-bit with the flat ranking's score for
+  *     that pair (the restriction changes WHICH candidates are scored,
+  *     never the score — integer LUT sums are order-independent, the
+  *     one IEEE division is deterministic), and every neighbor's list
+  *     is among the query's probed lists;
+  *   - adc_sim is a true cosine of quantized vectors (Cauchy-Schwarz
+  *     on exact integers): |adc_sim| ≤ 1 always;
   *   - determinism: two runs are bit-identical.
   */
 class IvfPqSpec extends SparkSpec {
@@ -22,38 +25,39 @@ class IvfPqSpec extends SparkSpec {
   private def corpus = ScaleSweep.embCorpus(spark, 120, dim)
   private val queryPred = col("vec_id") % 20 === 0
 
-  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Long)] =
     df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
-        col("adc_dist").cast("long"), col("rank").cast("long"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        col("adc_sim"), col("rank").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
       .toSet
 
-  test("nprobe = nlist degenerates to the flat PQ-ADC ranking") {
-    val flat = rows(Similarity.pqSearch(corpus, queryPred, k = 5,
-      m = 4, nCent = 8))
+  test("nlist=1 flat scan == nprobe=nlist full probe, and |adc_sim| <= 1") {
+    val flat = rows(Similarity.ivfPqSearch(corpus, queryPred, k = 5,
+      nlist = 1, nprobe = 1, m = 4, nCent = 8))
     val full = rows(Similarity.ivfPqSearch(corpus, queryPred, k = 5,
       nlist = 6, nprobe = 6, m = 4, nCent = 8))
-    assert(full == flat)
+    assert(full == flat && flat.nonEmpty)
+    flat.foreach { case (_, _, sim, _) =>
+      assert(math.abs(sim) <= 1.0, s"adc_sim $sim outside [-1, 1]")
+    }
   }
 
   test("restricted probe scores agree with the flat ADC and respect probed lists") {
     val k = 5
     val restricted = Similarity.ivfPqSearch(corpus, queryPred, k = k,
       nlist = 6, nprobe = 2, m = 4, nCent = 8)
-    // flat ADC over ALL candidates (k large enough to cover every pair)
-    val flatAll = rows(Similarity.pqSearch(corpus, queryPred, k = 1000,
-      m = 4, nCent = 8)).map(t => (t._1, t._2) -> t._3).toMap
+    // flat cosine-ADC over ALL candidates (k covers every pair)
+    val flatAll = rows(Similarity.ivfPqSearch(corpus, queryPred, k = 1000,
+      nlist = 1, nprobe = 1, m = 4, nCent = 8))
+      .map(t => (t._1, t._2) -> t._3).toMap
     val got = rows(restricted)
     assert(got.nonEmpty)
-    got.foreach { case (q, n, dist, _) =>
-      assert(flatAll((q, n)) == dist,
-        s"ADC distance for ($q,$n) diverged from the flat ranking")
+    got.foreach { case (q, n, sim, _) =>
+      assert(flatAll((q, n)) == sim,
+        s"adc_sim for ($q,$n) diverged from the flat ranking")
     }
     // every neighbor's list must be among the query's nprobe=2 lists
     val cents = Similarity.ivfCentroids(corpus, 6)
-    val assign = Similarity.ivfAssign(corpus, cents)
-      .select(col("cand_id"), col("centroid_id"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val q = corpus.filter(queryPred)
     val probed = Similarity.ivfProbe(
         Similarity.ivfAssign(corpus, cents), cents, q, k = 1000, nprobe = 2)
@@ -63,7 +67,6 @@ class IvfPqSpec extends SparkSpec {
       assert(probed.contains((qid, n)),
         s"neighbor $n of query $qid is outside the probed lists")
     }
-    assert(assign.nonEmpty)
   }
 
   test("determinism: two runs bit-identical") {
@@ -72,5 +75,75 @@ class IvfPqSpec extends SparkSpec {
     val b = rows(Similarity.ivfPqSearch(corpus, queryPred, k = 5,
       nlist = 6, nprobe = 2, m = 4, nCent = 8))
     assert(a == b && a.nonEmpty)
+  }
+
+  // ---- trained codebook (pqKmeansCodebook) ----
+
+  private val dimC = 16
+  private def clustered = ScaleSweep.embClustered(spark, 400, centers = 50, dim = dimC)
+
+  /** Total encode distortion: Σ over (vector, subspace) of the integer
+    * L2 to the NEAREST codeword — the product-quantizer objective,
+    * computed independently of the encode kernel.
+    */
+  private def distortion(c: org.apache.spark.sql.DataFrame,
+                         cb: org.apache.spark.sql.DataFrame, m: Int): Long = {
+    val quant = expr("transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))")
+    val sub = s"(size(qe) div $m)"
+    val vrows = c.select(col("vec_id").as("vid"), quant.as("qe"))
+      .withColumn("s", explode(sequence(lit(0), lit(m - 1))))
+      .select(col("vid"), col("s"),
+        expr(s"slice(qe, s * $sub + 1, $sub)").as("sv"))
+    val cbRows = cb.withColumn("s", explode(sequence(lit(0), lit(m - 1))))
+      .select(col("cid"), col("s"),
+        expr(s"slice(qc, s * (size(qc) div $m) + 1, size(qc) div $m)").as("cv"))
+    vrows.join(broadcast(cbRows), Seq("s"))
+      .select(col("vid"), col("s"),
+        expr("""aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)),
+                CAST(0 AS BIGINT), (acc, x) -> acc + x)""").as("d"))
+      .groupBy(col("vid"), col("s")).agg(min(col("d")).as("md"))
+      .agg(sum(col("md"))).collect()(0).getLong(0)
+  }
+
+  test("trained codebook: nCent full-dim rows, deterministic") {
+    val cb = Similarity.pqKmeansCodebook(clustered, m = 4, nCent = 8,
+      sampleMod = 1).collect()
+    assert(cb.length == 8)
+    assert(cb.map(_.getLong(1)).sorted.toSeq == (0L until 8L))
+    cb.foreach(r => assert(r.getSeq[Long](0).length == dimC))
+    val cb2 = Similarity.pqKmeansCodebook(clustered, m = 4, nCent = 8,
+      sampleMod = 1).collect()
+    assert(cb.map(_.toString).sorted.toSeq == cb2.map(_.toString).sorted.toSeq)
+  }
+
+  test("Lloyd monotonicity: trained codebook distortion <= rank-select's") {
+    val quant = expr("transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))")
+    val rankCb = clustered.orderBy(col("vec_id")).limit(8)
+      .select(quant.as("qc"),
+        (org.apache.spark.sql.functions.row_number()
+          .over(org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))) - 1)
+          .cast("long").as("cid"))
+    val trainedCb = Similarity.pqKmeansCodebook(clustered, m = 4, nCent = 8,
+      sampleMod = 1)
+    val dRank = distortion(clustered, rankCb, 4)
+    val dTrained = distortion(clustered, trainedCb, 4)
+    assert(dTrained <= dRank,
+      s"trained distortion $dTrained exceeds rank-select's $dRank")
+    // on a clustered corpus the gap should be material, not epsilon
+    assert(dTrained < dRank)
+  }
+
+  test("probe over a trained codebook keeps the cosine contract") {
+    val cents = Similarity.ivfCentroids(clustered, 4)
+    val cb = Similarity.pqKmeansCodebook(clustered, m = 4, nCent = 8,
+      sampleMod = 1)
+    val (index, cbOut) = Similarity.ivfPqBuild(clustered, cents,
+      m = 4, nCent = 8, codebook = Some(cb))
+    val got = rows(Similarity.ivfPqProbe(index, cents, cbOut,
+      clustered.filter(col("vec_id") % 40 === 0), k = 5, nprobe = 2, m = 4))
+    assert(got.nonEmpty)
+    got.foreach { case (_, _, sim, _) =>
+      assert(math.abs(sim) <= 1.0, s"adc_sim $sim outside [-1, 1]")
+    }
   }
 }
