@@ -590,9 +590,38 @@ object ScaleSweep {
             Similarity.ivfPqProbe(tIndex, pqCoarse, tCb, queries, k,
                 nprobe = 2, m = pqM)
               .select(col("query_id"), col("neighbor_id").as("cand_id")))
-          pqCoarse.unpersist(); tIndex.unpersist(); tCb.unpersist()
+          tIndex.unpersist(); tCb.unpersist()
           graft.core.CacheScope.releaseStragglers(spark)
-          println(s"""{"metric":"simsearch_sweep","fixture":"$fixture","corpus":$n,"k":$k,"brute_sec":${r3(bruteSec)},"planes":$planes,"lsh_sec":${r3(lshSec)},"lsh_recall":${recall(lsh, exact)},"lshmp_sec":${r3(mpSec)},"lshmp_recall":${recall(mp, exact)},"lshcap_sec":${r3(capSec)},"lshcap_recall":${recall(capIds, exact)},"occ_max":$occMax,"occ_p99":$occP99,"lshidx_build_sec":${r3(lshIdxBuildSec)},"lshidx_probe_sec":${r3(lshIdxProbeSec)},"lshidx_recall":${recall(lshIdxIds, exact)},"nlist":$nlist,"ivf_train_sec":${r3(buildSec)},"ivf_assign_sec":${r3(assignSec)},"ivf_build_sec":${r3(buildSec + assignSec)},"ivf_probe_sec":${r3(probeSec)},"ivf_sec":${r3(buildSec + assignSec + probeSec)},"ivf_recall":${recall(ivf, exact)},"ivft_train_sec":${r3(tTrainSec)},"ivft_assign_sec":${r3(tAssignSec)},"ivft_build_sec":${r3(tTrainSec + tAssignSec)},"ivft_probe_sec":${r3(tProbeSec)},"ivft_recall":${recall(tIvf, exact)},"ivfpq_build_sec":${r3(ivfpqBuildSec)},"ivfpq_probe_sec":${r3(ivfpqProbeSec)},"ivfpq_recall":${recall(pqIds, exact)},"ivfpqt_train_sec":${r3(ivfpqtTrainSec)},"ivfpqt_build_sec":${r3(ivfpqtBuildSec)},"ivfpqt_probe_sec":${r3(ivfpqtProbeSec)},"ivfpqt_recall":${recall(tPqIds, exact)}}""")
+          // residual twin — the faithful IVFADC (codes quantize
+          // x − coarse_centroid): the shared-codebook columns above
+          // are the measured failure (same-cluster vectors collapse to
+          // identical codes; recall ~k/|cluster| on the clustered
+          // fixture); residuals live at within-list scale, where the
+          // discrimination is needed. Config from the r14 controlled
+          // study (SCALE.md §Round-14): m=8 subspaces × 256 codewords
+          // (8 bytes/vector — the production compression point), and a
+          // PRIME sampleMod — a power-of-2 stride aliases with the
+          // fixture's power-of-2 cluster arithmetic and the training
+          // sample covers a sliver of the clusters (measured: 0.67 at
+          // sampleMod=16 vs 0.81 at 7, same config otherwise).
+          val rb0 = System.nanoTime()
+          val (rIndex0, rCb, rQcents) = Similarity.ivfPqResidualBuild(
+            corpus, pqCoarse, m = 8, nCent = 256,
+            trained = true, sampleMod = 61)
+          val rCbP = rCb.persist(); rCbP.count()
+          val rQcentsP = rQcents.persist(); rQcentsP.count()
+          val rIndex = rIndex0.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          rIndex.write.format("noop").mode("overwrite").save()
+          val ivfpqrBuildSec = (System.nanoTime() - rb0) / 1e9
+          val (ivfpqrProbeSec, rPqIds) = collectIds(
+            Similarity.ivfPqResidualProbe(rIndex, pqCoarse, rQcentsP, rCbP,
+                queries, k, nprobe = 2, m = 8)
+              .select(col("query_id"), col("neighbor_id").as("cand_id")))
+          pqCoarse.unpersist(); rIndex.unpersist()
+          rCbP.unpersist(); rQcentsP.unpersist()
+          graft.core.CacheScope.releaseStragglers(spark)
+          println(s"""{"metric":"simsearch_sweep","fixture":"$fixture","corpus":$n,"k":$k,"brute_sec":${r3(bruteSec)},"planes":$planes,"lsh_sec":${r3(lshSec)},"lsh_recall":${recall(lsh, exact)},"lshmp_sec":${r3(mpSec)},"lshmp_recall":${recall(mp, exact)},"lshcap_sec":${r3(capSec)},"lshcap_recall":${recall(capIds, exact)},"occ_max":$occMax,"occ_p99":$occP99,"lshidx_build_sec":${r3(lshIdxBuildSec)},"lshidx_probe_sec":${r3(lshIdxProbeSec)},"lshidx_recall":${recall(lshIdxIds, exact)},"nlist":$nlist,"ivf_train_sec":${r3(buildSec)},"ivf_assign_sec":${r3(assignSec)},"ivf_build_sec":${r3(buildSec + assignSec)},"ivf_probe_sec":${r3(probeSec)},"ivf_sec":${r3(buildSec + assignSec + probeSec)},"ivf_recall":${recall(ivf, exact)},"ivft_train_sec":${r3(tTrainSec)},"ivft_assign_sec":${r3(tAssignSec)},"ivft_build_sec":${r3(tTrainSec + tAssignSec)},"ivft_probe_sec":${r3(tProbeSec)},"ivft_recall":${recall(tIvf, exact)},"ivfpq_build_sec":${r3(ivfpqBuildSec)},"ivfpq_probe_sec":${r3(ivfpqProbeSec)},"ivfpq_recall":${recall(pqIds, exact)},"ivfpqt_train_sec":${r3(ivfpqtTrainSec)},"ivfpqt_build_sec":${r3(ivfpqtBuildSec)},"ivfpqt_probe_sec":${r3(ivfpqtProbeSec)},"ivfpqt_recall":${recall(tPqIds, exact)},"ivfpqr_build_sec":${r3(ivfpqrBuildSec)},"ivfpqr_probe_sec":${r3(ivfpqrProbeSec)},"ivfpqr_recall":${recall(rPqIds, exact)}}""")
         }
       }
     } else if (mode == "ccstar") {

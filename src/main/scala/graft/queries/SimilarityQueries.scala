@@ -354,6 +354,18 @@ object SimilarityQueries {
         col("vec_id") % 25 === 0, k = 5, nlist = 8, nprobe = 2,
         m = 4, nCent = 8)),
 
+    // RESIDUAL IVF-PQ (the faithful IVFADC): codes quantize
+    // x − coarse_centroid, so the codewords resolve within-list
+    // structure the shared codebook of q_knn_ivfpq cannot express
+    // (the r14 sweep measures the difference as recall). Same coarse
+    // quantizer, query sample and k as q_knn_ivfpq — the pair prices
+    // residual encoding directly. Rank-select residual codebook
+    // (deterministic; the trained twin is sweep-priced + spec-pinned).
+    "q_knn_ivfpq_res" -> ((s, d) =>
+      Similarity.ivfPqResidualSearch(Tables.embeddings(s, d),
+        col("vec_id") % 25 === 0, k = 5, nlist = 8, nprobe = 2,
+        m = 4, nCent = 8)),
+
     // Recall@10 of the sign-LSH bucketed screen vs brute-force ground
     // truth on the standard query sample — the audit that justifies
     // (or indicts) q_knn_bucketed's plane count. Exact integer permille.
@@ -1531,6 +1543,139 @@ object SimilarityQueries {
          |      (sqrt(CAST(n.qn2 AS DOUBLE)) * sqrt(CAST(a.rn2 AS DOUBLE)))
          |      AS adc_sim
          |  FROM adc a JOIN qn n ON n.query_id = a.query_id
+         |), r AS (
+         |  SELECT query_id, vec_id, adc_sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY adc_sim DESC, vec_id ASC) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, vec_id AS neighbor_id, adc_sim, rank
+         |FROM r WHERE rank <= 5""".stripMargin
+    },
+
+    // The residual-IVFADC replay: q_knn_ivfpq's coarse scaffolding, but
+    // codes quantize res = qe − qcent(assigned list) against a codebook
+    // of the 8 lowest-id vectors' RESIDUALS, and the cosine-ADC score
+    // decomposes into the centroid/residual LUT sums the Spark probe
+    // computes: ip = qip + Σipr; ‖x̂‖² = cn2c + 2·Σcross + Σrn2.
+    "q_knn_ivfpq_res" -> {
+      def cosBetween(x: String, y: String) =
+        s"""${fold(s"$x.v[i] * $y.v[i]")} /
+           |    (sqrt(${fold(s"$x.v[i] * $x.v[i]")}) * sqrt(${fold(s"$y.v[i] * $y.v[i]")}))""".stripMargin
+      s"""WITH e AS ($vecsSql),
+         |cent AS (SELECT vec_id AS centroid_id, v FROM e
+         |         ORDER BY vec_id LIMIT 8),
+         |ac AS (
+         |  SELECT x.vec_id AS vid, y.centroid_id,
+         |    ${cosBetween("x", "y")} AS csim
+         |  FROM e x CROSS JOIN cent y
+         |),
+         |ar AS (
+         |  SELECT vid, centroid_id,
+         |    row_number() OVER (PARTITION BY vid ORDER BY csim DESC, centroid_id ASC) AS rn
+         |  FROM ac
+         |),
+         |assign AS (SELECT vid, centroid_id FROM ar WHERE rn = 1),
+         |probes AS (SELECT vid AS query_id, centroid_id FROM ar
+         |           WHERE rn <= 2 AND vid % 25 = 0),
+         |q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS qe
+         |  FROM embeddings
+         |), qcent AS (
+         |  SELECT centroid_id,
+         |    list_transform(v, x -> CAST(floor(x * 1000) AS BIGINT)) AS qc
+         |  FROM cent
+         |), res AS (
+         |  SELECT qq.vec_id, a.centroid_id,
+         |    list_transform(generate_series(1, len(qq.qe)),
+         |                   i -> qq.qe[i] - t.qc[i]) AS re
+         |  FROM q qq
+         |  JOIN assign a ON a.vid = qq.vec_id
+         |  JOIN qcent t ON t.centroid_id = a.centroid_id
+         |), rcb AS (
+         |  SELECT re AS qc, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+         |  FROM (SELECT vec_id, re FROM res ORDER BY vec_id LIMIT 8)
+         |), dx AS (
+         |  SELECT vec_id, cid, (i - 1) // (len(re) // 4) AS s,
+         |    (re[i] - qc[i]) * (re[i] - qc[i]) AS d2
+         |  FROM (SELECT r0.vec_id, cb.cid, r0.re, cb.qc,
+         |          unnest(generate_series(1, len(r0.re))) AS i
+         |        FROM res r0 CROSS JOIN rcb cb)
+         |), ds AS (
+         |  SELECT vec_id, cid, s, SUM(d2) AS dist
+         |  FROM dx GROUP BY vec_id, cid, s
+         |), codes AS (
+         |  SELECT vec_id, s, cid AS code FROM (
+         |    SELECT vec_id, s, cid,
+         |      row_number() OVER (PARTITION BY vec_id, s
+         |                         ORDER BY dist ASC, cid ASC) AS rn
+         |    FROM ds) WHERE rn = 1
+         |), iprx AS (
+         |  SELECT query_id, cid, (i - 1) // (len(qe) // 4) AS s,
+         |    qe[i] * qc[i] AS p
+         |  FROM (SELECT qq.vec_id AS query_id, cb.cid, qq.qe, cb.qc,
+         |          unnest(generate_series(1, len(qq.qe))) AS i
+         |        FROM q qq CROSS JOIN rcb cb WHERE qq.vec_id % 25 = 0)
+         |), ipr AS (
+         |  SELECT query_id, cid, s, CAST(SUM(p) AS BIGINT) AS ip
+         |  FROM iprx GROUP BY query_id, cid, s
+         |), rn2x AS (
+         |  SELECT cid, (i - 1) // (len(qc) // 4) AS s, qc[i] * qc[i] AS p
+         |  FROM (SELECT cid, qc, unnest(generate_series(1, len(qc))) AS i
+         |        FROM rcb)
+         |), rn2 AS (
+         |  SELECT cid, s, CAST(SUM(p) AS BIGINT) AS n2
+         |  FROM rn2x GROUP BY cid, s
+         |), crossx AS (
+         |  SELECT centroid_id, cid, (i - 1) // (len(tc) // 4) AS s,
+         |    tc[i] * qc[i] AS p
+         |  FROM (SELECT t.centroid_id, cb.cid, t.qc AS tc, cb.qc,
+         |          unnest(generate_series(1, len(t.qc))) AS i
+         |        FROM qcent t CROSS JOIN rcb cb)
+         |), crs AS (
+         |  SELECT centroid_id, cid, s, CAST(SUM(p) AS BIGINT) AS cr
+         |  FROM crossx GROUP BY centroid_id, cid, s
+         |), qip AS (
+         |  SELECT qq.vec_id AS query_id, t.centroid_id,
+         |    CAST(list_reduce(list_transform(generate_series(1, len(qq.qe)),
+         |           i -> qq.qe[i] * t.qc[i]), (a, b) -> a + b) AS BIGINT) AS qip
+         |  FROM q qq CROSS JOIN qcent t WHERE qq.vec_id % 25 = 0
+         |), cn2c AS (
+         |  SELECT centroid_id,
+         |    CAST(list_reduce(list_transform(qc, x -> x * x), (a, b) -> a + b)
+         |      AS BIGINT) AS cn2c
+         |  FROM qcent
+         |), qn AS (
+         |  SELECT vec_id AS query_id,
+         |    CAST(list_reduce(list_transform(qe, x -> x * x), (a, b) -> a + b)
+         |      AS BIGINT) AS qn2
+         |  FROM q WHERE vec_id % 25 = 0
+         |), adc AS (
+         |  SELECT l.query_id, c.vec_id, a.centroid_id,
+         |    CAST(SUM(l.ip) AS BIGINT) AS iprs,
+         |    CAST(SUM(x.cr) AS BIGINT) AS crsum,
+         |    CAST(SUM(r2.n2) AS BIGINT) AS rn2s
+         |  FROM codes c
+         |  JOIN assign a ON a.vid = c.vec_id
+         |  JOIN probes pr ON pr.centroid_id = a.centroid_id
+         |  JOIN ipr l ON l.query_id = pr.query_id
+         |             AND l.s = c.s AND l.cid = c.code
+         |  JOIN crs x ON x.centroid_id = a.centroid_id
+         |             AND x.s = c.s AND x.cid = c.code
+         |  JOIN rn2 r2 ON r2.s = c.s AND r2.cid = c.code
+         |  WHERE c.vec_id <> l.query_id
+         |  GROUP BY l.query_id, c.vec_id, a.centroid_id
+         |), scored AS (
+         |  SELECT a.query_id, a.vec_id,
+         |    CAST(qi.qip + a.iprs AS DOUBLE) /
+         |      (sqrt(CAST(n.qn2 AS DOUBLE)) *
+         |       sqrt(CAST(c2.cn2c + 2 * a.crsum + a.rn2s AS DOUBLE))) AS adc_sim
+         |  FROM adc a
+         |  JOIN qip qi ON qi.query_id = a.query_id
+         |              AND qi.centroid_id = a.centroid_id
+         |  JOIN cn2c c2 ON c2.centroid_id = a.centroid_id
+         |  JOIN qn n ON n.query_id = a.query_id
          |), r AS (
          |  SELECT query_id, vec_id, adc_sim,
          |    row_number() OVER (PARTITION BY query_id

@@ -133,6 +133,71 @@ class IvfPqSpec extends SparkSpec {
     assert(dTrained < dRank)
   }
 
+  // ---- residual IVFADC ----
+
+  test("residual: restricted probe scores agree with the all-lists probe") {
+    val flatAll = rows(Similarity.ivfPqResidualSearch(corpus, queryPred,
+      k = 1000, nlist = 6, nprobe = 6, m = 4, nCent = 8))
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val got = rows(Similarity.ivfPqResidualSearch(corpus, queryPred,
+      k = 5, nlist = 6, nprobe = 2, m = 4, nCent = 8))
+    assert(got.nonEmpty)
+    got.foreach { case (q, n, sim, _) =>
+      assert(math.abs(sim) <= 1.0, s"adc_sim $sim outside [-1, 1]")
+      assert(flatAll((q, n)) == sim,
+        s"residual adc_sim for ($q,$n) diverged from the all-lists probe")
+    }
+  }
+
+  test("residual: determinism (rank and trained codebooks)") {
+    def run(trained: Boolean) = rows(Similarity.ivfPqResidualSearch(
+      clustered, col("vec_id") % 40 === 0, k = 5, nlist = 8, nprobe = 2,
+      m = 4, nCent = 8, trained = trained, sampleMod = 7))
+    assert(run(trained = false) == run(trained = false))
+    val t1 = run(trained = true)
+    assert(t1 == run(trained = true) && t1.nonEmpty)
+  }
+
+  test("residual encoding beats the shared codebook on clustered data") {
+    // the controlled r14 study at spec scale: coarse lists resolve the
+    // cluster structure (nlist = centers), trained codebooks both
+    // sides; ground truth = exact cosine top-5 on held-out queries
+    val n = 4000L
+    val centers = 16L
+    val c = ScaleSweep.embClustered(spark, n, centers, dim = dimC)
+    val qs = ScaleSweep.embClustered(spark, 16, centers, dim = dimC,
+      idOffset = 1000000007L)
+    val k = 5
+    def topIds(df: org.apache.spark.sql.DataFrame, cand: String) =
+      df.select(col("query_id").cast("long"), col(cand).cast("long"))
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val exact = topIds(Similarity.bruteForceTopKHeap(c, qs, k), "cand_id")
+    def recallOf(a: Map[Long, Set[Long]]): Double = {
+      val hit = exact.map { case (q, e) => (a.getOrElse(q, Set.empty) & e).size }.sum
+      hit.toDouble / exact.values.map(_.size).sum
+    }
+    val cents = Similarity.ivfCentroids(c, 16).persist()
+    cents.count()
+    val sharedCb = Similarity.pqKmeansCodebook(c, m = 8, nCent = 64, sampleMod = 7)
+    val (sIdx, sCb) = Similarity.ivfPqBuild(c, cents, m = 8, nCent = 64,
+      codebook = Some(sharedCb))
+    val shared = recallOf(topIds(
+      Similarity.ivfPqProbe(sIdx, cents, sCb, qs, k, nprobe = 2, m = 8),
+      "neighbor_id"))
+    val (rIdx, rCb, rQc) = Similarity.ivfPqResidualBuild(c, cents,
+      m = 8, nCent = 64, trained = true, sampleMod = 7)
+    val res = recallOf(topIds(
+      Similarity.ivfPqResidualProbe(rIdx, cents, rQc, rCb, qs, k,
+        nprobe = 2, m = 8), "neighbor_id"))
+    cents.unpersist()
+    info(s"shared-codebook recall=$shared residual recall=$res")
+    // measured at this fixture: shared 0.35, residual 0.70 — pin the
+    // gap, not just the sign (deterministic fixture, stable values)
+    assert(res >= shared + 0.2,
+      s"residual recall $res not materially above shared-codebook $shared")
+  }
+
   test("probe over a trained codebook keeps the cosine contract") {
     val cents = Similarity.ivfCentroids(clustered, 4)
     val cb = Similarity.pqKmeansCodebook(clustered, m = 4, nCent = 8,
