@@ -576,7 +576,7 @@ object ScaleSweep {
           // train column, decoupled from corpus size by sampleMod.
           val tcb0 = System.nanoTime()
           val tCb = Similarity.pqKmeansCodebook(corpus, m = pqM,
-            nCent = pqNC, sampleMod = 64).persist()
+            nCent = pqNC, sampleMod = 64, hashSample = true).persist()
           tCb.count()
           val ivfpqtTrainSec = (System.nanoTime() - tcb0) / 1e9
           val tib0 = System.nanoTime()
@@ -607,7 +607,7 @@ object ScaleSweep {
           val rb0 = System.nanoTime()
           val (rIndex0, rCb, rQcents) = Similarity.ivfPqResidualBuild(
             corpus, pqCoarse, m = 8, nCent = 256,
-            trained = true, sampleMod = 61)
+            trained = true, sampleMod = 61, hashSample = true)
           val rCbP = rCb.persist(); rCbP.count()
           val rQcentsP = rQcents.persist(); rQcentsP.count()
           val rIndex = rIndex0.persist(
@@ -618,10 +618,34 @@ object ScaleSweep {
             Similarity.ivfPqResidualProbe(rIndex, pqCoarse, rQcentsP, rCbP,
                 queries, k, nprobe = 2, m = 8)
               .select(col("query_id"), col("neighbor_id").as("cand_id")))
-          pqCoarse.unpersist(); rIndex.unpersist()
+          rIndex.unpersist()
           rCbP.unpersist(); rQcentsP.unpersist()
           graft.core.CacheScope.releaseStragglers(spark)
-          println(s"""{"metric":"simsearch_sweep","fixture":"$fixture","corpus":$n,"k":$k,"brute_sec":${r3(bruteSec)},"planes":$planes,"lsh_sec":${r3(lshSec)},"lsh_recall":${recall(lsh, exact)},"lshmp_sec":${r3(mpSec)},"lshmp_recall":${recall(mp, exact)},"lshcap_sec":${r3(capSec)},"lshcap_recall":${recall(capIds, exact)},"occ_max":$occMax,"occ_p99":$occP99,"lshidx_build_sec":${r3(lshIdxBuildSec)},"lshidx_probe_sec":${r3(lshIdxProbeSec)},"lshidx_recall":${recall(lshIdxIds, exact)},"nlist":$nlist,"ivf_train_sec":${r3(buildSec)},"ivf_assign_sec":${r3(assignSec)},"ivf_build_sec":${r3(buildSec + assignSec)},"ivf_probe_sec":${r3(probeSec)},"ivf_sec":${r3(buildSec + assignSec + probeSec)},"ivf_recall":${recall(ivf, exact)},"ivft_train_sec":${r3(tTrainSec)},"ivft_assign_sec":${r3(tAssignSec)},"ivft_build_sec":${r3(tTrainSec + tAssignSec)},"ivft_probe_sec":${r3(tProbeSec)},"ivft_recall":${recall(tIvf, exact)},"ivfpq_build_sec":${r3(ivfpqBuildSec)},"ivfpq_probe_sec":${r3(ivfpqProbeSec)},"ivfpq_recall":${recall(pqIds, exact)},"ivfpqt_train_sec":${r3(ivfpqtTrainSec)},"ivfpqt_build_sec":${r3(ivfpqtBuildSec)},"ivfpqt_probe_sec":${r3(ivfpqtProbeSec)},"ivfpqt_recall":${recall(tPqIds, exact)},"ivfpqr_build_sec":${r3(ivfpqrBuildSec)},"ivfpqr_probe_sec":${r3(ivfpqrProbeSec)},"ivfpqr_recall":${recall(rPqIds, exact)}}""")
+          // per-list ("local") codebook twin — the capacity fix the
+          // shared-residual column measures the need for: residual
+          // modes ≈ one per (cluster, list) offset, and once modes
+          // outnumber the 256 shared codewords within-mode resolution
+          // is zero (clustered 1M: 0.058). Per-list codebooks divide
+          // the mode space by nlist. Same m=8×256 code width — the
+          // columns differ ONLY in codebook locality.
+          val lb0 = System.nanoTime()
+          val (lIndex0, lCb, lQcents) = Similarity.ivfPqLocalBuild(
+            corpus, pqCoarse, m = 8, nCent = 256,
+            trained = true, sampleMod = 61, hashSample = true)
+          val lCbP = lCb.persist(); lCbP.count()
+          val lQcentsP = lQcents.persist(); lQcentsP.count()
+          val lIndex = lIndex0.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          lIndex.write.format("noop").mode("overwrite").save()
+          val ivfpqlBuildSec = (System.nanoTime() - lb0) / 1e9
+          val (ivfpqlProbeSec, lPqIds) = collectIds(
+            Similarity.ivfPqLocalProbe(lIndex, pqCoarse, lQcentsP, lCbP,
+                queries, k, nprobe = 2, m = 8)
+              .select(col("query_id"), col("neighbor_id").as("cand_id")))
+          pqCoarse.unpersist(); lIndex.unpersist()
+          lCbP.unpersist(); lQcentsP.unpersist()
+          graft.core.CacheScope.releaseStragglers(spark)
+          println(s"""{"metric":"simsearch_sweep","fixture":"$fixture","corpus":$n,"k":$k,"brute_sec":${r3(bruteSec)},"planes":$planes,"lsh_sec":${r3(lshSec)},"lsh_recall":${recall(lsh, exact)},"lshmp_sec":${r3(mpSec)},"lshmp_recall":${recall(mp, exact)},"lshcap_sec":${r3(capSec)},"lshcap_recall":${recall(capIds, exact)},"occ_max":$occMax,"occ_p99":$occP99,"lshidx_build_sec":${r3(lshIdxBuildSec)},"lshidx_probe_sec":${r3(lshIdxProbeSec)},"lshidx_recall":${recall(lshIdxIds, exact)},"nlist":$nlist,"ivf_train_sec":${r3(buildSec)},"ivf_assign_sec":${r3(assignSec)},"ivf_build_sec":${r3(buildSec + assignSec)},"ivf_probe_sec":${r3(probeSec)},"ivf_sec":${r3(buildSec + assignSec + probeSec)},"ivf_recall":${recall(ivf, exact)},"ivft_train_sec":${r3(tTrainSec)},"ivft_assign_sec":${r3(tAssignSec)},"ivft_build_sec":${r3(tTrainSec + tAssignSec)},"ivft_probe_sec":${r3(tProbeSec)},"ivft_recall":${recall(tIvf, exact)},"ivfpq_build_sec":${r3(ivfpqBuildSec)},"ivfpq_probe_sec":${r3(ivfpqProbeSec)},"ivfpq_recall":${recall(pqIds, exact)},"ivfpqt_train_sec":${r3(ivfpqtTrainSec)},"ivfpqt_build_sec":${r3(ivfpqtBuildSec)},"ivfpqt_probe_sec":${r3(ivfpqtProbeSec)},"ivfpqt_recall":${recall(tPqIds, exact)},"ivfpqr_build_sec":${r3(ivfpqrBuildSec)},"ivfpqr_probe_sec":${r3(ivfpqrProbeSec)},"ivfpqr_recall":${recall(rPqIds, exact)},"ivfpql_build_sec":${r3(ivfpqlBuildSec)},"ivfpql_probe_sec":${r3(ivfpqlProbeSec)},"ivfpql_recall":${recall(lPqIds, exact)}}""")
         }
       }
     } else if (mode == "ccstar") {

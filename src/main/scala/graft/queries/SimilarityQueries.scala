@@ -366,6 +366,18 @@ object SimilarityQueries {
         col("vec_id") % 25 === 0, k = 5, nlist = 8, nprobe = 2,
         m = 4, nCent = 8)),
 
+    // PER-LIST ("local") residual codebooks — the capacity fix the
+    // r14 sweep measures the need for: a SHARED residual codebook
+    // needs one codeword per (cluster, list) offset mode; per-list
+    // codebooks divide the mode space by nlist (clustered 1M recall
+    // 0.223 shared → 0.672 local at identical code width). Same
+    // scaffolding/sample/k as the q_knn_ivfpq pair; rank-select
+    // per-list codebooks (the trained twin is sweep-priced).
+    "q_knn_ivfpq_local" -> ((s, d) =>
+      Similarity.ivfPqLocalSearch(Tables.embeddings(s, d),
+        col("vec_id") % 25 === 0, k = 5, nlist = 8, nprobe = 2,
+        m = 4, nCent = 8)),
+
     // Recall@10 of the sign-LSH bucketed screen vs brute-force ground
     // truth on the standard query sample — the audit that justifies
     // (or indicts) q_knn_bucketed's plane count. Exact integer permille.
@@ -1664,6 +1676,150 @@ object SimilarityQueries {
          |  JOIN crs x ON x.centroid_id = a.centroid_id
          |             AND x.s = c.s AND x.cid = c.code
          |  JOIN rn2 r2 ON r2.s = c.s AND r2.cid = c.code
+         |  WHERE c.vec_id <> l.query_id
+         |  GROUP BY l.query_id, c.vec_id, a.centroid_id
+         |), scored AS (
+         |  SELECT a.query_id, a.vec_id,
+         |    CAST(qi.qip + a.iprs AS DOUBLE) /
+         |      (sqrt(CAST(n.qn2 AS DOUBLE)) *
+         |       sqrt(CAST(c2.cn2c + 2 * a.crsum + a.rn2s AS DOUBLE))) AS adc_sim
+         |  FROM adc a
+         |  JOIN qip qi ON qi.query_id = a.query_id
+         |              AND qi.centroid_id = a.centroid_id
+         |  JOIN cn2c c2 ON c2.centroid_id = a.centroid_id
+         |  JOIN qn n ON n.query_id = a.query_id
+         |), r AS (
+         |  SELECT query_id, vec_id, adc_sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY adc_sim DESC, vec_id ASC) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, vec_id AS neighbor_id, adc_sim, rank
+         |FROM r WHERE rank <= 5""".stripMargin
+    },
+
+    // q_knn_ivfpq_res with the codebook PER LIST: rcb partitions by
+    // centroid_id (each list's nCent lowest-id residuals), the encode
+    // joins each residual to ITS list's codebook, and every LUT keys by
+    // (centroid_id, s, cid) — the query-side ip LUT built only for
+    // probed (query, list) pairs, as the Spark probe does.
+    "q_knn_ivfpq_local" -> {
+      def cosBetween(x: String, y: String) =
+        s"""${fold(s"$x.v[i] * $y.v[i]")} /
+           |    (sqrt(${fold(s"$x.v[i] * $x.v[i]")}) * sqrt(${fold(s"$y.v[i] * $y.v[i]")}))""".stripMargin
+      s"""WITH e AS ($vecsSql),
+         |cent AS (SELECT vec_id AS centroid_id, v FROM e
+         |         ORDER BY vec_id LIMIT 8),
+         |ac AS (
+         |  SELECT x.vec_id AS vid, y.centroid_id,
+         |    ${cosBetween("x", "y")} AS csim
+         |  FROM e x CROSS JOIN cent y
+         |),
+         |ar AS (
+         |  SELECT vid, centroid_id,
+         |    row_number() OVER (PARTITION BY vid ORDER BY csim DESC, centroid_id ASC) AS rn
+         |  FROM ac
+         |),
+         |assign AS (SELECT vid, centroid_id FROM ar WHERE rn = 1),
+         |probes AS (SELECT vid AS query_id, centroid_id FROM ar
+         |           WHERE rn <= 2 AND vid % 25 = 0),
+         |q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS qe
+         |  FROM embeddings
+         |), qcent AS (
+         |  SELECT centroid_id,
+         |    list_transform(v, x -> CAST(floor(x * 1000) AS BIGINT)) AS qc
+         |  FROM cent
+         |), res AS (
+         |  SELECT qq.vec_id, a.centroid_id,
+         |    list_transform(generate_series(1, len(qq.qe)),
+         |                   i -> qq.qe[i] - t.qc[i]) AS re
+         |  FROM q qq
+         |  JOIN assign a ON a.vid = qq.vec_id
+         |  JOIN qcent t ON t.centroid_id = a.centroid_id
+         |), rcb AS (
+         |  SELECT centroid_id, re AS qc, rn - 1 AS cid
+         |  FROM (SELECT centroid_id, re,
+         |          row_number() OVER (PARTITION BY centroid_id
+         |                             ORDER BY vec_id) AS rn
+         |        FROM res) WHERE rn <= 8
+         |), dx AS (
+         |  SELECT vec_id, cid, (i - 1) // (len(re) // 4) AS s,
+         |    (re[i] - qc[i]) * (re[i] - qc[i]) AS d2
+         |  FROM (SELECT r0.vec_id, cb.cid, r0.re, cb.qc,
+         |          unnest(generate_series(1, len(r0.re))) AS i
+         |        FROM res r0
+         |        JOIN rcb cb ON cb.centroid_id = r0.centroid_id)
+         |), ds AS (
+         |  SELECT vec_id, cid, s, SUM(d2) AS dist
+         |  FROM dx GROUP BY vec_id, cid, s
+         |), codes AS (
+         |  SELECT vec_id, s, cid AS code FROM (
+         |    SELECT vec_id, s, cid,
+         |      row_number() OVER (PARTITION BY vec_id, s
+         |                         ORDER BY dist ASC, cid ASC) AS rn
+         |    FROM ds) WHERE rn = 1
+         |), iprx AS (
+         |  SELECT query_id, centroid_id, cid,
+         |    (i - 1) // (len(qe) // 4) AS s, qe[i] * qc[i] AS p
+         |  FROM (SELECT pr.query_id, pr.centroid_id, cb.cid, qq.qe, cb.qc,
+         |          unnest(generate_series(1, len(qq.qe))) AS i
+         |        FROM probes pr
+         |        JOIN q qq ON qq.vec_id = pr.query_id
+         |        JOIN rcb cb ON cb.centroid_id = pr.centroid_id)
+         |), ipr AS (
+         |  SELECT query_id, centroid_id, cid, s, CAST(SUM(p) AS BIGINT) AS ip
+         |  FROM iprx GROUP BY query_id, centroid_id, cid, s
+         |), rn2x AS (
+         |  SELECT centroid_id, cid, (i - 1) // (len(qc) // 4) AS s,
+         |    qc[i] * qc[i] AS p
+         |  FROM (SELECT centroid_id, cid, qc,
+         |          unnest(generate_series(1, len(qc))) AS i
+         |        FROM rcb)
+         |), rn2 AS (
+         |  SELECT centroid_id, cid, s, CAST(SUM(p) AS BIGINT) AS n2
+         |  FROM rn2x GROUP BY centroid_id, cid, s
+         |), crossx AS (
+         |  SELECT centroid_id, cid, (i - 1) // (len(tc) // 4) AS s,
+         |    tc[i] * qc[i] AS p
+         |  FROM (SELECT t.centroid_id, cb.cid, t.qc AS tc, cb.qc,
+         |          unnest(generate_series(1, len(t.qc))) AS i
+         |        FROM qcent t
+         |        JOIN rcb cb ON cb.centroid_id = t.centroid_id)
+         |), crs AS (
+         |  SELECT centroid_id, cid, s, CAST(SUM(p) AS BIGINT) AS cr
+         |  FROM crossx GROUP BY centroid_id, cid, s
+         |), qip AS (
+         |  SELECT qq.vec_id AS query_id, t.centroid_id,
+         |    CAST(list_reduce(list_transform(generate_series(1, len(qq.qe)),
+         |           i -> qq.qe[i] * t.qc[i]), (a, b) -> a + b) AS BIGINT) AS qip
+         |  FROM q qq CROSS JOIN qcent t WHERE qq.vec_id % 25 = 0
+         |), cn2c AS (
+         |  SELECT centroid_id,
+         |    CAST(list_reduce(list_transform(qc, x -> x * x), (a, b) -> a + b)
+         |      AS BIGINT) AS cn2c
+         |  FROM qcent
+         |), qn AS (
+         |  SELECT vec_id AS query_id,
+         |    CAST(list_reduce(list_transform(qe, x -> x * x), (a, b) -> a + b)
+         |      AS BIGINT) AS qn2
+         |  FROM q WHERE vec_id % 25 = 0
+         |), adc AS (
+         |  SELECT l.query_id, c.vec_id, a.centroid_id,
+         |    CAST(SUM(l.ip) AS BIGINT) AS iprs,
+         |    CAST(SUM(x.cr) AS BIGINT) AS crsum,
+         |    CAST(SUM(r2.n2) AS BIGINT) AS rn2s
+         |  FROM codes c
+         |  JOIN assign a ON a.vid = c.vec_id
+         |  JOIN probes pr ON pr.centroid_id = a.centroid_id
+         |  JOIN ipr l ON l.query_id = pr.query_id
+         |             AND l.centroid_id = a.centroid_id
+         |             AND l.s = c.s AND l.cid = c.code
+         |  JOIN crs x ON x.centroid_id = a.centroid_id
+         |             AND x.s = c.s AND x.cid = c.code
+         |  JOIN rn2 r2 ON r2.centroid_id = a.centroid_id
+         |              AND r2.s = c.s AND r2.cid = c.code
          |  WHERE c.vec_id <> l.query_id
          |  GROUP BY l.query_id, c.vec_id, a.centroid_id
          |), scored AS (

@@ -198,6 +198,74 @@ class IvfPqSpec extends SparkSpec {
       s"residual recall $res not materially above shared-codebook $shared")
   }
 
+  // ---- per-list ("local") codebooks ----
+
+  test("local: restricted probe scores agree with the all-lists probe") {
+    val flatAll = rows(Similarity.ivfPqLocalSearch(corpus, queryPred,
+      k = 1000, nlist = 6, nprobe = 6, m = 4, nCent = 8))
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val got = rows(Similarity.ivfPqLocalSearch(corpus, queryPred,
+      k = 5, nlist = 6, nprobe = 2, m = 4, nCent = 8))
+    assert(got.nonEmpty)
+    got.foreach { case (q, n, sim, _) =>
+      assert(math.abs(sim) <= 1.0, s"adc_sim $sim outside [-1, 1]")
+      assert(flatAll((q, n)) == sim,
+        s"local adc_sim for ($q,$n) diverged from the all-lists probe")
+    }
+  }
+
+  test("local: determinism (rank + trained/hash-sampled codebooks)") {
+    def run(trained: Boolean) = rows(Similarity.ivfPqLocalSearch(
+      clustered, col("vec_id") % 40 === 0, k = 5, nlist = 8, nprobe = 2,
+      m = 4, nCent = 8, trained = trained, sampleMod = 4))
+    assert(run(trained = false) == run(trained = false))
+    val t1 = run(trained = true)
+    assert(t1 == run(trained = true) && t1.nonEmpty)
+    def runHash() = rows(Similarity.ivfPqLocalSearch(
+      clustered, col("vec_id") % 40 === 0, k = 5, nlist = 8, nprobe = 2,
+      m = 4, nCent = 8, trained = true, sampleMod = 4, hashSample = true))
+    assert(runHash() == runHash())
+  }
+
+  test("local codebooks beat the shared residual codebook on clustered data") {
+    // the r14 capacity study at spec scale: more clusters than
+    // codewords-per-mode can cover globally, lists resolving ~2
+    // clusters each; trained codebooks both sides, hash-sampled
+    val n = 6000L
+    val centers = 48L
+    val c = ScaleSweep.embClustered(spark, n, centers, dim = dimC)
+    val qs = ScaleSweep.embClustered(spark, 16, centers, dim = dimC,
+      idOffset = 1000000007L)
+    val k = 5
+    def topIds(df: org.apache.spark.sql.DataFrame, cand: String) =
+      df.select(col("query_id").cast("long"), col(cand).cast("long"))
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val exact = topIds(Similarity.bruteForceTopKHeap(c, qs, k), "cand_id")
+    def recallOf(a: Map[Long, Set[Long]]): Double = {
+      val hit = exact.map { case (q, e) => (a.getOrElse(q, Set.empty) & e).size }.sum
+      hit.toDouble / exact.values.map(_.size).sum
+    }
+    val cents = Similarity.ivfCentroids(c, 24).persist()
+    cents.count()
+    val (rIdx, rCb, rQc) = Similarity.ivfPqResidualBuild(c, cents,
+      m = 4, nCent = 16, trained = true, sampleMod = 3, hashSample = true)
+    val res = recallOf(topIds(
+      Similarity.ivfPqResidualProbe(rIdx, cents, rQc, rCb, qs, k,
+        nprobe = 2, m = 4), "neighbor_id"))
+    val (lIdx, lCb, lQc) = Similarity.ivfPqLocalBuild(c, cents,
+      m = 4, nCent = 16, trained = true, sampleMod = 3, hashSample = true)
+    val loc = recallOf(topIds(
+      Similarity.ivfPqLocalProbe(lIdx, cents, lQc, lCb, qs, k,
+        nprobe = 2, m = 4), "neighbor_id"))
+    cents.unpersist()
+    info(s"shared-residual recall=$res local-codebook recall=$loc")
+    // measured at this fixture: shared-residual 0.0375, local 0.3125 —
+    // pin the gap (deterministic fixture, stable values)
+    assert(loc >= res + 0.2,
+      s"local-codebook recall $loc not materially above shared-residual $res")
+  }
+
   test("probe over a trained codebook keeps the cosine contract") {
     val cents = Similarity.ivfCentroids(clustered, 4)
     val cb = Similarity.pqKmeansCodebook(clustered, m = 4, nCent = 8,
