@@ -378,6 +378,25 @@ object SimilarityQueries {
         col("vec_id") % 25 === 0, k = 5, nlist = 8, nprobe = 2,
         m = 4, nCent = 8)),
 
+    // IVF-PQ with a TRAINED (sampled per-subspace Lloyd) codebook —
+    // the q_knn_ivf_trained discipline applied to the product
+    // quantizer: half-sample (vec_id%2==0), rank-select seeds, one
+    // integer-L2 Lloyd pass per subspace, codeword cell = truncating
+    // integer mean (SUM div COUNT — the oracle replays it as
+    // TRUNC(double-exact sum / count)); empty cells keep their seed.
+    // Same coarse scaffolding / query sample / k as the q_knn_ivfpq
+    // family, so the row prices codebook training alone.
+    "q_knn_ivfpq_trained" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.ivfCentroids(emb, 8)
+      val cb = Similarity.pqKmeansCodebook(emb, m = 4, nCent = 8,
+        sampleMod = 2)
+      val (index, cbOut) = Similarity.ivfPqBuild(emb, cents, m = 4,
+        nCent = 8, codebook = Some(cb))
+      Similarity.ivfPqProbe(index, cents, cbOut,
+        emb.filter(col("vec_id") % 25 === 0), k = 5, nprobe = 2, m = 4)
+    }),
+
     // Recall@10 of the sign-LSH bucketed screen vs brute-force ground
     // truth on the standard query sample — the audit that justifies
     // (or indicts) q_knn_bucketed's plane count. Exact integer permille.
@@ -1832,6 +1851,125 @@ object SimilarityQueries {
          |              AND qi.centroid_id = a.centroid_id
          |  JOIN cn2c c2 ON c2.centroid_id = a.centroid_id
          |  JOIN qn n ON n.query_id = a.query_id
+         |), r AS (
+         |  SELECT query_id, vec_id, adc_sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY adc_sim DESC, vec_id ASC) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, vec_id AS neighbor_id, adc_sim, rank
+         |FROM r WHERE rank <= 5""".stripMargin
+    },
+
+    // q_knn_ivfpq's scaffolding with a TRAINED PQ-codebook CTE chain:
+    // half-sample, per-subspace rank-select seeds, one integer-L2
+    // Lloyd assignment per subspace (ties → lowest cid), codeword cell
+    // = truncating integer mean (Spark's BIGINT `div` truncates toward
+    // zero; sums are double-exact here, so TRUNC(SUM/COUNT) replays it
+    // bit-for-bit), empty cells coalesce to their seed value.
+    "q_knn_ivfpq_trained" -> {
+      def cosBetween(x: String, y: String) =
+        s"""${fold(s"$x.v[i] * $y.v[i]")} /
+           |    (sqrt(${fold(s"$x.v[i] * $x.v[i]")}) * sqrt(${fold(s"$y.v[i] * $y.v[i]")}))""".stripMargin
+      s"""WITH e AS ($vecsSql),
+         |cent AS (SELECT vec_id AS centroid_id, v FROM e
+         |         ORDER BY vec_id LIMIT 8),
+         |ac AS (
+         |  SELECT x.vec_id AS vid, y.centroid_id,
+         |    ${cosBetween("x", "y")} AS csim
+         |  FROM e x CROSS JOIN cent y
+         |),
+         |ar AS (
+         |  SELECT vid, centroid_id,
+         |    row_number() OVER (PARTITION BY vid ORDER BY csim DESC, centroid_id ASC) AS rn
+         |  FROM ac
+         |),
+         |assign AS (SELECT vid, centroid_id FROM ar WHERE rn = 1),
+         |probes AS (SELECT vid AS query_id, centroid_id FROM ar
+         |           WHERE rn <= 2 AND vid % 25 = 0),
+         |q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS qe
+         |  FROM embeddings
+         |), sv AS (
+         |  SELECT vid, (i - 1) // (len(qe) // 4) AS s, i, qe[i] AS qv
+         |  FROM (SELECT vec_id AS vid, qe,
+         |          unnest(generate_series(1, len(qe))) AS i
+         |        FROM q WHERE vec_id % 2 = 0)
+         |), seedids AS (
+         |  SELECT vid, row_number() OVER (ORDER BY vid) - 1 AS cid
+         |  FROM (SELECT vec_id AS vid FROM q WHERE vec_id % 2 = 0
+         |        ORDER BY vec_id LIMIT 8)
+         |), seedv AS (
+         |  SELECT sd.cid, v.s, v.i, v.qv AS sqv
+         |  FROM seedids sd JOIN sv v ON v.vid = sd.vid
+         |), a1 AS (
+         |  SELECT v.vid, v.s, sd.cid,
+         |    SUM((v.qv - sd.sqv) * (v.qv - sd.sqv)) AS dist
+         |  FROM sv v JOIN seedv sd ON sd.s = v.s AND sd.i = v.i
+         |  GROUP BY v.vid, v.s, sd.cid
+         |), asg AS (
+         |  SELECT vid, s, cid FROM (
+         |    SELECT vid, s, cid,
+         |      row_number() OVER (PARTITION BY vid, s
+         |                         ORDER BY dist ASC, cid ASC) AS rn
+         |    FROM a1) WHERE rn = 1
+         |), cm AS (
+         |  SELECT v.s, a.cid, v.i,
+         |    CAST(TRUNC(CAST(SUM(v.qv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+         |  FROM sv v JOIN asg a ON a.vid = v.vid AND a.s = v.s
+         |  GROUP BY v.s, a.cid, v.i
+         |), cellv AS (
+         |  SELECT sp.cid, sp.i, COALESCE(cm.cv, sp.sqv) AS cv
+         |  FROM seedv sp
+         |  LEFT JOIN cm ON cm.s = sp.s AND cm.cid = sp.cid AND cm.i = sp.i
+         |), cents AS (
+         |  SELECT cid, list(cv ORDER BY i) AS qc FROM cellv GROUP BY cid
+         |), ex AS (
+         |  SELECT vec_id, cid, qe, qc,
+         |    unnest(generate_series(1, len(qe))) AS i
+         |  FROM q CROSS JOIN cents
+         |), d AS (
+         |  SELECT vec_id, cid, (i - 1) // (len(qe) // 4) AS s,
+         |    (qe[i] - qc[i]) * (qe[i] - qc[i]) AS d2,
+         |    qe[i] * qc[i] AS ipc,
+         |    qc[i] * qc[i] AS c2
+         |  FROM ex
+         |), ds AS (
+         |  SELECT vec_id, cid, s, SUM(d2) AS dist
+         |  FROM d GROUP BY vec_id, cid, s
+         |), codes AS (
+         |  SELECT vec_id, s, cid AS code FROM (
+         |    SELECT vec_id, s, cid,
+         |      row_number() OVER (PARTITION BY vec_id, s
+         |                         ORDER BY dist ASC, cid ASC) AS rn
+         |    FROM ds) WHERE rn = 1
+         |), lut AS (
+         |  SELECT vec_id AS query_id, cid, s,
+         |    CAST(SUM(ipc) AS BIGINT) AS ip, CAST(SUM(c2) AS BIGINT) AS cn2
+         |  FROM d WHERE vec_id % 25 = 0 GROUP BY vec_id, cid, s
+         |), qn AS (
+         |  SELECT vec_id AS query_id,
+         |    CAST(list_reduce(list_transform(qe, x -> x * x), (a, b) -> a + b)
+         |      AS BIGINT) AS qn2
+         |  FROM q WHERE vec_id % 25 = 0
+         |), adc AS (
+         |  SELECT l.query_id, c.vec_id,
+         |    CAST(SUM(l.ip) AS BIGINT) AS ipsum,
+         |    CAST(SUM(l.cn2) AS BIGINT) AS rn2
+         |  FROM codes c
+         |  JOIN assign a ON a.vid = c.vec_id
+         |  JOIN probes pr ON pr.centroid_id = a.centroid_id
+         |  JOIN lut l ON l.query_id = pr.query_id
+         |             AND l.s = c.s AND l.cid = c.code
+         |  WHERE c.vec_id <> l.query_id
+         |  GROUP BY l.query_id, c.vec_id
+         |), scored AS (
+         |  SELECT a.query_id, a.vec_id,
+         |    CAST(a.ipsum AS DOUBLE) /
+         |      (sqrt(CAST(n.qn2 AS DOUBLE)) * sqrt(CAST(a.rn2 AS DOUBLE)))
+         |      AS adc_sim
+         |  FROM adc a JOIN qn n ON n.query_id = a.query_id
          |), r AS (
          |  SELECT query_id, vec_id, adc_sim,
          |    row_number() OVER (PARTITION BY query_id
