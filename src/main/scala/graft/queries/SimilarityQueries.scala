@@ -397,6 +397,22 @@ object SimilarityQueries {
         emb.filter(col("vec_id") % 25 === 0), k = 5, nprobe = 2, m = 4)
     }),
 
+    // Recall@10 of the IVF-PQ compressed index (rank-select codebook,
+    // nprobe=2 of 8 lists) vs brute-force cosine ground truth on the
+    // standard query sample — the eval loop the r14 sweep runs at
+    // scale, in-catalog and oracle-gated. Low recall here is the
+    // measured price of 4-byte codes at dim 64; the sweep's residual /
+    // per-list columns price the fixes.
+    "q_ivfpq_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.recallAudit(
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 10)
+          .select(col("query_id"), col("cand_id")),
+        Similarity.ivfPqSearch(emb, col("vec_id") < 10, k = 10,
+            nlist = 8, nprobe = 2, m = 4, nCent = 8)
+          .select(col("query_id"), col("neighbor_id").as("cand_id")))
+    }),
+
     // Recall@10 of the sign-LSH bucketed screen vs brute-force ground
     // truth on the standard query sample — the audit that justifies
     // (or indicts) q_knn_bucketed's plane count. Exact integer permille.
@@ -960,6 +976,113 @@ object SimilarityQueries {
 
     // The brute and bucketed CTEs are q_knn_brute / q_knn_bucketed
     // verbatim; recall joins them per (query, candidate).
+    // exact = brute cosine top-10; approx = the q_knn_ivfpq chain at
+    // k=10 over the vec_id<10 sample; recall join as in q_ann_recall.
+    "q_ivfpq_recall" -> {
+      def cosBetween(x: String, y: String) =
+        s"""${fold(s"$x.v[i] * $y.v[i]")} /
+           |    (sqrt(${fold(s"$x.v[i] * $x.v[i]")}) * sqrt(${fold(s"$y.v[i] * $y.v[i]")}))""".stripMargin
+      s"""WITH e AS ($vecsSql),
+         |bp AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    $cosineSql AS sim
+         |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+         |), ex AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY sim DESC, cand_id ASC) AS rank
+         |    FROM bp) WHERE rank <= 10
+         |),
+         |cent AS (SELECT vec_id AS centroid_id, v FROM e
+         |         ORDER BY vec_id LIMIT 8),
+         |ac AS (
+         |  SELECT x.vec_id AS vid, y.centroid_id,
+         |    ${cosBetween("x", "y")} AS csim
+         |  FROM e x CROSS JOIN cent y
+         |),
+         |ar AS (
+         |  SELECT vid, centroid_id,
+         |    row_number() OVER (PARTITION BY vid ORDER BY csim DESC, centroid_id ASC) AS rn
+         |  FROM ac
+         |),
+         |assign AS (SELECT vid, centroid_id FROM ar WHERE rn = 1),
+         |probes AS (SELECT vid AS query_id, centroid_id FROM ar
+         |           WHERE rn <= 2 AND vid < 10),
+         |q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS qe
+         |  FROM embeddings
+         |), cents AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qe AS qc
+         |  FROM q ORDER BY vec_id LIMIT 8
+         |), exq AS (
+         |  SELECT vec_id, cid, qe, qc,
+         |    unnest(generate_series(1, len(qe))) AS i
+         |  FROM q CROSS JOIN cents
+         |), d AS (
+         |  SELECT vec_id, cid, (i - 1) // (len(qe) // 4) AS s,
+         |    (qe[i] - qc[i]) * (qe[i] - qc[i]) AS d2,
+         |    qe[i] * qc[i] AS ipc,
+         |    qc[i] * qc[i] AS c2
+         |  FROM exq
+         |), ds AS (
+         |  SELECT vec_id, cid, s, SUM(d2) AS dist
+         |  FROM d GROUP BY vec_id, cid, s
+         |), codes AS (
+         |  SELECT vec_id, s, cid AS code FROM (
+         |    SELECT vec_id, s, cid,
+         |      row_number() OVER (PARTITION BY vec_id, s
+         |                         ORDER BY dist ASC, cid ASC) AS rn
+         |    FROM ds) WHERE rn = 1
+         |), lut AS (
+         |  SELECT vec_id AS query_id, cid, s,
+         |    CAST(SUM(ipc) AS BIGINT) AS ip, CAST(SUM(c2) AS BIGINT) AS cn2
+         |  FROM d WHERE vec_id < 10 GROUP BY vec_id, cid, s
+         |), qn AS (
+         |  SELECT vec_id AS query_id,
+         |    CAST(list_reduce(list_transform(qe, x -> x * x), (a, b) -> a + b)
+         |      AS BIGINT) AS qn2
+         |  FROM q WHERE vec_id < 10
+         |), adc AS (
+         |  SELECT l.query_id, c.vec_id,
+         |    CAST(SUM(l.ip) AS BIGINT) AS ipsum,
+         |    CAST(SUM(l.cn2) AS BIGINT) AS rn2
+         |  FROM codes c
+         |  JOIN assign a ON a.vid = c.vec_id
+         |  JOIN probes pr ON pr.centroid_id = a.centroid_id
+         |  JOIN lut l ON l.query_id = pr.query_id
+         |             AND l.s = c.s AND l.cid = c.code
+         |  WHERE c.vec_id <> l.query_id
+         |  GROUP BY l.query_id, c.vec_id
+         |), scored AS (
+         |  SELECT a.query_id, a.vec_id,
+         |    CAST(a.ipsum AS DOUBLE) /
+         |      (sqrt(CAST(n.qn2 AS DOUBLE)) * sqrt(CAST(a.rn2 AS DOUBLE)))
+         |      AS adc_sim
+         |  FROM adc a JOIN qn n ON n.query_id = a.query_id
+         |), ap AS (
+         |  SELECT query_id, vec_id AS cand_id FROM (
+         |    SELECT query_id, vec_id, adc_sim,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY adc_sim DESC, vec_id ASC) AS rank
+         |    FROM scored) WHERE rank <= 10
+         |), na AS (
+         |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_approx
+         |  FROM ap GROUP BY query_id
+         |), j AS (
+         |  SELECT ex.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |    CAST(COUNT(ap.cand_id) AS BIGINT) AS n_hit
+         |  FROM ex LEFT JOIN ap
+         |    ON ap.query_id = ex.query_id AND ap.cand_id = ex.cand_id
+         |  GROUP BY ex.query_id
+         |)
+         |SELECT j.query_id, j.n_exact,
+         |  COALESCE(na.n_approx, CAST(0 AS BIGINT)) AS n_approx, j.n_hit,
+         |  CAST(j.n_hit * 1000 // j.n_exact AS BIGINT) AS recall_permille
+         |FROM j LEFT JOIN na ON na.query_id = j.query_id""".stripMargin
+    },
+
     "q_ann_recall" ->
       s"""WITH e AS (SELECT vec_id, v, $bucketSql AS bucket FROM ($vecsSql)),
          |bp AS (
