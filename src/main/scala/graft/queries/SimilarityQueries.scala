@@ -1018,7 +1018,7 @@ object SimilarityQueries {
          |  FROM q ORDER BY vec_id LIMIT 8
          |), exq AS (
          |  SELECT vec_id, cid, qe, qc,
-         |    unnest(generate_series(1, len(qe))) AS i
+         |    unnest(generate_series(1, 4 * (len(qe) // 4))) AS i
          |  FROM q CROSS JOIN cents
          |), d AS (
          |  SELECT vec_id, cid, (i - 1) // (len(qe) // 4) AS s,
@@ -1577,7 +1577,13 @@ object SimilarityQueries {
     // Mirrors Similarity.pqSearch stage-for-stage: identical encode as
     // q_pq_codes (long format), per-query subspace LUTs to the same 8
     // centroids, ADC = sum of the code-indexed LUT cells, top-5 by
-    // (adc, neighbor_id), self excluded.
+    // (adc, neighbor_id), self excluded. Every subspace-split unnest in
+    // this family is bounded to 4·(len//4) — the Spark side's
+    // slice(qe, s·sub+1, sub) ignores the tail of a non-divisible dim,
+    // so an unbounded unnest would feed tail elements into a phantom
+    // subspace s=4 and diverge (r14 ADVICE; latent — fixture dims 16/64
+    // divide evenly). Full-vector reductions (residual build, qip)
+    // intentionally stay full-length, matching the engine.
     "q_pq_search" ->
       """WITH q AS (
         |  SELECT vec_id,
@@ -1588,7 +1594,7 @@ object SimilarityQueries {
         |  FROM q ORDER BY vec_id LIMIT 8
         |), ex AS (
         |  SELECT vec_id, cid, qe, qc,
-        |    unnest(generate_series(1, len(qe))) AS i
+        |    unnest(generate_series(1, 4 * (len(qe) // 4))) AS i
         |  FROM q CROSS JOIN cents
         |), d AS (
         |  SELECT vec_id, cid, (i - 1) // (len(qe) // 4) AS s,
@@ -1654,7 +1660,7 @@ object SimilarityQueries {
          |  FROM q ORDER BY vec_id LIMIT 8
          |), ex AS (
          |  SELECT vec_id, cid, qe, qc,
-         |    unnest(generate_series(1, len(qe))) AS i
+         |    unnest(generate_series(1, 4 * (len(qe) // 4))) AS i
          |  FROM q CROSS JOIN cents
          |), d AS (
          |  SELECT vec_id, cid, (i - 1) // (len(qe) // 4) AS s,
@@ -1754,7 +1760,7 @@ object SimilarityQueries {
          |  SELECT vec_id, cid, (i - 1) // (len(re) // 4) AS s,
          |    (re[i] - qc[i]) * (re[i] - qc[i]) AS d2
          |  FROM (SELECT r0.vec_id, cb.cid, r0.re, cb.qc,
-         |          unnest(generate_series(1, len(r0.re))) AS i
+         |          unnest(generate_series(1, 4 * (len(r0.re) // 4))) AS i
          |        FROM res r0 CROSS JOIN rcb cb)
          |), ds AS (
          |  SELECT vec_id, cid, s, SUM(d2) AS dist
@@ -1769,14 +1775,14 @@ object SimilarityQueries {
          |  SELECT query_id, cid, (i - 1) // (len(qe) // 4) AS s,
          |    qe[i] * qc[i] AS p
          |  FROM (SELECT qq.vec_id AS query_id, cb.cid, qq.qe, cb.qc,
-         |          unnest(generate_series(1, len(qq.qe))) AS i
+         |          unnest(generate_series(1, 4 * (len(qq.qe) // 4))) AS i
          |        FROM q qq CROSS JOIN rcb cb WHERE qq.vec_id % 25 = 0)
          |), ipr AS (
          |  SELECT query_id, cid, s, CAST(SUM(p) AS BIGINT) AS ip
          |  FROM iprx GROUP BY query_id, cid, s
          |), rn2x AS (
          |  SELECT cid, (i - 1) // (len(qc) // 4) AS s, qc[i] * qc[i] AS p
-         |  FROM (SELECT cid, qc, unnest(generate_series(1, len(qc))) AS i
+         |  FROM (SELECT cid, qc, unnest(generate_series(1, 4 * (len(qc) // 4))) AS i
          |        FROM rcb)
          |), rn2 AS (
          |  SELECT cid, s, CAST(SUM(p) AS BIGINT) AS n2
@@ -1785,7 +1791,7 @@ object SimilarityQueries {
          |  SELECT centroid_id, cid, (i - 1) // (len(tc) // 4) AS s,
          |    tc[i] * qc[i] AS p
          |  FROM (SELECT t.centroid_id, cb.cid, t.qc AS tc, cb.qc,
-         |          unnest(generate_series(1, len(t.qc))) AS i
+         |          unnest(generate_series(1, 4 * (len(t.qc) // 4))) AS i
          |        FROM qcent t CROSS JOIN rcb cb)
          |), crs AS (
          |  SELECT centroid_id, cid, s, CAST(SUM(p) AS BIGINT) AS cr
@@ -1890,7 +1896,7 @@ object SimilarityQueries {
          |  SELECT vec_id, cid, (i - 1) // (len(re) // 4) AS s,
          |    (re[i] - qc[i]) * (re[i] - qc[i]) AS d2
          |  FROM (SELECT r0.vec_id, cb.cid, r0.re, cb.qc,
-         |          unnest(generate_series(1, len(r0.re))) AS i
+         |          unnest(generate_series(1, 4 * (len(r0.re) // 4))) AS i
          |        FROM res r0
          |        JOIN rcb cb ON cb.centroid_id = r0.centroid_id)
          |), ds AS (
@@ -1906,7 +1912,7 @@ object SimilarityQueries {
          |  SELECT query_id, centroid_id, cid,
          |    (i - 1) // (len(qe) // 4) AS s, qe[i] * qc[i] AS p
          |  FROM (SELECT pr.query_id, pr.centroid_id, cb.cid, qq.qe, cb.qc,
-         |          unnest(generate_series(1, len(qq.qe))) AS i
+         |          unnest(generate_series(1, 4 * (len(qq.qe) // 4))) AS i
          |        FROM probes pr
          |        JOIN q qq ON qq.vec_id = pr.query_id
          |        JOIN rcb cb ON cb.centroid_id = pr.centroid_id)
@@ -1917,7 +1923,7 @@ object SimilarityQueries {
          |  SELECT centroid_id, cid, (i - 1) // (len(qc) // 4) AS s,
          |    qc[i] * qc[i] AS p
          |  FROM (SELECT centroid_id, cid, qc,
-         |          unnest(generate_series(1, len(qc))) AS i
+         |          unnest(generate_series(1, 4 * (len(qc) // 4))) AS i
          |        FROM rcb)
          |), rn2 AS (
          |  SELECT centroid_id, cid, s, CAST(SUM(p) AS BIGINT) AS n2
@@ -1926,7 +1932,7 @@ object SimilarityQueries {
          |  SELECT centroid_id, cid, (i - 1) // (len(tc) // 4) AS s,
          |    tc[i] * qc[i] AS p
          |  FROM (SELECT t.centroid_id, cb.cid, t.qc AS tc, cb.qc,
-         |          unnest(generate_series(1, len(t.qc))) AS i
+         |          unnest(generate_series(1, 4 * (len(t.qc) // 4))) AS i
          |        FROM qcent t
          |        JOIN rcb cb ON cb.centroid_id = t.centroid_id)
          |), crs AS (
@@ -2017,7 +2023,7 @@ object SimilarityQueries {
          |), sv AS (
          |  SELECT vid, (i - 1) // (len(qe) // 4) AS s, i, qe[i] AS qv
          |  FROM (SELECT vec_id AS vid, qe,
-         |          unnest(generate_series(1, len(qe))) AS i
+         |          unnest(generate_series(1, 4 * (len(qe) // 4))) AS i
          |        FROM q WHERE vec_id % 2 = 0)
          |), seedids AS (
          |  SELECT vid, row_number() OVER (ORDER BY vid) - 1 AS cid
@@ -2050,7 +2056,7 @@ object SimilarityQueries {
          |  SELECT cid, list(cv ORDER BY i) AS qc FROM cellv GROUP BY cid
          |), ex AS (
          |  SELECT vec_id, cid, qe, qc,
-         |    unnest(generate_series(1, len(qe))) AS i
+         |    unnest(generate_series(1, 4 * (len(qe) // 4))) AS i
          |  FROM q CROSS JOIN cents
          |), d AS (
          |  SELECT vec_id, cid, (i - 1) // (len(qe) // 4) AS s,
@@ -2178,7 +2184,7 @@ object SimilarityQueries {
         |  FROM q ORDER BY vec_id LIMIT 8
         |), ex AS (
         |  SELECT vec_id, cid, qe, qc,
-        |    unnest(generate_series(1, len(qe))) AS i
+        |    unnest(generate_series(1, 4 * (len(qe) // 4))) AS i
         |  FROM q CROSS JOIN cents
         |), d AS (
         |  SELECT vec_id, cid, (i - 1) // (len(qe) // 4) AS s,

@@ -266,6 +266,72 @@ class IvfPqSpec extends SparkSpec {
       s"local-codebook recall $loc not materially above shared-residual $res")
   }
 
+  test("local trained: lists with an EMPTY training sample keep every vector reachable") {
+    // sampleMod 121 over ids 0..119 samples ONLY id 0 — every list but
+    // id-0's trains on nothing. Pre-fix, those lists got no codebook
+    // rows and the encode inner join silently dropped ALL their
+    // vectors (r14 ADVICE, medium): unreachable at probe time. The
+    // fallback gives each sample-empty list one rank-select codeword.
+    val cents = Similarity.ivfCentroids(corpus, 6)
+    val (index, rcb, _) = Similarity.ivfPqLocalBuild(corpus, cents,
+      m = 4, nCent = 8, trained = true, sampleMod = 121)
+    val indexed = index.select("cand_id").distinct().count()
+    assert(indexed == 120L,
+      s"trained local index lost ${120L - indexed} vectors to sample-empty lists")
+    // every nonempty list owns codebook rows, and sample-empty lists
+    // got exactly the single fallback codeword (cid 0)
+    val cbLists = rcb.select("centroid_id").distinct().count()
+    val lists = index.select("centroid_id").distinct().count()
+    assert(cbLists == lists)
+    // probes over fallback lists still answer
+    val got = rows(Similarity.ivfPqLocalSearch(corpus, queryPred, k = 5,
+      nlist = 6, nprobe = 2, m = 4, nCent = 8, trained = true,
+      sampleMod = 121))
+    assert(got.nonEmpty)
+    got.foreach { case (_, _, sim, _) =>
+      assert(math.abs(sim) <= 1.0, s"adc_sim $sim outside [-1, 1]")
+    }
+  }
+
+  test("residual trained: an entirely EMPTY sample falls back to rank-select") {
+    // ids 1..120 hold no multiple of 127 — the trained path's sample is
+    // empty, the Lloyd codebook has zero rows, and pre-fix the encode
+    // dropped the WHOLE corpus. The fallback makes it degrade to the
+    // rank-select codebook exactly.
+    val shifted = ScaleSweep.embCorpus(spark, 120, dim, idOffset = 1L)
+    val pred = col("vec_id") % 20 === 0
+    val trained = rows(Similarity.ivfPqResidualSearch(shifted, pred, k = 5,
+      nlist = 6, nprobe = 2, m = 4, nCent = 8, trained = true,
+      sampleMod = 127))
+    val rank = rows(Similarity.ivfPqResidualSearch(shifted, pred, k = 5,
+      nlist = 6, nprobe = 2, m = 4, nCent = 8, trained = false))
+    assert(trained == rank && rank.nonEmpty)
+  }
+
+  test("ivfPqBuild: an EMPTY supplied codebook falls back to the default") {
+    val cents = Similarity.ivfCentroids(corpus, 6)
+    val emptyCb = Similarity.pqKmeansCodebook(corpus, m = 4, nCent = 8,
+      sampleMod = 1).filter(lit(false))
+    val (gotIdx, _) = Similarity.ivfPqBuild(corpus, cents, m = 4, nCent = 8,
+      codebook = Some(emptyCb))
+    val (wantIdx, _) = Similarity.ivfPqBuild(corpus, cents, m = 4, nCent = 8)
+    val g = gotIdx.collect().map(_.toSeq).toSet
+    val w = wantIdx.collect().map(_.toSeq).toSet
+    assert(g == w && w.nonEmpty)
+  }
+
+  test("residual probe: broadcastLuts=false (shuffle-join escape hatch) is value-identical") {
+    val cents = Similarity.ivfCentroids(corpus, 6)
+    val (index, rcb, qcents) = Similarity.ivfPqResidualBuild(corpus, cents,
+      m = 4, nCent = 8)
+    val q = corpus.filter(queryPred)
+    val hinted = rows(Similarity.ivfPqResidualProbe(index, cents, qcents,
+      rcb, q, k = 5, nprobe = 2, m = 4))
+    val shuffled = rows(Similarity.ivfPqResidualProbe(index, cents, qcents,
+      rcb, q, k = 5, nprobe = 2, m = 4, broadcastLuts = false))
+    assert(hinted == shuffled && hinted.nonEmpty)
+  }
+
   test("probe over a trained codebook keeps the cosine contract") {
     val cents = Similarity.ivfCentroids(clustered, 4)
     val cb = Similarity.pqKmeansCodebook(clustered, m = 4, nCent = 8,
