@@ -460,7 +460,7 @@ object StreamBench {
           .writeStream.format("noop").outputMode("append")
           .option("checkpointLocation", s"$dir/ckpt").start()
         (q, users, t0)
-      } else if (mode == "ann") {
+      } else if (mode == "ann" || mode == "annsharded") {
         // streaming ANN probe topology (E3's streaming twin): a stream
         // of query vectors probes a PERSISTED IVF index — built ONCE
         // before t0 (ivfCentroids + ivfAssign + ivfListGroups,
@@ -485,9 +485,20 @@ object StreamBench {
         val cents = graft.operators.Similarity.ivfCentroids(corpus, nlist)
           .persist()
         cents.count()
-        val groups = graft.operators.Similarity.ivfListGroups(
-            graft.operators.Similarity.ivfAssign(corpus, cents))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // "annsharded" (r14 verdict #4): the index is materialized in
+        // the ivfShardedIndex layout (hash-partitioned by centroid_id)
+        // and probed WITHOUT the whole-index broadcast — each
+        // micro-batch's probe joins are shuffle-hash joins over the
+        // co-partitioned cache, the layout that survives corpora past
+        // the broadcast ceiling. Same build amortization posture as
+        // "ann" (index built + cached before t0).
+        val rawGroups = graft.operators.Similarity.ivfListGroups(
+          graft.operators.Similarity.ivfAssign(corpus, cents))
+        val groups =
+          (if (mode == "annsharded")
+             graft.operators.Similarity.ivfShardedIndex(rawGroups)
+           else rawGroups)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         groups.count()
         val t0 = markStart()
         val reader = spark.readStream.schema("vec_id LONG")
@@ -496,8 +507,14 @@ object StreamBench {
         val qs = reader.csv(s"$dir/in")
           .select(col("vec_id"),
             graft.ScaleSweep.embColumn(col("vec_id")).as("embedding"))
-        val q = graft.operators.Similarity.ivfProbeStream(groups, cents, qs,
-            k = 10, nprobe = 2)
+        val probed =
+          if (mode == "annsharded")
+            graft.operators.Similarity.ivfProbeStreamSharded(groups, cents,
+              qs, k = 10, nprobe = 2)
+          else
+            graft.operators.Similarity.ivfProbeStream(groups, cents, qs,
+              k = 10, nprobe = 2)
+        val q = probed
           .writeStream.format("noop").outputMode("append")
           .option("checkpointLocation", s"$dir/ckpt").start()
         (q, nlist, t0)
@@ -580,7 +597,8 @@ object StreamBench {
         mode == "session" || mode == "dedup" || mode == "lsh" ||
         mode == "logit" || mode == "drift" || mode == "kmv" ||
         mode == "tws" || mode == "twssession" || mode == "interp" ||
-        mode == "debounce" || mode == "heavyhitter" || mode == "ann") rows.toLong
+        mode == "debounce" || mode == "heavyhitter" || mode == "ann" ||
+        mode == "annsharded") rows.toLong
       else if (mode == "asof") rows.toLong + rows / 10
       else rows.toLong * 4
     val windows = progress.map(_.stateOperators.headOption.map(_.numRowsTotal).getOrElse(0L)).maxOption.getOrElse(0L)

@@ -283,6 +283,37 @@ object SimilarityQueries {
           col("rank").cast("long").as("rank"))
     }),
 
+    // Streaming ANN probe, gated through the batch path (r14 verdict
+    // #5): Similarity.ivfProbeStream is stateless by construction —
+    // nothing in the operator is streaming-only — so running it on a
+    // batch query frame exercises the EXACT code path every
+    // micro-batch runs (AnnStreamSpec pins stream ≡ batch across
+    // splits), and its contract equals ivfProbe. Same index, query
+    // sample and k as q_knn_ivf, same oracle.
+    "q_ann_probe_stream" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.ivfCentroids(emb, 8)
+      val groups = Similarity.ivfListGroups(Similarity.ivfAssign(emb, cents))
+      Similarity.ivfProbeStream(groups, cents,
+          emb.filter(col("vec_id") < 10), 10, nprobe = 2)
+        .select(col("query_id"), col("cand_id"), col("sim"),
+          col("rank").cast("long").as("rank"))
+    }),
+
+    // The SHARDED streaming probe (r15: no whole-index broadcast — the
+    // co-partitioned-cache layout for corpora past the broadcast
+    // ceiling), gated the same way through its batch twin.
+    "q_ann_probe_sharded" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.ivfCentroids(emb, 8)
+      val sharded = Similarity.ivfShardedIndex(
+        Similarity.ivfListGroups(Similarity.ivfAssign(emb, cents)))
+      Similarity.ivfProbeStreamSharded(sharded, cents,
+          emb.filter(col("vec_id") < 10), 10, nprobe = 2)
+        .select(col("query_id"), col("cand_id"), col("sim"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     // Inverted-list occupancy audit for both coarse quantizers: at
     // scale the PROBE cost bound (~nprobe·N/nlist per query) holds
     // only if lists stay balanced, so list sizes are a first-class
@@ -624,6 +655,45 @@ object SimilarityQueries {
 
   /** Oracle fragments: fold-order-exact cosine between q.v and c.v. */
   private val dim = 64
+  /** The q_knn_ivf replay — 8 rank-select centroids, cosine argmax
+    * assignment, nprobe=2, top-10 by (sim desc, cand_id asc), self
+    * excluded. Shared by q_knn_ivf and the streaming-probe twins
+    * (q_ann_probe_stream / q_ann_probe_sharded), which run the same
+    * contract through the stateless streaming code paths.
+    */
+  private def ivfProbeReplaySql: String = {
+    def cosBetween(x: String, y: String) =
+      s"""${fold(s"$x.v[i] * $y.v[i]")} /
+         |    (sqrt(${fold(s"$x.v[i] * $x.v[i]")}) * sqrt(${fold(s"$y.v[i] * $y.v[i]")}))""".stripMargin
+    s"""WITH e AS ($vecsSql),
+       |cent AS (SELECT vec_id AS centroid_id, v FROM e WHERE vec_id < 8),
+       |ac AS (
+       |  SELECT x.vec_id AS vid, y.centroid_id,
+       |    ${cosBetween("x", "y")} AS csim
+       |  FROM e x CROSS JOIN cent y
+       |),
+       |ar AS (
+       |  SELECT vid, centroid_id,
+       |    row_number() OVER (PARTITION BY vid ORDER BY csim DESC, centroid_id ASC) AS rn
+       |  FROM ac
+       |),
+       |assign AS (SELECT vid AS cand_id, centroid_id FROM ar WHERE rn = 1),
+       |probes AS (SELECT vid AS query_id, centroid_id FROM ar WHERE rn <= 2 AND vid < 10),
+       |p AS (
+       |  SELECT pr.query_id, a.cand_id, ${cosineSql} AS sim
+       |  FROM probes pr
+       |  JOIN assign a ON a.centroid_id = pr.centroid_id AND a.cand_id <> pr.query_id
+       |  JOIN e q ON q.vec_id = pr.query_id
+       |  JOIN e c ON c.vec_id = a.cand_id
+       |),
+       |r AS (
+       |  SELECT query_id, cand_id, sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rank
+       |  FROM p
+       |)
+       |SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 10""".stripMargin
+  }
+
   private def fold(exprBody: String): String =
     s"list_reduce(list_transform(generate_series(1, $dim), i -> $exprBody), (x, y) -> x + y)"
   private val cosineSql =
@@ -1438,38 +1508,13 @@ object SimilarityQueries {
          |SELECT component, COUNT(*) AS n_members, MAX(node) AS max_id
          |FROM comp GROUP BY component""".stripMargin,
 
-    "q_knn_ivf" -> {
-      def cosBetween(x: String, y: String) =
-        s"""${fold(s"$x.v[i] * $y.v[i]")} /
-           |    (sqrt(${fold(s"$x.v[i] * $x.v[i]")}) * sqrt(${fold(s"$y.v[i] * $y.v[i]")}))""".stripMargin
-      s"""WITH e AS ($vecsSql),
-         |cent AS (SELECT vec_id AS centroid_id, v FROM e WHERE vec_id < 8),
-         |ac AS (
-         |  SELECT x.vec_id AS vid, y.centroid_id,
-         |    ${cosBetween("x", "y")} AS csim
-         |  FROM e x CROSS JOIN cent y
-         |),
-         |ar AS (
-         |  SELECT vid, centroid_id,
-         |    row_number() OVER (PARTITION BY vid ORDER BY csim DESC, centroid_id ASC) AS rn
-         |  FROM ac
-         |),
-         |assign AS (SELECT vid AS cand_id, centroid_id FROM ar WHERE rn = 1),
-         |probes AS (SELECT vid AS query_id, centroid_id FROM ar WHERE rn <= 2 AND vid < 10),
-         |p AS (
-         |  SELECT pr.query_id, a.cand_id, ${cosineSql} AS sim
-         |  FROM probes pr
-         |  JOIN assign a ON a.centroid_id = pr.centroid_id AND a.cand_id <> pr.query_id
-         |  JOIN e q ON q.vec_id = pr.query_id
-         |  JOIN e c ON c.vec_id = a.cand_id
-         |),
-         |r AS (
-         |  SELECT query_id, cand_id, sim,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rank
-         |  FROM p
-         |)
-         |SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 10""".stripMargin
-    },
+    "q_knn_ivf" -> ivfProbeReplaySql,
+
+    // The streaming probe twins run the identical IVF contract
+    // (AnnStreamSpec pins stream form ≡ ivfProbe), so they share
+    // q_knn_ivf's replay verbatim.
+    "q_ann_probe_stream" -> ivfProbeReplaySql,
+    "q_ann_probe_sharded" -> ivfProbeReplaySql,
 
     // q_knn_ivf's scaffolding with a TRAINED cent CTE: half-sample,
     // rank-select seeds, one exact-integer Lloyd assignment

@@ -56,6 +56,54 @@ class AnnStreamSpec extends SparkSpec {
       rows(Similarity.ivfProbe(listed, cents, queriesDf, k = 5, nprobe = 2)))
   }
 
+  test("SHARDED stream probe == batch ivfProbe across micro-batch splits (no broadcast)") {
+    val cents = Similarity.ivfCentroids(corpus, nlist = 4)
+    val listed = Similarity.ivfAssign(corpus, cents)
+    val sharded = Similarity.ivfShardedIndex(
+      Similarity.ivfListGroups(listed), shards = 8).persist()
+    try {
+      sharded.count()
+      val qVecs = queriesDf.collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val src = MemoryStream[(Long, Seq[Double])](spark)
+      val q = Similarity.ivfProbeStreamSharded(sharded, cents,
+          src.toDS().toDF("vec_id", "embedding"), k = 5, nprobe = 2)
+        .writeStream.format("memory").queryName("ann_probe_sharded")
+        .outputMode("append").start()
+      src.addData(qVecs.take(2): _*); q.processAllAvailable()
+      src.addData(qVecs.drop(2): _*); q.processAllAvailable()
+      q.stop()
+
+      val want = rows(Similarity.ivfProbe(listed, cents, queriesDf,
+        k = 5, nprobe = 2))
+      assert(want.nonEmpty)
+      assert(rows(spark.table("ann_probe_sharded")) == want)
+      // the sharded plan must carry NO broadcast of the index: every
+      // per-probe join is a ShuffledHashJoin building on the cached
+      // co-partitioned shard, never a BroadcastHashJoin. (Raw
+      // BroadcastExchange counts would also see the index's own cached
+      // BUILD plan — ivfAssign's centroid broadcast — stored inside
+      // the InMemoryRelation text; only probe-time joins matter here.)
+      val plan = Similarity.ivfProbeStreamSharded(sharded, cents,
+        queriesDf, k = 5, nprobe = 2).queryExecution.executedPlan.toString
+      val shj = "ShuffledHashJoin".r.findAllIn(plan).size
+      assert(shj >= 2 && !plan.contains("BroadcastHashJoin"),
+        s"sharded probe joins not shuffle-hash over the cached shards:\n$plan")
+    } finally { sharded.unpersist(); () }
+  }
+
+  test("sharded == unsharded on a batch frame, incl. nprobe past nlist") {
+    val cents = Similarity.ivfCentroids(corpus, nlist = 4)
+    val listed = Similarity.ivfAssign(corpus, cents)
+    val groups = Similarity.ivfListGroups(listed)
+    val sharded = Similarity.ivfShardedIndex(groups)
+    for (np <- Seq(2, 6))
+      assert(rows(Similarity.ivfProbeStreamSharded(sharded, cents, queriesDf,
+          k = 5, nprobe = np)) ==
+        rows(Similarity.ivfProbeStream(groups, cents, queriesDf,
+          k = 5, nprobe = np)), s"nprobe=$np diverged")
+  }
+
   test("nprobe past nlist probes every list on both paths (guarded element_at)") {
     val cents = Similarity.ivfCentroids(corpus, nlist = 4)
     val listed = Similarity.ivfAssign(corpus, cents)
