@@ -201,6 +201,35 @@ object ScaleSweep {
       }: _*).as("embedding"))
   }
 
+  /** High-dim clustered twin of [[embClustered]]: the residue generator
+    * is capped at dim 16 by its prime tables, so the production-width
+    * sweep (dim 128 — r14 verdict #3) swaps the closed-form coprime
+    * arithmetic for xxhash64 mixing: center coordinate from
+    * hash(cid, j), tight ±0.1 member jitter from hash(vec_id, j, salt).
+    * Equally deterministic and seedless (stable across runs and
+    * engines); used for EVERY dim in the pqdim sweep so vector width
+    * is the only variable across its rows.
+    */
+  def embClusteredWide(spark: org.apache.spark.sql.SparkSession, n: Long,
+                       centers: Long, dim: Int,
+                       idOffset: Long = 0L): DataFrame = {
+    require(centers > 0, "centers must be positive")
+    // transform-HOF, not a dim-wide array(...) literal: a 128-element
+    // array expression (2 hashes per element) unrolls into generated
+    // Java past janino's 64 KB method limit wherever the corpus is
+    // inlined, and the silent interpreted-mode fallback then
+    // contaminates every wall measured over it (seen: ivf_assign 31.7 s
+    // at 100k×128 under the unrolled form). The HOF compiles to one
+    // loop regardless of dim.
+    spark.range(n).select((col("id") + idOffset).as("vec_id"))
+      .select(col("vec_id"), pmod(col("vec_id"), lit(centers)).as("cid"))
+      .select(col("vec_id"),
+        expr(s"""transform(sequence(0, ${dim - 1}), j ->
+                |  (CAST(pmod(xxhash64(cid, j), 2001) AS DOUBLE) / 1000.0 - 1.0) +
+                |  (CAST(pmod(xxhash64(vec_id, j, 77), 201) AS DOUBLE) / 1000.0 - 0.1))"""
+          .stripMargin).as("embedding"))
+  }
+
   /** Chain-of-4 edge set for the incremental-CC sweep, split the way
     * q_cc_incremental splits its LSH pairs: fixed component diameter
     * (so the round count is constant and the sweep prices PER-ROUND
@@ -214,7 +243,7 @@ object ScaleSweep {
   }
 
   private val Modes = Set("monitor", "dedup", "asof", "prefixjoin",
-    "extractive", "linededup", "ccinc", "ccstar", "simsearch")
+    "extractive", "linededup", "ccinc", "ccstar", "simsearch", "pqdim")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.filter(Modes).getOrElse("monitor")
@@ -233,6 +262,7 @@ object ScaleSweep {
       else if (mode == "linededup") Seq(200000L, 2000000L)
       else if (mode == "ccinc" || mode == "ccstar") Seq(300000L, 3000000L)
       else if (mode == "simsearch") Seq(100000L, 1000000L, 10000000L)
+      else if (mode == "pqdim") Seq(1000000L)
       else Seq(60000L, 600000L, 6000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.core.GraftSession.local(cpus, "graft-scalesweep")
@@ -648,6 +678,147 @@ object ScaleSweep {
           println(s"""{"metric":"simsearch_sweep","fixture":"$fixture","corpus":$n,"k":$k,"brute_sec":${r3(bruteSec)},"planes":$planes,"lsh_sec":${r3(lshSec)},"lsh_recall":${recall(lsh, exact)},"lshmp_sec":${r3(mpSec)},"lshmp_recall":${recall(mp, exact)},"lshcap_sec":${r3(capSec)},"lshcap_recall":${recall(capIds, exact)},"occ_max":$occMax,"occ_p99":$occP99,"lshidx_build_sec":${r3(lshIdxBuildSec)},"lshidx_probe_sec":${r3(lshIdxProbeSec)},"lshidx_recall":${recall(lshIdxIds, exact)},"nlist":$nlist,"ivf_train_sec":${r3(buildSec)},"ivf_assign_sec":${r3(assignSec)},"ivf_build_sec":${r3(buildSec + assignSec)},"ivf_probe_sec":${r3(probeSec)},"ivf_sec":${r3(buildSec + assignSec + probeSec)},"ivf_recall":${recall(ivf, exact)},"ivft_train_sec":${r3(tTrainSec)},"ivft_assign_sec":${r3(tAssignSec)},"ivft_build_sec":${r3(tTrainSec + tAssignSec)},"ivft_probe_sec":${r3(tProbeSec)},"ivft_recall":${recall(tIvf, exact)},"ivfpq_build_sec":${r3(ivfpqBuildSec)},"ivfpq_probe_sec":${r3(ivfpqProbeSec)},"ivfpq_recall":${recall(pqIds, exact)},"ivfpqt_train_sec":${r3(ivfpqtTrainSec)},"ivfpqt_build_sec":${r3(ivfpqtBuildSec)},"ivfpqt_probe_sec":${r3(ivfpqtProbeSec)},"ivfpqt_recall":${recall(tPqIds, exact)},"ivfpqr_build_sec":${r3(ivfpqrBuildSec)},"ivfpqr_probe_sec":${r3(ivfpqrProbeSec)},"ivfpqr_recall":${recall(rPqIds, exact)},"ivfpql_build_sec":${r3(ivfpqlBuildSec)},"ivfpql_probe_sec":${r3(ivfpqlProbeSec)},"ivfpql_recall":${recall(lPqIds, exact)}}""")
         }
       }
+    } else if (mode == "pqdim") {
+      // PQ economics at PRODUCTION dims (r14 verdict #3): the r14 table
+      // measured the compressed tier at dim 16 only — where the ADC
+      // probe does NOT beat IVF-flat on wall — and stated the tier's
+      // 100 TB value (memory ratio, wall inversion at real embedding
+      // widths) as design analysis. This sweep makes both numbers:
+      // same clustered geometry and production code point (residual
+      // IVFADC, m=8 × 256 codewords = 8 B/vector, hash-sampled
+      // prime-mod Lloyd training) at dim 16 / 64 / 128 over a fixed
+      // corpus, so vector width is the only variable. Columns:
+      // IVF-flat probe wall (scans raw dim-wide vectors —
+      // ~nprobe·N/nlist cosine folds of length dim) vs ADC probe wall
+      // (scans the SAME row count of 8-byte code rows through integer
+      // LUTs — dim enters only the per-query LUT build), plus the
+      // PERSISTED parquet bytes/vector of the raw corpus vs the packed
+      // code index: the at-rest memory claim, measured not asserted.
+      import graft.operators.Similarity
+      val k = 10
+      val dims = Seq(16, 64, 128)
+      def r3(x: Double) = math.round(x * 1000) / 1000.0
+      def ids(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
+        rows.groupBy(_.getLong(0))
+          .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      def collectIds(df: DataFrame): (Double, Map[Long, Set[Long]]) = {
+        val t0 = System.nanoTime()
+        val rows = df.select(col("query_id").cast("long"),
+          col("cand_id").cast("long")).collect()
+        ((System.nanoTime() - t0) / 1e9, ids(rows))
+      }
+      def recall(approx: Map[Long, Set[Long]],
+                 exact: Map[Long, Set[Long]]): Double = {
+        val hit = exact.map { case (q, e) =>
+          (approx.getOrElse(q, Set.empty) & e).size }.sum
+        math.round(hit * 1000.0 / exact.values.map(_.size).sum) / 1000.0
+      }
+      def dirBytes(p: String): Long = {
+        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum
+        finally s.close()
+      }
+      def onePoint(n: Long, dim: Int, report: Boolean): Unit = {
+        val centers = math.min(65536L, math.max(64L, n / 4096))
+        val corpus = embClusteredWide(spark, n, centers, dim)
+        val queries = embClusteredWide(spark, 64, centers, dim,
+          idOffset = 1000000007L)
+        val nlist = math.max(16, math.round(math.sqrt(n.toDouble) / 16).toInt)
+        val (bruteSec, exact) =
+          collectIds(Similarity.bruteForceTopKHeap(corpus, queries, k))
+        graft.core.CacheScope.releaseStragglers(spark)
+        val cents = Similarity.ivfCentroids(corpus, nlist).persist()
+        cents.count()
+        val ta0 = System.nanoTime()
+        val listed = Similarity.ivfAssign(corpus, cents).persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        listed.write.format("noop").mode("overwrite").save()
+        val ivfBuildSec = (System.nanoTime() - ta0) / 1e9
+        val (ivfProbeSec, flat) = collectIds(
+          Similarity.ivfProbe(listed, cents, queries, k, nprobe = 8))
+        listed.unpersist()
+        graft.core.CacheScope.releaseStragglers(spark)
+        val rb0 = System.nanoTime()
+        val (rPacked0, rCb, rQcents) = Similarity.ivfPqResidualBuildPacked(
+          corpus, cents, m = 8, nCent = 256,
+          trained = true, sampleMod = 61, hashSample = true)
+        val rCbP = rCb.persist(); rCbP.count()
+        val rQcentsP = rQcents.persist(); rQcentsP.count()
+        val rPacked = rPacked0.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        rPacked.write.format("noop").mode("overwrite").save()
+        val pqBuildSec = (System.nanoTime() - rb0) / 1e9
+        // the long (s, code) relation derived from the cached packed
+        // frame and persisted separately, so each probe form is priced
+        // over ITS OWN materialized layout (the r14 sweep's shape)
+        val rIndex = Similarity.packedToLong(rPacked).persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        rIndex.write.format("noop").mode("overwrite").save()
+        val (pqProbeSec, pq) = collectIds(
+          Similarity.ivfPqResidualProbe(rIndex, cents, rQcentsP, rCbP,
+              queries, k, nprobe = 8, m = 8)
+            .select(col("query_id"), col("neighbor_id").as("cand_id")))
+        // PACKED probe (r15): same index content, m-lookup fold per
+        // candidate instead of m rows through a join + hash aggregate
+        val (pqpProbeSec, pqp) = collectIds(
+          Similarity.ivfPqResidualProbePacked(rPacked, cents, rQcentsP,
+              rCbP, queries, k, nprobe = 8, m = 8)
+            .select(col("query_id"), col("neighbor_id").as("cand_id")))
+        // at-rest bytes: raw vectors vs the PACKED code layout
+        // (cand_id, centroid_id, codes array<smallint>) — the long
+        // (s, code) relation is the probe's join shape, not storage
+        val outDir =
+          java.nio.file.Files.createTempDirectory("pqdim").toString
+        corpus.write.mode("overwrite").parquet(s"$outDir/raw")
+        rPacked.select(col("cand_id"), col("centroid_id"),
+            expr("transform(codes, x -> CAST(x AS SMALLINT))").as("codes"))
+          .write.mode("overwrite").parquet(s"$outDir/codes")
+        val rawBytes = dirBytes(s"$outDir/raw")
+        val codeBytes = dirBytes(s"$outDir/codes")
+        rIndex.unpersist(); rPacked.unpersist()
+        rCbP.unpersist(); rQcentsP.unpersist()
+        graft.core.CacheScope.releaseStragglers(spark)
+        // WIDTH-SCALED twin: the fixed-m=8 columns hold the byte budget
+        // constant (0.5 bit/dim at 128 — the recall column shows that
+        // price); production practice scales m with dim to a fixed
+        // ~8-dim subspace (FAISS guidance: dim/m in 4..12), paying
+        // bytes for recall. mW = dim/8 → 2/8/16 B/vector at 16/64/128;
+        // at dim 64 the twin coincides with m=8 and is its own receipt.
+        val mW = math.max(2, dim / 8)
+        val wb0 = System.nanoTime()
+        val (wPacked0, wCb, wQcents) = Similarity.ivfPqResidualBuildPacked(
+          corpus, cents, m = mW, nCent = 256,
+          trained = true, sampleMod = 61, hashSample = true)
+        val wCbP = wCb.persist(); wCbP.count()
+        val wQcentsP = wQcents.persist(); wQcentsP.count()
+        val wPacked = wPacked0.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        wPacked.write.format("noop").mode("overwrite").save()
+        val wBuildSec = (System.nanoTime() - wb0) / 1e9
+        val wIndex = Similarity.packedToLong(wPacked).persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        wIndex.write.format("noop").mode("overwrite").save()
+        val (wProbeSec, wpq) = collectIds(
+          Similarity.ivfPqResidualProbe(wIndex, cents, wQcentsP, wCbP,
+              queries, k, nprobe = 8, m = mW)
+            .select(col("query_id"), col("neighbor_id").as("cand_id")))
+        val (wpProbeSec, wpqp) = collectIds(
+          Similarity.ivfPqResidualProbePacked(wPacked, cents, wQcentsP,
+              wCbP, queries, k, nprobe = 8, m = mW)
+            .select(col("query_id"), col("neighbor_id").as("cand_id")))
+        wPacked.select(col("cand_id"), col("centroid_id"),
+            expr("transform(codes, x -> CAST(x AS SMALLINT))").as("codes"))
+          .write.mode("overwrite").parquet(s"$outDir/wcodes")
+        val wCodeBytes = dirBytes(s"$outDir/wcodes")
+        wIndex.unpersist(); wPacked.unpersist()
+        wCbP.unpersist(); wQcentsP.unpersist()
+        cents.unpersist()
+        graft.core.CacheScope.releaseStragglers(spark)
+        if (report) println(s"""{"metric":"pqdim_sweep","fixture":"clustered","corpus":$n,"dim":$dim,"k":$k,"nlist":$nlist,"brute_sec":${r3(bruteSec)},"ivf_build_sec":${r3(ivfBuildSec)},"ivf_probe_sec":${r3(ivfProbeSec)},"ivf_recall":${recall(flat, exact)},"ivfpqr_build_sec":${r3(pqBuildSec)},"ivfpqr_probe_sec":${r3(pqProbeSec)},"ivfpqr_recall":${recall(pq, exact)},"ivfpqp_probe_sec":${r3(pqpProbeSec)},"ivfpqp_recall":${recall(pqp, exact)},"ivfpqw_m":$mW,"ivfpqw_build_sec":${r3(wBuildSec)},"ivfpqw_probe_sec":${r3(wProbeSec)},"ivfpqw_recall":${recall(wpq, exact)},"ivfpqwp_probe_sec":${r3(wpProbeSec)},"ivfpqwp_recall":${recall(wpqp, exact)},"raw_bytes_per_vec":${rawBytes / n},"code_bytes_per_vec":${codeBytes / n},"wcode_bytes_per_vec":${wCodeBytes / n},"raw_logical_bytes_per_vec":${dim * 8},"code_logical_bytes_per_vec":8,"wcode_logical_bytes_per_vec":$mW,"mem_ratio_measured":${r3(rawBytes.toDouble / codeBytes)}}""")
+      }
+      onePoint(20000L, 16, report = false) // JIT/codegen warmup
+      points.foreach(n => dims.foreach(d => onePoint(n, d, report = true)))
     } else if (mode == "ccstar") {
       // Star-contraction connected components (q_er_clusters' CC core —
       // a DIFFERENT algorithm than ccinc's label propagation: O(log d)

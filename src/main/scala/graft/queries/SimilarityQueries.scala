@@ -385,6 +385,33 @@ object SimilarityQueries {
         col("vec_id") % 25 === 0, k = 5, nlist = 8, nprobe = 2,
         m = 4, nCent = 8)),
 
+    // PACKED IVF-PQ probe (r15): the value-identical fast path — the
+    // index keeps the m-code ARRAY per vector and each candidate
+    // scores itself with m LUT lookups in one codegen'd fold, instead
+    // of the long form's m rows through a join + hash aggregate.
+    // Same params/sample as q_knn_ivfpq, same oracle (bit-equal by
+    // construction; IvfPqPackedSpec pins it; the pqdim sweep prices
+    // the plan difference).
+    "q_knn_ivfpq_packed" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.ivfCentroids(emb, 8)
+      val (packed, cb) = Similarity.ivfPqBuildPacked(emb, cents,
+        m = 4, nCent = 8)
+      Similarity.ivfPqProbePacked(packed, cents, cb,
+        emb.filter(col("vec_id") % 25 === 0), k = 5, nprobe = 2, m = 4)
+    }),
+
+    // Packed twin of the residual (IVFADC) probe — same oracle as
+    // q_knn_ivfpq_res.
+    "q_knn_ivfpq_res_packed" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.ivfCentroids(emb, 8)
+      val (packed, rcb, qcents) = Similarity.ivfPqResidualBuildPacked(
+        emb, cents, m = 4, nCent = 8)
+      Similarity.ivfPqResidualProbePacked(packed, cents, qcents, rcb,
+        emb.filter(col("vec_id") % 25 === 0), k = 5, nprobe = 2, m = 4)
+    }),
+
     // RESIDUAL IVF-PQ (the faithful IVFADC): codes quantize
     // x − coarse_centroid, so the codewords resolve within-list
     // structure the shared codebook of q_knn_ivfpq cannot express
@@ -773,7 +800,13 @@ object SimilarityQueries {
        |FROM ($union)""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = oraclesBase ++ Map(
+    // packed probes are value-identical to their long forms by
+    // construction (IvfPqSpec pins bit-equality), so they share oracles
+    "q_knn_ivfpq_packed" -> oraclesBase("q_knn_ivfpq"),
+    "q_knn_ivfpq_res_packed" -> oraclesBase("q_knn_ivfpq_res"))
+
+  private lazy val oraclesBase: Map[String, String] = Map(
     "q_mmr_rerank" -> mmrOracleSql,
 
     "q_knn_density" ->

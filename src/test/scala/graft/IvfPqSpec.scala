@@ -332,6 +332,47 @@ class IvfPqSpec extends SparkSpec {
     assert(hinted == shuffled && hinted.nonEmpty)
   }
 
+  test("PACKED probes are bit-identical to the long-form probes (shared + residual)") {
+    val cents = Similarity.ivfCentroids(corpus, 6)
+    val q = corpus.filter(queryPred)
+    // shared codebook
+    val (longIdx, cb) = Similarity.ivfPqBuild(corpus, cents, m = 4, nCent = 8)
+    val (packedIdx, cbP) = Similarity.ivfPqBuildPacked(corpus, cents,
+      m = 4, nCent = 8)
+    val longRows = rows(Similarity.ivfPqProbe(longIdx, cents, cb, q,
+      k = 5, nprobe = 2, m = 4))
+    val packedRows = rows(Similarity.ivfPqProbePacked(packedIdx, cents, cbP,
+      q, k = 5, nprobe = 2, m = 4))
+    assert(longRows == packedRows && longRows.nonEmpty)
+    // residual (IVFADC) — rank-select and trained codebooks
+    for (trained <- Seq(false, true)) {
+      val (li, rcb, qc) = Similarity.ivfPqResidualBuild(corpus, cents,
+        m = 4, nCent = 8, trained = trained, sampleMod = 4)
+      val (pi, rcbP, qcP) = Similarity.ivfPqResidualBuildPacked(corpus,
+        cents, m = 4, nCent = 8, trained = trained, sampleMod = 4)
+      val lr = rows(Similarity.ivfPqResidualProbe(li, cents, qc, rcb, q,
+        k = 5, nprobe = 2, m = 4))
+      val pr = rows(Similarity.ivfPqResidualProbePacked(pi, cents, qcP,
+        rcbP, q, k = 5, nprobe = 2, m = 4))
+      assert(lr == pr && lr.nonEmpty, s"trained=$trained diverged")
+    }
+    // packed + un-hinted LUTs (shuffle-join escape hatch)
+    val shuffled = rows(Similarity.ivfPqProbePacked(packedIdx, cents, cbP,
+      q, k = 5, nprobe = 2, m = 4, broadcastLuts = false))
+    assert(shuffled == packedRows)
+  }
+
+  test("packCodes inverts the packed/long layouts") {
+    val cents = Similarity.ivfCentroids(corpus, 6)
+    val (longIdx, _) = Similarity.ivfPqBuild(corpus, cents, m = 4, nCent = 8)
+    val (packedIdx, _) = Similarity.ivfPqBuildPacked(corpus, cents,
+      m = 4, nCent = 8)
+    val repacked = Similarity.packCodes(longIdx)
+      .collect().map(_.toSeq).toSet
+    assert(repacked == packedIdx.collect().map(_.toSeq).toSet &&
+      repacked.nonEmpty)
+  }
+
   test("probe over a trained codebook keeps the cosine contract") {
     val cents = Similarity.ivfCentroids(clustered, 4)
     val cb = Similarity.pqKmeansCodebook(clustered, m = 4, nCent = 8,
