@@ -696,7 +696,11 @@ object ScaleSweep {
       // code index: the at-rest memory claim, measured not asserted.
       import graft.operators.Similarity
       val k = 10
-      val dims = Seq(16, 64, 128)
+      // SPARK_GRAFT_PQDIM_DIMS="128" runs a single width — the big-N
+      // kernel-dominant points are priced one dim at a time
+      val dims = sys.env.get("SPARK_GRAFT_PQDIM_DIMS")
+        .map(_.split(",").toSeq.map(_.trim.toInt))
+        .getOrElse(Seq(16, 64, 128))
       def r3(x: Double) = math.round(x * 1000) / 1000.0
       def ids(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
         rows.groupBy(_.getLong(0))
