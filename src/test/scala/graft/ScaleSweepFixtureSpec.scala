@@ -46,6 +46,39 @@ class ScaleSweepFixtureSpec extends SparkSpec {
     }
   }
 
+  test("embClusteredWide: ±0.1 jitter ball around hash-planted centers at dim 128") {
+    // the high-dim twin (pqdim sweep): same geometry contract as
+    // embClustered, coordinates from xxhash64 mixing instead of the
+    // dim-16-capped prime tables. Center replay uses Spark's own
+    // xxhash64 so the driver-side check can't drift from the generator.
+    val dim = 128
+    val centers = 8L
+    val df = ScaleSweep.embClusteredWide(spark, 200, centers, dim)
+    val rows = df.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    assert(rows.length == 200 && rows.forall(_._2.length == dim))
+    val centerRows = spark.range(centers)
+      .select(col("id"), array((0 until dim).map(j =>
+        pmod(xxhash64(col("id"), lit(j)), lit(2001L)).cast("double") / 1000.0
+          - 1.0): _*).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    rows.foreach { case (id, emb) =>
+      val c = centerRows(math.floorMod(id, centers))
+      (0 until dim).foreach { j =>
+        val d = math.abs(emb(j) - c(j))
+        assert(d <= 0.1 + 1e-12, s"id=$id dim=$j off-center by $d")
+      }
+    }
+    // centers populated and separated: at dim 128 hash-random centers
+    // concentrate around gap ~ sqrt(dim * E[(u-v)^2]) >> jitter
+    val cids = rows.map { case (id, _) => math.floorMod(id, centers) }.toSet
+    assert(cids.size == 8)
+    for (a <- 0L until centers; b <- (a + 1) until centers) {
+      val gap = math.sqrt((0 until dim)
+        .map(j => math.pow(centerRows(a)(j) - centerRows(b)(j), 2)).sum)
+      assert(gap > 1.0, s"centers $a,$b only $gap apart")
+    }
+  }
+
   test("embClustered queries at an id offset land in planted clusters too") {
     // the sweep's query model: held-out members — same mod-arithmetic
     // center id, own jitter — so exact top-k neighbors of a query are
