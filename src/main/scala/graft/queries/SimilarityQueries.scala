@@ -314,6 +314,44 @@ object SimilarityQueries {
           col("rank").cast("long").as("rank"))
     }),
 
+    // Incremental index maintenance (r15): build the index on 80% of
+    // the corpus, UPSERT the remaining 20% PLUS a re-ingested overlap
+    // slice (vec_id%10==1 — already in the base, so the replace-by-id
+    // path runs, not just append), probe. Because the re-ingested
+    // vectors are byte-identical, ingest-then-probe must EQUAL the
+    // full-build probe — so the gate is q_knn_ivf's own oracle, and
+    // any drift in the upsert's anti-join/union semantics breaks the
+    // hash. The scale claim under test: the corpus-side index is never
+    // shuffled (broadcast anti-join on the delta's id column).
+    "q_knn_ivf_ingest" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.ivfCentroids(emb, 8)
+      val base = Similarity.ivfAssign(emb.filter(col("vec_id") % 5 =!= 0), cents)
+      val delta = emb.filter(col("vec_id") % 5 === 0 || col("vec_id") % 10 === 1)
+      Similarity.ivfProbe(Similarity.ivfUpsert(base, cents, delta), cents,
+          emb.filter(col("vec_id") < 10), 10, nprobe = 2)
+        .select(col("query_id"), col("cand_id"), col("sim"),
+          col("rank").cast("long").as("rank"))
+    }),
+
+    // Predicate-filtered ANN (r15): top-k restricted to candidates
+    // whose metadata row passes a predicate (documents.lang = 'en',
+    // doc_id ≡ vec_id) — the "search only within X" production shape.
+    // The filter is a pre-ranking semi-join (post-filtering returns
+    // ~selectivity·k survivors; IvfLifecycleSpec pins the divergence);
+    // queries and centroids stay unfiltered. Oracle = the IVF replay
+    // with the same metadata join in its candidate CTE.
+    "q_knn_filtered" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.ivfCentroids(emb, 8)
+      val allowed = Tables.documents(s, d)
+        .filter(col("lang") === "en").select(col("doc_id"))
+      Similarity.ivfProbeFiltered(Similarity.ivfAssign(emb, cents), cents,
+          emb.filter(col("vec_id") < 10), allowed, 10, nprobe = 2)
+        .select(col("query_id"), col("cand_id"), col("sim"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     // Inverted-list occupancy audit for both coarse quantizers: at
     // scale the PROBE cost bound (~nprobe·N/nlist per query) holds
     // only if lists stay balanced, so list sizes are a first-class
@@ -688,7 +726,14 @@ object SimilarityQueries {
     * (q_ann_probe_stream / q_ann_probe_sharded), which run the same
     * contract through the stateless streaming code paths.
     */
-  private def ivfProbeReplaySql: String = {
+  private def ivfProbeReplaySql: String = ivfProbeReplaySqlWith("")
+
+  /** The IVF probe replay with an optional extra join in the candidate
+    * CTE — `candJoin` restricts candidates (pre-ranking) the way
+    * [[graft.operators.Similarity.ivfProbeFiltered]]'s semi-join does;
+    * "" is the unfiltered replay every plain-IVF gate shares.
+    */
+  private def ivfProbeReplaySqlWith(candJoin: String): String = {
     def cosBetween(x: String, y: String) =
       s"""${fold(s"$x.v[i] * $y.v[i]")} /
          |    (sqrt(${fold(s"$x.v[i] * $x.v[i]")}) * sqrt(${fold(s"$y.v[i] * $y.v[i]")}))""".stripMargin
@@ -710,6 +755,7 @@ object SimilarityQueries {
        |  SELECT pr.query_id, a.cand_id, ${cosineSql} AS sim
        |  FROM probes pr
        |  JOIN assign a ON a.centroid_id = pr.centroid_id AND a.cand_id <> pr.query_id
+       |  $candJoin
        |  JOIN e q ON q.vec_id = pr.query_id
        |  JOIN e c ON c.vec_id = a.cand_id
        |),
@@ -1548,6 +1594,11 @@ object SimilarityQueries {
     // q_knn_ivf's replay verbatim.
     "q_ann_probe_stream" -> ivfProbeReplaySql,
     "q_ann_probe_sharded" -> ivfProbeReplaySql,
+    // Ingest-then-probe ≡ full-build probe (byte-identical re-ingest),
+    // so the incremental-maintenance gate IS the plain replay.
+    "q_knn_ivf_ingest" -> ivfProbeReplaySql,
+    "q_knn_filtered" -> ivfProbeReplaySqlWith(
+      "JOIN documents dm ON dm.doc_id = a.cand_id AND dm.lang = 'en'"),
 
     // q_knn_ivf's scaffolding with a TRAINED cent CTE: half-sample,
     // rank-select seeds, one exact-integer Lloyd assignment
