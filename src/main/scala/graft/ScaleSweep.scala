@@ -222,12 +222,26 @@ object ScaleSweep {
     // at 100k×128 under the unrolled form). The HOF compiles to one
     // loop regardless of dim.
     spark.range(n).select((col("id") + idOffset).as("vec_id"))
-      .select(col("vec_id"), pmod(col("vec_id"), lit(centers)).as("cid"))
       .select(col("vec_id"),
-        expr(s"""transform(sequence(0, ${dim - 1}), j ->
-                |  (CAST(pmod(xxhash64(cid, j), 2001) AS DOUBLE) / 1000.0 - 1.0) +
-                |  (CAST(pmod(xxhash64(vec_id, j, 77), 201) AS DOUBLE) / 1000.0 - 0.1))"""
-          .stripMargin).as("embedding"))
+        embColumnWide(col("vec_id"), centers, dim).as("embedding"))
+  }
+
+  /** The [[embClusteredWide]] vector as a standalone COLUMN from the id
+    * alone — so a query STREAM can recompute the exact corpus vector
+    * from a vec_id on the wire (StreamBench ann at dim > 16), the same
+    * contract [[embColumn]] gives the dim ≤ 16 fixtures. Must stay
+    * bit-identical to the corpus generator (ScaleSweepFixtureSpec pins
+    * the geometry; the annwide StreamBench mode pins stream ≡ batch
+    * through it).
+    */
+  def embColumnWide(id: org.apache.spark.sql.Column, centers: Long,
+                    dim: Int): org.apache.spark.sql.Column = {
+    val cid = pmod(id, lit(centers))
+    transform(sequence(lit(0), lit(dim - 1)), j =>
+      (pmod(xxhash64(cid, j), lit(2001)).cast("double") / lit(1000.0)
+        - lit(1.0)) +
+      (pmod(xxhash64(id, j, lit(77)), lit(201)).cast("double") / lit(1000.0)
+        - lit(0.1)))
   }
 
   /** Chain-of-4 edge set for the incremental-CC sweep, split the way

@@ -475,13 +475,37 @@ object StreamBench {
         // stream carries only vec_ids on the wire — the embedding is
         // recomputed from the SAME deterministic generator on read, so
         // the per-row decode cost rides the measurement honestly.
-        val corpusN = math.max(1000, rows)
+        // SPARK_GRAFT_ANN_CORPUS decouples index size from stream
+        // volume (default: same-order), and SPARK_GRAFT_ANN_DIM > 16
+        // switches to the embClusteredWide generator (the residue
+        // fixture caps at 16) — together they reach the regime the
+        // broadcast-vs-sharded claim is ABOUT: a 10M × dim-128 index
+        // is ~10 GB of list arrays, past Spark's 8 GB broadcast
+        // ceiling, where "ann" must hard-fail in BroadcastExchange and
+        // only "annsharded" can serve the stream (SCALE.md r15).
+        val corpusN = sys.env.get("SPARK_GRAFT_ANN_CORPUS").map(_.toLong)
+          .getOrElse(math.max(1000L, rows.toLong))
+        val annDim = sys.env.getOrElse("SPARK_GRAFT_ANN_DIM", "16").toInt
+        // SPARK_GRAFT_ANN_SHARDS sizes the sharded layout per
+        // ivfShardedIndex's contract: one shard's lists must fit a
+        // task's hash-map budget. Default (0 = session shuffle
+        // partitions) starves execution memory at the 10M × 128 point:
+        // ~700 MB hash relation per task × 32 concurrent builds
+        // against a ~20 GB cached index = "Can't acquire … to build
+        // hash relation" (measured; SCALE.md r15). 256 shards → ~40 MB
+        // maps, and the per-batch build cost amortizes identically.
+        val annShards = sys.env.getOrElse("SPARK_GRAFT_ANN_SHARDS", "0").toInt
+        val wideCenters = math.min(65536L, math.max(64L, corpusN / 4096))
         val nlist = math.max(16,
           math.round(math.sqrt(corpusN.toDouble) / 16).toInt)
         spark.range(rows)
           .select((col("id") + 1000000007L).as("vec_id"))
           .repartition(8).write.option("header", "true").csv(s"$dir/in")
-        val corpus = graft.ScaleSweep.embCorpus(spark, corpusN)
+        val corpus =
+          if (annDim > 16)
+            graft.ScaleSweep.embClusteredWide(spark, corpusN, wideCenters,
+              annDim)
+          else graft.ScaleSweep.embCorpus(spark, corpusN)
         val cents = graft.operators.Similarity.ivfCentroids(corpus, nlist)
           .persist()
         cents.count()
@@ -496,7 +520,7 @@ object StreamBench {
           graft.operators.Similarity.ivfAssign(corpus, cents))
         val groups =
           (if (mode == "annsharded")
-             graft.operators.Similarity.ivfShardedIndex(rawGroups)
+             graft.operators.Similarity.ivfShardedIndex(rawGroups, annShards)
            else rawGroups)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         groups.count()
@@ -506,7 +530,10 @@ object StreamBench {
         if (filesPerTrigger != "0") reader.option("maxFilesPerTrigger", filesPerTrigger)
         val qs = reader.csv(s"$dir/in")
           .select(col("vec_id"),
-            graft.ScaleSweep.embColumn(col("vec_id")).as("embedding"))
+            (if (annDim > 16)
+               graft.ScaleSweep.embColumnWide(col("vec_id"), wideCenters,
+                 annDim)
+             else graft.ScaleSweep.embColumn(col("vec_id"))).as("embedding"))
         val probed =
           if (mode == "annsharded")
             graft.operators.Similarity.ivfProbeStreamSharded(groups, cents,

@@ -79,6 +79,30 @@ class ScaleSweepFixtureSpec extends SparkSpec {
     }
   }
 
+  test("embColumnWide is bit-identical to the original SQL-expr generator") {
+    // the r15 refactor exposed the wide vector as a standalone column
+    // (so a query stream can recompute corpus vectors from wire ids);
+    // this pins that the DSL tree hashes the SAME typed inputs as the
+    // SQL string it replaced — a silent int-vs-long drift in any
+    // xxhash64 argument would shift every coordinate, invalidating
+    // cross-round sweep comparability
+    val dim = 96
+    val centers = 13L
+    val legacy = spark.range(300).select(col("id").as("vec_id"))
+      .select(col("vec_id"), pmod(col("vec_id"), lit(centers)).as("cid"))
+      .select(col("vec_id"),
+        expr(s"""transform(sequence(0, ${dim - 1}), j ->
+                |  (CAST(pmod(xxhash64(cid, j), 2001) AS DOUBLE) / 1000.0 - 1.0) +
+                |  (CAST(pmod(xxhash64(vec_id, j, 77), 201) AS DOUBLE) / 1000.0 - 0.1))"""
+          .stripMargin).as("embedding"))
+    val mismatches = legacy.alias("o")
+      .join(ScaleSweep.embClusteredWide(spark, 300, centers, dim).alias("n"),
+        Seq("vec_id"))
+      .filter(col("o.embedding") =!= col("n.embedding"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("embClustered queries at an id offset land in planted clusters too") {
     // the sweep's query model: held-out members — same mod-arithmetic
     // center id, own jitter — so exact top-k neighbors of a query are
