@@ -405,7 +405,10 @@ object TextAnalysis {
     * route high-PII documents to quarantine instead of publishing them.
     */
   def redactPii(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(col(idCol),
+    // spreadByKey (r15): two regexp_extract_all + two regexp_replace
+    // per row is regex-engine CPU, not scan I/O — on a sub-split-size
+    // input the whole corpus otherwise redacts on one core.
+    spreadByKey(df, col(idCol)).select(col(idCol),
       size(regexp_extract_all(col(textCol), lit(emailPattern), lit(0)))
         .cast("long").as("n_emails"),
       size(regexp_extract_all(col(textCol), lit(digitRunPattern), lit(0)))
@@ -1017,7 +1020,13 @@ object TextAnalysis {
       .otherwise(transform(sequence(lit(0L), nLines - 1),
         i => array_join(slice(tk, (i * lineTokens + 1).cast("int"),
           lit(lineTokens)), " ")))
-    val lines = df
+    // spreadByKey BEFORE the chunker projection: the transform/slice/
+    // array_join HOF fold is interpreted per row and otherwise runs
+    // inside the single-split scan task (r15 — measured 3.3 s of
+    // single-core kernel at sf0.1, cpu_ms ≈ wall·1000); the id
+    // partitioning also satisfies the final reassembly groupBy(idCol),
+    // so the net exchange count is unchanged.
+    val lines = spreadByKey(df, col(idCol))
       .select(col(idCol), posexplode_outer(linesArr).as(Seq("line_idx", "line")))
     val dfreq = lines.filter(col("line").isNotNull)
       .groupBy(col("line"))
@@ -1269,7 +1278,12 @@ object TextAnalysis {
     // output column — higher-order functions are interpreted
     // (CodegenFallback), so codegen subexpression elimination never
     // dedups them (measured 2.5x on the corpus-wide bench query).
-    val staged = df.select(id, size(tk).cast("long").as("__n_tokens"),
+    // spreadByKey first (r15): the staged span build below is the
+    // expensive interpreted fold, and this operator is otherwise a
+    // pure projection over the single-split scan — one task does the
+    // whole corpus (measured cpu_ms ≈ wall·1000 at sf0.1).
+    val staged = spreadByKey(df, id).select(id,
+      size(tk).cast("long").as("__n_tokens"),
       spansExpr.as("__spans"))
     val spans = col("__spans")
     val corrupted = array_join(transform(spans, sp =>
@@ -1611,7 +1625,13 @@ object TextAnalysis {
     // ansi-mode slice then throws on a short doc the gate was about to
     // drop. Clamped, the inferred conjunct just evaluates an empty
     // slice and rejects the row, which is the gate's verdict anyway.
-    val base = df.select(col(idCol), tk.as("tk"))
+    // spreadByKey (r15): the tokenizer + slice + bigram transforms are
+    // interpreted HOF folds; id partitioning also satisfies BOTH keyed
+    // aggregations below (id ⊆ (id,n,gram) and id ⊆ (id,n)), so the
+    // gram count and the rollup run exchange-free on top of this one
+    // exchange — strictly fewer shuffled bytes than the pre-r15 plan,
+    // which exchanged the full (id,n,gram) stream.
+    val base = spreadByKey(df, col(idCol)).select(col(idCol), tk.as("tk"))
       .filter(size(col("tk")) >= 2 * summaryTokens)
       .select(col(idCol),
         slice(col("tk"), lit(1),
