@@ -1489,7 +1489,9 @@ object Dedup {
   def winnowDuplicates(df: DataFrame, textCol: String, idCol: String,
                        k: Int = 8, w: Int = 4, maxDf: Long = 20L,
                        minShared: Long = 2L): DataFrame = {
-    val fps = df.select(col(idCol),
+    // spreadByKey (r15): the winnow kernel (per-doc k-gram hashing +
+    // window minima) otherwise runs inside the single-split scan task.
+    val fps = spreadByKey(df, col(idCol)).select(col(idCol),
         explode(graft.functions.WinnowFingerprints
           .winnowFingerprints(col(textCol), k, w)).as("fp"))
       .select(col(idCol), col("fp.h").as("h"))

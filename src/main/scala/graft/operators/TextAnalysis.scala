@@ -979,7 +979,10 @@ object TextAnalysis {
       (p, c) => when(c.isNull, lit(null).cast("long")).otherwise(
         (ascii(substring(md5(concat(p, lit("|"), c)), 1, 1)) % 2 === 0)
           .cast("long")))
-    df.withColumn("n_pairs",
+    // spreadByKey (r15): one md5 per consecutive token pair through an
+    // interpreted zip_with/aggregate fold — pure projection otherwise
+    // pinned to the single-split scan task.
+    spreadByKey(df, col(textCol)).withColumn("n_pairs",
         size(filter(greens, g => g.isNotNull)).cast("long"))
       .withColumn("n_green",
         aggregate(greens, lit(0L), (acc, g) => acc + coalesce(g, lit(0L))))

@@ -146,7 +146,11 @@ object DedupQueries {
     // all the way through the gradient bits.
     "q_phash_dedup" -> ((s, d) => {
       import s.implicits._
-      val imgs = Tables.documents(s, d).select(col("doc_id"))
+      // spreadByKey before the opaque Dataset.map (r15): the BMP
+      // synthesis + dHash decode is per-row CPU the optimizer cannot
+      // see; on the single-split scan it all ran in one task.
+      val imgs = graft.operators.spreadByKey(
+          Tables.documents(s, d).select(col("doc_id")), col("doc_id"))
         .as[Long]
         .map { id =>
           val base = id / 4

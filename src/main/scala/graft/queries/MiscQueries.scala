@@ -684,6 +684,9 @@ object MiscQueries {
         concat(lit("https://cdn"), pmod(col("user_id"), lit(10)).cast("string"),
           lit(".example.com/"), col("event_type"),
           lit("/item"), col("event_id").cast("string")).as("url"))
+      // NOT spread (r15): two regexp_extract over 100k short URLs is
+      // ~0.3 s of CPU — cheaper than shuffling the URL strings
+      // (0.63 → 0.80 s measured with a spread here).
       urls.select(
           regexp_extract(col("url"), "https://([^/]+)/", 1).as("host"),
           regexp_extract(col("url"), "https://[^/]+(/[^?]*)", 1).as("path"))
@@ -719,8 +722,12 @@ object MiscQueries {
         .otherwise(lit(""))
       val frag = when(pmod(col("event_id"), lit(6)) === 0, lit("#frag"))
         .otherwise(lit(""))
-      e.select(col("event_id"),
-          concat(lit("https://"), host, path, query, frag).as("url"))
+      // spreadByKey (r15): the canonicalizer (lower/strip/param-filter
+      // chain) is per-row string CPU on the single-split events scan.
+      graft.operators.spreadByKey(
+          e.select(col("event_id"),
+            concat(lit("https://"), host, path, query, frag).as("url")),
+          col("event_id"))
         .select(col("event_id"), col("url"),
           graft.operators.TextAnalysis.canonicalizeUrl(col("url")).as("canon_url"))
         .groupBy(col("canon_url"))

@@ -66,7 +66,15 @@ object MonitorQueries {
     * `q_monitor_pipeline` and `q_alert_transitions`.
     */
   private def monitorPipeline(s: SparkSession, d: String): DataFrame = {
-    val joined = RefOps.joinOnKeys(cpuTable(s, d), memTable(s, d))
+    // spreadByKey between the join and the window aggregation (r15):
+    // at fixture scale AQE broadcasts one events side, so scan + join
+    // + window Expand + partial agg all collapse into the single-split
+    // scan stage — one task did the whole decimal-avg kernel
+    // (cpu_ms ≈ wall·1000). server_id partitioning ⊆ the
+    // (server_id, window) group keys, so the final aggregate runs
+    // exchange-free on top of this one exchange.
+    val joined = graft.operators.spreadByKey(
+      RefOps.joinOnKeys(cpuTable(s, d), memTable(s, d)), col("server_id"))
     val agged = RefOps.slidingWindowAgg(joined, "server_id",
       Seq(davg(col("cpu_pct")).as("avg_cpu"), davg(col("mem_pct")).as("avg_mem")), cfg)
     val alerted = agged.withColumn("alert",
@@ -112,6 +120,9 @@ object MonitorQueries {
         col("user_id").as("server_id"), (col("value") * 40).as("net_in"))
       val disk = Tables.events(s, d).select(col("ts"),
         col("user_id").as("server_id"), (col("value") * 20).as("disk_io"))
+      // NOT spread (r15): monitorPipeline's spread was tried here too
+      // and regressed 0.88 → 0.95 s — the max kernel is ~0.4 s of CPU,
+      // cheaper than the extra exchange it would ride on.
       val joined = RefOps.joinOnKeys(net, disk)
       val agged = RefOps.slidingWindowAgg(joined, "server_id",
         Seq(max(col("net_in")).as("max_net_in"),
@@ -165,6 +176,9 @@ object MonitorQueries {
     // A1 in isolation: window expansion row-multiplication (×3 for
     // 30s/10s) — the TimeWindowing/Expand rewrite, SURVEY.md §4.
     "q_window_counts" -> ((s, d) => {
+      // NOT spread (r15): tried the monitorPipeline spread; count+dsum
+      // over the ×3 Expand is too cheap to pay for the extra exchange
+      // (0.70 → 0.76 s measured).
       val ev = Tables.events(s, d)
       windowBoundsAsEpoch(
         ev.groupBy(col("user_id"), window(col("ts"), cfg.windowDuration, cfg.slideDuration))
