@@ -36,11 +36,19 @@ object GraphQueries {
 
   val queries: Map[String, Q] = Map(
     "q_pagerank" -> ((s, d) => {
-      val raw = Tables.orders(s, d)
-        .join(Tables.lineitem(s, d),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))
+      // r15: LONG node ids through the iteration (customer 2k,
+      // supplier 2k+1 — injective, disjoint), strings only in the
+      // final projection: three rounds of join+aggregate hash and
+      // shuffle 8-byte keys instead of "c…"/"s…" UTF8 (guide §2.3).
+      // spreadByKey parallelizes the broadcast-join probe + partial
+      // distinct otherwise pinned to the single-split lineitem scan.
+      val li = graft.operators.spreadByKey(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("l_orderkey"))
+      val raw = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
       // repartition BEFORE the checkpoint: LogicalRDD preserves the
       // physical partitioning, so every round's ranks→edges join reuses
@@ -93,7 +101,13 @@ object GraphQueries {
       // AND the edge set — the returned frame reads only this checkpoint
       val result = rank.select(col("node"), col("r").as("pr")).localCheckpoint()
       (prevSnapRdds ++ edgeRdds).foreach(_.unpersist(blocking = false))
-      result
+      // long ids → the catalog's "c…"/"s…" node strings, one cheap
+      // projection over the |nodes|-sized checkpoint (r15)
+      result.select(
+        when(col("node") % 2 === 0,
+          concat(lit("c"), expr("node div 2")))
+          .otherwise(concat(lit("s"), expr("(node - 1) div 2"))).as("node"),
+        col("pr"))
     }),
 
     // Triangle count over the recurring co-purchase graph: parts that
@@ -193,12 +207,25 @@ object GraphQueries {
     // whose purchases concentrate on authoritative suppliers;
     // authorities = suppliers bought by strong hubs.
     "q_hits" -> ((s, d) => {
-      val raw = Tables.orders(s, d)
-        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("c"),
-          concat(lit("s"), col("l_suppkey")).as("s"))
+      // r15: LONG keys through the iteration, strings only in the final
+      // projection — every per-round join/aggregate hashes and shuffles
+      // 8-byte keys instead of "c…"/"s…" UTF8 (guide §2.3 narrower
+      // types; the bipartite sides never mix, so the raw keys are
+      // already injective). spreadByKey parallelizes the broadcast-join
+      // probe + partial distinct that otherwise run inside the
+      // single-split lineitem scan task.
+      val li = graft.operators.spreadByKey(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("l_orderkey"))
+      val raw = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
         .distinct()
       hitsScores(s, raw, rounds = 2)
+        .select(col("kind"),
+          concat(when(col("kind") === "hub", lit("c")).otherwise(lit("s")),
+            col("node")).as("node"),
+          col("score"))
     })
   )
 
