@@ -265,8 +265,15 @@ object AnalyticsQueries {
       // per-part) ride cheap scans; caching 1.2M rows cost more than
       // the rescans. At a scale where the distinct dominates, persist
       // `so` with the CacheScope scoped-release pattern.
-      val so = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      // r15: one hash(ok) exchange serves the distinct (subset rule),
+      // both self-join sides (ReuseExchange + satisfied join
+      // distribution) AND lifts the partial distinct out of the
+      // single-split lineitem scan task — same shape as
+      // GraphQueries.coPurchaseEdges.
+      val so = graft.operators.spreadByKey(
+          Tables.lineitem(s, d)
+            .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")),
+          col("ok"))
         .distinct()
       val n = so.agg(count_distinct(col("ok")).as("N"))
       val per = so.groupBy(col("pk")).agg(count(lit(1)).as("n_i"))

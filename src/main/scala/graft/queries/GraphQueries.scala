@@ -29,6 +29,32 @@ object GraphQueries {
   /** Total rank mass in micro-units. */
   private val S = 1000000000000L
 
+  /** The ≥2-support co-purchase edge set shared by q_triangles /
+    * q_kcore / q_bfs_hops (previously triplicated inline). r15 shape:
+    * ONE exchange by order key serves the whole build — spreadByKey's
+    * hash(ok) partitioning satisfies the (ok, pk) distinct (subset
+    * rule), and both self-join sides read the SAME exchange
+    * (ReuseExchange) with the join's ok distribution already satisfied
+    * — so the wedge generation runs with no further shuffle until the
+    * (u, v) support count. It also lifts the distinct's partial
+    * aggregate out of the single-split lineitem scan task.
+    */
+  private def coPurchaseEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val so = graft.operators.spreadByKey(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")),
+        col("ok"))
+      .distinct()
+    so.as("a")
+      .join(so.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select(col("u"), col("v"))
+  }
+
   /** HITS total score mass: 10⁹ keeps every scaled product ar·S ≤
     * S² = 10¹⁸ inside int64 unconditionally (see [[hitsScores]]).
     */
@@ -130,16 +156,7 @@ object GraphQueries {
     // localCheckpoint'ed once because three joins read it. At 100 TB
     // the wedge frame would be checkpointed too before closure.
     "q_triangles" -> ((s, d) => {
-      val so = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val und = so.as("a")
-        .join(so.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
-        .agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2)
-        .select(col("u"), col("v"))
+      val und = coPurchaseEdges(s, d)
       triangleStats(und)
     }),
 
@@ -163,16 +180,7 @@ object GraphQueries {
     // round's set materializes, so resident state is O(|edges|), not
     // O(rounds · |edges|).
     "q_kcore" -> ((s, d) => {
-      val so = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val und = so.as("a")
-        .join(so.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
-        .agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2)
-        .select(col("u"), col("v"))
+      val und = coPurchaseEdges(s, d)
       kcorePeel(s, und, k = 3, rounds = 3)
     }),
 
@@ -187,16 +195,7 @@ object GraphQueries {
     // discipline as PageRank. FIXED rounds (bounded latency), so the
     // output is exact hop distance for every node within 3 hops.
     "q_bfs_hops" -> ((s, d) => {
-      val so = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val und = so.as("a")
-        .join(so.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
-        .agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2)
-        .select(col("u"), col("v"))
+      val und = coPurchaseEdges(s, d)
       bfsHops(s, und, seedPred = col("node") % 97 === 0, rounds = 3)
     }),
 
