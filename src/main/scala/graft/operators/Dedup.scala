@@ -485,16 +485,24 @@ object Dedup {
                         shingleSize: Int = 12, tNum: Int = 8, tDen: Int = 10,
                         maxPrefixDf: Long = Long.MaxValue): DataFrame = {
     require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
-    val sh = charShingles(df, textCol, idCol, shingleSize).persist()
+    // r15: hash shingles to 64-bit identities BEFORE the set-distinct —
+    // everything downstream (df count, prefix window, candidate
+    // self-join, verify sets) runs on 8-byte keys; the k-char strings
+    // never cross an exchange (guide §2.3 / §8: decide on a proxy).
+    // Same xxhash64-identity convention (and collision bound) the
+    // verify step below always used.
+    val sh = rawCharShingles(df, textCol, idCol, shingleSize)
+      .select(col(idCol), xxhash64(col("shingle")).as("h"))
+      .distinct().persist()
     val prefix = prefixFrame(sh, idCol, tNum, tDen)
-      .select(col(idCol), col("shingle"), col("n"), col("dfr"))
+      .select(col(idCol), col("h"), col("n"), col("dfr"))
       .persist()
     // rarest-first ordering puts hot shingles at the END of a prefix,
     // so the cap only ever truncates the boilerplate-heavy tail; a
     // fully-capped prefix means even the doc's RAREST shingles are hot.
     val live = prefix.filter(col("dfr") <= maxPrefixDf)
     val cand = live.as("x").join(live.as("y"),
-        col("x.shingle") === col("y.shingle") &&
+        col("x.h") === col("y.h") &&
           col(s"x.$idCol") < col(s"y.$idCol") &&
           least(col("x.n"), col("y.n")) * tDen >=
             greatest(col("x.n"), col("y.n")) * tNum)
@@ -507,7 +515,7 @@ object Dedup {
     // across host-noise runs). Same xxhash64 set-identity convention
     // (and ~1e-13 collision bound) as jaccardFromProfiles.
     val sets = sh.groupBy(col(idCol)).agg(
-      collect_set(xxhash64(col("shingle"))).as("hs"),
+      collect_set(col("h")).as("hs"),
       count(lit(1)).as("n"))
     val out = cand
       .join(sets.select(col(idCol).as("id_a"),
@@ -536,8 +544,19 @@ object Dedup {
     */
   private def prefixFrame(sh: DataFrame, idCol: String,
                           tNum: Int, tDen: Int): DataFrame = {
-    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("dfr"))
-    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("dfr"), col("shingle"))
+    // r15: the stream arrives as (id, h) with h = xxhash64(shingle) —
+    // the df count, the join back and the per-doc ordering all run on
+    // 8-byte keys instead of k-char strings (guide §2.3 narrower
+    // types; the 12-char strings were hashed, sorted and shuffled at
+    // every exchange of this pipeline). The (dfr, h) tie-break is a
+    // different-but-consistent total order vs (dfr, shingle):
+    // prefix-filter recall (zero FN for ANY consistent global order)
+    // and the audit outputs (n_prefix is a count; n_capped counts
+    // dfr > cap over a prefix whose dfr MULTISET is tie-break-
+    // invariant) are unchanged; hash-identity collisions carry the
+    // same stated ~1e-13/pair bound the verify step already accepts.
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("dfr"))
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("dfr"), col("h"))
     val wN = Window.partitionBy(col(idCol))
     // persist (by the caller) matters: the candidate self-join reads the
     // prefix on BOTH sides, and nothing guarantees exchange reuse across
@@ -545,7 +564,7 @@ object Dedup {
     // shuffle + per-doc window ran twice (measured 11.2 → 7.7 s at
     // sf0.1). It is the ~20%-rarest slice of the shingle stream, far
     // smaller than sh.
-    spreadByKey(sh.join(dfreq, Seq("shingle")), col(idCol))
+    spreadByKey(sh.join(dfreq, Seq("h")), col(idCol))
       .withColumn("r", row_number().over(wDoc))
       .withColumn("n", count(lit(1)).over(wN))
       .filter(col("r") <= col("n") - expr(s"(n * $tNum + ${tDen - 1}) div $tDen") + 1)
@@ -567,8 +586,11 @@ object Dedup {
     require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
     // prefixFrame reads the shingle stream twice (df-count aggregation +
     // the join back) — persist it, mirroring prefixJaccardJoin, so the
-    // shingle explosion isn't recomputed
-    val sh = charShingles(df, textCol, idCol, shingleSize).persist()
+    // shingle explosion isn't recomputed. Hashed identities as there
+    // (r15); the audit outputs are tie-break-invariant, see prefixFrame.
+    val sh = rawCharShingles(df, textCol, idCol, shingleSize)
+      .select(col(idCol), xxhash64(col("shingle")).as("h"))
+      .distinct().persist()
     val out = prefixFrame(sh, idCol, tNum, tDen)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_prefix"),
