@@ -749,6 +749,10 @@ object TextAnalysis {
     // projections below the shuffle), which made the subtrees
     // non-identical — 38 Generate nodes, ~78 live exchanges, the
     // shingle explode re-executed per consumer.
+    // NOT hashed (r15): xxhash64 shingle identities (the prefix-join
+    // win) were tried here and REGRESSED 1.92 → 2.40 s at sf0.1 — the
+    // 3-gram keys are short, and the projection between explode and
+    // aggregate cost more than the narrower exchanges saved.
     val tf = Dedup.rawWordShingles(df, textCol, idCol, n)
       .groupBy(col(idCol), col("shingle")).agg(count(lit(1)).as("tf"))
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
