@@ -78,55 +78,52 @@ object GraphQueries {
         .distinct()
       // repartition BEFORE the checkpoint: LogicalRDD preserves the
       // physical partitioning, so every round's ranks→edges join reuses
-      // it instead of re-exchanging |edges| rows 3×
+      // it instead of re-exchanging |edges| rows 3×.
+      // r15: the SOURCE out-degree rides the edge row (one build-time
+      // join, materialized into the checkpoint) — the per-edge
+      // contribution r div deg then needs only (node, r) from the
+      // previous round, which removes the carry-forward join AND the
+      // per-round localCheckpoint: rank feeds exactly ONE consumer per
+      // round, so the lazy lineage grows linearly (the old exponential
+      // two-consumer hazard is gone) and one action evaluates all
+      // three rounds. Per round: one broadcast-eligible join + one
+      // dst-keyed aggregate — half the old round topology.
       val sc0 = s.sparkContext
       val beforeEdges = sc0.getPersistentRDDs.keySet
-      val edges = raw
+      val edges0 = raw
         .union(raw.select(col("dst").as("src"), col("src").as("dst")))
         .repartition(col("src"))
+      val deg0 = edges0.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      val edges = edges0
+        .join(deg0, col("src") === col("node")).drop("node")
         .localCheckpoint()
       val edgeRdds = (sc0.getPersistentRDDs -- beforeEdges).values.map { r =>
         r.setName("graft.pagerank edges"); r
       }
-      val deg = edges.groupBy(col("src").as("node"))
-        .agg(count(lit(1)).as("deg"))
       // uniform start mass as a PLAN CONSTANT: the damping base
       // S div |nodes| is the same literal in every round, so one eager
       // 1-row action here replaces a 1-row broadcast + nested-loop
       // join per round (4 of them incl. init) — the globalRank
-      // eager-boundaries rationale; the value is exact, not a sketch
-      val nodes = deg.agg(count(lit(1))).head().getLong(0)
+      // eager-boundaries rationale; the value is exact, not a sketch.
+      // |nodes| = distinct src of the symmetrized edges (degree ≥ 1
+      // everywhere), read off the checkpointed edge set.
+      val nodes = edges.select(col("src")).distinct().count()
       val base = if (nodes == 0) 0L else S / nodes // 0-node guard: empty slice, empty result
-      var rank = deg.select(col("node"), col("deg"), lit(base).as("r"))
-      // per-round release discipline (as in Bpe.merges / Dedup CC):
-      // round N's rank snapshot dies once round N+1's materializes
-      val sc = s.sparkContext
-      var prevSnapRdds: Iterable[org.apache.spark.rdd.RDD[_]] = Nil
+      var rank = edges.select(col("src").as("node")).distinct()
+        .select(col("node"), lit(base).as("r"))
       for (round <- 1 to 3) {
-        // ranks feed BOTH branches below (contribution join and the
-        // carry-forward join) — checkpoint the |nodes|-sized table per
-        // round or the lazy plan re-evaluates prior rounds 2× each
-        // (exponential in rounds)
-        val before = sc.getPersistentRDDs.keySet
-        val snap = rank.localCheckpoint()
-        val snapRdds = (sc.getPersistentRDDs -- before).values.map { r =>
-          r.setName(s"graft.pagerank round $round"); r
-        }
-        prevSnapRdds.foreach(_.unpersist(blocking = false))
-        prevSnapRdds = snapRdds
         val contrib = edges
-          .join(snap.select(col("node"), expr("r div deg").as("c")),
-            col("src") === col("node"))
+          .join(rank, col("src") === col("node"))
+          .select(col("dst"), expr("r div deg").as("c"))
           .groupBy(col("dst")).agg(sum(col("c")).as("ins"))
-        rank = snap.drop("r")
-          .join(contrib, col("node") === col("dst")).drop("dst")
-          .select(col("node"), col("deg"),
-            expr(s"(15 * ${base}L + 85 * ins) div 100").as("r"))
+        rank = contrib.select(col("dst").as("node"),
+          expr(s"(15 * ${base}L + 85 * ins) div 100").as("r"))
       }
-      // materialize the final ranks, then release the last round's snap
-      // AND the edge set — the returned frame reads only this checkpoint
+      // materialize the final ranks, then release the edge set — the
+      // returned frame reads only this checkpoint
       val result = rank.select(col("node"), col("r").as("pr")).localCheckpoint()
-      (prevSnapRdds ++ edgeRdds).foreach(_.unpersist(blocking = false))
+      edgeRdds.foreach(_.unpersist(blocking = false))
       // long ids → the catalog's "c…"/"s…" node strings, one cheap
       // projection over the |nodes|-sized checkpoint (r15)
       result.select(
