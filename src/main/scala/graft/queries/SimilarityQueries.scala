@@ -28,22 +28,6 @@ object SimilarityQueries {
     */
   private val exactCap = 500
 
-  /** Run `f` over a persisted embeddings frame, released after the
-    * result's first consuming action (r15): the composed IVF-PQ
-    * build+probe plans re-read the corpus parquet in EVERY subplan —
-    * 45-61 `Scan parquet` nodes per executed plan (plans/r15/
-    * q_knn_ivfpq_*_before.txt) — and each rescan pays listing + footer
-    * + decode on the single-split file. One in-action persist collapses
-    * them to one scan + cache reads; the cache dies with the action
-    * (CacheScope), so every bench pass / verify run still computes from
-    * the parquet input.
-    */
-  private def withEmb(s: org.apache.spark.sql.SparkSession, d: String)(
-      f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val emb = Tables.embeddings(s, d).persist()
-    graft.core.CacheScope.releaseAfterUse(f(emb), emb)
-  }
 
   val queries: Map[String, Q] = Map(
 
@@ -435,10 +419,10 @@ object SimilarityQueries {
     // — raw vectors touched at build only, probe scans ~nprobe/nlist of
     // the code rows. Same query sample as q_pq_search so the two
     // catalogs price the list restriction directly.
-    "q_knn_ivfpq" -> ((s, d) => withEmb(s, d)(emb =>
-      Similarity.ivfPqSearch(emb,
+    "q_knn_ivfpq" -> ((s, d) =>
+      Similarity.ivfPqSearch(Tables.embeddings(s, d),
         col("vec_id") % 25 === 0, k = 5, nlist = 8, nprobe = 2,
-        m = 4, nCent = 8))),
+        m = 4, nCent = 8)),
 
     // PACKED IVF-PQ probe (r15): the value-identical fast path — the
     // index keeps the m-code ARRAY per vector and each candidate
@@ -447,7 +431,8 @@ object SimilarityQueries {
     // Same params/sample as q_knn_ivfpq, same oracle (bit-equal by
     // construction; IvfPqPackedSpec pins it; the pqdim sweep prices
     // the plan difference).
-    "q_knn_ivfpq_packed" -> ((s, d) => withEmb(s, d) { emb =>
+    "q_knn_ivfpq_packed" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
       val cents = Similarity.ivfCentroids(emb, 8)
       val (packed, cb) = Similarity.ivfPqBuildPacked(emb, cents,
         m = 4, nCent = 8)
@@ -457,7 +442,8 @@ object SimilarityQueries {
 
     // Packed twin of the residual (IVFADC) probe — same oracle as
     // q_knn_ivfpq_res.
-    "q_knn_ivfpq_res_packed" -> ((s, d) => withEmb(s, d) { emb =>
+    "q_knn_ivfpq_res_packed" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
       val cents = Similarity.ivfCentroids(emb, 8)
       val (packed, rcb, qcents) = Similarity.ivfPqResidualBuildPacked(
         emb, cents, m = 4, nCent = 8)
@@ -472,10 +458,10 @@ object SimilarityQueries {
     // quantizer, query sample and k as q_knn_ivfpq — the pair prices
     // residual encoding directly. Rank-select residual codebook
     // (deterministic; the trained twin is sweep-priced + spec-pinned).
-    "q_knn_ivfpq_res" -> ((s, d) => withEmb(s, d)(emb =>
-      Similarity.ivfPqResidualSearch(emb,
+    "q_knn_ivfpq_res" -> ((s, d) =>
+      Similarity.ivfPqResidualSearch(Tables.embeddings(s, d),
         col("vec_id") % 25 === 0, k = 5, nlist = 8, nprobe = 2,
-        m = 4, nCent = 8))),
+        m = 4, nCent = 8)),
 
     // PER-LIST ("local") residual codebooks — the capacity fix the
     // r14 sweep measures the need for: a SHARED residual codebook
@@ -484,10 +470,10 @@ object SimilarityQueries {
     // 0.223 shared → 0.672 local at identical code width). Same
     // scaffolding/sample/k as the q_knn_ivfpq pair; rank-select
     // per-list codebooks (the trained twin is sweep-priced).
-    "q_knn_ivfpq_local" -> ((s, d) => withEmb(s, d)(emb =>
-      Similarity.ivfPqLocalSearch(emb,
+    "q_knn_ivfpq_local" -> ((s, d) =>
+      Similarity.ivfPqLocalSearch(Tables.embeddings(s, d),
         col("vec_id") % 25 === 0, k = 5, nlist = 8, nprobe = 2,
-        m = 4, nCent = 8))),
+        m = 4, nCent = 8)),
 
     // IVF-PQ with a TRAINED (sampled per-subspace Lloyd) codebook —
     // the q_knn_ivf_trained discipline applied to the product
@@ -497,7 +483,8 @@ object SimilarityQueries {
     // TRUNC(double-exact sum / count)); empty cells keep their seed.
     // Same coarse scaffolding / query sample / k as the q_knn_ivfpq
     // family, so the row prices codebook training alone.
-    "q_knn_ivfpq_trained" -> ((s, d) => withEmb(s, d) { emb =>
+    "q_knn_ivfpq_trained" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
       val cents = Similarity.ivfCentroids(emb, 8)
       val cb = Similarity.pqKmeansCodebook(emb, m = 4, nCent = 8,
         sampleMod = 2)
@@ -513,7 +500,8 @@ object SimilarityQueries {
     // scale, in-catalog and oracle-gated. Low recall here is the
     // measured price of 4-byte codes at dim 64; the sweep's residual /
     // per-list columns price the fixes.
-    "q_ivfpq_recall" -> ((s, d) => withEmb(s, d) { emb =>
+    "q_ivfpq_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
       Similarity.recallAudit(
         Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 10)
           .select(col("query_id"), col("cand_id")),
