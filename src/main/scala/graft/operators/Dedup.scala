@@ -759,14 +759,27 @@ object Dedup {
     * (m ≤ u < dst).
     */
   private def largeStar(edges: DataFrame): DataFrame = {
+    // r16 (one exchange for the whole contraction): repartition the
+    // symmetrized neighborhood by src ONCE — the min-neighbor aggregate
+    // runs exchange-free on it (subset rule) and both join sides arrive
+    // already hash(src)-distributed, so EnsureRequirements inserts
+    // nothing and ReuseExchange serves both consumers from the same
+    // physical exchange. The old shape paid separate exchanges for the
+    // aggregate and the join's sym side, plus a trailing hash(src, dst)
+    // distinct — dropped here: [[smallStar]] immediately re-orients and
+    // dedups its input, so the composed round's edge SET is unchanged
+    // (min() and the orientation are duplicate-insensitive) and the
+    // distinct's full-width exchange + aggregate was pure overhead.
+    // NOTE the composition contract: largeStar output is only
+    // consumed by smallStar (it may carry duplicate rows).
     val sym = edges.unionByName(
-      edges.select(col("dst").as("src"), col("src").as("dst")))
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
     val mins = sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
       .select(col("src"), least(col("mn"), col("src")).as("m"))
     sym.join(mins, Seq("src"))
       .filter(col("dst") > col("src"))
       .select(col("dst").as("src"), col("m").as("dst"))
-      .distinct()
   }
 
   /** One small-star contraction: orient every edge (larger, smaller);
@@ -775,9 +788,18 @@ object Dedup {
     * [[largeStar]] (m ≤ v < u on every emitted edge).
     */
   private def smallStar(edges: DataFrame): DataFrame = {
+    // r16: same one-exchange discipline as [[largeStar]] — the
+    // orientation dedup runs ON a hash(u) repartition (subset rule:
+    // {u} ⊆ {u, v}), which then also serves the min aggregate and both
+    // join sides exchange-free. Only the final union distinct pays its
+    // own (src, dst) exchange — which doubles as the partitioning the
+    // caller's set-equality anti-join wants. 2 exchanges per
+    // application, was 4.
     val oriented = edges.select(greatest(col("src"), col("dst")).as("u"),
-      least(col("src"), col("dst")).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
+        least(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .repartition(col("u"))
+      .dropDuplicates("u", "v")
     val mins = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
     oriented.join(mins, Seq("u"))
       .filter(col("v") =!= col("m"))

@@ -210,13 +210,16 @@ object GraphQueries {
       // already injective). spreadByKey parallelizes the broadcast-join
       // probe + partial distinct that otherwise run inside the
       // single-split lineitem scan task.
+      // r16: the (c, s) distinct moved INTO hitsScores, where it runs on
+      // the edge checkpoint's own hash(c) exchange under the subset rule
+      // — the standalone hash(c, s) distinct exchange here paid a full
+      // extra |edges| shuffle + barrier (guide §2.4).
       val li = graft.operators.spreadByKey(
         Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
         col("l_orderkey"))
       val raw = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
         .join(li, col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-        .distinct()
       hitsScores(s, raw, rounds = 2)
         .select(col("kind"),
           concat(when(col("kind") === "hub", lit("c")).otherwise(lit("s")),
@@ -337,31 +340,60 @@ object GraphQueries {
     * the edge build, shared with PageRank at 3.9 s). At 100 TB
     * shuffle ∝ |edges| per round, resident state ∝ |nodes| per
     * persisted stage.
+    *
+    * r16 round topology (the r15-verdict #1 rewrite): each normalizer
+    * t used to be a 1-row aggregate OVER the raw-score table it
+    * normalizes (araw → at → auth: two sequential barriers per
+    * half-round). But t is degree-expressible from the PREVIOUS score
+    * table alone — Σ_s ar(s) = Σ_{(c,s)∈E} h(c) = Σ_c outdeg(c)·h(c)
+    * (plain integer-sum associativity, value-identical) — so `at` now
+    * reads (hub ⋈ outdeg) and `ht` reads (auth ⋈ indeg): each
+    * normalizer's broadcast materializes CONCURRENTLY with its
+    * half-round's edge-join shuffle instead of sequentially after it,
+    * halving the critical-path barriers per round. The degree tables
+    * are one-off |node|-sized aggregates off the edge checkpoint
+    * (outdeg exchange-free under the subset rule; indeg's hash(s)
+    * exchange is map-side-combined to ≤ partitions·|S| rows) and are
+    * lazily persisted like the score tables. The initial-mass base
+    * HitsS div |C| also rides a 1-row broadcast crossJoin off outdeg
+    * now, removing the only remaining eager driver action between the
+    * edge checkpoint and the result checkpoint (2 jobs total, was 3).
+    * Edge dedup happens here, ON the checkpoint's own hash(c)
+    * repartition (subset rule) — callers must NOT pre-distinct.
     */
   def hitsScores(s: org.apache.spark.sql.SparkSession, edges0: DataFrame,
       rounds: Int): DataFrame = {
     require(rounds >= 1, "hitsScores needs at least one round")
     import graft.core.CacheScope.trackedCheckpoint
     val (edges, edgeRdds) = trackedCheckpoint(
-      edges0.select(col("c"), col("s")).repartition(col("c")),
+      edges0.select(col("c"), col("s")).repartition(col("c"))
+        .dropDuplicates("c", "s"),
       "graft.hits edges")
-    val nC = edges.select(col("c")).distinct().count()
-    val base = if (nC == 0) 0L else HitsS / nC
-    var hub = edges.select(col("c")).distinct()
-      .select(col("c"), lit(base).as("h"))
-    var auth: DataFrame = null
     val cached = scala.collection.mutable.Buffer.empty[DataFrame]
+    // per-side degree tables: outdeg rides the checkpoint's hash(c)
+    // partitioning (no exchange); indeg is the one new exchange, paid
+    // once and reused by every round's ht
+    val outdeg = edges.groupBy(col("c")).agg(count(lit(1)).as("dc")).persist()
+    val indeg = edges.groupBy(col("s")).agg(count(lit(1)).as("ds")).persist()
+    cached += outdeg
+    cached += indeg
+    val nc = outdeg.agg(count(lit(1)).as("n"))
+    var hub: DataFrame = outdeg.crossJoin(broadcast(nc))
+      .select(col("c"), expr(s"${HitsS}L div n").as("h"))
+    var auth: DataFrame = null
     for (r <- 1 to rounds) {
+      val at = hub.join(outdeg, Seq("c"))
+        .agg(sum(col("h") * col("dc")).as("t"))
       val araw = edges.join(hub, Seq("c"))
         .groupBy(col("s")).agg(sum(col("h")).as("ar")).persist()
       cached += araw
-      val at = araw.agg(sum(col("ar")).as("t"))
       auth = araw.crossJoin(broadcast(at))
         .select(col("s"), expr(s"ar * ${HitsS}L div t").as("a"))
+      val ht = auth.join(indeg, Seq("s"))
+        .agg(sum(col("a") * col("ds")).as("t"))
       val hraw = edges.join(auth, Seq("s"))
         .groupBy(col("c")).agg(sum(col("a")).as("hr")).persist()
       cached += hraw
-      val ht = hraw.agg(sum(col("hr")).as("t"))
       hub = hraw.crossJoin(broadcast(ht))
         .select(col("c"), expr(s"hr * ${HitsS}L div t").as("h"))
     }
